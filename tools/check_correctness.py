@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling only — the
+Scala library has no Python dependency).
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json entry in DuckDB against the parquet tables in
+<sfDir>, loads the Spark result parquet from <verifyOutDir>/<name>, and
+compares: row count, column names (sorted), and exact values with columns
+sorted by name (both row-order-as-is and row-sorted variants reported).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def row_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            expected = norm(con.sql(sql).df())
+            got = norm(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        except Exception as e:
+            print(f"FAIL {name}: load/exec error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if list(expected.columns) != list(got.columns):
+            problems.append(f"columns: oracle={list(expected.columns)} got={list(got.columns)}")
+        elif len(expected) != len(got):
+            problems.append(f"rows: oracle={len(expected)} got={len(got)}")
+        else:
+            try:
+                pd.testing.assert_frame_equal(expected, got, check_dtype=False, check_exact=True)
+                ordered = "ordered-exact"
+            except AssertionError:
+                try:
+                    pd.testing.assert_frame_equal(
+                        row_sorted(expected), row_sorted(got), check_dtype=False, check_exact=True)
+                    ordered = "row-sorted-exact (ORDER MISMATCH — fix the ORDER BY)"
+                except AssertionError as e:
+                    problems.append(f"values: {str(e).splitlines()[-1] if str(e) else e}")
+                    ordered = None
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows, {ordered})")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
