@@ -17,12 +17,36 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _),
+    "q1_agg"          -> (Relational.q1Agg _),
+    "q2_join_revenue" -> (Relational.q2JoinRevenue _),
+    "q3_topk_orders"  -> (Relational.q3TopkOrders _),
+    "q4_window_topk"  -> (Relational.q4WindowTopk _),
+    "q5_semi_join"    -> (Relational.q5SemiJoin _),
+    "q6_anti_join"    -> (Relational.q6AntiJoin _),
+    "q7_set_ops"      -> (Relational.q7SetOps _),
+    "q8_rollup"       -> (Relational.q8Rollup _),
+    "q9_distinct"     -> (Relational.q9Distinct _),
+    "q10_scalar"      -> (Relational.q10Scalar _),
+    "q11_json"        -> (Relational.q11Json _),
+    "q12_window"      -> (Relational.q12Window _),
+    "q13_case_agg"    -> (Relational.q13CaseAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql,
+    "q1_agg"          -> Relational.q1AggSql,
+    "q2_join_revenue" -> Relational.q2JoinRevenueSql,
+    "q3_topk_orders"  -> Relational.q3TopkOrdersSql,
+    "q4_window_topk"  -> Relational.q4WindowTopkSql,
+    "q5_semi_join"    -> Relational.q5SemiJoinSql,
+    "q6_anti_join"    -> Relational.q6AntiJoinSql,
+    "q7_set_ops"      -> Relational.q7SetOpsSql,
+    "q8_rollup"       -> Relational.q8RollupSql,
+    "q9_distinct"     -> Relational.q9DistinctSql,
+    "q10_scalar"      -> Relational.q10ScalarSql,
+    "q11_json"        -> Relational.q11JsonSql,
+    "q12_window"      -> Relational.q12WindowSql,
+    "q13_case_agg"    -> Relational.q13CaseAggSql,
   )
 }

@@ -27,7 +27,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.GraftSession]]),
+    * under which ts arrives as LongType nanos; we truncate to
+    * microsecond TimestampType here — the same ns→µs truncation DuckDB
+    * applies, so oracle comparisons line up. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
