@@ -30,6 +30,7 @@ object SparkEntry {
     "q11_json"        -> (Relational.q11Json _),
     "q12_window"      -> (Relational.q12Window _),
     "q13_case_agg"    -> (Relational.q13CaseAgg _),
+    "q14_merge_upsert" -> (MergeQueries.q14MergeUpsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
     "q11_json"        -> Relational.q11JsonSql,
     "q12_window"      -> Relational.q12WindowSql,
     "q13_case_agg"    -> Relational.q13CaseAggSql,
+    "q14_merge_upsert" -> MergeQueries.q14MergeUpsertSql,
   )
 }

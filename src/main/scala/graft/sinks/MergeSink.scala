@@ -1,0 +1,147 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert ("merge") sink — the engine-owned replacement for the
+  * reference's MongoDB bulk-write sink (reference: src/func/mongo.py:103-163,
+  * statement semantics :28-79).
+  *
+  * Semantics preserved from the reference (SURVEY.md §2A fine print):
+  *  1. null-skip — a null payload field never overwrites a stored value
+  *     (mongo.py:60-63): implemented as `coalesce(update.f, target.f)`;
+  *  2. upsert — unmatched keys are inserted (mongo.py:79); an inserted row
+  *     carries only its non-null fields;
+  *  3. `updatedAt` is stamped on every touched row, matched or inserted
+  *     (mongo.py:64-66), and preserved on untouched rows;
+  *  4. result counts {nMatched, nModified, nUpserted} (mongo.py:140-145);
+  *  5. rows with a null key are dropped, not failed (mongo.py:46-57) — the
+  *     reference's guard ladder;
+  *  6. duplicate keys — DOCUMENTED DIVERGENCE (SURVEY.md §2A item 5): the
+  *     reference applies duplicates in arrival order (last-write-wins per
+  *     field); a set-oriented merge folds them explicitly instead:
+  *     per field, the last non-null value in `orderCol` order wins, which
+  *     reproduces sequential null-skip application when an arrival-order
+  *     column exists, and is deterministic when it doesn't.
+  *
+  * Scale design: the merge is one full-outer shuffle join on the key —
+  * at cluster scale the target snapshot should be written bucketed by the
+  * key so the join co-locates without re-shuffling the (large) target;
+  * AQE handles skewed keys. The snapshot swap is a pure metadata rename,
+  * independent of data volume.
+  */
+object MergeSink {
+
+  /** Merge result counts, mirroring the reference's bulk-write result shape
+    * (mongo.py:140-145; nInserted ≡ nUpserted for upserts). */
+  final case class MergeStats(nMatched: Long, nModified: Long, nUpserted: Long) {
+    def nInserted: Long = nUpserted
+  }
+
+  /** Fold duplicate update keys: per payload field, the last non-null value
+    * in `orderCol` order (reference applies per-row statements sequentially;
+    * mongo.py:60-63 + SURVEY §2A item 5). One shuffle on the key; the
+    * window and the subsequent merge join share that partitioning. */
+  def collapseUpdates(updates: DataFrame, key: String, fields: Seq[String],
+                      orderCol: Option[String] = None): DataFrame = {
+    val ord: Column = orderCol.map(col).getOrElse(struct(fields.map(col): _*))
+    val w = Window.partitionBy(col(key)).orderBy(ord.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val folded = fields.foldLeft(updates) { (df, f) =>
+      df.withColumn(s"__folded_$f", last(col(f), ignoreNulls = true).over(w))
+    }
+    val rn = row_number().over(Window.partitionBy(col(key)).orderBy(ord.desc))
+    folded
+      .withColumn("__rn", rn)
+      .filter(col("__rn") === 1)
+      .select(col(key) +: fields.map(f => col(s"__folded_$f").as(f)): _*)
+  }
+
+  /** The merged snapshot as a lazy plan (no side effects): full-outer join
+    * + per-field coalesce. `updates` must be unique per key (use
+    * [[collapseUpdates]] first). Target must carry `key`, `fields` and
+    * `updatedAtCol`. */
+  def mergePlan(target: DataFrame, updates: DataFrame, key: String,
+                fields: Seq[String], updatedAtCol: String = "updatedAt",
+                now: Column = current_timestamp()): DataFrame = {
+    val t = target.alias("t")
+    val u = updates.filter(col(key).isNotNull).alias("u")
+    val touched = col(s"u.$key").isNotNull
+    val merged = fields.map { f =>
+      coalesce(col(s"u.$f"), col(s"t.$f")).as(f)
+    }
+    t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+      .select(
+        coalesce(col(s"t.$key"), col(s"u.$key")).as(key) +:
+        merged :+
+        when(touched, now).otherwise(col(s"t.$updatedAtCol")).as(updatedAtCol): _*)
+  }
+
+  /** Statement-level counts without materializing the merge twice:
+    * matched = keys in both; modified = matched rows where any field value
+    * actually changes under null-skip; upserted = update keys absent from
+    * the target. Computed in one aggregate pass over the join. */
+  def mergeStats(target: DataFrame, updates: DataFrame, key: String,
+                 fields: Seq[String]): MergeStats = {
+    val t = target.alias("t")
+    val u = updates.filter(col(key).isNotNull).alias("u")
+    val matched = col(s"t.$key").isNotNull && col(s"u.$key").isNotNull
+    val changed = fields.map { f =>
+      col(s"u.$f").isNotNull && (col(s"t.$f").isNull || col(s"u.$f") =!= col(s"t.$f"))
+    }.reduce(_ || _)
+    val row = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+      .select(
+        sum(when(matched, 1L).otherwise(0L)).as("m"),
+        sum(when(matched && changed, 1L).otherwise(0L)).as("mod"),
+        sum(when(col(s"t.$key").isNull, 1L).otherwise(0L)).as("up"))
+      .collect()(0)
+    def v(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    MergeStats(v(0), v(1), v(2))
+  }
+
+  /** Merge `updates` into the keyed parquet snapshot at `targetPath`,
+    * atomically: write the merged snapshot to a sibling temp dir, then
+    * swap via filesystem renames (metadata-only; no data rewrite on swap).
+    * A missing/empty target behaves as an empty collection — everything
+    * upserts (reference: a fresh Mongo collection).
+    * Returns the reference-shaped counts. */
+  def mergeInto(spark: SparkSession, targetPath: String, updates: DataFrame,
+                key: String, fields: Seq[String],
+                orderCol: Option[String] = None,
+                updatedAtCol: String = "updatedAt"): MergeStats = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(targetPath)
+    val fs = path.getFileSystem(hconf)
+
+    val unique = collapseUpdates(updates.filter(col(key).isNotNull), key, fields, orderCol)
+      .cache()
+    val target =
+      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+        spark.read.parquet(targetPath)
+      else {
+        import org.apache.spark.sql.types._
+        val s = StructType(
+          StructField(key, StringType) +:
+          fields.map(f => unique.schema(f).copy(name = f)) :+
+          StructField(updatedAtCol, TimestampType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      }
+
+    val stats = mergeStats(target, unique, key, fields)
+    val merged = mergePlan(target, unique, key, fields, updatedAtCol)
+
+    val tmp = new Path(targetPath + ".__merge_tmp")
+    val bak = new Path(targetPath + ".__merge_bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(path)) {
+      require(fs.rename(path, bak), s"swap failed: could not move $path aside")
+    }
+    require(fs.rename(tmp, path), s"swap failed: could not move $tmp into place")
+    fs.delete(bak, true)
+    unique.unpersist()
+    stats
+  }
+}

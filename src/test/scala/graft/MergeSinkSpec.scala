@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.MergeSink
+import graft.sources.SyntheticSource
+import graft.jobs.BulkUpdateJob
+
+/** Reference-parity semantics for the merge sink (SURVEY.md §2A fine print:
+  * null-skip, upsert, updatedAt, duplicate-key fold, guard ladder, counts —
+  * mirror of tests/test_mongo.py's value cases). */
+class MergeSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq("f1", "f2")
+
+  private def df(rows: Seq[(String, java.lang.Double, java.lang.Double)]) =
+    rows.toDF("k", "f1", "f2")
+
+  private def withTs(d: org.apache.spark.sql.DataFrame) =
+    d.withColumn("updatedAt", to_timestamp(lit("2020-01-01 00:00:00")))
+
+  test("null-skip: a null update field never overwrites a stored value (mongo.py:60-63)") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0))))
+    val updates = df(Seq(("a", null, 9.0)))
+    val out = MergeSink.mergePlan(target, updates, "k", fields).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("f1") == 1.0) // preserved
+    assert(out.head.getAs[Double]("f2") == 9.0) // overwritten
+  }
+
+  test("upsert: unmatched keys insert with only their non-null fields (mongo.py:79)") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0))))
+    val updates = df(Seq(("b", null, 5.0)))
+    val out = MergeSink.mergePlan(target, updates, "k", fields)
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    val b = out(1)
+    assert(b.getAs[String]("k") == "b")
+    assert(b.isNullAt(b.fieldIndex("f1")))
+    assert(b.getAs[Double]("f2") == 5.0)
+  }
+
+  test("updatedAt stamped on touched rows only (mongo.py:64-66)") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0), ("c", 3.0, 4.0))))
+    val updates = df(Seq(("a", 7.0, 7.0)))
+    val now = to_timestamp(lit("2024-06-01 00:00:00"))
+    val out = MergeSink.mergePlan(target, updates, "k", fields, now = now)
+      .orderBy("k").collect()
+    assert(out(0).getAs[java.sql.Timestamp]("updatedAt").toString.startsWith("2024-06-01"))
+    assert(out(1).getAs[java.sql.Timestamp]("updatedAt").toString.startsWith("2020-01-01"))
+  }
+
+  test("null keys are dropped, not failed (guard ladder, mongo.py:46-50)") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0))))
+    val updates = df(Seq((null, 9.0, 9.0), ("a", 5.0, null)))
+    val out = MergeSink.mergePlan(target, updates, "k", fields).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("f1") == 5.0)
+  }
+
+  test("duplicate keys fold: per-field last non-null in order (SURVEY §2A item 5)") {
+    val updates = Seq(
+      ("a", java.lang.Double.valueOf(1.0), null.asInstanceOf[java.lang.Double], 1L),
+      ("a", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(2.0), 2L),
+      ("a", java.lang.Double.valueOf(3.0), null.asInstanceOf[java.lang.Double], 3L)
+    ).toDF("k", "f1", "f2", "seq")
+    val folded = MergeSink.collapseUpdates(updates, "k", fields, Some("seq")).collect()
+    assert(folded.length == 1)
+    assert(folded.head.getAs[Double]("f1") == 3.0) // last non-null (seq=3)
+    assert(folded.head.getAs[Double]("f2") == 2.0) // survives from seq=2 (null-skip)
+  }
+
+  test("stats: matched/modified/upserted counts (mongo.py:140-145)") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0), ("c", 5.0, 6.0))))
+    val updates = df(Seq(
+      ("a", 9.0, 9.0),   // matched + modified
+      ("b", 3.0, 4.0),   // matched, unchanged
+      ("z", 1.0, 1.0)))  // upserted
+    val s = MergeSink.mergeStats(target, updates, "k", fields)
+    assert(s == MergeSink.MergeStats(nMatched = 2, nModified = 1, nUpserted = 1))
+    assert(s.nInserted == 1)
+  }
+
+  test("merge idempotence: re-applying the same update set changes nothing") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0))))
+    val updates = df(Seq(("a", 9.0, null), ("z", 1.0, 1.0)))
+    val now = to_timestamp(lit("2024-06-01 00:00:00"))
+    val once = MergeSink.mergePlan(target, updates, "k", fields, now = now)
+    val twice = MergeSink.mergePlan(once, updates, "k", fields, now = now)
+    val a = once.orderBy("k").collect().toSeq
+    val b = twice.orderBy("k").collect().toSeq
+    assert(a == b)
+    val s2 = MergeSink.mergeStats(once, updates, "k", fields)
+    assert(s2.nModified == 0 && s2.nUpserted == 0)
+  }
+
+  test("end-to-end snapshot merge with atomic swap (BulkUpdateJob over generated data)") {
+    val dir = Files.createTempDirectory("graft_merge").toString
+    val updatesPath = s"$dir/updates"
+    val targetPath = s"$dir/collection"
+    // round 1: everything upserts into a fresh collection
+    SyntheticSource.write(SyntheticSource.generate(spark, 500, 4, seed = 1, nullFraction = 0.2), updatesPath)
+    val s1 = BulkUpdateJob.run(spark, updatesPath, targetPath, Some(4))
+    assert(s1 == MergeSink.MergeStats(0, 0, 500))
+    assert(spark.read.parquet(targetPath).count() == 500)
+    // round 2: same ids, new values -> all matched, none upserted
+    SyntheticSource.write(SyntheticSource.generate(spark, 500, 4, seed = 1, nullFraction = 0.2)
+      .withColumn("score", col("score") + 1), updatesPath)
+    val s2 = BulkUpdateJob.run(spark, updatesPath, targetPath, Some(4))
+    assert(s2.nMatched == 500 && s2.nUpserted == 0 && s2.nModified == 500)
+    val snap = spark.read.parquet(targetPath)
+    assert(snap.count() == 500)
+    assert(snap.columns.contains("updatedAt"))
+    // null-skip at the snapshot level: no null got written over a non-null
+    // (nullFraction only nulls features; score is never null)
+    assert(snap.filter(col("score").isNull).count() == 0)
+  }
+
+  test("empty updates: merge into existing target is a no-op with zero counts") {
+    val dir = Files.createTempDirectory("graft_merge_empty").toString
+    val targetPath = s"$dir/collection"
+    SyntheticSource.write(SyntheticSource.generate(spark, 50, 1, seed = 7), s"$dir/seed")
+    BulkUpdateJob.run(spark, s"$dir/seed", targetPath, None)
+    val empty = SyntheticSource.generate(spark, 0, 1)
+    val s = MergeSink.mergeInto(spark, targetPath, empty,
+      SyntheticSource.idColumn, SyntheticSource.payloadFields)
+    assert(s == MergeSink.MergeStats(0, 0, 0))
+    assert(spark.read.parquet(targetPath).count() == 50)
+  }
+}
