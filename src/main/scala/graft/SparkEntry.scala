@@ -31,6 +31,13 @@ object SparkEntry {
     "q12_window"      -> (Relational.q12Window _),
     "q13_case_agg"    -> (Relational.q13CaseAgg _),
     "q14_merge_upsert" -> (MergeQueries.q14MergeUpsert _),
+    "q15_dedup_exact"  -> (TextQueries.q15DedupExact _),
+    "q16_text_stats"   -> (TextQueries.q16TextStats _),
+    "q17_langid"       -> (TextQueries.q17LangId _),
+    "q18_fingerprint"  -> (TextQueries.q18Fingerprint _),
+    "q19_ngram_jaccard" -> (TextQueries.q19NgramJaccard _),
+    "q20_minhash_lsh"  -> (TextQueries.q20MinhashLsh _),
+    "q21_simhash"      -> (TextQueries.q21Simhash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +57,12 @@ object SparkEntry {
     "q12_window"      -> Relational.q12WindowSql,
     "q13_case_agg"    -> Relational.q13CaseAggSql,
     "q14_merge_upsert" -> MergeQueries.q14MergeUpsertSql,
+    "q15_dedup_exact"  -> TextQueries.q15DedupExactSql,
+    "q16_text_stats"   -> TextQueries.q16TextStatsSql,
+    "q17_langid"       -> TextQueries.q17LangIdSql,
+    "q18_fingerprint"  -> TextQueries.q18FingerprintSql,
+    "q19_ngram_jaccard" -> TextQueries.q19NgramJaccardSql,
+    "q20_minhash_lsh"  -> TextQueries.q20MinhashLshSql,
+    "q21_simhash"      -> TextQueries.q21SimhashSql,
   )
 }

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY.md §2B: language-ID, quality
+  * scoring, token counting, fingerprinting, shingling, MinHash).
+  *
+  * Everything is built from Catalyst higher-order / string functions — no
+  * UDFs, so the expressions stay inside codegen'd projections and are
+  * evaluated columnar-batch-at-a-time at any scale. Where an operation has
+  * both a "fast" and an "oracle-reproducible" form (hashing), the hash
+  * function is a parameter: xxhash64 for production (cheap, 64-bit),
+  * md5 for cross-engine determinism (DuckDB computes the same digests).
+  */
+object TextFunctions {
+
+  /** Whitespace/punctuation tokenizer: lowercase, split on non-alnum runs,
+    * drop empties. Mirrors `list_filter(regexp_split_to_array(lower(t),
+    * '[^a-z0-9]+'), x -> len(x) > 0)` in DuckDB. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > lit(0))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: matches of lowercase-letter runs, digit runs,
+    * and single non-alnum-non-space marks — a cheap proxy for byte-pair
+    * token counts over ASCII-ish text. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text))
+
+  /** Fraction of characters that are neither alnum nor whitespace. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") / length(text))
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Fraction of tokens that are stopwords — a fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+  }
+
+  /** Composite document quality score in [0,1]: alpha share, stopword
+    * share, length saturation (caps at 100 tokens), low punctuation.
+    * Weights are heuristic; determinism is what matters for the gate. */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.25) * alphaRatio(text) +
+      lit(0.25) * stopwordRatio(text) +
+      lit(0.25) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
+      lit(0.25) * (lit(1.0) - punctRatio(text)), 4)
+
+  /** Language-marker sets for the n-gram-heuristic language ID. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "de", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  /** Marker-token count for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** CJK character count (the zh signal — script detection beats word
+    * markers for unsegmented text). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Heuristic language ID with a fixed priority order (zh by script, then
+    * the marker languages by score with first-wins ties, else "und"). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, m) => lang -> langScore(text, m) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(anyHit && s === best, lit(lang)).otherwise(els)
+    }
+    when(cjkCount(text) > 0, lit("zh")).otherwise(pick)
+  }
+
+  /** Key-collision fingerprint: md5 of the sorted distinct token set
+    * (OpenRefine-style). Identical in DuckDB:
+    * `md5(array_to_string(list_sort(list_distinct(tokens)), ' '))`. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word n-gram shingles: ["a b", "b c", ...]. Empty array when the
+    * document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature of a token/shingle array: for seed i, the minimum
+    * of hashFn(i || ":" || element). `md5Hash` reproduces in DuckDB
+    * (string min over hex digests); `xxHash` is the fast production form
+    * (long min, one 64-bit hash per element). */
+  def minhashSignature(elems: Column, numHashes: Int,
+                       hashFn: (Column, Int) => Column = xxHash): Column =
+    array((0 until numHashes).map(i => array_min(transform(elems, e => hashFn(e, i)))): _*)
+
+  def xxHash(e: Column, seed: Int): Column = xxhash64(lit(seed), e)
+  def md5Hash(e: Column, seed: Int): Column = md5(concat(lit(s"$seed:"), e))
+
+  /** LSH band keys over a signature: bands of `rowsPerBand` consecutive
+    * signature entries, each band hashed to one key. Docs sharing any
+    * band key become a candidate pair. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** Exact Jaccard similarity of two string arrays (as distinct sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val union = size(array_union(da, db))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(da, db)).cast("double") / union)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+
+/** Text-analysis + dedup queries over the `documents` fixture, each with a
+  * DuckDB oracle. The LSH/SimHash oracles are generated from the SAME
+  * parameters as the Spark plans, so the driver's hash compare checks the
+  * full pipeline (tokenize → hash → band → bucket-join → verify), not just
+  * a trivial projection.
+  *
+  * Per-row ratio/score expressions are single divisions — both engines
+  * compute the identical double, so in-query rounding is deterministic
+  * (unlike multi-row double aggregates, where summation order matters).
+  */
+object TextQueries {
+
+  private val tokSqlExpr =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Exact dedup: one survivor per distinct text (hash-groupBy — the
+    * 100 TB-safe form of dropDuplicates, with group sizes for free). */
+  def q15DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  val q15DedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  /** Token counting + quality scoring (SURVEY §2B text analysis). */
+  def q16TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      subwordCount(col("text")).cast("long").as("n_subwords"),
+      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
+      round(punctRatio(col("text")), 4).as("punct_ratio"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  val q16TextStatsSql: String = {
+    val stops = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $tokSqlExpr AS toks FROM documents)
+       |SELECT doc_id,
+       |  len(toks)::bigint AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::bigint AS n_subwords,
+       |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END, 4) AS alpha_ratio,
+       |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END, 4) AS punct_ratio,
+       |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END, 4) AS stopword_ratio,
+       |  round(0.25 * (CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END)
+       |      + 0.25 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END)
+       |      + 0.25 * least(1.0, len(toks)::double / 100.0)
+       |      + 0.25 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END)), 4) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID: marker-token argmax with fixed priority + CJK script
+    * detection, compared against the labeled lang column. */
+  def q17LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      langId(col("text")).as("lang_pred"))
+      .withColumn("is_match", (col("lang") === col("lang_pred")).cast("int").cast("long"))
+      .orderBy(col("doc_id"))
+
+  val q17LangIdSql: String = {
+    val marks = TextFunctions.langMarkers.map { case (lang, ms) =>
+      s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS s_$lang"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, lang, text, $tokSqlExpr AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh,
+       |  $marks
+       |FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_zh > 0 THEN 'zh'
+       |       WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred,
+       |  (lang = (CASE WHEN s_zh > 0 THEN 'zh'
+       |       WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END))::int::bigint AS is_match
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fingerprint clusters: sorted-distinct-token-set md5 — catches word
+    * reorderings exact dedup misses. */
+  def q18Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintClusters(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("fp"))
+
+  val q18FingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokSqlExpr AS toks FROM documents)
+       |SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+       |  min(doc_id) AS survivor_id, count(*) AS n_docs
+       |FROM t GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Exact token-set Jaccard near-dup pairs, blocked by source. */
+  def q19NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 1, threshold = 0.95, blockCol = Some("source"))
+      .orderBy(col("id1"), col("id2"))
+
+  val q19NgramJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, source, list_distinct($tokSqlExpr) AS g FROM documents)
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+       |          ELSE len(list_intersect(a.g, b.g))::double
+       |               / len(list_distinct(list_concat(a.g, b.g))) END, 4) AS jaccard
+       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.95 ORDER BY id1, id2""".stripMargin
+
+  // MinHash-LSH parameters shared by the Spark plan and the generated oracle.
+  private val MhShingleN = 2
+  private val MhNumHashes = 16
+  private val MhBands = 8
+  private val MhThreshold = 0.5
+
+  /** MinHash + LSH near-dup pairs over bigram shingles (md5 hash variant
+    * so DuckDB reproduces the identical signatures/bands). */
+  def q20MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = MhShingleN, numHashes = MhNumHashes, bands = MhBands,
+        threshold = MhThreshold, hashFn = md5Hash)
+      .orderBy(col("id1"), col("id2"))
+
+  val q20MinhashLshSql: String = {
+    val rows = MhNumHashes / MhBands
+    val sigEntries = (0 until MhNumHashes)
+      .map(i => s"list_min(list_apply(g, e -> md5('$i:' || e)))").mkString(",\n    ")
+    s"""WITH raw AS (SELECT doc_id, $tokSqlExpr AS t FROM documents),
+       |docs AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+       |  FROM raw WHERE len(t) >= $MhShingleN),
+       |sig AS (SELECT id, g, [
+       |    $sigEntries
+       |  ] AS sig FROM docs WHERE len(g) > 0),
+       |bands AS (
+       |  SELECT id, b.band,
+       |    md5(array_to_string(sig[b.band * $rows + 1 : b.band * $rows + $rows], ',')) AS key
+       |  FROM sig, range($MhBands) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id1, b.id AS id2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT * FROM (
+       |  SELECT id1, id2,
+       |    round(CASE WHEN len(list_distinct(list_concat(d1.g, d2.g))) = 0 THEN 0.0
+       |          ELSE len(list_intersect(d1.g, d2.g))::double
+       |               / len(list_distinct(list_concat(d1.g, d2.g))) END, 4) AS jaccard
+       |  FROM cand JOIN docs d1 ON cand.id1 = d1.id JOIN docs d2 ON cand.id2 = d2.id)
+       |WHERE jaccard >= $MhThreshold ORDER BY id1, id2""".stripMargin
+  }
+
+  /** SimHash near-dup pairs (hamming <= 3 over 32-bit signatures, chunk-
+    * join candidate generation with pigeonhole-guaranteed recall). */
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+
+  val q21SimhashSql: String = {
+    val bitTerms = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_apply(hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id AS id, list_distinct($tokSqlExpr) AS g FROM documents),
+       |h AS (SELECT id, list_apply(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS hs
+       |      FROM t WHERE len(g) > 0),
+       |sh AS (SELECT id, ($bitTerms) AS sh FROM h),
+       |chunks AS (SELECT id, sh, c.chunk, (sh >> (c.chunk * 8)) & 255 AS cval
+       |           FROM sh, range(4) c(chunk)),
+       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.sh AS sh1, b.sh AS sh2
+       |         FROM chunks a JOIN chunks b
+       |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id)
+       |SELECT id1, id2, bit_count(xor(sh1, sh2))::bigint AS hamming
+       |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+}
