@@ -37,6 +37,7 @@ object SparkEntry {
     "q18_fingerprint"  -> (TextQueries.q18Fingerprint _),
     "q19_ngram_jaccard" -> (TextQueries.q19NgramJaccard _),
     "q20_minhash_lsh"  -> (TextQueries.q20MinhashLsh _),
+    "q20b_minhash_xxh" -> (TextQueries.q20bMinhashXxh _),
     "q21_simhash"      -> (TextQueries.q21Simhash _),
   )
 

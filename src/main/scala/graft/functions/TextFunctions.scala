@@ -94,14 +94,22 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Let-binding for column expressions: evaluates `e` once and passes it
+    * to `body` as a lambda variable — `transform` over a 1-element array.
+    * Spark has no expression-level let; without this, an expression used k
+    * times in one projection is evaluated k times (tokenization appearing
+    * 3× inside a single shingle expression was a real round-1 cost). */
+  def bind(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
   /** Word n-gram shingles: ["a b", "b c", ...]. Empty array when the
-    * document has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+    * document has fewer than n tokens. Tokenizes once (let-bound). */
+  def shingles(text: Column, n: Int): Column =
+    bind(tokens(text)) { toks =>
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
 
   /** MinHash signature of a token/shingle array: for seed i, the minimum
     * of hashFn(i || ":" || element). `md5Hash` reproduces in DuckDB
@@ -110,6 +118,28 @@ object TextFunctions {
   def minhashSignature(elems: Column, numHashes: Int,
                        hashFn: (Column, Int) => Column = xxHash): Column =
     array((0 until numHashes).map(i => array_min(transform(elems, e => hashFn(e, i)))): _*)
+
+  /** Oracle-reproducible MinHash signature that shares digests: one md5
+    * per (seed, element) yields EIGHT 16-bit hash values (hex chars
+    * 4c+1..4c+4 per chunk c), so numHashes=16 costs 2 md5 calls per
+    * element instead of 16 — md5 is the only hash both engines compute
+    * identically, and it dominated the round-1 q20 bench. 16-bit minhash
+    * values collide more than 64-bit ones, slightly shifting LSH recall;
+    * the exact-Jaccard verify step keeps the output precise either way.
+    * DuckDB mirror per entry: list_min(list_apply(g, e ->
+    * ('0x' || substring(md5(s || ':' || e), 4c+1, 4))::BIGINT)). */
+  def minhashSignatureMd5Chunked(elems: Column, numHashes: Int): Column = {
+    require(numHashes % 8 == 0, s"numHashes=$numHashes must be a multiple of 8")
+    val perSeed = (0 until numHashes / 8).map { s =>
+      bind(transform(elems, e => md5(concat(lit(s"$s:"), e)))) { digests =>
+        array((0 until 8).map { c =>
+          array_min(transform(digests,
+            d => conv(substring(d, c * 4 + 1, 4), 16, 10).cast("long")))
+        }: _*)
+      }
+    }
+    concat(perSeed: _*)
+  }
 
   def xxHash(e: Column, seed: Int): Column = xxhash64(lit(seed), e)
   def md5Hash(e: Column, seed: Int): Column = md5(concat(lit(s"$seed:"), e))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 
 /** Deduplication operators (SURVEY.md §2B; not in the reference — the
@@ -10,14 +11,35 @@ import graft.functions.TextFunctions._
   *
   * Scale design: nothing here ever materializes the full pair matrix.
   *  - exact/fingerprint dedup is one hash-groupBy (map-side partial agg);
-  *  - near-dup candidate generation goes through bucket self-joins (LSH
-  *    band keys / SimHash chunks), so the shuffle carries (id, key) pairs,
-  *    not documents², and only bucket-mates are compared;
+  *  - exact Jaccard pairs go through a prefix-filter join (AllPairs /
+  *    PPJoin family): only documents sharing a token in their short,
+  *    rarest-first prefix are candidates — exact results, no quadratic
+  *    block scan;
+  *  - approximate near-dup candidate generation goes through bucket
+  *    self-joins (LSH band keys / SimHash chunks), so the shuffle carries
+  *    (id, key) pairs, not documents², and only bucket-mates are compared;
   *  - hot buckets (degenerate band keys) are the known skew risk — AQE
-  *    skew-join splitting handles moderate skew; a bucket-size cap is the
-  *    escape hatch at extreme scale.
+  *    skew-join splitting handles moderate skew; `maxBucketSize` drops
+  *    pathological buckets explicitly (documented recall tradeoff).
   */
 object Dedup {
+
+  /** Exact-Jaccard verify of candidate pairs against a docs frame carrying
+    * (id, grams, sz) with grams ALREADY distinct: one array_intersect per
+    * pair and the size identity J = |I| / (|A| + |B| - |I|) — ~4× less
+    * per-pair work than distinct+union+intersect (higher-order array
+    * expressions are interpreted, not codegen'd, so per-pair expression
+    * count is the verify stage's whole cost). */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(docs.select(col("id").as("id1"), col("grams").as("g1"), col("sz").as("sz1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("grams").as("g2"), col("sz").as("sz2")), "id2")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** Exact dedup by content hash: one survivor (min id) per distinct text.
     * (groupBy beats dropDuplicates here because it also yields group sizes
@@ -32,94 +54,168 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_docs"))
 
-  /** All qualifying near-dup pairs by exact n-gram Jaccard within a
-    * blocking column (brute force within blocks — the correctness
-    * baseline; LSH below is the scale path). */
+  /** All qualifying near-dup pairs by EXACT n-gram Jaccard, found with a
+    * prefix-filter join (AllPairs/PPJoin, Bayardo et al. WWW'07) instead of
+    * a quadratic self-join:
+    *
+    *  1. canonical order: global document frequency (rarest first, gram as
+    *     tiebreak) — one cheap agg over exploded grams;
+    *  2. prefix: for J(A,B) >= t the overlap must be >= ceil(t*|A|), so if
+    *     the first |A| - ceil(t*|A|) + 1 grams of A (in canonical order)
+    *     are disjoint from B's prefix, the pair cannot qualify — join only
+    *     on prefix grams (|prefix| ≈ (1-t)*|A| + 1, e.g. 3 grams at
+    *     t=0.95 for a 50-gram doc);
+    *  3. length filter: min(|A|,|B|) >= ceil(t*max(|A|,|B|)) prunes
+    *     mismatched sizes inside the join condition;
+    *  4. exact Jaccard verify on the candidate pairs.
+    *
+    * Zero false negatives — identical results to the brute-force form at
+    * any scale, but the join fan-out is bounded by prefix-gram bucket
+    * sizes (rarest-first keeps those small), not block size². Optional
+    * `blockCol` further restricts pairs to equal block values. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         blockCol: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0,1]")
     val grams = if (n == 1) tokens(col(textCol)) else shingles(col(textCol), n)
+    // Persisted: referenced by the df-order agg AND both verify joins —
+    // without it the tokenize/shingle pipeline re-executes per reference
+    // (at cluster scale: MEMORY_AND_DISK spills; for a 100 TB corpus,
+    // pre-materializing this projection to parquet is the same idea).
     val base = df.select(col(idCol).as("id"), array_distinct(grams).as("grams"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
-    val a = base.alias("a")
-    val b = base.alias("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(jaccard(col("a.grams"), col("b.grams")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      .filter(size(col("grams")) > 0) // empty sets have J=0 vs everything (threshold > 0)
+      .withColumn("sz", size(col("grams")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    // canonical rarest-first order; array_sort on struct(df, g) is the
+    // same (df, g) lexicographic order for every document
+    val ordered = ex.join(dfreq, "g")
+      .groupBy("id", "blk", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("og"))
+    val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val pref = ordered.select(col("id"), col("blk"), col("sz"),
+      explode(slice(transform(col("og"), s => s.getField("g")), lit(1), plen)).as("pg"))
+    val cand = pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.pg") === col("b.pg") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            ceil(greatest(col("a.sz"), col("b.sz")) * threshold))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, base, threshold)
   }
 
   /** MinHash + LSH near-dup pairs: shingle → k minhashes → band keys →
     * bucket self-join → exact Jaccard verify. False positives are removed
     * by the verify step; false negatives are the (tunable) LSH recall
     * tradeoff. `hashFn` = xxHash for production, md5Hash for oracle
-    * reproducibility. */
+    * reproducibility. `maxBucketSize` (production knob) drops band buckets
+    * larger than the cap before the self-join — the documented skew escape
+    * hatch: a bucket of B docs costs B² candidate pairs, and a degenerate
+    * key (e.g. boilerplate-heavy corpora) would otherwise dominate the
+    * stage; dropped buckets trade bounded recall loss for a hard bound on
+    * join fan-out. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       threshold: Double,
-                      hashFn: (Column, Int) => Column = xxHash): DataFrame = {
+                      sigFn: (Column, Int) => Column = minhashSignature(_, _, xxHash),
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rowsPerBand = numHashes / bands
     val grams = if (shingleN == 1) tokens(col(textCol)) else shingles(col(textCol), shingleN)
+    // Persisted: the shingle+signature projection is the expensive part
+    // and is referenced by both sides of the bucket self-join and both
+    // verify joins — four re-executions without the persist.
     val docs = df.select(col(idCol).as("id"), array_distinct(grams).as("grams"))
       .filter(size(col("grams")) > 0)
-    val banded = docs
-      .withColumn("sig", minhashSignature(col("grams"), numHashes, hashFn))
+      .withColumn("sz", size(col("grams")))
+      .withColumn("sig", sigFn(col("grams"), numHashes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded0 = docs
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val banded = maxBucketSize match {
+      case None => banded0
+      case Some(cap) =>
+        val sizes = banded0.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+        banded0.join(sizes.filter(col("bsz") <= cap), Seq("band", "key"))
+          .drop("bsz")
+    }
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cand
-      .join(docs.select(col("id").as("id1"), col("grams").as("g1")), "id1")
-      .join(docs.select(col("id").as("id2"), col("grams").as("g2")), "id2")
-      .select(col("id1"), col("id2"), round(jaccard(col("g1"), col("g2")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, docs, threshold)
   }
 
-  /** 32-bit hash of a token from its md5 hex prefix — reproducible in
-    * DuckDB as ('0x' || substring(md5(t),1,8))::BIGINT. */
+  /** 32-bit hash of a token from its md5 hex prefix (chars 1-8) —
+    * reproducible in DuckDB as ('0x' || substring(md5(t),1,8))::BIGINT. */
   def tokenHash32(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 
-  /** 32-bit SimHash over the distinct token set: per bit, the sign of the
-    * +1/-1 vote sum across token hashes. */
-  def simhash32(text: Column): Column = {
-    val hs = transform(array_distinct(tokens(text)), tokenHash32 _)
+  /** Second independent 32-bit token hash (md5 chars 9-16) — the upper
+    * word of the 64-bit simhash signature. */
+  def tokenHash32Hi(t: Column): Column =
+    conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+
+  /** One 32-bit simhash word over a MATERIALIZED array of token hashes:
+    * per bit, the sign of the +1/-1 vote sum. The caller must project the
+    * hash array into its own column first — each of the 32 bit-vote
+    * `aggregate`s references that attribute, and Catalyst's CollapseProject
+    * keeps a multiply-referenced non-cheap alias materialized, so
+    * tokenize+md5 run once per row, not 32× (the round-1 defect). */
+  def simhashWord(hashes: Column): Column = {
     val bits = (0 until 32).map { j =>
-      val votes = aggregate(hs, lit(0),
+      val votes = aggregate(hashes, lit(0),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))
       when(votes >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3).
-    * Candidate generation by the pigeonhole chunk trick: the 32-bit
-    * simhash splits into 4 byte chunks; any pair within distance 3 must
-    * agree on at least one chunk, so matching on exploded (chunk_idx,
-    * chunk_value) keys finds ALL qualifying pairs — a bucket join with
-    * zero false negatives, no pair matrix. */
+  /** 64-bit SimHash near-dup pairs with Hamming distance <= maxHamming
+    * (<= 3), as two 32-bit words (lo = md5 chars 1-8, hi = chars 9-16 per
+    * token). Candidate generation by the pigeonhole chunk trick: the
+    * 64-bit signature splits into 4 16-bit chunks; any pair within
+    * distance 3 must agree on at least one chunk, so matching on exploded
+    * (chunk_idx, chunk_value) keys finds ALL qualifying pairs — a bucket
+    * join with zero false negatives and no pair matrix.
+    *
+    * Scale: 4 × 65,536 possible bucket keys (vs 4 × 256 for the round-1
+    * 32-bit/8-bit form, whose bounded key space made bucket sizes grow
+    * linearly with the corpus and the self-join output quadratically).
+    * 16-bit chunks keep expected bucket size at n/65,536 — ~1.5k docs per
+    * bucket even at 10⁸ documents. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
     val docs = df
-      .filter(size(array_distinct(tokens(col(textCol)))) > 0) // empty docs have no signal
-      .select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
-    val chunked = docs.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("sh"), c * 8).bitwiseAND(lit(0xffL))
-      }: _*)))
+      .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0) // empty docs have no signal
+      .withColumn("h_lo", transform(col("toks"), tokenHash32 _))
+      .withColumn("h_hi", transform(col("toks"), tokenHash32Hi _))
+      .select(col("id"),
+        simhashWord(col("h_lo")).as("sh_lo"),
+        simhashWord(col("h_hi")).as("sh_hi"))
+    val chunked = docs.select(col("id"), col("sh_lo"), col("sh_hi"),
+      posexplode(array(
+        col("sh_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("sh_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
     chunked.alias("a")
       .join(chunked.alias("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+        (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))) +
+         bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi")))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -127,18 +127,23 @@ object TextQueries {
   private val MhBands = 8
   private val MhThreshold = 0.5
 
-  /** MinHash + LSH near-dup pairs over bigram shingles (md5 hash variant
-    * so DuckDB reproduces the identical signatures/bands). */
+  /** MinHash + LSH near-dup pairs over bigram shingles (chunked-md5
+    * signatures so DuckDB reproduces the identical signatures/bands at 2
+    * md5 calls per shingle instead of 16 — see
+    * [[graft.functions.TextFunctions.minhashSignatureMd5Chunked]]). */
   def q20MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
         shingleN = MhShingleN, numHashes = MhNumHashes, bands = MhBands,
-        threshold = MhThreshold, hashFn = md5Hash)
+        threshold = MhThreshold, sigFn = minhashSignatureMd5Chunked)
       .orderBy(col("id1"), col("id2"))
 
   val q20MinhashLshSql: String = {
     val rows = MhNumHashes / MhBands
-    val sigEntries = (0 until MhNumHashes)
-      .map(i => s"list_min(list_apply(g, e -> md5('$i:' || e)))").mkString(",\n    ")
+    val sigEntries = (0 until MhNumHashes).map { i =>
+      val seed = i / 8
+      val pos = (i % 8) * 4 + 1
+      s"list_min(list_apply(g, e -> ('0x' || substring(md5('$seed:' || e), $pos, 4))::BIGINT))"
+    }.mkString(",\n    ")
     s"""WITH raw AS (SELECT doc_id, $tokSqlExpr AS t FROM documents),
        |docs AS (
        |  SELECT doc_id AS id,
@@ -163,27 +168,47 @@ object TextQueries {
        |WHERE jaccard >= $MhThreshold ORDER BY id1, id2""".stripMargin
   }
 
-  /** SimHash near-dup pairs (hamming <= 3 over 32-bit signatures, chunk-
-    * join candidate generation with pigeonhole-guaranteed recall). */
+  /** Production MinHash+LSH variant: xxhash64 signatures (one cheap 64-bit
+    * hash per shingle instead of the oracle's 16 string-md5 digests) plus
+    * the hot-bucket skew cap. DuckDB has no xxhash64, so this entry has no
+    * SQL oracle (driver records a rows-only check); pair validity (every
+    * returned pair really exceeds the Jaccard threshold, and is found by
+    * the exact prefix-filter join) is asserted in DedupSpec. */
+  def q20bMinhashXxh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = MhShingleN, numHashes = MhNumHashes, bands = MhBands,
+        threshold = MhThreshold, maxBucketSize = Some(1000))
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash near-dup pairs (hamming <= 3 over 64-bit signatures as two
+    * 32-bit words, 16-bit-chunk join candidate generation with
+    * pigeonhole-guaranteed recall). */
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id1"), col("id2"))
 
   val q21SimhashSql: String = {
-    val bitTerms = (0 until 32).map { j =>
-      s"(CASE WHEN list_sum(list_apply(hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
+    def bitTerms(hs: String): String = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_apply($hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n  + ")
     s"""WITH t AS (SELECT doc_id AS id, list_distinct($tokSqlExpr) AS g FROM documents),
-       |h AS (SELECT id, list_apply(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS hs
+       |h AS (SELECT id,
+       |        list_apply(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
+       |        list_apply(g, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
        |      FROM t WHERE len(g) > 0),
-       |sh AS (SELECT id, ($bitTerms) AS sh FROM h),
-       |chunks AS (SELECT id, sh, c.chunk, (sh >> (c.chunk * 8)) & 255 AS cval
+       |sh AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM h),
+       |chunks AS (SELECT id, sh_lo, sh_hi, c.chunk,
+       |           CASE WHEN c.chunk = 0 THEN sh_lo & 65535
+       |                WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
+       |                WHEN c.chunk = 2 THEN sh_hi & 65535
+       |                ELSE (sh_hi >> 16) & 65535 END AS cval
        |           FROM sh, range(4) c(chunk)),
-       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2, a.sh AS sh1, b.sh AS sh2
+       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |                a.sh_lo AS al, a.sh_hi AS ah, b.sh_lo AS bl, b.sh_hi AS bh
        |         FROM chunks a JOIN chunks b
        |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id)
-       |SELECT id1, id2, bit_count(xor(sh1, sh2))::bigint AS hamming
-       |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
+       |SELECT id1, id2, (bit_count(xor(al, bl)) + bit_count(xor(ah, bh)))::bigint AS hamming
+       |FROM cand WHERE (bit_count(xor(al, bl)) + bit_count(xor(ah, bh))) <= 3
        |ORDER BY id1, id2""".stripMargin
   }
 }
