@@ -39,6 +39,8 @@ object SparkEntry {
     "q20_minhash_lsh"  -> (TextQueries.q20MinhashLsh _),
     "q20b_minhash_xxh" -> (TextQueries.q20bMinhashXxh _),
     "q21_simhash"      -> (TextQueries.q21Simhash _),
+    "q22_knn_exact"    -> (SimilarityQueries.q22KnnExact _),
+    "q23_ann_srp"      -> (SimilarityQueries.q23AnnSrp _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,5 +67,7 @@ object SparkEntry {
     "q19_ngram_jaccard" -> TextQueries.q19NgramJaccardSql,
     "q20_minhash_lsh"  -> TextQueries.q20MinhashLshSql,
     "q21_simhash"      -> TextQueries.q21SimhashSql,
+    "q22_knn_exact"    -> SimilarityQueries.q22KnnExactSql,
+    "q23_ann_srp"      -> SimilarityQueries.q23AnnSrpSql,
   )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` fixture (SURVEY.md §2B row 5
+  * — the round-1 gap): exact top-k nearest neighbors as the correctness
+  * baseline, and a bucketed signed-random-projection (SRP) LSH join as
+  * the scale path. Both have generated DuckDB oracles sharing the exact
+  * hyperplane literals, so the driver hash-checks the full pipeline.
+  *
+  * Scale design:
+  *  - q22 broadcasts the (small) query set and makes ONE pass over the
+  *    corpus — a BroadcastNestedLoopJoin feeding per-query top-k; the
+  *    corpus is never shuffled, so the plan is linear in corpus size and
+  *    parallel over its partitions.
+  *  - q23 never forms the pair matrix: vectors meet only inside (band,
+  *    key) buckets, exactly like the MinHash band join in [[Dedup]].
+  *    8 bands × 4 bits suit this fixture's weak similarity structure
+  *    (max pairwise cosine ≈ 0.5); at 10⁸+ vectors raise bitsPerBand
+  *    (≈ log2 n − 10) so expected bucket size stays flat.
+  */
+object SimilarityQueries {
+
+  private val K = 10
+  private val NQueries = 10
+  private val SrpBands = 8
+  private val SrpBitsPerBand = 4
+  private val SrpThreshold = 0.4
+  private val Dim = 64
+  private val Planes = srpPlanes(SrpBands * SrpBitsPerBand, Dim)
+
+  /** Embeddings with the norm materialized once per vector. */
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact top-k cosine neighbors for a fixed small query set (vec_id <
+    * NQueries): broadcast queries × one corpus scan → per-query top-k by
+    * (rounded cosine desc, neighbor id asc) — the deterministic tiebreak
+    * both engines agree on. */
+  def q22KnnExact(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embWithNorm(spark, dir)
+    val queries = corpus.filter(col("id") < NQueries)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(queries)
+      .join(corpus, col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        round(cosineWithNorms(col("qv"), col("qn"), col("v"), col("nrm")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q22KnnExactSql: String =
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v,
+       |             sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM n WHERE id < $NQueries),
+       |pairs AS (
+       |  SELECT q.q_id, n.id AS neighbor_id,
+       |    round(list_sum(list_apply(range(1, ${Dim + 1}),
+       |            i -> qv[i]::DOUBLE * n.v[i]::DOUBLE)) / (qn * n.nrm), 4) AS cos_sim
+       |  FROM q JOIN n ON n.id != q.q_id),
+       |rk AS (SELECT *, row_number() OVER
+       |         (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+       |       FROM pairs)
+       |SELECT q_id, neighbor_id, cos_sim, rnk FROM rk
+       |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+
+  /** Approximate near-neighbor pairs by SRP-LSH: sign bits against the
+    * shared literal hyperplanes → band keys → bucket self-join → exact
+    * cosine verify (>= $SrpThreshold). Zero false positives (verify is
+    * exact); false negatives are the tunable LSH recall tradeoff. */
+  def q23AnnSrp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+      .withColumn("bits", srpBits(col("v"), Planes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = emb
+      .select(col("id"), posexplode(srpBandKeys(col("bits"), SrpBands, SrpBitsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(emb.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1")), "id1")
+      .join(emb.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(cosineWithNorms(col("v1"), col("n1"), col("v2"), col("n2")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= SrpThreshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q23AnnSrpSql: String = {
+    def planeLit(p: Array[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bitEntries = Planes.map { p =>
+      s"CASE WHEN list_sum(list_apply(range(1, ${Dim + 1}), i -> v[i]::DOUBLE * (${planeLit(p)})[i])) >= 0 THEN 1 ELSE 0 END"
+    }.mkString(",\n    ")
+    val keyExpr = (0 until SrpBitsPerBand).map { j =>
+      s"bs[b.band * $SrpBitsPerBand + ${j + 1}] * ${1 << (SrpBitsPerBand - 1 - j)}"
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v,
+       |             sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |           FROM embeddings),
+       |bits AS (SELECT id, v, nrm, [
+       |    $bitEntries
+       |  ] AS bs FROM n),
+       |bands AS (SELECT id, b.band, $keyExpr AS key
+       |          FROM bits, range($SrpBands) b(band)),
+       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT * FROM (
+       |  SELECT id1, id2,
+       |    round(list_sum(list_apply(range(1, ${Dim + 1}),
+       |            i -> e1.v[i]::DOUBLE * e2.v[i]::DOUBLE)) / (e1.nrm * e2.nrm), 4) AS cos_sim
+       |  FROM cand JOIN bits e1 ON cand.id1 = e1.id JOIN bits e2 ON cand.id2 = e2.id)
+       |WHERE cos_sim >= $SrpThreshold ORDER BY id1, id2""".stripMargin
+  }
+}

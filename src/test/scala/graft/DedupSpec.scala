@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** Dedup-operator invariants beyond the DuckDB value gate: the
+  * prefix-filter join must be EXACTLY equivalent to the quadratic
+  * self-join it replaced, and the approximate (LSH) paths must be
+  * false-positive-free subsets of the exact result. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** Brute-force within-block reference (the round-1 implementation). */
+  private def brutePairs(threshold: Double): Set[(Long, Long, Double)] = {
+    val base = docs.select(col("doc_id").as("id"),
+      array_distinct(tokens(col("text"))).as("grams"), col("source").as("blk"))
+    base.alias("a").join(base.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(jaccard(col("a.grams"), col("b.grams")), 4).as("j"))
+      .filter(col("j") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("prefix-filter Jaccard join equals brute force at t=0.95 and t=0.5") {
+    for (t <- Seq(0.95, 0.5)) {
+      val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 1, threshold = t, blockCol = Some("source"))
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(fast == brutePairs(t), s"prefix filter diverged at t=$t")
+    }
+  }
+
+  test("xxhash LSH pairs: no false positives, all verified >= threshold") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 1, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("jaccard")))
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(_._3 >= 0.5))
+    val exactUnblocked = {
+      val base = docs.select(col("doc_id").as("id"),
+        array_distinct(tokens(col("text"))).as("grams"))
+      base.alias("a").join(base.alias("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          round(jaccard(col("a.grams"), col("b.grams")), 4).as("j"))
+        .filter(col("j") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(exactUnblocked))
+  }
+
+  test("hot-bucket cap drops oversized buckets but keeps results valid") {
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 1, numHashes = 16, bands = 8, threshold = 0.5,
+        maxBucketSize = Some(2))
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 1, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    assert(capped.toSet.subsetOf(uncapped.toSet))
+  }
+
+  test("64-bit simhash pairs all satisfy the hamming bound, symmetric-free") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 3))
+    assert(pairs.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
+  }
+
+  test("simhashWord votes: all-identical hashes give the hash itself as signature") {
+    // one token hash repeated: every set bit votes +n, every unset bit -n
+    val df = Seq(Seq(5L, 5L, 5L)).toDF("hs")
+    val sh = df.select(Dedup.simhashWord(col("hs")).as("sh")).collect()(0).getLong(0)
+    assert(sh == 5L)
+  }
+}
