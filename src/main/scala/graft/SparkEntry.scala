@@ -41,6 +41,10 @@ object SparkEntry {
     "q21_simhash"      -> (TextQueries.q21Simhash _),
     "q22_knn_exact"    -> (SimilarityQueries.q22KnnExact _),
     "q23_ann_srp"      -> (SimilarityQueries.q23AnnSrp _),
+    "q24_window_time"  -> (StreamingQueries.q24WindowTime _),
+    "q25_sessionize"   -> (StreamingQueries.q25Sessionize _),
+    "q26_sketches"     -> (Relational.q26Sketches _),
+    "q27_json_typed"   -> (Relational.q27JsonTyped _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +73,9 @@ object SparkEntry {
     "q21_simhash"      -> TextQueries.q21SimhashSql,
     "q22_knn_exact"    -> SimilarityQueries.q22KnnExactSql,
     "q23_ann_srp"      -> SimilarityQueries.q23AnnSrpSql,
+    "q24_window_time"  -> StreamingQueries.q24WindowTimeSql,
+    "q25_sessionize"   -> StreamingQueries.q25SessionizeSql,
+    "q26_sketches"     -> Relational.q26SketchesSql,
+    "q27_json_typed"   -> Relational.q27JsonTypedSql,
   )
 }

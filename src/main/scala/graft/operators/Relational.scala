@@ -222,6 +222,38 @@ object Relational {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approx sketches next to q9's exact distinct (SURVEY.md §2B row 7):
+    * approx_count_distinct (HLL++) and percentile_approx. Sketch values
+    * can't hash-match an exact cross-engine oracle, so the entry emits
+    * TOLERANCE BOOLEANS computed entirely in-engine — the approx value
+    * checked against the exact value from the same data — and the oracle
+    * emits the exact anchors plus literal TRUE: the hash gate then fails
+    * exactly when a sketch leaves its error band (HLL++ default rsd 5%,
+    * band 10%; approx p50 must land between the exact p25 and p75). */
+  def q26Sketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("exact_supp"),
+        approx_count_distinct(col("l_suppkey")).as("acd"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_supp"), col("n_rows"),
+        (abs(col("acd") - col("exact_supp")).cast("double") / col("exact_supp") <= 0.1)
+          .as("acd_ok"),
+        (col("p50") >= col("p25") && col("p50") <= col("p75")).as("p50_ok"))
+      .orderBy(col("l_returnflag"))
+
+  val q26SketchesSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS exact_supp,
+      |  count(*) AS n_rows,
+      |  TRUE AS acd_ok,
+      |  TRUE AS p50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Scalar function surface: string / date / math expressions, all
     * codegen'd built-ins (SURVEY.md §2B row 2). */
   def q10Scalar(spark: SparkSession, dir: String): DataFrame =
@@ -273,6 +305,33 @@ object Relational {
       |FROM events
       |WHERE json_extract(props, '$.k')::bigint > 50
       |ORDER BY event_id""".stripMargin
+
+  /** Typed JSON extraction (SURVEY.md §1.4, the round-1 gap): from_json
+    * to an explicit StructType AND to MapType(String, Long) over
+    * events.props — both typed paths must agree with each other and with
+    * the oracle's json_extract casts. */
+  def q27JsonTyped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("event_type"),
+        from_json(col("props"), propsSchema).as("p"),
+        from_json(col("props"), MapType(StringType, LongType)).as("pm"))
+      .select(
+        col("event_id"), col("event_type"),
+        col("p.k").as("k_struct"),
+        element_at(col("pm"), "k").as("k_map"),
+        (col("p.k") % 10).as("k_bucket"))
+      .orderBy(col("event_id"))
+  }
+
+  val q27JsonTypedSql: String =
+    """SELECT event_id, event_type,
+      |  json_extract(props, '$.k')::bigint AS k_struct,
+      |  json_extract(props, '$.k')::bigint AS k_map,
+      |  json_extract(props, '$.k')::bigint % 10 AS k_bucket
+      |FROM events ORDER BY event_id""".stripMargin
 
   /** Window-function surface: running sum, rank and lag per customer over
     * order time. One shuffle on o_custkey serves all three functions. */

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Batch entries for the time-windowed transformations in
+  * [[graft.streaming.EventStreams]]: the SAME plan code runs here over
+  * the parquet `events` fixture (giving an exact DuckDB-oracle gate) and
+  * under `readStream` in the streaming suite — `withWatermark` is
+  * eliminated by Catalyst in batch mode, so the shared functions need no
+  * mode switch. */
+object StreamingQueries {
+
+  /** Tumbling 1-hour windows per event type. */
+  def q24WindowTime(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingCounts(Tables.events(spark, dir), width = "1 hour")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q24WindowTimeSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Per-user session windows (30-minute inactivity gap). The DuckDB
+    * mirror is the classic gaps-and-islands form; session_window.end is
+    * last-event-ts + gap in both. */
+  def q25Sessionize(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionize(Tables.events(spark, dir), gap = "30 minutes")
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q25SessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+}

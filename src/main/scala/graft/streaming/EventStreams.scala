@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` fixture schema
+  * (SURVEY.md §2B row 8; the reference has no streams — this is the
+  * mandated extension, built entirely from Structured Streaming
+  * primitives).
+  *
+  * Every transformation here is written against a plain DataFrame, so the
+  * SAME code runs in batch (for the DuckDB-oracle gate, see
+  * [[graft.operators.StreamingQueries]]) and under `readStream` with
+  * incremental execution — that unification is the Spark-first design:
+  * one logical plan, two execution modes.
+  *
+  * Scale: streaming state (window aggregates, session state, user state)
+  * is partitioned by group key across executors exactly like a batch
+  * shuffle; watermarks bound state size by evicting windows older than
+  * the lateness horizon, which is what makes hour-window aggregation over
+  * an unbounded event stream run in fixed memory at any throughput.
+  */
+object EventStreams {
+
+  /** events schema as landed by the driver (ts arrives as µs timestamp
+    * after [[graft.Tables.events]] nanos truncation; a streaming file
+    * source gets the already-truncated long and converts the same way). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  /** Tumbling-window counts/sums per event type. `withWatermark` bounds
+    * state: windows more than `lateness` behind the max seen ts finalize
+    * (append mode) and evict; later-arriving rows for them are dropped. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window (width, slide) average value per event type. */
+  def slidingAvg(events: DataFrame, width: String = "1 hour",
+                 slide: String = "30 minutes",
+                 lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("avg_value"), col("n_events"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity. session_window.end = last event ts + gap. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state via flatMapGroupsWithState: running per-user
+    * event count + value total, emitting the updated totals on every
+    * batch that touches the user (Update mode). The state store holds one
+    * UserTotals per user, partitioned by user_id. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserTotals(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Streaming parquet source over a directory of event files (explicit
+    * schema — file streaming sources cannot infer). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, UserTotals}
+
+/** Structured Streaming behavior over the events schema (SURVEY.md §5.5):
+  * incremental window aggregation, watermark late-data handling, session
+  * windows, and flatMapGroupsWithState custom state — all driven through
+  * MemoryStream with deterministic processAllAvailable barriers. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:00")
+
+  private def ev(id: Long, minutes: Int, user: Long = 1L,
+                 typ: String = "click", value: Double = 1.0): Event =
+    Event(id, ts(minutes), user, typ, value, "{}")
+
+  test("tumbling windows aggregate incrementally across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(in.toDF(), width = "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 10), ev(2, 20), ev(3, 70))
+      q.processAllAvailable()
+      in.addData(ev(4, 30, value = 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))
+      // Update mode re-emits hour-0 after batch 2: latest state n=3, sum=4.0
+      assert(rows.filter(_._1 == ts(0)).map(r => (r._2, r._3)).contains((3L, 4.0)))
+      assert(rows.filter(_._1 == ts(60)).map(r => (r._2, r._3)).contains((1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the lateness horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(in.toDF(), width = "1 hour", lateness = "1 hour")
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 10), ev(2, 50))
+      q.processAllAvailable()
+      // advance watermark far past hour 0: max ts 5h - 1h lateness = 4h
+      in.addData(ev(3, 300))
+      q.processAllAvailable()
+      // this event targets hour 0, now behind the watermark → dropped
+      in.addData(ev(4, 30, value = 99.0))
+      q.processAllAvailable()
+      in.addData(ev(5, 400))
+      q.processAllAvailable()
+      val hour0 = spark.table("late").collect()
+        .filter(_.getAs[Timestamp]("window_start") == ts(0))
+      assert(hour0.length == 1, "hour-0 window must finalize exactly once")
+      assert(hour0.head.getAs[Long]("n_events") == 2L,
+        "the late event must not be counted")
+      assert(hour0.head.getAs[Double]("sum_value") == 2.0)
+    } finally q.stop()
+  }
+
+  test("session windows split on the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // session-window aggregation supports Append (watermark-closed) or
+    // Complete; Update is rejected — Complete keeps the test deterministic
+    val q = EventStreams.sessionize(in.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // user 1: events at 0,10 (one session) and 60 (a new session);
+      // user 2: single event
+      in.addData(ev(1, 0), ev(2, 10), ev(3, 60), ev(4, 0, user = 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._2.getTime)
+      assert(u1.map(r => (r._2, r._4)).toSeq == Seq((ts(0), 2L), (ts(60), 1L)))
+      assert(u1.head._3 == ts(40), "session end = last event + gap")
+      assert(rows.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, user = 1L, value = 2.0), ev(2, 1, user = 2L, value = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 1L, value = 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("totals").as[UserTotals].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(latest(1L).n_events == 2L && latest(1L).total_value == 7.0)
+      assert(latest(2L).n_events == 1L && latest(2L).total_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling windows agree on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = operators.StreamingQueries.q24WindowTime(spark, sf).collect()
+    val events = Tables.events(spark, sf).as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(in.toDF(), width = "1 hour")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("parity").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      batch.foreach { r =>
+        val key = (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"))
+        assert(streamed(key) ==
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")),
+          s"mismatch at $key")
+      }
+    } finally q.stop()
+  }
+}
