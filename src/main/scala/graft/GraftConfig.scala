@@ -1,0 +1,27 @@
+package graft
+
+/** Env-prefixed engine configuration — the counterpart of the reference's
+  * Dynaconf loader (reference: src/config.py:8-14, prefix `BULK_UPDATE_`,
+  * secrets like the connection string arriving via env at
+  * mongo_update.py:65). Here the prefix is `GRAFT_`, every knob has a
+  * code default, and the loader is a pure function of the env map so
+  * tests can inject one.
+  */
+final case class GraftConfig(
+    cpus: Int,                 // GRAFT_CPUS: local parallelism / shuffle partitions
+    sfDir: String,             // GRAFT_SF_DIR: fixture directory
+    benchOut: String,          // GRAFT_BENCH_OUT: bench metric JSON file
+    mergeOrderCol: Option[String], // GRAFT_MERGE_ORDER_COL: duplicate-key fold order
+    tolerant: Boolean)         // GRAFT_TOLERANT: drop-and-continue on merge failure
+
+object GraftConfig {
+  def fromEnv(env: Map[String, String] = sys.env): GraftConfig = GraftConfig(
+    cpus = env.get("GRAFT_CPUS").orElse(env.get("SPARK_GRAFT_CPUS"))
+      .map(_.toInt).getOrElse(32),
+    sfDir = env.get("GRAFT_SF_DIR").orElse(env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1"),
+    benchOut = env.get("GRAFT_BENCH_OUT").orElse(env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("/root/repo/BENCH.json"),
+    mergeOrderCol = env.get("GRAFT_MERGE_ORDER_COL"),
+    tolerant = env.get("GRAFT_TOLERANT").exists(v => v == "1" || v.equalsIgnoreCase("true")))
+}

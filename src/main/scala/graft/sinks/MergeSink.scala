@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,10 +79,52 @@ object MergeSink {
         when(touched, now).otherwise(col(s"t.$updatedAtCol")).as(updatedAtCol): _*)
   }
 
-  /** Statement-level counts without materializing the merge twice:
+  /** Merged snapshot + statement-level counts in ONE pass: the full-outer
+    * join runs once, and the counts are collected as observed metrics
+    * (`Dataset.observe`) during whatever action materializes the snapshot
+    * — the round-1 implementation executed the join twice (once for a
+    * stats collect, once for the data write), doubling the dominant
+    * shuffle. Call [[statsOf]] on the returned Observation AFTER an
+    * action has run on the returned frame. */
+  def mergePlanObserved(target: DataFrame, updates: DataFrame, key: String,
+                        fields: Seq[String], updatedAtCol: String = "updatedAt",
+                        now: Column = current_timestamp()): (DataFrame, Observation) = {
+    val obs = Observation()
+    val t = target.alias("t")
+    val u = updates.filter(col(key).isNotNull).alias("u")
+    val matched = col(s"t.$key").isNotNull && col(s"u.$key").isNotNull
+    val changed = fields.map { f =>
+      col(s"u.$f").isNotNull && (col(s"t.$f").isNull || col(s"u.$f") =!= col(s"t.$f"))
+    }.reduce(_ || _)
+    val touched = col(s"u.$key").isNotNull
+    val merged = fields.map { f => coalesce(col(s"u.$f"), col(s"t.$f")).as(f) }
+    val observed = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+      .observe(obs,
+        coalesce(sum(when(matched, 1L).otherwise(0L)), lit(0L)).as("n_matched"),
+        coalesce(sum(when(matched && changed, 1L).otherwise(0L)), lit(0L)).as("n_modified"),
+        coalesce(sum(when(col(s"t.$key").isNull, 1L).otherwise(0L)), lit(0L)).as("n_upserted"))
+      .select(
+        coalesce(col(s"t.$key"), col(s"u.$key")).as(key) +:
+        merged :+
+        when(touched, now).otherwise(col(s"t.$updatedAtCol")).as(updatedAtCol): _*)
+    (observed, obs)
+  }
+
+  /** Reads the observed merge counts (valid only after an action on the
+    * observed frame). */
+  def statsOf(obs: Observation): MergeStats = {
+    val m = obs.get
+    MergeStats(m("n_matched").asInstanceOf[Long],
+      m("n_modified").asInstanceOf[Long],
+      m("n_upserted").asInstanceOf[Long])
+  }
+
+  /** Statement-level counts WITHOUT writing the merge (stats-only API —
+    * runs the join for the counts alone; the write path uses
+    * [[mergePlanObserved]] so data + stats cost one join total):
     * matched = keys in both; modified = matched rows where any field value
     * actually changes under null-skip; upserted = update keys absent from
-    * the target. Computed in one aggregate pass over the join. */
+    * the target. */
   def mergeStats(target: DataFrame, updates: DataFrame, key: String,
                  fields: Seq[String]): MergeStats = {
     val t = target.alias("t")
@@ -116,7 +158,6 @@ object MergeSink {
     val fs = path.getFileSystem(hconf)
 
     val unique = collapseUpdates(updates.filter(col(key).isNotNull), key, fields, orderCol)
-      .cache()
     val target =
       if (fs.exists(path) && fs.listStatus(path).nonEmpty)
         spark.read.parquet(targetPath)
@@ -129,8 +170,9 @@ object MergeSink {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       }
 
-    val stats = mergeStats(target, unique, key, fields)
-    val merged = mergePlan(target, unique, key, fields, updatedAtCol)
+    // One join execution total: the parquet write materializes the merge,
+    // and the counts come back as observed metrics of that same action.
+    val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
 
     val tmp = new Path(targetPath + ".__merge_tmp")
     val bak = new Path(targetPath + ".__merge_bak")
@@ -141,7 +183,41 @@ object MergeSink {
     }
     require(fs.rename(tmp, path), s"swap failed: could not move $tmp into place")
     fs.delete(bak, true)
-    unique.unpersist()
-    stats
+    statsOf(obs)
+  }
+
+  /** Bucketed-table merge: same semantics as [[mergeInto]], but the target
+    * lives as a parquet TABLE bucketed (and sorted) by the key, so the
+    * merge's sort-merge join reads the target side pre-partitioned — no
+    * exchange on the (large) target, only the (small) update set shuffles.
+    * This is the 100 TB layout: re-bucketing a 100 TB snapshot on every
+    * merge is the round-1 plan's hidden cost; with `bucketBy` the shuffle
+    * is paid once at write time and every subsequent merge reuses it.
+    * The swap is a catalog drop+rename (metadata-only, like the directory
+    * swap in [[mergeInto]]). */
+  def mergeIntoBucketed(spark: SparkSession, table: String, updates: DataFrame,
+                        key: String, fields: Seq[String], nBuckets: Int,
+                        orderCol: Option[String] = None,
+                        updatedAtCol: String = "updatedAt"): MergeStats = {
+    val unique = collapseUpdates(updates.filter(col(key).isNotNull), key, fields, orderCol)
+    val target =
+      if (spark.catalog.tableExists(table)) spark.table(table)
+      else {
+        import org.apache.spark.sql.types._
+        val s = StructType(
+          StructField(key, StringType) +:
+          fields.map(f => unique.schema(f).copy(name = f)) :+
+          StructField(updatedAtCol, TimestampType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      }
+    val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
+    val tmp = s"${table}__merge_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    merged.write.format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    statsOf(obs)
   }
 }

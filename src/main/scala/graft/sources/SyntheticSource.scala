@@ -61,4 +61,15 @@ object SyntheticSource {
   /** Parquet file sink (reference save_data_batch, generate_data.py:71-81). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Reference batch arithmetic (tests/test_parquet.py:84-86): the number
+    * of `batchSize`-row batches a scan yields. In Spark this maps to a
+    * partition count, not a loop — kept as the documented equivalence. */
+  def batchCount(nRows: Long, batchSize: Int): Int =
+    math.ceil(nRows.toDouble / batchSize).toInt
+
+  /** Reference slice arithmetic (tests/test_parquet.py:123):
+    * ceil(ceil(n/batch)/slice) — groups of `sliceSize` batches. */
+  def sliceCount(nRows: Long, batchSize: Int, sliceSize: Int): Int =
+    math.ceil(batchCount(nRows, batchSize).toDouble / sliceSize).toInt
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftUdfs
+
+/** UDF/UDAF surface: registration, SQL + Dataset use, and the Aggregator
+  * algebra (element-wise-min buffer merge must equal the direct
+  * computation regardless of partitioning). */
+class GraftUdfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHashAggregator: grouped signature equals the direct element-wise min") {
+    GraftUdfs.register(spark, numHashes = 8)
+    val rows = Seq(
+      ("d1", "alpha"), ("d1", "beta"), ("d1", "gamma"),
+      ("d2", "alpha"), ("d2", "delta"))
+    val sig = rows.toDF("doc", "tok")
+      .repartition(4) // force partial buffers + merge
+      .groupBy("doc").agg(expr("minhash_sig(tok)").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def direct(toks: Seq[String]): Seq[Long] =
+      (0 until 8).map(seed =>
+        toks.map(t => scala.util.hashing.MurmurHash3.stringHash(t, seed).toLong).min)
+    assert(sig("d1") == direct(Seq("alpha", "beta", "gamma")))
+    assert(sig("d2") == direct(Seq("alpha", "delta")))
+  }
+
+  test("MinHash signatures of overlapping sets share entries (the MinHash property)") {
+    GraftUdfs.register(spark, numHashes = 16)
+    val rows = (1 to 50).map(i => ("a", s"tok$i")) ++ (1 to 50).map(i => ("b", s"tok$i")) ++
+      Seq(("b", "extra1"), ("b", "extra2"))
+    val sig = rows.toDF("doc", "tok")
+      .groupBy("doc").agg(expr("minhash_sig(tok)").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val agree = sig("a").zip(sig("b")).count { case (x, y) => x == y }
+    assert(agree >= 12, s"~96% Jaccard sets should agree on most minhashes, got $agree/16")
+  }
+
+  test("registered scalar UDF runs from SQL and matches the column expression") {
+    GraftUdfs.register(spark)
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    df.createOrReplaceTempView("udf_probe")
+    val viaUdf = spark.sql("SELECT jaccard_udf(x, y) AS j FROM udf_probe")
+      .collect()(0).getDouble(0)
+    val viaExpr = df.select(graft.functions.TextFunctions.jaccard(col("x"), col("y")).as("j"))
+      .collect()(0).getDouble(0)
+    assert(viaUdf == 0.5 && viaExpr == 0.5)
+  }
+}

@@ -116,6 +116,49 @@ class MergeSinkSpec extends SparkSpec {
     assert(snap.filter(col("score").isNull).count() == 0)
   }
 
+  test("single-pass merge: observed stats match the stats-only API") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0), ("c", 5.0, 6.0))))
+    val updates = df(Seq(("a", 9.0, 9.0), ("b", 3.0, 4.0), ("z", 1.0, 1.0)))
+    val (merged, obs) = MergeSink.mergePlanObserved(target, updates, "k", fields)
+    merged.write.format("noop").mode("overwrite").save() // ONE action
+    assert(MergeSink.statsOf(obs) == MergeSink.MergeStats(2, 1, 1))
+    assert(MergeSink.statsOf(obs) == MergeSink.mergeStats(target, updates, "k", fields))
+  }
+
+  test("merge plan runs the join once: exactly one exchange per join side") {
+    val target = withTs(df(Seq(("a", 1.0, 2.0))))
+    val updates = df(Seq(("a", 9.0, 9.0), ("z", 1.0, 1.0)))
+    val (merged, _) = MergeSink.mergePlanObserved(target, updates, "k", fields)
+    val plan = merged.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges (one per side), got $exchanges:\n$plan")
+  }
+
+  test("bucketed-table merge: correct counts and no exchange on the target side") {
+    val tbl = "graft_bucketed_merge_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__merge_tmp")
+    // round 1 creates the bucketed table (everything upserts)
+    val s1 = MergeSink.mergeIntoBucketed(spark, tbl,
+      df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0))), "k", fields, nBuckets = 4)
+    assert(s1 == MergeSink.MergeStats(0, 0, 2))
+    // round 2 merges against the bucketed snapshot
+    val s2 = MergeSink.mergeIntoBucketed(spark, tbl,
+      df(Seq(("a", 9.0, null), ("c", 7.0, 7.0))), "k", fields, nBuckets = 4)
+    assert(s2 == MergeSink.MergeStats(1, 1, 1))
+    val snap = spark.table(tbl).orderBy("k").collect()
+    assert(snap.map(_.getAs[String]("k")).toSeq == Seq("a", "b", "c"))
+    assert(snap(0).getAs[Double]("f1") == 9.0 && snap(0).getAs[Double]("f2") == 2.0)
+    // plan audit: target scan is bucketed -> only the update side exchanges
+    val (merged, _) = MergeSink.mergePlanObserved(
+      spark.table(tbl), df(Seq(("a", 0.0, 0.0))), "k", fields)
+    val plan = merged.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"bucketed target must not re-shuffle; got $exchanges exchanges:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("empty updates: merge into existing target is a no-op with zero counts") {
     val dir = Files.createTempDirectory("graft_merge_empty").toString
     val targetPath = s"$dir/collection"
