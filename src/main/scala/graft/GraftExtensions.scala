@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.expressions.DotProduct
+
+/** Session extensions (the public Catalyst plug-in point): registers the
+  * engine's native expressions as SQL functions so `spark.sql("SELECT
+  * graft_dot(a, b) ...")` resolves like a built-in. Installed by
+  * [[GraftSession]] via `Builder.withExtensions`, or by config
+  * `spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(args(0), args(1))
+      }))
+  }
+}

@@ -1,9 +1,11 @@
 package graft
 
 // Throwaway profiling harness (not part of the engine API; excluded from
-// the query surface). Times sub-plans of the LSH pipeline at a given sf.
+// the query surface). Times sub-plans of the hot dedup pipelines at a
+// given sf so optimization targets the real bottleneck stage.
 object Scratch {
   import org.apache.spark.sql.functions._
+  import org.apache.spark.storage.StorageLevel
   import graft.functions.TextFunctions._
 
   def main(args: Array[String]): Unit = {
@@ -13,33 +15,40 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // q19 prefix-filter pipeline stages
     val df = Tables.documents(spark, sfDir)
-    val grams = shingles(col("text"), 2)
-    val docs = df.select(col("doc_id").as("id"), array_distinct(grams).as("grams"))
+    val threshold = 0.95
+    val base = df.select(col("doc_id").as("id"),
+        array_distinct(tokens(col("text"))).as("grams"), col("source").as("blk"))
       .filter(size(col("grams")) > 0)
-      .withColumn("sig", minhashSignature(col("grams"), 16, xxHash))
-      .persist()
-    time("docs materialize (shingle+sig)")(docs.count())
-    val banded = docs
-      .select(col("id"), posexplode(bandKeys(col("sig"), 8, 2)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    time("banded")(banded.count())
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+      .withColumn("sz", size(col("grams")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("q19 base materialize")(base.count())
+    val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    time("q19 dfreq")(dfreq.count())
+    val ordered = ex.join(dfreq, "g")
+      .groupBy("id", "blk", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("og"))
+    time("q19 ordered")(ordered.write.format("noop").mode("overwrite").save())
+    val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val pref = ordered.select(col("id"), col("blk"), col("sz"),
+      explode(slice(transform(col("og"), s => s.getField("g")), lit(1), plen)).as("pg"))
+    val cand = pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.pg") === col("b.pg") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            ceil(greatest(col("a.sz"), col("b.sz")) * threshold))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    time("cand")(cand.count())
-    val verified = cand
-      .join(docs.select(col("id").as("id1"), col("grams").as("g1")), "id1")
-      .join(docs.select(col("id").as("id2"), col("grams").as("g2")), "id2")
-      .select(col("id1"), col("id2"), round(jaccard(col("g1"), col("g2")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-    time("verify")(verified.write.format("noop").mode("overwrite").save())
-    time("full q20b (fresh)")(
-      operators.TextQueries.q20bMinhashXxh(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
+    time("q19 cand")(println("[scratch] cand rows: " + cand.count()))
+    time("q19 full")(operators.TextQueries.q19NgramJaccard(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("q20b full (xx two-level)")(operators.TextQueries.q20bMinhashXxh(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    time("q23 full (6-bit bands)")(operators.SimilarityQueries.q23AnnSrp(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

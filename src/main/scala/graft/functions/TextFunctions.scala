@@ -144,6 +144,18 @@ object TextFunctions {
   def xxHash(e: Column, seed: Int): Column = xxhash64(lit(seed), e)
   def md5Hash(e: Column, seed: Int): Column = md5(concat(lit(s"$seed:"), e))
 
+  /** Production MinHash signature with two-level hashing: each element is
+    * string-hashed ONCE (xxhash64), then the k per-seed hashes re-hash
+    * that 8-byte long — k× fewer variable-length string hashes than
+    * hashing the element under every seed. The (seed, base-hash) family
+    * is as uniform as the direct form; signatures differ numerically but
+    * MinHash/LSH semantics are identical. */
+  def minhashSignatureXx(elems: Column, numHashes: Int): Column =
+    bind(transform(elems, e => xxhash64(e))) { hs =>
+      array((0 until numHashes).map(i =>
+        array_min(transform(hs, h => xxhash64(lit(i), h)))): _*)
+    }
+
   /** LSH band keys over a signature: bands of `rowsPerBand` consecutive
     * signature entries, each band hashed to one key. Docs sharing any
     * band key become a candidate pair. */

@@ -17,8 +17,18 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Dot product of two equal-length numeric arrays, accumulated in
-    * double, left-to-right. */
-  def dot(a: Column, b: Column): Column =
+    * double, left-to-right — a codegen'd native Catalyst expression
+    * ([[graft.expressions.DotProduct]]); same summation order (and so
+    * bit-identical results) as the interpreted higher-order form below. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The zip_with+aggregate dot product the codegen expression replaced —
+    * kept as the readable reference form and for the equivalence test. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -121,7 +121,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       threshold: Double,
-                      sigFn: (Column, Int) => Column = minhashSignature(_, _, xxHash),
+                      sigFn: (Column, Int) => Column = minhashSignatureXx,
                       maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rowsPerBand = numHashes / bands

@@ -28,8 +28,12 @@ object SimilarityQueries {
 
   private val K = 10
   private val NQueries = 10
+  // 8 bands × 6 bits: a random pair (cos≈0) collides on a band with
+  // p=2⁻⁶, so candidates ≈ 1-(1-2⁻⁶)⁸ ≈ 12% of pairs (4 bits made that
+  // ~50% — effectively brute force); pairs at the 0.4 threshold still
+  // collide on some band ~40% of the time. More corpus → more bits.
   private val SrpBands = 8
-  private val SrpBitsPerBand = 4
+  private val SrpBitsPerBand = 6
   private val SrpThreshold = 0.4
   private val Dim = 64
   private val Planes = srpPlanes(SrpBands * SrpBitsPerBand, Dim)

@@ -5,13 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared test base: one local session per suite (SURVEY.md §5). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
 }
