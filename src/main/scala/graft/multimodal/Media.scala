@@ -1,0 +1,214 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star mandate; no reference counterpart and
+  * no driver fixture — the synthetic generator below provides the test
+  * corpus): image/audio/video as opaque BINARY columns plus a typed
+  * metadata struct, with decode / feature-extract / resize / frame-sample
+  * as partition-wise batch operators.
+  *
+  * The Spark-side plumbing is REAL — schema, partitioning, per-partition
+  * batch iteration, init-once-per-partition codec lifecycle (the JVM
+  * analog of arrow-batched Python UDFs: expensive codec state is built
+  * once per partition and streamed over its rows, never per row, never on
+  * the driver). The codec itself is a clearly-marked deterministic STUB
+  * (`FakeCodec`) because no real image/audio library ships in this
+  * environment; a production deployment swaps one `MediaCodec`
+  * implementation in and every operator, test, and plan shape holds.
+  *
+  * Scale notes: media rows are large (binary payload), so operators here
+  * never shuffle payloads — decode/feature/resize are narrow map
+  * partitions over the scan, and frame sampling explodes WITHIN the
+  * partition. Feature vectors (small) are what downstream joins/ANN
+  * shuffle, feeding [[graft.operators.SimilarityQueries]].
+  */
+object Media {
+
+  final case class MediaMeta(kind: String, format: String, width: Int, height: Int,
+                             sampleRate: Int, durationMs: Long)
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  final case class DecodedRow(media_id: Long, kind: String, content: Array[Byte],
+                              meta: MediaMeta)
+  final case class FeatureRow(media_id: Long, kind: String, feature: Array[Float])
+  final case class FrameRow(media_id: Long, frame_idx: Int, ts_ms: Long,
+                            frame: Array[Byte])
+
+  /** Codec boundary: one instance per PARTITION (see decode), so an
+    * expensive native init amortizes over the partition's rows. */
+  trait MediaCodec extends Serializable {
+    def init(): Unit
+    def decodeMeta(content: Array[Byte]): MediaMeta
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB — deterministic fake codec. "Decoding" parses the synthetic
+    * 16-byte header `[magic(4) | width(4) | height(4) | rate(4)]` written
+    * by [[SyntheticMedia]]; "resize" rewrites the header and truncates
+    * payload proportionally. Every output is a pure function of the
+    * input bytes, so tests pin exact values. A real build replaces this
+    * with a javacpp/JNI-backed implementation — nothing else changes. */
+  final class FakeCodec extends MediaCodec {
+    @volatile private var initialized = false
+    override def init(): Unit = { initialized = true }
+    private def readInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    override def decodeMeta(content: Array[Byte]): MediaMeta = {
+      require(initialized, "codec used before init() — per-partition lifecycle broken")
+      require(content.length >= 16, s"truncated media header: ${content.length} bytes")
+      val magic = readInt(content, 0)
+      val kind = magic match {
+        case 0x494d4700 => "image" // "IMG\0"
+        case 0x41554400 => "audio" // "AUD\0"
+        case 0x56494400 => "video" // "VID\0"
+        case m => throw new IllegalArgumentException(f"bad magic 0x$m%08x")
+      }
+      val w = readInt(content, 4)
+      val h = readInt(content, 8)
+      val rate = readInt(content, 12)
+      val durationMs = kind match {
+        case "image" => 0L
+        case _       => (content.length - 16).toLong * 1000 / math.max(rate, 1)
+      }
+      MediaMeta(kind, s"fake-$kind", w, h, rate, durationMs)
+    }
+    override def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(initialized, "codec used before init()")
+      val meta = decodeMeta(content)
+      val scale = (w.toLong * h) / math.max(meta.width.toLong * meta.height, 1L).toDouble
+      val bodyLen = math.max(1, ((content.length - 16) * math.min(scale, 1.0)).toInt)
+      val out = new Array[Byte](16 + bodyLen)
+      System.arraycopy(content, 0, out, 0, 16)
+      writeInt(out, 4, w); writeInt(out, 8, h)
+      System.arraycopy(content, 16, out, 16, bodyLen)
+      out
+    }
+    private def writeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+  }
+
+  /** Decode metadata for every row: one codec per partition, initialized
+    * once, streamed over the partition's batch iterator. */
+  def decode(media: Dataset[MediaRow],
+             mkCodec: () => MediaCodec = () => new FakeCodec): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = mkCodec() // per-partition, NOT per-row
+      codec.init()
+      rows.map(r => DecodedRow(r.media_id, r.kind, r.content,
+        codec.decodeMeta(r.content)))
+    }
+  }
+
+  /** Feature extraction: 64-bin byte histogram of the payload (past the
+    * header), L1-normalized — a real, deterministic computation standing
+    * in for an embedding model; output feeds the vector ops/ANN path. */
+  def byteHistogram(media: Dataset[MediaRow], bins: Int = 64): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val counts = new Array[Float](bins)
+        var i = 16
+        while (i < r.content.length) {
+          counts((r.content(i) & 0xff) * bins / 256) += 1f
+          i += 1
+        }
+        val total = math.max(1f, (r.content.length - 16).toFloat)
+        var j = 0
+        while (j < bins) { counts(j) /= total; j += 1 }
+        FeatureRow(r.media_id, r.kind, counts)
+      }
+    }
+  }
+
+  /** Resize via the per-partition codec (STUB semantics, real lifecycle
+    * + batch shape). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int,
+             mkCodec: () => MediaCodec = () => new FakeCodec): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = mkCodec(); codec.init()
+      rows.map(r => MediaRow(r.media_id, r.kind, codec.resize(r.content, w, h)))
+    }
+  }
+
+  /** Frame sampling: one output row per `everyMs` of video duration, the
+    * frame payload sliced deterministically from the content — an
+    * intra-partition flatMap (explode), so large payloads never shuffle. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
+                   mkCodec: () => MediaCodec = () => new FakeCodec): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = mkCodec(); codec.init()
+      rows.flatMap { r =>
+        val meta = codec.decodeMeta(r.content)
+        if (meta.kind != "video" || meta.durationMs == 0) Iterator.empty
+        else {
+          val n = (meta.durationMs / everyMs).toInt + 1
+          val body = r.content.length - 16
+          (0 until n).iterator.map { i =>
+            val tsMs = i * everyMs
+            val off = 16 + ((body.toLong * tsMs) / math.max(meta.durationMs, 1)).toInt
+            val len = math.min(256, r.content.length - off)
+            FrameRow(r.media_id, i, tsMs,
+              java.util.Arrays.copyOfRange(r.content, off, off + math.max(len, 0)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Typed media frame as a DataFrame with the binary + struct schema the
+    * mandate names (content binary, meta struct). */
+  def asTable(decoded: Dataset[DecodedRow]): DataFrame =
+    decoded.toDF().select(col("media_id"), col("kind"), col("content"),
+      col("meta.format").as("format"), col("meta.width").as("width"),
+      col("meta.height").as("height"), col("meta.sampleRate").as("sample_rate"),
+      col("meta.durationMs").as("duration_ms"))
+}
+
+/** Deterministic synthetic media generator (seeded; the multimodal analog
+  * of [[graft.sources.SyntheticSource]]): binary blobs with the fake
+  * 16-byte header + pseudo-random payload. */
+object SyntheticMedia {
+  import Media._
+
+  def blob(kind: String, id: Long, payloadLen: Int): Array[Byte] = {
+    val magic = kind match {
+      case "image" => 0x494d4700
+      case "audio" => 0x41554400
+      case "video" => 0x56494400
+    }
+    val (w, h, rate) = kind match {
+      case "image" => (64 + (id % 8).toInt * 32, 64 + (id % 5).toInt * 32, 0)
+      case "audio" => (0, 0, 16000)
+      case "video" => (320, 240, 1000) // 1000 B/s → durationMs == payloadLen
+    }
+    val out = new Array[Byte](16 + payloadLen)
+    def writeInt(off: Int, v: Int): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    writeInt(0, magic); writeInt(4, w); writeInt(8, h); writeInt(12, rate)
+    val rng = new scala.util.Random(id * 31 + kind.hashCode)
+    var i = 16
+    while (i < out.length) { out(i) = rng.nextInt(256).toByte; i += 1 }
+    out
+  }
+
+  def generate(spark: SparkSession, n: Int, nPartitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(nPartitions).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      MediaRow(id, kind, blob(kind, id, 1000 + (id % 7).toInt * 500))
+    }
+  }
+}

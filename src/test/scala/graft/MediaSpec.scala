@@ -1,0 +1,109 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import graft.multimodal.{Media, SyntheticMedia}
+import graft.multimodal.Media._
+
+/** Multimodal plumbing: schema, partitioning, per-partition codec
+  * lifecycle, deterministic stub decode, feature shape, frame-sample
+  * cardinality. The codec is a stub; everything the engine owns (batch
+  * iteration, explode-without-shuffle, typed schema) is real and pinned. */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = SyntheticMedia.generate(spark, 90, nPartitions = 5)
+
+  test("decode parses the typed metadata struct for every kind") {
+    val decoded = Media.decode(corpus).collect()
+    assert(decoded.length == 90)
+    val byKind = decoded.groupBy(_.kind)
+    assert(byKind.keySet == Set("image", "audio", "video"))
+    byKind("image").foreach { d =>
+      assert(d.meta.kind == "image" && d.meta.width >= 64 && d.meta.durationMs == 0)
+    }
+    byKind("audio").foreach(d => assert(d.meta.sampleRate == 16000))
+    // video rate is 1000 B/s, so durationMs == payload length
+    byKind("video").foreach(d => assert(d.meta.durationMs == d.content.length - 16))
+  }
+
+  test("codec initializes once per partition, not per row") {
+    MediaSpec.initCount.set(0)
+    val counting = () => new Media.MediaCodec {
+      private val inner = new FakeCodec
+      override def init(): Unit = { MediaSpec.initCount.incrementAndGet(); inner.init() }
+      override def decodeMeta(c: Array[Byte]): MediaMeta = inner.decodeMeta(c)
+      override def resize(c: Array[Byte], w: Int, h: Int): Array[Byte] = inner.resize(c, w, h)
+    }
+    Media.decode(corpus, counting).collect()
+    val inits = MediaSpec.initCount.get()
+    assert(inits == 5, s"expected one codec init per partition (5), got $inits")
+  }
+
+  test("typed media table exposes binary + flattened metadata columns") {
+    val table = Media.asTable(Media.decode(corpus))
+    assert(table.schema("content").dataType.typeName == "binary")
+    assert(Seq("media_id", "kind", "format", "width", "height", "sample_rate",
+      "duration_ms").forall(table.columns.contains))
+    assert(table.filter(col("kind") === "video")
+      .select(min(col("duration_ms"))).collect()(0).getLong(0) >= 1000)
+  }
+
+  test("byte histogram is a normalized fixed-width feature vector") {
+    val feats = Media.byteHistogram(corpus, bins = 64).collect()
+    assert(feats.length == 90)
+    feats.foreach { f =>
+      assert(f.feature.length == 64)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3, "L1-normalized")
+      assert(f.feature.forall(_ >= 0f))
+    }
+    // determinism: same input → same feature
+    val again = Media.byteHistogram(corpus, bins = 64).collect()
+    assert(feats.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+  }
+
+  test("features flow into the vector similarity path (dot with itself = |x|²)") {
+    val feats = Media.byteHistogram(corpus).toDF()
+    val norms = feats.select(
+      graft.functions.VectorFunctions.dot(col("feature"), col("feature")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(d => d > 0.0 && d <= 1.0), "L1-normalized hist ⇒ 0 < |x|² ≤ 1")
+  }
+
+  test("resize rewrites dimensions and shrinks payload, never grows it") {
+    val images = corpus.filter(_.kind == "image")
+    val resized = Media.decode(Media.resize(images, 32, 32)).collect()
+    resized.foreach { d =>
+      assert(d.meta.width == 32 && d.meta.height == 32)
+    }
+    val origSizes = images.collect().map(r => r.media_id -> r.content.length).toMap
+    resized.foreach(d => assert(d.content.length <= origSizes(d.media_id)))
+  }
+
+  test("frame sampling yields duration/everyMs + 1 frames per video, no shuffle") {
+    // parquet-backed source so the plan under audit is scan → sample only
+    // (the in-memory generator carries its own repartition exchange)
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    corpus.filter(_.kind == "video").write.mode("overwrite").parquet(dir)
+    val videos = spark.read.parquet(dir).as[MediaRow]
+    val frames = Media.sampleFrames(videos, everyMs = 500)
+    val byId = frames.collect().groupBy(_.media_id)
+    val durations = Media.decode(corpus.filter(_.kind == "video")).collect()
+      .map(d => d.media_id -> d.meta.durationMs).toMap
+    byId.foreach { case (id, fs) =>
+      assert(fs.length == (durations(id) / 500).toInt + 1, s"video $id")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      assert(fs.forall(_.frame.length <= 256))
+    }
+    // narrow op: no exchange in the sampled-frames plan
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"frame sampling must not shuffle binary payloads:\n$plan")
+  }
+}
+
+object MediaSpec {
+  // static so executor-side (same-JVM local mode) increments are visible
+  val initCount = new AtomicInteger(0)
+}
