@@ -17,9 +17,19 @@ object TextFunctions {
 
   /** Whitespace/punctuation tokenizer: lowercase, split on non-alnum runs,
     * drop empties. Mirrors `list_filter(regexp_split_to_array(lower(t),
-    * '[^a-z0-9]+'), x -> len(x) > 0)` in DuckDB. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > lit(0))
+    * '[^a-z0-9]+'), x -> len(x) > 0)` in DuckDB.
+    *
+    * Implemented WITHOUT a higher-order `filter` (which is interpreted and
+    * taxed every text query): trimming leading/trailing separator runs
+    * before the split means the split can produce no empty tokens — the
+    * whole expression stays inside whole-stage codegen. The `trimmed`
+    * subexpression appears twice; both are codegen'd regex calls, still
+    * far cheaper than one interpreted lambda filter pass. */
+  def tokens(text: Column): Column = {
+    def trimmed = regexp_replace(lower(text), "^[^a-z0-9]+|[^a-z0-9]+$", "")
+    when(trimmed === "", array().cast("array<string>"))
+      .otherwise(split(trimmed, "[^a-z0-9]+"))
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

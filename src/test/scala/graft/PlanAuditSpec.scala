@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, SimilarityQueries}
+
+/** Plan audits: the physical-plan properties that make these operators
+  * survive a 100× scale-up, pinned as assertions so a regression in plan
+  * shape fails CI, not the cluster. (Values are gated by the DuckDB
+  * oracle; this gates the HOW.) */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan (q1 shape)") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)"),
+      s"filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      s"scan must read only the projected columns:\n$p")
+  }
+
+  test("constant-size dimension joins broadcast (q2 shape)") {
+    val p = plan(Relational.q2JoinRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region joins must broadcast, not shuffle:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a full sort (q3)") {
+    val p = plan(Relational.q3TopkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT must not global-sort:\n$p")
+  }
+
+  test("hash aggregation is partial (map-side combine) before the shuffle (q1)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate pair:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"final agg shuffles on the group key:\n$p")
+  }
+
+  test("exact KNN broadcasts the query side and never shuffles the corpus (q22)") {
+    val p = plan(SimilarityQueries.q22KnnExact(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"small query set × corpus must be a broadcast nested loop:\n$p")
+    // the corpus side feeds the join straight from the scan — the only
+    // exchange permitted is the per-query window partitioning afterwards
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"corpus must not shuffle before scoring:\n$p")
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan (q5/q6)") {
+    assert(plan(Relational.q5SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.q6AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("sketch aggregates plan as a single partial+final pass (q26)") {
+    val p = plan(Relational.q26Sketches(spark, sf))
+    // HLL++ and percentile sketches ride the same hash-aggregate pair as
+    // the exact metrics — no extra shuffle per sketch
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"sketches must not add shuffles:\n$p")
+  }
+}
