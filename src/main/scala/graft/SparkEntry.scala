@@ -45,6 +45,9 @@ object SparkEntry {
     "q25_sessionize"   -> (StreamingQueries.q25Sessionize _),
     "q26_sketches"     -> (Relational.q26Sketches _),
     "q27_json_typed"   -> (Relational.q27JsonTyped _),
+    // rows-only (no SQL oracle): k-means is not DuckDB-mirrorable;
+    // recall vs exact KNN is asserted in IvfSpec
+    "q28_ivf_ann"      -> (Ivf.q28IvfAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,67 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.Row
+import graft.sinks.BulkForeachSink
+import graft.sinks.BulkForeachSink.{BulkClient, WriteStats}
+
+/** External bulk sink: grouped(batchSize) round trips, one client per
+  * partition, per-batch error containment — mirror of the reference's
+  * batch_size bulk writes and mongo.py:148-159 policy. */
+class BulkForeachSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rows stream in grouped(batchSize) round trips; one client per partition") {
+    BulkForeachSinkSpec.reset()
+    val df = (1 to 95).toDF("x").repartition(4)
+    val stats = BulkForeachSink.write(df, batchSize = 10, BulkForeachSinkSpec.recording)
+    assert(stats.nRows == 95 && stats.nFailedBatches == 0)
+    assert(BulkForeachSinkSpec.opens.get() == 4, "one open per partition")
+    assert(BulkForeachSinkSpec.closes.get() == 4, "client closed even on success")
+    val sizes = BulkForeachSinkSpec.sizes()
+    assert(sizes.sum == 95)
+    assert(sizes.forall(_ <= 10), "no batch may exceed batchSize")
+    assert(stats.nBatches == sizes.length)
+    // ceil arithmetic holds per partition: at most one short batch each
+    assert(sizes.count(_ < 10) <= 4)
+  }
+
+  test("tolerant mode drops a poisoned batch and continues (mongo.py:148-159)") {
+    BulkForeachSinkSpec.reset()
+    val failing = BulkForeachSinkSpec.poisoned
+    val df = (1 to 40).toDF("x").repartition(1)
+    val stats = BulkForeachSink.write(df, batchSize = 10, failing, tolerant = true)
+    assert(stats.nFailedBatches == 1)
+    assert(stats.nRows == 30, "the other three batches still apply")
+    intercept[org.apache.spark.SparkException] {
+      BulkForeachSink.write(df, batchSize = 10, failing, tolerant = false)
+    }
+  }
+}
+
+object BulkForeachSinkSpec {
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+  val batchSizes = new ConcurrentLinkedQueue[Int]()
+  def sizes(): Seq[Int] = { import scala.jdk.CollectionConverters._; batchSizes.asScala.toSeq }
+  def reset(): Unit = { opens.set(0); closes.set(0); batchSizes.clear() }
+
+  // factories live on the object so closures don't capture the spec
+  // instance (which holds the non-serializable SparkSession)
+  val recording: () => BulkClient = () => new BulkClient {
+    override def open(): Unit = opens.incrementAndGet()
+    override def writeBatch(rows: Seq[Row]): Int = { batchSizes.add(rows.size); rows.size }
+    override def close(): Unit = closes.incrementAndGet()
+  }
+
+  val poisoned: () => BulkClient = () => new BulkClient {
+    override def open(): Unit = ()
+    override def writeBatch(rows: Seq[Row]): Int = {
+      if (rows.exists(_.getInt(0) == 13)) throw new RuntimeException("poison")
+      batchSizes.add(rows.size)
+      rows.size
+    }
+    override def close(): Unit = ()
+  }
+}
