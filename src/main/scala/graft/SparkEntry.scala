@@ -48,6 +48,7 @@ object SparkEntry {
     // rows-only (no SQL oracle): k-means is not DuckDB-mirrorable;
     // recall vs exact KNN is asserted in IvfSpec
     "q28_ivf_ann"      -> (Ivf.q28IvfAnn _),
+    "q29_winnow"       -> (TextQueries.q29Winnow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,5 +81,6 @@ object SparkEntry {
     "q25_sessionize"   -> StreamingQueries.q25SessionizeSql,
     "q26_sketches"     -> Relational.q26SketchesSql,
     "q27_json_typed"   -> Relational.q27JsonTypedSql,
+    "q29_winnow"       -> TextQueries.q29WinnowSql,
   )
 }

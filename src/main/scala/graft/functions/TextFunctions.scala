@@ -104,6 +104,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Winnowing fingerprint set (Schleimer et al., MOSS): hash every char
+    * k-gram, then keep the minimum of each length-w hash window — the
+    * classic rolling-hash document fingerprint. Robust to local edits:
+    * a change only perturbs the k-grams (and windows) it overlaps.
+    * Returns the distinct selected hashes, sorted. The hash is the
+    * md5-prefix 32-bit form so DuckDB mirrors it; a production variant
+    * would swap in a true O(1)-update Rabin-Karp — selection semantics
+    * (and therefore results at the algorithm level) are unchanged. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    val s = lower(text)
+    val nGrams = length(s) - (k - 1)
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => conv(substring(md5(substr(s, i, lit(k))), 1, 8), 16, 10).cast("long"))
+    val mins = bind(hashes) { hs =>
+      transform(sequence(lit(1), size(hs) - (w - 1)),
+        j => array_min(slice(hs, j, lit(w))))
+    }
+    when(nGrams < w, array().cast("array<long>"))
+      .otherwise(array_sort(array_distinct(mins)))
+  }
+
   /** Let-binding for column expressions: evaluates `e` once and passes it
     * to `body` as a lambda variable — `transform` over a 1-element array.
     * Spark has no expression-level let; without this, an expression used k

@@ -174,6 +174,39 @@ object TextQueries {
        |WHERE jaccard >= $MhThreshold ORDER BY id1, id2""".stripMargin
   }
 
+  // winnowing parameters shared by the Spark plan and the oracle
+  private val WinK = 5
+  private val WinW = 4
+
+  /** Rolling-hash document fingerprinting (winnowing): per doc, the
+    * count of selected fingerprints and a digest of the sorted set —
+    * compact output, but the hash gate still covers k-gram hashing,
+    * window-min selection, dedup and ordering end-to-end. */
+  def q29Winnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      winnowFingerprints(col("text"), WinK, WinW).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(concat_ws(",", col("fps"))).as("winnow_sig"))
+      .orderBy(col("doc_id"))
+
+  val q29WinnowSql: String =
+    s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+       |g AS (SELECT doc_id,
+       |        [('0x' || substring(md5(s[i : i + ${WinK - 1}]), 1, 8))::BIGINT
+       |         FOR i IN range(1, len(s) - ${WinK - 2})] AS hs
+       |      FROM t),
+       |m AS (SELECT doc_id,
+       |        CASE WHEN len(hs) < $WinW THEN []::BIGINT[]
+       |             ELSE list_sort(list_distinct(
+       |               [list_min(hs[j : j + ${WinW - 1}])
+       |                FOR j IN range(1, len(hs) - ${WinW - 2})])) END AS fps
+       |      FROM g)
+       |SELECT doc_id, len(fps)::bigint AS n_fps,
+       |  md5(array_to_string(fps, ',')) AS winnow_sig
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** Production MinHash+LSH variant: xxhash64 signatures (one cheap 64-bit
     * hash per shingle instead of the oracle's 16 string-md5 digests) plus
     * the hot-bucket skew cap. DuckDB has no xxhash64, so this entry has no

@@ -72,6 +72,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
   }
 
+  test("winnowing: identical docs share all fingerprints; a local edit preserves most") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the crazy dog and runs far away home"
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "text")
+      .select(col("id"), winnowFingerprints(col("text"), 5, 4).as("fps"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L), "winnowing is deterministic")
+    assert(fps(1L).nonEmpty)
+    val overlap = (fps(1L) & fps(3L)).size.toDouble / (fps(1L) | fps(3L)).size
+    assert(overlap > 0.5, f"a one-word edit must preserve most fingerprints ($overlap%.2f)")
+    assert(fps(1L) != fps(3L), "but not all of them")
+  }
+
+  test("winnowing guards: short docs yield empty fingerprint sets") {
+    val df = Seq((1L, "ab"), (2L, "abcdef")).toDF("id", "text")
+      .select(col("id"), winnowFingerprints(col("text"), 5, 4).as("fps"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).isEmpty, "shorter than k")
+    assert(fps(2L).isEmpty, "fewer than w k-grams")
+  }
+
   test("simhashWord votes: all-identical hashes give the hash itself as signature") {
     // one token hash repeated: every set bit votes +n, every unset bit -n
     val df = Seq(Seq(5L, 5L, 5L)).toDF("hs")
