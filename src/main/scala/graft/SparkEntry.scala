@@ -49,6 +49,7 @@ object SparkEntry {
     // recall vs exact KNN is asserted in IvfSpec
     "q28_ivf_ann"      -> (Ivf.q28IvfAnn _),
     "q29_winnow"       -> (TextQueries.q29Winnow _),
+    "q30_cube"         -> (Relational.q30Cube _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,5 +83,6 @@ object SparkEntry {
     "q26_sketches"     -> Relational.q26SketchesSql,
     "q27_json_typed"   -> Relational.q27JsonTypedSql,
     "q29_winnow"       -> TextQueries.q29WinnowSql,
+    "q30_cube"         -> Relational.q30CubeSql,
   )
 }

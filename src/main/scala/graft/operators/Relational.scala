@@ -203,6 +203,30 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets in one
+    * pass, distinguished by grouping_id — with ROLLUP (q8) this covers
+    * the full grouping-sets surface (CUBE ≡ GROUPING SETS of the power
+    * set; Spark's `cube` and SQL GROUPING SETS lower to the same Expand
+    * physical operator). */
+  def q30Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q30CubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus)::bigint AS gid,
+      |  round(sum(l_extendedprice), 4) AS sum_price,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Distinct aggregates: exact distinct counts per group. (The approx
     * HLL++ variant is a separate rows-only query — sketches can't
     * hash-match an exact oracle.) */
