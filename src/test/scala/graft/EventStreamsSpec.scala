@@ -110,6 +110,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge: micro-batches upsert into the snapshot via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_merge").toString
+    val in = MemoryStream[(String, java.lang.Double, java.lang.Double)]
+    val updates = in.toDF().toDF("k", "f1", "f2")
+    val q = graft.streaming.StreamingMerge.start(
+      updates, s"$dir/snapshot", s"$dir/ckpt", "k", Seq("f1", "f2"))
+    try {
+      in.addData(("a", 1.0, 2.0), ("b", 3.0, 4.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/snapshot").count() == 2)
+      in.addData(("a", 9.0, null), ("c", 7.0, 7.0)) // update + insert, null-skip
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$dir/snapshot").orderBy("k").collect()
+      assert(snap.map(_.getAs[String]("k")).toSeq == Seq("a", "b", "c"))
+      assert(snap(0).getAs[Double]("f1") == 9.0 && snap(0).getAs[Double]("f2") == 2.0)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling windows agree on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
