@@ -15,6 +15,18 @@ class RelationalSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q1_agg: groups by returnflag/linestatus with positive sums, ordered") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9) // <= 3 flags x 3 statuses
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+      assert(r.getAs[Double]("avg_disc") >= 0 && r.getAs[Double]("avg_disc") <= 1)
+    }
+    val keys = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted, "deterministic output order")
+  }
+
   test("q3/q4 top-k bounds hold") {
     assert(Relational.q3TopkOrders(spark, sf).count() == 10)
     val rks = Relational.q4WindowTopk(spark, sf).select("rk").distinct().collect().map(_.getInt(0))
