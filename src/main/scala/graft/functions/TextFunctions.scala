@@ -112,18 +112,25 @@ object TextFunctions {
     * md5-prefix 32-bit form so DuckDB mirrors it; a production variant
     * would swap in a true O(1)-update Rabin-Karp — selection semantics
     * (and therefore results at the algorithm level) are unchanged. */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
-    val s = lower(text)
-    val nGrams = length(s) - (k - 1)
-    val hashes = transform(sequence(lit(1), nGrams),
-      i => conv(substring(md5(substr(s, i, lit(k))), 1, 8), 16, 10).cast("long"))
-    val mins = bind(hashes) { hs =>
-      transform(sequence(lit(1), size(hs) - (w - 1)),
-        j => array_min(slice(hs, j, lit(w))))
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    // Both lets matter: expressions captured inside a higher-order lambda
+    // are re-evaluated PER ELEMENT (no hoisting), so an unbound lower(text)
+    // would be recomputed — a full string copy — for every k-gram.
+    // Hashes stay as 8-char hex PREFIX STRINGS: fixed-width lowercase hex
+    // orders lexicographically exactly as its numeric value in both
+    // engines, so the window minima need no base-16 parse (conv was the
+    // per-gram hot spot).
+    bind(lower(text)) { s =>
+      val nGrams = length(s) - (k - 1)
+      val hashes = transform(sequence(lit(1), nGrams),
+        i => substring(md5(substr(s, i, lit(k))), 1, 8))
+      val mins = bind(hashes) { hs =>
+        transform(sequence(lit(1), size(hs) - (w - 1)),
+          j => array_min(slice(hs, j, lit(w))))
+      }
+      when(nGrams < w, array().cast("array<string>"))
+        .otherwise(array_sort(array_distinct(mins)))
     }
-    when(nGrams < w, array().cast("array<long>"))
-      .otherwise(array_sort(array_distinct(mins)))
-  }
 
   /** Let-binding for column expressions: evaluates `e` once and passes it
     * to `body` as a lambda variable — `transform` over a 1-element array.

@@ -194,11 +194,11 @@ object TextQueries {
   val q29WinnowSql: String =
     s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
        |g AS (SELECT doc_id,
-       |        [('0x' || substring(md5(s[i : i + ${WinK - 1}]), 1, 8))::BIGINT
+       |        [substring(md5(s[i : i + ${WinK - 1}]), 1, 8)
        |         FOR i IN range(1, len(s) - ${WinK - 2})] AS hs
        |      FROM t),
        |m AS (SELECT doc_id,
-       |        CASE WHEN len(hs) < $WinW THEN []::BIGINT[]
+       |        CASE WHEN len(hs) < $WinW THEN []::VARCHAR[]
        |             ELSE list_sort(list_distinct(
        |               [list_min(hs[j : j + ${WinW - 1}])
        |                FOR j IN range(1, len(hs) - ${WinW - 2})])) END AS fps

@@ -77,7 +77,7 @@ class DedupSpec extends SparkSpec {
     val b = "the quick brown fox jumps over the crazy dog and runs far away home"
     val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "text")
       .select(col("id"), winnowFingerprints(col("text"), 5, 4).as("fps"))
-    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     assert(fps(1L) == fps(2L), "winnowing is deterministic")
     assert(fps(1L).nonEmpty)
     val overlap = (fps(1L) & fps(3L)).size.toDouble / (fps(1L) | fps(3L)).size
@@ -88,7 +88,7 @@ class DedupSpec extends SparkSpec {
   test("winnowing guards: short docs yield empty fingerprint sets") {
     val df = Seq((1L, "ab"), (2L, "abcdef")).toDF("id", "text")
       .select(col("id"), winnowFingerprints(col("text"), 5, 4).as("fps"))
-    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(fps(1L).isEmpty, "shorter than k")
     assert(fps(2L).isEmpty, "fewer than w k-grams")
   }
