@@ -87,16 +87,25 @@ object TextFunctions {
     length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
 
   /** Heuristic language ID with a fixed priority order (zh by script, then
-    * the marker languages by score with first-wins ties, else "und"). */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, m) => lang -> langScore(text, m) }
-    val anyHit = scores.map(_._2).reduce(_ + _) > 0
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(anyHit && s === best, lit(lang)).otherwise(els)
+    * the marker languages by score with first-wins ties, else "und").
+    * The marker scores are let-bound into one array: every score is
+    * referenced ~4× (any-hit, best, per-branch compare), and each unbound
+    * reference would re-run tokenize + an interpreted filter. */
+  def langId(text: Column): Column =
+    bind(tokens(text)) { toks =>
+      bind(array(langMarkers.map { case (_, m) =>
+        size(filter(toks, t => t.isInCollection(m)))
+      }: _*)) { scores =>
+        val s = (i: Int) => element_at(scores, i + 1)
+        val n = langMarkers.length
+        val anyHit = (0 until n).map(s).reduce(_ + _) > 0
+        val best = (0 until n).map(s).reduce((a, b) => greatest(a, b))
+        val pick = langMarkers.map(_._1).zipWithIndex.foldRight(lit("und")) {
+          case ((lang, i), els) => when(anyHit && s(i) === best, lit(lang)).otherwise(els)
+        }
+        when(cjkCount(text) > 0, lit("zh")).otherwise(pick)
+      }
     }
-    when(cjkCount(text) > 0, lit("zh")).otherwise(pick)
-  }
 
   /** Key-collision fingerprint: md5 of the sorted distinct token set
     * (OpenRefine-style). Identical in DuckDB:

@@ -31,32 +31,52 @@ object TextQueries {
     """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id, count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
 
-  /** Token counting + quality scoring (SURVEY §2B text analysis). */
+  /** Token counting + quality scoring (SURVEY §2B text analysis).
+    * Two-stage projection: the RAW ratios materialize once (each is
+    * multi-referenced and non-cheap, so CollapseProject keeps them), then
+    * the display rounding and the composite score read those columns —
+    * one tokenize/regex pass per ingredient instead of one per reference.
+    * The composite uses the unrounded ratios: averaging four 4-dp values
+    * lands exactly on round-half boundaries where engines disagree. */
   def q16TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       tokenCount(col("text")).cast("long").as("n_tokens"),
       subwordCount(col("text")).cast("long").as("n_subwords"),
-      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
-      round(punctRatio(col("text")), 4).as("punct_ratio"),
-      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
-      qualityScore(col("text")).as("quality"))
+      alphaRatio(col("text")).as("alpha_raw"),
+      punctRatio(col("text")).as("punct_raw"),
+      stopwordRatio(col("text")).as("stop_raw"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_subwords"),
+        round(col("alpha_raw"), 4).as("alpha_ratio"),
+        round(col("punct_raw"), 4).as("punct_ratio"),
+        round(col("stop_raw"), 4).as("stopword_ratio"),
+        round(
+          lit(0.25) * col("alpha_raw") +
+          lit(0.25) * col("stop_raw") +
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
       .orderBy(col("doc_id"))
 
   val q16TextStatsSql: String = {
     val stops = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, text, $tokSqlExpr AS toks FROM documents)
-       |SELECT doc_id,
+    s"""WITH t AS (SELECT doc_id, text, $tokSqlExpr AS toks FROM documents),
+       |r AS (SELECT doc_id,
        |  len(toks)::bigint AS n_tokens,
        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::bigint AS n_subwords,
-       |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END, 4) AS alpha_ratio,
-       |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END, 4) AS punct_ratio,
-       |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END, 4) AS stopword_ratio,
-       |  round(0.25 * (CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END)
-       |      + 0.25 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END)
-       |      + 0.25 * least(1.0, len(toks)::double / 100.0)
-       |      + 0.25 * (1.0 - (CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END)), 4) AS quality
-       |FROM t ORDER BY doc_id""".stripMargin
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t)
+       |SELECT doc_id, n_tokens, n_subwords,
+       |  round(alpha_raw, 4) AS alpha_ratio,
+       |  round(punct_raw, 4) AS punct_ratio,
+       |  round(stop_raw, 4) AS stopword_ratio,
+       |  round(0.25 * alpha_raw
+       |      + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
   }
 
   /** Language ID: marker-token argmax with fixed priority + CJK script
