@@ -67,7 +67,13 @@ object Dedup {
     *     t=0.95 for a 50-gram doc);
     *  3. length filter: min(|A|,|B|) >= ceil(t*max(|A|,|B|)) prunes
     *     mismatched sizes inside the join condition;
-    *  4. exact Jaccard verify on the candidate pairs.
+    *  4. positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
+    *     gram at canonical positions (i, j) bounds the total overlap by
+    *     1 + min(|A|-i, |B|-j), which must reach the Jaccard-derived
+    *     requirement ceil(t/(1+t)·(|A|+|B|)) — a qualifying pair always
+    *     survives via its FIRST shared prefix gram, so recall stays
+    *     exact while late-position collisions stop generating candidates;
+    *  5. exact Jaccard verify on the candidate pairs.
     *
     * Zero false negatives — identical results to the brute-force form at
     * any scale, but the join fan-out is bounded by prefix-gram bucket
@@ -96,13 +102,17 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("og"))
     val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val pref = ordered.select(col("id"), col("blk"), col("sz"),
-      explode(slice(transform(col("og"), s => s.getField("g")), lit(1), plen)).as("pg"))
+      posexplode(slice(transform(col("og"), s => s.getField("g")), lit(1), plen)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "pg")
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")))
     val cand = pref.alias("a")
       .join(pref.alias("b"),
         col("a.pg") === col("b.pg") && col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")) >=
-            ceil(greatest(col("a.sz"), col("b.sz")) * threshold))
+            ceil(greatest(col("a.sz"), col("b.sz")) * threshold) &&
+          lit(1) + least(col("a.sz") - (col("a.p") + 1),
+                         col("b.sz") - (col("b.p") + 1)) >= alpha)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     verifyJaccard(cand, base, threshold)
