@@ -50,6 +50,7 @@ object SparkEntry {
     "q28_ivf_ann"      -> (Ivf.q28IvfAnn _),
     "q29_winnow"       -> (TextQueries.q29Winnow _),
     "q30_cube"         -> (Relational.q30Cube _),
+    "q31_asof"         -> (AsofJoin.q31Asof _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +85,6 @@ object SparkEntry {
     "q27_json_typed"   -> Relational.q27JsonTypedSql,
     "q29_winnow"       -> TextQueries.q29WinnowSql,
     "q30_cube"         -> Relational.q30CubeSql,
+    "q31_asof"         -> AsofJoin.q31AsofSql,
   )
 }

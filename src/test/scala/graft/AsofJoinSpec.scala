@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** As-of join edge semantics the oracle's random timestamps can't pin:
+  * strictness at the exact same instant, nulls before any right row,
+  * and per-key isolation. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("strictly-earlier semantics: a same-instant right row is not visible") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 11:00:00"), "e2"),
+      (2L, ts("2024-01-01 10:30:00"), "e3")
+    ).toDF("k", "lts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0), // same instant as e1
+      (1L, ts("2024-01-01 10:30:00"), 200.0),
+      (2L, ts("2024-01-01 09:00:00"), 300.0)
+    ).toDF("k", "rts", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+        Map("rts" -> "p_ts", "v" -> "p_v"))
+      .orderBy("name").collect()
+    val byName = out.map(r => r.getAs[String]("name") ->
+      Option(r.getAs[java.lang.Double]("p_v")).map(_.doubleValue)).toMap
+    assert(byName("e1").isEmpty, "10:00 right row must NOT match the 10:00 left row")
+    assert(byName("e2").contains(200.0), "latest prior wins")
+    assert(byName("e3").contains(300.0), "keys are isolated")
+  }
+
+  test("left rows with no prior right row keep all left columns and null payload") {
+    val left = Seq((1L, ts("2024-01-01 08:00:00"), "early")).toDF("k", "lts", "name")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rts", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts", Map("v" -> "p_v"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("name") == "early")
+    assert(out.head.isNullAt(out.head.fieldIndex("p_v")))
+  }
+
+  test("output cardinality equals the left side (never fans out)") {
+    val n = operators.AsofJoin.q31Asof(spark, sf).count()
+    assert(n == Tables.events(spark, sf).count())
+  }
+}
