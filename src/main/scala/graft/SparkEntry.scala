@@ -51,6 +51,7 @@ object SparkEntry {
     "q29_winnow"       -> (TextQueries.q29Winnow _),
     "q30_cube"         -> (Relational.q30Cube _),
     "q31_asof"         -> (AsofJoin.q31Asof _),
+    "q32_range_join"   -> (AsofJoin.q32RangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,5 +87,6 @@ object SparkEntry {
     "q29_winnow"       -> TextQueries.q29WinnowSql,
     "q30_cube"         -> Relational.q30CubeSql,
     "q31_asof"         -> AsofJoin.q31AsofSql,
+    "q32_range_join"   -> AsofJoin.q32RangeJoinSql,
   )
 }

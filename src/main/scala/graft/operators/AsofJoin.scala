@@ -80,4 +80,47 @@ object AsofJoin {
       |                WHERE event_type = 'purchase') p
       |  ON e.user_id = p.user_id AND e.ts > p.ts
       |ORDER BY event_id""".stripMargin
+
+  /** Range (interval) self-join via time bucketing — the scale form of a
+    * pure inequality join (which Spark executes as a per-key cross
+    * product): events bucket into `window`-wide bins, so a pair within
+    * `window` lands in the same or adjacent bins. One side explodes into
+    * (bin, bin+1) probes; the join is pure EQUI on (key, bin). Each pair
+    * surfaces exactly once with no distinct: same-bin pairs by id order,
+    * adjacent-bin pairs only as (later-bin row, earlier-bin probe). The
+    * final |Δt| filter trims bin-edge false positives; output ids are
+    * canonicalized (id1 < id2). */
+  def rangeSelfJoinPairs(events: DataFrame, key: String, tsCol: String,
+                         idCol: String, windowSec: Long): DataFrame = {
+    val winUs = windowSec * 1000000L
+    val binned = events.select(col(key).as("k"), col(idCol).as("id"),
+      unix_micros(col(tsCol)).as("t"),
+      floor(unix_micros(col(tsCol)) / winUs).as("bin"))
+    val probe = binned.select(col("k"), col("id"), col("t"), col("bin"),
+      explode(array(col("bin"), col("bin") + 1)).as("pbin"))
+    binned.alias("a")
+      .join(probe.alias("b"),
+        col("a.k") === col("b.k") && col("a.bin") === col("b.pbin") &&
+          ((col("a.bin") === col("b.bin") && col("a.id") < col("b.id")) ||
+           col("a.bin") === col("b.bin") + 1))
+      .filter(abs(col("a.t") - col("b.t")) <= winUs)
+      .select(col("a.k").as(key),
+        least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        (abs(col("a.t") - col("b.t")) / 1000000.0).cast("long").as("dt_sec"))
+  }
+
+  /** Query entry: same-user event pairs within 120 seconds. */
+  def q32RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeSelfJoinPairs(Tables.events(spark, dir),
+        key = "user_id", tsCol = "ts", idCol = "event_id", windowSec = 120L)
+      .orderBy(col("id1"), col("id2"))
+
+  val q32RangeJoinSql: String =
+    """SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+      |  abs(epoch_us(a.ts) - epoch_us(b.ts)) // 1000000 AS dt_sec
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000
+      |ORDER BY id1, id2""".stripMargin
 }

@@ -47,4 +47,22 @@ class AsofJoinSpec extends SparkSpec {
     val n = operators.AsofJoin.q31Asof(spark, sf).count()
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("bucketed range join equals the brute-force inequality join, no dupes") {
+    val events = Tables.events(spark, sf)
+    val fast = operators.AsofJoin.rangeSelfJoinPairs(
+        events, "user_id", "ts", "event_id", windowSec = 3600L)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Long]("dt_sec")))
+    assert(fast.length == fast.toSet.size, "each pair must surface exactly once")
+    val e = events.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val brute = e.alias("a").join(e.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.t") - col("b.t")) <= 3600L * 1000000L)
+      .select(col("a.event_id"), col("b.event_id"),
+        (abs(col("a.t") - col("b.t")) / 1000000.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSet == brute.toSet, "bin + probe must find exactly the true pairs")
+    assert(fast.nonEmpty)
+  }
 }

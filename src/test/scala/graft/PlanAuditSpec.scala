@@ -58,6 +58,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan(Relational.q6AntiJoin(spark, sf)).contains("LeftAnti"))
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-02")
+      .select(col("event_id"), col("value"))
+    val p = plan(read)
+    assert(p.contains("PartitionFilters: [isnotnull(day"),
+      s"the day predicate must prune directories, not filter rows:\n$p")
+    assert(read.count() > 0)
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as
