@@ -212,12 +212,21 @@ object MergeSink {
       }
     val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
     val tmp = s"${table}__merge_tmp"
+    val bak = s"${table}__merge_bak"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $bak")
     merged.write.format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // swap with a backup, like the directory swap in mergeInto: the old
+    // snapshot is renamed aside (metadata-only) and dropped only after
+    // the replacement is in place — a crash mid-swap leaves either the
+    // old or the new table recoverable, never neither.
+    if (spark.catalog.tableExists(table)) {
+      spark.sql(s"ALTER TABLE $table RENAME TO $bak")
+    }
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $bak")
     statsOf(obs)
   }
 }

@@ -72,6 +72,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
   }
 
+  test("tokenizer edges: empty, all-punctuation, and padded strings") {
+    val df = Seq("", "!!! ??? ---", "  hello,  world!  ", "a", "7up&down")
+      .toDF("text").select(col("text"), tokens(col("text")).as("toks"))
+    val out = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("").isEmpty)
+    assert(out("!!! ??? ---").isEmpty, "no-alnum text must yield zero tokens, not ['']")
+    assert(out("  hello,  world!  ") == Seq("hello", "world"))
+    assert(out("a") == Seq("a"))
+    assert(out("7up&down") == Seq("7up", "down"))
+  }
+
   test("winnowing: identical docs share all fingerprints; a local edit preserves most") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away home"
     val b = "the quick brown fox jumps over the crazy dog and runs far away home"
