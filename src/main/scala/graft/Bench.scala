@@ -17,10 +17,10 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cfg = GraftConfig.fromEnv()
+    val sfDir = cfg.sfDir
     val spark = GraftSession
-      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .builder(master = s"local[${cfg.cpus}]", shufflePartitions = cfg.cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session bring-up, parquet footer reads, and codegen
@@ -36,6 +36,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // operators persist intermediates (signatures, SRP bits); drop them
+      // between queries so one query's cache doesn't occupy memory while
+      // the next is measured
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -44,7 +48,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    val out = cfg.benchOut
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()

@@ -67,25 +67,31 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def acc(arr: String, t: DataType): String = t match {
-      case FloatType   => s"(double) $arr.getFloat(i)"
-      case DoubleType  => s"$arr.getDouble(i)"
-      case IntegerType => s"(double) $arr.getInt(i)"
-      case LongType    => s"(double) $arr.getLong(i)"
-      case ShortType   => s"(double) $arr.getShort(i)"
-      case ByteType    => s"(double) $arr.getByte(i)"
+    def acc(arr: String, idx: String, t: DataType): String = t match {
+      case FloatType   => s"(double) $arr.getFloat($idx)"
+      case DoubleType  => s"$arr.getDouble($idx)"
+      case IntegerType => s"(double) $arr.getInt($idx)"
+      case LongType    => s"(double) $arr.getLong($idx)"
+      case ShortType   => s"(double) $arr.getShort($idx)"
+      case ByteType    => s"(double) $arr.getByte($idx)"
       case _ => throw new IllegalStateException(s"unsupported element type $t")
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: fixed local names could shadow an enclosing declaration
+      // in the generated scope → Janino failure → silent interpreted
+      // fallback of the whole stage
+      val n = ctx.freshName("dotN")
+      val sum = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
       s"""
-         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftSum = 0.0;
-         |for (int i = 0; i < graftN; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    graftSum += ${acc(a, elemType(left))} * ${acc(b, elemType(right))};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += ${acc(a, i, elemType(left))} * ${acc(b, i, elemType(right))};
          |  }
          |}
-         |${ev.value} = graftSum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
   }

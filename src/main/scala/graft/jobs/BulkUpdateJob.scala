@@ -33,7 +33,8 @@ object BulkUpdateJob {
 
   def run(spark: SparkSession, updatesPath: String, targetPath: String,
           numPartitions: Option[Int] = None,
-          tolerant: Boolean = false): MergeSink.MergeStats = {
+          tolerant: Boolean = false,
+          orderCol: Option[String] = None): MergeSink.MergeStats = {
     try {
       val raw = spark.read.schema(SyntheticSource.schema).parquet(updatesPath)
       val updates = numPartitions.fold(raw)(n => raw.repartition(n, raw(SyntheticSource.idColumn)))
@@ -41,13 +42,19 @@ object BulkUpdateJob {
       // all-null payload rows drop HERE, before the sink — then the (key,
       // set_fields) statements widen back to sink columns. element_at on a
       // missing map key yields null, which the merge's coalesce null-skips.
+      // an orderCol that IS a payload field is already in the statement
+      // output; only genuinely extra columns ride the passthrough
+      val extra = orderCol.filterNot(c =>
+        SyntheticSource.payloadFields.contains(c) || c == SyntheticSource.idColumn).toSeq
       val stmts = Statements.build(updates, SyntheticSource.idColumn,
-        SyntheticSource.payloadFields)
+        SyntheticSource.payloadFields, passthrough = extra)
       val wide = stmts.select(
         col("key").as(SyntheticSource.idColumn) +:
-        SyntheticSource.payloadFields.map(f => element_at(col("set_fields"), f).as(f)): _*)
+        SyntheticSource.payloadFields.map(f => element_at(col("set_fields"), f).as(f)) ++:
+        extra.map(col): _*)
       MergeSink.mergeInto(spark, targetPath, wide,
-        SyntheticSource.idColumn, SyntheticSource.payloadFields)
+        SyntheticSource.idColumn, SyntheticSource.payloadFields,
+        orderCol = orderCol)
     } catch {
       case e: Exception if tolerant =>
         System.err.println(
@@ -61,7 +68,8 @@ object BulkUpdateJob {
     val cfg = GraftConfig.fromEnv()
     val spark = GraftSession.getOrCreate()
     val (stats, stages) = StageMetrics.withStageMetrics(spark) {
-      run(spark, args(0), args(1), args.lift(2).map(_.toInt), tolerant = cfg.tolerant)
+      run(spark, args(0), args(1), args.lift(2).map(_.toInt),
+        tolerant = cfg.tolerant, orderCol = cfg.mergeOrderCol)
     }
     // per-stage structured events (reference log.py dict logs + per-slice
     // timings mongo.py:243-267), then the job summary line

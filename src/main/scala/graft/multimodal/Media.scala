@@ -78,7 +78,11 @@ object Media {
       require(initialized, "codec used before init()")
       val meta = decodeMeta(content)
       val scale = (w.toLong * h) / math.max(meta.width.toLong * meta.height, 1L).toDouble
-      val bodyLen = math.max(1, ((content.length - 16) * math.min(scale, 1.0)).toInt)
+      val bodyAvail = content.length - 16
+      // clamp to the available payload: a header-only blob has bodyAvail=0
+      // and a lower bound of 1 would arraycopy past the source end
+      val bodyLen = math.min(bodyAvail,
+        math.max(if (bodyAvail == 0) 0 else 1, (bodyAvail * math.min(scale, 1.0)).toInt))
       val out = new Array[Byte](16 + bodyLen)
       System.arraycopy(content, 0, out, 0, 16)
       writeInt(out, 4, w); writeInt(out, 8, h)

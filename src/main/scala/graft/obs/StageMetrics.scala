@@ -19,7 +19,7 @@ object StageMetrics {
                               shuffleReadBytes: Long, shuffleWriteBytes: Long,
                               recordsRead: Long) {
     def toJson: String =
-      s"""{"stage":$stageId,"name":"${name.takeWhile(_ != '\n').replace("\"", "'")}",""" +
+      s"""{"stage":$stageId,"name":${graft.Jsons.quote(name)},""" +
         s""""status":"$status","duration_s":$durationS,"num_tasks":$numTasks,""" +
         s""""shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
         s""""records_read":$recordsRead}"""

@@ -32,12 +32,17 @@ object AsofJoin {
                leftTs: String, rightTs: String,
                payload: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // null-key / null-ts right rows can never satisfy `right.ts < left.ts`
+    // for any left row under SQL semantics — drop them BEFORE the union,
+    // or the window (which groups nulls together and sorts null ts first)
+    // would surface them as spurious "prior" matches.
+    val rightClean = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
     val tagged =
       left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))
         .select(Seq(col("__side"), col("__ts")) ++ leftCols.map(col) ++
           payload.values.toSeq.map(out => lit(null).as(s"__p_$out")): _*)
       .unionByName(
-        right.withColumn("__side", lit(0)).withColumn("__ts", col(rightTs))
+        rightClean.withColumn("__side", lit(0)).withColumn("__ts", col(rightTs))
           .select(Seq(col("__side"), col("__ts"), col(key)) ++
             leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
             payload.map { case (in, out) => col(in).as(s"__p_$out") }.toSeq: _*),

@@ -35,8 +35,10 @@ object StreamingQueries {
   val q25SessionizeSql: String =
     """WITH o AS (
       |  SELECT user_id, ts, value,
+      |    -- >= not >: Spark sessions are half-open [start, last+gap), so an
+      |    -- event at EXACTLY last+gap starts a new session
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |s AS (

@@ -143,6 +143,20 @@ object MergeSink {
     MergeStats(v(0), v(1), v(2))
   }
 
+  /** Empty first-run target with the key and payload types taken from the
+    * UPDATE frame (a hard-coded string key would make the snapshot's key
+    * column string forever, and every later bucketed merge would cast —
+    * re-shuffling the target the bucketing exists to protect). */
+  private def emptyTarget(spark: SparkSession, unique: DataFrame, key: String,
+                          fields: Seq[String], updatedAtCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s = StructType(
+      unique.schema(key).copy(name = key) +:
+      fields.map(f => unique.schema(f).copy(name = f)) :+
+      StructField(updatedAtCol, TimestampType))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+  }
+
   /** Merge `updates` into the keyed parquet snapshot at `targetPath`,
     * atomically: write the merged snapshot to a sibling temp dir, then
     * swap via filesystem renames (metadata-only; no data rewrite on swap).
@@ -161,14 +175,7 @@ object MergeSink {
     val target =
       if (fs.exists(path) && fs.listStatus(path).nonEmpty)
         spark.read.parquet(targetPath)
-      else {
-        import org.apache.spark.sql.types._
-        val s = StructType(
-          StructField(key, StringType) +:
-          fields.map(f => unique.schema(f).copy(name = f)) :+
-          StructField(updatedAtCol, TimestampType))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      }
+      else emptyTarget(spark, unique, key, fields, updatedAtCol)
 
     // One join execution total: the parquet write materializes the merge,
     // and the counts come back as observed metrics of that same action.
@@ -202,14 +209,7 @@ object MergeSink {
     val unique = collapseUpdates(updates.filter(col(key).isNotNull), key, fields, orderCol)
     val target =
       if (spark.catalog.tableExists(table)) spark.table(table)
-      else {
-        import org.apache.spark.sql.types._
-        val s = StructType(
-          StructField(key, StringType) +:
-          fields.map(f => unique.schema(f).copy(name = f)) :+
-          StructField(updatedAtCol, TimestampType))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      }
+      else emptyTarget(spark, unique, key, fields, updatedAtCol)
     val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
     val tmp = s"${table}__merge_tmp"
     val bak = s"${table}__merge_bak"

@@ -33,6 +33,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(byName("e3").contains(300.0), "keys are isolated")
   }
 
+  test("null-key / null-ts right rows are never visible as prior matches") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1")).toDF("k", "lts", "name")
+    val right = Seq(
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 09:00:00"), 1.0),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp], 2.0)
+    ).toDF("k", "rts", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts", Map("v" -> "p_v"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("p_v")),
+      "SQL semantics: null key/ts rows match nothing")
+  }
+
   test("left rows with no prior right row keep all left columns and null payload") {
     val left = Seq((1L, ts("2024-01-01 08:00:00"), "early")).toDF("k", "lts", "name")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rts", "v")

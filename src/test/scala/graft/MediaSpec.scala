@@ -71,6 +71,15 @@ class MediaSpec extends SparkSpec {
     assert(norms.forall(d => d > 0.0 && d <= 1.0), "L1-normalized hist ⇒ 0 < |x|² ≤ 1")
   }
 
+  test("resize handles a header-only (zero-payload) blob without reading past it") {
+    val codec = new FakeCodec
+    codec.init()
+    val headerOnly = java.util.Arrays.copyOf(SyntheticMedia.blob("image", 1L, 0), 16)
+    val out = codec.resize(headerOnly, 8, 8)
+    assert(out.length == 16)
+    assert(codec.decodeMeta(out).width == 8)
+  }
+
   test("resize rewrites dimensions and shrinks payload, never grows it") {
     val images = corpus.filter(_.kind == "image")
     val resized = Media.decode(Media.resize(images, 32, 32)).collect()

@@ -159,6 +159,20 @@ class MergeSinkSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("first merge preserves a non-string key type in the snapshot schema") {
+    val dir = Files.createTempDirectory("graft_longkey").toString
+    val updates = Seq((10L, 1.0, 2.0), (20L, 3.0, 4.0)).toDF("k", "f1", "f2")
+    val s = MergeSink.mergeInto(spark, s"$dir/snap", updates, "k", fields)
+    assert(s == MergeSink.MergeStats(0, 0, 2))
+    val snap = spark.read.parquet(s"$dir/snap")
+    assert(snap.schema("k").dataType.typeName == "long",
+      "a hard-coded string key would poison every later merge with casts")
+    // second merge against the long-keyed snapshot still works
+    val s2 = MergeSink.mergeInto(spark, s"$dir/snap",
+      Seq((10L, 9.0, 9.0), (30L, 5.0, 5.0)).toDF("k", "f1", "f2"), "k", fields)
+    assert(s2 == MergeSink.MergeStats(1, 1, 1))
+  }
+
   test("empty updates: merge into existing target is a no-op with zero counts") {
     val dir = Files.createTempDirectory("graft_merge_empty").toString
     val targetPath = s"$dir/collection"

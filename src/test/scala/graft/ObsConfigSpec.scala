@@ -50,6 +50,33 @@ class ObsConfigSpec extends SparkSpec {
     }
   }
 
+  test("GRAFT_MERGE_ORDER_COL flows through the statement boundary to the fold") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ordercol").toString
+    // duplicate _ids with different scores: the fold orders by score, so
+    // the highest-score row's features win per key
+    val a = SyntheticSource.generate(spark, 50, 1, seed = 9)
+    val b = a.withColumn("score", col("score") + 10.0)
+      .withColumn("feature_1", lit(777.0))
+    SyntheticSource.write(a.unionByName(b), s"$dir/updates")
+    val stats = BulkUpdateJob.run(spark, s"$dir/updates", s"$dir/snap",
+      orderCol = Some("score"))
+    assert(stats.nUpserted == 50, "duplicates fold to one row per key")
+    val snap = spark.read.parquet(s"$dir/snap")
+    assert(snap.count() == 50)
+    assert(snap.filter(col("feature_1") === 777.0).count() == 50,
+      "the last-in-score-order value must win")
+  }
+
+  test("stage events serialize hostile names to valid one-line JSON") {
+    val e = graft.obs.StageMetrics.StageEvent(1, "a \"quoted\"\\path\nline2", "success",
+      0.1, 2, 0L, 0L, 0L)
+    val j = e.toJson
+    assert(!j.contains('\n') && j.startsWith("{") && j.endsWith("}"), j)
+    assert(j.contains("\\\"quoted\\\"") && j.contains("\\\\path") && j.contains("\\n"),
+      s"quotes, backslashes and newlines must be escaped, got: $j")
+  }
+
   test("batch/slice arithmetic maps to partition counts (test_parquet.py:84-123)") {
     // reference: n_batches = ceil(rows / batch_size); slices = ceil(batches / k)
     assert(SyntheticSource.batchCount(100, 10) == 10)
