@@ -52,6 +52,7 @@ object SparkEntry {
     "q30_cube"         -> (Relational.q30Cube _),
     "q31_asof"         -> (AsofJoin.q31Asof _),
     "q32_range_join"   -> (AsofJoin.q32RangeJoin _),
+    "q33_pivot"        -> (Relational.q33Pivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +89,6 @@ object SparkEntry {
     "q30_cube"         -> Relational.q30CubeSql,
     "q31_asof"         -> AsofJoin.q31AsofSql,
     "q32_range_join"   -> AsofJoin.q32RangeJoinSql,
+    "q33_pivot"        -> Relational.q33PivotSql,
   )
 }

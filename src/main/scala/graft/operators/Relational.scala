@@ -227,6 +227,26 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** PIVOT: one row per linestatus, one quantity-sum column per return
+    * flag. Spark's pivot with explicit values plans as a single
+    * partial+final aggregate (each pivot cell is a filtered agg — no
+    * per-value scans); the oracle is the equivalent manual CASE
+    * aggregation, which is also what Spark lowers pivot to. */
+  def q33Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 4))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy(col("l_linestatus"))
+
+  val q33PivotSql: String =
+    """SELECT l_linestatus,
+      |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS qty_a,
+      |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 4) AS qty_n,
+      |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** Distinct aggregates: exact distinct counts per group. (The approx
     * HLL++ variant is a separate rows-only query — sketches can't
     * hash-match an exact oracle.) */

@@ -110,6 +110,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: new parquet files flow through the same windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_file_stream").toString
+    // seed one file BEFORE starting so the source has a schema-bearing dir
+    Seq(ev(1, 10), ev(2, 20)).toDF().write.mode("append").parquet(dir)
+    val q = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, dir), width = "1 hour")
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      // a new file arriving later is discovered and merged into the window
+      Seq(ev(3, 30, value = 2.0)).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val hour0 = spark.table("filestream").collect()
+        .filter(_.getAs[Timestamp]("window_start") == ts(0))
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(hour0.contains((3L, 4.0)),
+        s"the late-arriving file must update the hour-0 window, got ${hour0.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming merge: micro-batches upsert into the snapshot via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
