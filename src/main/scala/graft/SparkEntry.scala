@@ -53,6 +53,7 @@ object SparkEntry {
     "q31_asof"         -> (AsofJoin.q31Asof _),
     "q32_range_join"   -> (AsofJoin.q32RangeJoin _),
     "q33_pivot"        -> (Relational.q33Pivot _),
+    "q34_sql_subquery" -> (Relational.q34SqlSubquery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +91,6 @@ object SparkEntry {
     "q31_asof"         -> AsofJoin.q31AsofSql,
     "q32_range_join"   -> AsofJoin.q32RangeJoinSql,
     "q33_pivot"        -> Relational.q33PivotSql,
+    "q34_sql_subquery" -> Relational.q34SqlSubquerySql,
   )
 }

@@ -227,6 +227,23 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** SQL front-end surface: the same Catalyst pipeline through
+    * `spark.sql` — a correlated scalar subquery (orders beating their
+    * customer's average), which the optimizer decorrelates into an
+    * aggregate + join rather than a per-row subquery execution. The
+    * oracle is the IDENTICAL SQL text run by DuckDB. */
+  def q34SqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(q34SqlSubquerySql)
+  }
+
+  val q34SqlSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders i
+      |                      WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** PIVOT: one row per linestatus, one quantity-sum column per return
     * flag. Spark's pivot with explicit values plans as a single
     * partial+final aggregate (each pivot cell is a filtered agg — no
