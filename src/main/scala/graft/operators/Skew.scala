@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation primitives (SCALE.md "Skew"). AQE's runtime skew-join
+  * splitting covers sort-merge joins; the explicit salted form below is
+  * for the cases AQE can't rewrite — e.g. a shuffled hash join against a
+  * dimension too big to broadcast but small enough to replicate, or a
+  * deterministic plan needed ahead of time for a known-hot key.
+  *
+  * Shape: the BIG side gets a random salt in [0, salts); the SMALL side
+  * is replicated once per salt value (explode over a literal range).
+  * The join key becomes (key, salt), so one hot key's rows spread over
+  * `salts` shuffle partitions instead of one. Cost: small side × salts.
+  * Row-level semantics are identical to the unsalted equi-join — every
+  * big row still meets every matching small row exactly once (exactly
+  * one replica carries its salt).
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, salted `salts` ways. Inner or
+    * left_outer (semantics preserved for both; the salt never changes
+    * match cardinality). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts=$salts must be positive")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"salting preserves semantics for inner/left_outer, not $joinType")
+    val saltedBig = big.withColumn("__salt",
+      (rand(42) * salts).cast("int"))
+    val saltedSmall = small
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    val smallCols = small.columns.filterNot(_ == key)
+    saltedBig.alias("b")
+      .join(saltedSmall.alias("s"),
+        col(s"b.$key") === col(s"s.$key") && col("b.__salt") === col("s.__salt"),
+        joinType)
+      .select(big.columns.map(c => col(s"b.$c")) ++
+        smallCols.map(c => col(s"s.$c")): _*)
+  }
+
+  /** Salted two-phase aggregation for algebraic aggregates over a
+    * hot-keyed groupBy when the per-key combine itself is the bottleneck:
+    * phase 1 aggregates (key, salt) partials, phase 2 folds the partials
+    * per key. For Spark's built-in algebraic aggs map-side combine
+    * already does this implicitly; the explicit form exists for
+    * aggregates whose partial state is expensive to merge row-at-a-time
+    * (e.g. large collect-style buffers), and as the documented pattern. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int,
+                out: String = "total"): DataFrame = {
+    require(salts > 0)
+    df.withColumn("__salt", (rand(42) * salts).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(out))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salting must never change join/aggregation semantics — only the
+  * shuffle distribution. Equivalence is checked against the unsalted
+  * forms on a deliberately skewed dataset. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hot key: 90% of rows share key 1
+  private lazy val big = ((1 to 900).map(i => (1L, i.toDouble)) ++
+    (1 to 100).map(i => ((i % 7 + 2).toLong, i.toDouble))).toDF("k", "v")
+  private lazy val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (99L, "unmatched"))
+    .toDF("k", "name")
+
+  test("salted inner join equals the plain join on a skewed key") {
+    val plain = big.join(small, "k").select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(salted.sorted.toSeq == plain.sorted.toSeq)
+    // matched rows = big rows whose key exists in small (keys 1, 2, 3)
+    val expected = big.collect().count(r => Set(1L, 2L, 3L)(r.getLong(0)))
+    assert(plain.length == expected && expected > 900)
+  }
+
+  test("salted left_outer join preserves unmatched big rows exactly once") {
+    val withOrphan = big.unionByName(Seq((77L, 0.0)).toDF("k", "v"))
+    val plain = withOrphan.join(small, Seq("k"), "left_outer")
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+    val salted = Skew.saltedJoin(withOrphan, small, "k", salts = 4, "left_outer")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+    assert(salted.sortBy(t => (t._1, t._2)).toSeq == plain.sortBy(t => (t._1, t._2)).toSeq)
+    // every big row with a key absent from small (4..8 and the 77 orphan)
+    // survives exactly once with null payload
+    val expectedNulls = withOrphan.collect().count(r => !Set(1L, 2L, 3L)(r.getLong(0)))
+    assert(salted.count(_._3.isEmpty) == expectedNulls && expectedNulls >= 1)
+  }
+
+  test("salted two-phase sum equals the direct aggregation") {
+    val direct = big.groupBy("k").agg(sum("v").as("total"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSum(big, "k", "v", salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, v) =>
+      assert(math.abs(v - direct(k)) < 1e-9, s"key $k")
+    }
+  }
+
+  test("the salt actually spreads the hot key across partitions") {
+    val salted = big.withColumn("__salt", (rand(42) * 8).cast("int"))
+      .filter(col("k") === 1L)
+      .select("__salt").distinct().count()
+    assert(salted >= 4, "the hot key's rows must land in several salt buckets")
+  }
+}
