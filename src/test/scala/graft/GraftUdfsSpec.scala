@@ -36,6 +36,34 @@ class GraftUdfsSpec extends SparkSpec {
     assert(agree >= 12, s"~96% Jaccard sets should agree on most minhashes, got $agree/16")
   }
 
+  test("the Aggregator drives a full LSH pipeline: explode → udaf sig → band join") {
+    GraftUdfs.register(spark, numHashes = 16)
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, sf)
+    // signatures via the typed Aggregator over exploded tokens (the
+    // partial-merge path), instead of the column-fn minhashSignature
+    val sigs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id").agg(expr("minhash_sig(tok)").as("sig"))
+    val banded = sigs
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), 8, 2)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+    val base = docs.select(col("doc_id").as("id"),
+      array_distinct(tokens(col("text"))).as("g"))
+    val verified = cand
+      .join(base.select(col("id").as("id1"), col("g").as("g1")), "id1")
+      .join(base.select(col("id").as("id2"), col("g").as("g2")), "id2")
+      .select(col("id1"), col("id2"), jaccard(col("g1"), col("g2")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect()
+    assert(verified.nonEmpty, "the UDAF-built signatures must surface real near-dups")
+    assert(verified.forall(_.getAs[Double]("j") >= 0.5))
+  }
+
   test("registered scalar UDF runs from SQL and matches the column expression") {
     GraftUdfs.register(spark)
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
