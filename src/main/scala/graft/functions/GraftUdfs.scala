@@ -51,6 +51,69 @@ object GraftUdfs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Custom distinct-count sketch: KMV (k minimum values). The buffer
+    * keeps the k smallest 64-bit hashes seen; since the k-th smallest of
+    * n uniform hashes sits at ≈ k/n of the hash space, the estimate is
+    * (k-1) / (kthMin / 2⁶⁴). Buffers merge by union+truncate — associative
+    * and commutative, so partial aggregation is exact and the sketch
+    * shuffles k longs per group regardless of group size. Standard error
+    * ≈ 1/√(k−2) (~7% at k=256). Complements the built-in HLL++
+    * (approx_count_distinct, q26): this is the SURVEY §4 "custom sketch
+    * via the typed aggregation route" demonstration, with mergeability
+    * the tests exercise across partitionings. */
+  final class KmvDistinctAggregator(k: Int)
+      extends Aggregator[String, Array[Long], Long] {
+    require(k >= 8, s"k=$k too small for a meaningful estimate")
+
+    private def hash(s: String): Long = {
+      // 64-bit FNV-1a: cheap, seedless, uniform enough for KMV
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+
+    // buffer: ascending k smallest UNSIGNED hashes seen so far
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(buf: Array[Long], e: String): Array[Long] =
+      insert(buf, hash(e))
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(insert)
+
+    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(buf.map(_ ^ Long.MinValue),
+        h ^ Long.MinValue)
+      if (idx >= 0) buf // duplicate hash
+      else {
+        val pos = -idx - 1
+        if (pos >= k) buf
+        else {
+          val out = new Array[Long](math.min(buf.length + 1, k))
+          System.arraycopy(buf, 0, out, 0, pos)
+          out(pos) = h
+          System.arraycopy(buf, pos, out, pos + 1, out.length - pos - 1)
+          out
+        }
+      }
+    }
+
+    override def finish(buf: Array[Long]): Long =
+      if (buf.length < k) buf.length.toLong // saw fewer than k distinct: exact
+      else {
+        // sign-flip gives the unsigned ORDER as a signed long in
+        // [-2⁶³, 2⁶³); shift by +2⁶³ for the true unsigned magnitude
+        val kthUnsigned = (buf.last ^ Long.MinValue).toDouble + math.pow(2.0, 63)
+        val frac = kthUnsigned / math.pow(2.0, 64)
+        math.round((k - 1) / frac)
+      }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Scalar UDF demo: exact Jaccard over two string sequences. The column
     * expression [[TextFunctions.jaccard]] is the production form (codegen,
     * oracle-mirrorable); this exists to exercise + test the registered-UDF
@@ -62,11 +125,13 @@ object GraftUdfs {
     if (union == 0) 0.0 else (sa & sb).size.toDouble / union
   }
 
-  /** Registers the UDF/UDAF surface on a session:
-    * `minhash_sig(elem)` (grouped) and `jaccard_udf(arr, arr)`. */
-  def register(spark: SparkSession, numHashes: Int = 16): Unit = {
+  /** Registers the UDF/UDAF surface on a session: `minhash_sig(elem)`
+    * and `kmv_distinct(elem)` (grouped), `jaccard_udf(arr, arr)`. */
+  def register(spark: SparkSession, numHashes: Int = 16, kmvK: Int = 256): Unit = {
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(new MinHashAggregator(numHashes)))
+    spark.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(new KmvDistinctAggregator(kmvK)))
     spark.udf.register("jaccard_udf", jaccardUdf)
   }
 }

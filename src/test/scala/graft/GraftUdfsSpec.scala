@@ -64,6 +64,30 @@ class GraftUdfsSpec extends SparkSpec {
     assert(verified.forall(_.getAs[Double]("j") >= 0.5))
   }
 
+  test("KMV sketch: exact below k, within error bounds above, merge-stable") {
+    GraftUdfs.register(spark, kmvK = 256)
+    // below k distinct values: exact
+    val small = (1 to 100).map(i => ("g", s"v$i")).toDF("grp", "v")
+      .repartition(8) // force partial buffers + merges
+      .groupBy("grp").agg(expr("kmv_distinct(v)").as("d"))
+      .collect()(0).getLong(1)
+    assert(small == 100L, "fewer than k distinct values must count exactly")
+    // well above k: estimate within ~5 standard errors (1/sqrt(k-2) ≈ 6.3%)
+    val n = 20000
+    val big = (1 to n).map(i => ("g", s"item-$i")).toDF("grp", "v")
+      .repartition(16)
+      .groupBy("grp").agg(expr("kmv_distinct(v)").as("d"))
+      .collect()(0).getLong(1)
+    val err = math.abs(big - n).toDouble / n
+    assert(err < 0.32, f"estimate $big for $n distinct (err $err%.3f) out of bounds")
+    // duplicates never inflate the count
+    val dup = ((1 to n) ++ (1 to n)).map(i => ("g", s"item-$i")).toDF("grp", "v")
+      .repartition(16)
+      .groupBy("grp").agg(expr("kmv_distinct(v)").as("d"))
+      .collect()(0).getLong(1)
+    assert(dup == big, "re-observing the same values must not change the sketch")
+  }
+
   test("registered scalar UDF runs from SQL and matches the column expression") {
     GraftUdfs.register(spark)
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
