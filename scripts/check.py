@@ -41,6 +41,7 @@ for name in sorted(oracle):
     ok_rows = len(s) == len(o)
     ok_schema = list(s.columns) == list(o.columns)
     ok_vals = False
+    err = []
     if ok_rows and ok_schema:
         sv = s.sort_values(by=list(s.columns)).reset_index(drop=True)
         ov = o.sort_values(by=list(o.columns)).reset_index(drop=True)
@@ -48,7 +49,7 @@ for name in sorted(oracle):
             import pandas.testing as pdt
             pdt.assert_frame_equal(sv, ov, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             ok_vals = True
-        except AssertionError as e:
+        except Exception as e:  # AssertionError on mismatch, anything else on import/compare
             ok_vals = False
             err = str(e).splitlines()[0:4]
     status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"

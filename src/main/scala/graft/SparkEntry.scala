@@ -45,8 +45,6 @@ object SparkEntry {
     "q25_sessionize"   -> (StreamingQueries.q25Sessionize _),
     "q26_sketches"     -> (Relational.q26Sketches _),
     "q27_json_typed"   -> (Relational.q27JsonTyped _),
-    // rows-only (no SQL oracle): k-means is not DuckDB-mirrorable;
-    // recall vs exact KNN is asserted in IvfSpec
     "q28_ivf_ann"      -> (Ivf.q28IvfAnn _),
     "q29_winnow"       -> (TextQueries.q29Winnow _),
     "q30_cube"         -> (Relational.q30Cube _),
@@ -86,6 +84,7 @@ object SparkEntry {
     "q25_sessionize"   -> StreamingQueries.q25SessionizeSql,
     "q26_sketches"     -> Relational.q26SketchesSql,
     "q27_json_typed"   -> Relational.q27JsonTypedSql,
+    "q28_ivf_ann"      -> Ivf.q28IvfAnnSql,
     "q29_winnow"       -> TextQueries.q29WinnowSql,
     "q30_cube"         -> Relational.q30CubeSql,
     "q31_asof"         -> AsofJoin.q31AsofSql,

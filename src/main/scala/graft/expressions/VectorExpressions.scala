@@ -29,15 +29,21 @@ case class DotProduct(left: Expression, right: Expression)
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // exactly the element types eval/doGenCode implement — DecimalType is
+    // NumericType but has no branch below, and this expression is exposed
+    // as a SQL function (graft_dot), so an unsupported type must fail
+    // ANALYSIS, not crash at runtime
+    val supported: Set[DataType] =
+      Set(FloatType, DoubleType, IntegerType, LongType, ShortType, ByteType)
     val ok = Seq(left, right).forall { e =>
       e.dataType match {
-        case ArrayType(t, _) => t.isInstanceOf[NumericType]
+        case ArrayType(t, _) => supported.contains(t)
         case _ => false
       }
     }
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires arrays of numeric elements, " +
+      s"$prettyName requires arrays of float/double/int/long/short/byte elements, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 

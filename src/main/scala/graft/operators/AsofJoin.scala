@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.Tables
 
 /** Point-in-time (AS-OF) join — an operator Spark lacks natively,
@@ -37,15 +38,23 @@ object AsofJoin {
     // or the window (which groups nulls together and sorts null ts first)
     // would surface them as spurious "prior" matches.
     val rightClean = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
+    // The payload travels as ONE nullable struct, not per-column: a single
+    // last(struct, ignoreNulls) picks the latest prior right ROW as a unit
+    // — its internal NULLs included. Per-column lasts would let a NULL
+    // field fall back to an OLDER right row, mixing fields from different
+    // rows (not ASOF semantics, and not what DuckDB's ASOF JOIN does).
+    val pFields = payload.toSeq
+    val pType = StructType(pFields.map { case (in, out) =>
+      StructField(out, right.schema(in).dataType, nullable = true) })
     val tagged =
       left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))
-        .select(Seq(col("__side"), col("__ts")) ++ leftCols.map(col) ++
-          payload.values.toSeq.map(out => lit(null).as(s"__p_$out")): _*)
+        .select(Seq(col("__side"), col("__ts")) ++ leftCols.map(col) :+
+          lit(null).cast(pType).as("__p"): _*)
       .unionByName(
         rightClean.withColumn("__side", lit(0)).withColumn("__ts", col(rightTs))
           .select(Seq(col("__side"), col("__ts"), col(key)) ++
-            leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            payload.map { case (in, out) => col(in).as(s"__p_$out") }.toSeq: _*),
+            leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+            struct(pFields.map { case (in, out) => col(in).as(out) }: _*).as("__p"): _*),
         allowMissingColumns = false)
     // Sort (ts asc, side desc): at the same instant the LEFT row (side 1)
     // comes first, so a right row at exactly left.ts is NOT yet in its
@@ -53,11 +62,10 @@ object AsofJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPayload = payload.values.toSeq.foldLeft(tagged) { (df, out) =>
-      df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
-    }
-    withPayload.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.values.toSeq.map(col): _*)
+    tagged.withColumn("__pl", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        pFields.map { case (_, out) => col("__pl").getField(out).as(out) }: _*)
   }
 
   /** Query entry: attribute every event to the same user's latest PRIOR

@@ -115,7 +115,22 @@ object Dedup {
                          col("b.sz") - (col("b.p") + 1)) >= alpha)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    verifyJaccard(cand, base, threshold)
+    checkpointAndRelease(verifyJaccard(cand, base, threshold), base)
+  }
+
+  /** Materialize the (small) verified-pair result and release the persisted
+    * docs frame: `localCheckpoint(eager)` runs the verify join once and
+    * truncates lineage, so the cache the join needed can be dropped
+    * immediately instead of leaking for the session (library callers
+    * composing several dedup/ANN calls otherwise accumulate
+    * MEMORY_AND_DISK blocks; Bench/Verify only compensated with
+    * clearCache). The checkpointed blocks are the operator's OUTPUT — pair
+    * rows, orders of magnitude smaller than the corpus — and are freed by
+    * the ContextCleaner when the returned frame is dereferenced. */
+  private def checkpointAndRelease(result: DataFrame, cached: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   /** MinHash + LSH near-dup pairs: shingle → k minhashes → band keys →
@@ -160,7 +175,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    verifyJaccard(cand, docs, threshold)
+    checkpointAndRelease(verifyJaccard(cand, docs, threshold), docs)
   }
 
   /** 32-bit hash of a token from its md5 hex prefix (chars 1-8) —
@@ -226,7 +241,10 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))) +
          bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi")))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is deterministic per pair, so the
+      // order is semantics-preserving, and most chunk-collision pairs fail
+      // the bound — filtering first keeps them out of the distinct's shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -12,36 +12,69 @@ import graft.functions.VectorFunctions._
   * quantizer scale path next to the SRP-LSH variant in
   * [[SimilarityQueries]]: k-means centroids partition the corpus into
   * `nlist` lists; a query scores only the `nprobe` nearest lists, so the
-  * scan cost drops to ~nprobe/nlist of brute force while the index build
-  * is one (cheap, sampled) k-means fit plus a single assignment pass.
+  * scan cost drops to ~nprobe/nlist of brute force.
   *
-  * At 100 TB this is the standard layout: the assignment pass writes the
-  * corpus partitioned BY list_id (so a probe reads only its lists'
-  * files), centroids are a broadcast-size table, and recall/latency trade
-  * via nprobe. Here the assigned frame stays in memory; the plan shapes
-  * (broadcast centroid scoring, list-bucket join, per-query top-k window)
-  * are the same ones that hold at scale.
+  * Scale design (the three pieces that survive 100 TB):
+  *  - the k-means fit runs on a bounded SAMPLE (`fitSampleRows`), never
+  *    the full corpus — an iterative multi-pass fit over everything would
+  *    be the index build's scale-killer; centroid quality needs thousands
+  *    of points per list, not billions. The full corpus is touched exactly
+  *    once, by the single-pass assignment.
+  *  - the probe join broadcasts the PROBES (nQueries × nprobe rows — tiny
+  *    by construction) against the assigned corpus, so the corpus never
+  *    shuffles; the hint is applied directly at the join, not upstream of
+  *    the probe-selection window (where an exchange would kill it). A
+  *    16-value `list_id` key would otherwise be hot-key skew by
+  *    construction.
+  *  - [[writeIndex]]/[[readIndex]] persist the assigned corpus PARTITIONED
+  *    BY list_id: a probe's scan then prunes to its lists' files at the
+  *    source (PartitionFilters), which is the standard IVF layout —
+  *    asserted in IvfSpec.
   *
-  * No DuckDB oracle: k-means is iterative floating-point and not
-  * SQL-mirrorable — the driver records a rows-only check and IvfSpec
-  * asserts recall against the exact KNN (q22) ground truth.
+  * The q28 entry gates via in-engine tolerance booleans (q26 pattern):
+  * recall@k against the exact KNN computed from the same frame, with the
+  * DuckDB oracle emitting the anchors + literal TRUE — k-means itself is
+  * iterative floating-point and not SQL-mirrorable, but the recall check
+  * is.
   */
 object Ivf {
 
   final case class Index(model: KMeansModel, assigned: DataFrame)
 
-  /** Fit nlist centroids (seeded) and assign every vector to its list. */
+  /** Fit nlist centroids on a bounded sample and assign every vector to
+    * its list in one pass. `fitSampleRows` caps the fit set: the sample
+    * fraction is computed from one cheap count (the projection prunes to
+    * a metadata-ish scan) with a 1.2× overshoot so the expected sample
+    * stays above the cap's intent even on the fraction's variance. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, seed: Long = 42L): Index = {
+            nlist: Int, seed: Long = 42L,
+            fitSampleRows: Int = 100000): Index = {
     val feat = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v")))
+    val n = feat.count()
+    val frac = math.min(1.0, fitSampleRows.toDouble * 1.2 / math.max(n, 1L))
+    val fitSet =
+      if (frac >= 1.0) feat
+      else feat.sample(withReplacement = false, frac, seed)
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(feat)
+      .fit(fitSet)
     val assigned = model.transform(feat).drop("features")
       .withColumn("nrm", norm(col("v")))
     Index(model, assigned)
   }
+
+  /** Persist the assigned corpus partitioned by list_id — the on-disk IVF
+    * layout: a probe reads only its lists' files (partition pruning at the
+    * parquet source), so query cost is bounded by list size, not corpus
+    * size. At 100 TB this write is the one-time index build cost. */
+  def writeIndex(index: Index, path: String): Unit =
+    index.assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Reopen a written index. Filters on list_id prune partitions at the
+    * source (asserted in IvfSpec). */
+  def readIndex(spark: SparkSession, model: KMeansModel, path: String): Index =
+    Index(model, spark.read.parquet(path))
 
   /** Top-k cosine neighbors per query, probing the `nprobe` nearest
     * lists. Output matches q22's shape (q_id, neighbor_id, cos_sim, rnk). */
@@ -60,10 +93,12 @@ object Ivf {
       .withColumn("prnk", row_number().over(probeW))
       .filter(col("prnk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("list_id"))
-    // scan only the probed lists
+    // scan only the probed lists: broadcast the (tiny) probes AT the join —
+    // an upstream hint would die at the window's exchange, and the corpus
+    // would shuffle on a 16-value key
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    probes.join(index.assigned, "list_id")
+    index.assigned.join(broadcast(probes), "list_id")
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("neighbor_id"),
         round(cosineWithNorms(col("qv"), col("qn"), col("v"), col("nrm")), 4)
@@ -73,12 +108,47 @@ object Ivf {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Query entry: IVF top-10 for the same query set as q22 (vec_id < 10),
-    * nlist=16, nprobe=4 — scans ~¼ of the corpus per query. */
+  private val K = 10
+  private val NQueries = 10
+  private val Nlist = 16
+  private val Nprobe = 4
+  /** Gate bound for MICRO-AVERAGED recall@10 (total hits / total exact) at
+    * nprobe=4/nlist=16. Per-query recall on the fixture swings 0.1–0.9
+    * with k-means luck, but the mean is stable (measured 0.55 at sf0.001,
+    * 0.47 at sf0.01) — the bound's 2× margin makes the hash gate fail on
+    * broken probing, not centroid placement. */
+  private val MinRecall = 0.25
+
+  /** q28: IVF top-10 for the same query set as q22 (vec_id < 10),
+    * nlist=16, nprobe=4 — scans ~¼ of the corpus per query. Emits one
+    * tolerance-boolean row (q26 pattern): oracle-computable anchors
+    * (`n_queries`, `n_exact_total` = queries × exact-KNN result size) plus
+    * `recall_ok` — in-engine micro-averaged recall@10 vs the exact KNN
+    * computed from the same frame >= MinRecall. */
   def q28IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("v"))
-    val index = build(emb, "id", "v", nlist = 16)
-    topK(spark, index, emb.filter(col("id") < 10), k = 10, nprobe = 4)
+    val index = build(emb, "id", "v", nlist = Nlist)
+    val ivf = topK(spark, index, emb.filter(col("id") < NQueries),
+        k = K, nprobe = Nprobe)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    val exact = SimilarityQueries.q22KnnExact(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_total"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("n_queries"), col("n_exact_total"),
+        (col("n_hit") >= col("n_exact_total") * MinRecall).as("recall_ok"))
   }
+
+  /** Oracle: the exact-KNN result sizes (least(k, corpus-1) per query) +
+    * literal TRUE — the hash gate then fails exactly when IVF recall
+    * leaves its band. */
+  val q28IvfAnnSql: String =
+    s"""SELECT count(*)::BIGINT AS n_queries,
+       |  (count(*) * least($K, (SELECT count(*) FROM embeddings) - 1))::BIGINT
+       |    AS n_exact_total,
+       |  TRUE AS recall_ok
+       |FROM embeddings WHERE vec_id < $NQueries""".stripMargin
 }

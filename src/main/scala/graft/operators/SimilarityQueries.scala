@@ -80,16 +80,23 @@ object SimilarityQueries {
        |SELECT q_id, neighbor_id, cos_sim, rnk FROM rk
        |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
-  /** Approximate near-neighbor pairs by SRP-LSH: sign bits against the
-    * shared literal hyperplanes → band keys → bucket self-join → exact
-    * cosine verify (>= $SrpThreshold). Zero false positives (verify is
-    * exact); false negatives are the tunable LSH recall tradeoff. */
-  def q23AnnSrp(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embWithNorm(spark, dir)
-      .withColumn("bits", srpBits(col("v"), Planes))
+  /** Generic SRP-LSH near-neighbor pairs over an `(id, v)` frame: sign
+    * bits against literal hyperplanes → band keys → bucket self-join →
+    * exact cosine verify (>= threshold). Zero false positives (verify is
+    * exact); false negatives are the tunable LSH recall tradeoff. Used by
+    * q23 over the embeddings fixture and by the multimodal feature path
+    * ([[MediaQueries]]). The (small) verified result is materialized via
+    * localCheckpoint and the persisted bits frame released immediately —
+    * library callers don't leak cache blocks (same discipline as
+    * [[Dedup]]). */
+  def annSrpPairs(vectors: DataFrame, planes: Array[Array[Double]],
+                  bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+    val emb = vectors.select(col("id"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bits", srpBits(col("v"), planes))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = emb
-      .select(col("id"), posexplode(srpBandKeys(col("bits"), SrpBands, SrpBitsPerBand)))
+      .select(col("id"), posexplode(srpBandKeys(col("bits"), bands, bitsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val cand = banded.alias("a")
       .join(banded.alias("b"),
@@ -97,15 +104,26 @@ object SimilarityQueries {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cand
+    val verified = cand
       .join(emb.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1")), "id1")
       .join(emb.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         round(cosineWithNorms(col("v1"), col("n1"), col("v2"), col("n2")), 4)
           .as("cos_sim"))
-      .filter(col("cos_sim") >= SrpThreshold)
-      .orderBy(col("id1"), col("id2"))
+      .filter(col("cos_sim") >= threshold)
+    val out = verified.localCheckpoint(true)
+    emb.unpersist()
+    out
   }
+
+  /** q23: SRP-LSH pairs over the embeddings fixture, against the shared
+    * literal hyperplanes the generated DuckDB oracle also embeds. */
+  def q23AnnSrp(spark: SparkSession, dir: String): DataFrame =
+    annSrpPairs(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("v")),
+      Planes, SrpBands, SrpBitsPerBand, SrpThreshold)
+      .orderBy(col("id1"), col("id2"))
 
   val q23AnnSrpSql: String = {
     def planeLit(p: Array[Double]): String =

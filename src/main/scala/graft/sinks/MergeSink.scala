@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -185,12 +185,34 @@ object MergeSink {
     val bak = new Path(targetPath + ".__merge_bak")
     fs.delete(tmp, true); fs.delete(bak, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(path)) {
+    atomicSwap(fs, tmp, path, bak)
+    statsOf(obs)
+  }
+
+  /** Two-rename snapshot swap with automatic rollback: `path` → `bak`,
+    * then `tmp` → `path`. If the SECOND rename fails, the target would be
+    * absent (old data safe in `bak` but recovery manual — and a tolerant
+    * caller like BulkUpdateJob would log-and-continue against a missing
+    * snapshot), so the backup is restored before rethrowing: the swap
+    * either completes or leaves the previous snapshot in place. */
+  private[graft] def atomicSwap(fs: FileSystem, tmp: Path, path: Path,
+                                bak: Path): Unit = {
+    val hadTarget = fs.exists(path)
+    if (hadTarget) {
       require(fs.rename(path, bak), s"swap failed: could not move $path aside")
     }
-    require(fs.rename(tmp, path), s"swap failed: could not move $tmp into place")
+    try {
+      require(fs.rename(tmp, path), s"swap failed: could not move $tmp into place")
+    } catch {
+      case e: Throwable =>
+        if (hadTarget && !fs.exists(path) && fs.exists(bak) &&
+            !fs.rename(bak, path)) {
+          e.addSuppressed(new IllegalStateException(
+            s"rollback failed: previous snapshot left at $bak"))
+        }
+        throw e
+    }
     fs.delete(bak, true)
-    statsOf(obs)
   }
 
   /** Bucketed-table merge: same semantics as [[mergeInto]], but the target

@@ -33,6 +33,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(byName("e3").contains(300.0), "keys are isolated")
   }
 
+  test("payload travels as a unit: a NULL field in the latest prior row stays NULL") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e1")).toDF("k", "lts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), java.lang.Double.valueOf(100.0), "old"),
+      // latest prior row: v is NULL — it must NOT fall back to 100.0 from
+      // the older row, and tag must come from THIS row
+      (1L, ts("2024-01-01 11:00:00"), null.asInstanceOf[java.lang.Double], "new")
+    ).toDF("k", "rts", "v", "tag")
+    val out = AsofJoin.asofJoin(left, right, "k", "lts", "rts",
+        Map("v" -> "p_v", "tag" -> "p_tag"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("p_v")),
+      "the latest prior row's NULL must win — per-column fallback mixes rows")
+    assert(out.head.getAs[String]("p_tag") == "new",
+      "all payload fields must come from the same (latest prior) right row")
+  }
+
   test("null-key / null-ts right rows are never visible as prior matches") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1")).toDF("k", "lts", "name")
     val right = Seq(

@@ -110,4 +110,19 @@ class DedupSpec extends SparkSpec {
     val sh = df.select(Dedup.simhashWord(col("hs")).as("sh")).collect()(0).getLong(0)
     assert(sh == 5L)
   }
+
+  test("operators release their persisted intermediates (no session cache leak)") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = Tables.documents(spark, sf)
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.95)
+    assert(ColumnBridge.cacheManagerIsEmpty(spark),
+      "ngramJaccardPairs must unpersist its docs frame")
+    Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.5)
+    assert(ColumnBridge.cacheManagerIsEmpty(spark),
+      "minhashLshPairs must unpersist its signature frame")
+    operators.SimilarityQueries.q23AnnSrp(spark, sf)
+    assert(ColumnBridge.cacheManagerIsEmpty(spark),
+      "annSrpPairs must unpersist its bits frame")
+  }
 }

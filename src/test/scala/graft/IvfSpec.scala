@@ -32,12 +32,15 @@ class IvfSpec extends SparkSpec {
     assert(ivfAll == exact, "nprobe = nlist must equal brute force")
   }
 
-  test("q28 returns k ranked neighbors per query with decent recall at nprobe=4/16") {
-    val rows = Ivf.q28IvfAnn(spark, sf).collect()
+  test("topK returns k ranked neighbors per query, self excluded, with decent mean recall") {
+    val index = Ivf.build(emb, "id", "v", nlist = 16)
+    val rows = Ivf.topK(spark, index, emb.filter(col("id") < 10), k = 10, nprobe = 4)
+      .collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
     assert(byQ.size == 10)
     byQ.foreach { case (q, rs) =>
       assert(rs.length == 10, s"query $q")
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 10L), s"query $q ranks")
       assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
     }
     val exact = SimilarityQueries.q22KnnExact(spark, sf).collect()
@@ -50,5 +53,53 @@ class IvfSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3,
       f"mean recall@10 probing 4/16 lists should beat random scanning; got $mean%.2f")
+  }
+
+  test("q28 gate row: anchors match the oracle formula and recall_ok holds") {
+    val rows = Ivf.q28IvfAnn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val n = emb.count()
+    assert(r.getAs[Long]("n_queries") == 10L)
+    assert(r.getAs[Long]("n_exact_total") == 10L * math.min(10L, n - 1))
+    assert(r.getAs[Boolean]("recall_ok"),
+      "micro-averaged recall@10 fell below the gate bound")
+  }
+
+  test("k-means fit runs on a bounded sample, not the full corpus") {
+    // with a tiny cap the fit set is a sample; the index must still
+    // assign EVERY corpus vector and keep topK functional
+    val index = Ivf.build(emb, "id", "v", nlist = 4, fitSampleRows = 50)
+    assert(index.assigned.count() == emb.count(),
+      "assignment must cover the full corpus even when the fit sampled")
+    val out = Ivf.topK(spark, index, emb.filter(col("id") < 3), k = 5, nprobe = 4)
+    assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
+  test("probe join broadcasts the probes — the corpus never shuffles on list_id") {
+    val index = Ivf.build(emb, "id", "v", nlist = 16)
+    val p = Ivf.topK(spark, index, emb.filter(col("id") < 10), k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes must broadcast against the assigned corpus:\n$p")
+    // permitted exchanges: the per-query top-k window (+ final orderBy
+    // range exchange); the corpus-side join must add none on list_id
+    assert(!p.contains("Exchange hashpartitioning(list_id"),
+      s"corpus must not shuffle on the 16-value list_id key:\n$p")
+  }
+
+  test("written index layout prunes to the probed lists at the scan") {
+    val index = Ivf.build(emb, "id", "v", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ivf.writeIndex(index, dir)
+    val reopened = Ivf.readIndex(spark, index.model, dir)
+    val probedScan = reopened.assigned.filter(col("list_id").isin(0, 3))
+      .select(col("id"), col("v"))
+    val p = probedScan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [list_id"),
+      s"probed lists must prune directories, not filter rows:\n$p")
+    // the pruned read still returns exactly those lists' vectors
+    val expected = index.assigned.filter(col("list_id").isin(0, 3)).count()
+    assert(probedScan.count() == expected && expected > 0)
   }
 }

@@ -173,6 +173,30 @@ class MergeSinkSpec extends SparkSpec {
     assert(s2 == MergeSink.MergeStats(1, 1, 1))
   }
 
+  test("atomic swap: a failed forward rename restores the previous snapshot") {
+    import org.apache.hadoop.fs.{FilterFileSystem, Path => HPath}
+    val dir = Files.createTempDirectory("graft_swap").toString
+    val target = s"$dir/snap"
+    val tmp = s"$dir/snap.__merge_tmp"
+    val bak = s"$dir/snap.__merge_bak"
+    withTs(df(Seq(("old", 1.0, 1.0)))).write.parquet(target)
+    withTs(df(Seq(("new", 2.0, 2.0)))).write.parquet(tmp)
+    val real = new HPath(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fail exactly the SECOND rename (tmp -> target): target was already
+    // moved aside, so without rollback the snapshot would be ABSENT
+    val failing = new FilterFileSystem(real) {
+      override def rename(src: HPath, dst: HPath): Boolean =
+        if (src.toString.endsWith(".__merge_tmp")) false else super.rename(src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      MergeSink.atomicSwap(failing, new HPath(tmp), new HPath(target), new HPath(bak))
+    }
+    val rows = spark.read.parquet(target).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("k") == "old",
+      "the previous snapshot must be restored, not left in .__merge_bak")
+    assert(!real.exists(new HPath(bak)), "backup moved back, not left aside")
+  }
+
   test("empty updates: merge into existing target is a no-op with zero counts") {
     val dir = Files.createTempDirectory("graft_merge_empty").toString
     val targetPath = s"$dir/collection"
