@@ -52,6 +52,9 @@ object SparkEntry {
     "q32_range_join"   -> (AsofJoin.q32RangeJoin _),
     "q33_pivot"        -> (Relational.q33Pivot _),
     "q34_sql_subquery" -> (Relational.q34SqlSubquery _),
+    "q35_sliding"      -> (StreamingQueries.q35Sliding _),
+    "q36_user_totals"  -> (StreamingQueries.q36UserTotals _),
+    "q37_media_ann"    -> (MediaQueries.q37MediaAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,6 +80,7 @@ object SparkEntry {
     "q18_fingerprint"  -> TextQueries.q18FingerprintSql,
     "q19_ngram_jaccard" -> TextQueries.q19NgramJaccardSql,
     "q20_minhash_lsh"  -> TextQueries.q20MinhashLshSql,
+    "q20b_minhash_xxh" -> TextQueries.q20bMinhashXxhSql,
     "q21_simhash"      -> TextQueries.q21SimhashSql,
     "q22_knn_exact"    -> SimilarityQueries.q22KnnExactSql,
     "q23_ann_srp"      -> SimilarityQueries.q23AnnSrpSql,
@@ -91,5 +95,8 @@ object SparkEntry {
     "q32_range_join"   -> AsofJoin.q32RangeJoinSql,
     "q33_pivot"        -> Relational.q33PivotSql,
     "q34_sql_subquery" -> Relational.q34SqlSubquerySql,
+    "q35_sliding"      -> StreamingQueries.q35SlidingSql,
+    "q36_user_totals"  -> StreamingQueries.q36UserTotalsSql,
+    "q37_media_ann"    -> MediaQueries.q37MediaAnnSql,
   )
 }

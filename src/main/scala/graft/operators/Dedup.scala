@@ -82,17 +82,31 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         blockCol: Option[String] = None): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0,1]")
-    val grams = if (n == 1) tokens(col(textCol)) else shingles(col(textCol), n)
-    // Persisted: referenced by the df-order agg AND both verify joins —
-    // without it the tokenize/shingle pipeline re-executes per reference
-    // (at cluster scale: MEMORY_AND_DISK spills; for a 100 TB corpus,
-    // pre-materializing this projection to parquet is the same idea).
-    val base = df.select(col(idCol).as("id"), array_distinct(grams).as("grams"),
-        blockCol.map(col).getOrElse(lit(0)).as("blk"))
-      .filter(size(col("grams")) > 0) // empty sets have J=0 vs everything (threshold > 0)
-      .withColumn("sz", size(col("grams")))
+    val base = gramsProjection(df, idCol, textCol, n, blockCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    checkpointAndRelease(prefixFilterPairs(base, threshold), base)
+  }
+
+  /** The (id, grams, sz, blk) projection both near-dup families start
+    * from: tokenize/shingle + distinct, empty sets dropped (J=0 vs
+    * everything at threshold > 0). Callers PERSIST it (it is referenced by
+    * the df-order agg AND both verify joins — without that the pipeline
+    * re-executes per reference; at cluster scale: MEMORY_AND_DISK spills,
+    * and for a 100 TB corpus pre-materializing this projection to parquet
+    * is the same idea) and release it via [[checkpointAndRelease]]. */
+  private def gramsProjection(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, blockCol: Option[String]): DataFrame = {
+    val grams = if (n == 1) tokens(col(textCol)) else shingles(col(textCol), n)
+    df.select(col(idCol).as("id"), array_distinct(grams).as("grams"),
+        blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sz", size(col("grams")))
+  }
+
+  /** Exact prefix-filter pairs (steps 1-5 above) over a prepared
+    * [[gramsBase]] frame; returns verified (id1, id2, jaccard). */
+  private def prefixFilterPairs(base: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0,1]")
     val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     // canonical rarest-first order; array_sort on struct(df, g) is the
@@ -115,7 +129,7 @@ object Dedup {
                          col("b.sz") - (col("b.p") + 1)) >= alpha)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    checkpointAndRelease(verifyJaccard(cand, base, threshold), base)
+    verifyJaccard(cand, base, threshold)
   }
 
   /** Materialize the (small) verified-pair result and release the persisted
@@ -148,17 +162,23 @@ object Dedup {
                       threshold: Double,
                       sigFn: (Column, Int) => Column = minhashSignatureXx,
                       maxBucketSize: Option[Int] = None): DataFrame = {
-    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
-    val rowsPerBand = numHashes / bands
-    val grams = if (shingleN == 1) tokens(col(textCol)) else shingles(col(textCol), shingleN)
     // Persisted: the shingle+signature projection is the expensive part
     // and is referenced by both sides of the bucket self-join and both
     // verify joins — four re-executions without the persist.
-    val docs = df.select(col(idCol).as("id"), array_distinct(grams).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("sz", size(col("grams")))
+    val docs = gramsProjection(df, idCol, textCol, shingleN, None)
       .withColumn("sig", sigFn(col("grams"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    checkpointAndRelease(
+      lshVerifiedPairs(docs, numHashes, bands, threshold, maxBucketSize), docs)
+  }
+
+  /** LSH band-bucket candidates + exact Jaccard verify over a prepared
+    * (id, grams, sz, sig) frame. */
+  private def lshVerifiedPairs(docs: DataFrame, numHashes: Int, bands: Int,
+                               threshold: Double,
+                               maxBucketSize: Option[Int]): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rowsPerBand = numHashes / bands
     val banded0 = docs
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
@@ -175,7 +195,49 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    checkpointAndRelease(verifyJaccard(cand, docs, threshold), docs)
+    verifyJaccard(cand, docs, threshold)
+  }
+
+  /** Production-LSH gate row (q26 tolerance-boolean pattern, driver
+    * hash-gated): runs the xxhash64 LSH pipeline AND the exact
+    * prefix-filter reference over ONE shared gram projection, then folds
+    * them into a single row —
+    *  - `n_exact`: exact pair count at `threshold` (the oracle-computable
+    *    anchor: DuckDB brute-forces the same bigram Jaccard);
+    *  - `subset_ok`: every LSH pair is in the exact set (certifies both
+    *    the verify step and the prefix join's zero-false-negative claim);
+    *  - `threshold_ok`: every emitted LSH pair's exact Jaccard clears the
+    *    threshold;
+    *  - `recall_ok`: LSH found >= `minRecall` of the exact pairs (the LSH
+    *    s-curve's measurable output; xxhash64 is deterministic, so this is
+    *    a fixed property of corpus + parameters, not a flaky sample).
+    * The oracle emits the anchor + literal TRUEs, so the hash gate fails
+    * exactly when one of these invariants breaks. */
+  def minhashLshGate(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, numHashes: Int, bands: Int,
+                     threshold: Double, minRecall: Double,
+                     sigFn: (Column, Int) => Column = minhashSignatureXx,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val base = gramsProjection(df, idCol, textCol, shingleN, None)
+      .withColumn("sig", sigFn(col("grams"), numHashes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lsh = lshVerifiedPairs(base, numHashes, bands, threshold, maxBucketSize)
+      .select(col("id1"), col("id2"), col("jaccard")).withColumn("ls", lit(1))
+    val exact = prefixFilterPairs(base, threshold)
+      .select(col("id1"), col("id2")).withColumn("ex", lit(1))
+    val gate = exact.join(lsh, Seq("id1", "id2"), "full_outer")
+      .agg(
+        sum(coalesce(col("ex"), lit(0))).as("nx"),
+        sum(coalesce(col("ls"), lit(0))).as("nl"),
+        sum(coalesce(col("ex"), lit(0)) * coalesce(col("ls"), lit(0))).as("nh"),
+        min(col("jaccard")).as("minj"))
+      .select(
+        coalesce(col("nx"), lit(0L)).cast("long").as("n_exact"),
+        (coalesce(col("nl"), lit(0L)) === coalesce(col("nh"), lit(0L))).as("subset_ok"),
+        coalesce(col("minj") >= threshold, lit(true)).as("threshold_ok"),
+        (coalesce(col("nh"), lit(0L)) >=
+          coalesce(col("nx"), lit(0L)) * minRecall).as("recall_ok"))
+    checkpointAndRelease(gate, base)
   }
 
   /** 32-bit hash of a token from its md5 hex prefix (chars 1-8) —

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.multimodal.Media
+
+/** End-to-end multimodal entry (q37): the mandate's "multimodal columns"
+  * feeding its "similarity search", not coexisting with it. Deterministic
+  * media blobs are derived from the `documents` fixture (payload = the
+  * document's UTF-8 bytes behind the synthetic 16-byte header), then:
+  *
+  *   decode (per-partition codec) → byteHistogram features →
+  *   mean-centering → SRP-LSH pairs → gate row
+  *
+  * Centering is the load-bearing step: RAW byte histograms of natural
+  * text are nearly collinear (every document is dominated by the same
+  * letter-frequency profile, pairwise cosine ≈ 0.99), so both SRP sign
+  * bits and the verify cosine would degenerate — every pair becomes a
+  * candidate AND a "near-dup". Subtracting the corpus mean histogram
+  * leaves per-document residuals: near-identical documents keep
+  * near-identical residuals (cosine ≈ 1) while unrelated documents
+  * decorrelate. The mean is a 64-value stats vector — constant-size,
+  * collected once and embedded like IVF's broadcast centroids; at 100 TB
+  * the same one-pass agg + broadcast applies.
+  *
+  * The reference pair set is DETERMINISTIC by construction: every 50th
+  * document's blob is replicated under a shifted media_id. Identical
+  * payloads give identical histograms, identical residuals (cosine
+  * exactly 1) and identical SRP bits — so the pipeline MUST surface every
+  * replica pair, whatever the hyperplanes; a miss means the plumbing
+  * broke, never hash luck. (The fixture's own fingerprint clusters are
+  * the wrong reference here: they share token SETS, not byte statistics
+  * — measured centered cosine of those pairs falls well under any useful
+  * threshold.) Duplicate-media detection via content features is the
+  * production task this models.
+  *
+  * Gate (q26 tolerance-boolean pattern): anchors the oracle can compute
+  * from `documents` (`n_media` incl. replicas, `n_dup_pairs`) plus
+  * in-engine booleans:
+  *  - `meta_ok`: every decoded header round-trips (codec plumbing);
+  *  - `hist_ok`: every feature is a unit-L1 histogram (feature plumbing);
+  *  - `dup_found_ok`: the SRP pipeline surfaced EVERY replica pair.
+  */
+object MediaQueries {
+
+  private val Bins = 64
+  private val SrpBands = 8
+  private val SrpBitsPerBand = 6
+  // seed differs from the embeddings planes: these hash 64-bin histogram
+  // residuals, not embedding dims
+  private val Planes = srpPlanes(SrpBands * SrpBitsPerBand, Bins, seed = 7L)
+  private val CosThreshold = 0.8
+  private val ReplicaEvery = 50L
+  private val ReplicaOffset = 10000000L
+
+  /** Deterministic media blob: synthetic image header (64×48, rate 0) +
+    * the document text's UTF-8 bytes as payload. */
+  private[operators] def textBlob(text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](16 + body.length)
+    def wi(off: Int, v: Int): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    wi(0, 0x494d4700); wi(4, 64); wi(8, 48); wi(12, 0)
+    System.arraycopy(body, 0, out, 16, body.length)
+    out
+  }
+
+  /** Subtract the corpus-mean histogram (one tiny agg, collected like a
+    * set of centroids) so SRP bits and cosines act on residuals. */
+  private def centered(feats: DataFrame): DataFrame = {
+    val mean = feats.select(posexplode(col("v")))
+      .groupBy("pos").agg(avg(col("col")).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    feats.withColumn("v",
+      zip_with(col("v"), typedlit(mean), (x, m) => x.cast("double") - m))
+  }
+
+  def q37MediaAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val base = docs.as[(Long, String)]
+    val media = base
+      .map { case (id, text) => Media.MediaRow(id, "image", textBlob(text)) }
+      .union(base.filter(_._1 % ReplicaEvery == 0).map { case (id, text) =>
+        Media.MediaRow(id + ReplicaOffset, "image", textBlob(text))
+      })
+
+    // decode through the per-partition codec: header must round-trip
+    val metaAgg = Media.decode(media).toDF()
+      .select(col("meta.kind").as("k"), col("meta.width").as("w"),
+        col("meta.height").as("h"), col("meta.durationMs").as("d"))
+      .agg(count(lit(1)).as("n_media"),
+        (sum(when(col("k") === "image" && col("w") === 64 &&
+          col("h") === 48 && col("d") === 0L, 0).otherwise(1)) === 0).as("meta_ok"))
+
+    // features: L1-normalized byte histograms (sum must be 1 per doc)
+    val feats = Media.byteHistogram(media, bins = Bins).toDF()
+      .select(col("media_id").as("id"), col("feature").as("v"))
+    val histAgg = feats
+      .select(aggregate(col("v"), lit(0.0), (a, x) => a + x.cast("double")).as("s"))
+      .agg((max(abs(col("s") - 1.0)) < 1e-3).as("hist_ok"))
+
+    // vector path: SRP-LSH pairs over centered features must surface
+    // every (doc, replica) pair — identical payloads, cosine exactly 1
+    val srp = SimilarityQueries.annSrpPairs(centered(feats),
+        Planes, SrpBands, SrpBitsPerBand, CosThreshold)
+      .select(col("id1"), col("id2")).withColumn("hit", lit(1))
+    val dupPairs = docs.filter(col("doc_id") % ReplicaEvery === 0)
+      .select(col("doc_id").as("id1"),
+        (col("doc_id") + ReplicaOffset).as("id2"))
+    val coverAgg = dupPairs.join(srp, Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        sum(coalesce(col("hit"), lit(0))).as("n_cov"))
+      .select(col("n_dup_pairs"),
+        (coalesce(col("n_cov"), lit(0L)) === col("n_dup_pairs")).as("dup_found_ok"))
+
+    metaAgg.crossJoin(histAgg).crossJoin(coverAgg)
+      .select(col("n_media"), col("n_dup_pairs"),
+        col("meta_ok"), col("hist_ok"), col("dup_found_ok"))
+  }
+
+  val q37MediaAnnSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE length(text) > 0)
+      |SELECT ((SELECT count(*) FROM d)
+      |        + (SELECT count(*) FROM d WHERE doc_id % 50 = 0))::BIGINT AS n_media,
+      |  (SELECT count(*) FROM d WHERE doc_id % 50 = 0)::BIGINT AS n_dup_pairs,
+      |  TRUE AS meta_ok, TRUE AS hist_ok, TRUE AS dup_found_ok""".stripMargin
+}

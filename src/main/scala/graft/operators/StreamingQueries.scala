@@ -32,6 +32,44 @@ object StreamingQueries {
     EventStreams.sessionize(Tables.events(spark, dir), gap = "30 minutes")
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Sliding windows (1-hour width, 30-minute slide): each event lands in
+    * width/slide = 2 overlapping windows. The same `slidingAvg` code runs
+    * under `readStream` in EventStreamsSpec; this batch entry gives it an
+    * exact oracle (each event replicated into its 2 enclosing windows —
+    * window starts are slide-aligned to the epoch in both engines). */
+  def q35Sliding(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingAvg(Tables.events(spark, dir),
+        width = "1 hour", slide = "30 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q35SlidingSql: String =
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) - o.o * INTERVAL 30 MINUTE
+      |    AS window_start,
+      |  time_bucket(INTERVAL '30 minutes', ts) - o.o * INTERVAL 30 MINUTE
+      |    + INTERVAL 1 HOUR AS window_end,
+      |  event_type, round(avg(value), 4) AS avg_value, count(*) AS n_events
+      |FROM events, range(2) o(o)
+      |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
+
+  /** Batch counterpart of the stateful `runningUserTotals`
+    * (flatMapGroupsWithState): in batch mode the state starts empty and
+    * each user's group is processed once, so the emitted totals ARE the
+    * final state — which a plain GROUP BY reproduces, giving the custom
+    * state logic an exact oracle (the streaming-incremental behavior is
+    * covered by EventStreamsSpec's MemoryStream cases). */
+  def q36UserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir).as[EventStreams.Event]
+    EventStreams.runningUserTotals(events).toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q36UserTotalsSql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val q25SessionizeSql: String =
     """WITH o AS (
       |  SELECT user_id, ts, value,

@@ -227,17 +227,45 @@ object TextQueries {
        |  md5(array_to_string(fps, ',')) AS winnow_sig
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // Production-LSH gate parameters: threshold 0.7 sits AT the 4×4
+  // s-curve's midpoint (≈0.71) — the tune a production near-dup pass
+  // would run — and keeps the exact prefix-filter reference cheap (prefix
+  // length ~0.3|g| vs ~0.5|g| at t=0.5). minRecall 0.6 is the s-curve's
+  // theoretical per-pair find rate AT the midpoint (1-(1-t⁴)⁴ ≈ 0.67);
+  // measured recall on the fixture is 1.0 at sf0.001/0.01/0.1 (every
+  // planted near-dup sits well above the midpoint).
+  private val MhGateThreshold = 0.7
+  private val MhGateMinRecall = 0.6
+
   /** Production MinHash+LSH variant: xxhash64 signatures (one cheap 64-bit
     * hash per shingle instead of the oracle's 16 string-md5 digests) plus
-    * the hot-bucket skew cap. DuckDB has no xxhash64, so this entry has no
-    * SQL oracle (driver records a rows-only check); pair validity (every
-    * returned pair really exceeds the Jaccard threshold, and is found by
-    * the exact prefix-filter join) is asserted in DedupSpec. */
+    * the hot-bucket skew cap. DuckDB has no xxhash64, so the PAIRS can't
+    * hash-match an oracle — instead the entry emits the
+    * [[graft.operators.Dedup.minhashLshGate]] tolerance row: the exact
+    * prefix-filter pair count as the anchor plus subset/threshold/recall
+    * booleans, all computed in-engine from one shared gram projection.
+    * The oracle brute-forces the same bigram Jaccard count and emits
+    * literal TRUEs. */
   def q20bMinhashXxh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.minhashLshGate(Tables.documents(spark, dir), "doc_id", "text",
         shingleN = MhShingleN, numHashes = MhNumHashes, bands = MhBands,
-        threshold = MhThreshold, maxBucketSize = Some(1000))
-      .orderBy(col("id1"), col("id2"))
+        threshold = MhGateThreshold, minRecall = MhGateMinRecall,
+        maxBucketSize = Some(1000))
+
+  val q20bMinhashXxhSql: String =
+    s"""WITH raw AS (SELECT doc_id, $tokSqlExpr AS t FROM documents),
+       |docs AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+       |  FROM raw WHERE len(t) >= $MhShingleN),
+       |pairs AS (
+       |  SELECT round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+       |        ELSE len(list_intersect(a.g, b.g))::double
+       |             / len(list_distinct(list_concat(a.g, b.g))) END, 4) AS jaccard
+       |  FROM docs a JOIN docs b ON a.id < b.id)
+       |SELECT count(*)::BIGINT AS n_exact, TRUE AS subset_ok,
+       |  TRUE AS threshold_ok, TRUE AS recall_ok
+       |FROM pairs WHERE jaccard >= $MhGateThreshold""".stripMargin
 
   /** SimHash near-dup pairs (hamming <= 3 over 64-bit signatures as two
     * 32-bit words, 16-bit-chunk join candidate generation with

@@ -111,6 +111,25 @@ class DedupSpec extends SparkSpec {
     assert(sh == 5L)
   }
 
+  test("minhashLshGate booleans have teeth: an impossible recall bound flips recall_ok") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff gg"), // exact dup of 1 → the one exact pair
+      (3L, "zz yy xx ww vv uu tt")
+    ).toDF("id", "text")
+    val ok = Dedup.minhashLshGate(docs, "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.7,
+      minRecall = 0.5).collect()(0)
+    assert(ok.getAs[Long]("n_exact") == 1)
+    assert(ok.getAs[Boolean]("subset_ok") && ok.getAs[Boolean]("threshold_ok") &&
+      ok.getAs[Boolean]("recall_ok"))
+    val bad = Dedup.minhashLshGate(docs, "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.7,
+      minRecall = 1.5).collect()(0)
+    assert(!bad.getAs[Boolean]("recall_ok"),
+      "an unsatisfiable bound must fail — otherwise the gate certifies nothing")
+  }
+
   test("operators release their persisted intermediates (no session cache leak)") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = Tables.documents(spark, sf)

@@ -110,6 +110,30 @@ class MediaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"frame sampling must not shuffle binary payloads:\n$plan")
   }
+
+  test("feature extraction is payload-narrow: scan → histogram with no exchange") {
+    // the q37 shape: binary payloads stay within their scan partitions;
+    // only the (small) feature vectors continue into the ANN path
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_feat").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val media = spark.read.parquet(dir).as[MediaRow]
+    val feats = Media.byteHistogram(media, bins = 64)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"byte-histogram features must not shuffle binary payloads:\n$plan")
+    assert(feats.collect().forall(f => math.abs(f.feature.sum - 1f) < 1e-3))
+  }
+
+  test("q37 media gate: anchors + booleans hold end-to-end") {
+    val rows = graft.operators.MediaQueries.q37MediaAnn(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_dup_pairs") > 0, "fixture must yield replica pairs")
+    assert(r.getAs[Boolean]("meta_ok"), "decoded headers must round-trip")
+    assert(r.getAs[Boolean]("hist_ok"), "histograms must be unit-L1")
+    assert(r.getAs[Boolean]("dup_found_ok"),
+      "SRP over centered features must surface every replica pair")
+  }
 }
 
 object MediaSpec {
