@@ -30,23 +30,46 @@ object Bench {
       try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Median of `benchReps` timed runs per query: run-to-run noise on a
+    // shared host is ±40%, so single-shot durations can't distinguish a
+    // real regression from scheduler luck; medians make round-over-round
+    // deltas meaningful. A run that throws contributes no duration — a
+    // query whose every run failed reports null and lands in `failed`,
+    // and one that failed intermittently lands in `flaky` with its
+    // failure count (a silently-broken query must not skew the headline
+    // total with a near-zero "duration", and a half-broken one must not
+    // pass for healthy).
+    val reps = math.max(1, cfg.benchReps)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val durations = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // operators persist intermediates (signatures, SRP bits); drop
+        // them between runs so one run's cache doesn't occupy memory
+        // while the next is measured
+        spark.catalog.clearCache()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      // operators persist intermediates (signatures, SRP bits); drop them
-      // between queries so one query's cache doesn't occupy memory while
-      // the next is measured
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val median = durations.sorted.drop(durations.size / 2).headOption
+      (name, median, reps - durations.size)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val flaky = results.collect { case (k, Some(_), nf) if nf > 0 =>
+      s"\"" + k + "\":" + nf
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failed,"flaky":$flaky,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     val out = cfg.benchOut
     try Files.writeString(Paths.get(out), json + "\n")

@@ -11,6 +11,7 @@ final case class GraftConfig(
     cpus: Int,                 // GRAFT_CPUS: local parallelism / shuffle partitions
     sfDir: String,             // GRAFT_SF_DIR: fixture directory
     benchOut: String,          // GRAFT_BENCH_OUT: bench metric JSON file
+    benchReps: Int,            // GRAFT_BENCH_REPS: timed runs per query (median reported)
     mergeOrderCol: Option[String], // GRAFT_MERGE_ORDER_COL: duplicate-key fold order
     tolerant: Boolean)         // GRAFT_TOLERANT: drop-and-continue on merge failure
 
@@ -22,6 +23,8 @@ object GraftConfig {
       .getOrElse("/root/testdata/sf0.1"),
     benchOut = env.get("GRAFT_BENCH_OUT").orElse(env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("/root/repo/BENCH.json"),
+    benchReps = env.get("GRAFT_BENCH_REPS").orElse(env.get("SPARK_GRAFT_BENCH_REPS"))
+      .map(_.toInt).getOrElse(3),
     mergeOrderCol = env.get("GRAFT_MERGE_ORDER_COL"),
     tolerant = env.get("GRAFT_TOLERANT").exists(v => v == "1" || v.equalsIgnoreCase("true")))
 }

@@ -82,10 +82,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         blockCol: Option[String] = None): DataFrame = {
+    // validate BEFORE the persist below registers a cache entry — an
+    // invalid call must not leak a cached frame it will never release
+    requireThreshold(threshold)
     val base = gramsProjection(df, idCol, textCol, n, blockCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     checkpointAndRelease(prefixFilterPairs(base, threshold), base)
   }
+
+  private def requireThreshold(threshold: Double): Unit =
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0,1]")
+
+  private def requireBands(numHashes: Int, bands: Int): Unit =
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
 
   /** The (id, grams, sz, blk) projection both near-dup families start
     * from: tokenize/shingle + distinct, empty sets dropped (J=0 vs
@@ -106,7 +115,7 @@ object Dedup {
   /** Exact prefix-filter pairs (steps 1-5 above) over a prepared
     * [[gramsBase]] frame; returns verified (id1, id2, jaccard). */
   private def prefixFilterPairs(base: DataFrame, threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0,1]")
+    requireThreshold(threshold)
     val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     // canonical rarest-first order; array_sort on struct(df, g) is the
@@ -162,6 +171,7 @@ object Dedup {
                       threshold: Double,
                       sigFn: (Column, Int) => Column = minhashSignatureXx,
                       maxBucketSize: Option[Int] = None): DataFrame = {
+    requireBands(numHashes, bands); requireThreshold(threshold)
     // Persisted: the shingle+signature projection is the expensive part
     // and is referenced by both sides of the bucket self-join and both
     // verify joins — four re-executions without the persist.
@@ -177,7 +187,7 @@ object Dedup {
   private def lshVerifiedPairs(docs: DataFrame, numHashes: Int, bands: Int,
                                threshold: Double,
                                maxBucketSize: Option[Int]): DataFrame = {
-    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    requireBands(numHashes, bands)
     val rowsPerBand = numHashes / bands
     val banded0 = docs
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)))
@@ -204,10 +214,14 @@ object Dedup {
     * them into a single row —
     *  - `n_exact`: exact pair count at `threshold` (the oracle-computable
     *    anchor: DuckDB brute-forces the same bigram Jaccard);
-    *  - `subset_ok`: every LSH pair is in the exact set (certifies both
-    *    the verify step and the prefix join's zero-false-negative claim);
-    *  - `threshold_ok`: every emitted LSH pair's exact Jaccard clears the
-    *    threshold;
+    *  - `subset_ok`: every LSH pair appears in the exact set. The two
+    *    sides share the verify arithmetic but NOT candidate generation
+    *    (band buckets vs prefix filter), so this certifies the prefix
+    *    join's zero-false-negative claim and the LSH verify together —
+    *    and because exact pairs are threshold-filtered, it subsumes a
+    *    per-pair threshold check (a same-column `min(jaccard) >=
+    *    threshold` re-test would be structurally true and certify
+    *    nothing);
     *  - `recall_ok`: LSH found >= `minRecall` of the exact pairs (the LSH
     *    s-curve's measurable output; xxhash64 is deterministic, so this is
     *    a fixed property of corpus + parameters, not a flaky sample).
@@ -218,23 +232,22 @@ object Dedup {
                      threshold: Double, minRecall: Double,
                      sigFn: (Column, Int) => Column = minhashSignatureXx,
                      maxBucketSize: Option[Int] = None): DataFrame = {
+    requireBands(numHashes, bands); requireThreshold(threshold)
     val base = gramsProjection(df, idCol, textCol, shingleN, None)
       .withColumn("sig", sigFn(col("grams"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lsh = lshVerifiedPairs(base, numHashes, bands, threshold, maxBucketSize)
-      .select(col("id1"), col("id2"), col("jaccard")).withColumn("ls", lit(1))
+      .select(col("id1"), col("id2")).withColumn("ls", lit(1))
     val exact = prefixFilterPairs(base, threshold)
       .select(col("id1"), col("id2")).withColumn("ex", lit(1))
     val gate = exact.join(lsh, Seq("id1", "id2"), "full_outer")
       .agg(
         sum(coalesce(col("ex"), lit(0))).as("nx"),
         sum(coalesce(col("ls"), lit(0))).as("nl"),
-        sum(coalesce(col("ex"), lit(0)) * coalesce(col("ls"), lit(0))).as("nh"),
-        min(col("jaccard")).as("minj"))
+        sum(coalesce(col("ex"), lit(0)) * coalesce(col("ls"), lit(0))).as("nh"))
       .select(
         coalesce(col("nx"), lit(0L)).cast("long").as("n_exact"),
         (coalesce(col("nl"), lit(0L)) === coalesce(col("nh"), lit(0L))).as("subset_ok"),
-        coalesce(col("minj") >= threshold, lit(true)).as("threshold_ok"),
         (coalesce(col("nh"), lit(0L)) >=
           coalesce(col("nx"), lit(0L)) * minRecall).as("recall_ok"))
     checkpointAndRelease(gate, base)

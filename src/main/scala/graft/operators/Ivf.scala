@@ -128,7 +128,10 @@ object Ivf {
   def q28IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("v"))
-    val index = build(emb, "id", "v", nlist = Nlist)
+    // 20k-row fit cap: ~1250 points per list at nlist=16 — ample for
+    // centroid quality, and small enough that the sampled-fit path is
+    // exercised at bench scale (sf0.1 ≈ 50k vectors), not just at 100 TB
+    val index = build(emb, "id", "v", nlist = Nlist, fitSampleRows = 20000)
     val ivf = topK(spark, index, emb.filter(col("id") < NQueries),
         k = K, nprobe = Nprobe)
       .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))

