@@ -55,6 +55,7 @@ object SparkEntry {
     "q35_sliding"      -> (StreamingQueries.q35Sliding _),
     "q36_user_totals"  -> (StreamingQueries.q36UserTotals _),
     "q37_media_ann"    -> (MediaQueries.q37MediaAnn _),
+    "q38_boilerplate"  -> (TextQueries.q38Boilerplate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,5 +99,6 @@ object SparkEntry {
     "q35_sliding"      -> StreamingQueries.q35SlidingSql,
     "q36_user_totals"  -> StreamingQueries.q36UserTotalsSql,
     "q37_media_ann"    -> MediaQueries.q37MediaAnnSql,
+    "q38_boilerplate"  -> TextQueries.q38BoilerplateSql,
   )
 }

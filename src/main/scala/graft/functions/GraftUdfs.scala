@@ -114,6 +114,64 @@ object GraftUdfs {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Count-min sketch: point-frequency estimation in sublinear space —
+    * the boilerplate-detection sketch (how often does each shingle occur
+    * corpus-wide?) next to KMV's distinct-count. The buffer is a
+    * depth×width counter matrix; estimates never UNDERcount (each row's
+    * counter ≥ the true count) and overcount by ≤ e/width·N with high
+    * probability — q38 turns both bounds into gate booleans.
+    *
+    * The input is the PRE-HASHED position vector (one position per depth
+    * row), computed upstream by codegen'd `xxhash64(gram, depth)`
+    * expressions — so the estimate side reuses the IDENTICAL expressions
+    * against the finished sketch ([[cmsPositions]]/[[cmsEstimate]]) and
+    * the aggregator itself does no hashing. Buffers merge element-wise
+    * (associative + commutative): partial aggregation is exact and the
+    * shuffle carries one depth×width matrix per partition, regardless of
+    * corpus size. */
+  final class CmsSketchAggregator(depth: Int, width: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(buf: Array[Long], pos: Seq[Long]): Array[Long] = {
+      var d = 0
+      while (d < depth) { buf(d * width + pos(d).toInt) += 1L; d += 1 }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{array, element_at, least, lit, pmod, xxhash64}
+
+  /** The depth hash positions of an element — the aggregator's input AND
+    * the estimate's lookup keys, from the same codegen'd expressions. */
+  def cmsPositions(e: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(d =>
+      pmod(xxhash64(e, lit(d)), lit(width.toLong))): _*)
+
+  /** Point estimate from a finished sketch: min over depth rows of the
+    * element's counter. */
+  def cmsEstimate(sketch: Column, e: Column, depth: Int, width: Int): Column =
+    (0 until depth).map { d =>
+      element_at(sketch,
+        (pmod(xxhash64(e, lit(d)), lit(width.toLong)) + lit(d * width) + 1).cast("int"))
+    }.reduce(least(_, _))
+
   /** Scalar UDF demo: exact Jaccard over two string sequences. The column
     * expression [[TextFunctions.jaccard]] is the production form (codegen,
     * oracle-mirrorable); this exists to exercise + test the registered-UDF
@@ -125,13 +183,17 @@ object GraftUdfs {
     if (union == 0) 0.0 else (sa & sb).size.toDouble / union
   }
 
-  /** Registers the UDF/UDAF surface on a session: `minhash_sig(elem)`
-    * and `kmv_distinct(elem)` (grouped), `jaccard_udf(arr, arr)`. */
-  def register(spark: SparkSession, numHashes: Int = 16, kmvK: Int = 256): Unit = {
+  /** Registers the UDF/UDAF surface on a session: `minhash_sig(elem)`,
+    * `kmv_distinct(elem)` and `cms_sketch(positions)` (grouped),
+    * `jaccard_udf(arr, arr)`. */
+  def register(spark: SparkSession, numHashes: Int = 16, kmvK: Int = 256,
+               cmsDepth: Int = 4, cmsWidth: Int = 2048): Unit = {
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(new MinHashAggregator(numHashes)))
     spark.udf.register("kmv_distinct",
       org.apache.spark.sql.functions.udaf(new KmvDistinctAggregator(kmvK)))
+    spark.udf.register("cms_sketch",
+      org.apache.spark.sql.functions.udaf(new CmsSketchAggregator(cmsDepth, cmsWidth)))
     spark.udf.register("jaccard_udf", jaccardUdf)
   }
 }

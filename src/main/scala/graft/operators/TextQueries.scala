@@ -267,6 +267,63 @@ object TextQueries {
        |  TRUE AS recall_ok
        |FROM pairs WHERE jaccard >= $MhGateThreshold""".stripMargin
 
+  // CMS gate parameters (q38): ε = e/width ≈ 0.0013 → overcount slack
+  // ceil(ε·N) per the standard CMS bound; depth 4 → the bound holds
+  // w.p. 1-e⁻⁴ per query, and the sketch + hashes are deterministic, so
+  // the gate is a fixed property of corpus + parameters.
+  private val CmsDepth = 4
+  private val CmsWidth = 2048
+  private val CmsTopK = 20
+
+  /** Boilerplate-shingle detection (q38): the top-`CmsTopK` bigram
+    * shingles by document frequency — the corpus-wide repeated-fragment
+    * signal an LLM data pipeline uses to strip boilerplate — with the
+    * [[graft.functions.GraftUdfs.CmsSketchAggregator]] count-min sketch
+    * estimating each top shingle's frequency next to the exact count.
+    * Gate: `n_docs` (exact DF — the oracle-computable anchor) and
+    * `cms_ok` — the CMS estimate within its one-sided error band
+    * [exact, exact + ceil(e/width · N)] (a CMS never undercounts; the
+    * overcount bound is the sketch's ε·N guarantee). All plan-side: the
+    * sketch is one mergeable global aggregate, estimates are the same
+    * codegen'd xxhash64 expressions that fed it, and the only driver
+    * values are observed-metric-free 1-row cross joins. */
+  def q38Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftUdfs
+    val grams = Tables.documents(spark, dir)
+      .select(array_distinct(shingles(col("text"), MhShingleN)).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(explode(col("gs")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("g").asc).limit(CmsTopK)
+    val sketch = grams
+      .select(GraftUdfs.cmsPositions(col("g"), CmsDepth, CmsWidth).as("pos"))
+      .as[Seq[Long]]
+      .select(new GraftUdfs.CmsSketchAggregator(CmsDepth, CmsWidth)
+        .toColumn.name("sk")) // TypedColumn.name keeps the typed select API
+      .toDF("sk")
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val out = top.crossJoin(sketch).crossJoin(total)
+      .select(col("g").as("gram"), col("cnt").as("n_docs"),
+        GraftUdfs.cmsEstimate(col("sk"), col("g"), CmsDepth, CmsWidth).as("est"),
+        ceil(col("n_total") * (math.E / CmsWidth)).as("slack"))
+      .select(col("gram"), col("n_docs"),
+        (col("est") >= col("n_docs") &&
+          col("est") <= col("n_docs") + col("slack")).as("cms_ok"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
+  }
+
+  val q38BoilerplateSql: String =
+    s"""WITH raw AS (SELECT doc_id, $tokSqlExpr AS t FROM documents),
+       |g AS (SELECT unnest(list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS gram
+       |      FROM raw WHERE len(t) >= $MhShingleN)
+       |SELECT gram, count(*) AS n_docs, TRUE AS cms_ok
+       |FROM g GROUP BY gram ORDER BY n_docs DESC, gram LIMIT $CmsTopK""".stripMargin
+
   /** SimHash near-dup pairs (hamming <= 3 over 64-bit signatures as two
     * 32-bit words, 16-bit-chunk join candidate generation with
     * pigeonhole-guaranteed recall). */

@@ -101,6 +101,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop repeats of `idCol` arriving within the
+    * watermark horizon — the streaming form of [[graft.operators.Dedup]]'s
+    * exact dedup, for at-least-once upstream sources (replayed events,
+    * duplicated ingestion). `dropDuplicatesWithinWatermark` is the
+    * bounded-state form: plain streaming dropDuplicates keys state on
+    * every id EVER seen (state grows with stream history — the 100 TB
+    * killer); the within-watermark variant evicts ids older than the
+    * horizon, so state ∝ ids per lateness window, constant for a steady
+    * stream. Batch callers get plain dropDuplicates semantics. */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  lateness: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
   /** Streaming parquet source over a directory of event files (explicit
     * schema — file streaming sources cannot infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

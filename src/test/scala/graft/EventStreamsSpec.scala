@@ -67,6 +67,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark repeats, keeps bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(in.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 10), ev(1, 12), ev(2, 20)) // same-batch repeat of id 1
+      q.processAllAvailable()
+      in.addData(ev(1, 25)) // cross-batch repeat, still within the horizon
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L), "each id must survive exactly once")
+    } finally q.stop()
+    // batch mode: same call degrades to plain dropDuplicates
+    val batch = Seq(ev(7, 1), ev(7, 2), ev(8, 3)).toDF()
+    assert(EventStreams.dedupEvents(batch).count() == 2)
+  }
+
   test("session windows split on the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -88,6 +88,33 @@ class GraftUdfsSpec extends SparkSpec {
     assert(dup == big, "re-observing the same values must not change the sketch")
   }
 
+  test("CMS sketch: never undercounts, bounded overcount, merge-stable") {
+    val depth = 4
+    val width = 512
+    val n = 5000
+    // zipf-ish corpus: item-i appears ceil(50/i) times
+    val rows = (1 to n).flatMap(i => Seq.fill(50 / i + 1)(s"item-$i"))
+    val total = rows.size
+    val df = rows.toDF("g").repartition(16) // force partial buffers + merges
+    val sketch = df
+      .select(GraftUdfs.cmsPositions(col("g"), depth, width).as("pos"))
+      .as[Seq[Long]]
+      .select(new GraftUdfs.CmsSketchAggregator(depth, width).toColumn.name("sk"))
+      .toDF("sk")
+    val est = df.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .crossJoin(sketch)
+      .select(col("g"), col("cnt"),
+        GraftUdfs.cmsEstimate(col("sk"), col("g"), depth, width).as("est"))
+      .collect()
+    val slack = math.ceil(total * math.E / width)
+    est.foreach { r =>
+      val (cnt, e) = (r.getAs[Long]("cnt"), r.getAs[Long]("est"))
+      assert(e >= cnt, s"CMS must never undercount: ${r.getString(0)} $e < $cnt")
+      assert(e <= cnt + slack,
+        s"overcount beyond the e/width bound: ${r.getString(0)} $e > $cnt + $slack")
+    }
+  }
+
   test("registered scalar UDF runs from SQL and matches the column expression") {
     GraftUdfs.register(spark)
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
