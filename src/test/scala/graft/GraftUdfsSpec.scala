@@ -113,6 +113,13 @@ class GraftUdfsSpec extends SparkSpec {
       assert(e <= cnt + slack,
         s"overcount beyond the e/width bound: ${r.getString(0)} $e > $cnt + $slack")
     }
+    // plan audit: the sketch rides a partial+final typed-aggregate pair —
+    // partitions pre-merge their own matrix map-side, the shuffle carries
+    // one depth×width buffer per partition, not one row per element
+    val plan = sketch.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2 ||
+      "SortAggregate".r.findAllIn(plan).length >= 2,
+      s"CMS must aggregate map-side before the shuffle:\n$plan")
   }
 
   test("registered scalar UDF runs from SQL and matches the column expression") {
