@@ -56,6 +56,8 @@ object SparkEntry {
     "q36_user_totals"  -> (StreamingQueries.q36UserTotals _),
     "q37_media_ann"    -> (MediaQueries.q37MediaAnn _),
     "q38_boilerplate"  -> (TextQueries.q38Boilerplate _),
+    "q39_grouping_sets" -> (Relational.q39GroupingSets _),
+    "q40_window_fns"   -> (Relational.q40WindowFns _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,5 +102,7 @@ object SparkEntry {
     "q36_user_totals"  -> StreamingQueries.q36UserTotalsSql,
     "q37_media_ann"    -> MediaQueries.q37MediaAnnSql,
     "q38_boilerplate"  -> TextQueries.q38BoilerplateSql,
+    "q39_grouping_sets" -> Relational.q39GroupingSetsSql,
+    "q40_window_fns"   -> Relational.q40WindowFnsSql,
   )
 }

@@ -227,6 +227,73 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS (the asymmetric case rollup/cube can't
+    * express: (a,b), (a), (b) — no grand total): Spark 4's typed
+    * `groupingSets` API, lowering to the same Expand operator as q8/q30.
+    * Sums l_quantity (integer-valued doubles — exact in both engines up
+    * to 2⁵³, so the 4-dp round can never straddle a boundary). */
+  def q39GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q39GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus)::bigint AS gid,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** The rest of the window-function surface next to q12's
+    * sum/rank/lag: lead, ntile, percent_rank, cume_dist and framed
+    * first/last — one shuffle on the partition key, every function
+    * evaluated in the same window pass. percent_rank/cume_dist are exact
+    * rationals ((rank-1)/(n-1), rank/n) — both engines compute the
+    * identical double, so the display rounding is deterministic. */
+  def q40WindowFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)), 4)
+          .as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        round(first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("first_price"),
+        round(last(col("o_totalprice")).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)), 4)
+          .as("last_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q40WindowFnsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(coalesce(lead(o_totalprice, 1) OVER w, -1.0), 4) AS next_price,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cdist,
+      |  round(first_value(o_totalprice) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS first_price,
+      |  round(last_value(o_totalprice) OVER
+      |    (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS last_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** SQL front-end surface: the same Catalyst pipeline through
     * `spark.sql` — a correlated scalar subquery (orders beating their
     * customer's average), which the optimizer decorrelates into an

@@ -72,6 +72,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.count() > 0)
   }
 
+  test("grouping sets lower to Expand + one aggregate pass (q39)") {
+    val p = plan(Relational.q39GroupingSets(spark, sf))
+    assert(p.contains("Expand"),
+      s"grouping sets must expand rows, not re-scan per set:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one shuffle for all grouping sets:\n$p")
+  }
+
+  test("the window-function battery shares one partition shuffle (q40)") {
+    val p = plan(Relational.q40WindowFns(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"all window functions must reuse the o_custkey partitioning:\n$p")
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as
