@@ -51,8 +51,15 @@ object Bench {
           }
         // operators persist intermediates (signatures, SRP bits); drop
         // them between runs so one run's cache doesn't occupy memory
-        // while the next is measured
+        // while the next is measured. The GC call is load-bearing too:
+        // gate operators materialize results via localCheckpoint, whose
+        // blocks are freed by the ContextCleaner only after the JVM
+        // collects the dereferenced Dataset (periodic GC default: 30 min)
+        // — without the nudge, blocks pile up across ~120 runs and later
+        // queries pay GC/memory pressure (observed: q28 2.5s → 27s by
+        // the time the alphabet reached it)
         spark.catalog.clearCache()
+        System.gc()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       val median = durations.sorted.drop(durations.size / 2).headOption

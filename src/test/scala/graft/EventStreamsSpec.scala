@@ -195,4 +195,29 @@ class EventStreamsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("batch and streaming sliding windows agree on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = operators.StreamingQueries.q35Sliding(spark, sf).collect()
+    val events = Tables.events(spark, sf).as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.slidingAvg(in.toDF(), width = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("sliding_parity")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_parity").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      assert(streamed.nonEmpty)
+      batch.foreach { r =>
+        val key = (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"))
+        assert(streamed(key) ==
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")),
+          s"mismatch at $key")
+      }
+    } finally q.stop()
+  }
 }
