@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, SortedIntersectSize}
 
 /** Session extensions (the public Catalyst plug-in point): registers the
   * engine's native expressions as SQL functions so `spark.sql("SELECT
@@ -18,6 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2, "graft_dot(arrayA, arrayB)")
         DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_sorted_intersect_size"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          "graft_sorted_intersect_size(sortedArrA, sortedArrB)")
+        SortedIntersectSize(args(0), args(1))
       }))
   }
 }

@@ -25,21 +25,29 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Exact-Jaccard verify of candidate pairs against a docs frame carrying
-    * (id, grams, sz) with grams ALREADY distinct: one array_intersect per
-    * pair and the size identity J = |I| / (|A| + |B| - |I|) — ~4× less
-    * per-pair work than distinct+union+intersect (higher-order array
-    * expressions are interpreted, not codegen'd, so per-pair expression
-    * count is the verify stage's whole cost). */
+    * (id, grams, sz) with grams DISTINCT and SORTED ([[gramsProjection]]
+    * sorts once at build time): one codegen'd two-pointer merge
+    * ([[graft.expressions.SortedIntersectSize]]) per pair and the size
+    * identity J = |I| / (|A| + |B| - |I|). The verify stage sees
+    * candidate volume, not result volume (1.4M candidates → 256 results
+    * on the sf0.1 fixture at t=0.7), so per-pair cost is the whole stage:
+    * the merge kernel replaces `array_intersect`'s per-pair hash-set
+    * build with an allocation-free scan of the pre-sorted arrays. */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame,
-                            threshold: Double): DataFrame =
+                            threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def isect(a: Column, b: Column): Column =
+      ColumnBridge.column(graft.expressions.SortedIntersectSize(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
     cand
       .join(docs.select(col("id").as("id1"), col("grams").as("g1"), col("sz").as("sz1")), "id1")
       .join(docs.select(col("id").as("id2"), col("grams").as("g2"), col("sz").as("sz2")), "id2")
-      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("inter", isect(col("g1"), col("g2")))
       .select(col("id1"), col("id2"),
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Exact dedup by content hash: one survivor (min id) per distinct text.
     * (groupBy beats dropDuplicates here because it also yields group sizes
@@ -97,16 +105,22 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
 
   /** The (id, grams, sz, blk) projection both near-dup families start
-    * from: tokenize/shingle + distinct, empty sets dropped (J=0 vs
-    * everything at threshold > 0). Callers PERSIST it (it is referenced by
-    * the df-order agg AND both verify joins — without that the pipeline
-    * re-executes per reference; at cluster scale: MEMORY_AND_DISK spills,
-    * and for a 100 TB corpus pre-materializing this projection to parquet
-    * is the same idea) and release it via [[checkpointAndRelease]]. */
+    * from: tokenize/shingle + distinct + SORT (one array_sort per doc at
+    * build time buys the verify stage its allocation-free merge kernel
+    * per candidate PAIR — the asymmetry that matters, since candidates
+    * outnumber docs by orders of magnitude), empty sets dropped (J=0 vs
+    * everything at threshold > 0). MinHash signatures are order-
+    * independent (element-wise minima), so the sort is invisible to the
+    * LSH path. Callers PERSIST it (it is referenced by the df-order agg
+    * AND both verify joins — without that the pipeline re-executes per
+    * reference; at cluster scale: MEMORY_AND_DISK spills, and for a
+    * 100 TB corpus pre-materializing this projection to parquet is the
+    * same idea) and release it via [[checkpointAndRelease]]. */
   private def gramsProjection(df: DataFrame, idCol: String, textCol: String,
                               n: Int, blockCol: Option[String]): DataFrame = {
     val grams = if (n == 1) tokens(col(textCol)) else shingles(col(textCol), n)
-    df.select(col(idCol).as("id"), array_distinct(grams).as("grams"),
+    df.select(col(idCol).as("id"),
+        array_sort(array_distinct(grams)).as("grams"),
         blockCol.map(col).getOrElse(lit(0)).as("blk"))
       .filter(size(col("grams")) > 0)
       .withColumn("sz", size(col("grams")))
@@ -236,10 +250,18 @@ object Dedup {
     val base = gramsProjection(df, idCol, textCol, shingleN, None)
       .withColumn("sig", sigFn(col("grams"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the two pair sets SEQUENTIALLY (each is tiny after its
+    // verify): one fused job would run the band self-join and the
+    // prefix-filter join concurrently over the shared heap, and the
+    // combined shuffle/GC peak made gate latency swing 2-3× run to run.
+    // Two bounded jobs + a trivial join of checkpointed row sets is the
+    // stable form.
     val lsh = lshVerifiedPairs(base, numHashes, bands, threshold, maxBucketSize)
       .select(col("id1"), col("id2")).withColumn("ls", lit(1))
+      .localCheckpoint(true)
     val exact = prefixFilterPairs(base, threshold)
       .select(col("id1"), col("id2")).withColumn("ex", lit(1))
+      .localCheckpoint(true)
     val gate = exact.join(lsh, Seq("id1", "id2"), "full_outer")
       .agg(
         sum(coalesce(col("ex"), lit(0))).as("nx"),

@@ -48,4 +48,46 @@ class VectorExpressionSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_dot"),
       s"dot projection should live inside a WholeStageCodegen span:\n$plan")
   }
+
+  private def isectCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  test("sorted intersect size equals size(array_intersect) on sorted random sets") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      val a = (1 to rng.nextInt(40)).map(_ => s"t${rng.nextInt(60)}").distinct.sorted
+      val b = (1 to rng.nextInt(40)).map(_ => s"t${rng.nextInt(60)}").distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[String], Seq("x"))) :+ ((Seq.empty[String], Seq.empty[String]))
+    val diff = rows.toDF("a", "b")
+      .select(isectCol(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0, "merge-count must agree with array_intersect on sorted distinct input")
+  }
+
+  test("graft_sorted_intersect_size: SQL resolution, codegen span, analysis-time typing") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    df.createOrReplaceTempView("isect_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_sorted_intersect_size(x, y) AS n FROM isect_probe")
+      .collect()(0).getInt(0)
+    assert(viaSql == 2)
+    // non-foldable input (a literal frame constant-folds to LocalTableScan)
+    val toks = Tables.documents(spark, sf)
+      .select(sort_array(split(col("text"), " ")).as("t"))
+    val plan = toks.select(isectCol(col("t"), col("t")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sorted_intersect_size") &&
+      plan.contains("*(1) Project"),
+      s"intersect kernel should live inside a WholeStageCodegen span:\n$plan")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_intersect_size(array(1, 2), array(2))").collect()
+    }
+    assert(err.getMessage.contains("array<string>"),
+      "non-string arrays must fail analysis, not crash at runtime")
+  }
 }
