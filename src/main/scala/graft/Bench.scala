@@ -49,6 +49,10 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
+        // stop the clock BEFORE cleanup: clearCache + a forced full GC
+        // cost ~0.2s and belong to the harness, not the query under
+        // measurement
+        val dt = (System.nanoTime() - t0) / 1e9
         // operators persist intermediates (signatures, SRP bits); drop
         // them between runs so one run's cache doesn't occupy memory
         // while the next is measured. The GC call is load-bearing too:
@@ -60,7 +64,7 @@ object Bench {
         // the time the alphabet reached it)
         spark.catalog.clearCache()
         System.gc()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) Some(dt) else None
       }
       val median = durations.sorted.drop(durations.size / 2).headOption
       (name, median, reps - durations.size)

@@ -17,10 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * PRECONDITION (caller-owned, [[graft.operators.Dedup]] sorts its gram
   * projection once at build time): both arrays ascending by UTF8String
-  * binary order with no duplicates and no null elements. On unsorted
-  * input the count is undefined — this is a kernel for the dedup
-  * pipeline, not a general set function (`array_intersect` remains the
-  * general form).
+  * binary order with no duplicates, nulls (if any) last — `array_sort`'s
+  * contract. Null elements never match; the merge stops at the first
+  * null on either side. On unsorted input the count is undefined — this
+  * is a kernel for the dedup pipeline, not a general set function
+  * (`array_intersect` remains the general form).
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +48,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var n = 0
-    while (i < na && j < nb) {
+    // null elements never match, and array_sort places them LAST — so the
+    // first null on either side ends the merge (the function is exposed
+    // as SQL; a crash on a null element would be a task failure, not an
+    // analysis error)
+    while (i < na && j < nb && !a.isNullAt(i) && !b.isNullAt(j)) {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
@@ -68,7 +73,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $n = 0;
-         |while ($i < $na && $j < $nb) {
+         |while ($i < $na && $j < $nb && !$a.isNullAt($i) && !$b.isNullAt($j)) {
          |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $n++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }

@@ -136,8 +136,19 @@ object GraftUdfs {
     override def zero: Array[Long] = new Array[Long](depth * width)
 
     override def reduce(buf: Array[Long], pos: Seq[Long]): Array[Long] = {
+      // positions are caller-supplied (cms_sketch is registered SQL): a
+      // vector built for a DIFFERENT shape would silently write into the
+      // wrong depth row — corrupted counters, broken never-undercount —
+      // so shape mismatches fail fast instead
+      require(pos.length == depth,
+        s"cms position vector has ${pos.length} entries, sketch depth is $depth")
       var d = 0
-      while (d < depth) { buf(d * width + pos(d).toInt) += 1L; d += 1 }
+      while (d < depth) {
+        val p = pos(d)
+        require(p >= 0 && p < width, s"cms position $p out of [0, $width)")
+        buf(d * width + p.toInt) += 1L
+        d += 1
+      }
       buf
     }
 
@@ -158,18 +169,23 @@ object GraftUdfs {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{array, element_at, least, lit, pmod, xxhash64}
 
+  /** The depth-d hash position of an element — the ONE definition both
+    * the aggregator input and the estimate lookups are built from (the
+    * sketch/estimate correspondence is exactly this expression; two
+    * drifting copies would silently break it). */
+  private def cmsPos(e: Column, d: Int, width: Int): Column =
+    pmod(xxhash64(e, lit(d)), lit(width.toLong))
+
   /** The depth hash positions of an element — the aggregator's input AND
     * the estimate's lookup keys, from the same codegen'd expressions. */
   def cmsPositions(e: Column, depth: Int, width: Int): Column =
-    array((0 until depth).map(d =>
-      pmod(xxhash64(e, lit(d)), lit(width.toLong))): _*)
+    array((0 until depth).map(d => cmsPos(e, d, width)): _*)
 
   /** Point estimate from a finished sketch: min over depth rows of the
     * element's counter. */
   def cmsEstimate(sketch: Column, e: Column, depth: Int, width: Int): Column =
     (0 until depth).map { d =>
-      element_at(sketch,
-        (pmod(xxhash64(e, lit(d)), lit(width.toLong)) + lit(d * width) + 1).cast("int"))
+      element_at(sketch, (cmsPos(e, d, width) + lit(d * width) + 1).cast("int"))
     }.reduce(least(_, _))
 
   /** Scalar UDF demo: exact Jaccard over two string sequences. The column

@@ -303,7 +303,9 @@ object TextQueries {
       .select(new GraftUdfs.CmsSketchAggregator(CmsDepth, CmsWidth)
         .toColumn.name("sk")) // TypedColumn.name keeps the typed select API
       .toDF("sk")
-    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    // n_total = Σ per-gram counts = the exploded row count — a cached
+    // scan count, not a second groupBy shuffle over the grams frame
+    val total = grams.agg(count(lit(1)).as("n_total"))
     val out = top.crossJoin(sketch).crossJoin(total)
       .select(col("g").as("gram"), col("cnt").as("n_docs"),
         GraftUdfs.cmsEstimate(col("sk"), col("g"), CmsDepth, CmsWidth).as("est"),

@@ -67,6 +67,11 @@ class VectorExpressionSpec extends SparkSpec {
         size(array_intersect(col("a"), col("b"))).as("ref"))
       .filter(col("fast") =!= col("ref")).count()
     assert(diff == 0, "merge-count must agree with array_intersect on sorted distinct input")
+    // null elements (array_sort places them last) end the merge, no crash
+    val withNull = Seq((Seq("a", "b", null), Seq("a", "c", null)))
+      .toDF("a", "b")
+      .select(isectCol(col("a"), col("b")).as("n")).collect()(0).getInt(0)
+    assert(withNull == 1, "nulls never match and must not crash the kernel")
   }
 
   test("graft_sorted_intersect_size: SQL resolution, codegen span, analysis-time typing") {
