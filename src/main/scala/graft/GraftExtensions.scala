@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotProduct, SortedIntersectSize}
+import graft.expressions.{DotProduct, SortedIntersectSize, WinnowRk}
 
 /** Session extensions (the public Catalyst plug-in point): registers the
   * engine's native expressions as SQL functions so `spark.sql("SELECT
@@ -27,6 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "graft_sorted_intersect_size(sortedArrA, sortedArrB)")
         SortedIntersectSize(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_rk"),
+      new ExpressionInfo(classOf[WinnowRk].getName, "graft_winnow_rk"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_winnow_rk: $name must be an integer literal")
+        }
+        require(args.length == 3, "graft_winnow_rk(text, k, w)")
+        WinnowRk(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
       }))
   }
 }

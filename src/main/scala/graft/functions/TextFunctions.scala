@@ -141,6 +141,18 @@ object TextFunctions {
         .otherwise(array_sort(array_distinct(mins)))
     }
 
+  /** PRODUCTION winnowing: one-pass Rabin-Karp rolling hashes inside a
+    * codegen'd expression ([[graft.expressions.WinnowRk]]) — O(1) per
+    * position vs an md5 digest per k-gram. The md5 variant above stays as
+    * the oracle-mirrorable form the q29 gate runs; this is what a 100 TB
+    * deployment calls. Same selection scheme and guards; hash family
+    * differs, so fingerprints are not interchangeable between the two. */
+  def winnowFingerprintsRk(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WinnowRk(
+      ColumnBridge.expression(text), k, w))
+  }
+
   /** Let-binding for column expressions: evaluates `e` once and passes it
     * to `body` as a lambda variable — `transform` over a 1-element array.
     * Spark has no expression-level let; without this, an expression used k

@@ -111,6 +111,44 @@ class DedupSpec extends SparkSpec {
     assert(sh == 5L)
   }
 
+  test("Rabin-Karp winnowing: reference values, edit robustness, guards, SQL") {
+    import graft.functions.TextFunctions.winnowFingerprintsRk
+    // independent reference implementation of the same scheme
+    def ref(s: String, k: Int, w: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      val n = bytes.length - k + 1
+      if (n < w) return Seq.empty
+      val base = 1000003L
+      val top = (1 until k).foldLeft(1L)((p, _) => p * base)
+      val hs = new Array[Long](n)
+      hs(0) = bytes.take(k).foldLeft(0L)((h, b) => h * base + (b & 0xffL))
+      for (i <- 1 until n)
+        hs(i) = (hs(i - 1) - (bytes(i - 1) & 0xffL) * top) * base + (bytes(i + k - 1) & 0xffL)
+      (0 to n - w).map(j => hs.slice(j, j + w).min).distinct.sorted
+    }
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the crazy dog and runs far away home"
+    val rows = Seq((1L, a), (2L, a), (3L, b), (4L, "ab"), (5L, "abcdef"))
+      .toDF("id", "text")
+      .select(col("id"), winnowFingerprintsRk(col("text"), 5, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exact match with the reference implementation pins eval AND codegen
+    assert(rows(1L) == ref(a, 5, 4), "codegen path must match the reference values")
+    assert(rows(3L) == ref(b, 5, 4))
+    assert(rows(1L) == rows(2L), "deterministic: identical docs share all fingerprints")
+    val s1 = rows(1L).toSet
+    val s3 = rows(3L).toSet
+    val overlap = (s1 & s3).size.toDouble / (s1 | s3).size
+    assert(overlap > 0.5 && s1 != s3,
+      f"a one-word edit must preserve most fingerprints ($overlap%.2f)")
+    assert(rows(4L).isEmpty, "shorter than k")
+    assert(rows(5L).isEmpty, "fewer than w k-grams")
+    // SQL registration via the session extension; k/w must be literals
+    val viaSql = spark.sql(s"SELECT graft_winnow_rk('$a', 5, 4) AS fps")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == ref(a, 5, 4))
+  }
+
   test("minhashLshGate booleans have teeth: an impossible recall bound flips recall_ok") {
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg"),
