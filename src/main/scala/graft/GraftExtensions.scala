@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotProduct, SortedIntersectSize, WinnowRk}
+import graft.expressions.{DotProduct, SimhashWord, SortedIntersectSize, WinnowRk}
 
 /** Session extensions (the public Catalyst plug-in point): registers the
   * engine's native expressions as SQL functions so `spark.sql("SELECT
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(args.length == 3, "graft_winnow_rk(text, k, w)")
         WinnowRk(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_word"),
+      new ExpressionInfo(classOf[SimhashWord].getName, "graft_simhash_word"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "graft_simhash_word(hashArray)")
+        SimhashWord(args(0))
       }))
   }
 }

@@ -286,12 +286,23 @@ object Dedup {
     conv(substring(md5(t), 9, 8), 16, 10).cast("long")
 
   /** One 32-bit simhash word over a MATERIALIZED array of token hashes:
-    * per bit, the sign of the +1/-1 vote sum. The caller must project the
-    * hash array into its own column first — each of the 32 bit-vote
-    * `aggregate`s references that attribute, and Catalyst's CollapseProject
-    * keeps a multiply-referenced non-cheap alias materialized, so
-    * tokenize+md5 run once per row, not 32× (the round-1 defect). */
+    * per bit, the sign of the +1/-1 vote sum — a codegen'd single pass
+    * ([[graft.expressions.SimhashWord]]; the HOF form below evaluated 32
+    * interpreted `aggregate` lambdas per word). The caller must project
+    * the hash array into its own column first — CollapseProject keeps a
+    * multiply-referenced non-cheap alias materialized, so tokenize+md5
+    * run once per row (the round-1 defect). Values are identical to the
+    * HOF form (DedupSpec pins the equivalence), so the q21 oracle is
+    * unaffected. */
   def simhashWord(hashes: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SimhashWord(
+      ColumnBridge.expression(hashes)))
+  }
+
+  /** The interpreted higher-order form [[simhashWord]] replaced — kept as
+    * the readable reference and for the equivalence test. */
+  def simhashWordHof(hashes: Column): Column = {
     val bits = (0 until 32).map { j =>
       val votes = aggregate(hashes, lit(0),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))

@@ -111,6 +111,18 @@ class DedupSpec extends SparkSpec {
     assert(sh == 5L)
   }
 
+  test("codegen simhash word equals the higher-order form on random hash arrays") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 300).map(_ =>
+      Tuple1((1 to rng.nextInt(50)).map(_ => rng.nextLong() & 0xffffffffL))) :+
+      Tuple1(Seq.empty[Long])
+    val diff = rows.toDF("hs")
+      .select(Dedup.simhashWord(col("hs")).as("fast"),
+        Dedup.simhashWordHof(col("hs")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0, "the codegen word must be bit-identical to the HOF votes")
+  }
+
   test("Rabin-Karp winnowing: reference values, edit robustness, guards, SQL") {
     import graft.functions.TextFunctions.winnowFingerprintsRk
     // independent reference implementation of the same scheme
