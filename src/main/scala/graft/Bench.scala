@@ -66,7 +66,14 @@ object Bench {
         System.gc()
         if (ok) Some(dt) else None
       }
-      val median = durations.sorted.drop(durations.size / 2).headOption
+      // true median: midpoint average on an even count (after a flaky
+      // failure at reps=2 the upper-middle pick would report the SLOWER
+      // of the two surviving runs)
+      val sorted = durations.sorted
+      val median =
+        if (sorted.isEmpty) None
+        else if (sorted.size % 2 == 1) Some(sorted(sorted.size / 2))
+        else Some((sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2)
       (name, median, reps - durations.size)
     }
     val qs = results.map { case (k, v, _) =>

@@ -46,7 +46,7 @@ object GraftUdfs {
     override def finish(buf: Array[Long]): Array[Long] = buf
 
     override def bufferEncoder: Encoder[Array[Long]] =
-      Encoders.javaSerialization[Array[Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }

@@ -84,17 +84,21 @@ object MediaQueries {
     val docs = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
-    val base = docs.as[(Long, String)]
     // Persisted: the blob construction feeds FOUR consumers (decode agg,
     // histogram agg, the centering mean, the SRP input) — without the
     // persist the scan+textBlob pipeline re-executes per consumer (the
     // same multi-reference discipline as Dedup's gram projection); both
     // frames are released after the gate row materializes below.
-    val media = base
-      .map { case (id, text) => Media.MediaRow(id, "image", textBlob(text)) }
-      .union(base.filter(_._1 % ReplicaEvery == 0).map { case (id, text) =>
-        Media.MediaRow(id + ReplicaOffset, "image", textBlob(text))
-      })
+    // ONE documents scan: the replica rows are emitted inline by the same
+    // flatMap that builds the originals (sharing the blob bytes), instead
+    // of a second filtered scan unioned in.
+    val media = docs.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val row = Media.MediaRow(id, "image", textBlob(text))
+        if (id % ReplicaEvery == 0)
+          Seq(row, Media.MediaRow(id + ReplicaOffset, "image", row.content))
+        else Seq(row)
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // decode through the per-partition codec: header must round-trip

@@ -240,15 +240,37 @@ object MergeSink {
     merged.write.format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(tmp)
-    // swap with a backup, like the directory swap in mergeInto: the old
-    // snapshot is renamed aside (metadata-only) and dropped only after
-    // the replacement is in place — a crash mid-swap leaves either the
-    // old or the new table recoverable, never neither.
-    if (spark.catalog.tableExists(table)) {
-      spark.sql(s"ALTER TABLE $table RENAME TO $bak")
-    }
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    spark.sql(s"DROP TABLE IF EXISTS $bak")
+    catalogSwap(spark, tmp, table, bak)()
     statsOf(obs)
+  }
+
+  /** Catalog-table counterpart of [[atomicSwap]]: rename the live table
+    * aside, move the replacement into place, drop the backup — and if the
+    * FORWARD rename fails after the target was moved aside (the window
+    * where no table holds the target name), restore the backup before
+    * rethrowing, so the swap either completes or leaves the previous
+    * snapshot under its name. `rename` is injectable for the
+    * failure-injection test (catalog renames offer no FilterFileSystem
+    * seam like the directory swap's). */
+  private[graft] def catalogSwap(spark: SparkSession, tmp: String,
+      table: String, bak: String)(
+      mv: (String, String) => Unit =
+        (from, to) => { spark.sql(s"ALTER TABLE $from RENAME TO $to"); () }): Unit = {
+    val hadTarget = spark.catalog.tableExists(table)
+    if (hadTarget) mv(table, bak)
+    try mv(tmp, table)
+    catch {
+      case e: Throwable =>
+        if (hadTarget && !spark.catalog.tableExists(table) &&
+            spark.catalog.tableExists(bak)) {
+          try mv(bak, table)
+          catch {
+            case e2: Throwable => e.addSuppressed(new IllegalStateException(
+              s"rollback failed: previous snapshot left at $bak", e2))
+          }
+        }
+        throw e
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $bak")
   }
 }

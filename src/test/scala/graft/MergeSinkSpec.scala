@@ -197,6 +197,30 @@ class MergeSinkSpec extends SparkSpec {
     assert(!real.exists(new HPath(bak)), "backup moved back, not left aside")
   }
 
+  test("catalog swap: a failed forward rename restores the previous table name") {
+    val tbl = "graft_catalog_swap_test"
+    val tmp = s"${tbl}__merge_tmp"
+    val bak = s"${tbl}__merge_bak"
+    Seq(tbl, tmp, bak).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    withTs(df(Seq(("old", 1.0, 1.0)))).write.saveAsTable(tbl)
+    withTs(df(Seq(("new", 2.0, 2.0)))).write.saveAsTable(tmp)
+    // fail exactly the forward rename (tmp -> table): the live table was
+    // already moved aside, so without rollback NO table would hold the name
+    val boom = intercept[RuntimeException] {
+      MergeSink.catalogSwap(spark, tmp, tbl, bak) { (from, to) =>
+        if (from == tmp) throw new RuntimeException("injected rename failure")
+        spark.sql(s"ALTER TABLE $from RENAME TO $to"); ()
+      }
+    }
+    assert(boom.getMessage.contains("injected"))
+    assert(spark.catalog.tableExists(tbl), "target name must survive the failed swap")
+    val rows = spark.table(tbl).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("k") == "old",
+      "the previous snapshot must be restored under the target name")
+    assert(!spark.catalog.tableExists(bak), "backup renamed back, not left aside")
+    Seq(tbl, tmp).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("empty updates: merge into existing target is a no-op with zero counts") {
     val dir = Files.createTempDirectory("graft_merge_empty").toString
     val targetPath = s"$dir/collection"
