@@ -40,7 +40,12 @@ object Bench {
     // total with a near-zero "duration", and a half-broken one must not
     // pass for healthy).
     val reps = math.max(1, cfg.benchReps)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // GRAFT_BENCH_ONLY narrows the run to named queries — for timing one
+    // query in isolation while iterating (the full-alphabet run is the
+    // driver's; a filtered run's totals are not comparable to it)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => cfg.benchOnly.isEmpty || cfg.benchOnly(name) }
+    val results = selected.map { case (name, fn) =>
       val durations = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -13,7 +13,9 @@ final case class GraftConfig(
     benchOut: String,          // GRAFT_BENCH_OUT: bench metric JSON file
     benchReps: Int,            // GRAFT_BENCH_REPS: timed runs per query (median reported)
     mergeOrderCol: Option[String], // GRAFT_MERGE_ORDER_COL: duplicate-key fold order
-    tolerant: Boolean)         // GRAFT_TOLERANT: drop-and-continue on merge failure
+    tolerant: Boolean,         // GRAFT_TOLERANT: drop-and-continue on merge failure
+    benchOnly: Set[String])    // GRAFT_BENCH_ONLY: comma-separated query-name filter
+                               // (empty = all) — for timing one query in isolation
 
 object GraftConfig {
   def fromEnv(env: Map[String, String] = sys.env): GraftConfig = GraftConfig(
@@ -26,5 +28,7 @@ object GraftConfig {
     benchReps = env.get("GRAFT_BENCH_REPS").orElse(env.get("SPARK_GRAFT_BENCH_REPS"))
       .map(_.toInt).getOrElse(3),
     mergeOrderCol = env.get("GRAFT_MERGE_ORDER_COL"),
-    tolerant = env.get("GRAFT_TOLERANT").exists(v => v == "1" || v.equalsIgnoreCase("true")))
+    tolerant = env.get("GRAFT_TOLERANT").exists(v => v == "1" || v.equalsIgnoreCase("true")),
+    benchOnly = env.get("GRAFT_BENCH_ONLY").orElse(env.get("SPARK_GRAFT_BENCH_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty))
 }

@@ -34,7 +34,8 @@ object Dedup {
     * the merge kernel replaces `array_intersect`'s per-pair hash-set
     * build with an allocation-free scan of the pre-sorted arrays. */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            passthrough: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     def isect(a: Column, b: Column): Column =
       ColumnBridge.column(graft.expressions.SortedIntersectSize(
@@ -43,9 +44,10 @@ object Dedup {
       .join(docs.select(col("id").as("id1"), col("grams").as("g1"), col("sz").as("sz1")), "id1")
       .join(docs.select(col("id").as("id2"), col("grams").as("g2"), col("sz").as("sz2")), "id2")
       .withColumn("inter", isect(col("g1"), col("g2")))
-      .select(col("id1"), col("id2"),
+      .select(col("id1") +: col("id2") +:
         round(col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+          (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard") +:
+        passthrough.map(col): _*)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -126,9 +128,11 @@ object Dedup {
       .withColumn("sz", size(col("grams")))
   }
 
-  /** Exact prefix-filter pairs (steps 1-5 above) over a prepared
-    * [[gramsBase]] frame; returns verified (id1, id2, jaccard). */
-  private def prefixFilterPairs(base: DataFrame, threshold: Double): DataFrame = {
+  /** Candidate (id1, id2) pairs from the prefix filter (steps 1-4 above)
+    * over a prepared [[gramsProjection]] frame — every qualifying pair is
+    * guaranteed present (zero false negatives); false positives are the
+    * verify step's job. */
+  private def prefixCandidates(base: DataFrame, threshold: Double): DataFrame = {
     requireThreshold(threshold)
     val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
@@ -142,7 +146,7 @@ object Dedup {
       posexplode(slice(transform(col("og"), s => s.getField("g")), lit(1), plen)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "pg")
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")))
-    val cand = pref.alias("a")
+    pref.alias("a")
       .join(pref.alias("b"),
         col("a.pg") === col("b.pg") && col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id") &&
@@ -152,8 +156,12 @@ object Dedup {
                          col("b.sz") - (col("b.p") + 1)) >= alpha)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    verifyJaccard(cand, base, threshold)
   }
+
+  /** Exact prefix-filter pairs (candidates + exact-Jaccard verify) over a
+    * prepared [[gramsProjection]] frame; returns (id1, id2, jaccard). */
+  private def prefixFilterPairs(base: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(prefixCandidates(base, threshold), base, threshold)
 
   /** Materialize the (small) verified-pair result and release the persisted
     * docs frame: `localCheckpoint(eager)` runs the verify join once and
@@ -196,11 +204,10 @@ object Dedup {
       lshVerifiedPairs(docs, numHashes, bands, threshold, maxBucketSize), docs)
   }
 
-  /** LSH band-bucket candidates + exact Jaccard verify over a prepared
-    * (id, grams, sz, sig) frame. */
-  private def lshVerifiedPairs(docs: DataFrame, numHashes: Int, bands: Int,
-                               threshold: Double,
-                               maxBucketSize: Option[Int]): DataFrame = {
+  /** Candidate (id1, id2) pairs from the LSH band buckets over a prepared
+    * (id, sig) frame — docs sharing any band key, hot buckets capped. */
+  private def lshCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+                            maxBucketSize: Option[Int]): DataFrame = {
     requireBands(numHashes, bands)
     val rowsPerBand = numHashes / bands
     val banded0 = docs
@@ -213,14 +220,21 @@ object Dedup {
         banded0.join(sizes.filter(col("bsz") <= cap), Seq("band", "key"))
           .drop("bsz")
     }
-    val cand = banded.alias("a")
+    banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    verifyJaccard(cand, docs, threshold)
   }
+
+  /** LSH band-bucket candidates + exact Jaccard verify over a prepared
+    * (id, grams, sz, sig) frame. */
+  private def lshVerifiedPairs(docs: DataFrame, numHashes: Int, bands: Int,
+                               threshold: Double,
+                               maxBucketSize: Option[Int]): DataFrame =
+    verifyJaccard(lshCandidates(docs, numHashes, bands, maxBucketSize),
+      docs, threshold)
 
   /** Production-LSH gate row (q26 tolerance-boolean pattern, driver
     * hash-gated): runs the xxhash64 LSH pipeline AND the exact
@@ -255,7 +269,11 @@ object Dedup {
     // prefix-filter join concurrently over the shared heap, and the
     // combined shuffle/GC peak made gate latency swing 2-3× run to run.
     // Two bounded jobs + a trivial join of checkpointed row sets is the
-    // stable form.
+    // stable form. (A shared-verify variant — checkpoint raw candidate
+    // sets, verify the tagged union once — was measured SLOWER: the
+    // un-verified LSH candidate set is orders of magnitude larger than
+    // its verified output, and materializing it costs more than the
+    // second verify pass it saves.)
     val lsh = lshVerifiedPairs(base, numHashes, bands, threshold, maxBucketSize)
       .select(col("id1"), col("id2")).withColumn("ls", lit(1))
       .localCheckpoint(true)

@@ -179,6 +179,27 @@ class DedupSpec extends SparkSpec {
       "an unsatisfiable bound must fail — otherwise the gate certifies nothing")
   }
 
+  test("minhashLshGate fails when the LSH side is broken (corrupted band keys)") {
+    // signatures salted with a per-row unique value: no two documents ever
+    // share a band key, so the LSH side finds ZERO pairs — the gate must
+    // catch that (recall_ok=false), otherwise it certifies nothing about
+    // the production pipeline it exists to watch
+    val brokenSig: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+      (elems, n) => array((0 until n).map(i =>
+        xxhash64(lit(i), concat_ws(" ", elems), monotonically_increasing_id())): _*)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff gg"), // exact dup of 1 → the one exact pair
+      (3L, "zz yy xx ww vv uu tt")
+    ).toDF("id", "text")
+    val bad = Dedup.minhashLshGate(docs, "id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, threshold = 0.7,
+      minRecall = 0.5, sigFn = brokenSig).collect()(0)
+    assert(bad.getAs[Long]("n_exact") == 1, "the exact side must still anchor")
+    assert(!bad.getAs[Boolean]("recall_ok"),
+      "zero LSH pairs against a non-empty exact set must flip recall_ok")
+  }
+
   test("operators release their persisted intermediates (no session cache leak)") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = Tables.documents(spark, sf)
