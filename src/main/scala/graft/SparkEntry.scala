@@ -58,6 +58,8 @@ object SparkEntry {
     "q38_boilerplate"  -> (TextQueries.q38Boilerplate _),
     "q39_grouping_sets" -> (Relational.q39GroupingSets _),
     "q40_window_fns"   -> (Relational.q40WindowFns _),
+    "q41_stream_parity" -> (StreamingQueries.q41StreamParity _),
+    "q42_winnow_rk"    -> (TextQueries.q42WinnowRk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,5 +106,7 @@ object SparkEntry {
     "q38_boilerplate"  -> TextQueries.q38BoilerplateSql,
     "q39_grouping_sets" -> Relational.q39GroupingSetsSql,
     "q40_window_fns"   -> Relational.q40WindowFnsSql,
+    "q41_stream_parity" -> StreamingQueries.q41StreamParitySql,
+    "q42_winnow_rk"    -> TextQueries.q42WinnowRkSql,
   )
 }

@@ -124,7 +124,14 @@ object Ivf {
     * tolerance-boolean row (q26 pattern): oracle-computable anchors
     * (`n_queries`, `n_exact_total` = queries × exact-KNN result size) plus
     * `recall_ok` — in-engine micro-averaged recall@10 vs the exact KNN
-    * computed from the same frame >= MinRecall. */
+    * computed from the same frame >= MinRecall.
+    *
+    * The gate routes through the ON-DISK index: [[writeIndex]] to a
+    * scratch dir, [[readIndex]], probe the REOPENED frame — so the
+    * driver's gate exercises the partition-pruned parquet read path
+    * (PartitionFilters on list_id, pinned in IvfSpec), which is what a
+    * 100 TB deployment queries, not the in-memory assignment. The gate
+    * row is materialized eagerly before the scratch index is deleted. */
   def q28IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("v"))
@@ -132,17 +139,27 @@ object Ivf {
     // centroid quality, and small enough that the sampled-fit path is
     // exercised at bench scale (sf0.1 ≈ 50k vectors), not just at 100 TB
     val index = build(emb, "id", "v", nlist = Nlist, fitSampleRows = 20000)
-    val ivf = topK(spark, index, emb.filter(col("id") < NQueries),
-        k = K, nprobe = Nprobe)
-      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
-    val exact = SimilarityQueries.q22KnnExact(spark, dir)
-      .select(col("q_id"), col("neighbor_id"))
-    exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
-      .agg(countDistinct(col("q_id")).as("n_queries"),
-        count(lit(1)).as("n_exact_total"),
-        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-      .select(col("n_queries"), col("n_exact_total"),
-        (col("n_hit") >= col("n_exact_total") * MinRecall).as("recall_ok"))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+    try {
+      writeIndex(index, idxPath.toString)
+      val reopened = readIndex(spark, index.model, idxPath.toString)
+      val ivf = topK(spark, reopened, emb.filter(col("id") < NQueries),
+          k = K, nprobe = Nprobe)
+        .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      val exact = SimilarityQueries.q22KnnExact(spark, dir)
+        .select(col("q_id"), col("neighbor_id"))
+      exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_total"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_queries"), col("n_exact_total"),
+          (col("n_hit") >= col("n_exact_total") * MinRecall).as("recall_ok"))
+        .localCheckpoint(true) // the plan reads the scratch index — run it
+                               // before the finally below deletes the files
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idxPath.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Oracle: the exact-KNN result sizes (least(k, corpus-1) per query) +

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import graft.Tables
 import graft.streaming.EventStreams
 
@@ -72,6 +73,68 @@ object StreamingQueries {
   val q36UserTotalsSql: String =
     """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q41: file-source streaming parity — the one semantic gap batch gates
+    * can't cover. q24/q25/q35/q36 run the shared plan code in BATCH under
+    * the driver's gate; this entry executes the SAME tumbling-window and
+    * session-window plans as an actual incremental STREAMING run
+    * (file source over the fixture, `Trigger.AvailableNow`, memory sink)
+    * and compares the two outputs exactly. Complete output mode emits
+    * every window at end-of-stream regardless of the watermark (append
+    * would hold back windows the final watermark hasn't passed).
+    *
+    * Gate row (q26 pattern): oracle-computable anchors (`n_windows`,
+    * `n_sessions` — the batch group counts DuckDB reproduces) plus
+    * `windows_match`/`sessions_match` — the symmetric difference between
+    * the streaming and batch outputs is empty, compared plan-side via
+    * exceptAll in both directions. The oracle emits the anchors + literal
+    * TRUEs, so the hash gate fails if incremental execution ever diverges
+    * from the batch semantics of the same code. */
+  def q41StreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchWin = EventStreams.tumblingCounts(Tables.events(spark, dir))
+    val batchSes = EventStreams.sessionize(Tables.events(spark, dir))
+    def streamed(plan: DataFrame => DataFrame, name: String): DataFrame = {
+      val src = EventStreams.readEventFixtureStream(spark, dir)
+      val q = plan(src).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    val streamWin = streamed(EventStreams.tumblingCounts(_), "q41_stream_windows")
+    val streamSes = streamed(EventStreams.sessionize(_), "q41_stream_sessions")
+    val winDiff = batchWin.exceptAll(streamWin)
+      .union(streamWin.exceptAll(batchWin))
+      .agg(count(lit(1)).as("n_win_diff"))
+    val sesDiff = batchSes.exceptAll(streamSes)
+      .union(streamSes.exceptAll(batchSes))
+      .agg(count(lit(1)).as("n_ses_diff"))
+    batchWin.agg(count(lit(1)).as("n_windows"))
+      .crossJoin(batchSes.agg(count(lit(1)).as("n_sessions")))
+      .crossJoin(winDiff).crossJoin(sesDiff)
+      .select(col("n_windows"), col("n_sessions"),
+        (col("n_win_diff") === 0).as("windows_match"),
+        (col("n_ses_diff") === 0).as("sessions_match"))
+  }
+
+  val q41StreamParitySql: String =
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type
+      |  FROM events GROUP BY 1, 2),
+      |o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER win IS NULL
+      |           OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                                 ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT (SELECT count(*) FROM w)::BIGINT AS n_windows,
+      |  (SELECT count(*) FROM (SELECT DISTINCT user_id, sid FROM s))::BIGINT AS n_sessions,
+      |  TRUE AS windows_match, TRUE AS sessions_match""".stripMargin
 
   val q25SessionizeSql: String =
     """WITH o AS (

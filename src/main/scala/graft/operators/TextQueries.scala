@@ -227,6 +227,73 @@ object TextQueries {
        |  md5(array_to_string(fps, ',')) AS winnow_sig
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // q42 edit strings (lowercase: they bypass the lower() the text goes
+  // through). Longer than k+w so the edited region generates full windows.
+  private val WinEditPrefix = "prepended preamble sentence for the winnow gate. "
+  private val WinEditSuffix = " appended sentinel tail for the winnow gate."
+
+  /** q42: the PRODUCTION winnower under the driver's gate. q29 gates the
+    * md5-hex oracle form; this entry certifies the codegen Rabin-Karp form
+    * ([[graft.expressions.WinnowRk]], what a 100 TB run calls) via
+    * in-engine invariants that are EXACT for a correct implementation:
+    *
+    *  - `append_subset_ok` / `prepend_subset_ok`: appending or prepending
+    *    text leaves every original byte k-gram and every original length-w
+    *    window intact (gram hashes are position-independent functions of
+    *    the gram's bytes), so the original fingerprint set must be a
+    *    SUBSET of the edited document's — the winnowing locality guarantee
+    *    (Schleimer et al. §2), not a tolerance. The prepend case has the
+    *    sharpest teeth: any positional leakage in the rolling-hash state
+    *    shifts every gram hash and empties the intersection.
+    *  - `count_band_ok`: total selected-fingerprint count within a band of
+    *    the md5 form's total (same selection scheme, different hash
+    *    family; byte-grams vs char-grams diverge only on multi-byte text).
+    *
+    * Anchors the oracle computes: `n_docs` and the md5 form's total
+    * fingerprint count (the q29 pipeline's sum). */
+  def q42WinnowRk(spark: SparkSession, dir: String): DataFrame = {
+    val s = lower(col("text"))
+    val per = Tables.documents(spark, dir).select(
+        winnowFingerprintsRk(s, WinK, WinW).as("rk"),
+        winnowFingerprintsRk(concat(s, lit(WinEditSuffix)), WinK, WinW).as("rk_app"),
+        winnowFingerprintsRk(concat(lit(WinEditPrefix), s), WinK, WinW).as("rk_pre"),
+        size(winnowFingerprints(col("text"), WinK, WinW)).as("n_m5"))
+      .select(
+        size(col("rk")).as("n_rk"),
+        col("n_m5"),
+        size(array_intersect(col("rk"), col("rk_app"))).as("sh_app"),
+        size(array_intersect(col("rk"), col("rk_pre"))).as("sh_pre"))
+    per.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_m5")).as("total_md5"),
+        (sum(when(col("sh_app") =!= col("n_rk"), 1).otherwise(0)) === 0)
+          .as("append_subset_ok"),
+        (sum(when(col("sh_pre") =!= col("n_rk"), 1).otherwise(0)) === 0)
+          .as("prepend_subset_ok"),
+        (sum(col("n_rk")) >= sum(col("n_m5")) * 0.5 &&
+         sum(col("n_rk")) <= sum(col("n_m5")) * 1.5).as("count_band_ok"))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("total_md5").cast("long").as("total_md5"),
+        col("append_subset_ok"), col("prepend_subset_ok"), col("count_band_ok"))
+  }
+
+  val q42WinnowRkSql: String =
+    s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+       |g AS (SELECT doc_id,
+       |        [substring(md5(s[i : i + ${WinK - 1}]), 1, 8)
+       |         FOR i IN range(1, len(s) - ${WinK - 2})] AS hs
+       |      FROM t),
+       |m AS (SELECT doc_id,
+       |        CASE WHEN len(hs) < $WinW THEN []::VARCHAR[]
+       |             ELSE list_sort(list_distinct(
+       |               [list_min(hs[j : j + ${WinW - 1}])
+       |                FOR j IN range(1, len(hs) - ${WinW - 2})])) END AS fps
+       |      FROM g)
+       |SELECT count(*)::BIGINT AS n_docs, sum(len(fps))::BIGINT AS total_md5,
+       |  TRUE AS append_subset_ok, TRUE AS prepend_subset_ok,
+       |  TRUE AS count_band_ok
+       |FROM m""".stripMargin
+
   // Production-LSH gate parameters: threshold 0.8 — above the 4×4
   // s-curve's midpoint (≈0.71), where LSH recall is high by design
   // (per-pair find rate 1-(1-t⁴)⁴ ≈ 0.88 at t=0.8) and the exact

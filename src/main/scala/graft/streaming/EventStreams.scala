@@ -120,4 +120,22 @@ object EventStreams {
     * schema — file streaming sources cannot infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Streaming source over the DRIVER's events fixture, whose `ts` is
+    * parquet TIMESTAMP(NANOS): under `nanosAsLong` it arrives as a long,
+    * truncated here to µs exactly like [[graft.Tables.events]] — so a
+    * streaming run over the fixture sees byte-identical timestamps to the
+    * batch entries it is compared against (q41). */
+  def readEventFixtureStream(spark: SparkSession, dir: String,
+                             fileName: String = "events.parquet"): DataFrame = {
+    val nanosSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    // the fixture is a single FILE inside the sf directory; a file source
+    // needs a directory basePath, so scan the dir with a name filter
+    spark.readStream.schema(nanosSchema)
+      .option("pathGlobFilter", fileName).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -200,6 +200,29 @@ class DedupSpec extends SparkSpec {
       "zero LSH pairs against a non-empty exact set must flip recall_ok")
   }
 
+  test("q42 winnow gate: invariants hold on the fixture and are not vacuous") {
+    val row = operators.TextQueries.q42WinnowRk(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_docs") > 0 && row.getAs[Long]("total_md5") > 0)
+    assert(row.getAs[Boolean]("append_subset_ok"))
+    assert(row.getAs[Boolean]("prepend_subset_ok"))
+    assert(row.getAs[Boolean]("count_band_ok"))
+    // the subset predicate discriminates: an edit INSIDE the document (not
+    // at an end) perturbs the overlapping windows, so the fingerprint set
+    // is NOT a subset of the edited one — the boolean can actually flip
+    val probe = Seq(
+      ("the quick brown fox jumped over the lazy dog and ran far away",
+       "the quick brown cat jumped over the lazy dog and ran far away"))
+      .toDF("a", "b")
+      .select(
+        size(array_intersect(
+          winnowFingerprintsRk(col("a"), 5, 4),
+          winnowFingerprintsRk(col("b"), 5, 4))).as("sh"),
+        size(winnowFingerprintsRk(col("a"), 5, 4)).as("n"))
+      .collect()(0)
+    assert(probe.getAs[Int]("sh") < probe.getAs[Int]("n"),
+      "a mid-document edit must break the subset — otherwise the gate is vacuous")
+  }
+
   test("operators release their persisted intermediates (no session cache leak)") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = Tables.documents(spark, sf)

@@ -196,6 +196,18 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q41: file-source AvailableNow streaming matches batch windows and sessions") {
+    // real incremental execution over the driver's fixture FILE (nanos ts,
+    // checkpointed file source, AvailableNow) — the path a production user
+    // hits first, which MemoryStream cases cannot cover
+    val row = operators.StreamingQueries.q41StreamParity(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_windows") > 0 && row.getAs[Long]("n_sessions") > 0)
+    assert(row.getAs[Boolean]("windows_match"),
+      "streaming tumbling windows must equal the batch output exactly")
+    assert(row.getAs[Boolean]("sessions_match"),
+      "streaming session windows must equal the batch output exactly")
+  }
+
   test("batch and streaming sliding windows agree on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
