@@ -94,9 +94,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"flaky":$flaky,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
-    val out = cfg.benchOut
-    try Files.writeString(Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    // a GRAFT_BENCH_ONLY-filtered run is an iteration tool: its partial
+    // total must not clobber the canonical full-run artifact the driver
+    // parses — honor an EXPLICIT output override, else stdout only
+    val explicitOut = sys.env.contains("GRAFT_BENCH_OUT") ||
+      sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    if (cfg.benchOnly.nonEmpty && selected.isEmpty)
+      System.err.println(s"[bench] GRAFT_BENCH_ONLY matched no queries: ${cfg.benchOnly}")
+    if (cfg.benchOnly.isEmpty || explicitOut) {
+      val out = cfg.benchOut
+      try Files.writeString(Paths.get(out), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

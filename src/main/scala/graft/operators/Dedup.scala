@@ -34,8 +34,7 @@ object Dedup {
     * the merge kernel replaces `array_intersect`'s per-pair hash-set
     * build with an allocation-free scan of the pre-sorted arrays. */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame,
-                            threshold: Double,
-                            passthrough: Seq[String] = Nil): DataFrame = {
+                            threshold: Double): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     def isect(a: Column, b: Column): Column =
       ColumnBridge.column(graft.expressions.SortedIntersectSize(
@@ -44,10 +43,9 @@ object Dedup {
       .join(docs.select(col("id").as("id1"), col("grams").as("g1"), col("sz").as("sz1")), "id1")
       .join(docs.select(col("id").as("id2"), col("grams").as("g2"), col("sz").as("sz2")), "id2")
       .withColumn("inter", isect(col("g1"), col("g2")))
-      .select(col("id1") +: col("id2") +:
+      .select(col("id1"), col("id2"),
         round(col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard") +:
-        passthrough.map(col): _*)
+          (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -92,8 +92,12 @@ object StreamingQueries {
     * from the batch semantics of the same code. */
   def q41StreamParity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    // each batch output is referenced THREE times (both exceptAll
+    // directions + the anchor count): materialize once, eagerly
     val batchWin = EventStreams.tumblingCounts(Tables.events(spark, dir))
+      .localCheckpoint(true)
     val batchSes = EventStreams.sessionize(Tables.events(spark, dir))
+      .localCheckpoint(true)
     def streamed(plan: DataFrame => DataFrame, name: String): DataFrame = {
       val src = EventStreams.readEventFixtureStream(spark, dir)
       val q = plan(src).writeStream.format("memory").queryName(name)

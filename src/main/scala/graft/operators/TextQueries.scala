@@ -211,7 +211,10 @@ object TextQueries {
         md5(concat_ws(",", col("fps"))).as("winnow_sig"))
       .orderBy(col("doc_id"))
 
-  val q29WinnowSql: String =
+  /** The md5-winnow CTE prologue (k-gram hashing + window-min selection)
+    * shared by the q29 oracle and q42's total_md5 anchor — one definition
+    * so the two gates can never silently desynchronize. */
+  private val winnowMd5Cte: String =
     s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
        |g AS (SELECT doc_id,
        |        [substring(md5(s[i : i + ${WinK - 1}]), 1, 8)
@@ -222,7 +225,10 @@ object TextQueries {
        |             ELSE list_sort(list_distinct(
        |               [list_min(hs[j : j + ${WinW - 1}])
        |                FOR j IN range(1, len(hs) - ${WinW - 2})])) END AS fps
-       |      FROM g)
+       |      FROM g)""".stripMargin
+
+  val q29WinnowSql: String =
+    s"""$winnowMd5Cte
        |SELECT doc_id, len(fps)::bigint AS n_fps,
        |  md5(array_to_string(fps, ',')) AS winnow_sig
        |FROM m ORDER BY doc_id""".stripMargin
@@ -278,17 +284,7 @@ object TextQueries {
   }
 
   val q42WinnowRkSql: String =
-    s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
-       |g AS (SELECT doc_id,
-       |        [substring(md5(s[i : i + ${WinK - 1}]), 1, 8)
-       |         FOR i IN range(1, len(s) - ${WinK - 2})] AS hs
-       |      FROM t),
-       |m AS (SELECT doc_id,
-       |        CASE WHEN len(hs) < $WinW THEN []::VARCHAR[]
-       |             ELSE list_sort(list_distinct(
-       |               [list_min(hs[j : j + ${WinW - 1}])
-       |                FOR j IN range(1, len(hs) - ${WinW - 2})])) END AS fps
-       |      FROM g)
+    s"""$winnowMd5Cte
        |SELECT count(*)::BIGINT AS n_docs, sum(len(fps))::BIGINT AS total_md5,
        |  TRUE AS append_subset_ok, TRUE AS prepend_subset_ok,
        |  TRUE AS count_band_ok
