@@ -196,6 +196,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restart resumes offsets AND state, no replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink — collect each batch's updated rows driver-side
+    def start(sink: scala.collection.mutable.ArrayBuffer[(Timestamp, Long, Double)]) =
+      EventStreams.tumblingCounts(
+          EventStreams.readEventStream(spark, dir), width = "1 hour")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = batch.collect().map(r => (r.getAs[Timestamp]("window_start"),
+            r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+          sink.synchronized { sink ++= rows }
+          ()
+        }.start()
+    // run 1 processes three hour-0 events, then goes DOWN
+    Seq(ev(1, 10), ev(2, 20), ev(3, 30)).toDF().write.mode("append").parquet(dir)
+    val run1 = scala.collection.mutable.ArrayBuffer[(Timestamp, Long, Double)]()
+    val q1 = start(run1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(run1.exists(r => r._1 == ts(0) && r._2 == 3L))
+    // a new file (hour-2 only) arrives while the query is down; the
+    // restarted query must pick it up WITHOUT re-reading the old files —
+    // a replay with fresh state would re-emit an hour-0 row here
+    Seq(ev(4, 130)).toDF().write.mode("append").parquet(dir)
+    val run2 = scala.collection.mutable.ArrayBuffer[(Timestamp, Long, Double)]()
+    val q2 = start(run2)
+    try {
+      q2.processAllAvailable()
+      assert(run2.exists(_._1 == ts(120)))
+      assert(!run2.exists(_._1 == ts(0)),
+        "an hour-0 row right after restart means the old files were replayed")
+      // a late hour-0 event now merges into the RESTORED window state:
+      // n_events must be 3 (recovered) + 1 (new) — a fresh-state restart
+      // would report 1
+      Seq(ev(5, 40, value = 2.0)).toDF().write.mode("append").parquet(dir)
+      q2.processAllAvailable()
+      val hour0 = run2.filter(_._1 == ts(0)).map(r => (r._2, r._3))
+      assert(hour0.contains((4L, 5.0)),
+        s"restored state + late event must give (4, 5.0), got ${hour0.toSeq}")
+    } finally q2.stop()
+  }
+
   test("q41: file-source AvailableNow streaming matches batch windows and sessions") {
     // real incremental execution over the driver's fixture FILE (nanos ts,
     // checkpointed file source, AvailableNow) — the path a production user
