@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotProduct, SimhashWord, SortedIntersectSize, WinnowRk}
+import graft.expressions.{DotProduct, SimhashWord, SortedIntersectSize, WinnowMd5, WinnowRk}
 
 /** Session extensions (the public Catalyst plug-in point): registers the
   * engine's native expressions as SQL functions so `spark.sql("SELECT
@@ -40,6 +40,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(args.length == 3, "graft_winnow_rk(text, k, w)")
         WinnowRk(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_md5"),
+      new ExpressionInfo(classOf[WinnowMd5].getName, "graft_winnow_md5"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_winnow_md5: $name must be an integer literal")
+        }
+        require(args.length == 3, "graft_winnow_md5(text, k, w)")
+        WinnowMd5(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_word"),

@@ -141,6 +141,17 @@ object TextFunctions {
         .otherwise(array_sort(array_distinct(mins)))
     }
 
+  /** The HOF oracle form above at native-loop cost: a codegen'd one-pass
+    * expression ([[graft.expressions.WinnowMd5]]) producing BIT-IDENTICAL
+    * values (same char-gram md5-hex-prefix hashes, same selection), so
+    * gated entries can use it without touching their DuckDB oracles.
+    * DedupSpec pins the equivalence, including multi-byte text. */
+  def winnowFingerprintsMd5(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WinnowMd5(
+      ColumnBridge.expression(lower(text)), k, w))
+  }
+
   /** PRODUCTION winnowing: one-pass Rabin-Karp rolling hashes inside a
     * codegen'd expression ([[graft.expressions.WinnowRk]]) — O(1) per
     * position vs an md5 digest per k-gram. The md5 variant above stays as

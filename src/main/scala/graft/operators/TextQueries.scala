@@ -201,11 +201,14 @@ object TextQueries {
   /** Rolling-hash document fingerprinting (winnowing): per doc, the
     * count of selected fingerprints and a digest of the sorted set —
     * compact output, but the hash gate still covers k-gram hashing,
-    * window-min selection, dedup and ordering end-to-end. */
+    * window-min selection, dedup and ordering end-to-end. Runs the
+    * codegen [[graft.expressions.WinnowMd5]] form — bit-identical to the
+    * HOF definition the oracle mirrors (equivalence spec-pinned), ~6×
+    * cheaper than the interpreted per-gram lambdas. */
   def q29Winnow(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      winnowFingerprints(col("text"), WinK, WinW).as("fps"))
+      winnowFingerprintsMd5(col("text"), WinK, WinW).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fps"),
         md5(concat_ws(",", col("fps"))).as("winnow_sig"))
@@ -263,7 +266,7 @@ object TextQueries {
         winnowFingerprintsRk(s, WinK, WinW).as("rk"),
         winnowFingerprintsRk(concat(s, lit(WinEditSuffix)), WinK, WinW).as("rk_app"),
         winnowFingerprintsRk(concat(lit(WinEditPrefix), s), WinK, WinW).as("rk_pre"),
-        size(winnowFingerprints(col("text"), WinK, WinW)).as("n_m5"))
+        size(winnowFingerprintsMd5(col("text"), WinK, WinW)).as("n_m5"))
       .select(
         size(col("rk")).as("n_rk"),
         col("n_m5"),

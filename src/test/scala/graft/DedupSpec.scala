@@ -200,6 +200,33 @@ class DedupSpec extends SparkSpec {
       "zero LSH pairs against a non-empty exact set must flip recall_ok")
   }
 
+  test("codegen md5 winnowing is bit-identical to the higher-order oracle form") {
+    // every fixture doc (incl. multi-byte zh text — char-gram byte offsets
+    // are the subtle part) plus hand-built edges
+    val mismatches = docs.select(
+        winnowFingerprints(col("text"), 5, 4).as("hof"),
+        winnowFingerprintsMd5(col("text"), 5, 4).as("gen"))
+      .filter(not(col("hof") === col("gen")))
+      .count()
+    assert(mismatches == 0, "values must be identical — the q29 oracle depends on it")
+    val edges = Seq("", "abc", "aaaaaaa", "日本語のテキストです、漢字も含む",
+      "MiXeD Case With   Spaces", "exact-k!").toDF("text")
+      .select(
+        winnowFingerprints(col("text"), 5, 4).as("hof"),
+        winnowFingerprintsMd5(col("text"), 5, 4).as("gen"))
+      .collect()
+    edges.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"edge mismatch: $r")
+    }
+    // SQL registration resolves and agrees
+    val viaSql = spark.sql(
+      "SELECT graft_winnow_md5(lower('the quick brown fox jumps over it'), 5, 4) AS f")
+      .collect()(0).getSeq[String](0)
+    val viaHof = Seq("the quick brown fox jumps over it").toDF("t")
+      .select(winnowFingerprints(col("t"), 5, 4)).collect()(0).getSeq[String](0)
+    assert(viaSql == viaHof)
+  }
+
   test("q42 winnow gate: invariants hold on the fixture and are not vacuous") {
     val row = operators.TextQueries.q42WinnowRk(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_docs") > 0 && row.getAs[Long]("total_md5") > 0)
