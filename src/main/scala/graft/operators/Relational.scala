@@ -357,7 +357,19 @@ object Relational {
     * checked against the exact value from the same data — and the oracle
     * emits the exact anchors plus literal TRUE: the hash gate then fails
     * exactly when a sketch leaves its error band (HLL++ default rsd 5%,
-    * band 10%; approx p50 must land between the exact p25 and p75). */
+    * band 10%; approx p50 must land between the exact p25 and p75).
+    *
+    * Scale note on the exact quartile anchors: `percentile()` buffers a
+    * group's values inside one aggregator — fine at any local scale (the
+    * buffers are per-group doubles), a hazard only if group value counts
+    * outgrow executor memory, at which point the anchors would move to a
+    * per-value histogram + cumulative window (l_quantity's domain is
+    * bounded and discrete). Both alternative shapes were measured HERE
+    * and rejected: a separate histogram scan costs a second pass over
+    * lineitem (5.0 s → 7.6 s) and a grouping-sets fusion doubles the
+    * rows through the countDistinct expand (→ 7.2 s); the fused
+    * single-agg form below is the right plan at bench scale and the
+    * histogram swap is mechanical when group sizes demand it. */
   def q26Sketches(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
