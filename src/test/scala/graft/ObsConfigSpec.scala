@@ -37,6 +37,10 @@ class ObsConfigSpec extends SparkSpec {
     assert(defaults.cpus == 32 && !defaults.tolerant && defaults.mergeOrderCol.isEmpty)
     // legacy SPARK_GRAFT_* names still resolve
     assert(GraftConfig.fromEnv(Map("SPARK_GRAFT_CPUS" -> "4")).cpus == 4)
+    // bench query filter: comma-separated, trimmed, empty entries dropped
+    assert(defaults.benchOnly.isEmpty)
+    assert(GraftConfig.fromEnv(Map("GRAFT_BENCH_ONLY" -> "q1_agg, q29_winnow,,"))
+      .benchOnly == Set("q1_agg", "q29_winnow"))
   }
 
   test("tolerant mode: a failing merge logs and returns zero counts (mongo.py:148-159)") {
