@@ -11,6 +11,17 @@ import graft.expressions.{DotProduct, SimhashWord, SortedIntersectSize, WinnowMd
   * [[GraftSession]] via `Builder.withExtensions`, or by config
   * `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Integer-literal argument extraction shared by the winnow builders
+    * (k and w parameterize generated code, so they must be literals). */
+  private def intLit(fn: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -32,27 +43,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow_rk"),
       new ExpressionInfo(classOf[WinnowRk].getName, "graft_winnow_rk"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                   name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new IllegalArgumentException(
-            s"graft_winnow_rk: $name must be an integer literal")
-        }
         require(args.length == 3, "graft_winnow_rk(text, k, w)")
-        WinnowRk(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+        val lit = intLit("graft_winnow_rk") _
+        WinnowRk(args(0), lit(args(1), "k"), lit(args(2), "w"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow_md5"),
       new ExpressionInfo(classOf[WinnowMd5].getName, "graft_winnow_md5"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                   name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new IllegalArgumentException(
-            s"graft_winnow_md5: $name must be an integer literal")
-        }
-        require(args.length == 3, "graft_winnow_md5(text, k, w)")
-        WinnowMd5(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+        // NOTE: like graft_winnow_rk, the text argument is hashed as
+        // given — lower() it at the call site to match the oracle form
+        require(args.length == 3, "graft_winnow_md5(lower(text), k, w)")
+        val lit = intLit("graft_winnow_md5") _
+        WinnowMd5(args(0), lit(args(1), "k"), lit(args(2), "w"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_word"),

@@ -29,6 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * for Document Fingerprinting" (SIGMOD 2003). Selection scheme shared
   * with [[WinnowRk]] (the Rabin-Karp production form); this variant exists
   * so the ORACLE-GATED algorithm also runs at native speed.
+  *
+  * Like [[WinnowRk]], callers lower-case upstream: the Scala wrapper
+  * ([[graft.functions.TextFunctions.winnowFingerprintsMd5]]) applies
+  * `lower()`; SQL callers write `graft_winnow_md5(lower(text), k, w)` to
+  * match the oracle form's fingerprints.
   */
 case class WinnowMd5(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -42,6 +47,12 @@ case class WinnowMd5(child: Expression, k: Int, w: Int)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType.sql}")
+
+  // per-thread digest so the INTERPRETED path amortizes the JCA lookup the
+  // same way the codegen path's mutable state does (expressions may be
+  // evaluated concurrently, so a plain lazy val would race on reset/update)
+  @transient private lazy val localMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
@@ -59,7 +70,7 @@ case class WinnowMd5(child: Expression, k: Int, w: Int)
       i += 1
     }
     off(nChars) = bytes.length
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val hs = new Array[Long](n)
     i = 0
     while (i < n) {

@@ -202,9 +202,12 @@ class EventStreamsSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     // the memory sink refuses checkpoint recovery; foreachBatch is the
     // recoverable sink — collect each batch's updated rows driver-side
+    // lateness pinned: the late-merge assertion below needs the hour-0
+    // window still live when the hour-2 event has advanced the watermark
     def start(sink: scala.collection.mutable.ArrayBuffer[(Timestamp, Long, Double)]) =
       EventStreams.tumblingCounts(
-          EventStreams.readEventStream(spark, dir), width = "1 hour")
+          EventStreams.readEventStream(spark, dir), width = "1 hour",
+          lateness = "2 hours")
         .writeStream
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Update)
