@@ -86,6 +86,21 @@ class PlanAuditSpec extends SparkSpec {
       s"all window functions must reuse the o_custkey partitioning:\n$p")
   }
 
+  test("winnow projections run the codegen expression, no interpreted HOF (q29/q42)") {
+    // q29's fingerprint projection must carry graft_winnow_md5 inside a
+    // WholeStageCodegen span — not the interpreted transform/slice lambda
+    // pipeline it replaced (the round-4 5.5× win; a silent fallback to the
+    // HOF form would pass the value gate and lose the performance)
+    val p = plan(operators.TextQueries.q29Winnow(spark, sf))
+    assert(p.contains("graft_winnow_md5"),
+      s"q29 must run the codegen winnower:\n$p")
+    assert(!p.contains("transform("),
+      s"no interpreted higher-order transform may remain in the q29 plan:\n$p")
+    // (no WholeStageCodegen-span assertion here: an un-executed adaptive
+    // plan hides the *(n) markers; WinnowMd5's doGenCode path is exercised
+    // by the DedupSpec bit-equality case)
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as
