@@ -32,6 +32,8 @@ object Media {
   final case class DecodedRow(media_id: Long, kind: String, content: Array[Byte],
                               meta: MediaMeta)
   final case class FeatureRow(media_id: Long, kind: String, feature: Array[Float])
+  final case class DecodedFeatureRow(media_id: Long, kind: String,
+                                     meta: MediaMeta, feature: Array[Float])
   final case class FrameRow(media_id: Long, frame_idx: Int, ts_ms: Long,
                             frame: Array[Byte])
 
@@ -108,24 +110,48 @@ object Media {
     }
   }
 
+  /** The histogram kernel shared by [[byteHistogram]] and
+    * [[decodeFeatures]] — 64-bin byte histogram of the payload (past the
+    * header), L1-normalized. */
+  private def histOf(content: Array[Byte], bins: Int): Array[Float] = {
+    val counts = new Array[Float](bins)
+    var i = 16
+    while (i < content.length) {
+      counts((content(i) & 0xff) * bins / 256) += 1f
+      i += 1
+    }
+    val total = math.max(1f, (content.length - 16).toFloat)
+    var j = 0
+    while (j < bins) { counts(j) /= total; j += 1 }
+    counts
+  }
+
   /** Feature extraction: 64-bin byte histogram of the payload (past the
     * header), L1-normalized — a real, deterministic computation standing
     * in for an embedding model; output feeds the vector ops/ANN path. */
   def byteHistogram(media: Dataset[MediaRow], bins: Int = 64): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val counts = new Array[Float](bins)
-        var i = 16
-        while (i < r.content.length) {
-          counts((r.content(i) & 0xff) * bins / 256) += 1f
-          i += 1
-        }
-        val total = math.max(1f, (r.content.length - 16).toFloat)
-        var j = 0
-        while (j < bins) { counts(j) /= total; j += 1 }
-        FeatureRow(r.media_id, r.kind, counts)
-      }
+      rows.map(r => FeatureRow(r.media_id, r.kind, histOf(r.content, bins)))
+    }
+  }
+
+  /** Fused decode + feature extraction: ONE pass over the payload bytes
+    * per row, emitting only the small (meta, feature) projection. This is
+    * the production shape for a payload-heavy corpus — the blobs are read
+    * exactly once, and what survives the stage (and is worth persisting
+    * downstream) carries no binary payload at all. Separate
+    * [[decode]]/[[byteHistogram]] calls each re-run their input's lineage;
+    * q37 moved to this form so the decode happens once per document. */
+  def decodeFeatures(media: Dataset[MediaRow], bins: Int = 64,
+                     mkCodec: () => MediaCodec = () => new FakeCodec)
+      : Dataset[DecodedFeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = mkCodec() // per-partition, NOT per-row
+      codec.init()
+      rows.map(r => DecodedFeatureRow(r.media_id, r.kind,
+        codec.decodeMeta(r.content), histOf(r.content, bins)))
     }
   }
 

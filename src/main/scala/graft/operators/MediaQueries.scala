@@ -84,14 +84,14 @@ object MediaQueries {
     val docs = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
-    // Persisted: the blob construction feeds FOUR consumers (decode agg,
-    // histogram agg, the centering mean, the SRP input) — without the
-    // persist the scan+textBlob pipeline re-executes per consumer (the
-    // same multi-reference discipline as Dedup's gram projection); both
-    // frames are released after the gate row materializes below.
-    // ONE documents scan: the replica rows are emitted inline by the same
-    // flatMap that builds the originals (sharing the blob bytes), instead
-    // of a second filtered scan unioned in.
+    // ONE documents scan, ONE pass over the payload bytes: the replica
+    // rows are emitted inline by the same flatMap that builds the
+    // originals (sharing the blob bytes), and the fused decodeFeatures
+    // stage reads each blob exactly once — what persists for the FOUR
+    // downstream consumers (meta agg, histogram agg, centering mean, SRP
+    // input) is the payload-FREE (meta, feature) projection. At 100 TB
+    // this is the shape that matters: binary payloads are never
+    // persisted, never shuffled, and decoded once.
     val media = docs.as[(Long, String)]
       .flatMap { case (id, text) =>
         val row = Media.MediaRow(id, "image", textBlob(text))
@@ -99,10 +99,11 @@ object MediaQueries {
           Seq(row, Media.MediaRow(id + ReplicaOffset, "image", row.content))
         else Seq(row)
       }
+    val decoded = Media.decodeFeatures(media, bins = Bins).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // decode through the per-partition codec: header must round-trip
-    val metaAgg = Media.decode(media).toDF()
+    val metaAgg = decoded
       .select(col("meta.kind").as("k"), col("meta.width").as("w"),
         col("meta.height").as("h"), col("meta.durationMs").as("d"))
       .agg(count(lit(1)).as("n_media"),
@@ -110,9 +111,7 @@ object MediaQueries {
           col("h") === 48 && col("d") === 0L, 0).otherwise(1)) === 0).as("meta_ok"))
 
     // features: L1-normalized byte histograms (sum must be 1 per doc)
-    val feats = Media.byteHistogram(media, bins = Bins).toDF()
-      .select(col("media_id").as("id"), col("feature").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = decoded.select(col("media_id").as("id"), col("feature").as("v"))
     val histAgg = feats
       .select(aggregate(col("v"), lit(0.0), (a, x) => a + x.cast("double")).as("s"))
       .agg((max(abs(col("s") - 1.0)) < 1e-3).as("hist_ok"))
@@ -135,8 +134,7 @@ object MediaQueries {
       .select(col("n_media"), col("n_dup_pairs"),
         col("meta_ok"), col("hist_ok"), col("dup_found_ok"))
       .localCheckpoint(true)
-    feats.unpersist()
-    media.unpersist()
+    decoded.unpersist()
     out
   }
 

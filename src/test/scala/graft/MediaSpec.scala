@@ -63,6 +63,20 @@ class MediaSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("fused decodeFeatures equals separate decode + byteHistogram passes") {
+    val fused = Media.decodeFeatures(corpus, bins = 64).collect()
+      .map(r => r.media_id -> (r.meta, r.feature.toSeq)).toMap
+    val metas = Media.decode(corpus).collect()
+      .map(r => r.media_id -> r.meta).toMap
+    val feats = Media.byteHistogram(corpus, bins = 64).collect()
+      .map(r => r.media_id -> r.feature.toSeq).toMap
+    assert(fused.keySet == metas.keySet && fused.keySet == feats.keySet)
+    fused.foreach { case (id, (meta, feature)) =>
+      assert(meta == metas(id), s"meta mismatch for $id")
+      assert(feature == feats(id), s"feature mismatch for $id")
+    }
+  }
+
   test("features flow into the vector similarity path (dot with itself = |x|²)") {
     val feats = Media.byteHistogram(corpus).toDF()
     val norms = feats.select(
