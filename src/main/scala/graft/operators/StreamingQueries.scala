@@ -98,16 +98,21 @@ object StreamingQueries {
       .localCheckpoint(true)
     val batchSes = EventStreams.sessionize(Tables.events(spark, dir))
       .localCheckpoint(true)
-    def streamed(plan: DataFrame => DataFrame, name: String): DataFrame = {
+    def launch(plan: DataFrame => DataFrame, name: String) = {
       val src = EventStreams.readEventFixtureStream(spark, dir)
-      val q = plan(src).writeStream.format("memory").queryName(name)
+      plan(src).writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Complete)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name)
     }
-    val streamWin = streamed(EventStreams.tumblingCounts(_), "q41_stream_windows")
-    val streamSes = streamed(EventStreams.sessionize(_), "q41_stream_sessions")
+    // the two streaming runs are independent with tiny state — start both,
+    // await both (sequential awaits on concurrent queries): micro-batch
+    // bring-up (checkpoint dir, offset log, state store init) overlaps
+    val qWin = launch(EventStreams.tumblingCounts(_), "q41_stream_windows")
+    val qSes = launch(EventStreams.sessionize(_), "q41_stream_sessions")
+    qWin.awaitTermination()
+    qSes.awaitTermination()
+    val streamWin = spark.table("q41_stream_windows")
+    val streamSes = spark.table("q41_stream_sessions")
     val winDiff = batchWin.exceptAll(streamWin)
       .union(streamWin.exceptAll(batchWin))
       .agg(count(lit(1)).as("n_win_diff"))
