@@ -96,6 +96,13 @@ class PlanAuditSpec extends SparkSpec {
       s"q29 must run the codegen winnower:\n$p")
     assert(!p.contains("transform("),
       s"no interpreted higher-order transform may remain in the q29 plan:\n$p")
+    // q42 carries BOTH codegen winnowers (the Rabin-Karp form under test
+    // and the md5 form as its count anchor) — same audit
+    val p42 = plan(operators.TextQueries.q42WinnowRk(spark, sf))
+    assert(p42.contains("graft_winnow_rk") && p42.contains("graft_winnow_md5"),
+      s"q42 must run both codegen winnowers:\n$p42")
+    assert(!p42.contains("transform("),
+      s"no interpreted higher-order transform may remain in the q42 plan:\n$p42")
     // (no WholeStageCodegen-span assertion here: an un-executed adaptive
     // plan hides the *(n) markers; WinnowMd5's doGenCode path is exercised
     // by the DedupSpec bit-equality case)
