@@ -60,6 +60,7 @@ object SparkEntry {
     "q40_window_fns"   -> (Relational.q40WindowFns _),
     "q41_stream_parity" -> (StreamingQueries.q41StreamParity _),
     "q42_winnow_rk"    -> (TextQueries.q42WinnowRk _),
+    "q43_media_frames" -> (MediaQueries.q43MediaFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +109,6 @@ object SparkEntry {
     "q40_window_fns"   -> Relational.q40WindowFnsSql,
     "q41_stream_parity" -> StreamingQueries.q41StreamParitySql,
     "q42_winnow_rk"    -> TextQueries.q42WinnowRkSql,
+    "q43_media_frames" -> MediaQueries.q43MediaFramesSql,
   )
 }

@@ -138,6 +138,88 @@ object MediaQueries {
     out
   }
 
+  private val FrameEveryMs = 500L
+  private val ResizeW = 32
+  private val ResizeH = 24
+
+  /** Deterministic video blob: synthetic header (320×240, rate 1000 B/s —
+    * so durationMs == payload byte length) + the document text's UTF-8
+    * bytes as payload. */
+  private[operators] def textBlobVideo(text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](16 + body.length)
+    def wi(off: Int, v: Int): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    wi(0, 0x56494400); wi(4, 320); wi(8, 240); wi(12, 1000)
+    System.arraycopy(body, 0, out, 16, body.length)
+    out
+  }
+
+  /** q43: the remaining multimodal operators — frame sampling and resize —
+    * under the driver's gate (q37 covers decode + features). Deterministic
+    * video blobs derive from `documents` (rate 1000 B/s, so a doc's
+    * durationMs equals its UTF-8 byte length), then:
+    *
+    *  - `n_frames` (anchor): Σ over non-empty docs of bytes/500 + 1 — the
+    *    oracle recomputes the same formula from octet_length(text), so the
+    *    codec's duration math and the sampling loop are value-gated;
+    *  - `frame0_ok`: the FIRST byte of each doc's frame 0 equals the first
+    *    byte of the text's UTF-8 encoding, recomputed INDEPENDENTLY from
+    *    the documents table (frame bytes come from the blob slice path, so
+    *    an offset bug breaks the equality);
+    *  - `frame_len_ok`: every frame payload is within the sampler's
+    *    documented 256-byte cap (a zero-length final frame is legal when
+    *    the duration is an exact multiple of the sampling interval);
+    *  - `resize_ok`: every resized blob round-trips the new dimensions
+    *    through the codec AND never grows its payload.
+    *
+    * The media frames are deliberately NOT persisted: three narrow
+    * re-derivations of a cheap blob map beat caching payload bytes — the
+    * same payloads-stay-put principle as q37's fused pass. */
+  def q43MediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => Media.MediaRow(id, "video", textBlobVideo(t)) }
+
+    val frames = Media.sampleFrames(media, everyMs = FrameEveryMs).toDF()
+    val firstBytes = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        substring(encode(col("text"), "UTF-8"), 1, 1).as("b0"))
+    val frameAgg = frames
+      .join(firstBytes, Seq("media_id"), "left")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        (sum(when(col("frame_idx") =!= 0 ||
+          substring(col("frame"), 1, 1) === col("b0"), 0).otherwise(1)) === 0)
+          .as("frame0_ok"),
+        (sum(when(length(col("frame")) <= 256, 0)
+          .otherwise(1)) === 0).as("frame_len_ok"))
+
+    val origLen = media.toDF().select(col("media_id"), length(col("content")).as("olen"))
+    val resized = Media.resize(media, ResizeW, ResizeH)
+    val resizeAgg = Media.decode(resized).toDF()
+      .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
+        length(col("content")).as("rlen"))
+      .join(origLen, "media_id")
+      .agg((sum(when(col("w") === ResizeW && col("h") === ResizeH &&
+        col("rlen") <= col("olen"), 0).otherwise(1)) === 0).as("resize_ok"))
+
+    val nVideos = Tables.documents(spark, dir).agg(count(lit(1)).as("n_videos"))
+    nVideos.crossJoin(frameAgg).crossJoin(resizeAgg)
+      .select(col("n_videos"), col("n_frames"),
+        col("frame0_ok"), col("frame_len_ok"), col("resize_ok"))
+  }
+
+  val q43MediaFramesSql: String =
+    """WITH b AS (SELECT octet_length(encode(text)) AS blen FROM documents)
+      |SELECT (SELECT count(*) FROM b)::BIGINT AS n_videos,
+      |  (SELECT coalesce(sum(blen // 500 + 1), 0) FROM b WHERE blen > 0)::BIGINT
+      |    AS n_frames,
+      |  TRUE AS frame0_ok, TRUE AS frame_len_ok, TRUE AS resize_ok""".stripMargin
+
   val q37MediaAnnSql: String =
     """WITH d AS (SELECT doc_id FROM documents WHERE length(text) > 0)
       |SELECT ((SELECT count(*) FROM d)

@@ -138,6 +138,15 @@ class MediaSpec extends SparkSpec {
     assert(feats.collect().forall(f => math.abs(f.feature.sum - 1f) < 1e-3))
   }
 
+  test("q43 media gate: frame-sampling and resize invariants hold") {
+    val row = operators.MediaQueries.q43MediaFrames(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_videos") > 0 && row.getAs[Long]("n_frames") > 0)
+    assert(row.getAs[Boolean]("frame0_ok"),
+      "frame 0 must start at the first payload byte (independent recompute from text)")
+    assert(row.getAs[Boolean]("frame_len_ok"))
+    assert(row.getAs[Boolean]("resize_ok"))
+  }
+
   test("q37 media gate: anchors + booleans hold end-to-end") {
     val rows = graft.operators.MediaQueries.q37MediaAnn(spark, sf).collect()
     assert(rows.length == 1)
