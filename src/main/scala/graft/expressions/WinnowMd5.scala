@@ -122,6 +122,9 @@ case class WinnowMd5(child: Expression, k: Int, w: Int)
       val out = ctx.freshName("wmOut")
       val o = ctx.freshName("wmO")
       val iter = ctx.freshName("wmIter")
+      // NB: Spark's `code` interpolator strips '|' margins AGAIN on the
+      // assembled block, so no template line may BEGIN with a `|` operator —
+      // it would be eaten as a margin char and the code fails janino.
       s"""
          |byte[] $bytes = $c.getBytes();
          |int $nChars = $c.numChars();
@@ -141,8 +144,8 @@ case class WinnowMd5(child: Expression, k: Int, w: Int)
          |    $mdField.reset();
          |    $mdField.update($bytes, $off[$i], $off[$i + $k] - $off[$i]);
          |    byte[] $d = $mdField.digest();
-         |    $hs[$i] = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
-         |        | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |    $hs[$i] = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |        (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
          |  }
          |  java.util.TreeSet<Long> $mins = new java.util.TreeSet<Long>();
          |  for (int $j = 0; $j <= $n - $w; $j++) {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.{Relational, SimilarityQueries}
 
@@ -114,5 +114,44 @@ class PlanAuditSpec extends SparkSpec {
     // the exact metrics — no extra shuffle per sketch
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"sketches must not add shuffles:\n$p")
+  }
+
+  test("every custom codegen expression COMPILES under janino (fallback off)") {
+    // A broken doGenCode degrades silently in production: janino rejects
+    // the generated source, Spark logs an ERROR and re-runs the stage
+    // interpreted — values stay correct, codegen throughput is lost, and
+    // plan-string audits can't see it (the expression is still IN the
+    // plan). Round 4 shipped exactly that: Spark's `code` interpolator
+    // stripMargin'd WinnowMd5's template a second time and ate a
+    // line-leading `|` operator. Disabling fallback turns the next such
+    // regression into this test failing.
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.{TextFunctions, VectorFunctions}
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      def isect(a: Column, b: Column): Column =
+        ColumnBridge.column(graft.expressions.SortedIntersectSize(
+          ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      val textRow = docs.select(
+        TextFunctions.winnowFingerprintsMd5(col("t"), 5, 4).as("wm"),
+        TextFunctions.winnowFingerprintsRk(col("t"), 5, 4).as("wr"),
+        operators.Dedup.simhashWord(
+          array(xxhash64(col("t")), xxhash64(col("doc_id")))).as("sh"),
+        isect(array_sort(split(col("t"), " ")),
+          array_sort(split(reverse(col("t")), " "))).as("ix"))
+        .agg(sum(size(col("wm"))), sum(size(col("wr"))),
+          sum(col("sh")), sum(col("ix")))
+        .collect()
+      assert(textRow.length == 1)
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val dotRow = emb.select(
+        VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+        .agg(sum(col("d"))).collect()
+      assert(dotRow.length == 1)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 }
