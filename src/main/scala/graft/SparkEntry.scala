@@ -61,6 +61,8 @@ object SparkEntry {
     "q41_stream_parity" -> (StreamingQueries.q41StreamParity _),
     "q42_winnow_rk"    -> (TextQueries.q42WinnowRk _),
     "q43_media_frames" -> (MediaQueries.q43MediaFrames _),
+    "q44_mixture_sample" -> (TrainingData.q44MixtureSample _),
+    "q45_seq_pack"     -> (TrainingData.q45SeqPack _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,5 +112,7 @@ object SparkEntry {
     "q41_stream_parity" -> StreamingQueries.q41StreamParitySql,
     "q42_winnow_rk"    -> TextQueries.q42WinnowRkSql,
     "q43_media_frames" -> MediaQueries.q43MediaFramesSql,
+    "q44_mixture_sample" -> TrainingData.q44MixtureSampleSql,
+    "q45_seq_pack"     -> TrainingData.q45SeqPackSql,
   )
 }

@@ -18,7 +18,7 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
-  private val tokSqlExpr =
+  private[operators] val tokSqlExpr =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
   /** Exact dedup: one survivor per distinct text (hash-groupBy — the

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Training-data pipeline operators the reference's ETL never needed but a
+  * 100 TB corpus build does: reproducible mixture sampling and token-budget
+  * sequence packing. Both are deterministic by construction — a re-run (or
+  * a backfill over one shard) reproduces byte-identical decisions, which is
+  * the property that makes them safe to run incrementally at scale.
+  *
+  * Scale design:
+  *  - [[mixtureSample]] is a stateless map-side filter on a seeded hash of
+  *    the document id: no shuffle, no global count, no coordination. The
+  *    alternative — rank-based sampling (`ORDER BY random() LIMIT n`) —
+  *    needs a global sort AND changes every row's fate when the corpus
+  *    grows; hash-threshold sampling keeps prior members stable, so a
+  *    nightly incremental run only decides the NEW rows.
+  *  - [[packAssignments]] is concat-and-chunk packing (the standard
+  *    pretraining batch construction): one cumulative sum per
+  *    (stratum, shard) stream. The shard key bounds the window sort — at
+  *    1000 executors you raise `shards` so each stream's token ledger fits
+  *    one task, and packs never cross shards, so parallelism costs no
+  *    packing quality beyond one partial tail pack per stream.
+  */
+object TrainingData {
+
+  /** Deterministic uniform bucket in [0, 2^32) from a seeded md5 of the
+    * id — the same 8-hex-digit prefix read as an unsigned int on both
+    * engines, so sampling decisions are exact integer compares (no float
+    * rounding surface). */
+  def hashBucket(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** The integer threshold a rate maps to: keep iff bucket < floor(rate·2³²). */
+  def rateThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
+
+  /** Weighted mixture sampling: keep each row of stratum s with
+    * probability rates(s), decided by the seeded id hash. Strata absent
+    * from `rates` are dropped (threshold -1). Adds `bucket` so callers
+    * (and the oracle) can audit the decision. */
+  def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
+                    rates: Map[String, Double], seed: String): DataFrame = {
+    val thr = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+    docs.withColumn("bucket", hashBucket(col(idCol), seed))
+      .filter(col("bucket") < thr)
+  }
+
+  /** Per-document pack assignment for concat-and-chunk sequence packing:
+    * documents are laid head-to-tail in (partCol, shard, orderCol) order
+    * and a document belongs to the pack its FIRST token lands in (it may
+    * straddle into the next — that is the chunking semantic, not a bug).
+    * Returns the input plus `shard`, `tokens`, `start_off`, `pack_id`. */
+  def packAssignments(docs: DataFrame, partCol: String, orderCol: String,
+                      tokensCol: Column, budget: Int, shards: Int,
+                      seed: String): DataFrame = {
+    require(budget >= 1 && shards >= 1,
+      s"packing needs budget >= 1 and shards >= 1, got budget=$budget shards=$shards")
+    val w = Window.partitionBy(col(partCol), col("shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", hashBucket(col(orderCol), seed) % shards)
+      .withColumn("tokens", tokensCol)
+      .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("pack_id", floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+  }
+
+  // ---- gated queries ------------------------------------------------------
+
+  /** The q44 mixture: per-language sampling rates over the documents
+    * fixture. Shared between the Spark plan and the generated oracle so
+    * the driver hash-checks the exact thresholds. */
+  val MixRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.9, "zh" -> 0.7, "de" -> 0.5, "fr" -> 0.3, "es" -> 0.15)
+  val MixSeed = "mix"
+
+  private val PackBudget = 1024
+  private val PackShards = 4
+  private val PackSeed = "shard"
+
+  /** q44: deterministic weighted mixture sample of the documents table,
+    * stratified by language. */
+  def q44MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables.documents(spark, dir), "doc_id", "lang",
+      MixRates.toMap, MixSeed)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val q44MixtureSampleSql: String = {
+    val cases = MixRates
+      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, source, bucket FROM (
+       |  SELECT doc_id, lang, source,
+       |    ('0x' || substring(md5('$MixSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM documents)
+       |WHERE bucket < CASE lang $cases ELSE -1 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q45: token-budget sequence packing over (lang, shard) streams —
+    * per-pack document counts and token ledgers. `pack_tokens` counts the
+    * tokens of documents STARTING in the pack, so interior packs carry at
+    * least `budget` minus the largest straddle; the last pack per stream
+    * holds the remainder. */
+  def q45SeqPack(spark: SparkSession, dir: String): DataFrame =
+    packAssignments(Tables.documents(spark, dir), "lang", "doc_id",
+      TextFunctions.tokenCount(col("text")).cast("long"),
+      PackBudget, PackShards, PackSeed)
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"), col("pack_id"))
+
+  val q45SeqPackSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substring(md5('$PackSeed:' || doc_id), 1, 8))::BIGINT % $PackShards AS shard,
+       |    len(${TextQueries.tokSqlExpr})::BIGINT AS tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT *, sum(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS start_off
+       |  FROM toks)
+       |SELECT lang, shard, start_off // $PackBudget AS pack_id,
+       |  count(*) AS n_docs, sum(tokens) AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM offs GROUP BY 1, 2, 3 ORDER BY lang, shard, pack_id""".stripMargin
+}
