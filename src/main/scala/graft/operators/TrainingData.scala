@@ -56,7 +56,12 @@ object TrainingData {
     * documents are laid head-to-tail in (partCol, shard, orderCol) order
     * and a document belongs to the pack its FIRST token lands in (it may
     * straddle into the next — that is the chunking semantic, not a bug).
-    * Returns the input plus `shard`, `tokens`, `start_off`, `pack_id`. */
+    * Returns the input plus `shard`, `tokens`, `start_off`, `pack_id`.
+    *
+    * Determinism contract: `orderCol` MUST be unique within each
+    * (partCol, shard) stream — the running sum orders by it alone, and a
+    * duplicate key would make `start_off` engine/run-dependent for the
+    * tied rows. Pass a document id, not a timestamp. */
   def packAssignments(docs: DataFrame, partCol: String, orderCol: String,
                       tokensCol: Column, budget: Int, shards: Int,
                       seed: String): DataFrame = {
@@ -69,7 +74,7 @@ object TrainingData {
       .withColumn("shard", hashBucket(col(orderCol), seed) % shards)
       .withColumn("tokens", tokensCol)
       .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
-      .withColumn("pack_id", floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .withColumn("pack_id", expr(s"start_off div $budget"))
   }
 
   // ---- gated queries ------------------------------------------------------
@@ -131,8 +136,8 @@ object TrainingData {
        |  SELECT *, sum(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS start_off
        |  FROM toks)
-       |SELECT lang, shard, start_off // $PackBudget AS pack_id,
-       |  count(*) AS n_docs, sum(tokens) AS pack_tokens,
+       |SELECT lang, shard, (start_off // $PackBudget)::BIGINT AS pack_id,
+       |  count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM offs GROUP BY 1, 2, 3 ORDER BY lang, shard, pack_id""".stripMargin
 }
