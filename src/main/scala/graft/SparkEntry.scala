@@ -63,6 +63,7 @@ object SparkEntry {
     "q43_media_frames" -> (MediaQueries.q43MediaFrames _),
     "q44_mixture_sample" -> (TrainingData.q44MixtureSample _),
     "q45_seq_pack"     -> (TrainingData.q45SeqPack _),
+    "q46_stream_merge" -> (StreamingQueries.q46StreamMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +115,6 @@ object SparkEntry {
     "q43_media_frames" -> MediaQueries.q43MediaFramesSql,
     "q44_mixture_sample" -> TrainingData.q44MixtureSampleSql,
     "q45_seq_pack"     -> TrainingData.q45SeqPackSql,
+    "q46_stream_merge" -> StreamingQueries.q46StreamMergeSql,
   )
 }

@@ -158,6 +158,79 @@ object StreamingQueries {
       |  (SELECT count(*) FROM (SELECT DISTINCT user_id, sid FROM s))::BIGINT AS n_sessions,
       |  TRUE AS windows_match, TRUE AS sessions_match""".stripMargin
 
+  /** q46: the external-sink path under the driver's gate — stream the
+    * events fixture through [[graft.streaming.StreamingMerge]]'s
+    * `foreachBatch` → [[graft.sinks.MergeSink.mergeInto]] into a parquet
+    * snapshot, then gate on what DuckDB can recompute from the fixture.
+    * This is the reference's own pipeline shape (mongo.py:103-163: bulk
+    * upsert with per-batch result counts) executed end-to-end: seed →
+    * stream → merged snapshot → counts.
+    *
+    * The scenario exercises every merge semantic, batch-split-invariantly
+    * (event_id is unique, so each key is decided in exactly one
+    * micro-batch regardless of how the source splits the fixture):
+    *  - seed merge: every 10th event pre-exists in the snapshot knowing
+    *    only its event_type (user_id/value null) — all upserts;
+    *  - stream merge: every event arrives with (user_id, value) and a
+    *    NULL event_type — seeded keys take the matched+modified path and
+    *    null-skip must preserve their seeded event_type; fresh keys
+    *    upsert.
+    * Gate row: snapshot anchors the oracle recomputes (n_rows, n_users,
+    * n_typed = seeded count surviving null-skip, sum_value) plus
+    * `counts_consistent` — the accumulated per-batch MergeStats totals
+    * equal the snapshot-derived expectations (matched = modified =
+    * n_typed, upserted = n_rows − n_typed), compared in-plan. */
+  def q46StreamMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.MergeSink
+    import graft.streaming.StreamingMerge
+    val base = java.nio.file.Files.createTempDirectory("graft_q46_").toString
+    val target = s"$base/snapshot"
+    val key = "event_id"
+    val fields = Seq("user_id", "event_type", "value")
+    val seed = Tables.events(spark, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), lit(null).cast("long").as("user_id"),
+        col("event_type"), lit(null).cast("double").as("value"))
+    MergeSink.mergeInto(spark, target, seed, key, fields)
+    val totals = new java.util.concurrent.atomic.AtomicReference(
+      MergeSink.MergeStats(0L, 0L, 0L))
+    val src = EventStreams.readEventFixtureStream(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        lit(null).cast("string").as("event_type"), col("value"))
+    val q = StreamingMerge.start(src, target, s"$base/ckpt", key, fields,
+      trigger = Some(Trigger.AvailableNow()),
+      onStats = s => { totals.updateAndGet(t => MergeSink.MergeStats(
+        t.nMatched + s.nMatched, t.nModified + s.nModified,
+        t.nUpserted + s.nUpserted)); () })
+    try q.awaitTermination()
+    finally { if (q.isActive) q.stop() }
+    val st = totals.get()
+    val gate = spark.read.parquet(target)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type").isNotNull, 1L).otherwise(0L)).as("n_typed"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("n_rows"), col("n_users"), col("n_typed"), col("sum_value"),
+        (col("n_typed") === lit(st.nMatched) &&
+          col("n_typed") === lit(st.nModified) &&
+          (col("n_rows") - col("n_typed")) === lit(st.nUpserted))
+          .as("counts_consistent"))
+      .localCheckpoint(true) // materialize before the snapshot dir is deleted
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    gate
+  }
+
+  val q46StreamMergeSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  (count(*) FILTER (event_id % 10 = 0))::BIGINT AS n_typed,
+      |  round(sum(value), 4) AS sum_value,
+      |  TRUE AS counts_consistent
+      |FROM events""".stripMargin
+
   val q25SessionizeSql: String =
     """WITH o AS (
       |  SELECT user_id, ts, value,

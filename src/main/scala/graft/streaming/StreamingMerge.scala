@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, Dataset}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.sinks.MergeSink
 
 /** The reference pipeline as a STREAM: continuously merge arriving update
@@ -18,15 +18,25 @@ import graft.sinks.MergeSink
   * batch re-upserts the same documents. */
 object StreamingMerge {
 
+  /** Start the merge stream. `onStats` receives each micro-batch's
+    * reference-shaped counts (mongo.py:140-145) — the streaming analog of
+    * the batch CLI's result reporting; accumulate them for end-of-stream
+    * totals (q46 gates totals == snapshot-derivable expectations).
+    * `trigger` defaults to Spark's own default (micro-batch as data
+    * arrives); pass `Trigger.AvailableNow()` for a drain-and-stop run. */
   def start(updates: DataFrame, targetPath: String, checkpointDir: String,
-            key: String, fields: Seq[String]): StreamingQuery = {
+            key: String, fields: Seq[String],
+            orderCol: Option[String] = None,
+            trigger: Option[Trigger] = None,
+            onStats: MergeSink.MergeStats => Unit = _ => ()): StreamingQuery = {
     val spark = updates.sparkSession
-    updates.writeStream
+    val writer = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val stats = MergeSink.mergeInto(spark, targetPath, batch, key, fields)
+        val stats = MergeSink.mergeInto(spark, targetPath, batch, key, fields, orderCol)
         println(s"""{"stage":"stream_merge","batch":$batchId,"n_matched":${stats.nMatched},"n_modified":${stats.nModified},"n_upserted":${stats.nUpserted}}""")
+        onStats(stats)
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
   }
 }

@@ -172,6 +172,18 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q46: streamed merge into a snapshot matches fixture-derived anchors") {
+    val row = operators.StreamingQueries.q46StreamMerge(spark, sf).collect()(0)
+    // fixture facts (sf0.001): 1000 unique event_ids, 15 users, 100 seeded
+    assert(row.getAs[Long]("n_rows") == 1000L)
+    assert(row.getAs[Long]("n_users") == 15L)
+    // null-skip proof: the stream's null event_type did not erase the
+    // seeded values, and nothing else ever wrote event_type
+    assert(row.getAs[Long]("n_typed") == 100L)
+    // accumulated per-batch MergeStats agree with the snapshot shape
+    assert(row.getAs[Boolean]("counts_consistent"))
+  }
+
   test("batch and streaming tumbling windows agree on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
