@@ -64,6 +64,9 @@ object SparkEntry {
     "q44_mixture_sample" -> (TrainingData.q44MixtureSample _),
     "q45_seq_pack"     -> (TrainingData.q45SeqPack _),
     "q46_stream_merge" -> (StreamingQueries.q46StreamMerge _),
+    "q47_skew_join"    -> (Skew.q47SkewJoin _),
+    "q48_bulk_sink"    -> (SinkQueries.q48BulkSink _),
+    "q49_pack_segments" -> (TrainingData.q49PackSegments _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,5 +119,8 @@ object SparkEntry {
     "q44_mixture_sample" -> TrainingData.q44MixtureSampleSql,
     "q45_seq_pack"     -> TrainingData.q45SeqPackSql,
     "q46_stream_merge" -> StreamingQueries.q46StreamMergeSql,
+    "q47_skew_join"    -> Skew.q47SkewJoinSql,
+    "q48_bulk_sink"    -> SinkQueries.q48BulkSinkSql,
+    "q49_pack_segments" -> TrainingData.q49PackSegmentsSql,
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.sinks.{BulkForeachSink, CsvBatchClient}
+
+/** Driver-gated entry for the partition-parallel bulk external write —
+  * the reference's core pipeline (parquet scan → batched bulk writes with
+  * result counts, src/func/job.py:58-87 + mongo.py:103-163) executed
+  * end-to-end and then VERIFIED by reading the external system back. */
+object SinkQueries {
+
+  /** q48: stream lineitem through [[BulkForeachSink]] (8-way partition
+    * parallelism, 1000-row batches) into a [[CsvBatchClient]] staging
+    * directory, read the directory back, and gate on:
+    *
+    *  - anchors DuckDB recomputes from the fixture: `n_rows`, `sum_qty`,
+    *    `sum_price` — proving every row survived the external round trip
+    *    byte-exactly (`String.valueOf`/CSV round-trips longs and doubles
+    *    losslessly);
+    *  - `stats_rows_match`: the accumulator-reported row count equals
+    *    the read-back count (the reference's result reporting,
+    *    mongo.py:140-145);
+    *  - `batches_consistent`: one file per reported batch, and the batch
+    *    count sits in the only range a correct `grouped(batchSize)` over
+    *    8 partitions allows — `ceil(n/B) ≤ batches ≤ n div B + 8` (each
+    *    partition adds at most one partial batch);
+    *  - `no_failures`: zero dropped batches (the tolerant path is
+    *    exercised by BulkForeachSinkSpec with an injected flaky client).
+    */
+  def q48BulkSink(spark: SparkSession, dir: String): DataFrame = {
+    val parts = 8
+    val batchSize = 1000
+    val base = java.nio.file.Files.createTempDirectory("graft_q48_").toString
+    try {
+      val rows = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartition(parts)
+      val stats = BulkForeachSink.write(rows, batchSize, () => CsvBatchClient(base))
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_partkey", LongType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType)))
+      val nFiles = new java.io.File(base).listFiles()
+        .count(_.getName.endsWith(".csv")).toLong
+      spark.read.schema(schema).csv(base)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        .select(col("n_rows"), col("sum_qty"), col("sum_price"),
+          (col("n_rows") === lit(stats.nRows)).as("stats_rows_match"),
+          (lit(stats.nBatches) === lit(nFiles) &&
+            lit(stats.nBatches) >=
+              expr(s"(n_rows + ${batchSize - 1}) div $batchSize") &&
+            lit(stats.nBatches) <= expr(s"n_rows div $batchSize") + parts)
+            .as("batches_consistent"),
+          (lit(stats.nFailedBatches) === 0L).as("no_failures"))
+        .localCheckpoint(true) // materialize before the staging dir is deleted
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    }
+  }
+
+  val q48BulkSinkSql: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_price,
+      |  TRUE AS stats_rows_match,
+      |  TRUE AS batches_consistent,
+      |  TRUE AS no_failures
+      |FROM lineitem""".stripMargin
+}

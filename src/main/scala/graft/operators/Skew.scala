@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew mitigation primitives (SCALE.md "Skew"). AQE's runtime skew-join
   * splitting covers sort-merge joins; the explicit salted form below is
@@ -56,4 +57,42 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(out))
   }
+
+  // ---- gated query --------------------------------------------------------
+
+  /** q47: the skew primitives under the driver's gate — revenue per
+    * market segment through `orders ⋈ customer` executed as
+    * [[saltedJoin]] (8 salts), with the revenue total folded through
+    * [[saltedSum]]'s explicit two-phase (key, salt) partials. Because
+    * both rewrites are semantics-preserving, the oracle is the PLAIN
+    * join + group-by: the gate proves the salted forms change the
+    * shuffle layout and nothing else. The random salt values never leak
+    * into the result — only match cardinality matters, and each big row
+    * still meets exactly one replica of its key. */
+  def q47SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .withColumnRenamed("o_custkey", "custkey")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    // both aggregates read the joined frame: persist the join once
+    val joined = saltedJoin(orders, cust, "custkey", salts = 8)
+      .select(col("c_mktsegment"), col("o_totalprice")).persist()
+    try {
+      val counts = joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+      val revenue = saltedSum(joined, "c_mktsegment", "o_totalprice",
+        salts = 8, out = "revenue_raw")
+      counts.join(revenue, "c_mktsegment")
+        .select(col("c_mktsegment"), col("n_orders"),
+          round(col("revenue_raw"), 4).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+        .localCheckpoint(true) // materialize before unpersist
+    } finally { joined.unpersist(); () }
+  }
+
+  val q47SkewJoinSql: String =
+    """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+      |  round(sum(o_totalprice), 4) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -179,54 +179,71 @@ object StreamingQueries {
     * n_typed = seeded count surviving null-skip, sum_value) plus
     * `counts_consistent` — the accumulated per-batch MergeStats totals
     * equal the snapshot-derived expectations (matched = modified =
-    * n_typed, upserted = n_rows − n_typed), compared in-plan. */
+    * n_typed, upserted = n_rows − n_typed), compared in-plan. Per-batch
+    * stats are keyed by batchId (last-write-wins), so a foreachBatch
+    * replay cannot double-count the totals.
+    *
+    * Fixture invariants this gate leans on (true of the driver-generated
+    * events tables; re-verify if the fixture is ever regenerated):
+    * `event_id` is unique (each key decided in exactly one micro-batch);
+    * seeded rows (event_id % 10 = 0) have non-null `event_type` (else
+    * matched-count > n_typed and the boolean gate goes false); `user_id`
+    * and `value` are non-null (n_users / sum_value parity). The oracle's
+    * n_typed mirrors the snapshot semantics (non-null event_type filter)
+    * rather than assuming the invariant. */
   def q46StreamMerge(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sinks.MergeSink
     import graft.streaming.StreamingMerge
-    val base = java.nio.file.Files.createTempDirectory("graft_q46_").toString
-    val target = s"$base/snapshot"
-    val key = "event_id"
-    val fields = Seq("user_id", "event_type", "value")
-    val seed = Tables.events(spark, dir)
-      .filter(col("event_id") % 10 === 0)
-      .select(col("event_id"), lit(null).cast("long").as("user_id"),
-        col("event_type"), lit(null).cast("double").as("value"))
-    MergeSink.mergeInto(spark, target, seed, key, fields)
-    val totals = new java.util.concurrent.atomic.AtomicReference(
-      MergeSink.MergeStats(0L, 0L, 0L))
-    val src = EventStreams.readEventFixtureStream(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        lit(null).cast("string").as("event_type"), col("value"))
-    val q = StreamingMerge.start(src, target, s"$base/ckpt", key, fields,
-      trigger = Some(Trigger.AvailableNow()),
-      onStats = s => { totals.updateAndGet(t => MergeSink.MergeStats(
-        t.nMatched + s.nMatched, t.nModified + s.nModified,
-        t.nUpserted + s.nUpserted)); () })
-    try q.awaitTermination()
-    finally { if (q.isActive) q.stop() }
-    val st = totals.get()
-    val gate = spark.read.parquet(target)
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("user_id")).as("n_users"),
-        sum(when(col("event_type").isNotNull, 1L).otherwise(0L)).as("n_typed"),
-        round(sum(col("value")), 4).as("sum_value"))
-      .select(col("n_rows"), col("n_users"), col("n_typed"), col("sum_value"),
-        (col("n_typed") === lit(st.nMatched) &&
-          col("n_typed") === lit(st.nModified) &&
-          (col("n_rows") - col("n_typed")) === lit(st.nUpserted))
-          .as("counts_consistent"))
-      .localCheckpoint(true) // materialize before the snapshot dir is deleted
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    gate
+    val basePath = java.nio.file.Files.createTempDirectory("graft_q46_")
+    val base = basePath.toString
+    try {
+      val target = s"$base/snapshot"
+      val key = "event_id"
+      val fields = Seq("user_id", "event_type", "value")
+      val seed = Tables.events(spark, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), lit(null).cast("long").as("user_id"),
+          col("event_type"), lit(null).cast("double").as("value"))
+      MergeSink.mergeInto(spark, target, seed, key, fields)
+      // keyed by batchId: a replayed batch OVERWRITES its own entry
+      val perBatch =
+        new java.util.concurrent.ConcurrentHashMap[Long, MergeSink.MergeStats]
+      val src = EventStreams.readEventFixtureStream(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          lit(null).cast("string").as("event_type"), col("value"))
+      val q = StreamingMerge.start(src, target, s"$base/ckpt", key, fields,
+        trigger = Some(Trigger.AvailableNow()),
+        onStats = (id, s) => { perBatch.put(id, s); () })
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      import scala.jdk.CollectionConverters._
+      val st = perBatch.values.asScala.foldLeft(MergeSink.MergeStats(0L, 0L, 0L)) {
+        (t, s) => MergeSink.MergeStats(t.nMatched + s.nMatched,
+          t.nModified + s.nModified, t.nUpserted + s.nUpserted)
+      }
+      spark.read.parquet(target)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type").isNotNull, 1L).otherwise(0L)).as("n_typed"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(col("n_rows"), col("n_users"), col("n_typed"), col("sum_value"),
+          (col("n_typed") === lit(st.nMatched) &&
+            col("n_typed") === lit(st.nModified) &&
+            (col("n_rows") - col("n_typed")) === lit(st.nUpserted))
+            .as("counts_consistent"))
+        .localCheckpoint(true) // materialize before the snapshot dir is deleted
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    }
   }
 
   val q46StreamMergeSql: String =
     """SELECT count(*)::BIGINT AS n_rows,
       |  count(DISTINCT user_id)::BIGINT AS n_users,
-      |  (count(*) FILTER (event_id % 10 = 0))::BIGINT AS n_typed,
+      |  (count(*) FILTER (event_id % 10 = 0 AND event_type IS NOT NULL))::BIGINT AS n_typed,
       |  round(sum(value), 4) AS sum_value,
       |  TRUE AS counts_consistent
       |FROM events""".stripMargin

@@ -61,7 +61,10 @@ object TrainingData {
     * Determinism contract: `orderCol` MUST be unique within each
     * (partCol, shard) stream — the running sum orders by it alone, and a
     * duplicate key would make `start_off` engine/run-dependent for the
-    * tied rows. Pass a document id, not a timestamp. */
+    * tied rows. Pass a document id, not a timestamp. `tokensCol` is cast
+    * to long internally: the pack boundary is exact integer division
+    * (`div`), never float `floor` — double division diverges from the
+    * exact ledger once a stream's cumulative offset passes 2^53. */
   def packAssignments(docs: DataFrame, partCol: String, orderCol: String,
                       tokensCol: Column, budget: Int, shards: Int,
                       seed: String): DataFrame = {
@@ -72,10 +75,48 @@ object TrainingData {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard", hashBucket(col(orderCol), seed) % shards)
-      .withColumn("tokens", tokensCol)
+      .withColumn("tokens", tokensCol.cast("long"))
       .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
       .withColumn("pack_id", expr(s"start_off div $budget"))
   }
+
+  /** Materialized pack CONTENTS — the exporter half of concat-and-chunk
+    * packing. [[packAssignments]] decides which pack each document STARTS
+    * in; a pretraining exporter also needs every (pack, document-span)
+    * segment, including the straddle splits where a document crosses a
+    * pack boundary. One row per segment:
+    *
+    *  - `pack_id`: every pack the document occupies (first through last);
+    *  - `seg_start`/`seg_end`: the half-open token span WITHIN the
+    *    document that lands in this pack (`[0, tokens)` overall — a
+    *    document's segments tile its token range exactly);
+    *  - `pack_off`: where the segment begins within the pack
+    *    (`[0, budget)`), so interior packs tile `[0, budget)` exactly.
+    *
+    * Zero-token documents occupy no pack and emit no segment (they still
+    * sit in the ledger upstream, contributing 0 to every offset).
+    *
+    * Scale: the explode is a narrow map over the assignment output — a
+    * document spanning k packs emits k rows, and k ≤ tokens/budget + 1,
+    * so output volume is bounded by total-tokens/budget + n_docs
+    * regardless of document size distribution. No new shuffle beyond
+    * [[packAssignments]]'s one window. */
+  def packSegments(docs: DataFrame, partCol: String, orderCol: String,
+                   tokensCol: Column, budget: Int, shards: Int,
+                   seed: String): DataFrame =
+    packAssignments(docs, partCol, orderCol, tokensCol, budget, shards, seed)
+      .filter(col("tokens") > 0L)
+      .withColumn("pack_id",
+        explode(sequence(col("pack_id"),
+          expr(s"(start_off + tokens - 1) div $budget"))))
+      .withColumn("seg_start",
+        greatest(col("pack_id") * budget, col("start_off")) - col("start_off"))
+      .withColumn("seg_end",
+        least((col("pack_id") + 1) * budget, col("start_off") + col("tokens"))
+          - col("start_off"))
+      .withColumn("pack_off",
+        greatest(col("pack_id") * budget, col("start_off"))
+          - col("pack_id") * budget)
 
   // ---- gated queries ------------------------------------------------------
 
@@ -125,6 +166,40 @@ object TrainingData {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("lang"), col("shard"), col("pack_id"))
+
+  /** q49: the materialized pack contents for the q45 packing — one row
+    * per (pack, document-segment), straddle splits included. Same
+    * streams, budget, and ledger as q45, so the two gates cross-check:
+    * q45's per-pack token totals equal the sum of q49's segment lengths
+    * for documents STARTING in the pack. */
+  def q49PackSegments(spark: SparkSession, dir: String): DataFrame =
+    packSegments(Tables.documents(spark, dir), "lang", "doc_id",
+      TextFunctions.tokenCount(col("text")), PackBudget, PackShards, PackSeed)
+      .select(col("lang"), col("shard"), col("pack_id"), col("doc_id"),
+        col("seg_start"), col("seg_end"), col("pack_off"))
+      .orderBy(col("lang"), col("shard"), col("pack_id"), col("doc_id"))
+
+  val q49PackSegmentsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substring(md5('$PackSeed:' || doc_id), 1, 8))::BIGINT % $PackShards AS shard,
+       |    len(${TextQueries.tokSqlExpr})::BIGINT AS tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT *, (sum(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)::BIGINT AS start_off
+       |  FROM toks),
+       |segs AS (
+       |  -- scalar generate_series + unnest: DuckDB's table-function form
+       |  -- can't take lateral column parameters
+       |  SELECT *, unnest(generate_series(start_off // $PackBudget,
+       |    (start_off + tokens - 1) // $PackBudget))::BIGINT AS pack_id
+       |  FROM offs WHERE tokens > 0)
+       |SELECT lang, shard, pack_id, doc_id,
+       |  (greatest(pack_id * $PackBudget, start_off) - start_off)::BIGINT AS seg_start,
+       |  (least((pack_id + 1) * $PackBudget, start_off + tokens) - start_off)::BIGINT AS seg_end,
+       |  (greatest(pack_id * $PackBudget, start_off) - pack_id * $PackBudget)::BIGINT AS pack_off
+       |FROM segs ORDER BY lang, shard, pack_id, doc_id""".stripMargin
 
   val q45SeqPackSql: String =
     s"""WITH toks AS (

@@ -18,24 +18,28 @@ import graft.sinks.MergeSink
   * batch re-upserts the same documents. */
 object StreamingMerge {
 
-  /** Start the merge stream. `onStats` receives each micro-batch's
+  /** Start the merge stream. `onStats` receives each micro-batch's id and
     * reference-shaped counts (mongo.py:140-145) — the streaming analog of
     * the batch CLI's result reporting; accumulate them for end-of-stream
     * totals (q46 gates totals == snapshot-derivable expectations).
+    * Because foreachBatch is at-least-once, a batch can REPLAY (failure
+    * retry, checkpoint restart) with the same batchId — the merge itself
+    * is idempotent, but a correct accumulator must key on batchId
+    * (last-write-wins per id), not blindly add, or replays double-count.
     * `trigger` defaults to Spark's own default (micro-batch as data
     * arrives); pass `Trigger.AvailableNow()` for a drain-and-stop run. */
   def start(updates: DataFrame, targetPath: String, checkpointDir: String,
             key: String, fields: Seq[String],
             orderCol: Option[String] = None,
             trigger: Option[Trigger] = None,
-            onStats: MergeSink.MergeStats => Unit = _ => ()): StreamingQuery = {
+            onStats: (Long, MergeSink.MergeStats) => Unit = (_, _) => ()): StreamingQuery = {
     val spark = updates.sparkSession
     val writer = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val stats = MergeSink.mergeInto(spark, targetPath, batch, key, fields, orderCol)
         println(s"""{"stage":"stream_merge","batch":$batchId,"n_matched":${stats.nMatched},"n_modified":${stats.nModified},"n_upserted":${stats.nUpserted}}""")
-        onStats(stats)
+        onStats(batchId, stats)
       }
     trigger.fold(writer)(writer.trigger).start()
   }

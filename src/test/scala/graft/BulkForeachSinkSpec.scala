@@ -38,6 +38,31 @@ class BulkForeachSinkSpec extends SparkSpec {
       BulkForeachSink.write(df, batchSize = 10, failing, tolerant = false)
     }
   }
+
+  test("CsvBatchClient: one atomically-renamed file per batch, lossless round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvclient").toString
+    val client = graft.sinks.CsvBatchClient(dir)
+    client.open()
+    client.writeBatch(Seq(Row(1L, 2.5), Row(2L, -0.125)))
+    client.writeBatch(Seq(Row(3L, 1e-300)))
+    client.close()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".csv")) == 2 && !files.exists(_.endsWith(".tmp")),
+      s"two batch files, no temp leftovers: ${files.mkString(",")}")
+    val lines = files.filter(_.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(s"$dir/$f").getLines()).sorted
+    assert(lines.toSeq == Seq("1,2.5", "2,-0.125", "3,1.0E-300"),
+      "String.valueOf rendering round-trips numerics exactly")
+  }
+
+  test("q48 gate: external write round trip verified against the fixture") {
+    val row = graft.operators.SinkQueries.q48BulkSink(spark, sf).collect()(0)
+    val n = Tables.lineitem(spark, sf).count()
+    assert(row.getAs[Long]("n_rows") == n, "every fixture row reached the sink")
+    assert(row.getAs[Boolean]("stats_rows_match"), "accumulator counts agree")
+    assert(row.getAs[Boolean]("batches_consistent"), "file-per-batch + ceil bounds")
+    assert(row.getAs[Boolean]("no_failures"))
+  }
 }
 
 object BulkForeachSinkSpec {

@@ -51,6 +51,23 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("q47 gate: salted join + salted sum reproduce the plain plan's answer") {
+    val row = Skew.q47SkewJoin(spark, sf).collect()
+    val expected = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+      .orderBy("c_mktsegment").collect()
+    assert(row.length == expected.length && row.length == 5,
+      "TPC-H has five market segments")
+    row.zip(expected).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-6)
+    }
+  }
+
   test("the salt actually spreads the hot key across partitions") {
     val salted = big.withColumn("__salt", (rand(42) * 8).cast("int"))
       .filter(col("k") === 1L)

@@ -85,4 +85,63 @@ class TrainingDataSpec extends SparkSpec {
         s"pack ids must be contiguous, got ${ids.mkString(",")}")
     }
   }
+
+  test("pack segments tile every document and every interior pack exactly") {
+    val budget = 512
+    val toks = functions.TextFunctions.tokenCount(col("text"))
+    val assigned = TrainingData.packAssignments(docs, "lang", "doc_id",
+      toks, budget, shards = 4, seed = "shard")
+      .select("lang", "shard", "doc_id", "tokens", "start_off")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val segs = TrainingData.packSegments(docs, "lang", "doc_id",
+      toks, budget, shards = 4, seed = "shard")
+      .select("lang", "shard", "pack_id", "doc_id", "seg_start", "seg_end", "pack_off")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // 1) per doc: segments are contiguous half-open spans tiling [0, tokens)
+    val byDoc = segs.groupBy(s => (s._1, s._2, s._4))
+    assigned.filter(_._4 > 0).foreach { case (lang, shard, id, tokens, _) =>
+      val ss = byDoc((lang, shard, id)).sortBy(_._5)
+      assert(ss.head._5 == 0L && ss.last._6 == tokens,
+        s"doc $id: segments must span [0, $tokens)")
+      ss.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 == b._5, s"doc $id: gap between segments")
+          assert(b._3 == a._3 + 1, s"doc $id: segments must hit consecutive packs")
+        case _ => ()
+      }
+    }
+    assert(segs.length >= assigned.count(_._4 > 0),
+      "every non-empty doc emits at least one segment")
+    val straddled = byDoc.count(_._2.length > 1)
+    assert(straddled > 0, "fixture must exercise the straddle-split path")
+    // 2) per interior pack: segments tile [0, budget) with no gap/overlap
+    val streams = segs.groupBy(s => (s._1, s._2))
+    streams.foreach { case ((lang, shard), ss) =>
+      val lastPack = ss.map(_._3).max
+      ss.groupBy(_._3).filter(_._1 < lastPack).foreach { case (pid, ps) =>
+        val spans = ps.map(p => (p._7, p._7 + (p._6 - p._5))).sortBy(_._1)
+        assert(spans.head._1 == 0L && spans.last._2 == budget,
+          s"($lang,$shard) pack $pid must be filled to $budget")
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(a._2 == b._1,
+            s"($lang,$shard) pack $pid: gap/overlap at ${a._2}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("zero-token documents stay in the ledger but emit no segment") {
+    val syn = Seq((1L, "s", 3L), (2L, "s", 0L), (3L, "s", 5L))
+      .toDF("doc_id", "lang", "n")
+    val segs = TrainingData.packSegments(syn, "lang", "doc_id",
+      col("n"), budget = 4, shards = 1, seed = "z")
+      .select("doc_id", "pack_id", "seg_start", "seg_end")
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(!segs.exists(_._1 == 2L), "zero-token doc occupies no pack")
+    // doc 3 starts at offset 3 (doc 2 contributed nothing): spans packs
+    // 0 ([3,4) -> seg [0,1)) and 1 ([4,8) -> seg [1,5))
+    assert(segs.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 0L, 1L), (3L, 1L, 1L, 5L)))
+  }
 }
