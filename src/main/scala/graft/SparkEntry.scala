@@ -67,6 +67,9 @@ object SparkEntry {
     "q47_skew_join"    -> (Skew.q47SkewJoin _),
     "q48_bulk_sink"    -> (SinkQueries.q48BulkSink _),
     "q49_pack_segments" -> (TrainingData.q49PackSegments _),
+    "q50_mixture_xxh"  -> (TrainingData.q50MixtureXxh _),
+    "q51_stream_join"  -> (StreamingQueries.q51StreamJoin _),
+    "q52_dedup_clusters" -> (TextQueries.q52DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +125,8 @@ object SparkEntry {
     "q47_skew_join"    -> Skew.q47SkewJoinSql,
     "q48_bulk_sink"    -> SinkQueries.q48BulkSinkSql,
     "q49_pack_segments" -> TrainingData.q49PackSegmentsSql,
+    "q50_mixture_xxh"  -> TrainingData.q50MixtureXxhSql,
+    "q51_stream_join"  -> StreamingQueries.q51StreamJoinSql,
+    "q52_dedup_clusters" -> TextQueries.q52DedupClustersSql,
   )
 }

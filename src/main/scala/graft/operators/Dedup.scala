@@ -291,6 +291,74 @@ object Dedup {
     checkpointAndRelease(gate, base)
   }
 
+  /** Connected components over an undirected pair list — the CLUSTER
+    * half of near-dup dedup: pair emitters ([[ngramJaccardPairs]],
+    * [[minhashLshPairs]], [[simhashPairs]]) say which documents match;
+    * this groups matches into duplicate clusters so a canonical survivor
+    * (min id) can be kept per cluster. A pure pair filter over-deletes:
+    * dropping id2 of every pair removes BOTH non-survivors of a
+    * transitive chain a~b, b~c twice but keeps nothing of {a,b,c}
+    * consistent unless the chain is first closed — which is exactly
+    * component formation.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each
+    * round every vertex takes the min of its own and its neighbors'
+    * labels. Converges in O(diameter) rounds; near-dup graphs are
+    * overwhelmingly star-/clique-shaped (diameter ≤ ~3), so 3-4 rounds
+    * at any corpus size (`maxIter` is a safety bound, not the expected
+    * count; the loop exits early on the first round with no label
+    * change, detected by the monotone label-sum reaching a fixpoint —
+    * labels only ever decrease, so an unchanged sum IS convergence, one
+    * scalar agg per round instead of a change-count join).
+    *
+    * Scale: runs on the PAIR graph — orders of magnitude smaller than
+    * the corpus (pairs ≪ docs²  by construction of the emitters). Each
+    * round is one shuffle of (edge ⋈ label) + a groupBy min;
+    * `localCheckpoint` per round truncates the lineage so the plan does
+    * not grow exponentially with iterations (the classic iterative-Spark
+    * trap). For adversarial graphs (long chains) the large-star/
+    * small-star rewrite (Kiveris et al., "Connected Components in
+    * MapReduce", SoCC'14) drops rounds to O(log d); not needed for
+    * near-dup shapes.
+    *
+    * Returns (id, component) for every id appearing in `pairs`, where
+    * component = min id reachable — cluster-mates share it, and it
+    * doubles as the canonical survivor id. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    // sum over an empty frame is null: an empty pair list converges instantly
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("comp"))).head().getAs[java.lang.Long](0))
+        .fold(0L)(_.longValue)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id2_"))
+        .agg(min(col("comp")).as("nmin"))
+      labels = labels
+        .join(nbrMin, col("id") === col("id2_"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 32-bit hash of a token from its md5 hex prefix (chars 1-8) —
     * reproducible in DuckDB as ('0x' || substring(md5(t),1,8))::BIGINT. */
   def tokenHash32(t: Column): Column =

@@ -158,6 +158,61 @@ object StreamingQueries {
       |  (SELECT count(*) FROM (SELECT DISTINCT user_id, sid FROM s))::BIGINT AS n_sessions,
       |  TRUE AS windows_match, TRUE AS sessions_match""".stripMargin
 
+  /** q51: stream-stream join parity — the one streaming join family
+    * (both sides unbounded) that q24/q25/q35/q36/q41 do not touch.
+    * [[EventStreams.intervalJoin]] attributes each click to the same
+    * user's purchases within 30 minutes; the plan runs twice:
+    *
+    *  1. BATCH over the events fixture — giving the exact DuckDB-oracle
+    *     anchors (`n_pairs`, `n_users`, `sum_value`);
+    *  2. as a REAL stream-stream join — two independent file-source
+    *     streams over the fixture, watermarks on both sides, inner join
+    *     with the event-time range condition, `Trigger.AvailableNow`,
+    *     append-mode memory sink.
+    *
+    * `stream_match` is the exact symmetric-difference check (exceptAll in
+    * both directions) between the two outputs: inner stream-stream joins
+    * emit matches as found and hold nothing back in append mode, so any
+    * divergence — missed matches from mis-derived state-eviction bounds,
+    * duplicates from re-matched state — flips the boolean and fails the
+    * driver's hash gate. */
+  def q51StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    def split(df: DataFrame, t: String) = df.filter(col("event_type") === t)
+    val ev = Tables.events(spark, dir)
+    // referenced three times (anchors + both exceptAll directions)
+    val batch = EventStreams.intervalJoin(
+        split(ev, "click"), split(ev, "purchase"))
+      .localCheckpoint(true)
+    val q = EventStreams.intervalJoin(
+        split(EventStreams.readEventFixtureStream(spark, dir), "click"),
+        split(EventStreams.readEventFixtureStream(spark, dir), "purchase"))
+      .writeStream.format("memory").queryName("q51_stream_join")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    catch { case e: Throwable => if (q.isActive) q.stop(); throw e }
+    val streamed = spark.table("q51_stream_join")
+    val diff = batch.exceptAll(streamed).union(streamed.exceptAll(batch))
+      .agg(count(lit(1)).as("n_diff"))
+    batch.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("r_value")), 4).as("sum_value"))
+      .crossJoin(diff)
+      .select(col("n_pairs"), col("n_users"), col("sum_value"),
+        (col("n_diff") === 0).as("stream_match"))
+  }
+
+  val q51StreamJoinSql: String =
+    """SELECT count(*)::BIGINT AS n_pairs,
+      |  count(DISTINCT c.user_id)::BIGINT AS n_users,
+      |  round(sum(p.value), 4) AS sum_value,
+      |  TRUE AS stream_match
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   /** q46: the external-sink path under the driver's gate — stream the
     * events fixture through [[graft.streaming.StreamingMerge]]'s
     * `foreachBatch` → [[graft.sinks.MergeSink.mergeInto]] into a parquet

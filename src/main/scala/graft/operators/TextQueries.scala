@@ -421,11 +421,15 @@ object TextQueries {
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id1"), col("id2"))
 
-  val q21SimhashSql: String = {
+  /** The q21 pair pipeline as reusable CTEs ending in
+    * `pairs(id1, id2, hamming)` — shared verbatim by the q21 oracle and
+    * the q52 clustering oracle, so the two gates agree on the edge set by
+    * construction. */
+  private[operators] val simhashPairsCtes: String = {
     def bitTerms(hs: String): String = (0 until 32).map { j =>
       s"(CASE WHEN list_sum(list_apply($hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n  + ")
-    s"""WITH t AS (SELECT doc_id AS id, list_distinct($tokSqlExpr) AS g FROM documents),
+    s"""t AS (SELECT doc_id AS id, list_distinct($tokSqlExpr) AS g FROM documents),
        |h AS (SELECT id,
        |        list_apply(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
        |        list_apply(g, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
@@ -440,9 +444,41 @@ object TextQueries {
        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
        |                a.sh_lo AS al, a.sh_hi AS ah, b.sh_lo AS bl, b.sh_hi AS bh
        |         FROM chunks a JOIN chunks b
-       |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id)
-       |SELECT id1, id2, (bit_count(xor(al, bl)) + bit_count(xor(ah, bh)))::bigint AS hamming
-       |FROM cand WHERE (bit_count(xor(al, bl)) + bit_count(xor(ah, bh))) <= 3
-       |ORDER BY id1, id2""".stripMargin
+       |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id),
+       |pairs AS (SELECT id1, id2,
+       |            (bit_count(xor(al, bl)) + bit_count(xor(ah, bh)))::bigint AS hamming
+       |          FROM cand
+       |          WHERE (bit_count(xor(al, bl)) + bit_count(xor(ah, bh))) <= 3)""".stripMargin
   }
+
+  val q21SimhashSql: String =
+    s"""WITH $simhashPairsCtes
+       |SELECT id1, id2, hamming FROM pairs ORDER BY id1, id2""".stripMargin
+
+  /** q52: duplicate-CLUSTER formation — connected components over the q21
+    * simhash pair set ([[Dedup.connectedComponents]]), one row per
+    * clustered document with its cluster id (= min doc_id in the
+    * component, the canonical survivor). The oracle recomputes the SAME
+    * edge set (shared CTEs with q21) and closes it with a recursive CTE
+    * (min reachable id), so the gate certifies the iterative Spark
+    * fixpoint against an independent transitive-closure formulation —
+    * including the transitive chains a~b~c where a~c is NOT itself a
+    * simhash pair, which is precisely what pair-level gates cannot see. */
+  def q52DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+          maxHamming = 3))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  val q52DedupClustersSql: String =
+    s"""WITH RECURSIVE $simhashPairsCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(comp)::BIGINT AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 }

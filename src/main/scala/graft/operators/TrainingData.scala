@@ -36,19 +36,32 @@ object TrainingData {
     conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
+  /** Production twin of [[hashBucket]]: the same uniform [0, 2^32) bucket
+    * from a seeded xxhash64 — one codegen'd 64-bit hash per row instead of
+    * a 128-bit md5 plus hex/conv round-trip (md5-per-row is the 100 TB
+    * sampler's only avoidable cost; the md5 form stays as the
+    * oracle-reproducible reference). `pmod` folds the signed 64-bit hash
+    * into the same unsigned 32-bit bucket space, so [[rateThreshold]]
+    * compares work unchanged. */
+  def hashBucketXxh(id: Column, seed: String): Column =
+    pmod(xxhash64(concat(lit(seed + ":"), id.cast("string"))), lit(4294967296L))
+
   /** The integer threshold a rate maps to: keep iff bucket < floor(rate·2³²). */
   def rateThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
 
   /** Weighted mixture sampling: keep each row of stratum s with
-    * probability rates(s), decided by the seeded id hash. Strata absent
-    * from `rates` are dropped (threshold -1). Adds `bucket` so callers
-    * (and the oracle) can audit the decision. */
+    * probability rates(s), decided by the seeded id hash (`bucketFn`:
+    * [[hashBucket]] = oracle-reproducible md5 form, [[hashBucketXxh]] =
+    * production form — same decision semantics, different hash family).
+    * Strata absent from `rates` are dropped (threshold -1). Adds `bucket`
+    * so callers (and the oracle) can audit the decision. */
   def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
-                    rates: Map[String, Double], seed: String): DataFrame = {
+                    rates: Map[String, Double], seed: String,
+                    bucketFn: (Column, String) => Column = hashBucket): DataFrame = {
     val thr = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
       when(col(strataCol) === s, lit(rateThreshold(r))).otherwise(acc)
     }
-    docs.withColumn("bucket", hashBucket(col(idCol), seed))
+    docs.withColumn("bucket", bucketFn(col(idCol), seed))
       .filter(col("bucket") < thr)
   }
 
@@ -149,6 +162,72 @@ object TrainingData {
        |  FROM documents)
        |WHERE bucket < CASE lang $cases ELSE -1 END
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q50: the PRODUCTION mixture sampler ([[hashBucketXxh]]) under the
+    * driver's gate, q20b-style — the md5 form is the oracle-reproducible
+    * anchor, and the xxhash64 form is certified by properties DuckDB can
+    * assert as literal TRUEs. One row per language:
+    *
+    *  - `n_total` / `n_md5`: stratum size and the md5-form kept count —
+    *    exact anchors the oracle recomputes (n_md5 is q44's cardinality
+    *    per stratum, tying the two gates together);
+    *  - `xxh_in_band`: the xxh kept count sits within a 5σ binomial band
+    *    of rate·n_total (xxhash64 is deterministic, so this is a fixed
+    *    property of corpus + seed, not a flaky sample — the band certifies
+    *    the hash family is unbiased for this sampling use);
+    *  - `xxh_stable`: incremental-stability, the property that justifies
+    *    hash-threshold sampling at 100 TB — re-running the sampler over an
+    *    arbitrary sub-corpus (here: even doc_ids) selects EXACTLY the
+    *    full-run members that fall in the sub-corpus. Rank-based sampling
+    *    (ORDER BY random() LIMIT n) fails this: membership churns whenever
+    *    the corpus grows, forcing full recomputes instead of
+    *    incremental-only runs. Verified as an exact set compare
+    *    (exceptAll both directions), not a count compare. */
+  def q50MixtureXxh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = MixRates.toMap
+    val rate = MixRates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col("lang") === s, lit(r)).otherwise(acc)
+    }
+    val totals = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"))
+    val md5Kept = mixtureSample(docs, "doc_id", "lang", rates, MixSeed)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_md5"))
+    // the xxh member set is referenced three times (count + both exceptAll
+    // directions): materialize the small (doc_id, lang) projection once
+    val xxh = mixtureSample(docs, "doc_id", "lang", rates, MixSeed, hashBucketXxh _)
+      .select(col("doc_id"), col("lang")).localCheckpoint(true)
+    val xxhKept = xxh.groupBy(col("lang")).agg(count(lit(1)).as("n_xxh"))
+    val sub = mixtureSample(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "lang", rates, MixSeed, hashBucketXxh _)
+      .select(col("doc_id"), col("lang"))
+    val full2 = xxh.filter(col("doc_id") % 2 === 0)
+    val nDiff = full2.exceptAll(sub).union(sub.exceptAll(full2))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_diff"))
+    totals
+      .join(md5Kept, Seq("lang"), "left")
+      .join(xxhKept, Seq("lang"), "left")
+      .join(nDiff, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_md5"), lit(0L)).as("n_md5"),
+        (abs(coalesce(col("n_xxh"), lit(0L)) - rate * col("n_total")) <=
+          lit(5.0) * sqrt(rate * (lit(1.0) - rate) * col("n_total")) + lit(3.0))
+          .as("xxh_in_band"),
+        (coalesce(col("n_diff"), lit(0L)) === 0L).as("xxh_stable"))
+      .orderBy(col("lang"))
+  }
+
+  val q50MixtureXxhSql: String = {
+    val cases = MixRates
+      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
+      .mkString(" ")
+    s"""SELECT lang, count(*)::BIGINT AS n_total,
+       |  (count(*) FILTER (
+       |    ('0x' || substring(md5('$MixSeed:' || doc_id), 1, 8))::BIGINT
+       |      < CASE lang $cases ELSE -1 END))::BIGINT AS n_md5,
+       |  TRUE AS xxh_in_band, TRUE AS xxh_stable
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** q45: token-budget sequence packing over (lang, shard) streams —

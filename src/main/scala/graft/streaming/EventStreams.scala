@@ -116,6 +116,40 @@ object EventStreams {
       events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(idCol)
     else events.dropDuplicates(idCol)
 
+  /** Stream-stream event-time interval join — attribution shape: each
+    * `left` event is matched to the `right` events of the SAME user whose
+    * timestamp lands in `[l.ts, l.ts + horizon)` (e.g. click → purchases
+    * within 30 minutes). Written against plain DataFrames, so the same
+    * plan runs in batch (exact DuckDB oracle, q51) and as a genuine
+    * stream-stream join under `readStream`.
+    *
+    * Scale: this is the one join family where BOTH sides are unbounded —
+    * the watermarks plus the event-time range condition are what make it
+    * runnable at all: each side's join state holds only rows younger than
+    * watermark − horizon (Spark derives the eviction bound from the range
+    * predicate), so state ∝ events per lateness+horizon window per user,
+    * constant for a steady stream — never stream history. Without the
+    * time-range condition the state is unbounded and the plan should be
+    * rejected, not deployed. Inner-join matches emit as they are found
+    * (append mode holds back nothing for inner joins), so end-of-stream
+    * output equals the batch join exactly. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   horizon: String = "30 minutes",
+                   lateness: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") < col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Streaming parquet source over a directory of event files (explicit
     * schema — file streaming sources cannot infer). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

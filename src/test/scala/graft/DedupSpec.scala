@@ -250,6 +250,46 @@ class DedupSpec extends SparkSpec {
       "a mid-document edit must break the subset — otherwise the gate is vacuous")
   }
 
+  test("connectedComponents closes transitive chains and keeps components apart") {
+    // two components: a 4-chain (10-20-30-40, diameter 3 — needs real
+    // iteration, one round of min-propagation is not enough) and a pair
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (77L, 88L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      77L -> 77L, 88L -> 77L))
+  }
+
+  test("connectedComponents matches brute-force closure on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    assert(got == want)
+  }
+
+  test("connectedComponents handles empty and single-pair inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    val one = Dedup.connectedComponents(Seq((5L, 3L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(3L -> 3L, 5L -> 3L))
+  }
+
   test("operators release their persisted intermediates (no session cache leak)") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = Tables.documents(spark, sf)

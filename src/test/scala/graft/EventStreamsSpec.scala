@@ -269,6 +269,38 @@ class EventStreamsSpec extends SparkSpec {
       "streaming session windows must equal the batch output exactly")
   }
 
+  test("intervalJoin: same-user matches in [ts, ts+horizon), batch ≡ stream-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(ev(1, 10, user = 1), ev(6, 40, user = 2))
+    val purchases = Seq(
+      ev(2, 10, user = 1, typ = "purchase", value = 5.0), // ts == click ts: included
+      ev(3, 39, user = 1, typ = "purchase"),              // within horizon
+      ev(4, 40, user = 1, typ = "purchase"),              // ts == click+30m: EXcluded
+      ev(5, 41, user = 2, typ = "purchase"),              // other user's click matches
+      ev(7, 5, user = 1, typ = "purchase"))               // before the click: excluded
+    val batch = EventStreams
+      .intervalJoin(clicks.toDF(), purchases.toDF())
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 2L), (1L, 3L), (6L, 5L)))
+    // the same plan as a REAL stream-stream join (two unbounded sides)
+    val inL = MemoryStream[Event]
+    val inR = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(inL.toDF(), inR.toDF())
+      .writeStream.format("memory").queryName("ij_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inL.addData(clicks: _*)
+      inR.addData(purchases.take(2): _*)
+      q.processAllAvailable()
+      inR.addData(purchases.drop(2): _*) // matches span micro-batches
+      q.processAllAvailable()
+      val streamed = spark.table("ij_stream")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch, "stream-stream join must equal the batch join")
+    } finally q.stop()
+  }
+
   test("batch and streaming sliding windows agree on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -131,6 +131,34 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("xxh bucket is in [0, 2^32) and the xxh sampler shares md5-form properties") {
+    val range = docs.select(
+        min(TrainingData.hashBucketXxh(col("doc_id"), "t")).as("lo"),
+        max(TrainingData.hashBucketXxh(col("doc_id"), "t")).as("hi"))
+      .as[(Long, Long)].head()
+    assert(range._1 >= 0L && range._2 < 4294967296L,
+      s"xxh bucket out of [0, 2^32): $range")
+    val rates = Map("en" -> 0.6, "de" -> 0.3)
+    val full = TrainingData.mixtureSample(docs, "doc_id", "lang", rates, "t",
+        TrainingData.hashBucketXxh _)
+      .select("doc_id").as[Long].collect().toSet
+    val again = TrainingData.mixtureSample(docs, "doc_id", "lang", rates, "t",
+        TrainingData.hashBucketXxh _)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full == again, "xxh sampling must be deterministic")
+    // incremental stability: sampling a sub-corpus = full sample ∩ sub-corpus
+    val sub = TrainingData.mixtureSample(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "lang", rates, "t",
+        TrainingData.hashBucketXxh _)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sub == full.filter(_ % 3 == 0))
+    // the two hash families must disagree on membership somewhere —
+    // otherwise q50's band/stability booleans would be re-testing md5
+    val md5 = TrainingData.mixtureSample(docs, "doc_id", "lang", rates, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(md5 != full, "xxh and md5 samples should differ (independent families)")
+  }
+
   test("zero-token documents stay in the ledger but emit no segment") {
     val syn = Seq((1L, "s", 3L), (2L, "s", 0L), (3L, "s", 5L))
       .toDF("doc_id", "lang", "n")
