@@ -125,7 +125,11 @@ object SimilarityQueries {
       Planes, SrpBands, SrpBitsPerBand, SrpThreshold)
       .orderBy(col("id1"), col("id2"))
 
-  val q23AnnSrpSql: String = {
+  /** The q23 SRP pair pipeline as reusable CTEs ending in
+    * `pairs(id1, id2, cos_sim)` — shared verbatim by the q23 oracle and
+    * the q53 semantic-clustering oracle, so both gates agree on the edge
+    * set by construction (same pattern as TextQueries.simhashPairsCtes). */
+  private[operators] val srpPairsCtes: String = {
     def planeLit(p: Array[Double]): String =
       p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     val bitEntries = Planes.map { p =>
@@ -134,7 +138,7 @@ object SimilarityQueries {
     val keyExpr = (0 until SrpBitsPerBand).map { j =>
       s"bs[b.band * $SrpBitsPerBand + ${j + 1}] * ${1 << (SrpBitsPerBand - 1 - j)}"
     }.mkString(" + ")
-    s"""WITH n AS (SELECT vec_id AS id, embedding AS v,
+    s"""n AS (SELECT vec_id AS id, embedding AS v,
        |             sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
        |           FROM embeddings),
        |bits AS (SELECT id, v, nrm, [
@@ -144,12 +148,44 @@ object SimilarityQueries {
        |          FROM bits, range($SrpBands) b(band)),
        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
        |         FROM bands a JOIN bands b
-       |         ON a.band = b.band AND a.key = b.key AND a.id < b.id)
-       |SELECT * FROM (
+       |         ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |pairs AS (SELECT * FROM (
        |  SELECT id1, id2,
        |    round(list_sum(list_apply(range(1, ${Dim + 1}),
        |            i -> e1.v[i]::DOUBLE * e2.v[i]::DOUBLE)) / (e1.nrm * e2.nrm), 4) AS cos_sim
        |  FROM cand JOIN bits e1 ON cand.id1 = e1.id JOIN bits e2 ON cand.id2 = e2.id)
-       |WHERE cos_sim >= $SrpThreshold ORDER BY id1, id2""".stripMargin
+       |WHERE cos_sim >= $SrpThreshold)""".stripMargin
   }
+
+  val q23AnnSrpSql: String =
+    s"""WITH $srpPairsCtes
+       |SELECT id1, id2, cos_sim FROM pairs ORDER BY id1, id2""".stripMargin
+
+  /** q53: SEMANTIC dedup clusters — connected components over the q23
+    * embedding-cosine pair set, the embedding-space analogue of q52's
+    * lexical (simhash) clustering. Together the two close the dedup
+    * story end-to-end in both spaces: pair emitters bound candidates,
+    * component formation closes transitive chains, min-id doubles as
+    * the canonical survivor. The oracle recomputes the SAME SRP edge
+    * set (shared CTEs with q23) and closes it with a recursive CTE, so
+    * the gate value-checks chains with no direct qualifying pair. */
+  def q53SemanticClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        annSrpPairs(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id").as("id"), col("embedding").as("v")),
+          Planes, SrpBands, SrpBitsPerBand, SrpThreshold))
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+      .orderBy(col("vec_id"))
+
+  val q53SemanticClustersSql: String =
+    s"""WITH RECURSIVE $srpPairsCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS vec_id, min(comp)::BIGINT AS cluster_id
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 }

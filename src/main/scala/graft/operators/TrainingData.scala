@@ -280,6 +280,116 @@ object TrainingData {
        |  (greatest(pack_id * $PackBudget, start_off) - pack_id * $PackBudget)::BIGINT AS pack_off
        |FROM segs ORDER BY lang, shard, pack_id, doc_id""".stripMargin
 
+  private val QualityMin = 0.55
+  private val MinTokens = 20
+
+  /** q54: the end-to-end CURATION FUNNEL — the composed pipeline a
+    * pretraining corpus build actually runs, as ONE lazy Spark plan:
+    *
+    *   documents → quality filter (q16's score, thresholded on the
+    *   4-dp-rounded value both engines agree on exactly) → exact-dedup
+    *   survivors (min doc_id per content hash, q15's rule) → seeded
+    *   mixture sample (q44's decisions) → sequence packing (q45's
+    *   ledger) → per-language funnel counts.
+    *
+    * Each stage is individually gated elsewhere; this entry gates their
+    * COMPOSITION — stage ordering, column flow, and the funnel counts a
+    * curation run reports. One row per language: `n_docs` → `n_quality`
+    * → `n_unique` → `n_sampled`, plus `n_packs`/`pack_tokens` from the
+    * packing ledger over the sampled set.
+    *
+    * Scale: the funnel is filters + one dedup shuffle + a map-side
+    * sample + the bounded per-stream pack windows — no stage widens.
+    * The quality projection is localCheckpointed once (five downstream
+    * references — survivor agg, semi join, three funnel counts — would
+    * otherwise re-run the tokenizer five times); at 100 TB that
+    * checkpoint is the stage boundary you'd materialize to parquet. */
+  def q54CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        alphaRatio(col("text")).as("alpha_raw"),
+        punctRatio(col("text")).as("punct_raw"),
+        stopwordRatio(col("text")).as("stop_raw"))
+      .withColumn("quality", round(
+        lit(0.25) * col("alpha_raw") +
+        lit(0.25) * col("stop_raw") +
+        lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+        lit(0.25) * (lit(1.0) - col("punct_raw")), 4))
+    val keep = scored
+      .filter(col("quality") >= QualityMin && col("n_tokens") >= MinTokens)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+      .localCheckpoint(true)
+    val surv = keep.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val uniq = keep.join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val samp = mixtureSample(uniq, "doc_id", "lang", MixRates.toMap, MixSeed)
+    val packed = packAssignments(samp, "lang", "doc_id", col("n_tokens"),
+      PackBudget, PackShards, PackSeed)
+    val f0 = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val f1 = keep.groupBy(col("lang")).agg(count(lit(1)).as("n_quality"))
+    val f2 = uniq.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+    val f3 = samp.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val f4 = packed.groupBy(col("lang")).agg(
+      countDistinct(col("shard"), col("pack_id")).as("n_packs"),
+      sum(col("tokens")).as("pack_tokens"))
+    f0.join(f1, Seq("lang"), "left").join(f2, Seq("lang"), "left")
+      .join(f3, Seq("lang"), "left").join(f4, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        coalesce(col("pack_tokens"), lit(0L)).as("pack_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val q54CurationFunnelSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    val cases = MixRates
+      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, lang, text, len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |q AS (SELECT *, round(0.25 * alpha_raw + 0.25 * stop_raw
+       |        + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |        + 0.25 * (1.0 - punct_raw), 4) AS quality FROM r),
+       |keep AS (SELECT * FROM q WHERE quality >= $QualityMin AND n_tokens >= $MinTokens),
+       |surv AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
+       |uniq AS (SELECT k.doc_id, k.lang, k.n_tokens FROM keep k
+       |         WHERE k.doc_id IN (SELECT doc_id FROM surv)),
+       |samp AS (SELECT * FROM uniq
+       |         WHERE ('0x' || substring(md5('$MixSeed:' || doc_id), 1, 8))::BIGINT
+       |               < CASE lang $cases ELSE -1 END),
+       |sh AS (SELECT *, ('0x' || substring(md5('$PackSeed:' || doc_id), 1, 8))::BIGINT % $PackShards AS shard FROM samp),
+       |offs AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_off
+       |  FROM sh),
+       |packed AS (SELECT *, (start_off // $PackBudget)::BIGINT AS pack_id FROM offs),
+       |f0 AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+       |f1 AS (SELECT lang, count(*)::BIGINT AS n_quality FROM keep GROUP BY 1),
+       |f2 AS (SELECT lang, count(*)::BIGINT AS n_unique FROM uniq GROUP BY 1),
+       |f3 AS (SELECT lang, count(*)::BIGINT AS n_sampled FROM samp GROUP BY 1),
+       |f4 AS (SELECT lang, count(DISTINCT (shard, pack_id))::BIGINT AS n_packs,
+       |         sum(n_tokens)::BIGINT AS pack_tokens FROM packed GROUP BY 1)
+       |SELECT f0.lang, n_docs,
+       |  coalesce(n_quality, 0) AS n_quality,
+       |  coalesce(n_unique, 0) AS n_unique,
+       |  coalesce(n_sampled, 0) AS n_sampled,
+       |  coalesce(n_packs, 0) AS n_packs,
+       |  coalesce(pack_tokens, 0) AS pack_tokens
+       |FROM f0 LEFT JOIN f1 USING (lang) LEFT JOIN f2 USING (lang)
+       |  LEFT JOIN f3 USING (lang) LEFT JOIN f4 USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

@@ -159,6 +159,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(md5 != full, "xxh and md5 samples should differ (independent families)")
   }
 
+  test("curation funnel stages only ever shrink, and the pack ledger balances") {
+    val rows = TrainingData.q54CurationFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nQuality, nUnique, nSampled, nPacks, packTokens) =>
+      assert(nDocs >= nQuality && nQuality >= nUnique && nUnique >= nSampled,
+        s"$lang: funnel must be monotone, got $nDocs/$nQuality/$nUnique/$nSampled")
+      // every sampled doc lands in exactly one pack's ledger, and a
+      // stream with any tokens occupies at least ceil(tokens/budget) packs
+      assert((nSampled == 0L) == (nPacks == 0L), s"$lang: packs iff sampled docs")
+      assert(packTokens >= 0L && (packTokens > 0L || nSampled == 0L ||
+        packTokens == 0L), s"$lang: ledger tokens must be non-negative")
+      assert(nPacks <= nSampled || nSampled == 0L,
+        s"$lang: a pack holds >= 1 starting doc, so n_packs <= n_sampled")
+    }
+    // the filter has teeth on the fixture: some docs are dropped at the
+    // quality stage and some at the sampling stage, else the gate is vacuous
+    assert(rows.map(_._2).sum > rows.map(_._3).sum, "quality filter must drop docs")
+    assert(rows.map(_._4).sum > rows.map(_._5).sum, "sampler must drop docs")
+  }
+
   test("zero-token documents stay in the ledger but emit no segment") {
     val syn = Seq((1L, "s", 3L), (2L, "s", 0L), (3L, "s", 5L))
       .toDF("doc_id", "lang", "n")
