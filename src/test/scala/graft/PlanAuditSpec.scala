@@ -108,6 +108,24 @@ class PlanAuditSpec extends SparkSpec {
     // by the DedupSpec bit-equality case)
   }
 
+  test("mixture sampling is a zero-shuffle map-side filter; packing shuffles once (q44/q45/q50)") {
+    import graft.operators.TrainingData
+    val docs = Tables.documents(spark, sf)
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    // the 100 TB sampler claim: decide each row from its hash alone — no
+    // exchange of any kind may appear (md5 and xxh forms alike)
+    for (fn <- Seq(TrainingData.hashBucket _, TrainingData.hashBucketXxh _)) {
+      val p = plan(TrainingData.mixtureSample(docs, "doc_id", "lang", rates, "s", fn))
+      assert(!p.contains("Exchange"),
+        s"mixture sampling must not shuffle:\n$p")
+    }
+    // packing: exactly the one (partCol, shard) window exchange
+    val pp = plan(TrainingData.packAssignments(docs, "lang", "doc_id",
+      col("n_chars"), budget = 1024, shards = 4, seed = "s"))
+    assert("Exchange hashpartitioning".r.findAllIn(pp).length == 1,
+      s"pack assignment is one shuffle onto the stream key:\n$pp")
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as
