@@ -166,6 +166,57 @@ object GraftUdfs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Misra-Gries heavy-hitters summary: at most `k` (element, count)
+    * pairs. Estimates only ever UNDERcount, by at most n/(k+1) — so
+    * every element with true count > n/(k+1) is guaranteed present
+    * (Misra & Gries 1982), and the bound survives arbitrary merging
+    * (Agarwal et al., "Mergeable Summaries", PODS'12) — the property
+    * that makes it a partial-aggregation-safe sketch: buffers combine
+    * by count addition + rank-(k+1) subtraction, so the shuffle
+    * carries ≤ k pairs per partition regardless of group size. The
+    * third sketch family next to KMV (distinct count) and CMS (point
+    * frequency): CMS answers "how often does THIS element occur"
+    * (overcount-bounded), Misra-Gries answers "WHICH elements are
+    * frequent" (undercount-bounded) without knowing them up front.
+    * Exact counts depend on merge order; the error bound holds for
+    * every order, which is what the q55 gate asserts. */
+  final class MisraGriesAggregator(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, s"k=$k must be positive")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], e: String): Map[String, Long] =
+      buf.get(e) match {
+        case Some(c) => buf.updated(e, c + 1L)
+        case None if buf.size < k => buf.updated(e, 1L)
+        case None => // full: decrement every counter, drop the zeros
+          buf.flatMap { case (x, c) =>
+            if (c > 1L) Some(x -> (c - 1L)) else None
+          }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (x, c)) =>
+        m.updated(x, m.getOrElse(x, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from everything and drop
+        // the non-positives — the Mergeable Summaries compression step
+        val cut = sum.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        sum.flatMap { case (x, c) => if (c > cut) Some(x -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{array, element_at, least, lit, pmod, xxhash64}
 
@@ -200,10 +251,12 @@ object GraftUdfs {
   }
 
   /** Registers the UDF/UDAF surface on a session: `minhash_sig(elem)`,
-    * `kmv_distinct(elem)` and `cms_sketch(positions)` (grouped),
-    * `jaccard_udf(arr, arr)`. */
+    * `kmv_distinct(elem)`, `cms_sketch(positions)` and
+    * `misra_gries(elem)` (grouped), `jaccard_udf(arr, arr)`. */
   def register(spark: SparkSession, numHashes: Int = 16, kmvK: Int = 256,
-               cmsDepth: Int = 4, cmsWidth: Int = 2048): Unit = {
+               cmsDepth: Int = 4, cmsWidth: Int = 2048, mgK: Int = 64): Unit = {
+    spark.udf.register("misra_gries",
+      org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(mgK)))
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(new MinHashAggregator(numHashes)))
     spark.udf.register("kmv_distinct",

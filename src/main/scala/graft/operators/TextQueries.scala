@@ -421,6 +421,60 @@ object TextQueries {
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id1"), col("id2"))
 
+  // Misra-Gries gate parameters (q55): k=64 → guaranteed presence of
+  // every token with count > n/(k+1) ≈ 418 on the sf0.01 fixture, where
+  // the 20th-ranked token sits at ~886 — 2× headroom, so the presence
+  // boolean is a structural guarantee, not a lucky sample.
+  private val MgK = 64
+  private val MgTopK = 20
+
+  /** q55: heavy hitters via the [[graft.functions.GraftUdfs.MisraGriesAggregator]]
+    * Misra-Gries summary — "which tokens are frequent" in one mergeable
+    * global aggregate (≤ k pairs shuffle per partition), certified
+    * against the exact top-`MgTopK` counts computed alongside:
+    *
+    *  - `n_exact` per top token: the oracle-computable anchor;
+    *  - `in_mg`: the structural guarantee — any token with true count
+    *    > n/(k+1) MUST appear in the summary (vacuously true below the
+    *    bound, which the fixture's top-20 clears 2×);
+    *  - `band_ok`: the estimate never overcounts and undercounts by at
+    *    most n/(k+1) — the Misra-Gries bound, which survives arbitrary
+    *    partial-merge orders, so the gate is stable under any Spark
+    *    partitioning even though exact summary contents are not.
+    * The oracle emits the anchors + literal TRUEs (q26 pattern). */
+  def q55HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.GraftUdfs
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = toks.groupBy(col("tk")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tk").asc).limit(MgTopK)
+    val summary = toks.as[String]
+      .select(new GraftUdfs.MisraGriesAggregator(MgK).toColumn.name("mg"))
+      .toDF("mg")
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val out = top.crossJoin(summary).crossJoin(total)
+      .withColumn("slack", floor(col("n_total") / (MgK + 1)))
+      .withColumn("est", element_at(col("mg"), col("tk")))
+      .select(col("tk").as("token"), col("n_exact"),
+        (col("n_exact") <= col("slack") || col("est").isNotNull).as("in_mg"),
+        (col("est").isNull ||
+          (col("est") <= col("n_exact") &&
+           col("est") >= col("n_exact") - col("slack"))).as("band_ok"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
+  val q55HeavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest($tokSqlExpr) AS token FROM documents)
+       |SELECT token, count(*)::BIGINT AS n_exact,
+       |  TRUE AS in_mg, TRUE AS band_ok
+       |FROM t GROUP BY token
+       |ORDER BY n_exact DESC, token LIMIT $MgTopK""".stripMargin
+
   /** The q21 pair pipeline as reusable CTEs ending in
     * `pairs(id1, id2, hamming)` — shared verbatim by the q21 oracle and
     * the q52 clustering oracle, so the two gates agree on the edge set by

@@ -122,6 +122,40 @@ class GraftUdfsSpec extends SparkSpec {
       s"CMS must aggregate map-side before the shuffle:\n$plan")
   }
 
+  test("Misra-Gries: undercount-only within n/(k+1), heavy hitters present, size <= k") {
+    val k = 8
+    // skewed synthetic stream: a few heavy elements over uniform noise
+    val rnd = new scala.util.Random(11)
+    val heavy = Seq.fill(300)("hh1") ++ Seq.fill(200)("hh2") ++ Seq.fill(120)("hh3")
+    val noise = Seq.fill(400)(s"z${rnd.nextInt(150)}")
+    val stream = rnd.shuffle(heavy ++ noise)
+    val n = stream.size.toLong
+    val slack = n / (k + 1)
+    val exact = stream.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+    for (parts <- Seq(1, 3, 16)) { // merge order varies with partitioning
+      val mg = stream.toDF("e").repartition(parts).as[String]
+        .select(new GraftUdfs.MisraGriesAggregator(k).toColumn.name("mg"))
+        .head()
+      assert(mg.size <= k, s"summary must hold <= $k entries, got ${mg.size}")
+      exact.foreach { case (e, c) =>
+        if (c > slack)
+          assert(mg.contains(e), s"parts=$parts: $e (count $c > $slack) must be present")
+        mg.get(e).foreach { est =>
+          assert(est <= c && est >= c - slack,
+            s"parts=$parts: $e est=$est outside [${c - slack}, $c]")
+        }
+      }
+      // an element never seen must never be reported
+      assert(!mg.contains("never-seen"))
+    }
+    // the registered SQL form drives the same aggregator
+    GraftUdfs.register(spark, mgK = k)
+    val viaSql = stream.toDF("e").repartition(5)
+      .agg(expr("misra_gries(e)").as("mg"))
+      .head().getMap[String, Long](0)
+    assert(viaSql.contains("hh1") && viaSql.size <= k)
+  }
+
   test("registered scalar UDF runs from SQL and matches the column expression") {
     GraftUdfs.register(spark)
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
