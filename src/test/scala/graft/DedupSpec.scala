@@ -282,6 +282,30 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents converges in O(log d) rounds on a long chain") {
+    // a 200-node path has diameter 199: pure min-propagation needs ~199
+    // rounds, pointer jumping doubles label reach per round — maxIter=10
+    // (2^10 > 200) only converges if the log-round claim actually holds
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L),
+      "every chain vertex must reach the min label within the log-round bound")
+  }
+
+  test("connectedComponents is partitioning-invariant") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 8L), (4L, 5L))
+    val results = Seq(1, 4, 16).map { parts =>
+      Dedup.connectedComponents(pairs.toDF("id1", "id2").repartition(parts))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(results.distinct.size == 1,
+      "component assignment must not depend on input partitioning")
+    assert(results.head == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("connectedComponents handles empty and single-pair inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0L)
