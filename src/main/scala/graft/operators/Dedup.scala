@@ -321,19 +321,58 @@ object Dedup {
     * Scale: runs on the PAIR graph — orders of magnitude smaller than
     * the corpus (pairs ≪ docs²  by construction of the emitters). Each
     * round is one shuffle of (edge ⋈ label) + a groupBy min + one
-    * self-join of the (small) label frame; `localCheckpoint` per round
-    * truncates the lineage so the plan does not grow exponentially with
-    * iterations (the classic iterative-Spark trap). The full large-star/
-    * small-star rewrite (Kiveris et al., "Connected Components in
-    * MapReduce", SoCC'14) additionally bounds per-round edge volume;
-    * the pair graph here is small enough that label-side compression
-    * alone carries the log-round bound.
+    * self-join of the (small) label frame; per-round lineage truncation
+    * keeps the plan from growing exponentially with iterations (the
+    * classic iterative-Spark trap). The full large-star/small-star
+    * rewrite (Kiveris et al., "Connected Components in MapReduce",
+    * SoCC'14) additionally bounds per-round edge volume; the pair graph
+    * here is small enough that label-side compression alone carries the
+    * log-round bound.
+    *
+    * Fault tolerance: the default truncation is `localCheckpoint` —
+    * cheapest locally, but its blocks live on executors, so on a real
+    * cluster a lost executor invalidates the checkpoint and fails the
+    * job mid-iteration. Pass `checkpointDir` (HDFS/object-store path)
+    * for the cluster-safe mode: every `checkpointInterval`-th round
+    * writes a RELIABLE checkpoint there and intermediate rounds persist
+    * to MEMORY_AND_DISK — an executor loss then recomputes at most
+    * `checkpointInterval` rounds from the last reliable snapshot instead
+    * of failing. Default unchanged (local).
+    *
+    * Convergence is detected by the label-sum fixpoint — labels only
+    * ever decrease, so an unchanged sum IS convergence, one scalar agg
+    * per round instead of a change-count join. The sum is computed as
+    * decimal(38,0): a Long sum wraps on overflow, and with ids near 2^63
+    * a round shedding label mass in an exact multiple of 2^64 could
+    * falsely signal convergence; decimal arithmetic closes that hole at
+    * the cost the one-scalar-per-round design already pays.
+    *
+    * Throws `IllegalStateException` if `maxIter` rounds pass without
+    * reaching the fixpoint — partial labels silently split components,
+    * which for dedup means survivors that should have merged; callers
+    * must never receive them. Pointer jumping makes the bound log₂ of
+    * the largest component's diameter, so the default of 25 covers any
+    * graph with diameter below ~2^25.
     *
     * Returns (id, component) for every id appearing in `pairs`, where
     * component = min id reachable — cluster-mates share it, and it
     * doubles as the canonical survivor id. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          checkpointDir: Option[String] = None,
+                          checkpointInterval: Int = 5): DataFrame = {
     require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval=$checkpointInterval must be >= 1")
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // per-round lineage control: reliable checkpoint on interval rounds,
+    // recomputable persist between them; localCheckpoint when no dir
+    var prevPersisted: Option[DataFrame] = None
+    def truncate(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case Some(_) if round % checkpointInterval == 0 => df.checkpoint(true)
+      case Some(_) => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case None => df.localCheckpoint(true)
+    }
     // materialize the emitter's pair output ONCE before the union: the two
     // union branches are separate plan instances, so without this the
     // whole upstream pair pipeline (LSH/simhash/prefix-filter) executes
@@ -345,13 +384,14 @@ object Dedup {
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")), 0)
     // sum over an empty frame is null: an empty pair list converges instantly
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("comp"))).head().getAs[java.lang.Long](0))
-        .fold(0L)(_.longValue)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+          .getAs[java.math.BigDecimal](0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var it = 0
@@ -359,27 +399,49 @@ object Dedup {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id2_"))
         .agg(min(col("comp")).as("nmin"))
+      // persisted: the pointer-jump self-join below references this frame
+      // twice — without the persist the edges-join + groupBy-min above
+      // would execute twice every round. Lazy persist, not a checkpoint:
+      // the convergence agg is the one action that materializes it.
       val propagated = labels
         .join(nbrMin, col("id") === col("id2_"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: follow the current assignment one hop (comp(comp)
       // is always a label of the same component, so least() is safe)
-      labels = propagated
-        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("comp") === col("cid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val s = labelSum(labels)
-      converged = s == prevSum
+      labels = truncate(
+        propagated
+          .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
+            col("comp") === col("cid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp")),
+        it + 1)
+      val s = labelSum(labels) // materializes the new round's labels
+      propagated.unpersist()
+      prevPersisted.foreach(_.unpersist())
+      prevPersisted = if (checkpointDir.isDefined) Some(labels) else None
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
     edges.unpersist()
     System.err.println(
       s"""{"stage":"connected_components","rounds":$it,"converged":$converged}""")
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds — " +
+          "partial labels would silently split components; raise maxIter " +
+          "(pointer jumping converges in O(log diameter) rounds)")
+    checkpointDir match {
+      case None => labels
+      case Some(_) =>
+        // finalize on reliable storage so the returned frame does not pin
+        // a MEMORY_AND_DISK cache entry for the rest of the session
+        val out = labels.checkpoint(true)
+        prevPersisted.foreach(_.unpersist())
+        out
+    }
   }
 
   /** 32-bit hash of a token from its md5 hex prefix (chars 1-8) —

@@ -314,6 +314,37 @@ class DedupSpec extends SparkSpec {
     assert(one == Map(3L -> 3L, 5L -> 3L))
   }
 
+  test("connectedComponents reliable-checkpoint mode matches the local path") {
+    // the cluster-safe mode (reliable checkpoint every N rounds + persist
+    // between): same labels as the default localCheckpoint path, and no
+    // cache entry pinned after the call returns
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
+    try {
+      val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (77L, 88L))
+        .toDF("id1", "id2")
+      val got = Dedup.connectedComponents(pairs,
+          checkpointDir = Some(dir), checkpointInterval = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+        77L -> 77L, 88L -> 77L))
+      assert(org.apache.spark.sql.graft.ColumnBridge.cacheManagerIsEmpty(spark),
+        "reliable mode must unpersist its per-round label frames")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("connectedComponents throws instead of returning partial labels") {
+    // diameter-3 chain cannot reach the fixpoint in one round — exhausting
+    // maxIter must throw, never quietly return split components
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("operators release their persisted intermediates (no session cache leak)") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = Tables.documents(spark, sf)
