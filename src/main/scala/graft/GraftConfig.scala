@@ -14,8 +14,11 @@ final case class GraftConfig(
     benchReps: Int,            // GRAFT_BENCH_REPS: timed runs per query (median reported)
     mergeOrderCol: Option[String], // GRAFT_MERGE_ORDER_COL: duplicate-key fold order
     tolerant: Boolean,         // GRAFT_TOLERANT: drop-and-continue on merge failure
-    benchOnly: Set[String])    // GRAFT_BENCH_ONLY: comma-separated query-name filter
+    benchOnly: Set[String],    // GRAFT_BENCH_ONLY: comma-separated query-name filter
                                // (empty = all) — for timing one query in isolation
+    verifyOnly: Set[String])   // GRAFT_VERIFY_ONLY: same filter for the Verify
+                               // dump — gating one new query while iterating
+                               // (the driver's full gate always runs unfiltered)
 
 object GraftConfig {
   def fromEnv(env: Map[String, String] = sys.env): GraftConfig = GraftConfig(
@@ -30,5 +33,7 @@ object GraftConfig {
     mergeOrderCol = env.get("GRAFT_MERGE_ORDER_COL"),
     tolerant = env.get("GRAFT_TOLERANT").exists(v => v == "1" || v.equalsIgnoreCase("true")),
     benchOnly = env.get("GRAFT_BENCH_ONLY").orElse(env.get("SPARK_GRAFT_BENCH_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty),
+    verifyOnly = env.get("GRAFT_VERIFY_ONLY").orElse(env.get("SPARK_GRAFT_VERIFY_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty))
 }

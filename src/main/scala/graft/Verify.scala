@@ -5,13 +5,20 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    val cfg = GraftConfig.fromEnv()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY narrows the dump while iterating on one query;
+    // the driver's gate runs unfiltered (and oracle_sql.json always
+    // carries every entry so a filtered dump can't pass for a full one —
+    // the checker fails on the missing parquet dirs)
+    SparkEntry.queries
+      .filter { case (name, _) => cfg.verifyOnly.isEmpty || cfg.verifyOnly(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -181,38 +181,53 @@ object GraftUdfs {
     * Exact counts depend on merge order; the error bound holds for
     * every order, which is what the q55 gate asserts. */
   final class MisraGriesAggregator(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+        Map[String, Long]] {
     require(k >= 1, s"k=$k must be positive")
+    import scala.collection.mutable
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-    override def reduce(buf: Map[String, Long], e: String): Map[String, Long] =
+    // In-place mutation throughout (the Array[Long] CMS buffer above is
+    // the precedent): the buffer is touched once per INPUT TOKEN, so a
+    // per-token immutable `Map.updated` — and worse, the O(k) rebuild on
+    // every full-buffer miss, which for a long-tailed corpus is the
+    // common case — would make allocation the aggregate's real cost at
+    // 10^13 tokens. The decrement pass reuses the same table
+    // (mapValuesInPlace + filterInPlace), allocating nothing but the
+    // boxed counts the generic map already pays for.
+    override def reduce(buf: mutable.HashMap[String, Long],
+                        e: String): mutable.HashMap[String, Long] = {
       buf.get(e) match {
-        case Some(c) => buf.updated(e, c + 1L)
-        case None if buf.size < k => buf.updated(e, 1L)
+        case Some(c) => buf.update(e, c + 1L)
+        case None if buf.size < k => buf.update(e, 1L)
         case None => // full: decrement every counter, drop the zeros
-          buf.flatMap { case (x, c) =>
-            if (c > 1L) Some(x -> (c - 1L)) else None
-          }
+          buf.mapValuesInPlace((_, c) => c - 1L)
+          buf.filterInPlace((_, c) => c > 0L)
       }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (m, (x, c)) =>
-        m.updated(x, m.getOrElse(x, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
-        // subtract the (k+1)-th largest count from everything and drop
-        // the non-positives — the Mergeable Summaries compression step
-        val cut = sum.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-        sum.flatMap { case (x, c) => if (c > cut) Some(x -> (c - cut)) else None }
-      }
+      buf
     }
 
-    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+    override def merge(a: mutable.HashMap[String, Long],
+                       b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      b.foreach { case (x, c) => a.update(x, a.getOrElse(x, 0L) + c) }
+      if (a.size > k) {
+        // subtract the (k+1)-th largest count from everything and drop
+        // the non-positives — the Mergeable Summaries compression step
+        val vals = a.values.toArray
+        java.util.Arrays.sort(vals)
+        val cut = vals(vals.length - 1 - k)
+        a.mapValuesInPlace((_, c) => c - cut)
+        a.filterInPlace((_, c) => c > 0L)
+      }
+      a
+    }
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def finish(buf: mutable.HashMap[String, Long]): Map[String, Long] =
+      buf.toMap
+
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[mutable.HashMap[String, Long]]()
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }

@@ -89,7 +89,14 @@ object StreamingQueries {
     * the streaming and batch outputs is empty, compared plan-side via
     * exceptAll in both directions. The oracle emits the anchors + literal
     * TRUEs, so the hash gate fails if incremental execution ever diverges
-    * from the batch semantics of the same code. */
+    * from the batch semantics of the same code.
+    *
+    * The memory sink here (and in q51/q57) is the TEST BRIDGE, not the
+    * deploy shape: it collects the streaming output to the driver, which
+    * is bounded at gate scale (window/session counts) but is exactly the
+    * anti-pattern a production sink must avoid. The production path is
+    * q46's foreachBatch → MergeSink — distributed writes, driver sees
+    * only per-batch stats. */
   def q41StreamParity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // each batch output is referenced THREE times (both exceptAll
@@ -175,7 +182,8 @@ object StreamingQueries {
     * emit matches as found and hold nothing back in append mode, so any
     * divergence — missed matches from mis-derived state-eviction bounds,
     * duplicates from re-matched state — flips the boolean and fails the
-    * driver's hash gate. */
+    * driver's hash gate. (Memory sink = test bridge, bounded at gate
+    * scale; see the q41 doc for the production sink shape.) */
   def q51StreamJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     def split(df: DataFrame, t: String) = df.filter(col("event_type") === t)
@@ -212,6 +220,61 @@ object StreamingQueries {
       |  ON c.user_id = p.user_id
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin
+
+  /** q57: streaming bounded-state dedup under the driver's gate — the
+    * [[EventStreams.dedupEvents]] (`dropDuplicatesWithinWatermark`)
+    * parity entry, closing the last spec-only streaming surface. The
+    * fixture's event_ids are unique, so the duplicate pressure is
+    * constructed: the stream is the fixture UNIONed with a second
+    * file-source stream carrying every third event again — the
+    * at-least-once-upstream shape (replayed partition) the operator
+    * exists for. The SAME duplicated input runs in batch
+    * (`dropDuplicates`, the semantic dedup is meant to approximate) and
+    * as a real incremental stream; the gate compares the two exactly.
+    *
+    * The streaming run uses a lateness horizon wider than the fixture's
+    * time span, so dedup state covers the whole run regardless of how
+    * the sources split into micro-batches — within-horizon dedup is
+    * exactly batch dedup, which is what makes an exact-parity gate
+    * possible (with a narrow horizon the semantic is deliberately
+    * weaker: a duplicate arriving after its key's state evicted is
+    * re-emitted; that tradeoff is the operator's documented 100 TB
+    * design, not testable by equality).
+    *
+    * Gate row (q41 pattern): `n_unique`/`n_input` anchors the oracle
+    * recomputes + `dedup_match` — symmetric difference between the
+    * streamed and batch outputs is empty. Duplicated rows are
+    * byte-identical copies, so which copy survives is immaterial. */
+  def q57StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+    val dupBatch = ev.union(ev.filter(col("event_id") % 3 === 0))
+    // referenced three times (anchor + both exceptAll directions)
+    val batch = EventStreams.dedupEvents(dupBatch).localCheckpoint(true)
+    val dupStream = EventStreams.readEventFixtureStream(spark, dir)
+      .union(EventStreams.readEventFixtureStream(spark, dir)
+        .filter(col("event_id") % 3 === 0))
+    val q = EventStreams.dedupEvents(dupStream, lateness = "365 days")
+      .writeStream.format("memory").queryName("q57_stream_dedup")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    catch { case e: Throwable => if (q.isActive) q.stop(); throw e }
+    val streamed = spark.table("q57_stream_dedup")
+    val diff = batch.exceptAll(streamed).union(streamed.exceptAll(batch))
+      .agg(count(lit(1)).as("n_diff"))
+    batch.agg(count(lit(1)).as("n_unique"))
+      .crossJoin(dupBatch.agg(count(lit(1)).as("n_input")))
+      .crossJoin(diff)
+      .select(col("n_unique"), col("n_input"),
+        (col("n_diff") === 0).as("dedup_match"))
+  }
+
+  val q57StreamDedupSql: String =
+    """SELECT count(*)::BIGINT AS n_unique,
+      |  (count(*) + count(*) FILTER (event_id % 3 = 0))::BIGINT AS n_input,
+      |  TRUE AS dedup_match
+      |FROM events""".stripMargin
 
   /** q46: the external-sink path under the driver's gate — stream the
     * events fixture through [[graft.streaming.StreamingMerge]]'s

@@ -476,37 +476,40 @@ object TextQueries {
        |ORDER BY n_exact DESC, token LIMIT $MgTopK""".stripMargin
 
   /** The q21 pair pipeline as reusable CTEs ending in
-    * `pairs(id1, id2, hamming)` — shared verbatim by the q21 oracle and
-    * the q52 clustering oracle, so the two gates agree on the edge set by
-    * construction. */
-  private[operators] val simhashPairsCtes: String = {
+    * `pairs(id1, id2, hamming)` — shared verbatim by the q21 oracle, the
+    * q52 clustering oracle, and (over the funnel's uniq subset) the q56
+    * near-dup-funnel oracle, so all three gates agree on the edge set by
+    * construction. `src` is the relation the signatures are computed
+    * over; it must expose `doc_id` and `text`. Internal CTE names are
+    * sp_-prefixed so callers can splice these next to their own CTEs. */
+  private[operators] def simhashPairsCtes(src: String = "documents"): String = {
     def bitTerms(hs: String): String = (0 until 32).map { j =>
       s"(CASE WHEN list_sum(list_apply($hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n  + ")
-    s"""t AS (SELECT doc_id AS id, list_distinct($tokSqlExpr) AS g FROM documents),
-       |h AS (SELECT id,
+    s"""sp_t AS (SELECT doc_id AS id, list_distinct($tokSqlExpr) AS g FROM $src),
+       |sp_h AS (SELECT id,
        |        list_apply(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
        |        list_apply(g, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
-       |      FROM t WHERE len(g) > 0),
-       |sh AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM h),
-       |chunks AS (SELECT id, sh_lo, sh_hi, c.chunk,
+       |      FROM sp_t WHERE len(g) > 0),
+       |sp_sig AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM sp_h),
+       |sp_chunks AS (SELECT id, sh_lo, sh_hi, c.chunk,
        |           CASE WHEN c.chunk = 0 THEN sh_lo & 65535
        |                WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
        |                WHEN c.chunk = 2 THEN sh_hi & 65535
        |                ELSE (sh_hi >> 16) & 65535 END AS cval
-       |           FROM sh, range(4) c(chunk)),
-       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |           FROM sp_sig, range(4) c(chunk)),
+       |sp_cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
        |                a.sh_lo AS al, a.sh_hi AS ah, b.sh_lo AS bl, b.sh_hi AS bh
-       |         FROM chunks a JOIN chunks b
+       |         FROM sp_chunks a JOIN sp_chunks b
        |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id),
        |pairs AS (SELECT id1, id2,
        |            (bit_count(xor(al, bl)) + bit_count(xor(ah, bh)))::bigint AS hamming
-       |          FROM cand
+       |          FROM sp_cand
        |          WHERE (bit_count(xor(al, bl)) + bit_count(xor(ah, bh))) <= 3)""".stripMargin
   }
 
   val q21SimhashSql: String =
-    s"""WITH $simhashPairsCtes
+    s"""WITH ${simhashPairsCtes()}
        |SELECT id1, id2, hamming FROM pairs ORDER BY id1, id2""".stripMargin
 
   /** q52: duplicate-CLUSTER formation — connected components over the q21
@@ -526,7 +529,7 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   val q52DedupClustersSql: String =
-    s"""WITH RECURSIVE $simhashPairsCtes,
+    s"""WITH RECURSIVE ${simhashPairsCtes()},
        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
        |          UNION SELECT id2, id1 FROM pairs),
        |reach(id, comp) AS (

@@ -140,9 +140,11 @@ object TrainingData {
     "en" -> 0.9, "zh" -> 0.7, "de" -> 0.5, "fr" -> 0.3, "es" -> 0.15)
   val MixSeed = "mix"
 
-  private val PackBudget = 1024
-  private val PackShards = 4
-  private val PackSeed = "shard"
+  // private[graft]: the spec's driver-side ledger replay needs the same
+  // budget/shards/seed the funnel packs with
+  private[graft] val PackBudget = 1024
+  private[graft] val PackShards = 4
+  private[graft] val PackSeed = "shard"
 
   /** q44: deterministic weighted mixture sample of the documents table,
     * stratified by language. */
@@ -258,8 +260,12 @@ object TrainingData {
         col("seg_start"), col("seg_end"), col("pack_off"))
       .orderBy(col("lang"), col("shard"), col("pack_id"), col("doc_id"))
 
-  val q49PackSegmentsSql: String =
-    s"""WITH toks AS (
+  /** The q49 segment pipeline as reusable CTEs ending in
+    * `segrows(lang, shard, pack_id, doc_id, seg_start, seg_end,
+    * pack_off)` — shared by the q49 and q58 oracles so the two gates
+    * agree on the segment set by construction. */
+  private val packSegCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, lang,
        |    ('0x' || substring(md5('$PackSeed:' || doc_id), 1, 8))::BIGINT % $PackShards AS shard,
        |    len(${TextQueries.tokSqlExpr})::BIGINT AS tokens
@@ -273,38 +279,55 @@ object TrainingData {
        |  -- can't take lateral column parameters
        |  SELECT *, unnest(generate_series(start_off // $PackBudget,
        |    (start_off + tokens - 1) // $PackBudget))::BIGINT AS pack_id
-       |  FROM offs WHERE tokens > 0)
-       |SELECT lang, shard, pack_id, doc_id,
-       |  (greatest(pack_id * $PackBudget, start_off) - start_off)::BIGINT AS seg_start,
-       |  (least((pack_id + 1) * $PackBudget, start_off + tokens) - start_off)::BIGINT AS seg_end,
-       |  (greatest(pack_id * $PackBudget, start_off) - pack_id * $PackBudget)::BIGINT AS pack_off
-       |FROM segs ORDER BY lang, shard, pack_id, doc_id""".stripMargin
+       |  FROM offs WHERE tokens > 0),
+       |segrows AS (
+       |  SELECT lang, shard, pack_id, doc_id,
+       |    (greatest(pack_id * $PackBudget, start_off) - start_off)::BIGINT AS seg_start,
+       |    (least((pack_id + 1) * $PackBudget, start_off + tokens) - start_off)::BIGINT AS seg_end,
+       |    (greatest(pack_id * $PackBudget, start_off) - pack_id * $PackBudget)::BIGINT AS pack_off
+       |  FROM segs)""".stripMargin
+
+  val q49PackSegmentsSql: String =
+    s"""WITH $packSegCtes
+       |SELECT lang, shard, pack_id, doc_id, seg_start, seg_end, pack_off
+       |FROM segrows ORDER BY lang, shard, pack_id, doc_id""".stripMargin
+
+  /** The pack EXPORTER: materialize [[packSegments]] as a parquet layout
+    * partitioned by (partCol, shard) — the physical artifact a training
+    * loader consumes. Partitioning by stream key means a loader (or a
+    * backfill of one shard) reads only its own directory — partition
+    * pruning at the storage layout level, the same idea as
+    * [[Ivf.writeIndex]]'s list-partitioned index. Returns the reopened
+    * frame (read back through the partition-discovery path the loader
+    * will use, partition columns cast back to the written types). */
+  def exportPacks(docs: DataFrame, partCol: String, orderCol: String,
+                  tokensCol: Column, budget: Int, shards: Int,
+                  seed: String, path: String): DataFrame = {
+    val segs = packSegments(docs, partCol, orderCol, tokensCol, budget,
+      shards, seed)
+      .select(col(partCol), col("shard"), col("pack_id"), col(orderCol),
+        col("seg_start"), col("seg_end"), col("pack_off"))
+    segs.write.mode("overwrite").partitionBy(partCol, "shard").parquet(path)
+    val re = docs.sparkSession.read.parquet(path)
+    // partition discovery re-infers directory-key types (shard comes back
+    // int); cast back so the reopened frame is schema-identical
+    re.select(col(partCol).cast("string"), col("shard").cast("long"),
+      col("pack_id"), col(orderCol), col("seg_start"), col("seg_end"),
+      col("pack_off"))
+  }
 
   private val QualityMin = 0.55
   private val MinTokens = 20
 
-  /** q54: the end-to-end CURATION FUNNEL — the composed pipeline a
-    * pretraining corpus build actually runs, as ONE lazy Spark plan:
-    *
-    *   documents → quality filter (q16's score, thresholded on the
-    *   4-dp-rounded value both engines agree on exactly) → exact-dedup
-    *   survivors (min doc_id per content hash, q15's rule) → seeded
-    *   mixture sample (q44's decisions) → sequence packing (q45's
-    *   ledger) → per-language funnel counts.
-    *
-    * Each stage is individually gated elsewhere; this entry gates their
-    * COMPOSITION — stage ordering, column flow, and the funnel counts a
-    * curation run reports. One row per language: `n_docs` → `n_quality`
-    * → `n_unique` → `n_sampled`, plus `n_packs`/`pack_tokens` from the
-    * packing ledger over the sampled set.
-    *
-    * Scale: the funnel is filters + one dedup shuffle + a map-side
-    * sample + the bounded per-stream pack windows — no stage widens.
-    * The quality projection is localCheckpointed once (five downstream
-    * references — survivor agg, semi join, three funnel counts — would
-    * otherwise re-run the tokenizer five times); at 100 TB that
-    * checkpoint is the stage boundary you'd materialize to parquet. */
-  def q54CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's quality-filter + exact-dedup stages, shared by
+    * q54/q56: `keep` = quality-passing docs (localCheckpointed once —
+    * its many downstream references would otherwise re-run the
+    * tokenizer each; at 100 TB that checkpoint is the stage boundary
+    * you'd materialize to parquet), `uniq` = exact-dedup survivors
+    * (min doc_id per content hash, q15's rule), text retained for the
+    * near-dup stage. */
+  private def funnelStages(spark: SparkSession,
+                           dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions._
     val docs = Tables.documents(spark, dir)
     val scored = docs.select(col("doc_id"), col("lang"), col("text"),
@@ -324,71 +347,269 @@ object TrainingData {
     val surv = keep.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
     val uniq = keep.join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
-    val samp = mixtureSample(uniq, "doc_id", "lang", MixRates.toMap, MixSeed)
-    val packed = packAssignments(samp, "lang", "doc_id", col("n_tokens"),
-      PackBudget, PackShards, PackSeed)
+    (docs, keep, uniq)
+  }
+
+  /** q54's sampled set (doc_id, lang, n_tokens, bucket) — exposed so the
+    * spec can independently replay the pack ledger over it. */
+  private[graft] def curationSampled(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, uniq) = funnelStages(spark, dir)
+    mixtureSample(uniq.select(col("doc_id"), col("lang"), col("n_tokens")),
+      "doc_id", "lang", MixRates.toMap, MixSeed)
+  }
+
+  /** Joins the per-stage per-language counts into the funnel report row.
+    * `stages` = (name, frame) in funnel order; every frame must expose
+    * `lang`. */
+  private def funnelReport(docs: DataFrame, stages: Seq[(String, DataFrame)],
+                           packed: DataFrame): DataFrame = {
     val f0 = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val f1 = keep.groupBy(col("lang")).agg(count(lit(1)).as("n_quality"))
-    val f2 = uniq.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
-    val f3 = samp.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val counts = stages.map { case (name, df) =>
+      name -> df.groupBy(col("lang")).agg(count(lit(1)).as(name))
+    }
     val f4 = packed.groupBy(col("lang")).agg(
       countDistinct(col("shard"), col("pack_id")).as("n_packs"),
       sum(col("tokens")).as("pack_tokens"))
-    f0.join(f1, Seq("lang"), "left").join(f2, Seq("lang"), "left")
-      .join(f3, Seq("lang"), "left").join(f4, Seq("lang"), "left")
-      .select(col("lang"), col("n_docs"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
-        coalesce(col("pack_tokens"), lit(0L)).as("pack_tokens"))
+    val joined = (counts.map(_._2) :+ f4)
+      .foldLeft(f0)((acc, f) => acc.join(f, Seq("lang"), "left"))
+    joined.select(col("lang") +: col("n_docs") +:
+        (stages.map { case (name, _) =>
+          coalesce(col(name), lit(0L)).as(name)
+        } ++ Seq(
+          coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+          coalesce(col("pack_tokens"), lit(0L)).as("pack_tokens"))): _*)
       .orderBy(col("lang"))
   }
 
-  val q54CurationFunnelSql: String = {
+  /** q54: the end-to-end CURATION FUNNEL — the composed pipeline a
+    * pretraining corpus build actually runs, as ONE lazy Spark plan:
+    *
+    *   documents → quality filter (q16's score, thresholded on the
+    *   4-dp-rounded value both engines agree on exactly) → exact-dedup
+    *   survivors (min doc_id per content hash, q15's rule) → seeded
+    *   mixture sample (q44's decisions) → sequence packing (q45's
+    *   ledger) → per-language funnel counts.
+    *
+    * Each stage is individually gated elsewhere; this entry gates their
+    * COMPOSITION — stage ordering, column flow, and the funnel counts a
+    * curation run reports. One row per language: `n_docs` → `n_quality`
+    * → `n_unique` → `n_sampled`, plus `n_packs`/`pack_tokens` from the
+    * packing ledger over the sampled set.
+    *
+    * Scale: the funnel is filters + one dedup shuffle + a map-side
+    * sample + the bounded per-stream pack windows — no stage widens
+    * (see [[funnelStages]] for the one checkpointed stage boundary). */
+  def q54CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, keep, uniqT) = funnelStages(spark, dir)
+    val uniq = uniqT.select(col("doc_id"), col("lang"), col("n_tokens"))
+    val samp = mixtureSample(uniq, "doc_id", "lang", MixRates.toMap, MixSeed)
+    val packed = packAssignments(samp, "lang", "doc_id", col("n_tokens"),
+      PackBudget, PackShards, PackSeed)
+    funnelReport(docs,
+      Seq("n_quality" -> keep, "n_unique" -> uniq, "n_sampled" -> samp), packed)
+  }
+
+  /** q56: the curation funnel with the NEAR-dup cluster stage a real
+    * pretraining run adds between exact dedup and sampling:
+    *
+    *   … exact-dedup survivors → simhash near-dup pairs (q21's emitter,
+    *   hamming ≤ 3 over the 64-bit signature) → connected components
+    *   (q52's clustering — transitive chains close BEFORE deletion) →
+    *   keep only cluster survivors (doc_id = component min) plus
+    *   unclustered docs → mixture sample → packing.
+    *
+    * Deleting by pair (drop id2 of every pair) over-deletes transitive
+    * chains; deleting by cluster survivor is the correct semantic, and
+    * composing it INSIDE the funnel is what this gate adds over
+    * q52 + q54 separately: the near-dup stage must see the post-quality
+    * post-exact-dedup corpus (pairs among dropped docs are irrelevant),
+    * and every downstream count shifts accordingly. Funnel row adds
+    * `n_neardup` (docs surviving cluster dedup) between `n_unique` and
+    * `n_sampled`.
+    *
+    * Oracle: the SAME funnel CTEs as q54 + the q21 simhash CTEs over
+    * `uniq` + the q52 recursive-CTE closure — an independent
+    * transitive-closure formulation of the cluster stage, so chains
+    * a~b~c where a~c is not itself a pair are value-checked in
+    * composition.
+    *
+    * Scale: the added stage runs the bucketed simhash emitter over the
+    * deduped corpus (no pair matrix), components over the pair graph
+    * (≪ corpus), and one broadcast-able anti-join of the corpus against
+    * the small non-survivor list. Nothing widens. */
+  def q56NearDupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, keep, uniqT) = funnelStages(spark, dir)
+    // referenced by the simhash emitter, the anti-join, and the count —
+    // cheap (semi-join of the checkpointed keep) but checkpointed so the
+    // emitter's tokenize+hash pass reads a materialized frame
+    val uniq = uniqT.localCheckpoint(true)
+    val pairs = Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3)
+    val comps = Dedup.connectedComponents(pairs)
+    val nonSurvivors = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val nd = uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val samp = mixtureSample(nd, "doc_id", "lang", MixRates.toMap, MixSeed)
+    val packed = packAssignments(samp, "lang", "doc_id", col("n_tokens"),
+      PackBudget, PackShards, PackSeed)
+    funnelReport(docs,
+      Seq("n_quality" -> keep, "n_unique" -> uniq, "n_neardup" -> nd,
+        "n_sampled" -> samp), packed)
+  }
+
+  /** q58: the pack layout EXPORTED and read back — q28's
+    * write→reopen→verify pattern applied to [[exportPacks]]. The gate
+    * runs the exporter against a scratch directory, reopens the
+    * partitioned layout through partition discovery (the loader's path),
+    * and folds it into one row:
+    *
+    *  - `n_segments` / `n_packs` / `total_seg_tokens`: anchors the
+    *    oracle recomputes from the fixture (total_seg_tokens = every
+    *    non-empty doc's tokens — segments tile documents exactly);
+    *  - `tiling_ok`: in every INTERIOR pack (not its stream's last) the
+    *    reopened segments are adjacent from offset 0 to exactly
+    *    `budget` — checked by a lag window over (pack_off, doc_id), so
+    *    gaps AND overlaps both trip it;
+    *  - `roundtrip_ok`: the reopened set equals the computed set
+    *    exactly (exceptAll both directions) — partitioning and type
+    *    round-trip lose nothing.
+    * The oracle emits the anchors + literal TRUEs (q26 pattern). */
+  def q58PackExport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = java.nio.file.Files.createTempDirectory("graft_q58_")
+    try {
+      val cols = Seq(col("lang"), col("shard"), col("pack_id"), col("doc_id"),
+        col("seg_start"), col("seg_end"), col("pack_off"))
+      // both frames are referenced three+ times (anchors, window audit,
+      // both exceptAll directions): materialize once; re must also
+      // outlive the temp-dir deletion in the finally
+      val re = exportPacks(Tables.documents(spark, dir), "lang", "doc_id",
+          TextFunctions.tokenCount(col("text")), PackBudget, PackShards,
+          PackSeed, s"$base/packs")
+        .select(cols: _*).localCheckpoint(true)
+      val computed = packSegments(Tables.documents(spark, dir), "lang",
+          "doc_id", TextFunctions.tokenCount(col("text")), PackBudget,
+          PackShards, PackSeed)
+        .select(cols: _*).localCheckpoint(true)
+      val seg = re.withColumn("len", col("seg_end") - col("seg_start"))
+      val lastPack = seg.groupBy(col("lang"), col("shard"))
+        .agg(max(col("pack_id")).as("last_pack"))
+      val interior = seg.join(lastPack, Seq("lang", "shard"))
+        .filter(col("pack_id") < col("last_pack"))
+      val w = Window.partitionBy(col("lang"), col("shard"), col("pack_id"))
+        .orderBy(col("pack_off"), col("doc_id"))
+      val badAdj = interior
+        .withColumn("prev_end", lag(col("pack_off") + col("len"), 1).over(w))
+        .agg(sum(when(col("pack_off") =!=
+          coalesce(col("prev_end"), lit(0L)), 1L).otherwise(0L)).as("n_bad_adj"))
+      val badEnd = interior
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
+        .agg(max(col("pack_off") + col("len")).as("en"))
+        .agg(sum(when(col("en") =!= PackBudget.toLong, 1L).otherwise(0L))
+          .as("n_bad_end"))
+      val diff = computed.exceptAll(re).union(re.exceptAll(computed))
+        .agg(count(lit(1)).as("n_diff"))
+      re.agg(count(lit(1)).as("n_segments"),
+          countDistinct(col("lang"), col("shard"), col("pack_id")).as("n_packs"),
+          sum(col("seg_end") - col("seg_start")).as("total_seg_tokens"))
+        .crossJoin(badAdj).crossJoin(badEnd).crossJoin(diff)
+        .select(col("n_segments"), col("n_packs"), col("total_seg_tokens"),
+          (coalesce(col("n_bad_adj"), lit(0L)) === 0L &&
+            coalesce(col("n_bad_end"), lit(0L)) === 0L).as("tiling_ok"),
+          (col("n_diff") === 0L).as("roundtrip_ok"))
+        .localCheckpoint(true) // materialize before the layout dir is deleted
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q58PackExportSql: String =
+    s"""WITH $packSegCtes
+       |SELECT count(*)::BIGINT AS n_segments,
+       |  count(DISTINCT (lang, shard, pack_id))::BIGINT AS n_packs,
+       |  sum(seg_end - seg_start)::BIGINT AS total_seg_tokens,
+       |  TRUE AS tiling_ok, TRUE AS roundtrip_ok
+       |FROM segrows""".stripMargin
+
+  /** The funnel's shared oracle CTEs (quality → keep → surv → uniq),
+    * mirrored by [[funnelStages]]; `uniq` retains text for the q56
+    * near-dup stage. */
+  private def funnelBaseCtes: String = {
     val stops = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")
-    val cases = MixRates
-      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
-      .mkString(" ")
-    s"""WITH t AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
-       |r AS (SELECT doc_id, lang, text, len(toks)::bigint AS n_tokens,
+    s"""tok0 AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |rat AS (SELECT doc_id, lang, text, len(toks)::bigint AS n_tokens,
        |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
        |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
-       |FROM t),
-       |q AS (SELECT *, round(0.25 * alpha_raw + 0.25 * stop_raw
+       |FROM tok0),
+       |qual AS (SELECT *, round(0.25 * alpha_raw + 0.25 * stop_raw
        |        + 0.25 * least(1.0, n_tokens::double / 100.0)
-       |        + 0.25 * (1.0 - punct_raw), 4) AS quality FROM r),
-       |keep AS (SELECT * FROM q WHERE quality >= $QualityMin AND n_tokens >= $MinTokens),
+       |        + 0.25 * (1.0 - punct_raw), 4) AS quality FROM rat),
+       |keep AS (SELECT * FROM qual WHERE quality >= $QualityMin AND n_tokens >= $MinTokens),
        |surv AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
-       |uniq AS (SELECT k.doc_id, k.lang, k.n_tokens FROM keep k
-       |         WHERE k.doc_id IN (SELECT doc_id FROM surv)),
-       |samp AS (SELECT * FROM uniq
+       |uniq AS (SELECT k.doc_id, k.lang, k.text, k.n_tokens FROM keep k
+       |         WHERE k.doc_id IN (SELECT doc_id FROM surv))""".stripMargin
+  }
+
+  /** The sample → shard → pack → report tail of the funnel oracle over a
+    * source CTE `src` (doc_id, lang, n_tokens); `extraCounts` splices
+    * additional per-stage count CTE definitions + select columns between
+    * n_unique and n_sampled (q56's n_neardup). */
+  private def funnelTailSql(src: String, extraCtes: String,
+                            extraCols: String): String = {
+    val cases = MixRates
+      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
+      .mkString(" ")
+    s"""samp AS (SELECT doc_id, lang, n_tokens FROM $src
        |         WHERE ('0x' || substring(md5('$MixSeed:' || doc_id), 1, 8))::BIGINT
        |               < CASE lang $cases ELSE -1 END),
-       |sh AS (SELECT *, ('0x' || substring(md5('$PackSeed:' || doc_id), 1, 8))::BIGINT % $PackShards AS shard FROM samp),
+       |shd AS (SELECT *, ('0x' || substring(md5('$PackSeed:' || doc_id), 1, 8))::BIGINT % $PackShards AS shard FROM samp),
        |offs AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_off
-       |  FROM sh),
+       |  FROM shd),
        |packed AS (SELECT *, (start_off // $PackBudget)::BIGINT AS pack_id FROM offs),
        |f0 AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
        |f1 AS (SELECT lang, count(*)::BIGINT AS n_quality FROM keep GROUP BY 1),
        |f2 AS (SELECT lang, count(*)::BIGINT AS n_unique FROM uniq GROUP BY 1),
+       |$extraCtes
        |f3 AS (SELECT lang, count(*)::BIGINT AS n_sampled FROM samp GROUP BY 1),
        |f4 AS (SELECT lang, count(DISTINCT (shard, pack_id))::BIGINT AS n_packs,
        |         sum(n_tokens)::BIGINT AS pack_tokens FROM packed GROUP BY 1)
        |SELECT f0.lang, n_docs,
        |  coalesce(n_quality, 0) AS n_quality,
        |  coalesce(n_unique, 0) AS n_unique,
+       |  $extraCols
        |  coalesce(n_sampled, 0) AS n_sampled,
        |  coalesce(n_packs, 0) AS n_packs,
        |  coalesce(pack_tokens, 0) AS pack_tokens
        |FROM f0 LEFT JOIN f1 USING (lang) LEFT JOIN f2 USING (lang)
+       |  ${if (extraCtes.nonEmpty) "LEFT JOIN f2b USING (lang)" else ""}
        |  LEFT JOIN f3 USING (lang) LEFT JOIN f4 USING (lang)
        |ORDER BY lang""".stripMargin
   }
+
+  val q54CurationFunnelSql: String =
+    s"""WITH $funnelBaseCtes,
+       |${funnelTailSql("uniq", "", "")}""".stripMargin
+
+  val q56NearDupFunnelSql: String =
+    s"""WITH RECURSIVE $funnelBaseCtes,
+       |${TextQueries.simhashPairsCtes("uniq")},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.comp FROM reach rr JOIN edges e ON e.src = rr.id),
+       |clus AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |nd AS (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
+       |       WHERE u.doc_id NOT IN (SELECT id FROM clus WHERE id <> comp)),
+       |${funnelTailSql("nd",
+          "f2b AS (SELECT lang, count(*)::BIGINT AS n_neardup FROM nd GROUP BY 1),",
+          "coalesce(n_neardup, 0) AS n_neardup,")}""".stripMargin
 
   val q45SeqPackSql: String =
     s"""WITH toks AS (

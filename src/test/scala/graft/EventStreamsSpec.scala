@@ -269,6 +269,14 @@ class EventStreamsSpec extends SparkSpec {
       "streaming session windows must equal the batch output exactly")
   }
 
+  test("q57: streamed dedup of a duplicated fixture matches batch dropDuplicates") {
+    val row = operators.StreamingQueries.q57StreamDedup(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_input") > row.getAs[Long]("n_unique"),
+      "the constructed stream must actually carry duplicates (non-vacuity)")
+    assert(row.getAs[Boolean]("dedup_match"),
+      "streamed dropDuplicatesWithinWatermark must equal batch dropDuplicates")
+  }
+
   test("intervalJoin: same-user matches in [ts, ts+horizon), batch ≡ stream-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

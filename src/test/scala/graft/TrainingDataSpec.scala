@@ -166,11 +166,8 @@ class TrainingDataSpec extends SparkSpec {
     rows.foreach { case (lang, nDocs, nQuality, nUnique, nSampled, nPacks, packTokens) =>
       assert(nDocs >= nQuality && nQuality >= nUnique && nUnique >= nSampled,
         s"$lang: funnel must be monotone, got $nDocs/$nQuality/$nUnique/$nSampled")
-      // every sampled doc lands in exactly one pack's ledger, and a
-      // stream with any tokens occupies at least ceil(tokens/budget) packs
+      // every sampled doc lands in exactly one pack's ledger
       assert((nSampled == 0L) == (nPacks == 0L), s"$lang: packs iff sampled docs")
-      assert(packTokens >= 0L && (packTokens > 0L || nSampled == 0L ||
-        packTokens == 0L), s"$lang: ledger tokens must be non-negative")
       assert(nPacks <= nSampled || nSampled == 0L,
         s"$lang: a pack holds >= 1 starting doc, so n_packs <= n_sampled")
     }
@@ -178,6 +175,94 @@ class TrainingDataSpec extends SparkSpec {
     // quality stage and some at the sampling stage, else the gate is vacuous
     assert(rows.map(_._2).sum > rows.map(_._3).sum, "quality filter must drop docs")
     assert(rows.map(_._4).sum > rows.map(_._5).sum, "sampler must drop docs")
+    // ledger identity, replayed INDEPENDENTLY of the Spark window: collect
+    // the sampled set, recompute each doc's shard from md5 driver-side,
+    // and walk each (lang, shard) stream's token ledger as plain scalars
+    val funnel = rows.map(r => r._1 -> (r._5, r._6, r._7)).toMap
+    val sampled = TrainingData.curationSampled(spark, sf)
+      .select("doc_id", "lang", "n_tokens").as[(Long, String, Long)].collect()
+    def md5Bucket(seed: String, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    sampled.groupBy(_._2).foreach { case (lang, docs) =>
+      val (nSampled, nPacks, packTokens) = funnel(lang)
+      assert(docs.length.toLong == nSampled, s"$lang: sampled-set size mismatch")
+      assert(docs.map(_._3).sum == packTokens,
+        s"$lang: pack_tokens must equal the sampled set's token sum")
+      // walk each (lang, shard) stream's token ledger as plain scalars and
+      // count the packs that receive a STARTING doc (a stream's tail can
+      // straddle into a pack no doc starts in — that pack is not counted)
+      val budget = TrainingData.PackBudget
+      val expectPacks = docs
+        .groupBy(d => md5Bucket(TrainingData.PackSeed, d._1) % TrainingData.PackShards)
+        .values.map { ds =>
+          var off = 0L
+          val packs = scala.collection.mutable.Set[Long]()
+          ds.sortBy(_._1).foreach { case (_, _, toks) =>
+            packs += off / budget; off += toks
+          }
+          packs.size.toLong
+        }.sum
+      assert(expectPacks == nPacks, s"$lang: n_packs must match the replayed ledger")
+    }
+  }
+
+  test("near-dup cluster stage shrinks the funnel between exact dedup and sampling") {
+    val rows = TrainingData.q56NearDupFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nQuality, nUnique, nNeardup, nSampled, nPacks, _) =>
+      assert(nDocs >= nQuality && nQuality >= nUnique &&
+        nUnique >= nNeardup && nNeardup >= nSampled,
+        s"$lang: funnel must be monotone, got " +
+          s"$nDocs/$nQuality/$nUnique/$nNeardup/$nSampled")
+      assert((nSampled == 0L) == (nPacks == 0L), s"$lang: packs iff sampled docs")
+    }
+    // non-vacuity: the fixture has near-dup clusters among the exact-dedup
+    // survivors, so the cluster stage must actually drop docs — otherwise
+    // this gate re-tests q54
+    assert(rows.map(_._4).sum > rows.map(_._5).sum,
+      "cluster dedup must drop docs between n_unique and n_neardup")
+  }
+
+  test("pack export writes a stream-partitioned layout that reads back exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_packexp_").toString
+    try {
+      val toks = functions.TextFunctions.tokenCount(col("text"))
+      val re = TrainingData.exportPacks(docs, "lang", "doc_id", toks,
+        budget = 512, shards = 4, seed = "shard", path = s"$dir/packs")
+      val computed = TrainingData.packSegments(docs, "lang", "doc_id", toks,
+        budget = 512, shards = 4, seed = "shard")
+        .select("lang", "shard", "pack_id", "doc_id",
+          "seg_start", "seg_end", "pack_off")
+      val got = re.select("lang", "shard", "pack_id", "doc_id",
+        "seg_start", "seg_end", "pack_off")
+      assert(got.exceptAll(computed).isEmpty && computed.exceptAll(got).isEmpty,
+        "reopened layout must equal the computed segments exactly")
+      // the layout IS the partition structure: one directory per
+      // (lang, shard) stream, so a loader reading one stream touches
+      // only its own files
+      val langDirs = new java.io.File(s"$dir/packs").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(langDirs.exists(_.startsWith("lang=")),
+        s"expected lang= partition dirs, got $langDirs")
+      val shardDirs = new java.io.File(s"$dir/packs/${langDirs.head}")
+        .listFiles().filter(_.isDirectory).map(_.getName)
+      assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("shard=")),
+        s"expected shard= partition dirs, got ${shardDirs.toSeq}")
+      // partition pruning: a one-stream read prunes directories at the
+      // scan, it does not filter rows after reading everything
+      val one = spark.read.parquet(s"$dir/packs")
+        .filter(col("lang") === "en" && col("shard") === 0)
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+        s"the stream predicate must prune directories:\n$scan")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   test("zero-token documents stay in the ledger but emit no segment") {
