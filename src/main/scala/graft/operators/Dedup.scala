@@ -444,6 +444,85 @@ object Dedup {
     }
   }
 
+  /** Alternative connected-components implementation: the alternating
+    * large-star / small-star edge rewrite (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Where
+    * [[connectedComponents]] keeps the EDGE set fixed and iterates a
+    * label frame, this rewrites the edge set itself each round:
+    *
+    *  - large-star: every node u hooks its strictly-larger neighbors
+    *    directly onto min(Γ(u) ∪ u) — long tendrils collapse toward
+    *    minima;
+    *  - small-star: every node hooks its smaller-or-equal neighbors
+    *    (and itself) onto its minimum neighbor — stars flatten.
+    *
+    * Alternating the two converges to star graphs whose centers are the
+    * component minima, in O(log² n) rounds (O(log n) observed on
+    * near-dup graph shapes). The property [[connectedComponents]] lacks:
+    * per-round EDGE volume is bounded — each emitted edge replaces one
+    * inspected edge, and both operations only ever point edges at
+    * neighborhood minima, so intermediate frames never exceed ~|E|.
+    * Label propagation instead JOINS the full edge set against the label
+    * frame every round; on a pair graph that is itself huge (boilerplate
+    * corpora where near-dup pairs approach corpus scale), the two-phase
+    * form is the one that still fits. On moderate graphs label
+    * propagation wins (fewer jobs per round); both are kept, gated
+    * against the same recursive-closure oracle (q52/q59), so the choice
+    * is a cost call, not a semantics call.
+    *
+    * Same contract as [[connectedComponents]]: returns (id, component
+    * = min reachable id) for every id in `pairs`; throws if `maxIter`
+    * alternations pass without the edge-set fixpoint. */
+  def connectedComponentsTwoPhase(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // one eager checkpoint per round truncates lineage (same trap as the
+    // label loop); the edge frame is the round's whole state
+    var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // edge-set fixpoint: both frames are checkpointed and star-shaped
+      // (small), so the symmetric difference is a cheap exact test
+      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      edges = next
+      it += 1
+    }
+    System.err.println(
+      s"""{"stage":"connected_components_two_phase","rounds":$it,"converged":$converged}""")
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsTwoPhase did not converge within maxIter=$maxIter " +
+          "alternations — partial star graphs would split components; raise maxIter")
+    // converged: every edge is (child, component-min); minima label themselves
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
   /** 32-bit hash of a token from its md5 hex prefix (chars 1-8) —
     * reproducible in DuckDB as ('0x' || substring(md5(t),1,8))::BIGINT. */
   def tokenHash32(t: Column): Column =

@@ -538,4 +538,22 @@ object TextQueries {
        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id AS doc_id, min(comp)::BIGINT AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** q59: the SAME clustering as q52 computed by the two-phase
+    * large-star/small-star edge rewrite
+    * ([[Dedup.connectedComponentsTwoPhase]]) — the per-round
+    * edge-volume-bounded form for pair graphs too large for label
+    * propagation's per-round (edges ⋈ labels) join. Gated against the
+    * IDENTICAL recursive-closure oracle as q52, so the driver
+    * hash-proves the two implementations agree with the independent
+    * transitive-closure formulation — the q47 pattern (a scale rewrite
+    * certified semantics-free), applied to graph clustering. */
+  def q59ClustersTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsTwoPhase(
+        Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+          maxHamming = 3))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  val q59ClustersTwoPhaseSql: String = q52DedupClustersSql
 }

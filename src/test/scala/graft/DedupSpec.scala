@@ -335,6 +335,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("two-phase CC matches label propagation on chains, cliques, and random graphs") {
+    // the two implementations share no code path — agreement on assorted
+    // topologies (plus the shared q52/q59 oracle) is the equivalence case
+    val graphs = Seq(
+      Seq((10L, 20L), (20L, 30L), (30L, 40L), (77L, 88L)),         // chain + pair
+      (0L until 199L).map(i => (i, i + 1)),                        // long chain
+      (1L to 6L).combinations(2).map(s => (s(0), s(1))).toSeq,     // clique
+      {
+        val rnd = new scala.util.Random(7)
+        Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+          .filter { case (a, b) => a != b }
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      })
+    graphs.foreach { g =>
+      val pairs = g.toDF("id1", "id2")
+      val viaLabels = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val viaStars = Dedup.connectedComponentsTwoPhase(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaLabels,
+        s"two-phase CC diverged from label propagation on ${g.take(5)}...")
+    }
+  }
+
+  test("two-phase CC handles empty input and is partitioning-invariant") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponentsTwoPhase(empty).count() == 0L)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 8L), (4L, 5L))
+    val results = Seq(1, 4, 16).map { parts =>
+      Dedup.connectedComponentsTwoPhase(pairs.toDF("id1", "id2").repartition(parts))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(results.distinct.size == 1)
+    assert(results.head == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("connectedComponents throws instead of returning partial labels") {
     // diameter-3 chain cannot reach the fixpoint in one round — exhausting
     // maxIter must throw, never quietly return split components

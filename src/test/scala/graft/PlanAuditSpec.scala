@@ -126,6 +126,23 @@ class PlanAuditSpec extends SparkSpec {
       s"pack assignment is one shuffle onto the stream key:\n$pp")
   }
 
+  test("the funnel's near-dup deletion converts to a broadcast anti-join under AQE (q56)") {
+    // the non-survivor list comes off a checkpointed frame with no
+    // Catalyst stats, so the STATIC plan is SortMergeJoin LeftAnti — the
+    // right static choice, because forcing a broadcast hint would OOM on
+    // a corpus whose non-survivor list outgrows the threshold. The scale
+    // property to pin is the ADAPTIVE one: at runtime AQE sees the actual
+    // (small) size and converts to BroadcastHashJoin, and the repeated nd
+    // subtrees reuse one exchange instead of re-shuffling.
+    val df = operators.TrainingData.q56NearDupFunnel(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"expected a finalized AQE plan:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"AQE must convert the cluster-deletion anti-join to broadcast:\n$p")
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as
