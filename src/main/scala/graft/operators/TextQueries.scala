@@ -539,6 +539,73 @@ object TextQueries {
        |SELECT id AS doc_id, min(comp)::BIGINT AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // Decontamination gate parameters (q60): 3-token shingles, every 97th
+  // doc plays the held-out eval set.
+  private val DecontN = 3
+  private val DecontMod = 97
+
+  /** Benchmark DECONTAMINATION — the training-data hygiene operator the
+    * curation funnel family was missing: flag training documents that
+    * share word n-gram shingles with a held-out evaluation set, so they
+    * can be dropped before training (eval contamination inflates
+    * benchmark scores; n-gram overlap is the standard detection, e.g.
+    * the GPT-3/PaLM appendix methodology). Returns one row per
+    * contaminated training doc with its distinct-shared-shingle count —
+    * callers threshold `n_shared` and anti-join, exactly like q56's
+    * survivor deletion.
+    *
+    * Scale: the eval side is BOUNDED (benchmarks are thousands of
+    * documents, not billions) — its distinct shingle set is broadcast,
+    * so the corpus-side scan never shuffles to discover hits; the only
+    * exchange carries (contaminated doc, partial count) pairs, which is
+    * hit volume, not corpus volume. The corpus side streams through
+    * explode → broadcast-hash probe inside one stage. At a real 100 TB
+    * run the eval shingle set is also the thing you'd hash to 64-bit
+    * (xxhash64) to shrink the broadcast — kept as raw strings here so
+    * the DuckDB oracle mirrors exactly. */
+  def contaminatedDocs(train: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .distinct()
+    train
+      .select(col(idCol), col("lang"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** q60: decontamination over the documents fixture — every
+    * `DecontMod`-th doc is the pretend eval set; the gate lists each
+    * contaminated training doc with its shared-shingle count. The
+    * fixture's heavy near-dup population guarantees non-vacuity (a
+    * near-dup of an eval doc shares nearly all its shingles). */
+  def q60Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminatedDocs(
+        docs.filter(col("doc_id") % DecontMod =!= 0),
+        docs.filter(col("doc_id") % DecontMod === 0),
+        "doc_id", "text", DecontN)
+      .orderBy(col("doc_id"))
+  }
+
+  val q60DecontaminateSql: String = {
+    // 3-gram comprehension over the 1-indexed token list; range(1, x) is
+    // empty for x <= 1, so short docs need no guard
+    val tri = s"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]"
+    s"""WITH ev AS (
+       |  SELECT DISTINCT unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT $tokSqlExpr AS t FROM documents WHERE doc_id % $DecontMod = 0)),
+       |tr AS (
+       |  SELECT doc_id, lang, unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT doc_id, lang, $tokSqlExpr AS t FROM documents
+       |        WHERE doc_id % $DecontMod != 0))
+       |SELECT doc_id, lang, count(*)::BIGINT AS n_shared
+       |FROM tr JOIN ev USING (g)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
+
   /** q59: the SAME clustering as q52 computed by the two-phase
     * large-star/small-star edge rewrite
     * ([[Dedup.connectedComponentsTwoPhase]]) — the per-round

@@ -65,6 +65,67 @@ object TrainingData {
       .filter(col("bucket") < thr)
   }
 
+  /** Deterministic UPSAMPLING — the epoch-weighting half of mixture
+    * construction that [[mixtureSample]] (rates ≤ 1) cannot express: a
+    * stratum rate r means every document appears floor(r) times, plus
+    * one more copy with probability frac(r), decided by the same seeded
+    * id hash as sampling. Rates below 1 degenerate to sampling (floor
+    * 0 + fractional keep), so one operator covers the whole mixture
+    * weight line a pretraining recipe specifies ("2.5 epochs of books,
+    * 0.3 of web"). Adds `bucket`, `n_copies`, and `copy` (1-based copy
+    * index — downstream packing can use (id, copy) as the unique order
+    * key so repeated copies spread deterministically).
+    *
+    * Scale: same shape as [[mixtureSample]] — a stateless map-side
+    * decision per row, then a bounded explode (≤ ceil(r) rows out per
+    * row in); no shuffle, no coordination, and the same
+    * incremental-stability property (a re-run or sub-corpus run
+    * reproduces exactly the copies of the rows it sees). */
+  def upsampleMixture(docs: DataFrame, idCol: String, strataCol: String,
+                      rates: Map[String, Double], seed: String,
+                      bucketFn: (Column, String) => Column = hashBucket): DataFrame = {
+    require(rates.values.forall(_ >= 0.0), s"rates must be >= 0: $rates")
+    val whole = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r.toLong)).otherwise(acc)
+    }
+    val fracThr = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(rateThreshold(r - r.toLong))).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucketFn(col(idCol), seed))
+      .withColumn("n_copies",
+        whole + when(col("bucket") < fracThr, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0L)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
+  /** Deterministic stratum-free TRAIN/VAL/TEST split by hash range:
+    * `fractions` are the per-split weights (normalized internally); a
+    * document's seeded bucket lands in exactly one cumulative range, so
+    * splits are disjoint, exhaustive, and stable under corpus growth —
+    * the property that keeps yesterday's held-out set held out after an
+    * incremental ingest (a rank- or random()-based split leaks rows
+    * across the boundary whenever the corpus changes). Returns the
+    * input plus `bucket` and `split` (0-based index into `fractions`).
+    *
+    * Scale: stateless map-side label per row; no shuffle. */
+  def hashSplit(docs: DataFrame, idCol: String, fractions: Seq[Double],
+                seed: String,
+                bucketFn: (Column, String) => Column = hashBucket): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_ > 0.0),
+      s"fractions must be positive: $fractions")
+    val total = fractions.sum
+    // cumulative integer thresholds in the same [0, 2^32) bucket space;
+    // the last is forced to 2^32 so rounding can never orphan a bucket
+    val cuts = fractions.scanLeft(0.0)(_ + _).tail
+      .map(c => rateThreshold(c / total)).dropRight(1) :+ 4294967296L
+    val bucket = col("bucket")
+    val split = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.size - 1)) {
+      case (acc, (cut, i)) => when(bucket < cut, lit(i)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucketFn(col(idCol), seed))
+      .withColumn("split", split)
+  }
+
   /** Per-document pack assignment for concat-and-chunk sequence packing:
     * documents are laid head-to-tail in (partCol, shard, orderCol) order
     * and a document belongs to the pack its FIRST token lands in (it may
@@ -326,11 +387,13 @@ object TrainingData {
     * you'd materialize to parquet), `uniq` = exact-dedup survivors
     * (min doc_id per content hash, q15's rule), text retained for the
     * near-dup stage. */
-  private def funnelStages(spark: SparkSession,
-                           dir: String): (DataFrame, DataFrame, DataFrame) = {
+  /** The 4-dp-rounded composite quality score (q16's ingredients) over a
+    * documents frame — shared by the funnels and the top-p selector so
+    * every consumer thresholds the SAME value the q54 gate proves both
+    * engines agree on exactly. */
+  private[operators] def qualityScored(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
-    val docs = Tables.documents(spark, dir)
-    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+    docs.select(col("doc_id"), col("lang"), col("text"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
         alphaRatio(col("text")).as("alpha_raw"),
         punctRatio(col("text")).as("punct_raw"),
@@ -340,7 +403,12 @@ object TrainingData {
         lit(0.25) * col("stop_raw") +
         lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
         lit(0.25) * (lit(1.0) - col("punct_raw")), 4))
-    val keep = scored
+  }
+
+  private def funnelStages(spark: SparkSession,
+                           dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val keep = qualityScored(docs)
       .filter(col("quality") >= QualityMin && col("n_tokens") >= MinTokens)
       .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
       .localCheckpoint(true)
@@ -533,10 +601,166 @@ object TrainingData {
        |  TRUE AS tiling_ok, TRUE AS roundtrip_ok
        |FROM segrows""".stripMargin
 
+  /** q62's epoch-weight line: >1 upsamples, =1 passes through, <1
+    * samples down, absent strata drop. */
+  val UpRates: Seq[(String, Double)] = Seq(
+    "en" -> 2.5, "zh" -> 1.25, "de" -> 1.0, "fr" -> 0.4)
+  val UpSeed = "up"
+
+  /** q62: deterministic mixture upsampling — each document's copy list
+    * under the [[UpRates]] epoch weights, decided by the seeded hash so
+    * the driver hash-checks every copy decision exactly. */
+  def q62Upsample(spark: SparkSession, dir: String): DataFrame =
+    upsampleMixture(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", UpRates.toMap, UpSeed)
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("n_copies"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+
+  val q62UpsampleSql: String = {
+    val wholeCases = UpRates
+      .map { case (s, r) => s"WHEN '$s' THEN ${r.toLong}" }.mkString(" ")
+    val fracCases = UpRates
+      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r - r.toLong)}" }
+      .mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substring(md5('$UpSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, ((CASE lang $wholeCases ELSE 0 END)
+       |    + (CASE WHEN bucket < CASE lang $fracCases ELSE 0 END
+       |       THEN 1 ELSE 0 END))::BIGINT AS n_copies
+       |  FROM b)
+       |SELECT doc_id, lang, bucket, n_copies,
+       |  unnest(generate_series(1, n_copies))::BIGINT AS copy
+       |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin
+  }
+
+  val SplitFracs: Seq[Double] = Seq(0.8, 0.1, 0.1)
+  val SplitSeed = "split"
+
+  /** q63: deterministic train/val/test split — every document's hash
+    * bucket and split label under [[SplitFracs]], row-level exact. */
+  def q63HashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id", SplitFracs, SplitSeed)
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("split").cast("long").as("split"))
+      .orderBy(col("doc_id"))
+
+  val q63HashSplitSql: String = {
+    val total = SplitFracs.sum
+    val cuts = SplitFracs.scanLeft(0.0)(_ + _).tail
+      .map(c => rateThreshold(c / total)).dropRight(1)
+    val cases = cuts.zipWithIndex
+      .map { case (t, i) => s"WHEN bucket < $t THEN $i" }.mkString(" ")
+    s"""SELECT doc_id, lang, bucket,
+       |  (CASE $cases ELSE ${SplitFracs.size - 1} END)::BIGINT AS split
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substring(md5('$SplitSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val TopFrac = 0.5
+  private val PctAccuracy = 10000
+
+  /** The production top-p quality selector: keep each language's top
+    * `frac` of documents by quality, cut at a `percentile_approx`
+    * threshold — one sketch aggregation (partial+final over the lang
+    * key) + one broadcast of the per-language cutoffs + a stateless
+    * filter. No sort, no window: the rank-exact formulation costs a full
+    * per-language sort, which is the 100 TB non-starter this exists to
+    * avoid. Kept count sits within frac·n ± (n/accuracy + cutoff tie
+    * run) of the exact cut — the bound q61 gates. */
+  def topQualityFraction(docs: DataFrame, frac: Double,
+                         accuracy: Int = PctAccuracy): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac=$frac out of (0,1]")
+    val scored = qualityScored(docs)
+    val thr = scored.groupBy(col("lang"))
+      .agg(expr(s"percentile_approx(quality, ${1 - frac}, $accuracy)").as("q_cutoff"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("quality") >= col("q_cutoff"))
+  }
+
+  /** q61: TOP-P QUALITY SELECTION — "keep the best `TopFrac` of each
+    * language by quality score", the other standard curation cut next to
+    * the fixed threshold q54/q56 apply. Two implementations run under
+    * one gate (the q50 twin pattern):
+    *
+    *  - EXACT (oracle-mirrorable): rank by (quality desc, doc_id) per
+    *    language, keep rank ≤ ceil(frac·n). Deterministic to the row —
+    *    but it costs a full per-language sort, which at 100 TB is the
+    *    expensive formulation;
+    *  - PRODUCTION: one `percentile_approx` sketch pass computes the
+    *    per-language cutoff, then a stateless map-side filter keeps
+    *    rows above it — no sort, no per-row shuffle, the same two-job
+    *    shape as the q44 sampler. The sketch's rank-error guarantee
+    *    (≤ n/accuracy) plus the cutoff value's tie run bound how far
+    *    its kept count can sit from frac·n.
+    *
+    * Gate row per language: `n_total`, `n_kept` (exact), the exact
+    * cutoff data value `cutoff_quality` (4-dp score both engines agree
+    * on — the q54-proven parity), and `approx_in_band` — the production
+    * path's kept count within frac·n ± (n/accuracy + tie_run + 1),
+    * which holds for ANY sketch outcome inside the guarantee, so
+    * partition-order nondeterminism in the sketch cannot flake the
+    * gate. The oracle recomputes the anchors + literal TRUE. */
+  def q61TopQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // referenced four times (totals, rank path, sketch, approx count)
+    val scored = qualityScored(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .localCheckpoint(true)
+    val totals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val kept = scored.withColumn("rk", row_number().over(w))
+      .join(totals, Seq("lang"))
+      .filter(col("rk") <= ceil(lit(TopFrac) * col("n_total")))
+    val exact = kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("quality")).as("cutoff_quality"))
+    val thr = scored.groupBy(col("lang"))
+      .agg(expr(s"percentile_approx(quality, ${1 - TopFrac}, $PctAccuracy)").as("t"))
+    val approxKept = scored.join(thr, Seq("lang"))
+      .filter(col("quality") >= col("t"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_approx"))
+    val tieRuns = scored.groupBy(col("lang"), col("quality"))
+      .agg(count(lit(1)).as("tr"))
+      .groupBy(col("lang")).agg(max(col("tr")).as("tie_run"))
+    totals.join(exact, Seq("lang"), "left")
+      .join(approxKept, Seq("lang"), "left")
+      .join(tieRuns, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("cutoff_quality"),
+        (abs(coalesce(col("n_approx"), lit(0L)) - lit(TopFrac) * col("n_total")) <=
+          col("n_total").cast("double") / PctAccuracy + col("tie_run") + lit(1.0))
+          .as("approx_in_band"))
+      .orderBy(col("lang"))
+  }
+
+  val q61TopQualitySql: String =
+    s"""WITH $qualityCtes,
+       |tot AS (SELECT lang, count(*)::BIGINT AS n_total FROM qual GROUP BY 1),
+       |rk AS (SELECT doc_id, lang, quality,
+       |       row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+       |       FROM qual),
+       |kept AS (SELECT r.* FROM rk r JOIN tot USING (lang)
+       |         WHERE r.rk <= ceil($TopFrac * n_total))
+       |SELECT lang, n_total, count(*)::BIGINT AS n_kept,
+       |  min(quality) AS cutoff_quality, TRUE AS approx_in_band
+       |FROM kept JOIN tot USING (lang)
+       |GROUP BY lang, n_total ORDER BY lang""".stripMargin
+
   /** The funnel's shared oracle CTEs (quality → keep → surv → uniq),
     * mirrored by [[funnelStages]]; `uniq` retains text for the q56
     * near-dup stage. */
-  private def funnelBaseCtes: String = {
+  /** The quality-score CTEs alone (tok0 → rat → qual), mirrored by
+    * [[qualityScored]]; shared by the funnel oracles and q61. */
+  private def qualityCtes: String = {
     val stops = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")
     s"""tok0 AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
@@ -547,7 +771,11 @@ object TrainingData {
        |FROM tok0),
        |qual AS (SELECT *, round(0.25 * alpha_raw + 0.25 * stop_raw
        |        + 0.25 * least(1.0, n_tokens::double / 100.0)
-       |        + 0.25 * (1.0 - punct_raw), 4) AS quality FROM rat),
+       |        + 0.25 * (1.0 - punct_raw), 4) AS quality FROM rat)""".stripMargin
+  }
+
+  private def funnelBaseCtes: String = {
+    s"""$qualityCtes,
        |keep AS (SELECT * FROM qual WHERE quality >= $QualityMin AND n_tokens >= $MinTokens),
        |surv AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
        |uniq AS (SELECT k.doc_id, k.lang, k.text, k.n_tokens FROM keep k

@@ -382,6 +382,23 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxIter"))
   }
 
+  test("decontamination flags exactly the docs sharing eval shingles") {
+    import graft.operators.TextQueries
+    val evalDocs = Seq((100L, "en", "the quick brown fox jumps"))
+      .toDF("doc_id", "lang", "text")
+    val train = Seq(
+      (1L, "en", "a quick brown fox ran off"),   // shares "quick brown fox"
+      (2L, "en", "the quick brown fox jumps"),   // near-copy: shares 3 trigrams
+      (3L, "en", "entirely different words here"), // clean
+      (4L, "en", "fox jumps"),                   // < 3 tokens: no shingles
+      (5L, "en", "brown fox jumps high today"))  // shares "brown fox jumps"
+      .toDF("doc_id", "lang", "text")
+    val got = TextQueries.contaminatedDocs(train, evalDocs, "doc_id", "text", 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 1L, 2L -> 3L, 5L -> 1L),
+      s"expected exact shared-trigram counts, got $got")
+  }
+
   test("operators release their persisted intermediates (no session cache leak)") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = Tables.documents(spark, sf)

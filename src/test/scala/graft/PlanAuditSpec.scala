@@ -143,6 +143,29 @@ class PlanAuditSpec extends SparkSpec {
       s"AQE must convert the cluster-deletion anti-join to broadcast:\n$p")
   }
 
+  test("decontamination probes a broadcast eval set; only hits shuffle (q60)") {
+    val p = plan(operators.TextQueries.q60Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval shingle set must broadcast, never shuffle the corpus:\n$p")
+    // exactly two hashpartitioning exchanges, neither corpus-sized: the
+    // eval-side distinct (bounded eval volume, feeds the broadcast) and
+    // the per-doc hit-count agg (hit volume). The corpus side must stream
+    // scan → explode → broadcast probe with no exchange of its own.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"corpus grams must not shuffle:\n$p")
+  }
+
+  test("production top-p selection has no sort and no window (q61)") {
+    val p = plan(operators.TrainingData.topQualityFraction(
+      Tables.documents(spark, sf), 0.5))
+    assert(!p.contains("Window"), s"top-p must not rank per row:\n$p")
+    assert(!p.contains("rangepartitioning"), s"top-p must not global-sort:\n$p")
+    // one exchange total: the per-language sketch agg; cutoffs broadcast
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1 && p.contains("BroadcastHashJoin"),
+      s"sketch agg + broadcast cutoffs is the whole shuffle budget:\n$p")
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as

@@ -265,6 +265,68 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("top-p selection: exact rank cut, in-band approx cut, cutoff is a data value") {
+    val rows = TrainingData.q61TopQuality(spark, sf)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nTotal, nKept, cutoff, band) =>
+      assert(nKept == math.ceil(0.5 * nTotal).toLong,
+        s"$lang: rank cut must keep exactly ceil(frac*n), got $nKept/$nTotal")
+      assert(band, s"$lang: the approx cutoff must sit inside its error band")
+      assert(cutoff >= 0.0 && cutoff <= 1.0, s"$lang: cutoff $cutoff out of range")
+    }
+    // the production selector keeps a within-band fraction and only
+    // quality >= its own cutoff
+    val docs2 = Tables.documents(spark, sf)
+    val kept = TrainingData.topQualityFraction(docs2, 0.5)
+    val n = docs2.count().toDouble
+    val k = kept.count().toDouble
+    assert(k > 0.3 * n && k < 0.7 * n,
+      s"production top-p kept $k of $n — far outside the band")
+    assert(kept.filter(col("quality") < col("q_cutoff")).isEmpty)
+  }
+
+  test("upsampling emits exact copy counts and degenerates to sampling below 1") {
+    val n = 2000
+    val syn = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("lang"))
+    val up = TrainingData.upsampleMixture(syn, "doc_id", "lang",
+      Map("a" -> 2.0, "b" -> 0.5), "u")
+    val rows = up.select("doc_id", "lang", "n_copies", "copy")
+      .as[(Long, String, Long, Long)].collect()
+    // integer rate: every stratum-a doc appears exactly twice, copies 1..2
+    val a = rows.filter(_._2 == "a")
+    assert(a.forall(_._3 == 2L) && a.length == n / 2 * 2)
+    assert(a.groupBy(_._1).values.forall(_.map(_._4).sorted.sameElements(Seq(1L, 2L))))
+    // fractional rate < 1: behaves like mixtureSample (0 or 1 copies)
+    val b = rows.filter(_._2 == "b")
+    assert(b.forall(_._3 == 1L))
+    val kept = b.length.toDouble / (n / 2)
+    assert(math.abs(kept - 0.5) < 0.05, s"empirical frac rate $kept should be ~0.5")
+    // incremental stability: a sub-corpus run reproduces its copy lists
+    val sub = TrainingData.upsampleMixture(syn.filter(col("doc_id") < 500),
+        "doc_id", "lang", Map("a" -> 2.0, "b" -> 0.5), "u")
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    assert(sub == rows.filter(_._1 < 500).map(r => (r._1, r._4)).toSet)
+  }
+
+  test("hash split is disjoint, exhaustive, growth-stable, and near the fractions") {
+    val n = 3000
+    val syn = spark.range(n).select(col("id").as("doc_id"), lit("x").as("lang"))
+    val split = TrainingData.hashSplit(syn, "doc_id", Seq(0.8, 0.1, 0.1), "s")
+      .select("doc_id", "split").as[(Long, Int)].collect()
+    assert(split.length == n, "every doc lands in exactly one split")
+    val byIdx = split.groupBy(_._2).view.mapValues(_.length.toDouble / n).toMap
+    assert(byIdx.keySet == Set(0, 1, 2), s"all splits populated: $byIdx")
+    assert(math.abs(byIdx(0) - 0.8) < 0.03 && math.abs(byIdx(1) - 0.1) < 0.02,
+      s"empirical fractions off: $byIdx")
+    // growth stability: membership never migrates when the corpus grows
+    val prefix = TrainingData.hashSplit(syn.filter(col("doc_id") < 1000),
+        "doc_id", Seq(0.8, 0.1, 0.1), "s")
+      .select("doc_id", "split").as[(Long, Int)].collect().toMap
+    assert(prefix == split.filter(_._1 < 1000).toMap)
+  }
+
   test("zero-token documents stay in the ledger but emit no segment") {
     val syn = Seq((1L, "s", 3L), (2L, "s", 0L), (3L, "s", 5L))
       .toDF("doc_id", "lang", "n")
