@@ -571,9 +571,18 @@ object Dedup {
     * 32-bit/8-bit form, whose bounded key space made bucket sizes grow
     * linearly with the corpus and the self-join output quadratically).
     * 16-bit chunks keep expected bucket size at n/65,536 — ~1.5k docs per
-    * bucket even at 10⁸ documents. */
+    * bucket even at 10⁸ documents. `maxBucketSize` is the same production
+    * skew escape hatch as the LSH emitter's: a boilerplate-heavy corpus
+    * can degenerate one chunk value (thousands of near-identical docs
+    * share a signature chunk), and that bucket's B² candidate fan-out
+    * then dominates the stage; dropping buckets over the cap trades
+    * bounded recall loss (only pairs whose EVERY shared chunk is hot are
+    * lost — pigeonhole still finds pairs through any surviving chunk)
+    * for a hard bound on join fan-out. None = exact recall (the gated
+    * oracle form). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
     val docs = df
       .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
@@ -583,13 +592,20 @@ object Dedup {
       .select(col("id"),
         simhashWord(col("h_lo")).as("sh_lo"),
         simhashWord(col("h_hi")).as("sh_hi"))
-    val chunked = docs.select(col("id"), col("sh_lo"), col("sh_hi"),
+    val chunked0 = docs.select(col("id"), col("sh_lo"), col("sh_hi"),
       posexplode(array(
         col("sh_lo").bitwiseAND(lit(0xffffL)),
         shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xffffL)),
         col("sh_hi").bitwiseAND(lit(0xffffL)),
         shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+    val chunked = maxBucketSize match {
+      case None => chunked0
+      case Some(cap) =>
+        val sizes = chunked0.groupBy("chunk", "cval").agg(count(lit(1)).as("bsz"))
+        chunked0.join(sizes.filter(col("bsz") <= cap), Seq("chunk", "cval"))
+          .drop("bsz")
+    }
     chunked.alias("a")
       .join(chunked.alias("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&

@@ -276,6 +276,55 @@ object StreamingQueries {
       |  TRUE AS dedup_match
       |FROM events""".stripMargin
 
+  /** q64: STREAM-STATIC enrichment — the remaining streaming-join family
+    * after q51's stream-stream gate: an unbounded event stream joined to
+    * a bounded dimension (events.user_id → customer), the most common
+    * production streaming join. The static side is broadcast, so each
+    * micro-batch probes a hash map instead of shuffling the stream; no
+    * watermark is needed because the static side never grows — per-batch
+    * state is zero, which is WHY this family scales trivially where
+    * stream-stream needs eviction bounds.
+    *
+    * Gate (q41 pattern): the same enrichment runs in batch (exact
+    * DuckDB-oracle anchors: row count, distinct segments, value sum)
+    * and as a real file-source stream (AvailableNow, append — inner
+    * stream-static joins emit rows as processed and hold nothing);
+    * `static_match` is the exact symmetric-difference parity boolean.
+    * Memory sink = test bridge (see q41). */
+  def q64StreamStatic(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def enrich(ev: DataFrame): DataFrame =
+      ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("value"))
+    // referenced three times (anchors + both exceptAll directions)
+    val batch = enrich(Tables.events(spark, dir)).localCheckpoint(true)
+    val q = enrich(EventStreams.readEventFixtureStream(spark, dir))
+      .writeStream.format("memory").queryName("q64_stream_static")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    catch { case e: Throwable => if (q.isActive) q.stop(); throw e }
+    val streamed = spark.table("q64_stream_static")
+    val diff = batch.exceptAll(streamed).union(streamed.exceptAll(batch))
+      .agg(count(lit(1)).as("n_diff"))
+    batch.agg(count(lit(1)).as("n_enriched"),
+        countDistinct(col("segment")).as("n_segments"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .crossJoin(diff)
+      .select(col("n_enriched"), col("n_segments"), col("sum_value"),
+        (col("n_diff") === 0).as("static_match"))
+  }
+
+  val q64StreamStaticSql: String =
+    """SELECT count(*)::BIGINT AS n_enriched,
+      |  count(DISTINCT c_mktsegment)::BIGINT AS n_segments,
+      |  round(sum(value), 4) AS sum_value,
+      |  TRUE AS static_match
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   /** q46: the external-sink path under the driver's gate — stream the
     * events fixture through [[graft.streaming.StreamingMerge]]'s
     * `foreachBatch` → [[graft.sinks.MergeSink.mergeInto]] into a parquet

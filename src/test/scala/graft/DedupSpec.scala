@@ -382,6 +382,19 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxIter"))
   }
 
+  test("simhash hot-bucket cap keeps a subset of exact pairs, found via cold chunks") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must have simhash pairs")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxBucketSize = Some(20))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact), "capping may only drop pairs, never invent them")
+    assert(capped.nonEmpty,
+      "pairs sharing any cold chunk must survive the hot-bucket drop")
+  }
+
   test("decontamination flags exactly the docs sharing eval shingles") {
     import graft.operators.TextQueries
     val evalDocs = Seq((100L, "en", "the quick brown fox jumps"))

@@ -277,6 +277,13 @@ class EventStreamsSpec extends SparkSpec {
       "streamed dropDuplicatesWithinWatermark must equal batch dropDuplicates")
   }
 
+  test("q64: stream-static enrichment matches the batch join exactly") {
+    val row = operators.StreamingQueries.q64StreamStatic(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_enriched") > 0 && row.getAs[Long]("n_segments") > 0)
+    assert(row.getAs[Boolean]("static_match"),
+      "streamed dim-enrichment must equal the batch join exactly")
+  }
+
   test("intervalJoin: same-user matches in [ts, ts+horizon), batch ≡ stream-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
