@@ -98,4 +98,28 @@ class MergePropsSpec extends SparkSpec {
       assert(folded == expected, s"seed=$seed")
     }
   }
+
+  test("incremental dedup ingest keeps the FIRST arrival, whatever the order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    try {
+      val target = s"$dir/idx"
+      // day A arrives FIRST but carries the LARGER ids for hash h1 — a
+      // later day's smaller id must NOT steal the survivor slot
+      val dayA = Seq((50L, "h1"), (60L, "h2")).toDF("doc_id", "content_hash")
+      val dayB = Seq((10L, "h1"), (70L, "h3"), (75L, "h3"))
+        .toDF("doc_id", "content_hash")
+      val s1 = operators.MergeQueries.dedupIngest(spark, target, dayA)
+      assert(s1.nUpserted == 2L && s1.nMatched == 0L)
+      val s2 = operators.MergeQueries.dedupIngest(spark, target, dayB)
+      assert(s2.nUpserted == 1L, "only the never-seen hash h3 may insert")
+      val idx = spark.read.parquet(target)
+        .select("content_hash", "doc_id").as[(String, Long)].collect().toMap
+      assert(idx == Map("h1" -> 50L, "h2" -> 60L, "h3" -> 70L),
+        s"first arrival must survive (h3 dedups within its batch): $idx")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
