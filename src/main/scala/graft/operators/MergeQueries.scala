@@ -105,6 +105,8 @@ object MergeQueries {
       val target = s"$base/dedup_index"
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      // one-scalar probe to split the fixture into "days" — gate harness,
+      // not operator code (a real ingest receives its batches)
       val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       // day 2 RE-DELIVERS every 5th document (same rows again) — the
       // at-least-once upstream the anti-join exists for; without it the

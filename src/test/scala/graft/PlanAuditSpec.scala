@@ -124,6 +124,13 @@ class PlanAuditSpec extends SparkSpec {
       col("n_chars"), budget = 1024, shards = 4, seed = "s"))
     assert("Exchange hashpartitioning".r.findAllIn(pp).length == 1,
       s"pack assignment is one shuffle onto the stream key:\n$pp")
+    // epoch upsampling and dataset splits share the sampler's
+    // zero-shuffle contract: hash decision + bounded explode / label
+    val up = plan(TrainingData.upsampleMixture(docs, "doc_id", "lang",
+      Map("en" -> 2.5), "s"))
+    assert(!up.contains("Exchange"), s"upsampling must not shuffle:\n$up")
+    val sp = plan(TrainingData.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), "s"))
+    assert(!sp.contains("Exchange"), s"hash split must not shuffle:\n$sp")
   }
 
   test("the funnel's near-dup deletion converts to a broadcast anti-join under AQE (q56)") {
