@@ -166,6 +166,51 @@ object GraftUdfs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Bottom-k SELECTION by (bucket, id): keeps the k lexicographically
+    * smallest pairs seen — the KMV idea repurposed from estimation to
+    * exact-k SAMPLING. Grouped per stratum, `finish` yields precisely
+    * the stratum's k hash-smallest members: union+truncate merging is
+    * associative and commutative, so partial aggregation is exact and
+    * the shuffle carries ≤ k pairs per partition regardless of stratum
+    * size — "take exactly k docs per language" without a per-stratum
+    * sort. The id tiebreak makes selection deterministic even under
+    * bucket collisions. Amortized O(1) per input: the buffer grows to
+    * 2k then sort-truncates to k. */
+  final class BottomKAggregator(k: Int)
+      extends Aggregator[(Long, Long), scala.collection.mutable.ArrayBuffer[(Long, Long)],
+        Seq[(Long, Long)]] {
+    require(k >= 1, s"k=$k must be positive")
+    import scala.collection.mutable.ArrayBuffer
+
+    private def trim(buf: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+      if (buf.length > k) {
+        val kept = buf.sortInPlace().take(k)
+        buf.clear(); buf ++= kept
+      }
+      buf
+    }
+
+    override def zero: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
+
+    override def reduce(buf: ArrayBuffer[(Long, Long)],
+                        e: (Long, Long)): ArrayBuffer[(Long, Long)] = {
+      buf += e
+      if (buf.length >= 2 * k) trim(buf) else buf
+    }
+
+    override def merge(a: ArrayBuffer[(Long, Long)],
+                       b: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] =
+      trim(a ++= b)
+
+    override def finish(buf: ArrayBuffer[(Long, Long)]): Seq[(Long, Long)] =
+      buf.sortInPlace().take(k).toSeq
+
+    override def bufferEncoder: Encoder[ArrayBuffer[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ArrayBuffer[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
   /** Misra-Gries heavy-hitters summary: at most `k` (element, count)
     * pairs. Estimates only ever UNDERcount, by at most n/(k+1) — so
     * every element with true count > n/(k+1) is guaranteed present

@@ -664,6 +664,65 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact-k STRATIFIED selection: precisely the `k` hash-smallest
+    * documents of each stratum — "take exactly 10M docs per language",
+    * the fixed-size counterpart of [[mixtureSample]]'s fixed-rate cut.
+    * Selection order is the seeded hash (with id tiebreak), so the draw
+    * is uniform, deterministic, and reproducible; unlike rate sampling
+    * it is NOT growth-stable (k is fixed, so a grown corpus evicts the
+    * largest-bucket members — the documented tradeoff of asking for an
+    * exact count).
+    *
+    * Scale: no per-stratum sort. The
+    * [[graft.functions.GraftUdfs.BottomKAggregator]] keeps each
+    * partition's k smallest (bucket, id) pairs and merges them
+    * map-side, so the shuffle carries ≤ k pairs per partition per
+    * stratum — the same mergeable-summary shape as KMV/Misra-Gries,
+    * repurposed from estimation to exact selection. Returns
+    * (stratum, bucket, id) of the selected members; callers semi-join
+    * on id to materialize the rows. */
+  def takeStratifiedK(docs: DataFrame, idCol: String, strataCol: String,
+                      k: Int, seed: String,
+                      bucketFn: (Column, String) => Column = hashBucket): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(strataCol).cast("string").as("stratum"),
+        bucketFn(col(idCol), seed).as("bucket"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.GraftUdfs.BottomKAggregator(k).toColumn.name("sel"))
+      .toDF("stratum", "sel")
+      .select(col("stratum"), explode(col("sel")).as("p"))
+      .select(col("stratum"), col("p._1").as("bucket"), col("p._2").as("id"))
+  }
+
+  private val TakeK = 25
+  private val TakeSeed = "take"
+
+  /** q66: exact-k stratified selection over the documents fixture —
+    * row-level exact against the oracle's rank formulation (the window
+    * sort the production aggregator exists to avoid). */
+  def q66TakeK(spark: SparkSession, dir: String): DataFrame =
+    takeStratifiedK(Tables.documents(spark, dir), "doc_id", "lang",
+        TakeK, TakeSeed)
+      .select(col("stratum").as("lang"), col("bucket"), col("id").as("doc_id"))
+      .orderBy(col("lang"), col("bucket"), col("doc_id"))
+
+  val q66TakeKSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substring(md5('$TakeSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+       |  FROM b)
+       |SELECT lang, bucket, doc_id FROM r WHERE rk <= $TakeK
+       |ORDER BY lang, bucket, doc_id""".stripMargin
+
   private val TopFrac = 0.5
   private val PctAccuracy = 10000
 

@@ -156,6 +156,24 @@ class GraftUdfsSpec extends SparkSpec {
     assert(viaSql.contains("hh1") && viaSql.size <= k)
   }
 
+  test("BottomK selection is exact and partitioning-invariant, ties broken by id") {
+    val k = 10
+    val rnd = new scala.util.Random(13)
+    // duplicate bucket values force the id tiebreak to matter
+    val pairs = Seq.tabulate(500)(i => (rnd.nextInt(40).toLong, i.toLong))
+    val want = pairs.sorted.take(k)
+    for (parts <- Seq(1, 3, 16)) {
+      val got = pairs.toDF("b", "i").repartition(parts).as[(Long, Long)]
+        .select(new GraftUdfs.BottomKAggregator(k).toColumn.name("sel"))
+        .head()
+      assert(got == want, s"parts=$parts: bottom-k must equal the sorted prefix")
+    }
+    // k larger than the input returns everything, sorted
+    val all = pairs.take(3).toDF("b", "i").as[(Long, Long)]
+      .select(new GraftUdfs.BottomKAggregator(k).toColumn.name("sel")).head()
+    assert(all == pairs.take(3).sorted)
+  }
+
   test("registered scalar UDF runs from SQL and matches the column expression") {
     GraftUdfs.register(spark)
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
