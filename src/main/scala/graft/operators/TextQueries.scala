@@ -539,6 +539,69 @@ object TextQueries {
        |SELECT id AS doc_id, min(comp)::BIGINT AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // Chunking gate parameters (q67).
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
+
+  /** Sliding-window DOCUMENT CHUNKING — the ingestion op RAG pipelines
+    * and context-window packing both start from: split each document's
+    * token stream into windows of `chunkSize` tokens advancing by
+    * `chunkSize - overlap`, the last window holding the remainder.
+    * Chunk count is max(1, ceil((len − overlap) / stride)) — windows
+    * tile the document with exactly `overlap` tokens shared between
+    * neighbors, and no chunk is ever fully contained in its
+    * predecessor. Empty documents emit nothing. Returns one row per
+    * chunk: (id, chunk_id, n_chunk_tokens, chunk_text) with chunk_text
+    * the space-joined normalized tokens.
+    *
+    * Scale: a pure narrow map — tokenize once per document (let-bound),
+    * slice per chunk; output volume ≤ len/stride + 1 rows per doc, no
+    * shuffle of any kind. The chunk arithmetic is all integer, so the
+    * DuckDB oracle reproduces every boundary exactly. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    import graft.functions.TextFunctions.bind
+    val chunks = bind(tokens(col(textCol))) { toks =>
+      val len = size(toks)
+      val nc = greatest(lit(1),
+        floor((len - lit(overlap) + lit(stride - 1)) / lit(stride)).cast("int"))
+      transform(sequence(lit(0), nc - 1), i =>
+        struct(i.as("chunk_id"),
+          slice(toks, i * stride + 1, lit(chunkSize)).as("ctoks")))
+    }
+    df.select(col(idCol).as("id"), explode(chunks).as("c"))
+      .select(col("id"), col("c.chunk_id").cast("long").as("chunk_id"),
+        size(col("c.ctoks")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("c.ctoks")).as("chunk_text"))
+      .filter(col("n_chunk_tokens") > 0) // empty docs emit nothing
+  }
+
+  /** q67: chunking over the documents fixture, row-level exact — every
+    * boundary, overlap, and remainder tail value-checked. */
+  def q67Chunks(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, dir), "doc_id", "text",
+        ChunkSize, ChunkOverlap)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q67ChunksSql: String = {
+    val stride = ChunkSize - ChunkOverlap
+    s"""WITH t AS (SELECT doc_id, $tokSqlExpr AS t FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS L,
+       |      greatest(1, (len(t) - $ChunkOverlap + ${stride - 1}) // $stride) AS nc
+       |      FROM t WHERE len(t) > 0),
+       |c AS (SELECT doc_id, unnest(range(nc))::BIGINT AS chunk_id, t, L FROM n)
+       |SELECT doc_id, chunk_id,
+       |  len(t[chunk_id * $stride + 1 : least(chunk_id * $stride + $ChunkSize, L)])::BIGINT
+       |    AS n_chunk_tokens,
+       |  array_to_string(t[chunk_id * $stride + 1 : least(chunk_id * $stride + $ChunkSize, L)], ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   // Decontamination gate parameters (q60): 3-token shingles, every 97th
   // doc plays the held-out eval set.
   private val DecontN = 3

@@ -395,6 +395,28 @@ class DedupSpec extends SparkSpec {
       "pairs sharing any cold chunk must survive the hot-bucket drop")
   }
 
+  test("chunking tiles documents with exact overlap and remainder handling") {
+    import graft.operators.TextQueries
+    def words(n: Int, from: Int = 0): String =
+      (from until from + n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),  // size 8, overlap 4 -> chunks [0,8), [4,10)
+      (2L, words(3)),   // shorter than one chunk -> single chunk
+      (3L, words(8)),   // exactly one chunk
+      (4L, words(12)),  // exact tiling: [0,8), [4,12)
+      (5L, ""))         // empty -> nothing
+      .toDF("doc_id", "text")
+    val got = TextQueries.chunkDocuments(docs, "doc_id", "text", 8, 4)
+      .select("id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    assert(got(1L) == Seq((8L, words(8)), (6L, words(6, 4))))
+    assert(got(2L) == Seq((3L, words(3))))
+    assert(got(3L) == Seq((8L, words(8))))
+    assert(got(4L) == Seq((8L, words(8)), (8L, words(8, 4))))
+    assert(!got.contains(5L), "empty docs emit no chunks")
+  }
+
   test("decontamination flags exactly the docs sharing eval shingles") {
     import graft.operators.TextQueries
     val evalDocs = Seq((100L, "en", "the quick brown fox jumps"))
