@@ -13,9 +13,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // GRAFT_VERIFY_ONLY narrows the dump while iterating on one query;
-    // the driver's gate runs unfiltered (and oracle_sql.json always
-    // carries every entry so a filtered dump can't pass for a full one —
-    // the checker fails on the missing parquet dirs)
+    // the driver's gate runs unfiltered. oracle_sql.json always carries
+    // every entry; the dev checker (tools/check_correctness.py) FAILS on
+    // a missing parquet dir unless the same GRAFT_VERIFY_ONLY is exported
+    // to it — so a filtered (or crashed) dump can't pass for a full one.
     SparkEntry.queries
       .filter { case (name, _) => cfg.verifyOnly.isEmpty || cfg.verifyOnly(name) }
       .foreach { case (name, fn) =>

@@ -337,7 +337,11 @@ object Dedup {
     * writes a RELIABLE checkpoint there and intermediate rounds persist
     * to MEMORY_AND_DISK — an executor loss then recomputes at most
     * `checkpointInterval` rounds from the last reliable snapshot instead
-    * of failing. Default unchanged (local).
+    * of failing. Default unchanged (local). Passing `checkpointDir` sets
+    * the SparkContext-global checkpoint dir for the duration of the call;
+    * the previous dir (if any) is restored on exit, but when none was set
+    * before, the dir necessarily stays set afterwards — SparkContext has
+    * no unset API.
     *
     * Convergence is detected by the label-sum fixpoint — labels only
     * ever decrease, so an unchanged sum IS convergence, one scalar agg
@@ -364,7 +368,14 @@ object Dedup {
     require(checkpointInterval >= 1,
       s"checkpointInterval=$checkpointInterval must be >= 1")
     val spark = pairs.sparkSession
+    // setCheckpointDir is SparkContext-global; remember what was there so
+    // this call doesn't permanently redirect other components' reliable
+    // checkpoints (restored in the finally below — see scaladoc for the
+    // none-was-set-before caveat)
+    val prevCheckpointDir: Option[String] =
+      if (checkpointDir.isDefined) spark.sparkContext.getCheckpointDir else None
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    try {
     // per-round lineage control: reliable checkpoint on interval rounds,
     // recomputable persist between them; localCheckpoint when no dir
     var prevPersisted: Option[DataFrame] = None
@@ -441,6 +452,10 @@ object Dedup {
         val out = labels.checkpoint(true)
         prevPersisted.foreach(_.unpersist())
         out
+    }
+    } finally {
+      if (checkpointDir.isDefined)
+        prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
     }
   }
 
@@ -602,8 +617,14 @@ object Dedup {
     val chunked = maxBucketSize match {
       case None => chunked0
       case Some(cap) =>
-        val sizes = chunked0.groupBy("chunk", "cval").agg(count(lit(1)).as("bsz"))
-        chunked0.join(sizes.filter(col("bsz") <= cap), Seq("chunk", "cval"))
+        // window, not groupBy+join-back: the latter references chunked0
+        // twice, re-running the tokenize+md5+simhash pipeline; the window
+        // shuffles once on the same (chunk, cval) keys the self-join below
+        // hashes on anyway
+        chunked0
+          .withColumn("bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("chunk", "cval")))
+          .filter(col("bsz") <= cap)
           .drop("bsz")
     }
     chunked.alias("a")

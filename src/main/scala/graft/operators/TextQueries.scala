@@ -627,15 +627,19 @@ object TextQueries {
     * (xxhash64) to shrink the broadcast — kept as raw strings here so
     * the DuckDB oracle mirrors exactly. */
   def contaminatedDocs(train: DataFrame, evalDocs: DataFrame,
-                       idCol: String, textCol: String, n: Int): DataFrame = {
+                       idCol: String, textCol: String, n: Int,
+                       carryCols: Seq[String] = Seq.empty): DataFrame = {
+    // carryCols: extra train-side columns carried through the grouping
+    // (e.g. q60's lang, q70's chunk_id) — previously a hardcoded
+    // col("lang") that broke any train frame without that column
+    val keys = (idCol +: carryCols).map(col)
     val evalGrams = evalDocs
       .select(explode(array_distinct(shingles(col(textCol), n))).as("g"))
       .distinct()
     train
-      .select(col(idCol), col("lang"),
-        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .select(keys :+ explode(array_distinct(shingles(col(textCol), n))).as("g"): _*)
       .join(broadcast(evalGrams), Seq("g"))
-      .groupBy(col(idCol), col("lang"))
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_shared"))
   }
 
@@ -649,7 +653,7 @@ object TextQueries {
     contaminatedDocs(
         docs.filter(col("doc_id") % DecontMod =!= 0),
         docs.filter(col("doc_id") % DecontMod === 0),
-        "doc_id", "text", DecontN)
+        "doc_id", "text", DecontN, carryCols = Seq("lang"))
       .orderBy(col("doc_id"))
   }
 

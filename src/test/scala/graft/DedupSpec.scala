@@ -428,10 +428,17 @@ class DedupSpec extends SparkSpec {
       (4L, "en", "fox jumps"),                   // < 3 tokens: no shingles
       (5L, "en", "brown fox jumps high today"))  // shares "brown fox jumps"
       .toDF("doc_id", "lang", "text")
-    val got = TextQueries.contaminatedDocs(train, evalDocs, "doc_id", "text", 3)
+    val got = TextQueries.contaminatedDocs(train, evalDocs, "doc_id", "text", 3,
+        carryCols = Seq("lang"))
       .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(got == Map(1L -> 1L, 2L -> 3L, 5L -> 1L),
       s"expected exact shared-trigram counts, got $got")
+    // the operator no longer assumes a lang column exists (ADVICE r9)
+    val bare = TextQueries.contaminatedDocs(
+        train.drop("lang"), evalDocs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bare == Map(1L -> 1L, 2L -> 3L, 5L -> 1L),
+      s"lang-free frame must work with no carryCols, got $bare")
   }
 
   test("operators release their persisted intermediates (no session cache leak)") {

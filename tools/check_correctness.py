@@ -10,6 +10,7 @@ compares: row count, column names (sorted), and exact values with columns
 sorted by name (both row-order-as-is and row-sorted variants reported).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -35,14 +36,20 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
     failures = 0
     skipped = 0
+    # A GRAFT_VERIFY_ONLY-filtered dump legitimately omits the other queries'
+    # parquet dirs — but ONLY those. Any other missing dir means the query
+    # crashed during Verify (it catches per-query Throwables and writes no
+    # dir), and that must be a FAILURE, not a silent skip.
+    only = {n for n in os.environ.get("GRAFT_VERIFY_ONLY", "").split(",") if n}
     for name, sql in sorted(oracles.items()):
-        # a GRAFT_VERIFY_ONLY-filtered dump omits the other queries' parquet
-        # dirs; skip them loudly (dev-tool convenience — the driver's gate
-        # always checks a full dump)
-        import os
         if not os.path.isdir(f"{out_dir}/{name}"):
-            print(f"SKIP {name} (not dumped)")
-            skipped += 1
+            if only and name not in only:
+                print(f"SKIP {name} (outside GRAFT_VERIFY_ONLY)")
+                skipped += 1
+            else:
+                print(f"FAIL {name}: no parquet dir (query crashed during Verify, "
+                      f"or dump was filtered without GRAFT_VERIFY_ONLY set)")
+                failures += 1
             continue
         try:
             expected = norm(con.sql(sql).df())
@@ -74,7 +81,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(got)} rows, {ordered})")
     checked = len(oracles) - skipped
-    note = f", {skipped} skipped (filtered dump)" if skipped else ""
+    note = f", {skipped} skipped (GRAFT_VERIFY_ONLY filter)" if skipped else ""
     print(f"\n{checked - failures}/{checked} passed{note}")
     return 1 if failures else 0
 
