@@ -595,25 +595,64 @@ object Dedup {
     * lost — pigeonhole still finds pairs through any surviving chunk)
     * for a hard bound on join fan-out. None = exact recall (the gated
     * oracle form). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
-    require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
-    val docs = df
-      .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
+  /** The 64-bit SimHash signature of each document as two 32-bit words:
+    * (id, sh_lo, sh_hi) with sh_lo/sh_hi from the md5-derived token
+    * hashes' bit votes. Empty-token documents are dropped (no signal).
+    * This is the frame a PERSISTENT signature index stores (see
+    * [[MergeQueries.neardupIngest]]) — signatures are the near-dup
+    * analog of q65's content hashes: tiny per doc, and sufficient to
+    * probe any future batch without re-reading document text. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0) // empty docs have no signal
       .withColumn("h_lo", transform(col("toks"), tokenHash32 _))
       .withColumn("h_hi", transform(col("toks"), tokenHash32Hi _))
       .select(col("id"),
         simhashWord(col("h_lo")).as("sh_lo"),
         simhashWord(col("h_hi")).as("sh_hi"))
-    val chunked0 = docs.select(col("id"), col("sh_lo"), col("sh_hi"),
+
+  /** Explodes a signature frame (id, sh_lo, sh_hi) into its 4 16-bit
+    * pigeonhole chunks: (id, sh_lo, sh_hi, chunk, cval). */
+  private def simhashChunked(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sh_lo"), col("sh_hi"),
       posexplode(array(
         col("sh_lo").bitwiseAND(lit(0xffffL)),
         shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xffffL)),
         col("sh_hi").bitwiseAND(lit(0xffffL)),
         shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+
+  /** Simhash pairs BETWEEN two signature frames (both shaped like
+    * [[simhashSignatures]] output, with DISJOINT id sets — or the same
+    * frame twice plus an `id1 < id2` filter for batch-internal pairs):
+    * one row per (probe id1, index id2) pair within `maxHamming`. The incremental-
+    * ingest probe ([[MergeQueries.neardupIngest]]): `probe` is the new
+    * batch's signatures, `index` the persistent store's.
+    *
+    * Scale: same pigeonhole chunk join as [[simhashPairs]], but the big
+    * side (the index) is a signature STORE — at cluster scale it is
+    * written bucketed by (chunk, cval) (or as a pre-exploded bucket
+    * table), so a day's probe shuffles only the batch's exploded chunks
+    * and the index side reads co-located; the join output is bounded by
+    * chunk-bucket collisions, never |probe|×|index|. */
+  def simhashCrossPairs(probe: DataFrame, index: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
+    simhashChunked(probe).alias("a")
+      .join(simhashChunked(index).alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))) +
+         bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
+    val chunked0 = simhashChunked(simhashSignatures(df, idCol, textCol))
     val chunked = maxBucketSize match {
       case None => chunked0
       case Some(cap) =>

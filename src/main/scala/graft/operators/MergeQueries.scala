@@ -99,10 +99,31 @@ object MergeQueries {
     MergeSink.mergeInto(spark, target, fresh, "content_hash", Seq("doc_id"))
   }
 
+  /** [[dedupIngest]] against a BUCKETED catalog-table index — the 100 TB
+    * layout (SCALE.md): the index is written `bucketBy(content_hash)`
+    * once, so the per-day anti-join and merge read the (large) index
+    * side pre-partitioned with NO exchange; only the day's batch
+    * shuffles. Same semantics as the path-based form — first arrival
+    * keeps the survivor slot (anti-join, not upsert). */
+  def dedupIngestBucketed(spark: SparkSession, table: String,
+                          batch: DataFrame, nBuckets: Int): MergeSink.MergeStats = {
+    val uniq = batch.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val fresh =
+      if (spark.catalog.tableExists(table))
+        uniq.join(spark.table(table).select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+      else uniq
+    MergeSink.mergeIntoBucketed(spark, table, fresh, "content_hash",
+      Seq("doc_id"), nBuckets)
+  }
+
   def q65IncrDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_q65_")
+    // unique catalog table per run (the bucketed layout lives in the
+    // catalog, not a temp dir); dropped in the finally
+    val table = "graft_q65_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     try {
-      val target = s"$base/dedup_index"
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
       // one-scalar probe to split the fixture into "days" — gate harness,
@@ -113,14 +134,153 @@ object MergeQueries {
       // fixture's all-unique texts would leave the protection untested.
       // Re-delivered rows are byte-identical, so the oracle (plain batch
       // dedup) is unchanged.
+      // Routed through the BUCKETED index (dedupIngestBucketed) so the
+      // gate exercises the zero-target-exchange layout SCALE.md claims
+      // for 100 TB — the q28 precedent: gate through the layout you'd
+      // actually deploy.
       Seq(
         docs.filter(col("doc_id") <= cut),
         docs.filter(col("doc_id") > cut)
           .union(docs.filter(col("doc_id") % 5 === 0)))
-        .foreach(day => dedupIngest(spark, target, day))
-      spark.read.parquet(target)
+        .foreach(day => dedupIngestBucketed(spark, table, day, nBuckets = 8))
+      spark.table(table)
         .select(col("content_hash"), col("doc_id").as("survivor_id"))
         .orderBy(col("content_hash"))
+        .localCheckpoint(true) // materialize before the table is dropped
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  val q65IncrDedupSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS survivor_id
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** q68: INCREMENTAL near-dup dedup against a persistent SIGNATURE
+    * index — q65's nightly-ingest pattern extended from exact hashes to
+    * the simhash near-dup family. The index stores one row per seen doc:
+    * (doc_id, sh_lo, sh_hi, survivor_id), where survivor_id is the min
+    * doc_id of the doc's near-dup cluster so far (the q52 canonical
+    * survivor). Each ingest batch:
+    *
+    *  1. drops re-delivered doc_ids (already indexed — at-least-once
+    *     upstream protection, q65's anti-join argument);
+    *  2. computes batch signatures ([[Dedup.simhashSignatures]]) and the
+    *     TOUCHED subgraph's edges: batch-internal pairs
+    *     ([[Dedup.simhashPairs]] semantics over the batch), batch→index
+    *     pairs ([[Dedup.simhashCrossPairs]]), and one (old doc →
+    *     its survivor) edge per probed index doc — each existing cluster
+    *     is already a star around its survivor, so the star edge carries
+    *     the whole cluster's connectivity (and its min id) into the
+    *     round without touching unprobed rows;
+    *  3. runs [[Dedup.connectedComponents]] over those edges ONLY —
+    *     cost bounded by the batch's collision neighborhood, never the
+    *     corpus;
+    *  4. merges into the snapshot ([[graft.sinks.MergeSink.mergeInto]]):
+    *     new docs insert with survivor = their component min; existing
+    *     rows whose cluster was merged into a smaller-id cluster (a new
+    *     doc BRIDGED two old clusters, or an out-of-order arrival undercut
+    *     the old min) update survivor_id via the old→new survivor map.
+    *
+    * Induction invariant: survivor_id is the min doc_id over the doc's
+    * full near-dup component of everything ingested so far. Step 2's
+    * star edges preserve old connectivity, step 3's component min
+    * includes every affected old survivor (each a true cluster min), so
+    * the invariant survives ANY arrival order — the final index equals
+    * batch clustering of the whole corpus row-for-row, which is exactly
+    * what the gate checks (and MergePropsSpec re-checks with shuffled
+    * arrival order).
+    *
+    * Scale: the index never rewrites wholesale — the merge updates only
+    * bridged clusters' rows (bounded by merge events) and appends the
+    * batch; the probe join is bucketed-bounded (see
+    * [[Dedup.simhashCrossPairs]]); CC runs on the touched subgraph. */
+  def neardupIngest(spark: SparkSession, target: String, batch: DataFrame,
+                    idCol: String, textCol: String,
+                    maxHamming: Int = 3): MergeSink.MergeStats = {
+    val path = new org.apache.hadoop.fs.Path(target)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    val fields = Seq("sh_lo", "sh_hi", "survivor_id")
+
+    val batchSigs = Dedup.simhashSignatures(batch, idCol, textCol)
+      .dropDuplicates("id") // within-batch re-delivery of identical rows
+    // localCheckpoint: referenced by the self-pair emitter, the cross
+    // probe, AND the final insert set — without it the tokenize+simhash
+    // pipeline re-runs per reference (union-branch trap)
+    val newSigs = (if (exists)
+        batchSigs.join(
+          spark.read.parquet(target).select(col("doc_id").as("id")),
+          Seq("id"), "left_anti")
+      else batchSigs).localCheckpoint(true)
+
+    val edges: DataFrame = {
+      val selfPairs = Dedup.simhashCrossPairs(newSigs, newSigs, maxHamming)
+        .filter(col("id1") < col("id2"))
+      if (!exists) selfPairs.select(col("id1"), col("id2"))
+      else {
+        val index = spark.read.parquet(target)
+        val indexSigs = index.select(col("doc_id").as("id"),
+          col("sh_lo"), col("sh_hi"))
+        val crossPairs = Dedup.simhashCrossPairs(newSigs, indexSigs, maxHamming)
+          .select(col("id1"), col("id2"))
+          .localCheckpoint(true) // referenced twice: edge union + star lookup
+        // star edges: each probed old doc brings its cluster's survivor
+        // (= the cluster's min id) into the touched subgraph
+        val starEdges = crossPairs.select(col("id2").as("doc_id")).distinct()
+          .join(index.select(col("doc_id"), col("survivor_id")), Seq("doc_id"))
+          .select(col("doc_id").as("id1"), col("survivor_id").as("id2"))
+        selfPairs.select(col("id1"), col("id2"))
+          .union(crossPairs).union(starEdges)
+      }
+    }
+    val comp = Dedup.connectedComponents(edges) // (id, comp)
+
+    val inserts = newSigs
+      .join(comp, newSigs("id") === comp("id"), "left")
+      .select(newSigs("id").as("doc_id"), col("sh_lo"), col("sh_hi"),
+        coalesce(col("comp"), newSigs("id")).as("survivor_id"))
+    val updates =
+      if (!exists) inserts
+      else {
+        val index = spark.read.parquet(target)
+        // old survivors undercut this round: every index row pointing at
+        // them re-points to the merged component's min (broadcast map —
+        // bounded by this batch's cluster-merge events)
+        val survivorMap = comp
+          .join(index.select(col("survivor_id").as("id")).distinct(), Seq("id"))
+          .filter(col("comp") < col("id"))
+          .select(col("id").as("old_surv"), col("comp").as("new_surv"))
+        val remapped = index
+          .join(broadcast(survivorMap), index("survivor_id") === col("old_surv"))
+          .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+            col("new_surv").as("survivor_id"))
+        inserts.unionByName(remapped)
+      }
+    MergeSink.mergeInto(spark, target, updates, "doc_id", fields)
+  }
+
+  /** q68 gate: the q65 day-split + re-delivery harness applied to
+    * [[neardupIngest]]; the final index's (doc_id, survivor_id) must
+    * equal batch near-dup clustering of the WHOLE corpus row-for-row —
+    * the oracle recomputes the q21/q52 shared pair CTEs and closes them
+    * transitively, with unclustered docs surviving as themselves. */
+  def q68IncrNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q68_")
+    try {
+      val target = s"$base/neardup_index"
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      // day 2 re-delivers every 5th document — the anti-join protection,
+      // q65's harness verbatim
+      Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+        .foreach(day => neardupIngest(spark, target, day, "doc_id", "text"))
+      spark.read.parquet(target)
+        .select(col("doc_id"), col("survivor_id"))
+        .orderBy(col("doc_id"))
         .localCheckpoint(true) // materialize before the snapshot dir is deleted
     } finally {
       val p = new org.apache.hadoop.fs.Path(base.toString)
@@ -128,7 +288,15 @@ object MergeQueries {
     }
   }
 
-  val q65IncrDedupSql: String =
-    """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS survivor_id
-      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+  val q68IncrNeardupSql: String =
+    s"""WITH RECURSIVE ${TextQueries.simhashPairsCtes()},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT s.id AS doc_id, coalesce(min(r.comp), s.id)::BIGINT AS survivor_id
+       |FROM sp_sig s LEFT JOIN reach r ON r.id = s.id
+       |GROUP BY s.id ORDER BY doc_id""".stripMargin
 }

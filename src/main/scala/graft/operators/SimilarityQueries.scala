@@ -116,6 +116,13 @@ object SimilarityQueries {
     out
   }
 
+  /** [[annSrpPairs]] with this module's shared planes/bands/threshold —
+    * the exact parameterization [[srpPairsCtes]] mirrors, exposed so
+    * compositions (q69's semantic funnel stage) reuse one edge
+    * definition across Scala and oracle. */
+  private[operators] def srpPairsShared(vectors: DataFrame): DataFrame =
+    annSrpPairs(vectors, Planes, SrpBands, SrpBitsPerBand, SrpThreshold)
+
   /** q23: SRP-LSH pairs over the embeddings fixture, against the shared
     * literal hyperplanes the generated DuckDB oracle also embeds. */
   def q23AnnSrp(spark: SparkSession, dir: String): DataFrame =
@@ -126,10 +133,15 @@ object SimilarityQueries {
       .orderBy(col("id1"), col("id2"))
 
   /** The q23 SRP pair pipeline as reusable CTEs ending in
-    * `pairs(id1, id2, cos_sim)` — shared verbatim by the q23 oracle and
-    * the q53 semantic-clustering oracle, so both gates agree on the edge
-    * set by construction (same pattern as TextQueries.simhashPairsCtes). */
-  private[operators] val srpPairsCtes: String = {
+    * `${prefix}pairs(id1, id2, cos_sim)` — shared verbatim by the q23
+    * oracle, the q53 semantic-clustering oracle, and (prefixed, over the
+    * funnel's post-lexical survivors) the q69 semantic-funnel oracle, so
+    * all gates agree on the edge set by construction (same pattern as
+    * TextQueries.simhashPairsCtes). `src` must expose (vec_id,
+    * embedding); `prefix` namespaces the internal CTEs so callers can
+    * splice these next to the simhash CTEs' unprefixed `pairs`. */
+  private[operators] def srpPairsCtes(src: String = "embeddings",
+                                      prefix: String = ""): String = {
     def planeLit(p: Array[Double]): String =
       p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     val bitEntries = Planes.map { p =>
@@ -138,27 +150,28 @@ object SimilarityQueries {
     val keyExpr = (0 until SrpBitsPerBand).map { j =>
       s"bs[b.band * $SrpBitsPerBand + ${j + 1}] * ${1 << (SrpBitsPerBand - 1 - j)}"
     }.mkString(" + ")
-    s"""n AS (SELECT vec_id AS id, embedding AS v,
+    val p = prefix
+    s"""${p}n AS (SELECT vec_id AS id, embedding AS v,
        |             sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-       |           FROM embeddings),
-       |bits AS (SELECT id, v, nrm, [
+       |           FROM $src),
+       |${p}bits AS (SELECT id, v, nrm, [
        |    $bitEntries
-       |  ] AS bs FROM n),
-       |bands AS (SELECT id, b.band, $keyExpr AS key
-       |          FROM bits, range($SrpBands) b(band)),
-       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-       |         FROM bands a JOIN bands b
+       |  ] AS bs FROM ${p}n),
+       |${p}bands AS (SELECT id, b.band, $keyExpr AS key
+       |          FROM ${p}bits, range($SrpBands) b(band)),
+       |${p}cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |         FROM ${p}bands a JOIN ${p}bands b
        |         ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-       |pairs AS (SELECT * FROM (
+       |${p}pairs AS (SELECT * FROM (
        |  SELECT id1, id2,
        |    round(list_sum(list_apply(range(1, ${Dim + 1}),
        |            i -> e1.v[i]::DOUBLE * e2.v[i]::DOUBLE)) / (e1.nrm * e2.nrm), 4) AS cos_sim
-       |  FROM cand JOIN bits e1 ON cand.id1 = e1.id JOIN bits e2 ON cand.id2 = e2.id)
+       |  FROM ${p}cand JOIN ${p}bits e1 ON ${p}cand.id1 = e1.id JOIN ${p}bits e2 ON ${p}cand.id2 = e2.id)
        |WHERE cos_sim >= $SrpThreshold)""".stripMargin
   }
 
   val q23AnnSrpSql: String =
-    s"""WITH $srpPairsCtes
+    s"""WITH ${srpPairsCtes()}
        |SELECT id1, id2, cos_sim FROM pairs ORDER BY id1, id2""".stripMargin
 
   /** q53: SEMANTIC dedup clusters — connected components over the q23
@@ -179,7 +192,7 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
 
   val q53SemanticClustersSql: String =
-    s"""WITH RECURSIVE $srpPairsCtes,
+    s"""WITH RECURSIVE ${srpPairsCtes()},
        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
        |          UNION SELECT id2, id1 FROM pairs),
        |reach(id, comp) AS (

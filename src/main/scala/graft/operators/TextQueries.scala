@@ -18,8 +18,10 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
-  private[operators] val tokSqlExpr =
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private[operators] def tokSqlExprOf(column: String): String =
+    s"list_filter(regexp_split_to_array(lower($column), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  private[operators] val tokSqlExpr = tokSqlExprOf("text")
 
   /** Exact dedup: one survivor per distinct text (hash-groupBy — the
     * 100 TB-safe form of dropDuplicates, with group sizes for free). */
@@ -671,6 +673,58 @@ object TextQueries {
        |SELECT doc_id, lang, count(*)::BIGINT AS n_shared
        |FROM tr JOIN ev USING (g)
        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
+
+  /** q70: CHUNK-level decontamination — the q67 × q60 composition a
+    * training pipeline actually ships: whole-doc deletion (q60) throws
+    * away an entire long document for one leaked paragraph; chunk-level
+    * detection drops only the contaminated chunks. Train docs are
+    * chunked ([[chunkDocuments]], q67's exact windows), each chunk's
+    * shingles probe the SAME broadcast eval shingle set as q60, and the
+    * result is one row per contaminated (doc, chunk) with its
+    * distinct-shared-shingle count — callers threshold and anti-join at
+    * chunk granularity.
+    *
+    * Scale: chunking is q67's zero-shuffle narrow map; the probe is
+    * q60's broadcast-hash pattern — output rows per CHUNK instead of
+    * per doc changes hit volume only, never the exchange structure. */
+  def q70ChunkDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = chunkDocuments(
+      docs.filter(col("doc_id") % DecontMod =!= 0),
+      "doc_id", "text", ChunkSize, ChunkOverlap)
+      .withColumnRenamed("id", "doc_id")
+    contaminatedDocs(
+        chunks,
+        // eval side keeps WHOLE-doc shingles (the leak is the eval text
+        // itself, not its chunking); only the train side is windowed
+        docs.filter(col("doc_id") % DecontMod === 0)
+          .select(col("text").as("chunk_text")),
+        "doc_id", "chunk_text", DecontN, carryCols = Seq("chunk_id"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q70ChunkDecontaminateSql: String = {
+    val stride = ChunkSize - ChunkOverlap
+    // chunk token slices reuse q67's boundary arithmetic verbatim; the
+    // trigram comprehension is q60's over the slice instead of the doc
+    def tri(l: String) = s"[$l[i] || ' ' || $l[i+1] || ' ' || $l[i+2] FOR i IN range(1, len($l) - 1)]"
+    s"""WITH ev AS (
+       |  SELECT DISTINCT unnest(list_distinct(${tri("t")})) AS g
+       |  FROM (SELECT $tokSqlExpr AS t FROM documents WHERE doc_id % $DecontMod = 0)),
+       |t AS (SELECT doc_id, $tokSqlExpr AS t FROM documents
+       |      WHERE doc_id % $DecontMod != 0),
+       |n AS (SELECT doc_id, t, len(t) AS L,
+       |      greatest(1, (len(t) - $ChunkOverlap + ${stride - 1}) // $stride) AS nc
+       |      FROM t WHERE len(t) > 0),
+       |c AS (SELECT doc_id, unnest(range(nc))::BIGINT AS chunk_id, t, L FROM n),
+       |ch AS (SELECT doc_id, chunk_id,
+       |       t[chunk_id * $stride + 1 : least(chunk_id * $stride + $ChunkSize, L)] AS ct
+       |       FROM c),
+       |tr AS (SELECT doc_id, chunk_id, unnest(list_distinct(${tri("ct")})) AS g FROM ch)
+       |SELECT doc_id, chunk_id, count(*)::BIGINT AS n_shared
+       |FROM tr JOIN ev USING (g)
+       |GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
   }
 
   /** q59: the SAME clustering as q52 computed by the two-phase

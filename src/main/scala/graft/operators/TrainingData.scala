@@ -525,6 +525,90 @@ object TrainingData {
         "n_sampled" -> samp), packed)
   }
 
+  /** q69: the curation funnel with BOTH deletion spaces a real
+    * multi-stage curation run applies, in its order — lexical first,
+    * then semantic:
+    *
+    *   … exact-dedup survivors → simhash cluster survivors (q56's
+    *   stage) → join the survivors' embeddings (embeddings fixture,
+    *   vec_id = doc_id) → SRP cosine pairs (q23's emitter, shared
+    *   planes/threshold) → connected components (q53's clustering) →
+    *   keep only semantic-cluster survivors → mixture sample → packing.
+    *
+    * Lexical-then-semantic is the economical order: simhash deletion is
+    * cheap (text-only) and shrinks the set the embedding join and SRP
+    * bucketing must process. The semantic stage clusters the
+    * POST-lexical corpus — its pair set is computed on the survivors,
+    * not globally (a doc deleted lexically must not bridge two semantic
+    * clusters). Funnel row adds `n_semantic` between `n_neardup` and
+    * `n_sampled`.
+    *
+    * Oracle: q56's funnel CTEs + the q23/q53 shared SRP CTEs (prefixed,
+    * computed over the post-lexical survivors' embeddings) + the
+    * recursive closure — both deletion stages value-checked in
+    * composition.
+    *
+    * Scale: adds one semi-join against the (already small) survivor set
+    * before the SRP emitter; both pair pipelines stay bucketed; the two
+    * deletion anti-joins broadcast under AQE like q56's. Nothing
+    * widens. */
+  def q69SemanticFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, keep, uniqT) = funnelStages(spark, dir)
+    val uniq = uniqT.localCheckpoint(true)
+    val ndNonSurv = Dedup.connectedComponents(
+        Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3))
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    // referenced by the embedding join, the semantic anti-join, and the
+    // count — materialize the lexical survivors once
+    val nd = uniq.join(ndNonSurv, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .localCheckpoint(true)
+    val ndEmb = Tables.embeddings(spark, dir)
+      .join(nd.select(col("doc_id")), col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val semNonSurv = Dedup.connectedComponents(
+        SimilarityQueries.srpPairsShared(ndEmb))
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val sem = nd.join(semNonSurv, Seq("doc_id"), "left_anti")
+    val samp = mixtureSample(sem, "doc_id", "lang", MixRates.toMap, MixSeed)
+    val packed = packAssignments(samp, "lang", "doc_id", col("n_tokens"),
+      PackBudget, PackShards, PackSeed)
+    funnelReport(docs,
+      Seq("n_quality" -> keep, "n_unique" -> uniq, "n_neardup" -> nd,
+        "n_semantic" -> sem, "n_sampled" -> samp), packed)
+  }
+
+  val q69SemanticFunnelSql: String =
+    s"""WITH RECURSIVE $funnelBaseCtes,
+       |${TextQueries.simhashPairsCtes("uniq")},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.comp FROM reach rr JOIN edges e ON e.src = rr.id),
+       |clus AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |nd AS (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
+       |       WHERE u.doc_id NOT IN (SELECT id FROM clus WHERE id <> comp)),
+       |ndemb AS (SELECT e.vec_id, e.embedding FROM embeddings e
+       |          WHERE e.vec_id IN (SELECT doc_id FROM nd)),
+       |${SimilarityQueries.srpPairsCtes("ndemb", "sr_")},
+       |sr_edges AS (SELECT id1 AS src, id2 AS dst FROM sr_pairs
+       |             UNION SELECT id2, id1 FROM sr_pairs),
+       |sr_reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sr_edges
+       |  UNION
+       |  SELECT e.dst, rr.comp FROM sr_reach rr JOIN sr_edges e ON e.src = rr.id),
+       |sr_clus AS (SELECT id, min(comp) AS comp FROM sr_reach GROUP BY id),
+       |sem AS (SELECT n.doc_id, n.lang, n.n_tokens FROM nd n
+       |        WHERE n.doc_id NOT IN (SELECT id FROM sr_clus WHERE id <> comp)),
+       |${funnelTailSql("sem",
+          """f2b AS (SELECT lang, count(*)::BIGINT AS n_neardup FROM nd GROUP BY 1),
+            |f2c AS (SELECT lang, count(*)::BIGINT AS n_semantic FROM sem GROUP BY 1),""".stripMargin,
+          """coalesce(n_neardup, 0) AS n_neardup,
+            |  coalesce(n_semantic, 0) AS n_semantic,""".stripMargin,
+          "LEFT JOIN f2b USING (lang) LEFT JOIN f2c USING (lang)")}""".stripMargin
+
   /** q58: the pack layout EXPORTED and read back — q28's
     * write→reopen→verify pattern applied to [[exportPacks]]. The gate
     * runs the exporter against a scratch directory, reopens the
@@ -842,11 +926,13 @@ object TrainingData {
   }
 
   /** The sample → shard → pack → report tail of the funnel oracle over a
-    * source CTE `src` (doc_id, lang, n_tokens); `extraCounts` splices
-    * additional per-stage count CTE definitions + select columns between
-    * n_unique and n_sampled (q56's n_neardup). */
+    * source CTE `src` (doc_id, lang, n_tokens); `extraCtes`/`extraCols`/
+    * `extraJoins` splice additional per-stage count CTE definitions,
+    * select columns, and report joins between n_unique and n_sampled
+    * (q56's n_neardup; q69's n_neardup + n_semantic). */
   private def funnelTailSql(src: String, extraCtes: String,
-                            extraCols: String): String = {
+                            extraCols: String,
+                            extraJoins: String = ""): String = {
     val cases = MixRates
       .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
       .mkString(" ")
@@ -873,7 +959,7 @@ object TrainingData {
        |  coalesce(n_packs, 0) AS n_packs,
        |  coalesce(pack_tokens, 0) AS pack_tokens
        |FROM f0 LEFT JOIN f1 USING (lang) LEFT JOIN f2 USING (lang)
-       |  ${if (extraCtes.nonEmpty) "LEFT JOIN f2b USING (lang)" else ""}
+       |  $extraJoins
        |  LEFT JOIN f3 USING (lang) LEFT JOIN f4 USING (lang)
        |ORDER BY lang""".stripMargin
   }
@@ -896,7 +982,8 @@ object TrainingData {
        |       WHERE u.doc_id NOT IN (SELECT id FROM clus WHERE id <> comp)),
        |${funnelTailSql("nd",
           "f2b AS (SELECT lang, count(*)::BIGINT AS n_neardup FROM nd GROUP BY 1),",
-          "coalesce(n_neardup, 0) AS n_neardup,")}""".stripMargin
+          "coalesce(n_neardup, 0) AS n_neardup,",
+          "LEFT JOIN f2b USING (lang)")}""".stripMargin
 
   val q45SeqPackSql: String =
     s"""WITH toks AS (

@@ -122,4 +122,86 @@ class MergePropsSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("incremental NEAR-dup ingest equals batch clustering under out-of-order arrivals") {
+    import operators.{Dedup, MergeQueries}
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_ooo_").toString
+    try {
+      val target = s"$dir/idx"
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      // arrival days decoupled from id order: doc_id % 3 = 1 arrives
+      // first, then % 3 = 2, then % 3 = 0 — so later days repeatedly
+      // undercut indexed survivors with smaller ids (the remap path)
+      Seq(1, 2, 0).foreach { day =>
+        MergeQueries.neardupIngest(spark, target,
+          docs.filter(col("doc_id") % 3 === day), "doc_id", "text")
+      }
+      val got = spark.read.parquet(target)
+        .select("doc_id", "survivor_id").as[(Long, Long)].collect().toMap
+      // batch reference: whole-corpus pairs + CC, singletons survive as self
+      val comp = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+        .as[(Long, Long)].collect().toMap
+      val expected = Dedup.simhashSignatures(docs, "doc_id", "text")
+        .select("id").as[Long].collect()
+        .map(id => id -> comp.getOrElse(id, id)).toMap
+      assert(got == expected,
+        s"incremental index must equal batch clustering; diff=${
+          (got.toSet diff expected.toSet).take(5)} / ${
+          (expected.toSet diff got.toSet).take(5)}")
+      assert(expected.exists { case (id, s) => s != id },
+        "fixture must contain at least one real near-dup cluster (non-vacuity)")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("a later batch bridging two indexed clusters remaps the losing survivor") {
+    import operators.{Dedup, MergeQueries}
+    // construct (v1, v2, bridge) with hamming(v1,bridge) <= 3,
+    // hamming(v2,bridge) <= 3, hamming(v1,v2) > 3: search deterministic
+    // single-token edits of a base text and verify with the REAL
+    // signature function, so the test never hardcodes hash behavior
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val variants = (1 to 24).map { i =>
+      (1 to 24).map(j => if (j == i) s"alt$i" else s"tok$j").mkString(" ")
+    }
+    val cand = spark.createDataFrame(
+        (0L, base) +: variants.zipWithIndex.map { case (t, i) => (i + 1L, t) })
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(cand, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val pair = (for {
+      i <- 1 to 24; j <- (i + 1) to 24
+      if ham(sigs(i.toLong), sigs(0L)) <= 3 && ham(sigs(j.toLong), sigs(0L)) <= 3 &&
+         ham(sigs(i.toLong), sigs(j.toLong)) > 3
+    } yield (i, j)).headOption
+    assert(pair.nonEmpty, "no bridgeable variant pair found — widen the candidate set")
+    val (i, j) = pair.get
+    val texts = Map(10L -> variants(i - 1), 20L -> variants(j - 1), 30L -> base)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_bridge_").toString
+    try {
+      val target = s"$dir/idx"
+      def day(ids: Long*) =
+        spark.createDataFrame(ids.map(id => (id, texts(id)))).toDF("doc_id", "text")
+      // day 1: two mutually-far docs -> two singleton clusters
+      MergeQueries.neardupIngest(spark, target, day(10L, 20L), "doc_id", "text")
+      val before = spark.read.parquet(target)
+        .select("doc_id", "survivor_id").as[(Long, Long)].collect().toMap
+      assert(before == Map(10L -> 10L, 20L -> 20L), s"expected singletons: $before")
+      // day 2: the bridge joins both clusters -> one component, min id 10
+      MergeQueries.neardupIngest(spark, target, day(30L), "doc_id", "text")
+      val after = spark.read.parquet(target)
+        .select("doc_id", "survivor_id").as[(Long, Long)].collect().toMap
+      assert(after == Map(10L -> 10L, 20L -> 10L, 30L -> 10L),
+        s"bridge must merge clusters and remap survivor 20 -> 10: $after")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }

@@ -173,6 +173,41 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch agg + broadcast cutoffs is the whole shuffle budget:\n$p")
   }
 
+  test("bucketed dedup index joins with NO exchange on the index side (q65 layout)") {
+    import spark.implicits._
+    val t = "graft_plan_audit_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      operators.MergeQueries.dedupIngestBucketed(spark, t,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "content_hash"),
+        nBuckets = 8)
+      // the per-day probe shape: batch anti-joins the index on the bucket
+      // key. Broadcast disabled: at 100 TB the index side never
+      // broadcasts — the property that matters is that its bucketed
+      // layout replaces the shuffle.
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        val batch = Seq((4L, "a"), (5L, "d")).toDF("doc_id", "content_hash")
+          .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+        val df = batch.join(spark.table(t).select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+        val p = plan(df)
+        assert(p.contains("Bucketed: true"),
+          s"index scan must be bucket-aware:\n$p")
+        assert(p.linesIterator.exists(l =>
+            l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+          s"broadcast disabled, co-located SMJ expected:\n$p")
+        // both exchanges belong to the BATCH side (its groupBy, then the
+        // re-bucket to the index's partitioning); the index subtree reads
+        // pre-partitioned — a third exchange would mean the index side
+        // shuffled, the exact cost bucketing exists to remove
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(exchanges <= 2, s"the bucketed index side must not shuffle:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as

@@ -227,6 +227,25 @@ class TrainingDataSpec extends SparkSpec {
       "cluster dedup must drop docs between n_unique and n_neardup")
   }
 
+  test("semantic stage composes after lexical deletion and stays monotone") {
+    val rows = TrainingData.q69SemanticFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nQuality, nUnique, nNeardup, nSemantic,
+                         nSampled, nPacks, _) =>
+      assert(nDocs >= nQuality && nQuality >= nUnique && nUnique >= nNeardup &&
+        nNeardup >= nSemantic && nSemantic >= nSampled,
+        s"$lang: funnel must be monotone, got " +
+          s"$nDocs/$nQuality/$nUnique/$nNeardup/$nSemantic/$nSampled")
+      assert((nSampled == 0L) == (nPacks == 0L), s"$lang: packs iff sampled docs")
+    }
+    // non-vacuity of the LEXICAL stage at this sf (the semantic stage's
+    // own deletions are pinned by the driver gate at sf0.01, where the
+    // post-lexical survivor set still contains SRP cosine clusters)
+    assert(rows.map(_._4).sum > rows.map(_._5).sum,
+      "cluster dedup must drop docs between n_unique and n_neardup")
+  }
+
   test("pack export writes a stream-partitioned layout that reads back exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_packexp_").toString
     try {
