@@ -199,8 +199,23 @@ object GraftUdfs {
     }
 
     override def merge(a: ArrayBuffer[(Long, Long)],
-                       b: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] =
-      trim(a ++= b)
+                       b: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+      // two half-size sorts + an O(k) linear merge, not concat + full
+      // sort: shuffled partial buffers arrive already trimmed (sorted),
+      // where TimSort's run detection makes each sortInPlace O(len) —
+      // so the common case is linear in k, and never worse than the
+      // concatenated sort when a side carries an unsorted tail
+      a.sortInPlace(); b.sortInPlace()
+      val out = new ArrayBuffer[(Long, Long)](math.min(k, a.length + b.length))
+      var i = 0
+      var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length &&
+          (a(i)._1 < b(j)._1 || (a(i)._1 == b(j)._1 && a(i)._2 <= b(j)._2)))
+        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      }
+      out
+    }
 
     override def finish(buf: ArrayBuffer[(Long, Long)]): Seq[(Long, Long)] =
       buf.sortInPlace().take(k).toSeq

@@ -771,15 +771,20 @@ object TrainingData {
     require(k >= 1, s"k=$k must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // functions.udaf, not the typed groupByKey path: as a SQL aggregate
+    // the plan gets map-side PARTIAL aggregation (ObjectHashAggregate
+    // partial+final, like the sibling minhash_sig/misra_gries sketches),
+    // so the shuffle carries ≤ k pairs per partition — the typed
+    // Dataset route serialized every row through the encoder and gave
+    // the mergeable summary no partial stage to merge in
+    val bottomK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftUdfs.BottomKAggregator(k))
     docs
       .select(col(strataCol).cast("string").as("stratum"),
         bucketFn(col(idCol), seed).as("bucket"),
         col(idCol).cast("long").as("id"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.GraftUdfs.BottomKAggregator(k).toColumn.name("sel"))
-      .toDF("stratum", "sel")
+      .groupBy(col("stratum"))
+      .agg(bottomK(col("bucket"), col("id")).as("sel"))
       .select(col("stratum"), explode(col("sel")).as("p"))
       .select(col("stratum"), col("p._1").as("bucket"), col("p._2").as("id"))
   }

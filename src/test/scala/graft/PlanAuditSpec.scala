@@ -208,6 +208,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("exact-k selection aggregates map-side before its one shuffle (q66)") {
+    val p = plan(operators.TrainingData.takeStratifiedK(
+      Tables.documents(spark, sf), "doc_id", "lang", 5, "take"))
+    // the udaf registration plans the bottom-k summary as a SQL
+    // aggregate: a partial (map-side) pass trims to <= k pairs per
+    // partition BEFORE the stratum shuffle, then one final merge — the
+    // typed groupByKey route this replaced had no partial stage
+    assert(p.contains("partial_"),
+      s"bottom-k must partial-aggregate map-side:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"one stratum shuffle is the whole budget:\n$p")
+  }
+
   test("sketch aggregates plan as a single partial+final pass (q26)") {
     val p = plan(Relational.q26Sketches(spark, sf))
     // HLL++ and percentile sketches ride the same hash-aggregate pair as
