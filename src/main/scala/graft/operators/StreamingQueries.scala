@@ -415,6 +415,70 @@ object StreamingQueries {
       |  TRUE AS counts_consistent
       |FROM events""".stripMargin
 
+  /** q72: STREAMING near-dup ingest — q68's nightly pipeline run as a
+    * Structured Streaming job. The corpus arrives as a parquet FILE
+    * stream (`maxFilesPerTrigger=1`, so each staged arrival file is its
+    * own micro-batch) and every micro-batch runs
+    * [[MergeQueries.neardupIngest]] through `foreachBatch` against the
+    * persistent signature index — the same batch-only-sink bridge as
+    * [[graft.streaming.StreamingMerge]] (q46). The second arrival file
+    * RE-DELIVERS every 5th document (at-least-once upstream), and
+    * foreachBatch replays would re-deliver whole batches: both are
+    * absorbed by the ingest's anti-join, so the gate certifies the
+    * streaming composition preserves q68's invariant — the final index
+    * equals batch near-dup clustering of the whole corpus, row for row
+    * (same oracle). File-source batch ORDER is deliberately not pinned:
+    * MergePropsSpec proves the invariant under any arrival order, which
+    * is exactly what makes the operator safe behind a source that only
+    * guarantees delivery, not sequence.
+    *
+    * Scale: state lives in the index snapshot (q68's argument) and
+    * streaming adds none of its own — foreachBatch holds zero rows
+    * between batches, so the stream's memory is one micro-batch's
+    * collision neighborhood regardless of corpus size. */
+  def q72StreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingNeardup
+    val base = java.nio.file.Files.createTempDirectory("graft_q72_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val target = s"$base/neardup_index"
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      // gate-harness split probe (one scalar), q65/q68 precedent
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+        .zipWithIndex.foreach { case (d, i) =>
+          // stage each arrival as ONE parquet file the source can
+          // micro-batch; coalesce(1) is harness (real arrivals come as
+          // whatever files the upstream lands)
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = StreamingNeardup.start(spark, srcDir, target, s"$base/ckpt",
+        trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      spark.read.parquet(target)
+        .select(col("doc_id"), col("survivor_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  /** Same invariant, same oracle: the index must equal batch clustering
+    * of the whole corpus ([[MergeQueries.q68IncrNeardupSql]]). */
+  val q72StreamNeardupSql: String = MergeQueries.q68IncrNeardupSql
+
   val q25SessionizeSql: String =
     """WITH o AS (
       |  SELECT user_id, ts, value,

@@ -158,6 +158,57 @@ class MergePropsSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup ingest micro-batches per file and equals direct ingest") {
+    import spark.implicits._
+    import operators.MergeQueries
+    import graft.streaming.StreamingNeardup
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_stream_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val srcDir = s"$dir/arrivals"
+      val target = s"$dir/idx"
+      val direct = s"$dir/direct_idx"
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      // second file re-delivers a quarter of the first — the stream must
+      // absorb cross-batch at-least-once exactly like the batch API
+      val days = Seq(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)
+          .union(docs.filter(col("doc_id") % 4 === 1)))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      days.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.parquet(s"$dir/stage_$i")
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/stage_$i/part-*.parquet"))(0).getPath
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/f_$i.parquet"))
+      }
+      val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]
+      val q = StreamingNeardup.start(spark, srcDir, target, s"$dir/ckpt",
+        trigger = Some(Trigger.AvailableNow()),
+        onStats = (id, s) => { seen.put(id, s.nUpserted); () })
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      // the STREAMING claim: maxFilesPerTrigger=1 delivered one
+      // micro-batch per staged file, not one big batch
+      assert(seen.size == 2,
+        s"expected 2 micro-batches, got ${seen.size}: $seen")
+      days.foreach(d =>
+        MergeQueries.neardupIngest(spark, direct, d, "doc_id", "text"))
+      val got = spark.read.parquet(target)
+        .select("doc_id", "survivor_id").as[(Long, Long)].collect().toSet
+      val want = spark.read.parquet(direct)
+        .select("doc_id", "survivor_id").as[(Long, Long)].collect().toSet
+      assert(got == want,
+        s"stream-fed index must equal the direct batch-API index; diff=${
+          (got diff want).take(5)} / ${(want diff got).take(5)}")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("a later batch bridging two indexed clusters remaps the losing survivor") {
     import operators.{Dedup, MergeQueries}
     // construct (v1, v2, bridge) with hamming(v1,bridge) <= 3,
