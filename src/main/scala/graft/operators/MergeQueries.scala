@@ -200,7 +200,49 @@ object MergeQueries {
                     maxHamming: Int = 3): MergeSink.MergeStats = {
     val path = new org.apache.hadoop.fs.Path(target)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    neardupIngestCore(spark, new IndexStore {
+      def exists: Boolean = fs.exists(path) && fs.listStatus(path).nonEmpty
+      def read(): DataFrame = spark.read.parquet(target)
+      def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats =
+        MergeSink.mergeInto(spark, target, updates, "doc_id", fields)
+    }, batch, idCol, textCol, maxHamming)
+  }
+
+  /** [[neardupIngest]] against a BUCKETED catalog-table index — the
+    * 100 TB layout, [[dedupIngestBucketed]]'s argument applied to the
+    * signature store: with the index `bucketBy(doc_id)`, the re-delivery
+    * anti-join, the star-edge survivor lookup, and the merge itself all
+    * read the (corpus-sized) index side pre-partitioned with NO
+    * exchange; only batch-derived frames shuffle. The signature
+    * cross-probe is orthogonal to the layout either way — it joins on
+    * exploded simhash chunks, bounded by [[Dedup.simhashCrossPairs]]'s
+    * bucket cap, not by the index's key partitioning. */
+  def neardupIngestBucketed(spark: SparkSession, table: String,
+                            batch: DataFrame, idCol: String, textCol: String,
+                            nBuckets: Int,
+                            maxHamming: Int = 3): MergeSink.MergeStats =
+    neardupIngestCore(spark, new IndexStore {
+      def exists: Boolean = spark.catalog.tableExists(table)
+      def read(): DataFrame = spark.table(table)
+      def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats =
+        MergeSink.mergeIntoBucketed(spark, table, updates, "doc_id", fields,
+          nBuckets)
+    }, batch, idCol, textCol, maxHamming)
+
+  /** The two physical index layouts [[neardupIngestCore]] runs against:
+    * a plain parquet directory ([[neardupIngest]]) or a bucketed catalog
+    * table ([[neardupIngestBucketed]]). */
+  private trait IndexStore {
+    def exists: Boolean
+    def read(): DataFrame
+    def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats
+  }
+
+  private def neardupIngestCore(spark: SparkSession, store: IndexStore,
+                                batch: DataFrame, idCol: String,
+                                textCol: String,
+                                maxHamming: Int): MergeSink.MergeStats = {
+    val exists = store.exists
     val fields = Seq("sh_lo", "sh_hi", "survivor_id")
 
     val batchSigs = Dedup.simhashSignatures(batch, idCol, textCol)
@@ -210,7 +252,7 @@ object MergeQueries {
     // pipeline re-runs per reference (union-branch trap)
     val newSigs = (if (exists)
         batchSigs.join(
-          spark.read.parquet(target).select(col("doc_id").as("id")),
+          store.read().select(col("doc_id").as("id")),
           Seq("id"), "left_anti")
       else batchSigs).localCheckpoint(true)
 
@@ -219,7 +261,7 @@ object MergeQueries {
         .filter(col("id1") < col("id2"))
       if (!exists) selfPairs.select(col("id1"), col("id2"))
       else {
-        val index = spark.read.parquet(target)
+        val index = store.read()
         val indexSigs = index.select(col("doc_id").as("id"),
           col("sh_lo"), col("sh_hi"))
         val crossPairs = Dedup.simhashCrossPairs(newSigs, indexSigs, maxHamming)
@@ -243,7 +285,7 @@ object MergeQueries {
     val updates =
       if (!exists) inserts
       else {
-        val index = spark.read.parquet(target)
+        val index = store.read()
         // old survivors undercut this round: every index row pointing at
         // them re-points to the merged component's min (broadcast map —
         // bounded by this batch's cluster-merge events)
@@ -257,7 +299,7 @@ object MergeQueries {
             col("new_surv").as("survivor_id"))
         inserts.unionByName(remapped)
       }
-    MergeSink.mergeInto(spark, target, updates, "doc_id", fields)
+    store.merge(updates, fields)
   }
 
   /** q68 gate: the q65 day-split + re-delivery harness applied to
@@ -266,9 +308,12 @@ object MergeQueries {
     * the oracle recomputes the q21/q52 shared pair CTEs and closes them
     * transitively, with unclustered docs surviving as themselves. */
   def q68IncrNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_q68_")
+    // routed through the BUCKETED index (q65's precedent): the gate
+    // exercises the zero-target-exchange layout the 100 TB deployment
+    // runs, not just the path-based form (which q72's stream covers)
+    val table = "graft_q68_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     try {
-      val target = s"$base/neardup_index"
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       // day 2 re-delivers every 5th document — the anti-join protection,
@@ -277,14 +322,14 @@ object MergeQueries {
         docs.filter(col("doc_id") <= cut),
         docs.filter(col("doc_id") > cut)
           .union(docs.filter(col("doc_id") % 5 === 0)))
-        .foreach(day => neardupIngest(spark, target, day, "doc_id", "text"))
-      spark.read.parquet(target)
+        .foreach(day =>
+          neardupIngestBucketed(spark, table, day, "doc_id", "text", nBuckets = 8))
+      spark.table(table)
         .select(col("doc_id"), col("survivor_id"))
         .orderBy(col("doc_id"))
-        .localCheckpoint(true) // materialize before the snapshot dir is deleted
+        .localCheckpoint(true) // materialize before the table is dropped
     } finally {
-      val p = new org.apache.hadoop.fs.Path(base.toString)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
 

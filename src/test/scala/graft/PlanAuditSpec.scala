@@ -208,6 +208,37 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("bucketed NEAR-dup index: re-delivery anti-join reads the index without exchange (q68 layout)") {
+    import spark.implicits._
+    val t = "graft_plan_audit_nd_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      operators.MergeQueries.neardupIngestBucketed(spark, t,
+        Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+          .toDF("doc_id", "text"), "doc_id", "text", nBuckets = 8)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        // step 1's probe shape: batch ids anti-join the index on doc_id,
+        // the bucket key — the one join in the ingest whose index side
+        // is corpus-sized AND keyed by the layout (the signature
+        // cross-probe joins on exploded chunks, orthogonal to bucketing)
+        val batch = Seq((3L, "x"), (1L, "y")).toDF("id", "text")
+          .select(col("id"))
+        val df = batch.join(spark.table(t).select(col("doc_id").as("id")),
+          Seq("id"), "left_anti")
+        val p = plan(df)
+        assert(p.contains("Bucketed: true"),
+          s"signature-index scan must be bucket-aware:\n$p")
+        // one exchange max, and it belongs to the BATCH side (re-bucket
+        // to the index's partitioning); the index subtree reads
+        // pre-partitioned
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(exchanges <= 1, s"the bucketed index side must not shuffle:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("exact-k selection aggregates map-side before its one shuffle (q66)") {
     val p = plan(operators.TrainingData.takeStratifiedK(
       Tables.documents(spark, sf), "doc_id", "lang", 5, "take"))
