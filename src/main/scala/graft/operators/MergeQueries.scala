@@ -118,6 +118,39 @@ object MergeQueries {
       Seq("doc_id"), nBuckets)
   }
 
+  /** [[dedupIngest]] against a hash-PARTITIONED directory index — the
+    * bounded-IO layout ([[MergeSink.mergeIntoPartitioned]]): where the
+    * bucketed-table form removes the merge's target-side exchange but
+    * still rewrites the whole table, this form reads and rewrites ONLY
+    * the buckets the day's hashes touch. The anti-join probe prunes the
+    * same way — a hash's bucket is deterministic, so re-delivered keys
+    * can only collide inside the batch's own buckets (the same argument
+    * that prunes [[graft.operators.Ivf.ingest]]'s probe to the batch's
+    * lists). Per-day cost: batch groupBy + touched-bucket read +
+    * touched-bucket rewrite, independent of corpus size. */
+  def dedupIngestPartitioned(spark: SparkSession, target: String,
+                             batch: DataFrame,
+                             nBuckets: Int): MergeSink.MergeStats = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uniq = batch.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(true) // probed for buckets, then anti-joined
+    val fresh =
+      if (fs.exists(new org.apache.hadoop.fs.Path(target))) {
+        val touched = uniq
+          .select(pmod(xxhash64(col("content_hash")), lit(nBuckets.toLong)).as("pb"))
+          .distinct().collect().map(_.getLong(0)) // ≤ nBuckets — driver-safe
+        uniq.join(
+          spark.read.parquet(target)
+            .filter(col("pb").isin(touched.map(java.lang.Long.valueOf): _*))
+            .select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+      } else uniq
+    MergeSink.mergeIntoPartitioned(spark, target, fresh, "content_hash",
+      Seq("doc_id"), nBuckets)
+  }
+
   def q65IncrDedup(spark: SparkSession, dir: String): DataFrame = {
     // unique catalog table per run (the bucketed layout lives in the
     // catalog, not a temp dir); dropped in the finally
@@ -155,6 +188,38 @@ object MergeQueries {
   val q65IncrDedupSql: String =
     """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS survivor_id
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** q73: the q65 day-split + re-delivery harness through the
+    * hash-PARTITIONED index layout ([[dedupIngestPartitioned]]) — the
+    * third physical form under the driver's gate, proving the
+    * bounded-IO merge (touched-bucket reads, touched-bucket rewrites,
+    * per-bucket directory swaps) preserves the exact first-arrival
+    * semantics of the full-rewrite forms. Same oracle as q65: the final
+    * index must equal batch dedup of the whole corpus row-for-row. */
+  def q73IncrDedupPart(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q73_")
+    try {
+      val target = s"$base/dedup_index"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      // day 2 re-delivers every 5th document — q65's harness verbatim
+      Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+        .foreach(day => dedupIngestPartitioned(spark, target, day, nBuckets = 16))
+      spark.read.parquet(target)
+        .select(col("content_hash"), col("doc_id").as("survivor_id"))
+        .orderBy(col("content_hash"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q73IncrDedupPartSql: String = q65IncrDedupSql
 
   /** q68: INCREMENTAL near-dup dedup against a persistent SIGNATURE
     * index — q65's nightly-ingest pattern extended from exact hashes to

@@ -221,6 +221,64 @@ class MergeSinkSpec extends SparkSpec {
     Seq(tbl, tmp).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("partitioned merge: same rows and counts as the full-rewrite merge") {
+    val dirP = Files.createTempDirectory("graft_merge_part").toString + "/idx"
+    val dirF = Files.createTempDirectory("graft_merge_full").toString + "/idx"
+    try {
+      // two rounds covering upsert, matched+modified, and null-skip
+      val r1 = df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0), ("c", 5.0, 6.0)))
+      val r2 = df(Seq(("a", null, 9.0), ("d", 7.0, 8.0)))
+      val sP1 = MergeSink.mergeIntoPartitioned(spark, dirP, r1, "k", fields, 8)
+      val sF1 = MergeSink.mergeInto(spark, dirF, r1, "k", fields)
+      val sP2 = MergeSink.mergeIntoPartitioned(spark, dirP, r2, "k", fields, 8)
+      val sF2 = MergeSink.mergeInto(spark, dirF, r2, "k", fields)
+      assert(sP1 == sF1 && sP2 == sF2,
+        s"stats must agree: $sP1/$sF1, $sP2/$sF2")
+      def rows(d: String) = spark.read.parquet(d)
+        .select(col("k"), col("f1"), col("f2")) // updatedAt stamps differ
+        .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+      assert(rows(dirP) == rows(dirF),
+        "the partitioned layout must hold the same merged rows")
+    } finally Seq(dirP, dirF).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+    }
+  }
+
+  test("partitioned merge rewrites ONLY the buckets the update keys touch") {
+    val dir = Files.createTempDirectory("graft_merge_prune").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val nB = 8
+      // seed enough keys that every bucket is populated
+      val seed = df((1 to 64).map(i => (s"k$i",
+        java.lang.Double.valueOf(i.toDouble), java.lang.Double.valueOf(0.0))))
+      MergeSink.mergeIntoPartitioned(spark, dir, seed, "k", fields, nB)
+      def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(_.getPath.getName.startsWith("pb=")).map { d =>
+            d.getPath.getName ->
+              fs.listStatus(d.getPath).toSeq.map(f =>
+                (f.getPath.getName, f.getLen, f.getModificationTime))
+          }.toMap
+      val before = snapshot()
+      assert(before.size == nB, s"seed should populate all $nB buckets")
+      // one-key update: exactly one bucket's files may change
+      MergeSink.mergeIntoPartitioned(spark, dir,
+        df(Seq(("k1", 99.0, 99.0))), "k", fields, nB)
+      val after = snapshot()
+      val changed = before.keySet.filter(b => before(b) != after(b))
+      val touched = spark.range(1)
+        .select(pmod(xxhash64(lit("k1")), lit(nB.toLong))).head().getLong(0)
+      assert(changed == Set(s"pb=$touched"),
+        s"only k1's bucket may be rewritten; changed=$changed expected=pb=$touched")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+    }
+  }
+
   test("empty updates: merge into existing target is a no-op with zero counts") {
     val dir = Files.createTempDirectory("graft_merge_empty").toString
     val targetPath = s"$dir/collection"

@@ -239,6 +239,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("partitioned dedup index: the probe prunes to the batch's buckets at the scan (q73 layout)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pa_part").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      graft.sinks.MergeSink.mergeIntoPartitioned(spark, dir,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "content_hash")
+          .select(col("content_hash"), col("doc_id")),
+        "content_hash", Seq("doc_id"), nBuckets = 16)
+      // the per-day probe shape: index read filtered to the batch's
+      // bucket literals — must be directory pruning, not a row filter
+      val p = plan(spark.read.parquet(dir)
+        .filter(col("pb").isin(java.lang.Long.valueOf(3L), java.lang.Long.valueOf(7L)))
+        .select(col("content_hash")))
+      assert(p.contains("PartitionFilters: [pb"),
+        s"bucket probe must prune directories at the source:\n$p")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+    }
+  }
+
   test("exact-k selection aggregates map-side before its one shuffle (q66)") {
     val p = plan(operators.TrainingData.takeStratifiedK(
       Tables.documents(spark, sf), "doc_id", "lang", 5, "take"))
