@@ -744,4 +744,87 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   val q59ClustersTwoPhaseSql: String = q52DedupClustersSql
+
+  /** PII patterns for [[redactPii]] — the C4/Dolma-class scrubbing
+    * stage. Deliberately conservative, and written in the dialect
+    * intersection of Java regex (Spark) and RE2 (DuckDB oracle):
+    * `\b`, `\d`, bounded repetition, and non-capturing groups mean the
+    * same thing in both, so the gate is EXACT, not a band. Order
+    * matters and is part of the contract: counts are taken per pattern
+    * on the ORIGINAL text (independent, deterministic even where
+    * patterns could overlap), then redaction applies sequentially in
+    * list order. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** Redact PII from `textCol`: emits the input columns plus one
+    * `n_<name>` count per pattern (taken on the original text) and
+    * `redacted` (patterns applied sequentially). A pure narrow map —
+    * `regexp_count`/`regexp_replace` are codegen'd Catalyst
+    * expressions, so the stage fuses into whole-stage codegen with
+    * ZERO shuffle at any corpus size (pinned in PlanAuditSpec). */
+  def redactPii(docs: DataFrame, textCol: String,
+                patterns: Seq[(String, String, String)] = piiPatterns): DataFrame = {
+    val counted = patterns.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+    }
+    counted.withColumn("redacted",
+      patterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
+  }
+
+  /** q74: PII redaction over `documents`. The fixture's synthetic text
+    * carries no PII, so the gate PLANTS it deterministically (the
+    * q57/q65 construct-your-own-fixture pattern): doc_id-derived
+    * emails, SSNs, phones, and IPs appended to disjoint doc subsets,
+    * mirrored exactly in the oracle's string concatenation. Emits per
+    * doc the four counts plus md5 of the redacted text — row-level
+    * exact, so a single divergent replacement anywhere in the corpus
+    * fails the hash. */
+  def q74PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.withColumn("t",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" ssn 123-45-"), (lit(1000) + col("doc_id") % 9000).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call 555-"), (lit(100) + col("doc_id") % 900).cast("string"), lit("-4567")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" node 10.0.0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(lit(""))))
+    redactPii(planted, "t")
+      .select(col("doc_id"), col("n_email"), col("n_ssn"), col("n_phone"),
+        col("n_ip"), md5(col("redacted")).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q74PiiRedactSql: String = {
+    val planted = Seq(
+      "text",
+      "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END",
+      "CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || (1000 + doc_id % 9000) ELSE '' END",
+      "CASE WHEN doc_id % 13 = 0 THEN ' call 555-' || (100 + doc_id % 900) || '-4567' ELSE '' END",
+      "CASE WHEN doc_id % 17 = 0 THEN ' node 10.0.0.' || (doc_id % 250) ELSE '' END"
+    ).mkString(" || ")
+    val red = piiPatterns.foldLeft("t") { case (expr, (_, pat, repl)) =>
+      s"regexp_replace($expr, '$pat', '$repl', 'g')"
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      s"len(regexp_extract_all(t, '$pat'))::INT AS n_$name"
+    }.mkString(",\n  ")
+    s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
+       |SELECT doc_id,
+       |  $counts,
+       |  md5($red) AS redacted_hash
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 }

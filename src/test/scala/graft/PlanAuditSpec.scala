@@ -261,6 +261,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction is a zero-shuffle narrow map inside codegen (q74)") {
+    val p = plan(operators.TextQueries.redactPii(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")), "text"))
+    // regexp_count/regexp_replace are codegen'd Catalyst expressions:
+    // the whole stage is scan → project, no exchange at any corpus size
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    // "*(1) Project" is the whole-stage-codegen marker in this plan
+    // rendering — the project must sit inside a codegen stage
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"redaction must fuse into whole-stage codegen:\n$p")
+  }
+
   test("exact-k selection aggregates map-side before its one shuffle (q66)") {
     val p = plan(operators.TrainingData.takeStratifiedK(
       Tables.documents(spark, sf), "doc_id", "lang", 5, "take"))
