@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -744,6 +744,116 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   val q59ClustersTwoPhaseSql: String = q52DedupClustersSql
+
+  /** Per-document repetition statistics — the Gopher/MassiveText
+    * repetition quality filters (Rae et al. 2021, appendix A1.1):
+    * documents dominated by a repeated n-gram are low-quality training
+    * text. Emits, per doc: token counts, the duplicate-word fraction,
+    * the most frequent 2-gram with its count and character fraction
+    * (ties broken lexicographically-smallest, deterministic in both
+    * engines), and the fraction of characters inside DUPLICATED
+    * 2-grams.
+    *
+    * Scale shape: everything a doc needs is IN its row, so the whole
+    * computation is a zero-shuffle narrow map — bigrams via
+    * `transform(sequence(...))`, then one `aggregate` run-length scan
+    * over the SORTED bigram array (O(T log T) per doc, bounded by
+    * document length, never corpus size). The oracle is an independent
+    * formulation (unnest → GROUP BY → window), so the gate checks
+    * semantics, not a mirrored implementation. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val norm = array_join(toks, " ")
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    // run-length scan over the sorted bigrams: state carries the open
+    // run and the best-so-far; `run > best_cnt` (strict) keeps the
+    // FIRST maximal gram in sorted order = the lexicographically
+    // smallest on ties, matching the oracle's (cnt DESC, gram ASC)
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best_cnt"), lit("").as("best_gram"), lit(0L).as("dup_chars"))
+    def closeRun(s: Column): (Column, Column, Column) = (
+      when(s.getField("run") > s.getField("best_cnt"), s.getField("run"))
+        .otherwise(s.getField("best_cnt")),
+      when(s.getField("run") > s.getField("best_cnt"), s.getField("prev"))
+        .otherwise(s.getField("best_gram")),
+      s.getField("dup_chars") +
+        when(s.getField("run") > 1,
+          s.getField("run") * length(s.getField("prev")).cast("long"))
+          .otherwise(lit(0L)))
+    val scanned = aggregate(array_sort(bigrams), init,
+      (s, x) => {
+        val (bc, bg, dc) = closeRun(s)
+        when(x === s.getField("prev"),
+          struct(s.getField("prev").as("prev"),
+            (s.getField("run") + 1).as("run"),
+            s.getField("best_cnt").as("best_cnt"),
+            s.getField("best_gram").as("best_gram"),
+            s.getField("dup_chars").as("dup_chars")))
+          .otherwise(
+            struct(x.as("prev"), lit(1L).as("run"),
+              bc.as("best_cnt"), bg.as("best_gram"), dc.as("dup_chars")))
+      },
+      s => {
+        val (bc, bg, dc) = closeRun(s)
+        struct(bc.as("best_cnt"), bg.as("best_gram"), dc.as("dup_chars"))
+      })
+    docs
+      .select(col(idCol), col(textCol), toks.as("toks"), norm.as("norm"),
+        scanned.as("rep"))
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) > 0,
+          round((size(col("toks")) - size(array_distinct(col("toks"))))
+            .cast("double") / size(col("toks")), 4)).as("dup_word_frac"),
+        when(col("rep.best_cnt") > 0, col("rep.best_gram")).as("top_bigram"),
+        when(col("rep.best_cnt") > 0, col("rep.best_cnt")).as("top_bigram_cnt"),
+        when(col("rep.best_cnt") > 0,
+          round((col("rep.best_cnt") * length(col("rep.best_gram")))
+            .cast("double") / length(col("norm")), 4)).as("top_bigram_char_frac"),
+        when(size(col("toks")) >= 2,
+          round(col("rep.dup_chars").cast("double") / length(col("norm")), 4))
+          .as("dup_bigram_char_frac"))
+  }
+
+  /** q75: repetition stats over `documents`, row-level exact. */
+  def q75Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q75RepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokSqlExpr AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, array_to_string(toks, ' ') AS norm,
+       |  CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE [] END AS bigrams FROM t),
+       |g AS (SELECT doc_id, unnest(bigrams) AS gram FROM b),
+       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |top AS (SELECT doc_id, gram, cnt FROM (
+       |  SELECT doc_id, gram, cnt,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+       |  FROM c) WHERE rn = 1),
+       |dup AS (SELECT doc_id,
+       |  sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END) AS dup_chars
+       |  FROM c GROUP BY 1)
+       |SELECT b.doc_id,
+       |  len(b.toks)::BIGINT AS n_tokens,
+       |  CASE WHEN len(b.toks) > 0 THEN
+       |    round((len(b.toks) - len(list_distinct(b.toks)))::double / len(b.toks), 4)
+       |  END AS dup_word_frac,
+       |  top.gram AS top_bigram,
+       |  top.cnt::BIGINT AS top_bigram_cnt,
+       |  round((top.cnt * len(top.gram))::double / len(b.norm), 4)
+       |    AS top_bigram_char_frac,
+       |  CASE WHEN len(b.toks) >= 2 THEN
+       |    round(dup.dup_chars::double / len(b.norm), 4)
+       |  END AS dup_bigram_char_frac
+       |FROM b LEFT JOIN top ON b.doc_id = top.doc_id
+       |       LEFT JOIN dup ON b.doc_id = dup.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   /** PII patterns for [[redactPii]] — the C4/Dolma-class scrubbing
     * stage. Deliberately conservative, and written in the dialect

@@ -273,6 +273,14 @@ class PlanAuditSpec extends SparkSpec {
       s"redaction must fuse into whole-stage codegen:\n$p")
   }
 
+  test("repetition stats are a zero-shuffle narrow map (q75)") {
+    val p = plan(operators.TextQueries.repetitionStats(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    // everything a doc needs is in its row: bigrams + run-length scan
+    // are array expressions — no exchange at any corpus size
+    assert(!p.contains("Exchange"), s"repetition stats must not shuffle:\n$p")
+  }
+
   test("exact-k selection aggregates map-side before its one shuffle (q66)") {
     val p = plan(operators.TrainingData.takeStratifiedK(
       Tables.documents(spark, sf), "doc_id", "lang", 5, "take"))

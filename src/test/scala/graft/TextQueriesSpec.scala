@@ -30,6 +30,38 @@ class TextQueriesSpec extends SparkSpec {
     assert(out.getAs[String]("redacted") == t)
   }
 
+  test("repetition stats: hand-computed case, lexicographic tie-break, short-doc nulls") {
+    val rows = TextQueries.repetitionStats(
+      Seq(
+        // "a b" x3 + "b a" x2 interleaved: a b a b a b → bigrams
+        // [a b, b a, a b, b a, a b] → top = "a b" (3), dup chars = 3*3+2*3
+        (1L, "a b a b a b"),
+        // all-distinct bigrams, every count 1 → ties broken to the
+        // lexicographically SMALLEST gram; nothing duplicated
+        (2L, "x y z"),
+        // single token: no bigrams → nulls, dup_word_frac defined
+        (3L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val r1 = rows(1L)
+    assert(r1.getAs[String]("top_bigram") == "a b")
+    assert(r1.getAs[Long]("top_bigram_cnt") == 3L)
+    // norm = "a b a b a b" (11 chars); top chars 3*3=9; dup chars 9+6=15/11 capped? no cap — fraction may exceed 1 by overlap, Gopher counts occurrences
+    assert(math.abs(r1.getAs[Double]("top_bigram_char_frac") - 9.0 / 11) < 1e-9 + 5e-5)
+    assert(math.abs(r1.getAs[Double]("dup_bigram_char_frac") - 15.0 / 11) < 1e-9 + 5e-5)
+    assert(math.abs(r1.getAs[Double]("dup_word_frac") - 4.0 / 6) < 1e-9 + 5e-5)
+
+    val r2 = rows(2L)
+    assert(r2.getAs[String]("top_bigram") == "x y", "count-1 ties must pick the smallest gram")
+    assert(r2.getAs[Long]("top_bigram_cnt") == 1L)
+    assert(r2.getAs[Double]("dup_bigram_char_frac") == 0.0)
+
+    val r3 = rows(3L)
+    assert(r3.isNullAt(r3.fieldIndex("top_bigram")))
+    assert(r3.isNullAt(r3.fieldIndex("dup_bigram_char_frac")))
+    assert(r3.getAs[Double]("dup_word_frac") == 0.0)
+  }
+
   test("q74 gate is non-vacuous: every planted pattern fires on the fixture") {
     val agg = TextQueries.q74PiiRedact(spark, sf)
       .agg(sum("n_email").as("e"), sum("n_ssn").as("s"),
