@@ -609,6 +609,80 @@ object TrainingData {
             |  coalesce(n_semantic, 0) AS n_semantic,""".stripMargin,
           "LEFT JOIN f2b USING (lang) LEFT JOIN f2c USING (lang)")}""".stripMargin
 
+  // Repetition pre-filter thresholds (q76), applied to the 4-dp-ROUNDED
+  // q75 metrics (the q16/q54 threshold-hygiene rule: both engines agree
+  // on the rounded value exactly, so the cut cannot diverge on float
+  // dust). Values chosen against the fixture's distribution so BOTH
+  // predicates cut non-vacuously (dup_word_frac p75≈0.64, p90≈0.68;
+  // top_bigram_char_frac p90≈0.12).
+  private val DupWordMax = 0.65
+  private val TopBigramMax = 0.12
+
+  /** q76: the curation funnel with the Gopher repetition PRE-filter in
+    * front — the order a real pipeline runs (repetition-heavy docs are
+    * dropped before any tokeniser-heavier stage sees them): repetition
+    * filter → quality filter → exact dedup → mixture sample → packing,
+    * with `n_clean` joining the funnel report between `n_docs` and
+    * `n_quality`. The repetition stage reuses q75's gated
+    * [[TextQueries.repetitionStats]]; the quality→pack tail reuses the
+    * q54 stages — this gate checks the COMPOSITION (q54's argument),
+    * with the oracle's funnel CTEs re-rooted on the filtered set. */
+  def q76RepetitionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cleanIds = TextQueries.repetitionStats(docs, "doc_id", "text")
+      .filter(coalesce(col("dup_word_frac"), lit(0.0)) <= DupWordMax &&
+        coalesce(col("top_bigram_char_frac"), lit(0.0)) <= TopBigramMax)
+      .select(col("doc_id"))
+    // fed to the quality stage AND the n_clean count — materialize once
+    val clean = docs.join(cleanIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val keep = qualityScored(clean)
+      .filter(col("quality") >= QualityMin && col("n_tokens") >= MinTokens)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+      .localCheckpoint(true)
+    val surv = keep.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val uniq = keep.join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val samp = mixtureSample(
+      uniq.select(col("doc_id"), col("lang"), col("n_tokens")),
+      "doc_id", "lang", MixRates.toMap, MixSeed)
+    val packed = packAssignments(samp, "lang", "doc_id", col("n_tokens"),
+      PackBudget, PackShards, PackSeed)
+    funnelReport(docs,
+      Seq("n_clean" -> clean, "n_quality" -> keep, "n_unique" -> uniq,
+        "n_sampled" -> samp), packed)
+  }
+
+  val q76RepetitionFunnelSql: String = {
+    val rep =
+      s"""rt AS (SELECT doc_id, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+         |rb AS (SELECT doc_id, toks, array_to_string(toks, ' ') AS norm,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END AS bigrams FROM rt),
+         |rg AS (SELECT doc_id, unnest(bigrams) AS gram FROM rb),
+         |rc AS (SELECT doc_id, gram, count(*) AS cnt FROM rg GROUP BY 1, 2),
+         |rtop AS (SELECT doc_id, gram, cnt FROM (
+         |  SELECT doc_id, gram, cnt,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+         |  FROM rc) WHERE rn = 1),
+         |repm AS (SELECT b.doc_id,
+         |  CASE WHEN len(b.toks) > 0 THEN
+         |    round((len(b.toks) - len(list_distinct(b.toks)))::double / len(b.toks), 4)
+         |  END AS dup_word_frac,
+         |  round((t.cnt * len(t.gram))::double / len(b.norm), 4) AS top_bigram_char_frac
+         |FROM rb b LEFT JOIN rtop t ON b.doc_id = t.doc_id)""".stripMargin
+    s"""WITH $rep,
+       |clean AS (SELECT d.* FROM documents d JOIN repm USING (doc_id)
+       |          WHERE coalesce(dup_word_frac, 0) <= $DupWordMax
+       |            AND coalesce(top_bigram_char_frac, 0) <= $TopBigramMax),
+       |${funnelBaseCtesOf("clean")},
+       |${funnelTailSql("uniq",
+          "f1b AS (SELECT lang, count(*)::BIGINT AS n_clean FROM clean GROUP BY 1),",
+          "coalesce(n_clean, 0) AS n_clean,",
+          "LEFT JOIN f1b USING (lang)")}""".stripMargin
+  }
+
   /** q58: the pack layout EXPORTED and read back — q28's
     * write→reopen→verify pattern applied to [[exportPacks]]. The gate
     * runs the exporter against a scratch directory, reopens the
@@ -908,10 +982,12 @@ object TrainingData {
     * near-dup stage. */
   /** The quality-score CTEs alone (tok0 → rat → qual), mirrored by
     * [[qualityScored]]; shared by the funnel oracles and q61. */
-  private def qualityCtes: String = {
+  private def qualityCtes: String = qualityCtesOf("documents")
+
+  private def qualityCtesOf(src: String): String = {
     val stops = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")
-    s"""tok0 AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+    s"""tok0 AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM $src),
        |rat AS (SELECT doc_id, lang, text, len(toks)::bigint AS n_tokens,
        |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
        |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
@@ -922,8 +998,10 @@ object TrainingData {
        |        + 0.25 * (1.0 - punct_raw), 4) AS quality FROM rat)""".stripMargin
   }
 
-  private def funnelBaseCtes: String = {
-    s"""$qualityCtes,
+  private def funnelBaseCtes: String = funnelBaseCtesOf("documents")
+
+  private def funnelBaseCtesOf(src: String): String = {
+    s"""${qualityCtesOf(src)},
        |keep AS (SELECT * FROM qual WHERE quality >= $QualityMin AND n_tokens >= $MinTokens),
        |surv AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
        |uniq AS (SELECT k.doc_id, k.lang, k.text, k.n_tokens FROM keep k

@@ -246,6 +246,22 @@ class TrainingDataSpec extends SparkSpec {
       "cluster dedup must drop docs between n_unique and n_neardup")
   }
 
+  test("repetition pre-filter composes ahead of quality and cuts non-vacuously") {
+    val rows = TrainingData.q76RepetitionFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nClean, nQuality, nUnique,
+                         nSampled, nPacks, _) =>
+      assert(nDocs >= nClean && nClean >= nQuality && nQuality >= nUnique &&
+        nUnique >= nSampled,
+        s"$lang: funnel must be monotone, got " +
+          s"$nDocs/$nClean/$nQuality/$nUnique/$nSampled")
+      assert((nSampled == 0L) == (nPacks == 0L), s"$lang: packs iff sampled docs")
+    }
+    assert(rows.map(_._2).sum > rows.map(_._3).sum,
+      "the repetition stage must drop docs between n_docs and n_clean")
+  }
+
   test("pack export writes a stream-partitioned layout that reads back exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_packexp_").toString
     try {
