@@ -762,7 +762,16 @@ object TextQueries {
     * formulation (unnest → GROUP BY → window), so the gate checks
     * semantics, not a mirrored implementation. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // STAGE the token array as a materialized attribute before any
+    // lambda touches it: higher-order functions are CodegenFallback, so
+    // the interpreted evaluator has NO subexpression elimination — with
+    // the tokenizer EXPRESSION embedded in the transform lambda, the
+    // regex split re-ran twice per bigram (~120 tokenizations per row,
+    // 17 s at sf0.1); against the attribute each element_at is O(1)
+    // (measured 36 s → ~2 s isolated). CollapseProject keeps the stage
+    // because `toks` is multi-referenced and non-cheap (the q16 rule).
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val toks = col("toks")
     val norm = array_join(toks, " ")
     val bigrams = when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
@@ -800,9 +809,8 @@ object TextQueries {
         val (bc, bg, dc) = closeRun(s)
         struct(bc.as("best_cnt"), bg.as("best_gram"), dc.as("dup_chars"))
       })
-    docs
-      .select(col(idCol), col(textCol), toks.as("toks"), norm.as("norm"),
-        scanned.as("rep"))
+    staged
+      .select(col(idCol), toks, norm.as("norm"), scanned.as("rep"))
       .select(
         col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),

@@ -629,7 +629,15 @@ object TrainingData {
     * with the oracle's funnel CTEs re-rooted on the filtered set. */
   def q76RepetitionFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cleanIds = TextQueries.repetitionStats(docs, "doc_id", "text")
+    // stage boundary BEFORE the threshold filter: predicate pushdown
+    // inlines projection aliases into the pushed filter regardless of
+    // cost, which would re-embed the tokenizer inside the repetition
+    // lambdas (the exact blowup repetitionStats' staging removes —
+    // 38.8 s → 2.5 s isolated at sf0.1). The checkpoint is the funnel's
+    // standard stage-boundary materialization (q54's pattern).
+    val repMetrics = TextQueries.repetitionStats(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val cleanIds = repMetrics
       .filter(coalesce(col("dup_word_frac"), lit(0.0)) <= DupWordMax &&
         coalesce(col("top_bigram_char_frac"), lit(0.0)) <= TopBigramMax)
       .select(col("doc_id"))
