@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** One-pass corpus quality dashboard (SURVEY §2B text analysis +
+  * sketches, composed): every per-document metric the curation stages
+  * consume — token counts, the q16 composite quality score, the q75
+  * duplicate-word fraction, short-document share — aggregated per
+  * (lang, source) stratum, per lang, per source, and corpus-wide in a
+  * SINGLE scan via GROUPING SETS.
+  *
+  * Scale design: the naive dashboard runs one query per panel — N full
+  * scans of a 100 TB corpus. This one reads the corpus ONCE: the
+  * per-row metric projection is a narrow map fused into the scan, the
+  * Expand operator replicates only the tiny (metrics, lang, source)
+  * tuple ×4 grouping sets, and hash partial aggregation collapses each
+  * set map-side, so the shuffle carries O(#langs × #sources) rows no
+  * matter the corpus size. Double averages are decimal-summed
+  * (order-independent exact sums, one final double division) — the
+  * q39/q61 determinism discipline. The exact percentiles ride on the
+  * LOW-cardinality token-count measure (the aggregation buffer is a
+  * value→count map bounded by distinct token counts, not rows); a
+  * high-cardinality measure would swap in `percentile_approx`, q61's
+  * sketch. Reference analog: the row-count/progress accounting its ETL
+  * prints per batch (main.py:61-74), widened to a corpus-quality
+  * surface.
+  */
+object CorpusReport {
+
+  /** Per (strata grouping sets) metric rollup of a documents frame.
+    * Emits one row per grouping-set group: doc/token totals, decimal-
+    * exact metric averages, exact token-count percentiles, and the
+    * share of short documents (< `shortTokens` tokens). */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   strata: Seq[String], shortTokens: Int = 50): DataFrame = {
+    val text = col(textCol)
+    // Stage tokens + raw ratios as materialized attributes (the
+    // q16/q75 discipline: HOFs are CodegenFallback with no
+    // subexpression elimination, so an embedded tokenizer re-runs per
+    // reference; against staged columns each metric is one pass).
+    val staged = docs.select(
+      strata.map(col) ++ Seq(
+        tokens(text).as("toks"),
+        alphaRatio(text).as("alpha_raw"),
+        punctRatio(text).as("punct_raw")): _*)
+    val perRow = staged.select(
+      strata.map(col) ++ Seq(
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(filter(col("toks"), t => t.isInCollection(stopwords)))
+            .cast("double") / size(col("toks"))).as("stop_raw"),
+        when(size(col("toks")) > 0,
+          (size(col("toks")) - size(array_distinct(col("toks"))))
+            .cast("double") / size(col("toks"))).as("dup_word_raw"),
+        col("alpha_raw"), col("punct_raw")): _*)
+      .withColumn("quality", round(
+        lit(0.25) * col("alpha_raw") +
+        lit(0.25) * col("stop_raw") +
+        lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+        lit(0.25) * (lit(1.0) - col("punct_raw")), 4))
+    // Fixed-point averages: sum each 4-dp metric as an exact integer
+    // (order-independent), then round-half-up INTEGER division —
+    // `(2s+n) div 2n` — so the 4-dp average is bit-identical across
+    // engines and partitionings. A rounded double quotient would sit on
+    // round-half boundaries (observed at sf0.01: 0.63355) where
+    // Spark's half-up and DuckDB's double rounding disagree.
+    def fp(c: Column): Column = sum(round(c * 10000).cast("long"))
+    val sets = Seq(strata.map(col), Seq(col(strata.head)),
+      Seq(col(strata(1))), Seq.empty[Column])
+    perRow
+      .groupingSets(sets, strata.map(col): _*)
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(percentile(col("n_tokens"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90_tokens"),
+        fp(round(col("quality"), 4)).as("quality_fp"),
+        fp(round(col("dup_word_raw"), 4)).as("dup_fp"),
+        count(col("dup_word_raw")).as("n_dup"),
+        round(sum(when(col("n_tokens") < shortTokens, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("short_frac"))
+      .withColumn("avg_quality",
+        (expr("(2 * quality_fp + n_docs) div (2 * n_docs)").cast("double") / 10000.0))
+      .withColumn("avg_dup_word",
+        (expr("(2 * dup_fp + n_dup) div (2 * n_dup)").cast("double") / 10000.0))
+      .drop("quality_fp", "dup_fp", "n_dup")
+  }
+
+  /** q77: the dashboard over `documents`, strata (lang, source). */
+  def q77CorpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReport(Tables.documents(spark, dir), "text", Seq("lang", "source"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+
+  val q77CorpusReportSql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT lang, source, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT lang, source,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw,
+       |  CASE WHEN len(toks) > 0 THEN (len(toks) - len(list_distinct(toks)))::double / len(toks) END AS dup_word_raw
+       |FROM t),
+       |q AS (SELECT lang, source, n_tokens, dup_word_raw,
+       |  round(dup_word_raw, 4) AS dup_word_raw_4,
+       |  round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) AS quality FROM r)
+       |SELECT lang, source,
+       |  GROUPING(lang, source)::bigint AS gid,
+       |  count(*) AS n_docs,
+       |  sum(n_tokens) AS total_tokens,
+       |  min(n_tokens) AS min_tokens,
+       |  max(n_tokens) AS max_tokens,
+       |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       |  round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       |  round(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END)::double / count(*), 4) AS short_frac,
+       |  ((2 * sum(CAST(round(quality * 10000) AS BIGINT)) + count(*)) // (2 * count(*)))::double / 10000.0 AS avg_quality,
+       |  CASE WHEN count(dup_word_raw) > 0 THEN
+       |    ((2 * sum(CAST(round(dup_word_raw_4 * 10000) AS BIGINT)) + count(dup_word_raw)) // (2 * count(dup_word_raw)))::double / 10000.0
+       |  END AS avg_dup_word
+       |FROM q
+       |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+       |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusReport
+
+class CorpusReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val report =
+    CorpusReport.corpusReport(
+      Tables.documents(spark, sf), "text", Seq("lang", "source")).cache()
+
+  test("grand-total row matches corpus size and the grouping sets are consistent") {
+    val total = Tables.documents(spark, sf).count()
+    val grand = report.filter(col("gid") === 3).collect()
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_docs") == total)
+    // each rollup level re-partitions the same corpus
+    for (g <- Seq(0, 1, 2)) {
+      val s = report.filter(col("gid") === g)
+        .agg(sum("n_docs"), sum("total_tokens")).collect().head
+      assert(s.getLong(0) == total, s"gid=$g doc sum")
+      assert(s.getLong(1) == grand.head.getAs[Long]("total_tokens"), s"gid=$g token sum")
+    }
+  }
+
+  test("metrics are bounded and percentiles ordered") {
+    report.collect().foreach { r =>
+      val q = r.getAs[Double]("avg_quality")
+      assert(q >= 0.0 && q <= 1.0)
+      val sfrac = r.getAs[Double]("short_frac")
+      assert(sfrac >= 0.0 && sfrac <= 1.0)
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+      assert(r.getAs[Double]("p50_tokens") <= r.getAs[Double]("p90_tokens"))
+      assert(r.getAs[Double]("p90_tokens") <= r.getAs[Long]("max_tokens").toDouble)
+    }
+  }
+
+  test("hand-computed rollup on a tiny frame") {
+    val docs = Seq(
+      ("en", "web", "the cat sat on the mat"),         // 6 toks, dup 'the'
+      ("en", "web", "a b"),                            // 2 toks, short
+      ("de", "book", "der hund und der hund und der")  // 7 toks, heavy dup
+    ).toDF("lang", "source", "text")
+    val out = CorpusReport.corpusReport(docs, "text", Seq("lang", "source"), shortTokens = 5)
+    val grand = out.filter(col("gid") === 3).collect().head
+    assert(grand.getAs[Long]("n_docs") == 3L)
+    assert(grand.getAs[Long]("total_tokens") == 15L)
+    assert(grand.getAs[Long]("min_tokens") == 2L)
+    assert(grand.getAs[Long]("max_tokens") == 7L)
+    assert(grand.getAs[Double]("short_frac") == 0.3333)
+    // dup_word fractions: (6-5)/6=0.1667, 0.0, (7-3)/7=0.5714 -> avg 0.246033
+    assert(grand.getAs[Double]("avg_dup_word") == 0.246)
+    val en = out.filter(col("gid") === 0 && col("lang") === "en").collect().head
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Double]("p50_tokens") == 4.0) // interp between 2 and 6
+  }
+}
