@@ -679,4 +679,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Cross-document duplicated-SPAN masking — substring-level dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): any `spanTokens`-token span that also appears in
+    * another document is masked out, keeping the first-arrival copy
+    * (`keepFirst`; min id per span — the q15 survivor rule lifted from
+    * documents to spans). Document-level dedup misses this entirely:
+    * two distinct pages sharing a boilerplate paragraph both survive
+    * doc-level near-dup, yet the paragraph trains the model twice.
+    *
+    * The exact-suffix-array construction of the paper is single-node;
+    * this is its distributed form: shingle INVERSION (the q60
+    * decontamination shape turned on the corpus itself) — explode each
+    * doc into its rolling `spanTokens`-gram md5s, one exact hash-groupBy
+    * finds grams seen in ≥2 docs, and hits join back per position. The
+    * shuffle carries one 16-byte md5 per token position (≈ corpus token
+    * count — the same order as any tokenizing scan), never a pair
+    * matrix, and the per-document mask is a narrow map: interval union
+    * over the doc's own hit list, O(span hits) state.
+    *
+    * Emits per doc: `n_tokens`, `n_hits` (masked span starts),
+    * `n_masked` (tokens under the interval union), `masked_frac`, and
+    * `kept_hash` (md5 of the surviving token sequence) — so a gate
+    * catches a single mis-masked token anywhere in the corpus. */
+  def spanMask(docs: DataFrame, idCol: String, textCol: String,
+               spanTokens: Int, keepFirst: Boolean = true): DataFrame = {
+    val n = spanTokens
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true) // referenced by the explode AND the final join
+    val pe = staged
+      .select(col(idCol),
+        explode(when(size(col("toks")) >= n,
+            sequence(lit(0), size(col("toks")) - n))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("toks"))
+      .select(col(idCol), col("pos"),
+        md5(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " ")).as("g"))
+      .localCheckpoint(true) // consumed by the gram rollup AND the hit join
+    val shared = pe.groupBy(col("g"))
+      .agg(countDistinct(col(idCol)).as("nd"), min(col(idCol)).as("first_id"))
+      .filter(col("nd") >= 2)
+      .select(col("g"), col("first_id"))
+    val hits = pe.join(shared, "g")
+      .filter(if (keepFirst) col(idCol) =!= col("first_id") else lit(true))
+      .select(col(idCol), col("pos")).distinct()
+    val cov = hits.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"),
+        count(lit(1)).as("n_hits"))
+    // interval union over the sorted span starts: covered tokens +=
+    // full span when disjoint from the open interval, else the overhang
+    val init = struct(lit(0L).as("cov"), lit(-1L).as("last_end"))
+    val masked = aggregate(
+      coalesce(col("starts"), array().cast("array<int>")), init,
+      (s, p) => struct(
+        (s.getField("cov") +
+          when(p.cast("long") >= s.getField("last_end"), lit(n.toLong))
+            .otherwise(greatest(lit(0L),
+              p.cast("long") + n - s.getField("last_end")))).as("cov"),
+        greatest(s.getField("last_end"), p.cast("long") + n).as("last_end")),
+      s => s.getField("cov"))
+    val keptToks = filter(col("toks"), (t, j) =>
+      !exists(coalesce(col("starts"), array().cast("array<int>")),
+        p => p <= j && j < p + n))
+    staged.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        masked.as("n_masked"),
+        when(size(col("toks")) > 0,
+          round(masked.cast("double") / size(col("toks")), 4)).as("masked_frac"),
+        md5(array_join(keptToks, " ")).as("kept_hash"))
+  }
 }

@@ -945,4 +945,46 @@ object TextQueries {
        |  md5($red) AS redacted_hash
        |FROM p ORDER BY doc_id""".stripMargin
   }
+
+  /** q79 span width: long enough that natural text rarely collides,
+    * short enough that the fixture's near-dup population shares spans. */
+  private val SpanTokens = 8
+
+  /** q79: duplicated-span masking over `documents` ([[Dedup.spanMask]]),
+    * keep-first policy, row-level exact including the kept-text hash. */
+  def q79SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanMask(Tables.documents(spark, dir), "doc_id", "text", SpanTokens)
+      .orderBy(col("doc_id"))
+
+  /** Independent oracle formulation: covered token indices via
+    * unnest+range cross join and a list comprehension for the kept
+    * sequence (the Spark side merges intervals and filters by span
+    * starts — different shape, same semantics). */
+  val q79SpanDedupSql: String = {
+    val n = SpanTokens
+    s"""WITH t AS (SELECT doc_id, $tokSqlExpr AS toks FROM documents),
+       |p AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= $n
+       |        THEN range(0, len(toks) - ${n - 1}) ELSE [] END) AS pos FROM t),
+       |pe AS (SELECT doc_id, pos,
+       |        md5(array_to_string(toks[pos+1:pos+$n], ' ')) AS g FROM p),
+       |sh AS (SELECT g, min(doc_id) AS first_id FROM pe GROUP BY g
+       |       HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT DISTINCT pe.doc_id, pe.pos FROM pe JOIN sh USING (g)
+       |         WHERE pe.doc_id != sh.first_id),
+       |cov AS (SELECT DISTINCT doc_id, pos + k AS j
+       |        FROM hits CROSS JOIN (SELECT unnest(range(0, $n)) AS k)),
+       |agg AS (SELECT doc_id, count(*) AS n_masked FROM cov GROUP BY doc_id),
+       |hc AS (SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id),
+       |cj AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       |  coalesce(hc.n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(agg.n_masked, 0)::BIGINT AS n_masked,
+       |  CASE WHEN len(t.toks) > 0
+       |    THEN round(coalesce(agg.n_masked, 0)::double / len(t.toks), 4) END AS masked_frac,
+       |  md5(coalesce(array_to_string([t.toks[j+1] FOR j IN range(0, len(t.toks))
+       |    IF NOT list_contains(coalesce(cj.js, []), j)], ' '), '')) AS kept_hash
+       |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN hc USING (doc_id)
+       |       LEFT JOIN cj USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
 }

@@ -455,4 +455,42 @@ class DedupSpec extends SparkSpec {
     assert(ColumnBridge.cacheManagerIsEmpty(spark),
       "annSrpPairs must unpersist its bits frame")
   }
+
+  test("spanMask: keep-first policy, interval union on overlaps, short docs untouched") {
+    val frame = Seq(
+      (1L, "a b c d e f g h x y"),       // shares 8-span with doc 2; first arrival keeps
+      (2L, "z z a b c d e f g h"),       // masks pos 2..9
+      (3L, "tiny doc"),                  // < span width: no shingles
+      (4L, "p q r s t u v w x k1"),      // shares a 9-token run with doc 5
+      (5L, "k2 p q r s t u v w x")       // two OVERLAPPING 8-spans -> union = 9 tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanMask(frame, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_masked") == 0L) // survivor keeps its text
+    assert(out(2L).getAs[Long]("n_hits") == 1L)
+    assert(out(2L).getAs[Long]("n_masked") == 8L)
+    assert(out(2L).getAs[Double]("masked_frac") == 0.8)
+    assert(out(3L).getAs[Long]("n_masked") == 0L)
+    assert(out(4L).getAs[Long]("n_masked") == 0L)
+    assert(out(5L).getAs[Long]("n_hits") == 2L)
+    assert(out(5L).getAs[Long]("n_masked") == 9L) // union, not 16
+    // kept text hashes: doc 2 keeps "z z", doc 5 keeps "k2"
+    import java.security.MessageDigest
+    def m(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+    assert(out(2L).getAs[String]("kept_hash") == m("z z"))
+    assert(out(5L).getAs[String]("kept_hash") == m("k2"))
+    assert(out(1L).getAs[String]("kept_hash") == m("a b c d e f g h x y"))
+  }
+
+  test("spanMask keepFirst=false masks every copy including the first") {
+    val frame = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "z z a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanMask(frame, "doc_id", "text", 8, keepFirst = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_masked") == 8L)
+    assert(out(2L).getAs[Long]("n_masked") == 8L)
+  }
 }
