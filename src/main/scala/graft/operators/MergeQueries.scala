@@ -409,4 +409,45 @@ object MergeQueries {
        |SELECT s.id AS doc_id, coalesce(min(r.comp), s.id)::BIGINT AS survivor_id
        |FROM sp_sig s LEFT JOIN reach r ON r.id = s.id
        |GROUP BY s.id ORDER BY doc_id""".stripMargin
+
+  /** q80: small-file COMPACTION of an ingest-fragmented snapshot
+    * ([[graft.sinks.Compaction.compactPartitioned]]). The gate builds
+    * the pathology the operator exists for — 8 arrival batches appended
+    * to a 4-bucket partitioned layout leave 8 files per `pb=` directory
+    * (the q65/q73 nightly-ingest residue) — compacts to 1 file per
+    * directory, and emits the snapshot ROW-LEVEL from the REOPENED
+    * compacted layout: any row lost, duplicated, or corrupted by the
+    * rewrite/swap fails the hash against the oracle's straight fixture
+    * scan. The pass's file accounting (8→1 per dir, skip-idempotence,
+    * untouched-dir byte-identity) is pinned in CompactionSpec. */
+  def q80Compaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Compaction
+    val nBuckets = 4
+    val base = java.nio.file.Files.createTempDirectory("graft_q80_")
+    val path = s"$base/snapshot"
+    try {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"))
+        .withColumn("pb", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+        .localCheckpoint(true) // 8 batch writes below re-read this frame
+      for (b <- 0L until 8L)
+        docs.filter(pmod(col("doc_id"), lit(8L)) === b)
+          .write.mode("append").partitionBy("pb").parquet(path)
+      val stats = Compaction.compactPartitioned(spark, path, targetBytes = 64L << 20)
+      require(stats.nCompacted == nBuckets && stats.filesAfter == nBuckets,
+        s"compaction did not converge: $stats")
+      spark.read.parquet(path)
+        .select(col("doc_id"), col("lang"), col("content_hash"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the scratch dir is deleted
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q80CompactionSql: String =
+    """SELECT doc_id, lang, md5(text) AS content_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
