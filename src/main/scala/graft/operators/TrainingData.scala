@@ -894,6 +894,72 @@ object TrainingData {
        |SELECT lang, bucket, doc_id FROM r WHERE rk <= $TakeK
        |ORDER BY lang, bucket, doc_id""".stripMargin
 
+  /** TOKEN-budget selection — "take `budget` tokens per stratum", the
+    * unit a pretraining mixture is actually specified in (q66's take-k
+    * counts documents; a mixture spec says "50 B tokens of code, 200 B
+    * of web"). Greedy in seeded-hash order: walk each stratum's docs by
+    * (bucket, id) and keep until the running token sum reaches the
+    * budget; the doc that CROSSES the boundary is kept (greedy-include
+    * convention — budgets are targets, not hard caps; documented, and
+    * mirrored in the oracle).
+    *
+    * Scale design: a per-stratum cumulative sum is a per-stratum SORT —
+    * unbounded at 100 TB. The `shards` key bounds it exactly as
+    * [[packAssignments]] does: each (stratum, shard) stream gets
+    * `budget / shards` and its own bounded window, so raising `shards`
+    * caps the window sort at any corpus size. The trade is the same as
+    * packing's partial tail packs: per-shard greedy cuts can each
+    * overshoot by at most one document. Deterministic by construction
+    * (seeded hash order), so a re-run or a one-shard backfill deals the
+    * same cards; like fixed-k (and unlike rate sampling) the selection
+    * is NOT growth-stable — a grown corpus hashes new docs into the
+    * order and shifts the cut; the stable form is a rate cut (q44). */
+  def takeTokenBudget(docs: DataFrame, idCol: String, strataCol: String,
+                      tokensCol: Column, budget: Long, shards: Int,
+                      seed: String): DataFrame = {
+    require(budget >= 1 && shards >= 1, s"budget=$budget shards=$shards")
+    val perShard = budget / shards
+    val w = Window.partitionBy(col("stratum"), col("shard"))
+      .orderBy(col("bucket"), col(idCol))
+    docs
+      .select(col(idCol), col(strataCol).as("stratum"),
+        hashBucket(col(idCol), seed).as("bucket"),
+        tokensCol.cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("bucket"), lit(shards.toLong)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < perShard)
+  }
+
+  private val BudgetTokens = 3000L
+  private val BudgetShards = 4
+  private val BudgetSeed = "budget"
+
+  /** q81: token-budget selection over `documents` (budget 3000 tokens
+    * per language across 4 shards — non-trivial cuts at sf0.01:
+    * strata carry far more than 750 tokens per shard). Row-level exact
+    * including the running sums. */
+  def q81TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    takeTokenBudget(Tables.documents(spark, dir), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), BudgetTokens, BudgetShards,
+        BudgetSeed)
+      .select(col("doc_id"), col("stratum").as("lang"), col("bucket"),
+        col("shard"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("shard"), col("cum_tokens"), col("doc_id"))
+
+  val q81TokenBudgetSql: String = {
+    val perShard = BudgetTokens / BudgetShards
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    ('0x' || substring(md5('$BudgetSeed:' || doc_id), 1, 8))::BIGINT AS bucket,
+       |    len(${TextQueries.tokSqlExpr})::BIGINT AS n_tokens
+       |  FROM documents),
+       |s AS (SELECT *, bucket % $BudgetShards AS shard FROM t),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+       |        ORDER BY bucket, doc_id) AS cum_tokens FROM s)
+       |SELECT doc_id, lang, bucket, shard, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens - n_tokens < $perShard
+       |ORDER BY lang, shard, cum_tokens, doc_id""".stripMargin
+  }
+
   private val TopFrac = 0.5
   private val PctAccuracy = 10000
 

@@ -375,4 +375,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(segs.filter(_._1 == 3L).toSeq ==
       Seq((3L, 0L, 0L, 1L), (3L, 1L, 1L, 5L)))
   }
+
+  test("takeTokenBudget: greedy prefix per (stratum, shard), crossing doc included") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val budget = 2000L
+    val shards = 2
+    val out = TrainingData.takeTokenBudget(docs, "doc_id", "lang",
+        graft.functions.TextFunctions.tokenCount(col("text")), budget, shards, "t")
+      .select("doc_id", "stratum", "shard", "n_tokens", "cum_tokens")
+      .collect()
+    // independent reference: rescan ALL docs in hash order per stream and
+    // apply the greedy rule with a driver-side fold
+    val all = docs
+      .select(col("doc_id"), col("lang"),
+        TrainingData.hashBucket(col("doc_id"), "t").as("bucket"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2) % shards, r.getLong(2), r.getLong(0), r.getLong(3)))
+    val perShard = budget / shards
+    val expected = all.groupBy(t => (t._1, t._2)).flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(t => (t._3, t._4)).takeWhile { t =>
+        val start = cum; cum += t._5; start < perShard
+      }.map(t => (t._4, t._1, t._2)).toSeq
+    }.toSet
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == expected)
+    assert(out.nonEmpty && out.length < all.length, "cut must be non-trivial")
+    // every kept doc STARTS under the per-shard budget; totals may cross it
+    out.foreach(r => assert(r.getLong(4) - r.getLong(3) < perShard))
+  }
 }
