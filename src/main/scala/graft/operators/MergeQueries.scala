@@ -450,4 +450,69 @@ object MergeQueries {
   val q80CompactionSql: String =
     """SELECT doc_id, lang, md5(text) AS content_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Snapshot DIFF — the dataset-versioning primitive: given two corpus
+    * versions keyed by id, emit every added, removed, or changed
+    * document (unchanged rows — the overwhelming bulk — are filtered
+    * out, so the result carries drift volume only). This is how a
+    * 100 TB corpus release is audited before training: which documents
+    * did tonight's crawl+curation run actually touch, per language.
+    *
+    * Scale design: one full-outer join on the key comparing content
+    * hashes — the same single co-partitioned shuffle as the merge sink,
+    * and like it exchange-free when both snapshots live bucketed on the
+    * key ([[graft.sinks.MergeSink.mergeIntoBucketed]]'s layout
+    * argument). Content comparison is by md5, not payload equality, so
+    * the join carries 16-byte hashes, never document bodies. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, key: String,
+                   hashCol: String, carry: Seq[String]): DataFrame = {
+    val l = v1.select(col(key) +: (hashCol +: carry).map(c => col(c).as(s"l_$c")): _*)
+    val r = v2.select(col(key) +: (hashCol +: carry).map(c => col(c).as(s"r_$c")): _*)
+    l.join(r, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col(s"l_$hashCol").isNull, lit("added"))
+          .when(col(s"r_$hashCol").isNull, lit("removed"))
+          .when(col(s"l_$hashCol") =!= col(s"r_$hashCol"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(key) +: col("status") +:
+        carry.map(c => coalesce(col(s"r_$c"), col(s"l_$c")).as(c)): _*)
+  }
+
+  /** q82: snapshot diff over a deterministically-derived v2 of the
+    * documents fixture — `doc_id % 17 = 3` removed, `% 13 = 2` edited
+    * (suffix appended), and a shifted-id copy of `% 19 = 7` added
+    * (the q74 plant-your-own-fixture pattern, mirrored in the oracle).
+    * Row-level exact over the (id, status, lang) drift set. */
+  def q82SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val base = Tables.documents(spark, dir)
+    val v2 = base.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("lang"),
+        md5(when(col("doc_id") % 13 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h"))
+      .union(base.filter(col("doc_id") % 19 === 7)
+        .select(col("doc_id") + 1000000L, col("lang"), md5(col("text"))))
+    snapshotDiff(v1, v2, "doc_id", "h", Seq("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q82SnapshotDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, lang,
+      |    md5(CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 17 != 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, md5(text) FROM documents WHERE doc_id % 19 = 7)
+      |SELECT coalesce(v2.doc_id, v1.doc_id) AS doc_id,
+      |  CASE WHEN v1.h IS NULL THEN 'added'
+      |       WHEN v2.h IS NULL THEN 'removed'
+      |       WHEN v1.h != v2.h THEN 'changed' END AS status,
+      |  coalesce(v2.lang, v1.lang) AS lang
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |WHERE (CASE WHEN v1.h IS NULL THEN 'added'
+      |            WHEN v2.h IS NULL THEN 'removed'
+      |            WHEN v1.h != v2.h THEN 'changed' END) IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
 }

@@ -255,4 +255,17 @@ class MergePropsSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    import graft.operators.MergeQueries
+    val v1 = Seq((1L, "en", "ha"), (2L, "de", "hb"), (3L, "fr", "hc"))
+      .toDF("doc_id", "lang", "h")
+    val v2 = Seq((2L, "de", "hb2"), (3L, "fr", "hc"), (4L, "es", "hd"))
+      .toDF("doc_id", "lang", "h")
+    val out = MergeQueries.snapshotDiff(v1, v2, "doc_id", "h", Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1L, "removed", "en"), (2L, "changed", "de"),
+      (4L, "added", "es")))
+  }
 }
