@@ -340,4 +340,43 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("the corpus report reads the corpus ONCE: one scan, Expand, one agg shuffle (q77)") {
+    val p = plan(operators.CorpusReport.corpusReport(
+      Tables.documents(spark, sf), "text", Seq("lang", "source")))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the whole dashboard must come from a single corpus scan:\n$p")
+    assert(p.contains("Expand"),
+      s"grouping sets must expand rows, not re-scan per set:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one aggregation shuffle for all grouping sets:\n$p")
+  }
+
+  test("shuffle-sharding is one exchange; token-budget selection one window shuffle (q78/q81)") {
+    val docs = Tables.documents(spark, sf)
+    val sh = plan(operators.Sharding.shuffleShards(docs.select(col("doc_id")),
+      "doc_id", 8, "s"))
+    assert("Exchange hashpartitioning".r.findAllIn(sh).length == 1,
+      s"shard assignment + rank must share the one shard shuffle:\n$sh")
+    val tb = plan(operators.TrainingData.takeTokenBudget(docs, "doc_id", "lang",
+      graft.functions.TextFunctions.tokenCount(col("text")), 2000L, 4, "s"))
+    assert("Exchange hashpartitioning".r.findAllIn(tb).length == 1,
+      s"budget selection is one window shuffle on (stratum, shard):\n$tb")
+  }
+
+  test("span dedup never goes quadratic: no cartesian, no nested-loop join (q79)") {
+    val p = plan(operators.TextQueries.q79SpanDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span masking must stay on hash joins over gram keys:\n$p")
+  }
+
+  test("snapshot diff is one key join carrying hashes, not payloads (q82)") {
+    import spark.implicits._
+    val v1 = (1L to 500L).map(i => (i, s"l$i", s"h$i")).toDF("doc_id", "lang", "h")
+    val v2 = (3L to 502L).map(i => (i, s"l$i", s"h${i * 7}")).toDF("doc_id", "lang", "h")
+    val p = plan(operators.MergeQueries.snapshotDiff(v1, v2, "doc_id", "h", Seq("lang")))
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"diff must be a single full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the diff:\n$p")
+  }
 }
