@@ -151,6 +151,66 @@ object MergeQueries {
       Seq("doc_id"), nBuckets)
   }
 
+  /** [[dedupIngest]] against the COMPOSED partitioned+bucketed index
+    * ([[MergeSink.mergeIntoPartitionedBucketed]]): the anti-join probe
+    * prunes to the batch's `pd=` directories (a hash's directory is
+    * deterministic — re-delivered keys can only collide there, the q73
+    * argument) AND reads them bucketed on the key, so the probe and the
+    * merge both run with no exchange on the index side while touching
+    * only the directories the day's hashes land in. */
+  def dedupIngestPartBucketed(spark: SparkSession, table: String,
+                              batch: DataFrame, nParts: Int,
+                              nBuckets: Int): MergeSink.MergeStats = {
+    val uniq = batch.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(true) // probed for dirs, then anti-joined
+    val fresh =
+      if (spark.catalog.tableExists(table)) {
+        val touched = uniq
+          .select(pmod(xxhash64(col("content_hash")), lit(nParts.toLong)).as("pd"))
+          .distinct().collect().map(_.getLong(0)) // ≤ nParts — driver-safe
+        uniq.join(
+          spark.table(table)
+            .filter(col("pd").isin(touched.map(java.lang.Long.valueOf): _*))
+            .select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+      } else uniq
+    MergeSink.mergeIntoPartitionedBucketed(spark, table, fresh,
+      "content_hash", Seq("doc_id"), nParts, nBuckets)
+  }
+
+  /** q83: the q65 day-split + re-delivery harness through the COMPOSED
+    * partitioned+bucketed layout — the fourth physical form under the
+    * driver's gate (pruned directory IO AND exchange-free index joins
+    * at once). Same oracle as q65/q73: the final index must equal batch
+    * dedup of the whole corpus row-for-row. */
+  def q83IncrDedupPartBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_q83_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      // day 2 re-delivers every 5th document — q65's harness verbatim
+      Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+        .foreach(day => dedupIngestPartBucketed(spark, table, day,
+          nParts = 4, nBuckets = 8))
+      spark.table(table)
+        .select(col("content_hash"), col("doc_id").as("survivor_id"))
+        .orderBy(col("content_hash"))
+        .localCheckpoint(true) // materialize before the table is dropped
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  // def, not val: q65IncrDedupSql is declared below (object vals
+  // initialize in order — a val here would capture null)
+  def q83IncrDedupPartBucketedSql: String = q65IncrDedupSql
+
   def q65IncrDedup(spark: SparkSession, dir: String): DataFrame = {
     // unique catalog table per run (the bucketed layout lives in the
     // catalog, not a temp dir); dropped in the finally

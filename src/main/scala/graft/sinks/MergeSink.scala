@@ -315,6 +315,60 @@ object MergeSink {
     statsOf(obs)
   }
 
+  /** The COMPOSED layout — partitioned by a coarse hash-directory key
+    * AND bucketed by the merge key within each directory: the fourth
+    * quadrant of SCALE.md's merge-layout table, taking the bounded IO
+    * of [[mergeIntoPartitioned]] (only touched `pd=` directories are
+    * read and rewritten) AND the exchange-free target join of
+    * [[mergeIntoBucketed]] (a bucketed scan reports HashPartitioning on
+    * the key regardless of which directories it pruned to, because each
+    * bucket id spans every directory). Per-merge cost at 100 TB:
+    * touched-directory scan (partition pruning) + the update set's
+    * shuffle + touched-directory bucketed rewrite via dynamic partition
+    * overwrite (Spark stages replacement directories and commits
+    * per-partition — untouched directories are never listed, read, or
+    * written). */
+  def mergeIntoPartitionedBucketed(spark: SparkSession, table: String,
+                                   updates: DataFrame, key: String,
+                                   fields: Seq[String], nParts: Int,
+                                   nBuckets: Int,
+                                   orderCol: Option[String] = None,
+                                   updatedAtCol: String = "updatedAt"): MergeStats = {
+    require(nParts >= 1 && nBuckets >= 1, s"nParts=$nParts nBuckets=$nBuckets")
+    def pd(c: Column): Column = pmod(xxhash64(c), lit(nParts.toLong))
+    val unique = collapseUpdates(updates.filter(col(key).isNotNull), key,
+      fields, orderCol).localCheckpoint(true) // probed for dirs, then merged
+    if (!spark.catalog.tableExists(table)) {
+      val (merged, obs) = mergePlanObserved(
+        emptyTarget(spark, unique, key, fields, updatedAtCol),
+        unique, key, fields, updatedAtCol)
+      merged.withColumn("pd", pd(col(key)))
+        .write.format("parquet").partitionBy("pd")
+        .bucketBy(nBuckets, key).sortBy(key).saveAsTable(table)
+      return statsOf(obs)
+    }
+    val touched = unique.select(pd(col(key)).as("pd")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nParts values — driver-safe
+    val target = spark.table(table)
+      .filter(col("pd").isin(touched.map(java.lang.Long.valueOf): _*))
+      .drop("pd") // recomputed from the key on write
+    val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
+    // dynamic overwrite replaces exactly the touched directories and
+    // keeps the table's bucket spec; scope the session-global mode and
+    // restore it (the q59-advice discipline on global mutation)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try
+      merged.withColumn("pd", pd(col(key)))
+        .write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    statsOf(obs)
+  }
+
   /** Catalog-table counterpart of [[atomicSwap]]: rename the live table
     * aside, move the replacement into place, drop the backup — and if the
     * FORWARD rename fails after the target was moved aside (the window

@@ -279,6 +279,59 @@ class MergeSinkSpec extends SparkSpec {
     }
   }
 
+  test("composed partitioned+bucketed merge: parity with full rewrite, untouched dirs intact") {
+    val t = "graft_merge_pb_parity"
+    val dirF = Files.createTempDirectory("graft_merge_pb_full").toString + "/idx"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      val r1 = df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0), ("c", 5.0, 6.0)))
+      val r2 = df(Seq(("a", null, 9.0), ("d", 7.0, 8.0)))
+      val sP1 = MergeSink.mergeIntoPartitionedBucketed(spark, t, r1, "k", fields, 4, 8)
+      val sF1 = MergeSink.mergeInto(spark, dirF, r1, "k", fields)
+      val sP2 = MergeSink.mergeIntoPartitionedBucketed(spark, t, r2, "k", fields, 4, 8)
+      val sF2 = MergeSink.mergeInto(spark, dirF, r2, "k", fields)
+      assert(sP1 == sF1 && sP2 == sF2, s"stats must agree: $sP1/$sF1, $sP2/$sF2")
+      val pb = spark.table(t).select(col("k"), col("f1"), col("f2"))
+        .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+      val full = spark.read.parquet(dirF).select(col("k"), col("f1"), col("f2"))
+        .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+      assert(pb == full, "the composed layout must hold the same merged rows")
+      // untouched pd directories must not be rewritten by a one-key merge
+      val loc = spark.sql(s"DESC FORMATTED $t").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+        fs.listStatus(root).filter(_.getPath.getName.startsWith("pd=")).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath).toSeq.map(f =>
+            (f.getPath.getName, f.getLen, f.getModificationTime))
+        }.toMap
+      // seed more keys so several pd dirs exist
+      MergeSink.mergeIntoPartitionedBucketed(spark, t,
+        df((1 to 32).map(i => (s"k$i",
+          java.lang.Double.valueOf(i.toDouble), java.lang.Double.valueOf(0.0)))),
+        "k", fields, 4, 8)
+      val before = snapshot()
+      assert(before.size == 4, s"seed should populate all 4 dirs: ${before.keySet}")
+      MergeSink.mergeIntoPartitionedBucketed(spark, t,
+        df(Seq(("k1", 99.0, 99.0))), "k", fields, 4, 8)
+      val after = snapshot()
+      val changed = before.keySet.filter(d => before(d) != after(d))
+      val touched = spark.range(1)
+        .select(pmod(xxhash64(lit("k1")), lit(4L))).head().getLong(0)
+      assert(changed == Set(s"pd=$touched"),
+        s"only k1's directory may be rewritten; changed=$changed expected=pd=$touched")
+      // bucket spec survives the dynamic-overwrite inserts
+      val desc = spark.sql(s"DESC FORMATTED $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("Num Buckets").contains("8"), s"bucket spec lost: $desc")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(dirF)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p.getParent, true)
+    }
+  }
+
   test("empty updates: merge into existing target is a no-op with zero counts") {
     val dir = Files.createTempDirectory("graft_merge_empty").toString
     val targetPath = s"$dir/collection"

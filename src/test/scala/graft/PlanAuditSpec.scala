@@ -341,6 +341,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("composed layout: probe prunes directories AND joins without index exchange (q83)") {
+    import spark.implicits._
+    val t = "graft_plan_audit_pb_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      operators.MergeQueries.dedupIngestPartBucketed(spark, t,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "content_hash"),
+        nParts = 4, nBuckets = 8)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        val batch = Seq((4L, "a"), (5L, "d")).toDF("doc_id", "content_hash")
+          .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+        val df = batch.join(
+          spark.table(t)
+            .filter(col("pd").isin(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(2L)))
+            .select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+        val p = plan(df)
+        assert(p.contains("PartitionFilters: [") && p.contains("pd"),
+          s"probe must prune pd directories at the scan:\n$p")
+        assert(p.contains("Bucketed: true"),
+          s"pruned scan must stay bucket-aware:\n$p")
+        // both exchanges belong to the batch side (groupBy, then the
+        // re-bucket); the pruned index subtree reads pre-partitioned
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(exchanges <= 2, s"the index side must not shuffle:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("the corpus report reads the corpus ONCE: one scan, Expand, one agg shuffle (q77)") {
     val p = plan(operators.CorpusReport.corpusReport(
       Tables.documents(spark, sf), "text", Seq("lang", "source")))
