@@ -1,0 +1,135 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.functions.TextFunctions
+import graft.obs.StageMetrics
+import graft.operators.{CorpusReport, Dedup, Sharding, TextQueries, TrainingData}
+
+/** CLI: the end-to-end corpus CURATION run — the pipeline a
+  * training-data user actually schedules nightly, assembled from the
+  * individually-gated operators (each stage's semantics is proven by
+  * its own oracle row; the composition shape by q54/q56/q76):
+  *
+  *   documents → corpus report (q77) → repetition filter (q75) →
+  *   quality + length filter (q16/q61) → PII redaction (q74) →
+  *   exact dedup (q15) → near-dup cluster survivors (q21+q52) →
+  *   mixture sample (q44) → global shuffle-shard (q78) →
+  *   packed export (q58)
+  *
+  * Writes under `<out>/`: `report/` (the one-scan quality dashboard),
+  * `funnel/` (per-stage counts — the run's audit row), `shards/` (the
+  * shuffled corpus layout a loader streams), `packs/` (the
+  * token-budget pack segments). Every decision is deterministic
+  * (seeded hashes), so a re-run reproduces the same outputs —
+  * the property that makes the nightly run idempotent.
+  *
+  * Scale shape: one corpus scan for the report; the filter chain is a
+  * narrow map fused into the dedup scan; near-dup runs AFTER exact
+  * dedup on the smallest frame (SCALE.md q56 note); the stage boundary
+  * before the pair emitter is localCheckpointed once (at 100 TB: a
+  * parquet staging write). Reference analog: the reference's whole CLI
+  * surface is generate+update (setup.py:16-19); this is the third job
+  * a corpus engine owes its user.
+  *
+  * Usage: CurateJob <docsParquetDirOrFixtureDir> <outDir>
+  */
+object CurateJob {
+
+  final case class CurateSummary(nDocs: Long, nClean: Long, nQuality: Long,
+                                 nUnique: Long, nNeardup: Long, nSampled: Long,
+                                 nShards: Long, nSegments: Long)
+
+  private val MaxDupWord = 0.6
+  private val MinQuality = 0.45
+  private val MinTokens = 10
+  private val MixRates = Map("en" -> 0.9, "de" -> 0.8, "es" -> 0.8,
+    "fr" -> 0.8, "zh" -> 0.7, "und" -> 0.5)
+  private val Seed = "curate"
+  private val PackBudget = 512
+  private val Shards = 8
+
+  def run(spark: SparkSession, docsPath: String, outDir: String): CurateSummary = {
+    val path = if (new java.io.File(s"$docsPath/documents.parquet").exists())
+      s"$docsPath/documents.parquet" else docsPath
+    val docs = spark.read.parquet(path)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+
+    // one-scan dashboard over the INPUT corpus — the run's before picture
+    CorpusReport.corpusReport(docs, "text", Seq("lang", "source"))
+      .write.mode("overwrite").parquet(s"$outDir/report")
+
+    // repetition + quality + length filters, then PII redaction — all
+    // narrow maps; the repetition metrics join back on doc_id so the
+    // expensive bigram scan runs once (q76's composition)
+    val rep = TextQueries.repetitionStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("dup_word_frac"))
+    val clean = docs.join(rep, Seq("doc_id"))
+      .filter(col("dup_word_frac").isNull || col("dup_word_frac") <= MaxDupWord)
+    val quality = clean
+      .filter(TextFunctions.qualityScore(col("text")) >= MinQuality &&
+        TextFunctions.tokenCount(col("text")) >= MinTokens)
+    val redacted = TextQueries.redactPii(quality, "text")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("redacted").as("text"))
+
+    // exact dedup survivors carry their text into the near-dup stage;
+    // the boundary is materialized once — every stage below reads it
+    val uniq = redacted
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash"))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn", "content_hash")
+      .localCheckpoint(true)
+
+    // near-dup cluster survivors (q56's anti-join-by-cluster semantic)
+    val pairs = Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3)
+    val comps = Dedup.connectedComponents(pairs)
+    val nonSurvivors = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val surv = uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .localCheckpoint(true)
+
+    val sampled = TrainingData.mixtureSample(
+      surv.select(col("doc_id"), col("lang"), col("n_tokens")),
+      "doc_id", "lang", MixRates, Seed)
+
+    // physical outputs: the shuffled shard layout + the pack segments
+    Sharding.exportShards(sampled.select(col("doc_id")), "doc_id",
+      Shards, Seed, s"$outDir/shards")
+    val packs = TrainingData.exportPacks(
+      sampled.select(col("doc_id"), col("lang"), col("n_tokens")),
+      "lang", "doc_id", col("n_tokens"), PackBudget, shards = 4, Seed,
+      s"$outDir/packs")
+
+    val summary = CurateSummary(
+      nDocs = docs.count(), nClean = clean.count(), nQuality = quality.count(),
+      nUnique = uniq.count(), nNeardup = surv.count(), nSampled = sampled.count(),
+      nShards = Shards.toLong, nSegments = packs.count())
+    import spark.implicits._
+    Seq((summary.nDocs, summary.nClean, summary.nQuality, summary.nUnique,
+        summary.nNeardup, summary.nSampled, summary.nShards, summary.nSegments))
+      .toDF("n_docs", "n_clean", "n_quality", "n_unique", "n_neardup",
+        "n_sampled", "n_shards", "n_segments")
+      .write.mode("overwrite").parquet(s"$outDir/funnel")
+    summary
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurateJob <docsPath> <outDir>")
+    val spark = GraftSession.getOrCreate()
+    val (s, stages) = StageMetrics.withStageMetrics(spark) {
+      run(spark, args(0), args(1))
+    }
+    stages.foreach(e => println(e.toJson))
+    println(s"""{"stage":"curate","status":"success","n_docs":${s.nDocs},""" +
+      s""""n_clean":${s.nClean},"n_quality":${s.nQuality},"n_unique":${s.nUnique},""" +
+      s""""n_neardup":${s.nNeardup},"n_sampled":${s.nSampled},""" +
+      s""""n_shards":${s.nShards},"n_segments":${s.nSegments}}""")
+    spark.stop()
+  }
+}

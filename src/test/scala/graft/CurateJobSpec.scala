@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.jobs.CurateJob
+
+class CurateJobSpec extends SparkSpec {
+
+  test("curate run: monotone funnel, deterministic re-run, real outputs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_")
+    try {
+      val s = CurateJob.run(spark, sf, s"$base/out")
+      // the funnel only ever narrows
+      assert(s.nDocs >= s.nClean && s.nClean >= s.nQuality &&
+        s.nQuality >= s.nUnique && s.nUnique >= s.nNeardup &&
+        s.nNeardup >= s.nSampled, s"funnel must be monotone: $s")
+      assert(s.nSampled > 0, s"pipeline must keep something: $s")
+      assert(s.nSegments > 0, s"packs must materialize: $s")
+      // physical outputs exist and agree with the summary
+      val shards = spark.read.parquet(s"$base/out/shards")
+      assert(shards.count() == s.nSampled)
+      assert(shards.select("shard").distinct().count() <= s.nShards)
+      val report = spark.read.parquet(s"$base/out/report")
+      assert(report.filter(col("gid") === 3).head().getAs[Long]("n_docs") == s.nDocs)
+      val funnel = spark.read.parquet(s"$base/out/funnel").head()
+      assert(funnel.getAs[Long]("n_sampled") == s.nSampled)
+      // determinism: a re-run reproduces the same counts
+      val s2 = CurateJob.run(spark, sf, s"$base/out2")
+      assert(s2 == s, s"re-run must reproduce: $s vs $s2")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+}
