@@ -767,6 +767,69 @@ object TrainingData {
        |  TRUE AS tiling_ok, TRUE AS roundtrip_ok
        |FROM segrows""".stripMargin
 
+  // q84 chunk-then-pack parameters: non-overlapping chunks (an
+  // overlapped chunk would train its overlap twice — chunking for
+  // PACKING is stride = size, unlike q67's retrieval windows), budget
+  // sized to force straddle splits at the fixture's chunk lengths.
+  private val CpChunk = 32
+  private val CpBudget = 100
+  private val CpShards = 4
+  private val CpSeed = "cpack"
+
+  /** q84: the LONG-document path a packer actually runs — chunk first
+    * ([[TextQueries.chunkDocuments]], stride = size), then pack the
+    * CHUNKS ([[packSegments]] over (cid, n_chunk_tokens)). Composing
+    * the two gated operators changes the packing unit from documents to
+    * chunks: retrieval/attention-window limits bound each item BEFORE
+    * the token ledger runs, so no single document can own a pack run
+    * longer than chunkSize. The synthetic `cid = doc_id·10⁴ + chunk_id`
+    * keeps the ledger ordered by (doc, chunk) within a stream — chunks
+    * of one document stay adjacent (the property that lets a loader
+    * reassemble windows) while the hash shard still balances streams.
+    * Still exactly one shuffle: the chunk explode is narrow, the pack
+    * window is [[packAssignments]]'s one exchange. Row-level exact:
+    * every chunk boundary, straddle split, and pack offset. */
+  def q84ChunkPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = TextQueries.chunkDocuments(docs, "doc_id", "text", CpChunk, 0)
+    val withLang = chunks
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .withColumn("cid", col("id") * 10000L + col("chunk_id"))
+    packSegments(withLang, "lang", "cid", col("n_chunk_tokens"),
+        CpBudget, CpShards, CpSeed)
+      .select(col("lang"), col("shard"), col("pack_id"),
+        expr("cid div 10000").as("doc_id"),
+        pmod(col("cid"), lit(10000L)).as("chunk_id"),
+        col("seg_start"), col("seg_end"), col("pack_off"))
+      .orderBy(col("lang"), col("shard"), col("pack_id"), col("doc_id"),
+        col("chunk_id"))
+  }
+
+  val q84ChunkPackSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, ${TextQueries.tokSqlExpr} AS t FROM documents),
+       |n AS (SELECT doc_id, lang, t, len(t) AS L,
+       |      greatest(1, (len(t) + ${CpChunk - 1}) // $CpChunk) AS nc
+       |      FROM t WHERE len(t) > 0),
+       |c AS (SELECT doc_id, lang, unnest(range(nc))::BIGINT AS chunk_id, t, L FROM n),
+       |ch AS (SELECT doc_id, lang, chunk_id, doc_id * 10000 + chunk_id AS cid,
+       |  len(t[chunk_id * $CpChunk + 1 : least(chunk_id * $CpChunk + $CpChunk, L)])::BIGINT AS tokens
+       |  FROM c),
+       |toks AS (SELECT *,
+       |  ('0x' || substring(md5('$CpSeed:' || cid), 1, 8))::BIGINT % $CpShards AS shard
+       |  FROM ch WHERE tokens > 0),
+       |offs AS (SELECT *, (sum(tokens) OVER (PARTITION BY lang, shard ORDER BY cid
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)::BIGINT AS start_off
+       |  FROM toks),
+       |segs AS (SELECT *, unnest(generate_series(start_off // $CpBudget,
+       |  (start_off + tokens - 1) // $CpBudget))::BIGINT AS pack_id
+       |  FROM offs)
+       |SELECT lang, shard, pack_id, doc_id, chunk_id,
+       |  (greatest(pack_id * $CpBudget, start_off) - start_off)::BIGINT AS seg_start,
+       |  (least((pack_id + 1) * $CpBudget, start_off + tokens) - start_off)::BIGINT AS seg_end,
+       |  (greatest(pack_id * $CpBudget, start_off) - pack_id * $CpBudget)::BIGINT AS pack_off
+       |FROM segs
+       |ORDER BY lang, shard, pack_id, doc_id, chunk_id""".stripMargin
+
   /** q62's epoch-weight line: >1 upsamples, =1 passes through, <1
     * samples down, absent strata drop. */
   val UpRates: Seq[(String, Double)] = Seq(

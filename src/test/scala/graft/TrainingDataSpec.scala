@@ -405,4 +405,29 @@ class TrainingDataSpec extends SparkSpec {
     // every kept doc STARTS under the per-shard budget; totals may cross it
     out.foreach(r => assert(r.getLong(4) - r.getLong(3) < perShard))
   }
+
+  test("chunk-then-pack: segments tile chunks, straddles split, no over-wide items") {
+    import org.apache.spark.sql.functions._
+    val rows = TrainingData.q84ChunkPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // no single segment can exceed the chunk width (the property chunking buys)
+    rows.foreach { r =>
+      val len = r.getAs[Long]("seg_end") - r.getAs[Long]("seg_start")
+      assert(len >= 1 && len <= 32, s"segment wider than a chunk: $r")
+    }
+    // straddle splits must actually occur at this budget (non-vacuity)
+    val multi = rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "budget must split some chunk across packs")
+    // a split chunk's segments tile its token range exactly
+    multi.foreach { case (k, segs) =>
+      val sorted = segs.sortBy(_.getAs[Long]("seg_start"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("seg_end") == b.getAs[Long]("seg_start"),
+          s"gap/overlap in $k")
+      case _ => ()
+      }
+      assert(sorted.head.getAs[Long]("seg_start") == 0L)
+    }
+  }
 }
