@@ -92,11 +92,150 @@ object CorpusReport {
       .drop("quality_fp", "dup_fp", "n_dup")
   }
 
+  /** Per-batch MERGEABLE report state: the subset of the q77 metrics
+    * that is algebraic (sums, counts, min/max, fixed-point quality
+    * sums) — the nightly-rollup form of the dashboard. Percentiles are
+    * deliberately absent: exact percentiles are not mergeable state;
+    * the incremental path for them is a sketch (q61's
+    * percentile_approx), not this ledger. */
+  private def batchState(docs: DataFrame, textCol: String,
+                         strata: Seq[String]): DataFrame = {
+    val text = col(textCol)
+    val staged = docs.select(
+      strata.map(col) ++ Seq(
+        tokens(text).as("toks"),
+        alphaRatio(text).as("alpha_raw"),
+        punctRatio(text).as("punct_raw")): _*)
+    val perRow = staged.select(
+      strata.map(col) ++ Seq(
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(filter(col("toks"), t => t.isInCollection(stopwords)))
+            .cast("double") / size(col("toks"))).as("stop_raw"),
+        col("alpha_raw"), col("punct_raw")): _*)
+      .withColumn("quality", round(
+        lit(0.25) * col("alpha_raw") +
+        lit(0.25) * col("stop_raw") +
+        lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+        lit(0.25) * (lit(1.0) - col("punct_raw")), 4))
+    perRow.groupBy(strata.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(round(col("quality") * 10000).cast("long")).as("quality_fp"),
+        sum(when(col("n_tokens") < 50, 1L).otherwise(0L)).as("n_short"))
+  }
+
+  /** INCREMENTAL report ingest — aggregate state under at-least-once
+    * delivery. The snapshot holds one mergeable state row per stratum;
+    * each batch folds in additively (sums add, mins min, maxes max).
+    * Additive state is NOT naturally idempotent — a replayed batch
+    * would double-count, the exact failure q65's anti-join is immune
+    * to — so idempotence is restored by a BATCH LEDGER (the q46
+    * replay-safe batchId discipline): an already-ingested `batchId`
+    * is a no-op. At 100 TB the per-batch cost is the batch's own
+    * aggregation plus a merge over |strata| rows — the snapshot never
+    * re-scans the corpus, which is the entire point of keeping report
+    * state. Swap is the sinks' two-rename rollback. */
+  def reportIngest(spark: SparkSession, path: String, batch: DataFrame,
+                   batchId: String, textCol: String,
+                   strata: Seq[String]): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(root, "_batches")
+    val state = new Path(root, "state")
+    val seen = fs.exists(ledger) &&
+      spark.read.parquet(ledger.toString)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) return false
+    val bs = batchState(batch, textCol, strata)
+    val merged =
+      if (fs.exists(state))
+        spark.read.parquet(state.toString).unionByName(bs)
+          .groupBy(strata.map(col): _*)
+          .agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("total_tokens")).as("total_tokens"),
+            min(col("min_tokens")).as("min_tokens"),
+            max(col("max_tokens")).as("max_tokens"),
+            sum(col("quality_fp")).as("quality_fp"),
+            sum(col("n_short")).as("n_short"))
+      else bs
+    val tmp = new Path(path + ".__report_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__report_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(ledger.toString)
+    true
+  }
+
   /** q77: the dashboard over `documents`, strata (lang, source). */
   def q77CorpusReport(spark: SparkSession, dir: String): DataFrame =
     corpusReport(Tables.documents(spark, dir), "text", Seq("lang", "source"))
       .orderBy(col("gid"), col("lang").asc_nulls_first,
         col("source").asc_nulls_first)
+
+  /** q85: the incremental report under the q65 day-split harness PLUS a
+    * whole-batch replay (day 2 ingested twice under the same batchId —
+    * the ledger must no-op it; without the ledger the additive state
+    * would double-count, which is exactly what the gate would catch).
+    * Final state row-level equal to one batch aggregation of the whole
+    * corpus. */
+  def q85ReportIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q85_")
+    try {
+      val path = s"$base/report_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val day1 = docs.filter(col("doc_id") <= cut)
+      val day2 = docs.filter(col("doc_id") > cut)
+      require(reportIngest(spark, path, day1, "day1", "text", Seq("lang", "source")))
+      require(reportIngest(spark, path, day2, "day2", "text", Seq("lang", "source")))
+      // whole-batch replay: at-least-once upstream delivers day2 again
+      require(!reportIngest(spark, path, day2, "day2", "text", Seq("lang", "source")),
+        "replayed batch must be a ledger no-op")
+      spark.read.parquet(s"$path/state")
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          col("min_tokens"), col("max_tokens"),
+          (expr("(2 * quality_fp + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
+            .as("avg_quality"),
+          round(col("n_short").cast("double") / col("n_docs"), 4).as("short_frac"))
+        .orderBy(col("lang"), col("source"))
+        .localCheckpoint(true) // materialize before the state dir is deleted
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q85ReportIngestSql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT lang, source, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT lang, source,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |q AS (SELECT lang, source, n_tokens,
+       |  round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) AS quality FROM r)
+       |SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       |  ((2 * sum(CAST(round(quality * 10000) AS BIGINT)) + count(*)) // (2 * count(*)))::double / 10000.0 AS avg_quality,
+       |  round(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END)::double / count(*), 4) AS short_frac
+       |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
 
   val q77CorpusReportSql: String = {
     val stops = stopwords.map(s => s"'$s'").mkString(", ")

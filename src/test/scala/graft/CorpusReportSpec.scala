@@ -36,6 +36,43 @@ class CorpusReportSpec extends SparkSpec {
     }
   }
 
+  test("report ingest: batch order never changes the state; replays no-op") {
+    val docs = Tables.documents(spark, sf)
+    def ingest(dir: String, order: Seq[Int]): Array[org.apache.spark.sql.Row] = {
+      order.foreach { b =>
+        assert(CorpusReport.reportIngest(spark, dir,
+          docs.filter(col("doc_id") % 3 === b), s"b$b", "text", Seq("lang", "source")))
+      }
+      // replay one batch: must be refused by the ledger
+      assert(!CorpusReport.reportIngest(spark, dir,
+        docs.filter(col("doc_id") % 3 === order.head), s"b${order.head}",
+        "text", Seq("lang", "source")))
+      spark.read.parquet(s"$dir/state").orderBy("lang", "source").collect()
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_report_ingest_")
+    try {
+      val a = ingest(s"$base/a", Seq(0, 1, 2))
+      val b = ingest(s"$base/b", Seq(2, 0, 1))
+      assert(a.sameElements(b), "aggregate state must be arrival-order independent")
+      // and equal to the single-batch aggregation
+      val whole = java.nio.file.Files.createTempDirectory("graft_report_whole_")
+      try {
+        assert(CorpusReport.reportIngest(spark, s"$whole/w", docs, "all",
+          "text", Seq("lang", "source")))
+        val w = spark.read.parquet(s"$whole/w/state").orderBy("lang", "source").collect()
+        assert(a.sameElements(w), "incremental must equal batch aggregation")
+      } finally {
+        val fs = new org.apache.hadoop.fs.Path(whole.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(whole.toString), true)
+      }
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
   test("hand-computed rollup on a tiny frame") {
     val docs = Seq(
       ("en", "web", "the cat sat on the mat"),         // 6 toks, dup 'the'
