@@ -830,6 +830,38 @@ object TrainingData {
        |FROM segs
        |ORDER BY lang, shard, pack_id, doc_id, chunk_id""".stripMargin
 
+  private val BackfillShard = 2L
+
+  /** q86: ONE-STREAM BACKFILL — the recovery property several scale
+    * arguments here lean on ("a backfill of one shard deals the same
+    * cards"), now gated instead of asserted. A (stratum, shard) pack
+    * stream depends only on its own documents: shard membership is a
+    * pure function of the id hash, and the token ledger never reads
+    * across streams. So a backfill recomputes ONE stream from only that
+    * stream's documents — this gate runs [[packSegments]] over the
+    * corpus PRE-FILTERED to shard 2's docs and emits the result, while
+    * the oracle recomputes the FULL ledger and filters to shard 2: the
+    * two agree row-for-row iff streams are truly independent (any
+    * cross-stream leakage in the window, shard, or offset arithmetic
+    * would shift every offset in the backfilled stream). At 100 TB this
+    * is the difference between re-running one task's worth of work and
+    * re-running the corpus. */
+  def q86StreamBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(hashBucket(col("doc_id"), PackSeed) % PackShards === BackfillShard)
+    packSegments(docs, "lang", "doc_id", TextFunctions.tokenCount(col("text")),
+        PackBudget, PackShards, PackSeed)
+      .select(col("lang"), col("shard"), col("pack_id"), col("doc_id"),
+        col("seg_start"), col("seg_end"), col("pack_off"))
+      .orderBy(col("lang"), col("pack_id"), col("doc_id"))
+  }
+
+  val q86StreamBackfillSql: String =
+    s"""WITH $packSegCtes
+       |SELECT lang, shard, pack_id, doc_id, seg_start, seg_end, pack_off
+       |FROM segrows WHERE shard = $BackfillShard
+       |ORDER BY lang, pack_id, doc_id""".stripMargin
+
   /** q62's epoch-weight line: >1 upsamples, =1 passes through, <1
     * samples down, absent strata drop. */
   val UpRates: Seq[(String, Double)] = Seq(

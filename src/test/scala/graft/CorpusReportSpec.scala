@@ -6,9 +6,13 @@ import graft.operators.CorpusReport
 class CorpusReportSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val report =
-    CorpusReport.corpusReport(
-      Tables.documents(spark, sf), "text", Seq("lang", "source")).cache()
+  // no .cache(): suites share the session, and DedupSpec asserts the
+  // cache manager is EMPTY after its operators run — a cached frame
+  // here would leak into that audit (and into q77's plan audit, where
+  // the cache manager substitutes the InMemoryRelation)
+  private lazy val report = CorpusReport.corpusReport(
+    Tables.documents(spark, sf), "text", Seq("lang", "source"))
+    .localCheckpoint(true)
 
   test("grand-total row matches corpus size and the grouping sets are consistent") {
     val total = Tables.documents(spark, sf).count()
