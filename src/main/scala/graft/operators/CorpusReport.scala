@@ -237,6 +237,52 @@ object CorpusReport {
        |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
+  /** q87: the report ledger driven by a REAL file stream
+    * ([[graft.streaming.StreamingReport]], one micro-batch per landed
+    * day file, Trigger.AvailableNow) — q85's state fold behind
+    * Structured Streaming's delivery. The harness lands two disjoint
+    * day files (additive state's input contract: no upstream row
+    * duplicates — the q85 scaladoc's honest caveat; sink-side batch
+    * replays ARE absorbed by the batchId ledger). Final state must
+    * equal one batch aggregation of the whole corpus — q85's oracle. */
+  def q87StreamReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q87_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/report_state"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      Seq(docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingReport.start(spark, srcDir, statePath,
+        s"$base/ckpt", Seq("lang", "source"), trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      spark.read.parquet(s"$statePath/state")
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          col("min_tokens"), col("max_tokens"),
+          (expr("(2 * quality_fp + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
+            .as("avg_quality"),
+          round(col("n_short").cast("double") / col("n_docs"), 4).as("short_frac"))
+        .orderBy(col("lang"), col("source"))
+        .localCheckpoint(true) // materialize before the state dir is deleted
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  def q87StreamReportSql: String = q85ReportIngestSql
+
   val q77CorpusReportSql: String = {
     val stops = stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (SELECT lang, source, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
