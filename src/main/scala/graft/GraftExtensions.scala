@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotProduct, SimhashWord, SortedIntersectSize, WinnowMd5, WinnowRk}
+import graft.expressions.{DotProduct, NfcNormalize, SimhashWord, SortedIntersectSize, WinnowMd5, WinnowRk}
 
 /** Session extensions (the public Catalyst plug-in point): registers the
   * engine's native expressions as SQL functions so `spark.sql("SELECT
@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "graft_winnow_md5(lower(text), k, w)")
         val lit = intLit("graft_winnow_md5") _
         WinnowMd5(args(0), lit(args(1), "k"), lit(args(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "graft_nfc(text)")
+        NfcNormalize(args(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_word"),

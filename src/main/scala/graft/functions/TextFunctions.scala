@@ -164,6 +164,30 @@ object TextFunctions {
       ColumnBridge.expression(text), k, w))
   }
 
+  /** Unicode NFC canonical composition (native codegen expression
+    * [[graft.expressions.NfcNormalize]]; DuckDB mirror: `nfc_normalize`).
+    * Folds composed/decomposed spellings to one representation so exact
+    * dedup, fingerprints, and shingles agree on identity. */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NfcNormalize(
+      ColumnBridge.expression(text)))
+  }
+
+  /** Control characters stripped by [[normalizeText]] — written in the
+    * Java∩RE2 dialect (the q74 discipline) so the oracle is exact.
+    * Includes \\x0B deliberately: Java's `\\s` matches it but RE2's does
+    * not, so it must be GONE before the whitespace collapse for the two
+    * engines to agree. */
+  val controlClass: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** C4/Dolma-style text normalization: NFC composition → control-char
+    * strip → whitespace-run collapse → trim. A stateless narrow map
+    * (codegen'd end to end) — fuses into the scan at any corpus size. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNormalize(text), controlClass, ""), "\\s+", " "))
+
   /** Let-binding for column expressions: evaluates `e` once and passes it
     * to `body` as a lambda variable — `transform` over a 1-element array.
     * Spark has no expression-level let; without this, an expression used k

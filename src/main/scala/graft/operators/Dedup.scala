@@ -704,7 +704,8 @@ object Dedup {
     * `kept_hash` (md5 of the surviving token sequence) — so a gate
     * catches a single mis-masked token anywhere in the corpus. */
   def spanMask(docs: DataFrame, idCol: String, textCol: String,
-               spanTokens: Int, keepFirst: Boolean = true): DataFrame = {
+               spanTokens: Int, keepFirst: Boolean = true,
+               maxGramDocs: Option[Long] = None): DataFrame = {
     val n = spanTokens
     val staged = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .localCheckpoint(true) // referenced by the explode AND the final join
@@ -717,9 +718,16 @@ object Dedup {
       .select(col(idCol), col("pos"),
         md5(array_join(slice(col("toks"), col("pos") + 1, lit(n)), " ")).as("g"))
       .localCheckpoint(true) // consumed by the gram rollup AND the hit join
+    // `maxGramDocs`: the q21-cap governor applied to grams — a span
+    // shared by MILLIONS of docs is boilerplate, not duplication (the
+    // q38 CMS detector's territory), and its hit fan-out is the one
+    // term here that scales with popularity² in join output. Capped
+    // grams are dropped entirely (documented recall tradeoff; None =
+    // exact, which is what the q79 gate runs).
     val shared = pe.groupBy(col("g"))
       .agg(countDistinct(col(idCol)).as("nd"), min(col(idCol)).as("first_id"))
-      .filter(col("nd") >= 2)
+      .filter(col("nd") >= 2 &&
+        maxGramDocs.map(col("nd") <= _).getOrElse(lit(true)))
       .select(col("g"), col("first_id"))
     val hits = pe.join(shared, "g")
       .filter(if (keepFirst) col(idCol) =!= col("first_id") else lit(true))

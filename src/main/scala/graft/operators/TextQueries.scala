@@ -946,6 +946,63 @@ object TextQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** q88 planted pathologies (the q74 plant-your-own-fixture pattern —
+    * the synthetic corpus is pure ASCII): decomposed accents (e +
+    * U+0301), a canonical singleton (U+212B Å → U+00C5), tab runs, and
+    * a control byte. Shared Scala constants embed the SAME codepoints
+    * in the Spark plan and the oracle's SQL literal. */
+  private val PlantAccent = " café latte"
+  private val PlantAngstrom = " 10Å gap"
+  private val PlantTabs = " x\t\t\ty"
+  private val PlantCtrl = " ab"
+
+  /** q88: text NORMALIZATION ([[TextFunctions.normalizeText]]) — NFC via
+    * the native `graft_nfc` expression, control strip, whitespace
+    * collapse, trim. Row-level exact: per doc the normalized-text hash
+    * plus before/after char counts (the planted rows shrink — combining
+    * pairs compose, tab runs collapse, control bytes vanish). */
+  def q88Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.withColumn("t",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 1, lit(PlantAccent)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 2, lit(PlantAngstrom)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 3, lit(PlantTabs)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 4, lit(PlantCtrl)).otherwise(lit(""))))
+    planted.select(col("doc_id"),
+        length(col("t")).cast("long").as("n_chars_before"),
+        TextFunctions.normalizeText(col("t")).as("norm"))
+      .select(col("doc_id"), col("n_chars_before"),
+        length(col("norm")).cast("long").as("n_chars_after"),
+        md5(col("norm")).as("norm_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q88NormalizeSql: String = {
+    def sqlLit(s: String): String =
+      "'" + s.flatMap {
+        case '\'' => "''"
+        case c if c < 0x20 || c > 0x7e => f"' || chr(${c.toInt}) || '"
+        case c => c.toString
+      } + "'"
+    val planted = Seq(
+      "text",
+      s"CASE WHEN doc_id % 5 = 1 THEN ${sqlLit(PlantAccent)} ELSE '' END",
+      s"CASE WHEN doc_id % 5 = 2 THEN ${sqlLit(PlantAngstrom)} ELSE '' END",
+      s"CASE WHEN doc_id % 7 = 3 THEN ${sqlLit(PlantTabs)} ELSE '' END",
+      s"CASE WHEN doc_id % 11 = 4 THEN ${sqlLit(PlantCtrl)} ELSE '' END"
+    ).mkString(" || ")
+    val ctrl = graft.functions.TextFunctions.controlClass
+    s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents),
+       |n AS (SELECT doc_id, len(t)::BIGINT AS n_chars_before,
+       |  trim(regexp_replace(regexp_replace(nfc_normalize(t), '$ctrl', '', 'g'),
+       |    '\\s+', ' ', 'g')) AS norm
+       |FROM p)
+       |SELECT doc_id, n_chars_before, len(norm)::BIGINT AS n_chars_after,
+       |  md5(norm) AS norm_hash
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
   /** q79 span width: long enough that natural text rarely collides,
     * short enough that the fixture's near-dup population shares spans. */
   private val SpanTokens = 8

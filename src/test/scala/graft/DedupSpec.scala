@@ -483,6 +483,25 @@ class DedupSpec extends SparkSpec {
     assert(out(1L).getAs[String]("kept_hash") == m("a b c d e f g h x y"))
   }
 
+  test("spanMask maxGramDocs drops boilerplate grams, keeps rare ones") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // shared by ALL three docs
+    val frame = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, s"$boiler z1 z2"),
+      (3L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8 tail") // shares the u-span with doc 1
+    ).toDF("doc_id", "text")
+    // cap at 2 docs: the 3-doc boilerplate gram is dropped; the 2-doc
+    // u-span still masks doc 3 (doc 1 is first arrival)
+    val out = Dedup.spanMask(frame, "doc_id", "text", 8, maxGramDocs = Some(2L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_masked")).toMap
+    assert(out(2L) == 0L, "capped boilerplate must not mask")
+    assert(out(3L) >= 8L, "rare shared span must still mask")
+    // uncapped, the boilerplate masks docs 2 and 3
+    val exact = Dedup.spanMask(frame, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_masked")).toMap
+    assert(exact(2L) >= 8L)
+  }
+
   test("spanMask keepFirst=false masks every copy including the first") {
     val frame = Seq(
       (1L, "a b c d e f g h x y"),

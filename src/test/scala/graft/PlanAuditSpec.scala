@@ -323,12 +323,13 @@ class PlanAuditSpec extends SparkSpec {
       val textRow = docs.select(
         TextFunctions.winnowFingerprintsMd5(col("t"), 5, 4).as("wm"),
         TextFunctions.winnowFingerprintsRk(col("t"), 5, 4).as("wr"),
+        length(TextFunctions.nfcNormalize(col("t"))).as("nf"),
         operators.Dedup.simhashWord(
           array(xxhash64(col("t")), xxhash64(col("doc_id")))).as("sh"),
         isect(array_sort(split(col("t"), " ")),
           array_sort(split(reverse(col("t")), " "))).as("ix"))
         .agg(sum(size(col("wm"))), sum(size(col("wr"))),
-          sum(col("sh")), sum(col("ix")))
+          sum(col("nf")), sum(col("sh")), sum(col("ix")))
         .collect()
       assert(textRow.length == 1)
       val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -21,6 +21,19 @@ class TextQueriesSpec extends SparkSpec {
       "mail <EMAIL> and <EMAIL> node <IP> call <PHONE> ssn <SSN> end")
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse, trim") {
+    val raw = " cafe\u0301  x\tz \u0001ok \u212B "
+    val out = Seq((1L, raw)).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.normalizeText(col("text")).as("n"))
+      .collect().head.getString(0)
+    assert(out == "caf\u00e9 x z ok \u00c5", s"got <$out>")
+    // idempotence: normalizing normalized text is a no-op
+    val again = Seq((1L, out)).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.normalizeText(col("text")).as("n"))
+      .collect().head.getString(0)
+    assert(again == out)
+  }
+
   test("clean text passes through untouched with zero counts") {
     val t = "nothing sensitive here, version 1.2 and room 101-B"
     val out = TextQueries.redactPii(Seq((1L, t)).toDF("doc_id", "text"), "text")
