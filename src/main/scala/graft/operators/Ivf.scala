@@ -268,4 +268,48 @@ object Ivf {
   val q71IvfIngestSql: String =
     """SELECT count(*)::BIGINT AS n_vectors, TRUE AS contents_match
       |FROM embeddings""".stripMargin
+
+  /** q89: POST-INGEST recall monitor — the index-health check a nightly
+    * embedding pipeline runs after every [[ingest]]: probe the
+    * incrementally-grown index with the q22 query set and gate
+    * micro-averaged recall@10 against the exact KNN of the SAME corpus.
+    * q71 proves the incremental index holds the right ROWS; this gates
+    * that it still ANSWERS — a quantizer fit on day 1 must keep serving
+    * day 2's vectors (deterministic assignment guarantees placement,
+    * not balance: if day 2 drifted away from day 1's centroids, probes
+    * would miss and recall would fall through the band). Same bound
+    * discipline as q28 ([[MinRecall]], 2× margin below measured) so the
+    * gate fails on broken probing/ingest, not centroid luck. At 100 TB
+    * this is the drift signal that schedules a quantizer re-fit. */
+  def q89IngestRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cut = emb.agg(max(col("id"))).head().getLong(0) / 2
+    val day1 = emb.filter(col("id") <= cut)
+    val day2 = emb.filter(col("id") > cut)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_q89_idx")
+    try {
+      val built = build(day1, "id", "v", nlist = Nlist, fitSampleRows = 20000)
+      writeIndex(built, idxPath.toString)
+      ingest(spark, idxPath.toString, built.model, day2, "id", "v")
+      val grown = readIndex(spark, built.model, idxPath.toString)
+      val ivf = topK(spark, grown, emb.filter(col("id") < NQueries),
+          k = K, nprobe = Nprobe)
+        .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      val exact = SimilarityQueries.q22KnnExact(spark, dir)
+        .select(col("q_id"), col("neighbor_id"))
+      exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact_total"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_queries"), col("n_exact_total"),
+          (col("n_hit") >= col("n_exact_total") * MinRecall).as("recall_ok"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idxPath.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q89IngestRecallSql: String = q28IvfAnnSql
 }

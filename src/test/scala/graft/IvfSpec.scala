@@ -125,6 +125,31 @@ class IvfSpec extends SparkSpec {
       "any-arrival-order ingest must equal one batch assignment, no dup rows")
   }
 
+  test("post-ingest recall sits well above the q89 gate band") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cut = emb.agg(max(col("id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_recall_")
+    try {
+      val built = Ivf.build(emb.filter(col("id") <= cut), "id", "v", nlist = 16, fitSampleRows = 20000)
+      Ivf.writeIndex(built, idx.toString)
+      Ivf.ingest(spark, idx.toString, built.model, emb.filter(col("id") > cut), "id", "v")
+      val grown = Ivf.readIndex(spark, built.model, idx.toString)
+      val ivf = Ivf.topK(spark, grown, emb.filter(col("id") < 10), k = 10, nprobe = 4)
+        .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      val exact = graft.operators.SimilarityQueries.q22KnnExact(spark, sf)
+        .select(col("q_id"), col("neighbor_id"))
+      val r = exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .head().getDouble(0)
+      // the q89 gate band is 0.25; a day-1-fit quantizer serving the whole
+      // corpus must clear it with real margin or the gate is a coin flip
+      assert(r >= 0.35, s"post-ingest recall $r too close to the 0.25 band")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("the ingest dedup probe prunes the index read to the batch's lists") {
     val index = Ivf.build(emb, "id", "v", nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prn").toString
