@@ -201,4 +201,55 @@ object SimilarityQueries {
        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id AS vec_id, min(comp)::BIGINT AS cluster_id
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
+  /** q90's fixed linear probe: a deterministic public weight vector
+    * (the trained-model stand-in — this sandbox trains nothing) plus a
+    * threshold. The gate's subject is the INFERENCE SHAPE, which is the
+    * part that matters at 100 TB: a linear head over an embedding
+    * column is one broadcast literal + one codegen dot product per row. */
+  private val ProbeW: Array[Double] =
+    Array.tabulate(Dim)(i => ((i * 37 + 11) % 19 - 9) / 10.0)
+  private val ProbeCut = 0.0
+
+  /** q90: EMBEDDING-classifier quality filter — the model-based
+    * curation stage (FineWeb-style: score each document with a trained
+    * classifier head over its embedding; keep above threshold). Join
+    * documents to their embeddings, score with the native
+    * [[graft.expressions.DotProduct]] against the broadcast literal
+    * probe, emit score + keep decision row-level exact (the oracle
+    * recomputes the identical dot product via `list_apply`, q22's
+    * machinery — same summation order, so the 4-dp round is safe).
+    *
+    * Scale: a stateless narrow map after one key join (co-located when
+    * both tables are bucketed on the id — the q83 layout); the weight
+    * vector is a plan literal, so nothing is broadcast at runtime and
+    * nothing shuffles. A real transformer-scored filter would swap the
+    * dot product for batched model inference (`mapInPandas`, the
+    * [[graft.multimodal.Media]] plumbing); the selection semantics and
+    * layout stay exactly this. */
+  def q90EmbedFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val w = array(ProbeW.map(x => lit(x.toFloat)): _*)
+    docs.join(emb, Seq("doc_id"))
+      .withColumn("score",
+        round(graft.functions.VectorFunctions.dot(col("embedding"), w), 4))
+      .select(col("doc_id"), col("lang"), col("score"),
+        (col("score") >= ProbeCut).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q90EmbedFilterSql: String = {
+    val wLit = ProbeW.map(x => s"${x.toFloat}::DOUBLE").mkString("[", ", ", "]")
+    s"""WITH j AS (
+       |  SELECT d.doc_id, d.lang, e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |s AS (SELECT doc_id, lang,
+       |  round(list_sum(list_apply(range(1, ${Dim + 1}),
+       |    i -> embedding[i]::DOUBLE * ($wLit)[i])), 4) AS score
+       |FROM j)
+       |SELECT doc_id, lang, score, score >= $ProbeCut AS kept
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 }
