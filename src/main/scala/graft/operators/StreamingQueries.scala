@@ -479,6 +479,64 @@ object StreamingQueries {
     * of the whole corpus ([[MergeQueries.q68IncrNeardupSql]]). */
   val q72StreamNeardupSql: String = MergeQueries.q68IncrNeardupSql
 
+  /** q91: SESSIONIZED TRAINING SEQUENCES — the behavioral-dataset
+    * construction a recommender/agent pipeline runs over an event log:
+    * gaps-and-islands sessions (q25's exact semantics: 30-minute gap,
+    * `>=` boundary), then one training example per session — the
+    * ordered event-type sequence, size, duration, and a `has_purchase`
+    * label for next-action/conversion objectives.
+    *
+    * Scale: one shuffle on user_id; the session id (lag + running sum)
+    * and the per-session fold share that partitioning, and the
+    * sequence build is a bounded in-group sort (session length, never
+    * corpus length). Ties at equal `ts` break on event_id in BOTH the
+    * window and the sequence order, so the gate is row-level exact
+    * including every sequence string. */
+  def q91SessionSeq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val brk = when(lag(col("ts"), 1).over(w).isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) >= 1800L,
+      1L).otherwise(0L)
+    val sid = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("brk", brk)
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sid.groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_s"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type")), ">").as("seq"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("has_purchase"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q91SessionSeqSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events,
+      |  date_diff('second', min(ts), max(ts)) AS duration_s,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+      |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS has_purchase
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val q25SessionizeSql: String =
     """WITH o AS (
       |  SELECT user_id, ts, value,
