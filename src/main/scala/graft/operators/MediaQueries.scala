@@ -226,4 +226,49 @@ object MediaQueries {
       |        + (SELECT count(*) FROM d WHERE doc_id % 50 = 0))::BIGINT AS n_media,
       |  (SELECT count(*) FROM d WHERE doc_id % 50 = 0)::BIGINT AS n_dup_pairs,
       |  TRUE AS meta_ok, TRUE AS hist_ok, TRUE AS dup_found_ok""".stripMargin
+
+  /** q92: EXACT MEDIA dedup — q15's content-hash rule lifted to the
+    * binary column: one hash-groupBy over the blob bytes, min media_id
+    * survives, group sizes for free. Identity is md5 over the blob's
+    * hex (DuckDB's md5 is VARCHAR-only; hex is injective and both
+    * engines emit uppercase, so the gate stays exact — the header's
+    * \\x00 bytes survive where a UTF-8 round-trip would mangle them).
+    * Non-vacuity: the q37 replica rows (every 50th doc's blob duplicated
+    * at id+10⁷) land in 2-copy groups. At 100 TB the blob never
+    * shuffles for identity — only the 16-byte digest does (project the
+    * hash FIRST, then group; the payload stays in the scan stage). */
+  def q92MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val media = docs.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val row = Media.MediaRow(id, "image", textBlob(text))
+        if (id % ReplicaEvery == 0)
+          Seq(row, Media.MediaRow(id + ReplicaOffset, "image", row.content))
+        else Seq(row)
+      }.toDF()
+    media
+      .select(col("media_id"), md5(hex(col("content"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+
+  val q92MediaDedupSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+      |m AS (
+      |  SELECT doc_id AS media_id,
+      |    '\x49\x4D\x47\x00\x00\x00\x00\x40\x00\x00\x00\x30\x00\x00\x00\x00'::BLOB
+      |      || encode(text) AS content
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    '\x49\x4D\x47\x00\x00\x00\x00\x40\x00\x00\x00\x30\x00\x00\x00\x00'::BLOB
+      |      || encode(text)
+      |  FROM d WHERE doc_id % 50 = 0)
+      |SELECT md5(hex(content)) AS content_hash,
+      |  min(media_id)::BIGINT AS survivor_id, count(*) AS n_copies
+      |FROM m GROUP BY 1 ORDER BY content_hash""".stripMargin
 }
