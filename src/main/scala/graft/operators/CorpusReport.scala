@@ -177,6 +177,65 @@ object CorpusReport {
     true
   }
 
+  /** SOURCE-POLICY filtering — curation at the PROVENANCE level (the
+    * C4/RefinedWeb domain-policy stage): score every source by its
+    * documents' mean quality, then drop entire sources below the bar.
+    * Document-level filters keep a spam domain's few good pages;
+    * source-level policy removes the domain — the two compose (the
+    * CurateJob order: policy first, then per-doc filters).
+    *
+    * Scale: stage 1 is one partial-aggregated groupBy to |sources|
+    * rows; the verdict set is bounded (domains, not documents), so
+    * stage 2 is a broadcast join — the corpus never shuffles to learn
+    * its fate. The mean compares in FIXED-POINT integer space (the q77
+    * discipline), so the keep/drop decision can never sit on a double
+    * rounding boundary. */
+  def sourcePolicyFilter(docs: DataFrame, textCol: String, sourceCol: String,
+                         minAvgQuality: Double): DataFrame = {
+    val cutInt = math.round(minAvgQuality * 10000).toLong
+    val verdicts = batchState(docs, textCol, Seq(sourceCol))
+      .select(col(sourceCol),
+        expr("(2 * quality_fp + n_docs) div (2 * n_docs)").as("q_int"))
+      .withColumn("src_quality", col("q_int").cast("double") / 10000.0)
+      .withColumn("kept", col("q_int") >= cutInt)
+      .drop("q_int")
+    docs.join(broadcast(verdicts), Seq(sourceCol))
+  }
+
+  private val SrcQualityMin = 0.60
+
+  /** q93: source policy over `documents` — every doc with its source's
+    * 4-dp mean quality and keep verdict, row-level exact (both the
+    * per-source aggregate and the fan-back join are value-checked). */
+  def q93SourcePolicy(spark: SparkSession, dir: String): DataFrame =
+    sourcePolicyFilter(Tables.documents(spark, dir), "text", "source",
+        SrcQualityMin)
+      .select(col("doc_id"), col("source"), col("src_quality"), col("kept"))
+      .orderBy(col("doc_id"))
+
+  val q93SourcePolicySql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    val cutInt = math.round(SrcQualityMin * 10000)
+    s"""WITH t AS (SELECT doc_id, source, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, source,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |q AS (SELECT doc_id, source,
+       |  round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) AS quality FROM r),
+       |v AS (SELECT source,
+       |  (2 * sum(CAST(round(quality * 10000) AS BIGINT)) + count(*)) // (2 * count(*)) AS q_int
+       |FROM q GROUP BY source)
+       |SELECT q.doc_id, q.source, v.q_int::double / 10000.0 AS src_quality,
+       |  v.q_int >= $cutInt AS kept
+       |FROM q JOIN v USING (source)
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   /** q77: the dashboard over `documents`, strata (lang, source). */
   def q77CorpusReport(spark: SparkSession, dir: String): DataFrame =
     corpusReport(Tables.documents(spark, dir), "text", Seq("lang", "source"))

@@ -75,4 +75,39 @@ object SinkQueries {
       |  TRUE AS batches_consistent,
       |  TRUE AS no_failures
       |FROM lineitem""".stripMargin
+
+  /** q94: JSONL SOURCE parity — the interchange format corpora actually
+    * ship in (one JSON object per line). The gate round-trips the
+    * documents fixture through the engine's jsonl path: write as
+    * json-lines, read back with the EXPLICIT schema (schema-on-read
+    * validation, the reference's parquet.py:39 discipline — at 100 TB
+    * schema INFERENCE would cost a full extra scan before the real
+    * one), and emit row-level content vs the parquet fixture. JSONL is
+    * line-splittable, so the read parallelizes like parquet; what it
+    * lacks — column pruning, predicate pushdown, statistics — is
+    * exactly why [[graft.jobs.GenerateDataJob]] lands parquet and jsonl
+    * stays an ingest boundary (documented trade, not a preference). */
+  def q94JsonlSource(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q94_")
+    try {
+      val docs = Tables.documents(spark, dir)
+      docs.write.json(s"$base/docs_jsonl")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      spark.read.schema(schema).json(s"$base/docs_jsonl")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_hash"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the staging dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q94JsonlSourceSql: String =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
