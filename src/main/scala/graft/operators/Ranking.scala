@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Corpus-statistics relevance ranking (north-star mandate — the
+  * reference has no search/ranking operator; this is the retrieval
+  * primitive a training-data pipeline uses to mine topical subsets and
+  * to audit "what does the corpus say about X" during curation).
+  *
+  * BM25 (Robertson et al., TREC-3, 1994; the +1 idf smoothing is the
+  * Lucene variant that keeps idf positive for df > N/2):
+  *
+  *   score(d, Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *
+  * Shape, built for 100 TB:
+  *  - ONE narrow projection computes per-doc dl and the per-term tfs
+  *    (`dl − size(array_remove(toks, t))` — no explode, no shuffle; the
+  *    tokenize runs once per doc and the query's term count is a small
+  *    constant, so this is a single codegen'd scan stage).
+  *  - Corpus statistics (N, Σdl, per-term df) are ONE single-row
+  *    aggregate — partial map-side agg, a few dozen bytes to the driver
+  *    stage, then a broadcast 1-row cross join back onto the scan.
+  *  - The top-k is `orderBy(...).limit(k)` → TakeOrderedAndProject:
+  *    per-partition heaps of k rows, no global sort.
+  *
+  * Gate determinism: every MULTI-ROW aggregate is integer (counts, Σdl),
+  * so engine-side summation order cannot perturb them; doubles appear
+  * only in the per-row score, and the gate emits the RANK plus the
+  * integer evidence (dl, per-term tf, n_matched), never the raw double —
+  * `ln` may legitimately differ by an ulp between libm and the JVM, and
+  * a rank only moves if two distinct-stat docs' scores collide within
+  * that ulp (ties on identical stats break on doc_id in both engines).
+  */
+object Ranking {
+
+  val K1 = 1.2
+  val B  = 0.75
+
+  /** Fixed query — terms chosen from the fixture vocabulary with a df
+    * spread; order is part of the contract (score terms are summed in
+    * this written order on both engines, keeping the fold bit-identical
+    * per engine). */
+  val QueryTerms: Seq[String] = Seq("spark", "vector", "merge", "customer", "window", "slow")
+
+  private val TopN = 25
+
+  /** Per-document BM25 scores for `terms` over `docs(idCol, textCol)`.
+    * Returns (id, dl, tf_<term>…, n_matched, score). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, s"bad query: $terms")
+    val toks = TextFunctions.tokens(col(textCol))
+    def tfCol(t: String): String = s"tf_$t"
+    // one narrow pass: dl + per-term tf (dl minus the array with the term
+    // removed — counts every occurrence, never explodes the token list)
+    val perDoc = docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") > 0)
+      .select(Seq(col("id"), col("dl")) ++ terms.map { t =>
+        (col("dl") - size(array_remove(col("toks"), t))).as(tfCol(t))
+      }: _*)
+    // single-row corpus stats: N, Σdl, df per term — all integer sums
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_corpus"),
+      Seq(sum(col("dl")).as("sum_dl")) ++ terms.map { t =>
+        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_$t")
+      }: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_corpus")
+    def termScore(t: String): Column = {
+      val tf  = col(tfCol(t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_corpus") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    }
+    val score = terms.map(termScore).reduce(_ + _) // fixed written order
+    val matched = terms.map(t => when(col(tfCol(t)) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats)) // 1-row stats onto the scan
+      .withColumn("n_matched", matched)
+      .withColumn("score", score)
+      .select(Seq(col("id"), col("dl")) ++ terms.map(t => col(tfCol(t))) ++
+        Seq(col("n_matched"), col("score")): _*)
+  }
+
+  /** q95: BM25 top-25 over the documents fixture for [[QueryTerms]] —
+    * rank + integer evidence columns (see object scaladoc for why the
+    * double score stays out of the gate row). */
+  def q95Bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bm25(Tables.documents(spark, dir), "doc_id", "text", QueryTerms)
+    val top = scored.orderBy(col("score").desc, col("id").asc).limit(TopN)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id").asc)))
+      .select(Seq(col("rank"), col("id").as("doc_id"), col("dl")) ++
+        QueryTerms.map(t => col(s"tf_$t")) ++ Seq(col("n_matched")): _*)
+      .orderBy(col("rank"))
+  }
+
+  val q95Bm25RankSql: String = {
+    val tfDefs = QueryTerms.map { t =>
+      s"(len(toks) - len(list_filter(toks, x -> x != '$t')))::BIGINT AS tf_$t"
+    }.mkString(",\n  ")
+    val dfDefs = QueryTerms.map { t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t"
+    }.mkString(",\n  ")
+    val scoreTerms = QueryTerms.map { t =>
+      s"""ln(1.0 + (s.n_corpus - s.df_$t + 0.5) / (s.df_$t + 0.5))
+         | * (tf_$t * ${K1 + 1.0}) / (tf_$t + $K1 * (${1.0 - B} + $B * (dl / (s.sum_dl::DOUBLE / s.n_corpus))))""".stripMargin
+    }.mkString("\n + ")
+    val matched = QueryTerms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val tfCols = QueryTerms.map(t => s"tf_$t").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |d AS (SELECT doc_id AS id, len(toks)::BIGINT AS dl,
+       |  $tfDefs
+       |  FROM t WHERE len(toks) > 0),
+       |s AS (SELECT count(*)::BIGINT AS n_corpus, sum(dl)::BIGINT AS sum_dl,
+       |  $dfDefs
+       |  FROM d),
+       |sc AS (SELECT d.*, ($matched)::BIGINT AS n_matched,
+       |  ($scoreTerms) AS score
+       |  FROM d, s)
+       |SELECT row_number() OVER (ORDER BY score DESC, id) AS rank,
+       |  id AS doc_id, dl, $tfCols, n_matched
+       |FROM sc ORDER BY score DESC, id LIMIT $TopN""".stripMargin
+  }
+}

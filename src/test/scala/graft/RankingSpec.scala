@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ranking
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-term tf and dl are exact token counts") {
+    val docs = Seq(
+      (1L, "spark merge spark window"),
+      (2L, "the quick spark"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Ranking.bm25(docs, "doc_id", "text", Seq("spark", "merge"))
+      .orderBy("id").collect()
+    assert(out.length == 2) // empty doc drops out of the corpus
+    val r1 = out(0)
+    assert(r1.getAs[Long]("dl") == 4)
+    assert(r1.getAs[Long]("tf_spark") == 2)
+    assert(r1.getAs[Long]("tf_merge") == 1)
+    assert(r1.getAs[Long]("n_matched") == 2)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("dl") == 3)
+    assert(r2.getAs[Long]("tf_spark") == 1)
+    assert(r2.getAs[Long]("tf_merge") == 0)
+    assert(r2.getAs[Long]("n_matched") == 1)
+  }
+
+  test("score matches the hand-computed BM25 formula") {
+    val docs = Seq(
+      (1L, "spark merge window"),
+      (2L, "spark spark spark table"),
+      (3L, "table scan join")
+    ).toDF("doc_id", "text")
+    val out = Ranking.bm25(docs, "doc_id", "text", Seq("spark"))
+      .orderBy("id").collect()
+    val n = 3.0; val sumDl = 3 + 4 + 3
+    val avgdl = sumDl / n
+    val df = 2.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def expected(tf: Double, dl: Double): Double =
+      idf * (tf * (Ranking.K1 + 1.0)) /
+        (tf + Ranking.K1 * ((1.0 - Ranking.B) + Ranking.B * (dl / avgdl)))
+    assert(math.abs(out(0).getAs[Double]("score") - expected(1, 3)) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("score") - expected(3, 4)) < 1e-12)
+    assert(out(2).getAs[Double]("score") == 0.0) // no term match
+  }
+
+  test("rarer terms outweigh common ones at equal tf and dl") {
+    // "rare" hits 1 of 4 docs, "common" hits 3 of 4; the probe docs are
+    // identical in length and tf, so only idf separates their scores
+    val docs = Seq(
+      (1L, "rare alpha beta"),
+      (2L, "common alpha beta"),
+      (3L, "common beta gamma"),
+      (4L, "common gamma alpha")
+    ).toDF("doc_id", "text")
+    val out = Ranking.bm25(docs, "doc_id", "text", Seq("rare", "common"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
+  }
+
+  test("q95 emits a dense rank consistent with its own evidence columns") {
+    val rows = Ranking.q95Bm25Rank(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 25))
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 25)
+    rows.foreach { r =>
+      val tfSum = Ranking.QueryTerms.map(t => r.getAs[Long](s"tf_$t")).sum
+      assert(r.getAs[Long]("n_matched") <= Ranking.QueryTerms.size)
+      assert(tfSum >= r.getAs[Long]("n_matched")) // every matched term has tf ≥ 1
+      assert(r.getAs[Long]("dl") >= tfSum)
+    }
+  }
+}
