@@ -342,6 +342,99 @@ object CorpusReport {
 
   def q87StreamReportSql: String = q85ReportIngestSql
 
+  /** Distribution drift between two corpus snapshots over `dims`
+    * categories: per-category counts, shares, and the total-variation
+    * contribution, plus one grand-total row carrying TV(v1, v2) itself.
+    *
+    * Determinism discipline (the q77 fixed-point lesson, taken further):
+    * the drift numerator is the EXACT integer |n·M − m·N| (n, m the
+    * category counts; N, M the snapshot totals), so the only doubles in
+    * the output are single divisions of exact integers — bit-identical
+    * on any engine, no summation-order hazard anywhere (the grand-total
+    * numerator is an integer sum of integers). TV = Σ|n·M − m·N|/(2NM).
+    *
+    * Scale shape: two count-aggregates (map-side partial, shuffle is
+    * O(#categories)), a full-outer join of two tiny category frames, a
+    * single-row totals aggregate broadcast back, narrow arithmetic.
+    * The corpus is scanned once per snapshot and nothing else moves.
+    * Overflow bound: n·M fits BIGINT while both snapshots stay under
+    * ~3·10⁹ rows; past that, swap the numerator to DECIMAL(38,0) — the
+    * shape is unchanged (counts, not payloads, do the arithmetic).
+    */
+  def distributionDrift(v1: DataFrame, v2: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "distributionDrift needs at least one dimension")
+    val c1 = v1.groupBy(dims.map(col): _*).agg(count(lit(1)).as("n_old"))
+    val c2 = v2.groupBy(dims.map(col): _*).agg(count(lit(1)).as("n_new"))
+    val joined = c1.join(c2, dims, "full_outer")
+      .select(dims.map(col) ++ Seq(
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new")): _*)
+    val tot = joined.agg(sum("n_old").as("tot_old"), sum("n_new").as("tot_new"))
+    val num = abs(col("n_old") * col("tot_new") - col("n_new") * col("tot_old"))
+    val perCat = joined.crossJoin(broadcast(tot))
+      .withColumn("drift_num", num)
+      .select(Seq(lit(0L).as("is_total")) ++ dims.map(col) ++ Seq(
+        col("n_old"), col("n_new"), col("drift_num"),
+        (col("n_old").cast("double") / col("tot_old")).as("share_old"),
+        (col("n_new").cast("double") / col("tot_new")).as("share_new"),
+        (col("drift_num").cast("double") /
+          (lit(2L) * col("tot_old") * col("tot_new")).cast("double")).as("tv_contrib")): _*)
+    val total = perCat
+      .groupBy()
+      .agg(sum("n_old").as("n_old"), sum("n_new").as("n_new"),
+        sum("drift_num").as("drift_num"))
+      .select(Seq(lit(1L).as("is_total")) ++ dims.map(d => lit(null).cast("string").as(d)) ++ Seq(
+        col("n_old"), col("n_new"), col("drift_num"),
+        lit(1.0).as("share_old"), lit(1.0).as("share_new"),
+        (col("drift_num").cast("double") /
+          (lit(2L) * col("n_old") * col("n_new")).cast("double")).as("tv_contrib")): _*)
+    perCat.unionByName(total)
+      .orderBy(Seq(col("is_total")) ++ dims.map(d => col(d).asc_nulls_first): _*)
+  }
+
+  /** q96: distribution drift over (lang, source) between the documents
+    * fixture and the SAME derived v2 snapshot q82 diffs row-level
+    * (doc_id % 17 = 3 removed, a shifted-id copy of % 19 = 7 added —
+    * edits keep their category, so only adds/removes move the
+    * histogram). q82 answers "which rows changed"; q96 answers "did the
+    * mixture move, and where" — the monitor a nightly corpus rebuild
+    * alerts on. */
+  def q96DistributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val v1 = base.select(col("lang"), col("source"))
+    val v2 = base.filter(col("doc_id") % 17 =!= 3).select(col("lang"), col("source"))
+      .union(base.filter(col("doc_id") % 19 === 7).select(col("lang"), col("source")))
+    distributionDrift(v1, v2, Seq("lang", "source"))
+  }
+
+  val q96DistributionDriftSql: String =
+    """WITH v2 AS (
+      |  SELECT lang, source FROM documents WHERE doc_id % 17 != 3
+      |  UNION ALL
+      |  SELECT lang, source FROM documents WHERE doc_id % 19 = 7),
+      |c1 AS (SELECT lang, source, count(*)::BIGINT AS n_old FROM documents GROUP BY 1, 2),
+      |c2 AS (SELECT lang, source, count(*)::BIGINT AS n_new FROM v2 GROUP BY 1, 2),
+      |j AS (SELECT coalesce(c1.lang, c2.lang) AS lang,
+      |  coalesce(c1.source, c2.source) AS source,
+      |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      |  FROM c1 FULL OUTER JOIN c2 ON c1.lang = c2.lang AND c1.source = c2.source),
+      |t AS (SELECT sum(n_old)::BIGINT AS tot_old, sum(n_new)::BIGINT AS tot_new FROM j),
+      |p AS (SELECT 0::BIGINT AS is_total, lang, source, n_old, n_new,
+      |  abs(n_old * tot_new - n_new * tot_old)::BIGINT AS drift_num,
+      |  n_old::DOUBLE / tot_old AS share_old,
+      |  n_new::DOUBLE / tot_new AS share_new,
+      |  abs(n_old * tot_new - n_new * tot_old)::DOUBLE
+      |    / (2 * tot_old * tot_new)::DOUBLE AS tv_contrib
+      |  FROM j, t)
+      |SELECT * FROM p
+      |UNION ALL
+      |SELECT 1::BIGINT, NULL, NULL, sum(n_old)::BIGINT, sum(n_new)::BIGINT,
+      |  sum(drift_num)::BIGINT,
+      |  1.0::DOUBLE, 1.0::DOUBLE,
+      |  sum(drift_num)::DOUBLE / (2 * sum(n_old) * sum(n_new))::DOUBLE
+      |FROM p
+      |ORDER BY is_total, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   val q77CorpusReportSql: String = {
     val stops = stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (SELECT lang, source, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),

@@ -96,4 +96,48 @@ class CorpusReportSpec extends SparkSpec {
     assert(en.getAs[Long]("n_docs") == 2L)
     assert(en.getAs[Double]("p50_tokens") == 4.0) // interp between 2 and 6
   }
+
+  test("distribution drift: hand-computed TV on a tiny pair of snapshots") {
+    // v1: a=2, b=1 (N=3); v2: a=1, b=1 (M=2)
+    // per-cat numerators |n*M - m*N|: a=|4-3|=1, b=|2-3|=1; TV = 2/(2*3*2) = 1/6
+    val v1 = Seq("a", "a", "b").toDF("cat")
+    val v2 = Seq("a", "b").toDF("cat")
+    val out = CorpusReport.distributionDrift(v1, v2, Seq("cat")).collect()
+    assert(out.length == 3)
+    val a = out(0); val b = out(1); val tot = out(2)
+    assert(a.getAs[String]("cat") == "a" && a.getAs[Long]("drift_num") == 1L)
+    assert(b.getAs[String]("cat") == "b" && b.getAs[Long]("drift_num") == 1L)
+    assert(a.getAs[Double]("share_old") == 2.0 / 3 && a.getAs[Double]("share_new") == 0.5)
+    assert(tot.getAs[Long]("is_total") == 1L && tot.isNullAt(tot.fieldIndex("cat")))
+    assert(tot.getAs[Long]("n_old") == 3L && tot.getAs[Long]("n_new") == 2L)
+    assert(tot.getAs[Long]("drift_num") == 2L)
+    assert(tot.getAs[Double]("tv_contrib") == 2.0 / 12)
+  }
+
+  test("distribution drift: identical snapshots drift zero, disjoint drift one") {
+    val v = Tables.documents(spark, sf).select(col("lang"))
+    val same = CorpusReport.distributionDrift(v, v, Seq("lang"))
+    assert(same.filter(col("drift_num") =!= 0L).count() == 0)
+    val d1 = Seq("x", "x").toDF("cat")
+    val d2 = Seq("y").toDF("cat")
+    val disjoint = CorpusReport.distributionDrift(d1, d2, Seq("cat"))
+      .filter(col("is_total") === 1L).collect().head
+    assert(disjoint.getAs[Double]("tv_contrib") == 1.0)
+  }
+
+  test("distribution drift: categories missing from one side get zero counts") {
+    val out = CorpusReport.q96DistributionDrift(spark, sf)
+    val cats = out.filter(col("is_total") === 0L)
+    // every fixture category survives into v2 on this fixture, so counts
+    // stay positive; the invariant that matters: shares are in [0,1] and
+    // the total numerator is the sum of the per-category numerators
+    val sumNum = cats.agg(sum("drift_num")).collect().head.getLong(0)
+    val tot = out.filter(col("is_total") === 1L).collect().head
+    assert(tot.getAs[Long]("drift_num") == sumNum)
+    assert(tot.getAs[Double]("tv_contrib") >= 0.0 && tot.getAs[Double]("tv_contrib") <= 1.0)
+    cats.collect().foreach { r =>
+      assert(r.getAs[Double]("share_old") >= 0.0 && r.getAs[Double]("share_old") <= 1.0)
+      assert(r.getAs[Double]("share_new") >= 0.0 && r.getAs[Double]("share_new") <= 1.0)
+    }
+  }
 }
