@@ -227,6 +227,89 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-based mixture reweighting (the multilingual-sampling
+    * rule of Conneau et al. 2020 / Xue et al. 2021: sample stratum s
+    * proportional to n_s^α, α < 1 flattening the mixture toward rare
+    * strata), INTEGERIZED at α = 1/2 so the derived quotas — and
+    * therefore the gate — are exact on any engine:
+    *
+    *   w_s = ⌊√n_s⌋   W = Σ w_s   T = ⌊N / budgetDiv⌋
+    *   threshold_s = min(⌊T·w_s·2³² / (W·n_s)⌋, 2³²)   keep iff
+    *   bucket(id) < threshold_s
+    *
+    * ⌊√n⌋ is engine-stable (IEEE sqrt is correctly rounded and n < 2⁵³
+    * is exact in a double), every other step is integer — the one
+    * nondeterminism-prone float op in the textbook formulation (the
+    * n^α / Σ n^α normalization) never happens. The quota arithmetic
+    * runs in DECIMAL(38,0), so T·w_s·2³² can't overflow at any corpus
+    * size that fits BIGINT counts.
+    *
+    * Scale shape: one count-aggregate (O(#strata) rows), a single-row
+    * totals aggregate, thresholds broadcast back, then the q44/q50
+    * stateless map-side keep decision — membership is hash-threshold
+    * stable under corpus growth, q50's `xxh_stable` property, which is
+    * what lets a nightly rebuild reuse yesterday's kept set. Returns
+    * the kept rows with their stratum's audit columns attached. */
+  def temperatureQuotas(docs: DataFrame, strataCol: String, budgetDiv: Int): DataFrame = {
+    require(budgetDiv >= 1, s"budgetDiv=$budgetDiv must be >= 1")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w", floor(sqrt(col("n_total").cast("double"))).cast("long"))
+    val tot = counts.agg(sum("n_total").as("n_corpus"), sum("w").as("w_sum"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("t_budget", expr(s"n_corpus div $budgetDiv"))
+      .withColumn("threshold", least(
+        floor((col("t_budget").cast("decimal(38,0)") * col("w") * lit(4294967296L))
+          / (col("w_sum").cast("decimal(38,0)") * col("n_total"))).cast("long"),
+        lit(4294967296L)))
+      .select(col(strataCol), col("n_total"), col("w"), col("threshold"))
+  }
+
+  /** The kept rows for [[temperatureQuotas]]' thresholds — the q44/q50
+    * stateless keep decision with the stratum's audit columns attached. */
+  def temperatureMixture(docs: DataFrame, idCol: String, strataCol: String,
+                         budgetDiv: Int, seed: String,
+                         bucketFn: (Column, String) => Column = hashBucket): DataFrame =
+    docs.join(broadcast(temperatureQuotas(docs, strataCol, budgetDiv)), strataCol)
+      .withColumn("bucket", bucketFn(col(idCol), seed))
+      .filter(col("bucket") < col("threshold"))
+
+  private val TempSeed = "temp"
+  private val TempBudgetDiv = 2
+
+  /** q97: temperature mixture over the documents fixture stratified by
+    * source, half-corpus budget — per-source quota audit (all integer:
+    * stratum size, ⌊√n⌋ weight, derived threshold, kept count; strata
+    * quota'd to zero still emit their row, like the oracle's left join). */
+  def q97TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quotas = temperatureQuotas(docs, "source", TempBudgetDiv)
+    val kept = docs.join(broadcast(quotas.select(col("source"), col("threshold"))), "source")
+      .filter(hashBucket(col("doc_id"), TempSeed) < col("threshold"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    quotas.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("w"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val q97TemperatureMixSql: String =
+    s"""WITH c AS (SELECT source, count(*)::BIGINT AS n_total FROM documents GROUP BY source),
+       |w AS (SELECT source, n_total, floor(sqrt(n_total))::BIGINT AS w FROM c),
+       |t AS (SELECT sum(n_total)::BIGINT AS n_corpus, sum(w)::BIGINT AS w_sum FROM w),
+       |thr AS (SELECT source, n_total, w,
+       |  least((((n_corpus // $TempBudgetDiv)::HUGEINT * w * 4294967296)
+       |         // (w_sum::HUGEINT * n_total))::BIGINT, 4294967296) AS threshold
+       |  FROM w, t),
+       |k AS (SELECT d.source,
+       |  (count(*) FILTER (('0x' || substring(md5('$TempSeed:' || d.doc_id), 1, 8))::BIGINT
+       |     < thr.threshold))::BIGINT AS n_kept
+       |  FROM documents d JOIN thr ON d.source = thr.source GROUP BY d.source)
+       |SELECT thr.source, thr.n_total, thr.w, thr.threshold,
+       |  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+       |FROM thr LEFT JOIN k ON thr.source = k.source
+       |ORDER BY thr.source""".stripMargin
+
   /** q50: the PRODUCTION mixture sampler ([[hashBucketXxh]]) under the
     * driver's gate, q20b-style — the md5 form is the oracle-reproducible
     * anchor, and the xxhash64 form is certified by properties DuckDB can

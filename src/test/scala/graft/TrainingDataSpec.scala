@@ -430,4 +430,44 @@ class TrainingDataSpec extends SparkSpec {
       assert(sorted.head.getAs[Long]("seg_start") == 0L)
     }
   }
+
+  test("temperature quotas: hand-computed thresholds, rare stratum kept whole") {
+    import spark.implicits._
+    // a: 100 rows (w=10), b: 4 rows (w=2); N=104, W=12, T=52
+    val docs = ((1L to 100L).map(i => (i, "a")) ++ (101L to 104L).map(i => (i, "b")))
+      .toDF("doc_id", "s")
+    val q = TrainingData.temperatureQuotas(docs, "s", 2)
+      .orderBy("s").collect()
+    val a = q(0); val b = q(1)
+    assert(a.getAs[Long]("n_total") == 100L && a.getAs[Long]("w") == 10L)
+    assert(b.getAs[Long]("n_total") == 4L && b.getAs[Long]("w") == 2L)
+    // thr_a = floor(52·10·2³² / (12·100)); thr_b caps at 2³² (rate > 1)
+    assert(a.getAs[Long]("threshold") == 52L * 10 * 4294967296L / (12 * 100))
+    assert(b.getAs[Long]("threshold") == 4294967296L)
+    // the capped stratum is kept in full — the α<1 flattening promise
+    val kept = TrainingData.temperatureMixture(docs, "doc_id", "s", 2, "t0")
+    assert(kept.filter(col("s") === "b").count() == 4L)
+  }
+
+  test("temperature mixture flattens: small strata keep a higher fraction") {
+    val docs = Tables.documents(spark, sf)
+    val q = TrainingData.temperatureQuotas(docs, "lang", 2).collect()
+    // thresholds match the ⌊T·w·2³²/(W·n)⌋ formula exactly (rate ∝ w/n;
+    // note ⌊√n⌋/n itself is NOT strictly anti-monotone in n — the floor
+    // can jump at perfect squares — so the law to pin is the formula)
+    val bigW = q.map(_.getAs[Long]("w")).sum
+    val t = q.map(_.getAs[Long]("n_total")).sum / 2
+    q.foreach { r =>
+      val expected = math.min(
+        (BigInt(t) * r.getAs[Long]("w") * BigInt(4294967296L) /
+          (BigInt(bigW) * r.getAs[Long]("n_total"))).toLong, 4294967296L)
+      assert(r.getAs[Long]("threshold") == expected, s"threshold ${r.getString(0)}")
+      assert(r.getAs[Long]("w") == math.sqrt(r.getAs[Long]("n_total").toDouble).toLong)
+    }
+    // and the realized total stays near the budget (hash-binomial noise)
+    val total = docs.count()
+    val kept = TrainingData.temperatureMixture(docs, "doc_id", "lang", 2, "t1").count()
+    assert(math.abs(kept - total / 2.0) < 5.0 * math.sqrt(total / 4.0) + 5.0,
+      s"kept=$kept of $total")
+  }
 }
