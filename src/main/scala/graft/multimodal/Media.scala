@@ -155,6 +155,67 @@ object Media {
     }
   }
 
+  /** 64-bit byte-4-gram SimHash signature of each payload (past the
+    * header) as two 32-bit words — the BINARY near-dup sketch (the
+    * ssdeep/sdhash idea recast as simhash so it plugs into the existing
+    * pigeonhole machinery): distinct rolling 4-byte grams vote per bit
+    * via their md5-derived hashes, exactly the word-token rule of
+    * [[graft.operators.Dedup.simhashSignatures]] with bytes for words.
+    * Gram-set signatures are shift-robust (an insertion perturbs O(4)
+    * grams, not every position), which is what makes this a NEAR-dup
+    * sketch rather than a block hash; md5-per-gram is the
+    * oracle-reproducible hash family (the q20b precedent: production
+    * would swap xxhash64, same structure).
+    *
+    * One narrow pass per row, O(payload) work, emits 16 bytes — the
+    * payload itself never shuffles. Output (id, sh_lo, sh_hi) feeds
+    * [[graft.operators.Dedup.simhashPairsFromSigs]] or a persistent
+    * signature index. Payloads under 4 bytes have no grams and drop. */
+  def byteGramSimhash(media: Dataset[MediaRow], headerBytes: Int = 16): Dataset[(Long, Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition
+      rows.flatMap { r =>
+        val c = r.content
+        if (c.length - headerBytes < 4) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[Integer]()
+          val votesLo = new Array[Int](32)
+          val votesHi = new Array[Int](32)
+          var i = headerBytes
+          while (i <= c.length - 4) {
+            val packed = ((c(i) & 0xff) << 24) | ((c(i + 1) & 0xff) << 16) |
+              ((c(i + 2) & 0xff) << 8) | (c(i + 3) & 0xff)
+            if (seen.add(packed)) {
+              // uppercase hex of the 4 gram bytes == DuckDB's hex(BLOB)
+              md.reset()
+              val d = md.digest(f"$packed%08X".getBytes("US-ASCII"))
+              val lo = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+                ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+              val hi = ((d(4) & 0xff) << 24) | ((d(5) & 0xff) << 16) |
+                ((d(6) & 0xff) << 8) | (d(7) & 0xff)
+              var j = 0
+              while (j < 32) {
+                if ((lo & (1 << j)) != 0) votesLo(j) += 1 else votesLo(j) -= 1
+                if ((hi & (1 << j)) != 0) votesHi(j) += 1 else votesHi(j) -= 1
+                j += 1
+              }
+            }
+            i += 1
+          }
+          var shLo = 0L; var shHi = 0L
+          var j = 0
+          while (j < 32) {
+            if (votesLo(j) >= 0) shLo |= 1L << j
+            if (votesHi(j) >= 0) shHi |= 1L << j
+            j += 1
+          }
+          Iterator.single((r.media_id, shLo, shHi))
+        }
+      }
+    }
+  }
+
   /** Resize via the per-partition codec (STUB semantics, real lifecycle
     * + batch shape). */
   def resize(media: Dataset[MediaRow], w: Int, h: Int,

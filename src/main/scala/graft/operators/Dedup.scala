@@ -650,9 +650,21 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
+                   maxBucketSize: Option[Int] = None): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol),
+      maxHamming, maxBucketSize)
+
+  /** [[simhashPairs]] over an ALREADY-COMPUTED signature frame
+    * (id, sh_lo, sh_hi) — the entry point for signatures that don't come
+    * from word tokens (e.g. [[graft.multimodal.Media.byteGramSimhash]]'s
+    * byte-gram signatures over binary payloads): the pigeonhole chunk
+    * join, hot-bucket governor, and Hamming verify are signature-source
+    * agnostic. */
+  def simhashPairsFromSigs(sigs: DataFrame,
+                           maxHamming: Int = 3,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
-    val chunked0 = simhashChunked(simhashSignatures(df, idCol, textCol))
+    val chunked0 = simhashChunked(sigs)
     val chunked = maxBucketSize match {
       case None => chunked0
       case Some(cap) =>

@@ -271,4 +271,73 @@ object MediaQueries {
       |SELECT md5(hex(content)) AS content_hash,
       |  min(media_id)::BIGINT AS survivor_id, count(*) AS n_copies
       |FROM m GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  private val MutantEvery = 25L
+  private val MutantOffset = 20000000L
+  private val MutantSuffix = " qq zz"
+
+  /** q98: MEDIA near-dup — q92's exact rule relaxed to perceptual
+    * closeness over the binary column: byte-4-gram simhash signatures
+    * ([[Media.byteGramSimhash]], one narrow pass per payload) into the
+    * q21 pigeonhole chunk join ([[Dedup.simhashPairsFromSigs]] — the
+    * refactor point: the pair machinery is signature-source agnostic).
+    * The fixture plants both relations: exact replicas (q37/q92's every
+    * 50th, +10⁷ — Hamming 0) and MUTATED replicas (every 25th, +2·10⁷,
+    * a few bytes appended — small but nonzero signature drift, the case
+    * exact media dedup (q92) structurally cannot catch). At 100 TB the
+    * blobs never shuffle: 16-byte signatures do, and the pair join is
+    * bounded by 16-bit chunk buckets, never |media|². */
+  def q98MediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("text"))
+    val media = docs.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val row = Media.MediaRow(id, "image", textBlob(text))
+        val out = scala.collection.mutable.ArrayBuffer(row)
+        if (id % ReplicaEvery == 0)
+          out += Media.MediaRow(id + ReplicaOffset, "image", row.content)
+        if (id % MutantEvery == 0)
+          out += Media.MediaRow(id + MutantOffset, "image", textBlob(text + MutantSuffix))
+        out.toSeq
+      }
+    val sigs = Media.byteGramSimhash(media).toDF("id", "sh_lo", "sh_hi")
+    Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q98MediaNeardupSql: String = {
+    def bitTerms(hs: String): String = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_apply($hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE len(text) >= 4
+       |  UNION ALL
+       |  SELECT doc_id + $ReplicaOffset, text FROM documents
+       |  WHERE doc_id % $ReplicaEvery = 0 AND len(text) >= 4
+       |  UNION ALL
+       |  SELECT doc_id + $MutantOffset, text || '$MutantSuffix' FROM documents
+       |  WHERE doc_id % $MutantEvery = 0 AND len(text) >= 4),
+       |hx AS (SELECT id, hex(encode(text)) AS h FROM base),
+       |g AS (SELECT id, list_distinct(
+       |    list_transform(range(len(h) // 2 - 3), i -> substring(h, i * 2 + 1, 8))) AS grams
+       |  FROM hx WHERE len(h) // 2 >= 4),
+       |hh AS (SELECT id,
+       |  list_apply(grams, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
+       |  list_apply(grams, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
+       |  FROM g),
+       |sig AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM hh),
+       |ch AS (SELECT id, sh_lo, sh_hi, c.chunk,
+       |  CASE WHEN c.chunk = 0 THEN sh_lo & 65535
+       |       WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
+       |       WHEN c.chunk = 2 THEN sh_hi & 65535
+       |       ELSE (sh_hi >> 16) & 65535 END AS cval
+       |  FROM sig, range(4) c(chunk))
+       |SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |  (bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)))::BIGINT AS hamming
+       |FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
+       |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
 }

@@ -157,6 +157,53 @@ class MediaSpec extends SparkSpec {
     assert(r.getAs[Boolean]("dup_found_ok"),
       "SRP over centered features must surface every replica pair")
   }
+
+  test("byte-gram simhash: identical payloads match, edits drift, shorts drop") {
+    import spark.implicits._
+    def blob(payload: String): Array[Byte] = {
+      val b = payload.getBytes("UTF-8")
+      val out = new Array[Byte](16 + b.length)
+      System.arraycopy(b, 0, out, 0, 0) // header left zeroed: content past 16 is what signs
+      System.arraycopy(b, 0, out, 16, b.length)
+      out
+    }
+    val a  = "the quick brown fox jumps over the lazy dog"
+    val a2 = a + " qq"
+    val b  = "completely different payload bytes with other words entirely"
+    val media = Seq(
+      Media.MediaRow(1L, "image", blob(a)),
+      Media.MediaRow(2L, "image", blob(a)),   // exact copy
+      Media.MediaRow(3L, "image", blob(a2)),  // small edit
+      Media.MediaRow(4L, "image", blob(b)),   // unrelated
+      Media.MediaRow(5L, "image", blob("xy")) // < 4 payload bytes: no grams
+    ).toDS()
+    val sigs = Media.byteGramSimhash(media).collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(!sigs.contains(5L), "sub-gram payloads carry no signal")
+    assert(sigs(1L) == sigs(2L), "identical payloads must sign identically")
+    def ham(x: (Long, Long), y: (Long, Long)): Int =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
+    val editDrift = ham(sigs(1L), sigs(3L))
+    val unrelated = ham(sigs(1L), sigs(4L))
+    assert(editDrift > 0, "an edit must move the signature")
+    assert(editDrift < unrelated,
+      s"edit drift $editDrift must stay below unrelated distance $unrelated")
+  }
+
+  test("q98 media near-dup: every exact replica pair surfaces at Hamming 0") {
+    val pairs = graft.operators.MediaQueries.q98MediaNeardup(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    val byPair = pairs.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+      r.getAs[Long]("hamming")).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 4)
+      .select("doc_id").collect().map(_.getLong(0))
+    val replicaPairs = docs.filter(_ % 50 == 0).map(id => (id, id + 10000000L))
+    replicaPairs.foreach { p =>
+      assert(byPair.get(p).contains(0L), s"replica pair $p missing or nonzero")
+    }
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
 }
 
 object MediaSpec {
