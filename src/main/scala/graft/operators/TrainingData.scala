@@ -1108,6 +1108,76 @@ object TrainingData {
       .filter(col("cum_tokens") - col("n_tokens") < perShard)
   }
 
+  /** Length-bucketed batch assembly with padding-waste accounting — the
+    * dynamic-batching step of a padded (non-packed) training loader:
+    * group documents into batches of near-equal token length so the
+    * per-batch pad-to-max cost stays small (the padding analog of the
+    * q45 packing family: packing concatenates to erase padding, this
+    * assembles batches to MINIMIZE it when sequences must stay whole —
+    * e.g. contrastive or reward-model batches).
+    *
+    * Shape: bucket = ⌊dl / bucketWidth⌋ (narrow map), shard = seeded
+    * hash mod `shards` (q81's bounded-window discipline: the batch
+    * window sorts only a (bucket, shard) slice, never a global order —
+    * at 100 TB the per-window row count is corpus/buckets/shards, tuned
+    * by `shards`, and windows across (bucket, shard) keys parallelize).
+    * Within a window, docs order by (dl DESC, id) and chop into
+    * `batchSize`-row batches; per batch the ledger reports
+    * `pad_waste = n·max(dl) − Σdl` — zero exactly when the batch is
+    * length-uniform. Everything is integer, so the gate is exact; the
+    * one double (`waste_frac`) is a single per-row division. */
+  def lengthBatches(docs: DataFrame, idCol: String, tokensCol: Column,
+                    bucketWidth: Int, batchSize: Int, shards: Int,
+                    seed: String): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1 && shards >= 1,
+      s"bucketWidth=$bucketWidth batchSize=$batchSize shards=$shards")
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("dl").desc, col(idCol).asc)
+    docs
+      .select(col(idCol), tokensCol.cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .withColumn("bucket", expr(s"dl div $bucketWidth"))
+      .withColumn("shard", pmod(hashBucket(col(idCol), seed), lit(shards.toLong)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("dl")).as("max_dl"),
+        sum(col("dl")).as("sum_dl"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+      .withColumn("pad_waste", col("n_docs") * col("max_dl") - col("sum_dl"))
+      .withColumn("waste_frac",
+        col("pad_waste").cast("double") / (col("n_docs") * col("max_dl")).cast("double"))
+  }
+
+  private val LenBucketWidth = 16
+  private val LenBatchSize = 8
+  private val LenShards = 2
+  private val LenSeed = "lenbatch"
+
+  /** q99: length-bucketed batches over the documents fixture — the full
+    * integer batch ledger, row-level exact. */
+  def q99LengthBatches(spark: SparkSession, dir: String): DataFrame =
+    lengthBatches(Tables.documents(spark, dir), "doc_id",
+      TextFunctions.tokenCount(col("text")), LenBucketWidth, LenBatchSize,
+      LenShards, LenSeed)
+      .orderBy(col("bucket"), col("shard"), col("batch"))
+
+  val q99LengthBatchesSql: String =
+    s"""WITH t AS (SELECT doc_id, len(${TextQueries.tokSqlExpr})::BIGINT AS dl FROM documents),
+       |b AS (SELECT doc_id, dl, dl // $LenBucketWidth AS bucket,
+       |    ('0x' || substring(md5('$LenSeed:' || doc_id), 1, 8))::BIGINT % $LenShards AS shard
+       |  FROM t WHERE dl > 0),
+       |r AS (SELECT *, (row_number() OVER (PARTITION BY bucket, shard
+       |    ORDER BY dl DESC, doc_id ASC) - 1) // $LenBatchSize AS batch FROM b),
+       |g AS (SELECT bucket, shard, batch, count(*)::BIGINT AS n_docs,
+       |    max(dl) AS max_dl, sum(dl)::BIGINT AS sum_dl,
+       |    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |  FROM r GROUP BY 1, 2, 3)
+       |SELECT bucket, shard, batch, n_docs, max_dl, sum_dl, first_doc, last_doc,
+       |  (n_docs * max_dl - sum_dl)::BIGINT AS pad_waste,
+       |  (n_docs * max_dl - sum_dl)::DOUBLE / (n_docs * max_dl)::DOUBLE AS waste_frac
+       |FROM g ORDER BY bucket, shard, batch""".stripMargin
+
   private val BudgetTokens = 3000L
   private val BudgetShards = 4
   private val BudgetSeed = "budget"

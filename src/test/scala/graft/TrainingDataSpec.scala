@@ -470,4 +470,40 @@ class TrainingDataSpec extends SparkSpec {
     assert(math.abs(kept - total / 2.0) < 5.0 * math.sqrt(total / 4.0) + 5.0,
       s"kept=$kept of $total")
   }
+
+  test("length batches: hand-computed ledger on a crafted shard") {
+    import spark.implicits._
+    // one bucket (width 100 swallows all), one shard, batchSize 2:
+    // dl desc order = 30, 20, 10, 5 → batches {30,20} waste 10, {10,5} waste 5
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 20L)).toDF("doc_id", "n")
+    val out = TrainingData.lengthBatches(docs, "doc_id", col("n"),
+      bucketWidth = 100, batchSize = 2, shards = 1, seed = "lb")
+      .orderBy("batch").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("max_dl") == 30L && out(0).getAs[Long]("sum_dl") == 50L)
+    assert(out(0).getAs[Long]("pad_waste") == 10L)
+    assert(out(1).getAs[Long]("max_dl") == 10L && out(1).getAs[Long]("sum_dl") == 15L)
+    assert(out(1).getAs[Long]("pad_waste") == 5L)
+    assert(out(0).getAs[Double]("waste_frac") == 10.0 / 60.0)
+  }
+
+  test("length batches: bucketing bounds the per-batch padding") {
+    val out = TrainingData.q99LengthBatches(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byKey = out.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("shard")))
+    byKey.foreach { case ((bucket, _), rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("batch"))
+      // every batch is full except possibly the last of its window
+      sorted.init.foreach(r => assert(r.getAs[Long]("n_docs") == 8L))
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_docs"); val mx = r.getAs[Long]("max_dl")
+        assert(n >= 1L && n <= 8L)
+        // dl within a width-16 bucket spans < 16 → padding < n·16
+        assert(mx >= bucket * 16 && mx < (bucket + 1) * 16)
+        assert(r.getAs[Long]("pad_waste") < n * 16,
+          s"bucketing must bound padding (bucket=$bucket)")
+        assert(r.getAs[Long]("pad_waste") == n * mx - r.getAs[Long]("sum_dl"))
+      }
+    }
+  }
 }
