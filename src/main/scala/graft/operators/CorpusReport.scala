@@ -361,14 +361,27 @@ object CorpusReport {
     * ~3·10⁹ rows; past that, swap the numerator to DECIMAL(38,0) — the
     * shape is unchanged (counts, not payloads, do the arithmetic).
     */
-  def distributionDrift(v1: DataFrame, v2: DataFrame, dims: Seq[String]): DataFrame = {
+  /** The category-count half of [[distributionDrift]], full lineage (no
+    * materialization) — the ONLY part that touches the corpus. Exposed
+    * so the plan audit can pin the build shape (one count shuffle per
+    * snapshot) that the checkpoint below otherwise hides. */
+  private[graft] def driftCategoryCounts(v1: DataFrame, v2: DataFrame,
+                                         dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "distributionDrift needs at least one dimension")
     val c1 = v1.groupBy(dims.map(col): _*).agg(count(lit(1)).as("n_old"))
     val c2 = v2.groupBy(dims.map(col): _*).agg(count(lit(1)).as("n_new"))
-    val joined = c1.join(c2, dims, "full_outer")
+    c1.join(c2, dims, "full_outer")
       .select(dims.map(col) ++ Seq(
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new")): _*)
+  }
+
+  def distributionDrift(v1: DataFrame, v2: DataFrame, dims: Seq[String]): DataFrame = {
+    // downstream references the counts three times (totals fold, the
+    // per-category rows, the grand-total fold); the frame is
+    // O(#categories) — materialize ONCE so no branch re-runs the two
+    // corpus count scans
+    val joined = driftCategoryCounts(v1, v2, dims).localCheckpoint(true)
     val tot = joined.agg(sum("n_old").as("tot_old"), sum("n_new").as("tot_new"))
     val num = abs(col("n_old") * col("tot_new") - col("n_new") * col("tot_old"))
     val perCat = joined.crossJoin(broadcast(tot))

@@ -283,7 +283,9 @@ object TrainingData {
     * quota'd to zero still emit their row, like the oracle's left join). */
   def q97TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val quotas = temperatureQuotas(docs, "source", TempBudgetDiv)
+    // the tiny quota frame is referenced twice (kept-probe broadcast +
+    // audit output): materialize once or the corpus count-scan re-runs
+    val quotas = temperatureQuotas(docs, "source", TempBudgetDiv).localCheckpoint(true)
     val kept = docs.join(broadcast(quotas.select(col("source"), col("threshold"))), "source")
       .filter(hashBucket(col("doc_id"), TempSeed) < col("threshold"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))

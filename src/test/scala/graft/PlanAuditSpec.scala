@@ -411,4 +411,58 @@ class PlanAuditSpec extends SparkSpec {
       s"diff must be a single full-outer join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in the diff:\n$p")
   }
+
+  test("BM25 is scan → 1-row broadcast stats → TakeOrdered, no hash shuffle (q95)") {
+    val p = plan(operators.Ranking.q95Bm25Rank(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must heap per partition, not global-sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row corpus stats must broadcast onto the scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"nothing in BM25 needs a hash shuffle (per-doc tfs are narrow):\n$p")
+  }
+
+  test("drift counts aggregate map-side; totals broadcast back (q96)") {
+    // build shape (pre-materialization): one count shuffle per snapshot
+    // is ALL the corpus ever pays
+    val docs = Tables.documents(spark, sf)
+    val b = plan(operators.CorpusReport.driftCategoryCounts(
+      docs.select(col("lang")), docs.select(col("lang")), Seq("lang")))
+    assert("Exchange hashpartitioning".r.findAllIn(b).length == 2,
+      s"one count shuffle per snapshot, O(#categories) rows each:\n$b")
+    // outer shape: totals and the grand-total fold reuse the
+    // MATERIALIZED category frame — no corpus re-scan, no hash shuffle
+    val p = plan(operators.CorpusReport.q96DistributionDrift(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"every branch must reuse the checkpointed categories:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"single-row totals must broadcast onto the category rows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("temperature mixture fuses the keep decision into a broadcast join (q97)") {
+    val p = plan(operators.TrainingData.q97TemperatureMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"quota thresholds must broadcast onto the corpus scan:\n$p")
+    // the bucket < threshold comparison rides the join condition — the
+    // kept-count path adds exactly one agg shuffle after the probe
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("media near-dup joins signatures on chunk keys, payloads stay narrow (q98)") {
+    val p = plan(operators.MediaQueries.q98MediaNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay on the pigeonhole chunk join:\n$p")
+    assert(p.contains("cval"),
+      s"the join keys must be the exploded signature chunks:\n$p")
+  }
+
+  test("length batching is ONE window shuffle; the ledger agg reuses it (q99)") {
+    val p = plan(operators.TrainingData.q99LengthBatches(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the (bucket, shard) window may shuffle:\n$p")
+    assert(p.contains("Window"), s"batch numbering is a bounded window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"the batch ledger aggregates partial+final on the window's partitioning:\n$p")
+  }
 }
