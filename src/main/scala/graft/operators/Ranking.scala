@@ -101,7 +101,11 @@ object Ranking {
       .orderBy(col("rank"))
   }
 
-  val q95Bm25RankSql: String = {
+  /** The scored-documents CTE chain `t, d, s, sc` ending in
+    * `sc(id, dl, tf_*, n_matched, score)` — shared verbatim by the q95
+    * oracle and the q100 retrieval stage so both gates agree on the
+    * BM25 scores by construction (the simhashPairsCtes precedent). */
+  private def bm25Ctes: String = {
     val tfDefs = QueryTerms.map { t =>
       s"(len(toks) - len(list_filter(toks, x -> x != '$t')))::BIGINT AS tf_$t"
     }.mkString(",\n  ")
@@ -113,8 +117,7 @@ object Ranking {
          | * (tf_$t * ${K1 + 1.0}) / (tf_$t + $K1 * (${1.0 - B} + $B * (dl / (s.sum_dl::DOUBLE / s.n_corpus))))""".stripMargin
     }.mkString("\n + ")
     val matched = QueryTerms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    val tfCols = QueryTerms.map(t => s"tf_$t").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, ${TextQueries.tokSqlExpr} AS toks FROM documents),
        |d AS (SELECT doc_id AS id, len(toks)::BIGINT AS dl,
        |  $tfDefs
        |  FROM t WHERE len(toks) > 0),
@@ -123,9 +126,87 @@ object Ranking {
        |  FROM d),
        |sc AS (SELECT d.*, ($matched)::BIGINT AS n_matched,
        |  ($scoreTerms) AS score
-       |  FROM d, s)
+       |  FROM d, s)""".stripMargin
+  }
+
+  val q95Bm25RankSql: String = {
+    val tfCols = QueryTerms.map(t => s"tf_$t").mkString(", ")
+    s"""WITH $bm25Ctes
        |SELECT row_number() OVER (ORDER BY score DESC, id) AS rank,
        |  id AS doc_id, dl, $tfCols, n_matched
        |FROM sc ORDER BY score DESC, id LIMIT $TopN""".stripMargin
+  }
+
+  private val RetrieveK = 100
+  private val RerankK = 10
+  private val Dim = 64
+
+  /** q100: retrieve-then-rerank — the two-stage retrieval pipeline every
+    * production search/mining stack runs: a cheap lexical stage (BM25,
+    * q95's scorer) cuts the corpus to `RetrieveK` candidates, then an
+    * expensive semantic stage (embedding cosine against the top lexical
+    * hit's vector) reorders only those candidates to `RerankK`.
+    *
+    * Scale: stage 1 is q95's zero-shuffle scan + TakeOrdered; stage 2
+    * touches `RetrieveK` rows — its embedding join probes by id and the
+    * 1-row query vector broadcasts, so rerank cost is independent of
+    * corpus size (the whole point of the funnel: the expensive model
+    * only ever sees a constant-size candidate set). The candidate frame
+    * is referenced twice (query-vector row + rerank probe) →
+    * materialized once. Gate: rank-only output with the integer
+    * `bm25_rank` as cross-stage evidence — same `ln`/ulp discipline as
+    * q95, extended to the cosine doubles. */
+  /** The two-stage funnel over arbitrary frames: `docs(idCol, textCol)`
+    * scored lexically, top `k1` rerank by cosine in `emb(id, embedding)`
+    * space against the lexical top-1's vector. Candidates missing an
+    * embedding drop at the rerank join (inner) — at 100 TB the embedding
+    * store is the corpus's own derived table, so absence means the doc
+    * was never embedded and cannot be semantically ranked. Returns
+    * (rank, doc_id, bm25_rank, cos). */
+  def retrieveRerank(docs: DataFrame, emb: DataFrame, idCol: String,
+                     textCol: String, terms: Seq[String],
+                     k1: Int, k2: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k1 >= 1 && k2 >= 1, s"k1=$k1 k2=$k2")
+    val scored = bm25(docs, idCol, textCol, terms)
+    val cand = scored.orderBy(col("score").desc, col("id").asc).limit(k1)
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+      .select(col("id"), col("bm25_rank"))
+      .localCheckpoint(true) // query-vector row + rerank probe both read it
+    val qv = cand.filter(col("bm25_rank") === 1).join(emb, "id")
+      .select(col("embedding").as("qe"))
+    val rr = cand.join(emb, "id").crossJoin(broadcast(qv))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("qe")))
+    rr.orderBy(col("cos").desc, col("id").asc).limit(k2)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("id").asc)))
+      .select(col("rank"), col("id").as("doc_id"), col("bm25_rank"), col("cos"))
+      .orderBy(col("rank"))
+  }
+
+  def q100RetrieveRerank(spark: SparkSession, dir: String): DataFrame =
+    retrieveRerank(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir).select(col("vec_id").as("id"), col("embedding")),
+      "doc_id", "text", QueryTerms, RetrieveK, RerankK)
+      .drop("cos") // rank-only gate: see the q95 ln/ulp discipline
+
+  val q100RetrieveRerankSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_apply(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    s"""WITH $bm25Ctes,
+       |cand AS (SELECT id, bm25_rank FROM (
+       |    SELECT id, row_number() OVER (ORDER BY score DESC, id) AS bm25_rank FROM sc)
+       |  WHERE bm25_rank <= $RetrieveK),
+       |qv AS (SELECT e.embedding AS qe FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id WHERE c.bm25_rank = 1),
+       |rr AS (SELECT c.id, c.bm25_rank,
+       |  ${dot("e.embedding", "q.qe")}
+       |    / (sqrt(${dot("e.embedding", "e.embedding")}) * sqrt(${dot("q.qe", "q.qe")})) AS cos
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id, qv q)
+       |SELECT row_number() OVER (ORDER BY cos DESC, id) AS rank,
+       |  id AS doc_id, bm25_rank
+       |FROM rr ORDER BY cos DESC, id LIMIT $RerankK""".stripMargin
   }
 }

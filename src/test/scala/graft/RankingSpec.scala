@@ -61,6 +61,45 @@ class RankingSpec extends SparkSpec {
     assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
   }
 
+  test("retrieve-then-rerank: semantic order overrides lexical order") {
+    // lexical: d1 (tf=3) > d2 (tf=2) > d3 (tf=1); d4 never retrieved.
+    // semantic: d3's vector aligns with d1's (the query), d2's opposes —
+    // the rerank must flip d2 and d3.
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark spark x"),
+      (3L, "spark y z"),
+      (4L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.1f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("id", "embedding")
+    val out = Ranking.retrieveRerank(docs, emb, "doc_id", "text",
+      Seq("spark"), k1 = 3, k2 = 3).collect()
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"))).toSeq ==
+      Seq((1, 1L), (2, 3L), (3, 2L)))
+    assert(out(0).getAs[Int]("bm25_rank") == 1)
+    assert(out(0).getAs[Double]("cos") == 1.0) // query doc against itself
+    assert(out(1).getAs[Int]("bm25_rank") == 3, "d3 was lexical rank 3")
+    assert(out(2).getAs[Double]("cos") < 0.0, "d2 opposes the query vector")
+  }
+
+  test("q100 gate shape: dense rerank rank, candidates from the lexical top-100") {
+    val rows = Ranking.q100RetrieveRerank(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 10)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bm25_rank")
+      assert(b >= 1 && b <= 100)
+    }
+    assert(rows.exists(_.getAs[Int]("bm25_rank") == 1),
+      "the query doc itself must survive the rerank (cosine 1 with itself)")
+  }
+
   test("q95 emits a dense rank consistent with its own evidence columns") {
     val rows = Ranking.q95Bm25Rank(spark, sf).collect()
     assert(rows.length == 25)
