@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality audits (north-star mandate — the reference trusts its
+  * inputs; a 100 TB pipeline cannot: a nightly rebuild wants referential
+  * integrity and per-column profiles asserted BEFORE training jobs
+  * consume the snapshot, the same gate-first posture the reference's
+  * row-count accounting gestures at, made relational).
+  *
+  * Both operators are pure aggregates: their output is O(#relationships)
+  * or O(#columns) rows regardless of corpus size, and every emitted
+  * number is an integer — no float hazards anywhere in the family.
+  */
+object Audit {
+
+  /** One audit row for `child(fkCol) → parent(pkCol)`: child cardinality,
+    * NULL foreign keys, and orphans (non-null keys with no parent).
+    *
+    * Scale: keys project FIRST (the anti join never carries payload
+    * columns), and the parent side deduplicates to its key set before
+    * joining — a dimension-sized parent broadcasts, a fact-sized parent
+    * shuffles only keys. The three counts ride one aggregate over the
+    * anti-join-annotated child keys. */
+  def fkAudit(child: DataFrame, fkCol: String, parent: DataFrame, pkCol: String,
+              label: String): DataFrame = {
+    val keys = child.select(col(fkCol).as("fk"))
+    val parents = parent.select(col(pkCol).as("pk")).distinct()
+    val orphans = keys.filter(col("fk").isNotNull)
+      .join(parents, col("fk") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val base = keys.agg(count(lit(1)).as("n_child"),
+      sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    base.crossJoin(orphans)
+      .select(lit(label).as("fk"), col("n_child"), col("n_null_fk"),
+        col("n_orphans"), (col("n_null_fk") === 0L && col("n_orphans") === 0L).as("intact"))
+  }
+
+  /** q101: the referential-integrity audit of the whole TPC-H-ish
+    * schema — all seven real foreign keys plus one DELIBERATELY broken
+    * derived relation (parent = orders minus `o_orderkey % 7 = 3`, the
+    * q82 plant-your-own-fixture pattern) so the gate proves the orphan
+    * counter counts, not just that the fixture is clean. */
+  def q101FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val checks = Seq(
+      fkAudit(orders, "o_custkey", Tables.customer(spark, dir), "c_custkey",
+        "orders.o_custkey->customer"),
+      fkAudit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"),
+      fkAudit(li, "l_partkey", Tables.part(spark, dir), "p_partkey",
+        "lineitem.l_partkey->part"),
+      fkAudit(li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey",
+        "lineitem.l_suppkey->supplier"),
+      fkAudit(Tables.customer(spark, dir), "c_nationkey", Tables.nation(spark, dir),
+        "n_nationkey", "customer.c_nationkey->nation"),
+      fkAudit(Tables.supplier(spark, dir), "s_nationkey", Tables.nation(spark, dir),
+        "n_nationkey", "supplier.s_nationkey->nation"),
+      fkAudit(Tables.nation(spark, dir), "n_regionkey", Tables.region(spark, dir),
+        "r_regionkey", "nation.n_regionkey->region"),
+      fkAudit(li, "l_orderkey", orders.filter(col("o_orderkey") % 7 =!= 3),
+        "o_orderkey", "planted.l_orderkey->orders_subset"))
+    checks.reduce(_ unionByName _).orderBy(col("fk"))
+  }
+
+  val q101FkAuditSql: String = {
+    def check(label: String, childT: String, fk: String,
+              parentT: String, pk: String): String =
+      s"""SELECT '$label' AS fk,
+         |  (SELECT count(*) FROM $childT)::BIGINT AS n_child,
+         |  (SELECT count(*) FROM $childT WHERE $fk IS NULL)::BIGINT AS n_null_fk,
+         |  (SELECT count(*) FROM $childT ch WHERE ch.$fk IS NOT NULL
+         |     AND NOT EXISTS (SELECT 1 FROM $parentT p WHERE p.$pk = ch.$fk))::BIGINT AS n_orphans,
+         |  ((SELECT count(*) FROM $childT WHERE $fk IS NULL) = 0 AND
+         |   (SELECT count(*) FROM $childT ch WHERE ch.$fk IS NOT NULL
+         |      AND NOT EXISTS (SELECT 1 FROM $parentT p WHERE p.$pk = ch.$fk)) = 0) AS intact""".stripMargin
+    Seq(
+      check("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      check("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      check("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      check("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      check("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      check("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      check("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      check("planted.l_orderkey->orders_subset", "lineitem", "l_orderkey",
+        "(SELECT * FROM orders WHERE o_orderkey % 7 != 3)", "o_orderkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
+  /** ONE-PASS column profile of a frame: per column, row count, NULL
+    * count, and EXACT distinct cardinality — the pre-flight snapshot
+    * audit (schema drift shows up as a distinct-count cliff or a NULL
+    * spike before it shows up as a training regression).
+    *
+    * Scale: a naive profiler runs one query per column (N scans); this
+    * is a SINGLE aggregate — Spark plans multi-column `count(DISTINCT)`
+    * with one Expand (×#columns row replication of the projected
+    * columns only) and partial aggregation, so the table is scanned
+    * once no matter how many columns are profiled. The single result
+    * row then unpivots to one row per column (stack — driver never sees
+    * data). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        count_distinct(col(c)).as(s"dist_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"null_$c").as("n_null"),
+        col(s"dist_$c").as("n_distinct"))
+    }
+    one.select(col("n_rows"), explode(array(stacked: _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+        col("p.n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
+  /** q102: the profile of `orders` — every column, exact counts. */
+  def q102ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    columnProfile(orders, orders.columns.toSeq)
+  }
+
+  val q102ColumnProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val aggs = cols.map { c =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_$c, count(DISTINCT $c)::BIGINT AS dist_$c"
+    }.mkString(",\n  ")
+    val rows = cols.map { c =>
+      s"SELECT '$c' AS column_name, n_rows, null_$c AS n_null, dist_$c AS n_distinct FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT count(*)::BIGINT AS n_rows,
+       |  $aggs
+       |  FROM orders)
+       |$rows
+       |ORDER BY column_name""".stripMargin
+  }
+}

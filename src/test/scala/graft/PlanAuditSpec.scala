@@ -457,6 +457,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the join keys must be the exploded signature chunks:\n$p")
   }
 
+  test("column profile reads the table ONCE for every distinct count (q102)") {
+    val p = plan(operators.Audit.q102ColumnProfile(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"all per-column distincts must come from a single scan:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-column count(DISTINCT) must plan as one Expand pass:\n$p")
+  }
+
   test("length batching is ONE window shuffle; the ledger agg reuses it (q99)") {
     val p = plan(operators.TrainingData.q99LengthBatches(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
