@@ -41,6 +41,32 @@ object CurateJob {
                                  nUnique: Long, nNeardup: Long, nSampled: Long,
                                  nShards: Long, nSegments: Long)
 
+  /** Stage toggles (`--skip-<stage>` CLI flags): a nightly operator
+    * turns stages off to trade corpus quality for wall-clock (near-dup
+    * is the expensive one) or because a stage ran upstream already
+    * (e.g. PII redaction at ingest). EXACT dedup is deliberately NOT
+    * togglable — it is the pipeline's staging boundary (the
+    * localCheckpoint every later stage reads) and the cheapest stage by
+    * far; a skipped stage passes its frame through unchanged, so its
+    * funnel count equals its predecessor's and the audit row stays
+    * comparable across differently-configured runs. */
+  final case class CurateConfig(repetition: Boolean = true, quality: Boolean = true,
+                                pii: Boolean = true, neardup: Boolean = true,
+                                sample: Boolean = true)
+
+  object CurateConfig {
+    def fromFlags(flags: Seq[String]): CurateConfig =
+      flags.foldLeft(CurateConfig()) {
+        case (c, "--skip-repetition") => c.copy(repetition = false)
+        case (c, "--skip-quality")    => c.copy(quality = false)
+        case (c, "--skip-pii")        => c.copy(pii = false)
+        case (c, "--skip-neardup")    => c.copy(neardup = false)
+        case (c, "--skip-sample")     => c.copy(sample = false)
+        case (_, f) => throw new IllegalArgumentException(
+          s"unknown flag '$f' (known: --skip-{repetition,quality,pii,neardup,sample})")
+      }
+  }
+
   private val MaxDupWord = 0.6
   private val MinQuality = 0.45
   private val MinTokens = 10
@@ -50,7 +76,8 @@ object CurateJob {
   private val PackBudget = 512
   private val Shards = 8
 
-  def run(spark: SparkSession, docsPath: String, outDir: String): CurateSummary = {
+  def run(spark: SparkSession, docsPath: String, outDir: String,
+          cfg: CurateConfig = CurateConfig()): CurateSummary = {
     val path = if (new java.io.File(s"$docsPath/documents.parquet").exists())
       s"$docsPath/documents.parquet" else docsPath
     val docs = spark.read.parquet(path)
@@ -63,14 +90,18 @@ object CurateJob {
     // repetition + quality + length filters, then PII redaction — all
     // narrow maps; the repetition metrics join back on doc_id so the
     // expensive bigram scan runs once (q76's composition)
-    val rep = TextQueries.repetitionStats(docs, "doc_id", "text")
-      .select(col("doc_id"), col("dup_word_frac"))
-    val clean = docs.join(rep, Seq("doc_id"))
-      .filter(col("dup_word_frac").isNull || col("dup_word_frac") <= MaxDupWord)
-    val quality = clean
+    val clean = if (!cfg.repetition) docs else {
+      val rep = TextQueries.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_word_frac"))
+      docs.join(rep, Seq("doc_id"))
+        .filter(col("dup_word_frac").isNull || col("dup_word_frac") <= MaxDupWord)
+    }
+    val quality = if (!cfg.quality) clean else clean
       .filter(TextFunctions.qualityScore(col("text")) >= MinQuality &&
         TextFunctions.tokenCount(col("text")) >= MinTokens)
-    val redacted = TextQueries.redactPii(quality, "text")
+    val redacted = if (!cfg.pii)
+      quality.select(col("doc_id"), col("lang"), col("source"), col("text"))
+    else TextQueries.redactPii(quality, "text")
       .select(col("doc_id"), col("lang"), col("source"),
         col("redacted").as("text"))
 
@@ -86,15 +117,19 @@ object CurateJob {
       .localCheckpoint(true)
 
     // near-dup cluster survivors (q56's anti-join-by-cluster semantic)
-    val pairs = Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3)
-    val comps = Dedup.connectedComponents(pairs)
-    val nonSurvivors = comps.filter(col("id") =!= col("comp"))
-      .select(col("id").as("doc_id"))
-    val surv = uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
+    val survBase = if (!cfg.neardup) uniq else {
+      val pairs = Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3)
+      val comps = Dedup.connectedComponents(pairs)
+      val nonSurvivors = comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
+    }
+    val surv = survBase
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
       .localCheckpoint(true)
 
-    val sampled = TrainingData.mixtureSample(
+    val sampled = if (!cfg.sample) surv.select(col("doc_id"), col("lang"), col("n_tokens"))
+    else TrainingData.mixtureSample(
       surv.select(col("doc_id"), col("lang"), col("n_tokens")),
       "doc_id", "lang", MixRates, Seed)
 
@@ -120,10 +155,12 @@ object CurateJob {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CurateJob <docsPath> <outDir>")
+    require(args.length >= 2,
+      "usage: CurateJob <docsPath> <outDir> [--skip-repetition|--skip-quality|--skip-pii|--skip-neardup|--skip-sample ...]")
+    val cfg = CurateConfig.fromFlags(args.drop(2).toSeq)
     val spark = GraftSession.getOrCreate()
     val (s, stages) = StageMetrics.withStageMetrics(spark) {
-      run(spark, args(0), args(1))
+      run(spark, args(0), args(1), cfg)
     }
     stages.foreach(e => println(e.toJson))
     println(s"""{"stage":"curate","status":"success","n_docs":${s.nDocs},""" +

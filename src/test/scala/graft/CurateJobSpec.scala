@@ -32,4 +32,40 @@ class CurateJobSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
     }
   }
+
+  test("stage toggles: a skipped stage passes through, flags parse strictly") {
+    import graft.jobs.CurateJob.CurateConfig
+    // flag parsing
+    assert(CurateConfig.fromFlags(Nil) == CurateConfig())
+    assert(CurateConfig.fromFlags(Seq("--skip-neardup", "--skip-pii")) ==
+      CurateConfig(pii = false, neardup = false))
+    intercept[IllegalArgumentException](CurateConfig.fromFlags(Seq("--skip-dedup")))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_tog_")
+    try {
+      val all = CurateJob.run(spark, sf, s"$base/all")
+      // near-dup off: that stage must be the identity (count = unique),
+      // and everything upstream of it must be unchanged
+      val noNd = CurateJob.run(spark, sf, s"$base/nond",
+        CurateConfig(neardup = false))
+      assert(noNd.nNeardup == noNd.nUnique, s"skipped stage must pass through: $noNd")
+      assert(noNd.nUnique == all.nUnique && noNd.nQuality == all.nQuality,
+        s"upstream stages must not move: $all vs $noNd")
+      assert(noNd.nNeardup >= all.nNeardup,
+        "skipping near-dup can only keep more docs")
+      // filters off: the funnel head is the whole corpus
+      val noFilters = CurateJob.run(spark, sf, s"$base/nofil",
+        CurateConfig(repetition = false, quality = false, sample = false))
+      assert(noFilters.nClean == noFilters.nDocs)
+      assert(noFilters.nQuality == noFilters.nClean)
+      assert(noFilters.nSampled == noFilters.nNeardup,
+        s"skipped sampler must pass through: $noFilters")
+      assert(noFilters.nUnique >= all.nUnique,
+        "a wider funnel head cannot dedup to fewer survivors")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
 }
