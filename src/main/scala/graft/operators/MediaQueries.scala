@@ -288,11 +288,63 @@ object MediaQueries {
     * blobs never shuffle: 16-byte signatures do, and the pair join is
     * bounded by 16-bit chunk buckets, never |media|². */
   def q98MediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Media.byteGramSimhash(mediaCorpus(spark, dir))
+      .toDF("id", "sh_lo", "sh_hi")
+    Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** The media gram-simhash pipeline as reusable CTEs ending in
+    * `mpairs(id1, id2, hamming)` over the signature relation `msig` —
+    * shared by the q98 oracle and (recursively closed) the q103 ingest
+    * oracle, the simhashPairsCtes precedent for the media family. */
+  private def mediaGramPairsCtes: String = {
+    def bitTerms(hs: String): String = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_apply($hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""mbase AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE len(text) >= 4
+       |  UNION ALL
+       |  SELECT doc_id + $ReplicaOffset, text FROM documents
+       |  WHERE doc_id % $ReplicaEvery = 0 AND len(text) >= 4
+       |  UNION ALL
+       |  SELECT doc_id + $MutantOffset, text || '$MutantSuffix' FROM documents
+       |  WHERE doc_id % $MutantEvery = 0 AND len(text) >= 4),
+       |mhx AS (SELECT id, hex(encode(text)) AS h FROM mbase),
+       |mg AS (SELECT id, list_distinct(
+       |    list_transform(range(len(h) // 2 - 3), i -> substring(h, i * 2 + 1, 8))) AS grams
+       |  FROM mhx WHERE len(h) // 2 >= 4),
+       |mhh AS (SELECT id,
+       |  list_apply(grams, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
+       |  list_apply(grams, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
+       |  FROM mg),
+       |msig AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM mhh),
+       |mch AS (SELECT id, sh_lo, sh_hi, c.chunk,
+       |  CASE WHEN c.chunk = 0 THEN sh_lo & 65535
+       |       WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
+       |       WHEN c.chunk = 2 THEN sh_hi & 65535
+       |       ELSE (sh_hi >> 16) & 65535 END AS cval
+       |  FROM msig, range(4) c(chunk)),
+       |mpairs AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |  (bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)))::BIGINT AS hamming
+       |  FROM mch a JOIN mch b ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
+       |  WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3)""".stripMargin
+  }
+
+  val q98MediaNeardupSql: String =
+    s"""WITH $mediaGramPairsCtes
+       |SELECT id1, id2, hamming FROM mpairs ORDER BY id1, id2""".stripMargin
+
+  /** The q98 media corpus as a typed frame — shared by the q98 pair
+    * gate and the q103 ingest harness so both compute signatures over
+    * the identical blob population. */
+  private[graft] def mediaCorpus(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Media.MediaRow] = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"), col("text"))
-    val media = docs.as[(Long, String)]
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val row = Media.MediaRow(id, "image", textBlob(text))
         val out = scala.collection.mutable.ArrayBuffer(row)
@@ -302,42 +354,51 @@ object MediaQueries {
           out += Media.MediaRow(id + MutantOffset, "image", textBlob(text + MutantSuffix))
         out.toSeq
       }
-    val sigs = Media.byteGramSimhash(media).toDF("id", "sh_lo", "sh_hi")
-    Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
-      .orderBy(col("id1"), col("id2"))
   }
 
-  val q98MediaNeardupSql: String = {
-    def bitTerms(hs: String): String = (0 until 32).map { j =>
-      s"(CASE WHEN list_sum(list_apply($hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("\n  + ")
-    s"""WITH base AS (
-       |  SELECT doc_id AS id, text FROM documents WHERE len(text) >= 4
-       |  UNION ALL
-       |  SELECT doc_id + $ReplicaOffset, text FROM documents
-       |  WHERE doc_id % $ReplicaEvery = 0 AND len(text) >= 4
-       |  UNION ALL
-       |  SELECT doc_id + $MutantOffset, text || '$MutantSuffix' FROM documents
-       |  WHERE doc_id % $MutantEvery = 0 AND len(text) >= 4),
-       |hx AS (SELECT id, hex(encode(text)) AS h FROM base),
-       |g AS (SELECT id, list_distinct(
-       |    list_transform(range(len(h) // 2 - 3), i -> substring(h, i * 2 + 1, 8))) AS grams
-       |  FROM hx WHERE len(h) // 2 >= 4),
-       |hh AS (SELECT id,
-       |  list_apply(grams, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
-       |  list_apply(grams, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
-       |  FROM g),
-       |sig AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM hh),
-       |ch AS (SELECT id, sh_lo, sh_hi, c.chunk,
-       |  CASE WHEN c.chunk = 0 THEN sh_lo & 65535
-       |       WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
-       |       WHEN c.chunk = 2 THEN sh_hi & 65535
-       |       ELSE (sh_hi >> 16) & 65535 END AS cval
-       |  FROM sig, range(4) c(chunk))
-       |SELECT DISTINCT a.id AS id1, b.id AS id2,
-       |  (bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)))::BIGINT AS hamming
-       |FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
-       |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
-       |ORDER BY id1, id2""".stripMargin
+  /** q103: incremental MEDIA near-dup ingest — the media family's state
+    * story closed (exact q92 → near q98 → incremental q103, mirroring
+    * text's q15 → q21 → q68): a persistent BUCKETED signature index
+    * ingests the media corpus in two days (day 1 = originals; day 2 =
+    * replicas + mutants + a re-delivery of every 5th original), each
+    * batch's byte-gram signatures probing the index via
+    * [[MergeQueries.neardupIngestSigsBucketed]]. The final index's
+    * (media_id, survivor_id) must equal batch clustering of the WHOLE
+    * corpus row-for-row — the oracle closes the q98 pair CTEs
+    * transitively (q52's recursive pattern). The day split is the
+    * stress that matters: every replica and mutant arrives AFTER its
+    * original is already indexed, so every near-dup relation in the
+    * fixture crosses the batch/index boundary. */
+  def q103MediaIngest(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_q103_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val corpus = mediaCorpus(spark, dir)
+      val day1 = corpus.filter(_.media_id < ReplicaOffset)
+      val day2 = corpus.filter(r =>
+        r.media_id >= ReplicaOffset || r.media_id % 5 == 0)
+      Seq(day1, day2).foreach { day =>
+        val sigs = Media.byteGramSimhash(day).toDF("id", "sh_lo", "sh_hi")
+        MergeQueries.neardupIngestSigsBucketed(spark, table, sigs, nBuckets = 8)
+      }
+      spark.table(table)
+        .select(col("doc_id").as("media_id"), col("survivor_id"))
+        .orderBy(col("media_id"))
+        .localCheckpoint(true) // materialize before the table is dropped
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
   }
+
+  val q103MediaIngestSql: String =
+    s"""WITH RECURSIVE $mediaGramPairsCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM mpairs
+       |          UNION SELECT id2, id1 FROM mpairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT s.id AS media_id, coalesce(min(r.comp), s.id)::BIGINT AS survivor_id
+       |FROM msig s LEFT JOIN reach r ON r.id = s.id
+       |GROUP BY s.id ORDER BY media_id""".stripMargin
 }

@@ -330,8 +330,26 @@ object MergeQueries {
       def read(): DataFrame = spark.read.parquet(target)
       def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats =
         MergeSink.mergeInto(spark, target, updates, "doc_id", fields)
-    }, batch, idCol, textCol, maxHamming)
+    }, Dedup.simhashSignatures(batch, idCol, textCol), maxHamming)
   }
+
+  /** [[neardupIngestBucketed]] for PRE-COMPUTED signature batches — the
+    * entry point for signature sources other than word tokens (e.g.
+    * [[graft.multimodal.Media.byteGramSimhash]]'s byte-gram signatures
+    * over binary payloads): the index probe, star-edge survivor lookup,
+    * component merge, and bucketed store are all signature-source
+    * agnostic, exactly like [[Dedup.simhashPairsFromSigs]]. `batchSigs`
+    * must be shaped (id, sh_lo, sh_hi). */
+  def neardupIngestSigsBucketed(spark: SparkSession, table: String,
+                                batchSigs: DataFrame, nBuckets: Int,
+                                maxHamming: Int = 3): MergeSink.MergeStats =
+    neardupIngestCore(spark, new IndexStore {
+      def exists: Boolean = spark.catalog.tableExists(table)
+      def read(): DataFrame = spark.table(table)
+      def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats =
+        MergeSink.mergeIntoBucketed(spark, table, updates, "doc_id", fields,
+          nBuckets)
+    }, batchSigs, maxHamming)
 
   /** [[neardupIngest]] against a BUCKETED catalog-table index — the
     * 100 TB layout, [[dedupIngestBucketed]]'s argument applied to the
@@ -346,13 +364,8 @@ object MergeQueries {
                             batch: DataFrame, idCol: String, textCol: String,
                             nBuckets: Int,
                             maxHamming: Int = 3): MergeSink.MergeStats =
-    neardupIngestCore(spark, new IndexStore {
-      def exists: Boolean = spark.catalog.tableExists(table)
-      def read(): DataFrame = spark.table(table)
-      def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats =
-        MergeSink.mergeIntoBucketed(spark, table, updates, "doc_id", fields,
-          nBuckets)
-    }, batch, idCol, textCol, maxHamming)
+    neardupIngestSigsBucketed(spark, table,
+      Dedup.simhashSignatures(batch, idCol, textCol), nBuckets, maxHamming)
 
   /** The two physical index layouts [[neardupIngestCore]] runs against:
     * a plain parquet directory ([[neardupIngest]]) or a bucketed catalog
@@ -364,13 +377,12 @@ object MergeQueries {
   }
 
   private def neardupIngestCore(spark: SparkSession, store: IndexStore,
-                                batch: DataFrame, idCol: String,
-                                textCol: String,
+                                batchSigs0: DataFrame,
                                 maxHamming: Int): MergeSink.MergeStats = {
     val exists = store.exists
     val fields = Seq("sh_lo", "sh_hi", "survivor_id")
 
-    val batchSigs = Dedup.simhashSignatures(batch, idCol, textCol)
+    val batchSigs = batchSigs0
       .dropDuplicates("id") // within-batch re-delivery of identical rows
     // localCheckpoint: referenced by the self-pair emitter, the cross
     // probe, AND the final insert set — without it the tokenize+simhash

@@ -189,6 +189,36 @@ class MediaSpec extends SparkSpec {
       s"edit drift $editDrift must stay below unrelated distance $unrelated")
   }
 
+  test("media ingest: the arrival schedule never changes the final index") {
+    import graft.operators.{MediaQueries, MergeQueries}
+    val corpus = MediaQueries.mediaCorpus(spark, sf)
+    def ingest(table: String, days: Seq[Media.MediaRow => Boolean]): Array[(Long, Long)] =
+      try {
+        days.foreach { pred =>
+          val sigs = Media.byteGramSimhash(corpus.filter(pred))
+            .toDF("id", "sh_lo", "sh_hi")
+          MergeQueries.neardupIngestSigsBucketed(spark, table, sigs, nBuckets = 4)
+        }
+        spark.table(table).select("doc_id", "survivor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    // schedule A: originals first, then replicas+mutants (q103's split);
+    // schedule B: odd underlying ids first, then even (+ a re-delivery)
+    val a = ingest("graft_ms_ing_a",
+      Seq(r => r.media_id < 10000000L, r => r.media_id >= 10000000L))
+    val b = ingest("graft_ms_ing_b",
+      Seq(r => (r.media_id % 10000000L) % 2 == 1,
+          r => (r.media_id % 10000000L) % 2 == 0 || r.media_id % 3 == 0))
+    assert(a.nonEmpty && a.length == b.length)
+    assert(a.toSeq == b.toSeq,
+      "final (media_id, survivor_id) must be schedule-independent")
+    // every exact replica resolves to its original as survivor
+    a.filter(_._1 >= 10000000L).filter(_._1 < 20000000L).foreach { case (id, surv) =>
+      assert(surv == id - 10000000L || surv < id - 10000000L,
+        s"replica $id must cluster with (or below) its original, got $surv")
+    }
+  }
+
   test("q98 media near-dup: every exact replica pair surfaces at Hamming 0") {
     val pairs = graft.operators.MediaQueries.q98MediaNeardup(spark, sf).collect()
     assert(pairs.nonEmpty)
