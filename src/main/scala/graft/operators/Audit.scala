@@ -119,6 +119,60 @@ object Audit {
       .orderBy(col("column_name"))
   }
 
+  /** The SKETCH path of [[columnProfile]] for high-cardinality columns:
+    * the same one-pass shape with `approx_count_distinct` (HLL++,
+    * mergeable, constant memory per column) computed ALONGSIDE the
+    * exact distinct. At 100 TB the exact Expand pass is what you run
+    * when you need the truth; the HLL pass is what you run nightly —
+    * this operator certifies the sketch against the exact answer
+    * (q50's band pattern: the gate emits exact anchors plus a literal
+    * TRUE the oracle can assert), so swapping the profiler to
+    * sketch-only is a measured decision, not a hope. Band: 5·rsd
+    * relative (HLL++ standard error is rsd; 5σ makes the fixed-fixture
+    * boolean a property, not a flake) with a +5 absolute floor for
+    * tiny cardinalities. */
+  def columnProfileSketch(df: DataFrame, cols: Seq[String],
+                          rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "columnProfileSketch needs at least one column")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(count_distinct(col(c)).as(s"dist_$c"),
+        approx_count_distinct(col(c), rsd).as(s"approx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"dist_$c").as("n_distinct"),
+        (abs(col(s"approx_$c") - col(s"dist_$c")).cast("double") <=
+          greatest(lit(5.0), lit(5.0 * rsd) * col(s"dist_$c").cast("double")))
+          .as("approx_in_band"))
+    }
+    one.select(col("n_rows"), explode(array(stacked: _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_distinct"),
+        col("p.approx_in_band"))
+      .orderBy(col("column_name"))
+  }
+
+  /** q104: the sketch-certified profile of `lineitem` — cardinalities
+    * from 3 (returnflag) to ~n_rows/4 (orderkey) in one scan. */
+  def q104ProfileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    columnProfileSketch(li, li.columns.toSeq.sorted)
+  }
+
+  val q104ProfileSketchSql: String = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+      "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate",
+      "l_suppkey", "l_tax")
+    val aggs = cols.map(c => s"count(DISTINCT $c)::BIGINT AS dist_$c").mkString(",\n  ")
+    val rows = cols.map { c =>
+      s"SELECT '$c' AS column_name, n_rows, dist_$c AS n_distinct, TRUE AS approx_in_band FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT count(*)::BIGINT AS n_rows,
+       |  $aggs
+       |  FROM lineitem)
+       |$rows
+       |ORDER BY column_name""".stripMargin
+  }
+
   /** q102: the profile of `orders` — every column, exact counts. */
   def q102ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)

@@ -51,6 +51,20 @@ class AuditSpec extends SparkSpec {
     assert(byCol("i").getAs[Long]("n_distinct") == 2L)
   }
 
+  test("sketch profile: exact anchors intact, HLL lands in band at every cardinality") {
+    val out = Audit.q104ProfileSketch(spark, sf).collect()
+    assert(out.length == 11)
+    val byCol = out.map(r => r.getAs[String]("column_name") -> r).toMap
+    // spot anchors across the cardinality range
+    assert(byCol("l_returnflag").getAs[Long]("n_distinct") == 3L)
+    assert(byCol("l_linenumber").getAs[Long]("n_distinct") == 7L)
+    assert(byCol("l_quantity").getAs[Long]("n_distinct") == 50L)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("approx_in_band"),
+        s"HLL out of 5·rsd band for ${r.getAs[String]("column_name")}")
+    }
+  }
+
   test("q102 profile: key column is unique, no nulls anywhere in orders") {
     val rows = Audit.q102ColumnProfile(spark, sf).collect()
     assert(rows.length == 6)
