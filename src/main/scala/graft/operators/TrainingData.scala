@@ -154,6 +154,69 @@ object TrainingData {
       .withColumn("pack_id", expr(s"start_off div $budget"))
   }
 
+  /** The [[packAssignments]] ledger over EXPLICIT streams — same exact
+    * integer running-sum contract, but the caller supplies the stream
+    * assignment and within-stream order instead of the seeded-hash
+    * derivation (the composition seam [[q105ShuffledPack]] uses to pack
+    * in q78's global-shuffle order). `orderCol` must be unique within
+    * each stream — packAssignments' determinism contract, unchanged. */
+  def packByOrder(docs: DataFrame, streamCol: String, orderCol: String,
+                  tokensCol: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"packing needs budget >= 1, got $budget")
+    val w = Window.partitionBy(col(streamCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("tokens", tokensCol.cast("long"))
+      .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("pack_id", expr(s"start_off div $budget"))
+  }
+
+  private val ShufPackBudget = 512
+  private val ShufPackShards = 4
+  private val ShufPackSeed = "shufpack"
+
+  /** q105: pack in GLOBALLY-SHUFFLED order — the q78 × q45 composition
+    * a pretraining exporter actually ships: [[Sharding.shuffleShards]]
+    * deals every document a deterministic (shard, pos) in seeded-hash
+    * order, and the token-budget ledger packs each shard's stream in
+    * that order, so a loader reading pack 0, 1, 2, … of its shard sees
+    * globally-shuffled data with zero load-time shuffling. Per-pack
+    * ledger row: doc/token counts plus min_by/max_by doc anchors — the
+    * anchors certify the pack boundary fell in HASH order, not id
+    * order. Plan: the pack window partitions by the same `shard` key
+    * the rank window just created, so the whole composition rides ONE
+    * exchange (pinned in PlanAuditSpec). */
+  def q105ShuffledPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val shuffled = Sharding.shuffleShards(docs, "doc_id", ShufPackShards, ShufPackSeed)
+    packByOrder(shuffled, "shard", "pos", col("n_tokens"), ShufPackBudget)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  val q105ShuffledPackSql: String =
+    s"""WITH t AS (SELECT doc_id, len(${TextQueries.tokSqlExpr})::BIGINT AS n_tokens FROM documents),
+       |b AS (SELECT doc_id, n_tokens,
+       |    ('0x' || substring(md5('$ShufPackSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM t),
+       |s AS (SELECT *, bucket * $ShufPackShards // 4294967296 AS shard FROM b),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id)::BIGINT AS pos FROM s),
+       |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS start_off FROM r),
+       |p AS (SELECT *, start_off // $ShufPackBudget AS pack_id FROM c)
+       |SELECT shard, pack_id, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS pack_tokens,
+       |  min(pos) AS first_pos, max(pos) AS last_pos,
+       |  min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc
+       |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
   /** Materialized pack CONTENTS — the exporter half of concat-and-chunk
     * packing. [[packAssignments]] decides which pack each document STARTS
     * in; a pretraining exporter also needs every (pack, document-span)

@@ -457,6 +457,12 @@ class PlanAuditSpec extends SparkSpec {
       s"the join keys must be the exploded signature chunks:\n$p")
   }
 
+  test("shuffled packing rides ONE exchange: rank and pack windows share the shard key (q105)") {
+    val p = plan(operators.TrainingData.q105ShuffledPack(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"the rank window, pack ledger, and pack agg must share one shard shuffle:\n$p")
+  }
+
   test("column profile reads the table ONCE for every distinct count (q102)") {
     val p = plan(operators.Audit.q102ColumnProfile(spark, sf))
     assert("Scan parquet".r.findAllIn(p).length == 1,

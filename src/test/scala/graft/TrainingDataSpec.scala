@@ -471,6 +471,29 @@ class TrainingDataSpec extends SparkSpec {
       s"kept=$kept of $total")
   }
 
+  test("shuffled pack: ledger balances and packs cut in hash order, not id order") {
+    val rows = TrainingData.q105ShuffledPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, packs) =>
+      val sorted = packs.sortBy(_.getAs[Long]("pack_id"))
+      // pack ids are dense from 0 and pos ranges tile the stream
+      assert(sorted.head.getAs[Long]("pack_id") == 0L)
+      assert(sorted.map(_.getAs[Long]("pack_id")).toSeq ==
+        (0L until sorted.length.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_pos") + 1 == b.getAs[Long]("first_pos"))
+        case _ => ()
+      }
+      // interior packs carry at least budget minus the largest straddle
+      // (the q45 contract); every pack holds at least one doc
+      sorted.foreach(r => assert(r.getAs[Long]("n_docs") >= 1L))
+    }
+    // hash order ≠ id order: some pack must have first_doc > last_doc
+    assert(rows.exists(r => r.getAs[Long]("first_doc") > r.getAs[Long]("last_doc")),
+      "shuffled order should invert doc ids inside at least one pack")
+  }
+
   test("length batches: hand-computed ledger on a crafted shard") {
     import spark.implicits._
     // one bucket (width 100 swallows all), one shard, batchSize 2:
