@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -171,6 +171,77 @@ object Audit {
        |  FROM lineitem)
        |$rows
        |ORDER BY column_name""".stripMargin
+  }
+
+  /** PROFILE-DRIVEN ANOMALY GATE over an event stream's ingest days:
+    * per-day row count and exact distinct-user count, plus low/high
+    * volume anomaly flags against the corpus-wide mean — the check a
+    * nightly ingest runs BEFORE publishing a snapshot ("did a source
+    * go dark / double-deliver yesterday?").
+    *
+    * Determinism discipline: the flags are integer cross-
+    * multiplications — `low ⇔ lowDen·n·D < lowNum·T` (n below
+    * lowNum/lowDen of the mean daily volume) and
+    * `high ⇔ highDen·n·D > highNum·T` — no division anywhere, so both
+    * engines agree exactly on every flag, always (the q96 numerator
+    * discipline applied to thresholds).
+    *
+    * Scale: one map-side count aggregate to an O(#days) frame, a
+    * 1-row totals fold broadcast back, narrow flag arithmetic. The
+    * stream is scanned once; nothing else moves. Overflow: n·D fits
+    * BIGINT until ~10¹⁴ daily rows × 10⁴ days. */
+  def dayAnomalies(events: DataFrame, tsCol: Column, userCol: Column,
+                   lowNum: Int = 1, lowDen: Int = 2,
+                   highNum: Int = 2, highDen: Int = 1): DataFrame = {
+    val perDay = events
+      .groupBy(to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(userCol).as("n_users"))
+    val tot = perDay.agg(count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("total_events"))
+    perDay.crossJoin(broadcast(tot))
+      .select(col("day"), col("n_events"), col("n_users"),
+        (col("n_events") * col("n_days") * lowDen <
+          col("total_events") * lowNum).as("low_anomaly"),
+        (col("n_events") * col("n_days") * highDen >
+          col("total_events") * highNum).as("high_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  private val DropDay = 3
+  private val DropKeep = 0.3
+  private val DupDay = 27
+
+  /** q107: [[dayAnomalies]] over the events fixture with PLANTED
+    * defects (the q101 non-vacuity pattern): day 3 keeps only a seeded
+    * 30% of its events (a source going dark mid-day) and day 27 is
+    * delivered three times (a duplicating upstream). The gate proves
+    * both detectors fire — exactly day 3 low, exactly day 27 high at
+    * both fixture scales (measured: 100 vs the ~174 low cut, 1023 vs
+    * the ~696 high cut at sf0.01) — and that clean days stay silent. */
+  def q107DayAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val keep = lit(TrainingData.rateThreshold(DropKeep))
+    val dropped = ev.filter(dayofmonth(col("ts")) =!= DropDay ||
+      TrainingData.hashBucket(col("event_id"), "evdrop") < keep)
+    val dup = ev.filter(dayofmonth(col("ts")) === DupDay)
+    dayAnomalies(dropped.unionAll(dup).unionAll(dup), col("ts"), col("user_id"))
+  }
+
+  val q107DayAnomalySql: String = {
+    val thr = TrainingData.rateThreshold(DropKeep)
+    s"""WITH v AS (
+       |  SELECT * FROM events WHERE date_part('day', ts) != $DropDay
+       |    OR ('0x' || substring(md5('evdrop:' || event_id), 1, 8))::BIGINT < $thr
+       |  UNION ALL SELECT * FROM events WHERE date_part('day', ts) = $DupDay
+       |  UNION ALL SELECT * FROM events WHERE date_part('day', ts) = $DupDay),
+       |d AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_events,
+       |        count(DISTINCT user_id)::BIGINT AS n_users FROM v GROUP BY 1),
+       |t AS (SELECT count(*)::BIGINT AS n_days, sum(n_events)::BIGINT AS total_events FROM d)
+       |SELECT day, n_events, n_users,
+       |  (n_events * n_days * 2 < total_events * 1) AS low_anomaly,
+       |  (n_events * n_days * 1 > total_events * 2) AS high_anomaly
+       |FROM d, t ORDER BY day""".stripMargin
   }
 
   /** q102: the profile of `orders` — every column, exact counts. */

@@ -420,33 +420,48 @@ object CorpusReport {
     distributionDrift(v1, v2, Seq("lang", "source"))
   }
 
+  /** The drift comparator's tail as DuckDB SQL over two CTE/table names
+    * exposing `dims` — factored so every drift gate (q96's corpus-vs-
+    * rebuild, q106's corpus-vs-funnel-output) shares the single
+    * exact-integer formulation [[distributionDrift]] mirrors. Emits the
+    * c1/c2 count CTEs, the full-outer category join, the totals fold,
+    * the per-category rows, and the grand-total TV row. */
+  private[graft] def driftTailSql(dims: Seq[String], v1: String, v2: String): String = {
+    val dimList = dims.mkString(", ")
+    val gb = dims.indices.map(i => (i + 1).toString).mkString(", ")
+    val joinCond = dims.map(d => s"c1.$d = c2.$d").mkString(" AND ")
+    val coal = dims.map(d => s"coalesce(c1.$d, c2.$d) AS $d").mkString(",\n  ")
+    val nulls = dims.map(_ => "NULL").mkString(", ")
+    val ord = dims.map(d => s"$d ASC NULLS FIRST").mkString(", ")
+    s"""c1 AS (SELECT $dimList, count(*)::BIGINT AS n_old FROM $v1 GROUP BY $gb),
+       |c2 AS (SELECT $dimList, count(*)::BIGINT AS n_new FROM $v2 GROUP BY $gb),
+       |j AS (SELECT $coal,
+       |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+       |  FROM c1 FULL OUTER JOIN c2 ON $joinCond),
+       |t AS (SELECT sum(n_old)::BIGINT AS tot_old, sum(n_new)::BIGINT AS tot_new FROM j),
+       |p AS (SELECT 0::BIGINT AS is_total, $dimList, n_old, n_new,
+       |  abs(n_old * tot_new - n_new * tot_old)::BIGINT AS drift_num,
+       |  n_old::DOUBLE / tot_old AS share_old,
+       |  n_new::DOUBLE / tot_new AS share_new,
+       |  abs(n_old * tot_new - n_new * tot_old)::DOUBLE
+       |    / (2 * tot_old * tot_new)::DOUBLE AS tv_contrib
+       |  FROM j, t)
+       |SELECT * FROM p
+       |UNION ALL
+       |SELECT 1::BIGINT, $nulls, sum(n_old)::BIGINT, sum(n_new)::BIGINT,
+       |  sum(drift_num)::BIGINT,
+       |  1.0::DOUBLE, 1.0::DOUBLE,
+       |  sum(drift_num)::DOUBLE / (2 * sum(n_old) * sum(n_new))::DOUBLE
+       |FROM p
+       |ORDER BY is_total, $ord""".stripMargin
+  }
+
   val q96DistributionDriftSql: String =
-    """WITH v2 AS (
-      |  SELECT lang, source FROM documents WHERE doc_id % 17 != 3
-      |  UNION ALL
-      |  SELECT lang, source FROM documents WHERE doc_id % 19 = 7),
-      |c1 AS (SELECT lang, source, count(*)::BIGINT AS n_old FROM documents GROUP BY 1, 2),
-      |c2 AS (SELECT lang, source, count(*)::BIGINT AS n_new FROM v2 GROUP BY 1, 2),
-      |j AS (SELECT coalesce(c1.lang, c2.lang) AS lang,
-      |  coalesce(c1.source, c2.source) AS source,
-      |  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-      |  FROM c1 FULL OUTER JOIN c2 ON c1.lang = c2.lang AND c1.source = c2.source),
-      |t AS (SELECT sum(n_old)::BIGINT AS tot_old, sum(n_new)::BIGINT AS tot_new FROM j),
-      |p AS (SELECT 0::BIGINT AS is_total, lang, source, n_old, n_new,
-      |  abs(n_old * tot_new - n_new * tot_old)::BIGINT AS drift_num,
-      |  n_old::DOUBLE / tot_old AS share_old,
-      |  n_new::DOUBLE / tot_new AS share_new,
-      |  abs(n_old * tot_new - n_new * tot_old)::DOUBLE
-      |    / (2 * tot_old * tot_new)::DOUBLE AS tv_contrib
-      |  FROM j, t)
-      |SELECT * FROM p
-      |UNION ALL
-      |SELECT 1::BIGINT, NULL, NULL, sum(n_old)::BIGINT, sum(n_new)::BIGINT,
-      |  sum(drift_num)::BIGINT,
-      |  1.0::DOUBLE, 1.0::DOUBLE,
-      |  sum(drift_num)::DOUBLE / (2 * sum(n_old) * sum(n_new))::DOUBLE
-      |FROM p
-      |ORDER BY is_total, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+    s"""WITH v2 AS (
+       |  SELECT lang, source FROM documents WHERE doc_id % 17 != 3
+       |  UNION ALL
+       |  SELECT lang, source FROM documents WHERE doc_id % 19 = 7),
+       |${driftTailSql(Seq("lang", "source"), "documents", "v2")}""".stripMargin
 
   val q77CorpusReportSql: String = {
     val stops = stopwords.map(s => s"'$s'").mkString(", ")

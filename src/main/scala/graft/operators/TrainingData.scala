@@ -1395,6 +1395,18 @@ object TrainingData {
        |         WHERE k.doc_id IN (SELECT doc_id FROM surv))""".stripMargin
   }
 
+  /** The q44 mixture-sample stage as a `samp` CTE over `src` (doc_id,
+    * lang, n_tokens) — factored so the funnel tail and q106's drift
+    * oracle share the one threshold formulation. */
+  private def sampCteSql(src: String): String = {
+    val cases = MixRates
+      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
+      .mkString(" ")
+    s"""samp AS (SELECT doc_id, lang, n_tokens FROM $src
+       |         WHERE ('0x' || substring(md5('$MixSeed:' || doc_id), 1, 8))::BIGINT
+       |               < CASE lang $cases ELSE -1 END)""".stripMargin
+  }
+
   /** The sample → shard → pack → report tail of the funnel oracle over a
     * source CTE `src` (doc_id, lang, n_tokens); `extraCtes`/`extraCols`/
     * `extraJoins` splice additional per-stage count CTE definitions,
@@ -1403,12 +1415,7 @@ object TrainingData {
   private def funnelTailSql(src: String, extraCtes: String,
                             extraCols: String,
                             extraJoins: String = ""): String = {
-    val cases = MixRates
-      .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
-      .mkString(" ")
-    s"""samp AS (SELECT doc_id, lang, n_tokens FROM $src
-       |         WHERE ('0x' || substring(md5('$MixSeed:' || doc_id), 1, 8))::BIGINT
-       |               < CASE lang $cases ELSE -1 END),
+    s"""${sampCteSql(src)},
        |shd AS (SELECT *, ('0x' || substring(md5('$PackSeed:' || doc_id), 1, 8))::BIGINT % $PackShards AS shard FROM samp),
        |offs AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_off
@@ -1437,6 +1444,37 @@ object TrainingData {
   val q54CurationFunnelSql: String =
     s"""WITH $funnelBaseCtes,
        |${funnelTailSql("uniq", "", "")}""".stripMargin
+
+  /** q106: MIXTURE DRIFT THROUGH THE FUNNEL — [[CorpusReport.distributionDrift]]
+    * (q96's exact-integer TV comparator) applied to the curation pipeline
+    * itself: v1 = the raw corpus, v2 = the funnel's sampled output
+    * (quality filter → exact dedup → seeded mixture sample, q54's
+    * stages). This is the monitor a corpus build publishes next to its
+    * funnel report: not how many documents each stage kept (q54), but
+    * how far the RESULTING language mixture moved from the raw crawl —
+    * per-language share_old/share_new, the exact |n·M − m·N| drift
+    * numerator, and the grand-total TV row a recipe owner alerts on.
+    *
+    * Oracle: the funnel base CTEs + the factored `samp` CTE + the
+    * factored drift tail — the composition is value-checked end to end,
+    * with both halves shared verbatim with q54's and q96's oracles.
+    *
+    * Scale: the funnel is q54's shape (filters + one dedup shuffle +
+    * map-side sample); the drift adds two O(#languages) count
+    * aggregates (map-side partial), a tiny full-outer join, and a
+    * broadcast totals fold — the monitor is free next to the pipeline
+    * it watches, and no stage rescans the corpus (the funnel's `keep`
+    * is checkpointed once, [[funnelStages]]). */
+  def q106FunnelDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"))
+    val samp = curationSampled(spark, dir).select(col("lang"))
+    CorpusReport.distributionDrift(docs, samp, Seq("lang"))
+  }
+
+  val q106FunnelDriftSql: String =
+    s"""WITH $funnelBaseCtes,
+       |${sampCteSql("uniq")},
+       |${CorpusReport.driftTailSql(Seq("lang"), "documents", "samp")}""".stripMargin
 
   val q56NearDupFunnelSql: String =
     s"""WITH RECURSIVE $funnelBaseCtes,

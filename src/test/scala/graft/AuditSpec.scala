@@ -72,4 +72,38 @@ class AuditSpec extends SparkSpec {
     assert(key.getAs[Long]("n_distinct") == key.getAs[Long]("n_rows"))
     rows.foreach(r => assert(r.getAs[Long]("n_null") == 0L))
   }
+
+  test("day anomalies: hand-computed flags on a crafted week") {
+    import java.sql.Timestamp
+    // 7 days: 10,10,10,2,10,10,50 events → D=7, T=102; mean ≈ 14.57
+    // low (n < mean/2 ≈ 7.29): only the 2-day; high (n > 2·mean ≈ 29.1): only the 50-day
+    val rows = (1 to 7).flatMap { d =>
+      val n = d match { case 4 => 2; case 7 => 50; case _ => 10 }
+      (1 to n).map(i => (Timestamp.valueOf(f"2024-03-0$d 10:00:$i%02d"), (i % 3).toLong))
+    }
+    val ev = rows.toDF("ts", "user_id")
+    val out = Audit.dayAnomalies(ev, col("ts"), col("user_id")).collect()
+    assert(out.length == 7)
+    assert(out.count(_.getAs[Boolean]("low_anomaly")) == 1)
+    assert(out.count(_.getAs[Boolean]("high_anomaly")) == 1)
+    assert(out(3).getAs[Boolean]("low_anomaly") && out(3).getAs[Long]("n_events") == 2L)
+    assert(out(6).getAs[Boolean]("high_anomaly") && out(6).getAs[Long]("n_events") == 50L)
+    assert(out(0).getAs[Long]("n_users") == 3L) // users 0,1,2 across 10 events
+  }
+
+  test("q107: exactly the planted days fire — dark day low, tripled day high") {
+    val out = Audit.q107DayAnomaly(spark, sf).collect()
+    assert(out.length == 30)
+    val low = out.filter(_.getAs[Boolean]("low_anomaly"))
+    val high = out.filter(_.getAs[Boolean]("high_anomaly"))
+    assert(low.map(_.getAs[java.sql.Date]("day").toString).toSeq == Seq("2024-01-03"))
+    assert(high.map(_.getAs[java.sql.Date]("day").toString).toSeq == Seq("2024-01-27"))
+    // the tripled day carries exactly 3× its clean volume; users don't triple
+    // (count_distinct dedups the duplicated deliveries)
+    val ev = Tables.events(spark, sf)
+    val clean27 = ev.filter(dayofmonth(col("ts")) === 27)
+    assert(high.head.getAs[Long]("n_events") == 3L * clean27.count())
+    assert(high.head.getAs[Long]("n_users") ==
+      clean27.select("user_id").distinct().count())
+  }
 }

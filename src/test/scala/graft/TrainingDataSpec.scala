@@ -529,4 +529,22 @@ class TrainingDataSpec extends SparkSpec {
       }
     }
   }
+
+  test("funnel drift: v2 counts are the funnel's sampled set, drift non-vacuous") {
+    val out = TrainingData.q106FunnelDrift(spark, sf).collect()
+    // v2 side of the drift must be exactly the curation sample's counts —
+    // the composition seam q106 gates (drift OVER the funnel, not beside it)
+    val sampCounts = TrainingData.curationSampled(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    out.filter(_.getAs[Long]("is_total") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_new") ==
+        sampCounts.getOrElse(r.getAs[String]("lang"), 0L))
+    }
+    // the mixture rates differ by language, so curation MUST move the
+    // mixture: a zero-TV result means the drift is watching the wrong frame
+    val tot = out.filter(_.getAs[Long]("is_total") == 1L).head
+    assert(tot.getAs[Long]("drift_num") > 0L, "funnel drift must be non-vacuous")
+    assert(tot.getAs[Long]("drift_num") ==
+      out.filter(_.getAs[Long]("is_total") == 0L).map(_.getAs[Long]("drift_num")).sum)
+  }
 }
