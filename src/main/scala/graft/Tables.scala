@@ -27,16 +27,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.GraftSession]]),
-    * under which ts arrives as LongType nanos; we truncate to
-    * microsecond TimestampType here — the same ns→µs truncation DuckDB
-    * applies, so oracle comparisons line up. */
+  /** events.ts normalized to microsecond TimestampType regardless of how the
+    * driver generated the fixture. Two physical encodings have been observed
+    * across fixture generations:
+    *  - parquet TIMESTAMP(NANOS): Spark's reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    [[graft.GraftSession]]), under which ts arrives as LongType nanos —
+    *    truncate to µs, the same ns→µs truncation DuckDB applies;
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ — cast to TimestampType (identity on the stored micros
+    *    under the session's UTC zone, which oracle parity pins).
+    * Branching on the footer schema keeps every downstream query, oracle, and
+    * streaming-parity gate byte-identical across generations. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -289,7 +289,7 @@ object CorpusReport {
        |  round(0.25 * alpha_raw + 0.25 * stop_raw
        |      + 0.25 * least(1.0, n_tokens::double / 100.0)
        |      + 0.25 * (1.0 - punct_raw), 4) AS quality FROM r)
-       |SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       |SELECT lang, source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
        |  ((2 * sum(CAST(round(quality * 10000) AS BIGINT)) + count(*)) // (2 * count(*)))::double / 10000.0 AS avg_quality,
        |  round(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END)::double / count(*), 4) AS short_frac
@@ -481,7 +481,7 @@ object CorpusReport {
        |SELECT lang, source,
        |  GROUPING(lang, source)::bigint AS gid,
        |  count(*) AS n_docs,
-       |  sum(n_tokens) AS total_tokens,
+       |  sum(n_tokens)::BIGINT AS total_tokens,
        |  min(n_tokens) AS min_tokens,
        |  max(n_tokens) AS max_tokens,
        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,

@@ -209,8 +209,8 @@ object TrainingData {
        |s AS (SELECT *, bucket * $ShufPackShards // 4294967296 AS shard FROM b),
        |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id)::BIGINT AS pos FROM s),
        |c AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS start_off FROM r),
-       |p AS (SELECT *, start_off // $ShufPackBudget AS pack_id FROM c)
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_off FROM r),
+       |p AS (SELECT *, (start_off // $ShufPackBudget)::BIGINT AS pack_id FROM c)
        |SELECT shard, pack_id, count(*)::BIGINT AS n_docs,
        |  sum(n_tokens)::BIGINT AS pack_tokens,
        |  min(pos) AS first_pos, max(pos) AS last_pos,
@@ -1267,7 +1267,7 @@ object TrainingData {
        |  FROM documents),
        |s AS (SELECT *, bucket % $BudgetShards AS shard FROM t),
        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
-       |        ORDER BY bucket, doc_id) AS cum_tokens FROM s)
+       |        ORDER BY bucket, doc_id)::BIGINT AS cum_tokens FROM s)
        |SELECT doc_id, lang, bucket, shard, n_tokens, cum_tokens
        |FROM c WHERE cum_tokens - n_tokens < $perShard
        |ORDER BY lang, shard, cum_tokens, doc_id""".stripMargin

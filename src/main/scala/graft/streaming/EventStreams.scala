@@ -155,21 +155,28 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Streaming source over the DRIVER's events fixture, whose `ts` is
-    * parquet TIMESTAMP(NANOS): under `nanosAsLong` it arrives as a long,
-    * truncated here to µs exactly like [[graft.Tables.events]] — so a
-    * streaming run over the fixture sees byte-identical timestamps to the
-    * batch entries it is compared against (q41). */
+  /** Streaming source over the DRIVER's events fixture. A file stream needs
+    * a declared schema, and the fixture's physical `ts` encoding has varied
+    * across driver generations (TIMESTAMP(NANOS) → long under `nanosAsLong`;
+    * TIMESTAMP(MICROS, NTZ) → TIMESTAMP_NTZ) — so peek at the footer with a
+    * one-off batch read and declare the matching schema, then normalize to µs
+    * TimestampType exactly like [[graft.Tables.events]]. A streaming run over
+    * the fixture therefore sees byte-identical timestamps to the batch
+    * entries it is compared against (q41). */
   def readEventFixtureStream(spark: SparkSession, dir: String,
                              fileName: String = "events.parquet"): DataFrame = {
-    val nanosSchema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+    val physicalTs = spark.read.parquet(s"$dir/$fileName").schema("ts").dataType
+    val rawSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = physicalTs)
       case f => f
     })
     // the fixture is a single FILE inside the sf directory; a file source
     // needs a directory basePath, so scan the dir with a name filter
-    spark.readStream.schema(nanosSchema)
+    val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", fileName).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    physicalTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

@@ -59,6 +59,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         problems = []
+        # The driver's hash is DTYPE-sensitive where pandas equality is not:
+        # an uncast DuckDB HUGEINT (e.g. bare integer sum()) arrives as
+        # float64 while the Spark parquet column is int64 — identical values,
+        # different hash (the exact r10 q77/q81/q85/q87/q105 failure). Flag
+        # any int-vs-float dtype split as a failure even when values match.
+        for c in set(expected.columns) & set(got.columns):
+            ek, gk = expected[c].dtype.kind, got[c].dtype.kind
+            if {ek, gk} == {"i", "f"}:
+                problems.append(
+                    f"dtype split on '{c}': oracle={expected[c].dtype} vs "
+                    f"spark={got[c].dtype} (cast the oracle expression ::BIGINT)")
         if list(expected.columns) != list(got.columns):
             problems.append(f"columns: oracle={list(expected.columns)} got={list(got.columns)}")
         elif len(expected) != len(got):
