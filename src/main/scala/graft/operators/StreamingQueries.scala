@@ -530,7 +530,7 @@ object StreamingQueries {
       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                           ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM o)
-      |SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events,
+      |SELECT user_id, sid::BIGINT AS sid, min(ts) AS session_start, count(*) AS n_events,
       |  date_diff('second', min(ts), max(ts)) AS duration_s,
       |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
       |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS has_purchase

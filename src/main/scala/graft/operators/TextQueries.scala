@@ -1044,4 +1044,85 @@ object TextQueries {
        |       LEFT JOIN cj USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  // Vocabulary induction gate parameter (q109): small enough that the
+  // fixture has a real OOV tail, large enough that coverage is non-trivial.
+  private val VocabSize = 512
+
+  /** VOCABULARY INDUCTION + OOV COVERAGE — the first step of tokenizer
+    * construction and the coverage report that justifies a vocab size:
+    * take the corpus's top-`vocabSize` word types by frequency
+    * (deterministic tie-break: count DESC, token ASC), then report each
+    * language's token-level coverage against that vocabulary — total
+    * tokens, distinct types, in-vocab tokens/types, OOV tokens, and the
+    * OOV rate a tokenizer owner alerts on.
+    *
+    * Scale design: the corpus is scanned ONCE — tokenize + explode is a
+    * narrow map, and the only corpus-sized shuffle keys on (lang, token)
+    * with map-side partial counts, so what moves is bounded by the TYPE
+    * vocabulary per language, not the token stream. Everything downstream
+    * runs on that type-count frame (materialized once, referenced three
+    * times): the global vocab is a second tiny aggregate + TakeOrdered
+    * top-V (no full sort), coverage is a broadcast semi-join of the type
+    * frame against the V-row vocab, and the per-language rollups shuffle
+    * O(#langs × #types) rows. The OOV rate is one division of exact
+    * integers — bit-identical on any engine. At 10¹² tokens the type
+    * frame is ~10⁷ rows; if a pathological corpus blows the type count
+    * past memory, the same shape runs with the vocab derivation swapped
+    * to a count-min + heavy-hitters sketch (q55's family) — the coverage
+    * pass is unchanged. */
+  def vocabCoverage(docs: DataFrame, langCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    // referenced by the vocab derivation, the coverage join, and the
+    // totals rollup — materialize the (lang, token)-count frame once
+    val typeCounts = docs
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val vocab = typeCounts.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+    val cov = typeCounts
+      .join(broadcast(vocab.select(col("tok"))), Seq("tok"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("in_vocab_tokens"),
+        count(lit(1)).as("n_vocab_types"))
+    typeCounts.groupBy(col("lang"))
+      .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_types"))
+      .join(cov, Seq("lang"), "left")
+      .select(col("lang"), col("total_tokens"), col("n_types"),
+        coalesce(col("in_vocab_tokens"), lit(0L)).as("in_vocab_tokens"),
+        coalesce(col("n_vocab_types"), lit(0L)).as("n_vocab_types"),
+        (col("total_tokens") - coalesce(col("in_vocab_tokens"), lit(0L)))
+          .as("oov_tokens"),
+        ((col("total_tokens") - coalesce(col("in_vocab_tokens"), lit(0L)))
+          .cast("double") / col("total_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** q109: vocab induction + coverage over the documents fixture —
+    * row-level exact per language, including the OOV rate (one exact-
+    * integer division). The oracle re-derives the top-V vocabulary with
+    * its own ORDER BY ... LIMIT formulation over the same type counts,
+    * so the tie-break at the vocabulary boundary is value-checked. */
+  def q109VocabOov(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), "lang", "text", VocabSize)
+
+  val q109VocabOovSql: String =
+    s"""WITH t AS (SELECT lang, unnest($tokSqlExpr) AS tok FROM documents),
+       |lt AS (SELECT lang, tok, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+       |v AS (SELECT tok FROM lt GROUP BY tok
+       |      ORDER BY sum(n) DESC, tok ASC LIMIT $VocabSize),
+       |cov AS (SELECT lang, sum(n)::BIGINT AS in_vocab_tokens,
+       |          count(*)::BIGINT AS n_vocab_types
+       |        FROM lt WHERE tok IN (SELECT tok FROM v) GROUP BY lang),
+       |tot AS (SELECT lang, sum(n)::BIGINT AS total_tokens,
+       |          count(*)::BIGINT AS n_types FROM lt GROUP BY lang)
+       |SELECT tot.lang, total_tokens, n_types,
+       |  coalesce(in_vocab_tokens, 0)::BIGINT AS in_vocab_tokens,
+       |  coalesce(n_vocab_types, 0)::BIGINT AS n_vocab_types,
+       |  (total_tokens - coalesce(in_vocab_tokens, 0))::BIGINT AS oov_tokens,
+       |  (total_tokens - coalesce(in_vocab_tokens, 0))::double
+       |    / total_tokens::double AS oov_rate
+       |FROM tot LEFT JOIN cov USING (lang) ORDER BY tot.lang""".stripMargin
 }

@@ -1493,6 +1493,85 @@ object TrainingData {
           "coalesce(n_neardup, 0) AS n_neardup,",
           "LEFT JOIN f2b USING (lang)")}""".stripMargin
 
+  /** CANONICAL-SURVIVOR SELECTION BY SCORE — the "keep the best copy"
+    * variant of near-dup cluster dedup. q52/q56 keep each cluster's MIN
+    * doc_id (arrival order); a real curation run usually keeps the
+    * highest-QUALITY member of each cluster instead (dropping a clean
+    * original because a boilerplate-wrapped mirror has a smaller id is
+    * the wrong trade). Given cluster memberships (id, comp) and per-id
+    * scores, emits one row per clustered doc with its cluster's argmax-
+    * score canonical (ties broken by MIN id, so selection is total and
+    * engine-independent).
+    *
+    * Scale: the membership frame is the pair-graph's node set (≪ corpus);
+    * the argmax is one `max_by` aggregate over it — partial+final, ≤ one
+    * struct per comp per partition shuffles, no window sort — and the
+    * per-comp canonical frame (one row per cluster) broadcasts back onto
+    * the memberships under AQE. The corpus itself is touched only by the
+    * score projection, already narrowed to cluster members via the
+    * broadcast semi-join below. */
+  def canonicalByScore(members: DataFrame, scored: DataFrame): DataFrame = {
+    // max over (score, -id): highest score wins, smallest id on ties —
+    // -id is distinct within a comp, so the ordering struct is total and
+    // max_by can never see equal keys (engine-dependent pick impossible)
+    val m = members.join(scored, Seq("id"))
+    val canon = m.groupBy(col("comp"))
+      .agg(max_by(struct(col("id"), col("score")),
+        struct(col("score"), (-col("id")).as("nid"))).as("c"))
+      .select(col("comp"), col("c.id").as("canon_id"),
+        col("c.score").as("canon_score"))
+    m.join(broadcast(canon), Seq("comp"))
+      .select(col("id"), col("comp"), col("score"),
+        col("canon_id"), col("canon_score"),
+        (col("id") === col("canon_id")).as("kept"))
+  }
+
+  /** q108: quality-canonical survivors over the q52 simhash clusters —
+    * each clustered document with its cluster's argmax-quality canonical
+    * (min-id tie-break), row-level exact including the kept booleans.
+    * The oracle recomputes the edge set (q21's shared CTEs), closes it
+    * recursively (q52's independent formulation), and picks the
+    * canonical with a rank window — a different argmax formulation than
+    * the `max_by` struct ordering, so tie-break semantics are
+    * value-checked, not mirrored. */
+  def q108QualityCanon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val members = Dedup.connectedComponents(
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+    // score ONLY cluster members: the corpus narrows through the
+    // broadcast semi-join BEFORE the tokenizer-heavy quality projection
+    // runs (scoring all docs to use |members| of them is the waste)
+    val scored = qualityScored(
+        docs.join(broadcast(members.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("id"), col("quality").as("score"))
+    canonicalByScore(members, scored)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("score").as("quality"), col("canon_id"),
+        col("canon_score").as("canon_quality"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q108QualityCanonSql: String =
+    s"""WITH RECURSIVE $qualityCtes,
+       |${TextQueries.simhashPairsCtes("documents")},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |clus AS (SELECT id, min(comp)::BIGINT AS comp FROM reach GROUP BY id),
+       |m AS (SELECT c.id, c.comp, q.quality FROM clus c
+       |      JOIN qual q ON q.doc_id = c.id),
+       |canon AS (SELECT comp, id AS canon_id, quality AS canon_quality FROM m
+       |          QUALIFY row_number() OVER (PARTITION BY comp
+       |            ORDER BY quality DESC, id ASC) = 1)
+       |SELECT m.id AS doc_id, m.comp AS cluster_id, m.quality,
+       |  c.canon_id, c.canon_quality, (m.id = c.canon_id) AS kept
+       |FROM m JOIN canon c ON m.comp = c.comp
+       |ORDER BY doc_id""".stripMargin
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

@@ -83,4 +83,32 @@ class TextQueriesSpec extends SparkSpec {
     Seq("e", "s", "p", "i").foreach(c =>
       assert(agg.getAs[Long](c) > 0, s"planted PII class $c never fired"))
   }
+
+  test("vocabCoverage: exact counts, boundary tie-break, and coverage identity") {
+    import spark.implicits._
+    // 'b' and 'c' tie at 3 occurrences on the V=2 boundary below 'a'(4):
+    // token-ASC tie-break must admit 'b' and leave 'c' OOV
+    val docs = Seq(
+      (1L, "en", "a a b c"),
+      (2L, "en", "a b"),
+      (3L, "de", "a b c c z")).toDF("doc_id", "lang", "text")
+    val out = TextQueries.vocabCoverage(docs, "lang", "text", 2)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("total_tokens") == 6L)   // a a b c a b
+    assert(en.getAs[Long]("n_types") == 3L)
+    assert(en.getAs[Long]("in_vocab_tokens") == 5L) // a×3 + b×2
+    assert(en.getAs[Long]("n_vocab_types") == 2L)
+    assert(en.getAs[Long]("oov_tokens") == 1L)      // c
+    assert(en.getAs[Double]("oov_rate") == 1.0 / 6)
+    val de = out("de")
+    assert(de.getAs[Long]("in_vocab_tokens") == 2L) // a + b; c c z are OOV
+    assert(de.getAs[Long]("oov_tokens") == 3L)
+    // coverage identity on the fixture run: in_vocab + oov = total, per lang
+    TextQueries.q109VocabOov(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("in_vocab_tokens") + r.getAs[Long]("oov_tokens") ==
+        r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("n_vocab_types") <= 512L)
+    }
+  }
 }

@@ -530,6 +530,44 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("canonicalByScore: argmax per cluster, min-id on score ties") {
+    import spark.implicits._
+    // comp 10: clear argmax (id 3, score .9); comp 20: tie at .5 between
+    // ids 5 and 7 — canonical must be the SMALLER id, like the oracle's
+    // (quality DESC, id ASC) rank window
+    val members = Seq((1L, 10L), (3L, 10L), (5L, 20L), (7L, 20L))
+      .toDF("id", "comp")
+    val scored = Seq((1L, 0.4), (3L, 0.9), (5L, 0.5), (7L, 0.5))
+      .toDF("id", "score")
+    val out = TrainingData.canonicalByScore(members, scored)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("canon_id") == 3L && !out(1L).getAs[Boolean]("kept"))
+    assert(out(3L).getAs[Boolean]("kept"))
+    assert(out(5L).getAs[Long]("canon_id") == 5L && out(5L).getAs[Boolean]("kept"),
+      "score tie must break to the smaller id")
+    assert(out(7L).getAs[Long]("canon_id") == 5L && !out(7L).getAs[Boolean]("kept"))
+    assert(out(5L).getAs[Double]("canon_score") == 0.5)
+  }
+
+  test("q108: one canonical per cluster, canonical dominates its members") {
+    val rows = TrainingData.q108QualityCanon(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must produce simhash clusters")
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      val kept = members.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == 1, s"cluster $cid must keep exactly one member")
+      val canon = kept.head
+      members.foreach { m =>
+        assert(m.getAs[Long]("canon_id") == canon.getAs[Long]("doc_id"))
+        // canonical dominance: strictly higher quality, or equal quality
+        // with the smaller (or same) id
+        val cq = canon.getAs[Double]("canon_quality")
+        val mq = m.getAs[Double]("quality")
+        assert(cq > mq || (cq == mq &&
+          canon.getAs[Long]("doc_id") <= m.getAs[Long]("doc_id")))
+      }
+    }
+  }
+
   test("funnel drift: v2 counts are the funnel's sampled set, drift non-vacuous") {
     val out = TrainingData.q106FunnelDrift(spark, sf).collect()
     // v2 side of the drift must be exactly the curation sample's counts —
