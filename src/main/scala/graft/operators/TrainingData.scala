@@ -1536,8 +1536,13 @@ object TrainingData {
     * value-checked, not mirrored. */
   def q108QualityCanon(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // referenced three times (the narrowing semi-join, the score join,
+    // and the canonical agg) — materialize the pair-pipeline + CC result
+    // once, or every reference re-runs the whole clustering (measured:
+    // 15.2 s → 9.5 s isolated at sf0.1, reps 3)
     val members = Dedup.connectedComponents(
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+      .localCheckpoint(true)
     // score ONLY cluster members: the corpus narrows through the
     // broadcast semi-join BEFORE the tokenizer-heavy quality projection
     // runs (scoring all docs to use |members| of them is the waste)

@@ -479,4 +479,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"the batch ledger aggregates partial+final on the window's partitioning:\n$p")
   }
+
+  test("canonical pick is an aggregate, not a window sort; canon joins back broadcast (q108)") {
+    import spark.implicits._
+    val members = Seq((1L, 10L), (3L, 10L)).toDF("id", "comp")
+    val scored = Seq((1L, 0.4), (3L, 0.9)).toDF("id", "score")
+    val p = plan(operators.TrainingData.canonicalByScore(members, scored))
+    // the argmax must be max_by partial+final — a rank-window formulation
+    // would sort every cluster's members instead of folding structs
+    assert(!p.contains("Window"),
+      s"argmax must not plan as a rank window:\n$p")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty,
+      s"argmax must plan as an aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-comp canonical frame must broadcast back onto memberships:\n$p")
+  }
+
+  test("vocab induction: top-V is TakeOrdered; coverage joins broadcast (q109)") {
+    val p = plan(operators.TextQueries.q109VocabOov(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-V vocabulary must not global-sort the type frame:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the V-row vocab must broadcast into the coverage semi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"type counting must aggregate partial+final:\n$p")
+  }
 }
