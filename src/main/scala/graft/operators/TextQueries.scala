@@ -1071,15 +1071,24 @@ object TextQueries {
     * past memory, the same shape runs with the vocab derivation swapped
     * to a count-min + heavy-hitters sketch (q55's family) — the coverage
     * pass is unchanged. */
-  def vocabCoverage(docs: DataFrame, langCol: String, textCol: String,
-                    vocabSize: Int): DataFrame = {
+  /** The (lang, token) type-count frame of a document batch — the ONLY
+    * corpus-sized step of [[vocabCoverage]], and the exact frame the
+    * incremental path ([[vocabIngest]]) keeps as snapshot state. */
+  private[operators] def typeCountsOf(docs: DataFrame, langCol: String,
+                                      textCol: String): DataFrame =
+    docs.select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+
+  /** The coverage report derived from a (lang, tok, n) type-count frame —
+    * factored so the batch path (q109) and the incremental snapshot path
+    * (q110) share one derivation: a report over merged state is the
+    * report over the whole corpus EXACTLY when the state converged. */
+  private[operators] def coverageFromTypeCounts(typeCountsIn: DataFrame,
+                                                vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     // referenced by the vocab derivation, the coverage join, and the
-    // totals rollup — materialize the (lang, token)-count frame once
-    val typeCounts = docs
-      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+    // totals rollup — materialize the type-count frame once
+    val typeCounts = typeCountsIn.localCheckpoint(true)
     val vocab = typeCounts.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
     val cov = typeCounts
@@ -1099,6 +1108,90 @@ object TextQueries {
           .cast("double") / col("total_tokens").cast("double")).as("oov_rate"))
       .orderBy(col("lang"))
   }
+
+  def vocabCoverage(docs: DataFrame, langCol: String, textCol: String,
+                    vocabSize: Int): DataFrame =
+    coverageFromTypeCounts(typeCountsOf(docs, langCol, textCol), vocabSize)
+
+  /** INCREMENTAL VOCABULARY INGEST — additive type-count state under
+    * at-least-once delivery: the q85 aggregate-state pattern applied to
+    * an UNBOUNDED key space. Where the report ledger's state is one row
+    * per fixed stratum, the vocabulary snapshot holds one row per
+    * OBSERVED (lang, token) type and grows as the corpus does; each
+    * batch folds in by a full-outer count sum over the type key, and a
+    * replayed `batchId` is a ledger no-op (additive state double-counts
+    * without it — the q85 contract, unchanged).
+    *
+    * Why keep this state at 100 TB: nightly vocab/OOV refresh over a
+    * growing corpus must not re-scan the corpus. Per-batch cost = the
+    * batch's own type-count aggregation (the only corpus-sized step)
+    * plus a merge proportional to |state| — the type vocabulary
+    * (~10⁷ rows at web scale), not the token stream. When |state|
+    * itself is the bottleneck, the merge moves to a token-bucketed
+    * snapshot layout (the [[graft.sinks.MergeSink]] bucketed discipline)
+    * and the state-side exchange disappears; the fold is unchanged.
+    * Swap is the sinks' two-rename rollback. */
+  def vocabIngest(spark: SparkSession, path: String, batch: DataFrame,
+                  batchId: String, langCol: String, textCol: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(root, "_batches")
+    val state = new Path(root, "state")
+    val seen = fs.exists(ledger) &&
+      spark.read.parquet(ledger.toString)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) return false
+    val bs = typeCountsOf(batch, langCol, textCol)
+    val merged =
+      if (fs.exists(state))
+        spark.read.parquet(state.toString).unionByName(bs)
+          .groupBy(col("lang"), col("tok")).agg(sum(col("n")).as("n"))
+      else bs
+    val tmp = new Path(path + ".__vocab_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__vocab_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(ledger.toString)
+    true
+  }
+
+  /** q110: the incremental vocabulary under the q85 day-split harness
+    * plus a whole-batch replay (day 2 re-delivered under the same
+    * batchId — the ledger must no-op it). The final coverage report is
+    * derived FROM THE SNAPSHOT by the same [[coverageFromTypeCounts]]
+    * tail as q109, and gates against q109's batch oracle VERBATIM: the
+    * incremental state must converge to exactly the whole-corpus
+    * answer, top-V boundary tie-break included. */
+  def q110VocabIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q110_")
+    try {
+      val path = s"$base/vocab_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val day1 = docs.filter(col("doc_id") <= cut)
+      val day2 = docs.filter(col("doc_id") > cut)
+      require(vocabIngest(spark, path, day1, "day1", "lang", "text"))
+      require(vocabIngest(spark, path, day2, "day2", "lang", "text"))
+      // whole-batch replay: at-least-once upstream delivers day2 again
+      require(!vocabIngest(spark, path, day2, "day2", "lang", "text"),
+        "replayed batch must be a ledger no-op")
+      coverageFromTypeCounts(spark.read.parquet(s"$path/state"), VocabSize)
+        .localCheckpoint(true) // materialize before the state dir is deleted
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q109's. */
+  def q110VocabIngestSql: String = q109VocabOovSql
 
   /** q109: vocab induction + coverage over the documents fixture —
     * row-level exact per language, including the OOV rate (one exact-

@@ -111,4 +111,49 @@ class TextQueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_vocab_types") <= 512L)
     }
   }
+
+  test("vocabIngest: state is schedule-independent; replayed batch no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "en", "a b"), (2L, "en", "a c"), (3L, "de", "b b d"))
+      .toDF("doc_id", "lang", "text")
+    def run(splits: Seq[Seq[Long]]): Map[(String, String), Long] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_vi_")
+      try {
+        val p = s"$base/v"
+        splits.zipWithIndex.foreach { case (ids, i) =>
+          assert(TextQueries.vocabIngest(spark, p,
+            docs.filter(col("doc_id").isInCollection(ids)), s"b$i", "lang", "text"))
+        }
+        spark.read.parquet(s"$p/state").collect()
+          .map(r => (r.getAs[String]("lang"), r.getAs[String]("tok")) ->
+            r.getAs[Long]("n")).toMap
+      } finally {
+        val fs = new org.apache.hadoop.fs.Path(base.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+      }
+    }
+    // three arrival schedules — one batch, ordered halves, singletons
+    // out of id order — must converge to the identical type-count state
+    val a = run(Seq(Seq(1L, 2L, 3L)))
+    val b = run(Seq(Seq(1L), Seq(2L, 3L)))
+    val c = run(Seq(Seq(3L), Seq(1L), Seq(2L)))
+    assert(a == b && b == c, "additive type-count state must be schedule-independent")
+    assert(a(("en", "a")) == 2L && a(("de", "b")) == 2L && a(("en", "c")) == 1L)
+    // replay: same batchId again must refuse and leave state unchanged
+    val base = java.nio.file.Files.createTempDirectory("graft_vi_r_")
+    try {
+      val p = s"$base/v"
+      assert(TextQueries.vocabIngest(spark, p, docs, "d1", "lang", "text"))
+      assert(!TextQueries.vocabIngest(spark, p, docs, "d1", "lang", "text"))
+      val n = spark.read.parquet(s"$p/state")
+        .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+      assert(n == 7L, s"replay must not double-count (total token count $n != 7)")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
 }
