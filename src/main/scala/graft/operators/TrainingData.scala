@@ -1577,6 +1577,113 @@ object TrainingData {
        |FROM m JOIN canon c ON m.comp = c.comp
        |ORDER BY doc_id""".stripMargin
 
+  // Rebalance gate parameters (q111): integer target weights summing to
+  // 10. Chosen against the fixture's lang counts so every regime is
+  // exercised: en is cut hard (218 → 105), fr halves (64 → 35), zh/es
+  // trim (75/73 → 70), and de sits EXACTLY at its cap (70 → 70) — the
+  // binding stratum that determines the feasible total.
+  private[graft] val RebWeights: Seq[(String, Long)] =
+    Seq("en" -> 3L, "zh" -> 2L, "de" -> 2L, "fr" -> 1L, "es" -> 2L)
+  private val RebShards = 4
+  private val RebSeed = "rebalance"
+
+  /** REBALANCE TO A TARGET MIXTURE — downsample so the surviving corpus
+    * matches integer target weights EXACTLY (the DoReMi-style mixture-
+    * matching step q44's fixed rates cannot express: there the rates are
+    * the input; here the TARGET SHARES are, and the rates fall out of
+    * the data). Semantics, all in exact integer arithmetic (the q96/q97
+    * determinism discipline — no double ever touches a keep decision):
+    *
+    *  - feasible total: T = min_s ⌊n_s·W / w_s⌋ over strata with
+    *    weight w_s > 0 (W = Σw); the binding stratum keeps everything;
+    *  - per-stratum quota: required_s = ⌊w_s·T / W⌋ — Σ required_s ≤ T
+    *    with each stratum within one row of its exact share;
+    *  - selection: each stratum keeps its GLOBAL bottom-required_s rows
+    *    by (seeded hash bucket, id). Deterministic and reproducible;
+    *    exact even when hash streams are uneven (a per-shard quota
+    *    split is NOT — a stream can hold fewer rows than its
+    *    sub-quota, silently under-filling the stratum).
+    *
+    * Scale: two corpus scans — a count pass whose shuffle carries one
+    * row per stratum (map-side partial), and a selection pass ranked in
+    * TWO LEVELS: a per-(stratum, shard) rank window (bounded streams,
+    * q81's discipline) prefilters to each shard's bottom-required_s —
+    * any global bottom-required_s row has at most required_s − 1
+    * same-shard predecessors, so the prefilter provably loses nothing —
+    * and the final per-stratum rank runs over ≤ shards·required_s rows,
+    * never the corpus. The quota frame is |strata| rows and broadcasts;
+    * the feasible-total fold is one 1-row aggregate. Strata absent from
+    * `weights` are dropped before either pass. Overflow: n_s·W fits
+    * BIGINT until ~10¹⁷ rows per stratum. */
+  def rebalanceToTarget(docs: DataFrame, idCol: String, strataCol: String,
+                        weights: Seq[(String, Long)], shards: Int,
+                        seed: String): DataFrame = {
+    require(shards >= 1, s"shards=$shards must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val wTotal = weights.map(_._2).sum
+    val wCol = weights.foldLeft(lit(0L)) { case (acc, (s, w0)) =>
+      when(col("stratum") === s, lit(w0)).otherwise(acc)
+    }
+    val base = docs
+      .select(col(idCol).cast("long").as("id"), col(strataCol).as("stratum"))
+      .withColumn("w", wCol).filter(col("w") > 0)
+    val counts = base.groupBy(col("stratum"), col("w"))
+      .agg(count(lit(1)).as("n_before"))
+    val t = counts.agg(min(expr(s"n_before * $wTotal div w")).as("t_total"))
+    val quotas = counts.crossJoin(broadcast(t))
+      .withColumn("required", expr(s"w * t_total div $wTotal"))
+      .select(col("stratum"), col("n_before"), col("required"))
+    val preW = Window.partitionBy(col("stratum"), col("shard"))
+      .orderBy(col("bucket"), col("id"))
+    val finW = Window.partitionBy(col("stratum"))
+      .orderBy(col("bucket"), col("id"))
+    base
+      .withColumn("bucket", hashBucket(col("id"), seed))
+      .withColumn("shard", pmod(col("bucket"), lit(shards.toLong)))
+      .withColumn("prn", row_number().over(preW).cast("long"))
+      .join(broadcast(quotas), Seq("stratum"))
+      .filter(col("prn") <= col("required")) // bounds the final rank's input
+      .withColumn("rn", row_number().over(finW).cast("long"))
+      .filter(col("rn") <= col("required"))
+      .drop("prn")
+  }
+
+  /** q111: rebalance `documents` to the target language mixture —
+    * row-level exact including every rank, quota, and the binding-
+    * stratum boundary (de keeps exactly n_before rows). The oracle
+    * re-derives the feasible total, quotas, and shard ranks in its own
+    * CTE formulation over the same md5 buckets. */
+  def q111Rebalance(spark: SparkSession, dir: String): DataFrame =
+    rebalanceToTarget(Tables.documents(spark, dir), "doc_id", "lang",
+        RebWeights, RebShards, RebSeed)
+      .select(col("id").as("doc_id"), col("stratum").as("lang"),
+        col("bucket"), col("shard"), col("rn"),
+        col("n_before"), col("required"))
+      .orderBy(col("lang"), col("rn"))
+
+  val q111RebalanceSql: String = {
+    val wTotal = RebWeights.map(_._2).sum
+    val cases = RebWeights
+      .map { case (s, w0) => s"WHEN '$s' THEN $w0" }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id, lang,
+       |    ('0x' || substring(md5('$RebSeed:' || doc_id), 1, 8))::BIGINT AS bucket,
+       |    (CASE lang $cases ELSE 0 END)::BIGINT AS w
+       |  FROM documents),
+       |f AS (SELECT * FROM b WHERE w > 0),
+       |c AS (SELECT lang, w, count(*)::BIGINT AS n_before FROM f GROUP BY 1, 2),
+       |t AS (SELECT min(n_before * $wTotal // w)::BIGINT AS t_total FROM c),
+       |q AS (SELECT lang, n_before, (w * t_total // $wTotal)::BIGINT AS required
+       |      FROM c, t),
+       |s AS (SELECT f.*, bucket % $RebShards AS shard FROM f),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |        ORDER BY bucket, doc_id)::BIGINT AS rn FROM s)
+       |SELECT r.doc_id, r.lang, r.bucket, r.shard, r.rn, q.n_before, q.required
+       |FROM r JOIN q USING (lang)
+       |WHERE r.rn <= required
+       |ORDER BY lang, rn""".stripMargin
+  }
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

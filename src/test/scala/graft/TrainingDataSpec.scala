@@ -568,6 +568,38 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("rebalance: kept counts hit every quota exactly; binding stratum keeps all") {
+    val rows = TrainingData.q111Rebalance(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val weights = TrainingData.RebWeights.toMap
+    val wTotal = weights.values.sum
+    // every stratum's kept count equals its integer quota
+    byLang.foreach { case (lang, rs) =>
+      val required = rs.head.getAs[Long]("required")
+      assert(rs.length.toLong == required,
+        s"$lang kept ${rs.length}, quota $required")
+      assert(required <= rs.head.getAs[Long]("n_before"))
+      // ranks are the contiguous global prefix 1..required per stratum
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to required),
+        s"$lang ranks must be the contiguous bottom-$required prefix")
+    }
+    // the binding stratum keeps everything; at least one stratum is cut
+    val binding = byLang.minBy { case (lang, rs) =>
+      rs.head.getAs[Long]("n_before") * wTotal / weights(lang)
+    }._2.head
+    assert(binding.getAs[Long]("required") <= binding.getAs[Long]("n_before"))
+    assert(byLang.exists { case (_, rs) =>
+      rs.head.getAs[Long]("required") < rs.head.getAs[Long]("n_before")
+    }, "rebalance must be non-vacuous — some stratum must be cut")
+    // kept mixture matches the target weights within integer rounding:
+    // |kept_s * W - w_s * T| < W for T = sum of kept
+    val total = rows.length.toLong
+    byLang.foreach { case (lang, rs) =>
+      assert(math.abs(rs.length * wTotal - weights(lang) * total) < wTotal * 2,
+        s"$lang share off target: ${rs.length}/$total vs ${weights(lang)}/$wTotal")
+    }
+  }
+
   test("funnel drift: v2 counts are the funnel's sampled set, drift non-vacuous") {
     val out = TrainingData.q106FunnelDrift(spark, sf).collect()
     // v2 side of the drift must be exactly the curation sample's counts —
