@@ -1193,6 +1193,45 @@ object TextQueries {
   /** The whole point of the incremental path: its oracle IS q109's. */
   def q110VocabIngestSql: String = q109VocabOovSql
 
+  /** q112: the vocabulary ledger driven by a REAL file stream
+    * ([[graft.streaming.StreamingVocab]], one micro-batch per landed
+    * day file, Trigger.AvailableNow) — q110's state fold behind
+    * Structured Streaming's delivery, exactly as q87 is to q85. The
+    * harness lands two disjoint day files; the final snapshot-derived
+    * coverage report must equal the whole-corpus batch answer — q109's
+    * oracle, verbatim. */
+  def q112StreamVocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q112_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/vocab_state"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      Seq(docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingVocab.start(spark, srcDir, statePath,
+        s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      coverageFromTypeCounts(spark.read.parquet(s"$statePath/state"), VocabSize)
+        .localCheckpoint(true) // materialize before the state dir is deleted
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  def q112StreamVocabSql: String = q109VocabOovSql
+
   /** q109: vocab induction + coverage over the documents fixture —
     * row-level exact per language, including the OOV rate (one exact-
     * integer division). The oracle re-derives the top-V vocabulary with
