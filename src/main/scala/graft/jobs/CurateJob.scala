@@ -49,10 +49,18 @@ object CurateJob {
     * localCheckpoint every later stage reads) and the cheapest stage by
     * far; a skipped stage passes its frame through unchanged, so its
     * funnel count equals its predecessor's and the audit row stays
-    * comparable across differently-configured runs. */
+    * comparable across differently-configured runs.
+    *
+    * `--canonical-survivors` switches the near-dup stage's survivor
+    * rule from min-id (q52's arrival-order pick) to argmax-quality with
+    * min-id tie-break (q108's keep-the-best-copy rule) — the deletion
+    * COUNT per cluster is identical (one survivor each), only WHICH
+    * copy survives changes, so funnel counts stay comparable while the
+    * surviving text quality improves. */
   final case class CurateConfig(repetition: Boolean = true, quality: Boolean = true,
                                 pii: Boolean = true, neardup: Boolean = true,
-                                sample: Boolean = true)
+                                sample: Boolean = true,
+                                canonicalSurvivors: Boolean = false)
 
   object CurateConfig {
     def fromFlags(flags: Seq[String]): CurateConfig =
@@ -62,8 +70,10 @@ object CurateJob {
         case (c, "--skip-pii")        => c.copy(pii = false)
         case (c, "--skip-neardup")    => c.copy(neardup = false)
         case (c, "--skip-sample")     => c.copy(sample = false)
+        case (c, "--canonical-survivors") => c.copy(canonicalSurvivors = true)
         case (_, f) => throw new IllegalArgumentException(
-          s"unknown flag '$f' (known: --skip-{repetition,quality,pii,neardup,sample})")
+          s"unknown flag '$f' (known: --skip-{repetition,quality,pii,neardup,sample}, " +
+            "--canonical-survivors)")
       }
   }
 
@@ -116,12 +126,23 @@ object CurateJob {
       .filter(col("rn") === 1).drop("rn", "content_hash")
       .localCheckpoint(true)
 
-    // near-dup cluster survivors (q56's anti-join-by-cluster semantic)
+    // near-dup cluster survivors (q56's anti-join-by-cluster semantic;
+    // with --canonical-survivors the pick is q108's argmax-quality rule)
     val survBase = if (!cfg.neardup) uniq else {
       val pairs = Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3)
-      val comps = Dedup.connectedComponents(pairs)
-      val nonSurvivors = comps.filter(col("id") =!= col("comp"))
-        .select(col("id").as("doc_id"))
+      val nonSurvivors = if (cfg.canonicalSurvivors) {
+        // members referenced by the score semi-join AND the canonical
+        // agg — materialize once (the q108 lesson)
+        val members = Dedup.connectedComponents(pairs).localCheckpoint(true)
+        val scored = uniq
+          .join(broadcast(members.select(col("id").as("doc_id"))),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("id"),
+            round(TextFunctions.qualityScore(col("text")), 4).as("score"))
+        TrainingData.canonicalByScore(members, scored)
+          .filter(!col("kept")).select(col("id").as("doc_id"))
+      } else Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
       uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
     }
     val surv = survBase
@@ -156,7 +177,7 @@ object CurateJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CurateJob <docsPath> <outDir> [--skip-repetition|--skip-quality|--skip-pii|--skip-neardup|--skip-sample ...]")
+      "usage: CurateJob <docsPath> <outDir> [--skip-repetition|--skip-quality|--skip-pii|--skip-neardup|--skip-sample|--canonical-survivors ...]")
     val cfg = CurateConfig.fromFlags(args.drop(2).toSeq)
     val spark = GraftSession.getOrCreate()
     val (s, stages) = StageMetrics.withStageMetrics(spark) {

@@ -68,4 +68,41 @@ class CurateJobSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
     }
   }
+
+  test("canonical survivors: same deletion count, better-or-equal picks") {
+    import graft.jobs.CurateJob.CurateConfig
+    assert(CurateConfig.fromFlags(Seq("--canonical-survivors")) ==
+      CurateConfig(canonicalSurvivors = true))
+    // sampling OFF so the shard layout holds the FULL survivor set and
+    // the two rules' picks compare set-against-set, not through the
+    // sampler's per-id hash decisions
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_canon_")
+    try {
+      val minId = CurateJob.run(spark, sf, s"$base/minid",
+        CurateConfig(sample = false))
+      val canon = CurateJob.run(spark, sf, s"$base/canon",
+        CurateConfig(sample = false, canonicalSurvivors = true))
+      // one survivor per cluster under EITHER rule: every funnel count
+      // is identical — only WHICH copy survives may differ
+      assert(canon == minId.copy(nSegments = canon.nSegments),
+        s"survivor RULE must not change any count: $minId vs $canon")
+      def survivors(out: String) =
+        spark.read.parquet(s"$out/shards").select("doc_id")
+      def meanQuality(ids: org.apache.spark.sql.DataFrame): Double =
+        spark.read.parquet(s"$sf/documents.parquet")
+          .join(ids, Seq("doc_id"), "left_semi")
+          .agg(avg(graft.functions.TextFunctions.qualityScore(col("text"))))
+          .head().getDouble(0)
+      val a = survivors(s"$base/minid")
+      val b = survivors(s"$base/canon")
+      assert(a.count() == b.count())
+      // argmax-per-cluster dominates any other per-cluster pick
+      assert(meanQuality(b) >= meanQuality(a) - 1e-12,
+        "canonical survivors cannot have lower mean quality than min-id picks")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
 }
