@@ -1577,6 +1577,76 @@ object TrainingData {
        |FROM m JOIN canon c ON m.comp = c.comp
        |ORDER BY doc_id""".stripMargin
 
+  /** q113: the curation funnel with q108's QUALITY-CANONICAL survivor
+    * rule in the near-dup stage — the composition [[graft.jobs.CurateJob]]
+    * ships behind `--canonical-survivors`, gated. Per cluster the
+    * deletion COUNT is identical to q56 (one survivor each), so funnel
+    * counts alone cannot distinguish the rules when near-dup copies
+    * share a language; the gate therefore also emits `surv_id_sum` —
+    * the exact integer sum of surviving doc_ids per language — which
+    * moves whenever ANY cluster's surviving copy changes. The oracle
+    * re-derives the canonical picks with a rank window over the
+    * recursively-closed edge set (q108's independent argmax
+    * formulation) inside q56's funnel CTEs.
+    *
+    * Scale: q56's shape plus the q108 canonical aggregate — the score
+    * projection runs only on cluster members (broadcast semi-join), the
+    * argmax is partial+final, and the canonical frame broadcasts back.
+    * Nothing widens. */
+  def q113CanonFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, keep, uniqT) = funnelStages(spark, dir)
+    val uniq = uniqT.localCheckpoint(true)
+    // referenced by the score semi-join and the canonical agg (q108)
+    val members = Dedup.connectedComponents(
+        Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3))
+      .localCheckpoint(true)
+    val scored = qualityScored(
+        uniq.join(broadcast(members.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("id"), col("quality").as("score"))
+    val nonSurvivors = canonicalByScore(members, scored)
+      .filter(!col("kept")).select(col("id").as("doc_id"))
+    // referenced by the sampler, the count, and the id-sum signature
+    val nd = uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .localCheckpoint(true)
+    val samp = mixtureSample(nd, "doc_id", "lang", MixRates.toMap, MixSeed)
+    val packed = packAssignments(samp, "lang", "doc_id", col("n_tokens"),
+      PackBudget, PackShards, PackSeed)
+    funnelReport(docs,
+        Seq("n_quality" -> keep, "n_unique" -> uniq, "n_canon" -> nd,
+          "n_sampled" -> samp), packed)
+      .join(nd.groupBy(col("lang")).agg(sum(col("doc_id")).as("surv_id_sum")),
+        Seq("lang"), "left")
+      .withColumn("surv_id_sum", coalesce(col("surv_id_sum"), lit(0L)))
+      .orderBy(col("lang"))
+  }
+
+  val q113CanonFunnelSql: String =
+    s"""WITH RECURSIVE $funnelBaseCtes,
+       |${TextQueries.simhashPairsCtes("uniq")},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.comp FROM reach rr JOIN edges e ON e.src = rr.id),
+       |clus AS (SELECT id, min(comp)::BIGINT AS comp FROM reach GROUP BY id),
+       |cm AS (SELECT c.id, c.comp, q.quality FROM clus c
+       |       JOIN qual q ON q.doc_id = c.id),
+       |canon AS (SELECT comp, id AS canon_id FROM cm
+       |          QUALIFY row_number() OVER (PARTITION BY comp
+       |            ORDER BY quality DESC, id ASC) = 1),
+       |nd AS (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
+       |       WHERE u.doc_id NOT IN
+       |         (SELECT id FROM cm WHERE id NOT IN (SELECT canon_id FROM canon))),
+       |${funnelTailSql("nd",
+          """f2b AS (SELECT lang, count(*)::BIGINT AS n_canon FROM nd GROUP BY 1),
+            |f2c AS (SELECT lang, sum(doc_id)::BIGINT AS surv_id_sum FROM nd GROUP BY 1),""".stripMargin,
+          """coalesce(n_canon, 0) AS n_canon,
+            |  coalesce(surv_id_sum, 0) AS surv_id_sum,""".stripMargin,
+          "LEFT JOIN f2b USING (lang) LEFT JOIN f2c USING (lang)")}""".stripMargin
+
   // Rebalance gate parameters (q111): integer target weights summing to
   // 10. Chosen against the fixture's lang counts so every regime is
   // exercised: en is cut hard (218 → 105), fr halves (64 → 35), zh/es

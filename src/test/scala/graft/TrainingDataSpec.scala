@@ -600,6 +600,25 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q113: canonical funnel deletes exactly as many as the min-id funnel in total") {
+    val canon = TrainingData.q113CanonFunnel(spark, sf).collect()
+    val minId = TrainingData.q56NearDupFunnel(spark, sf).collect()
+    // one survivor per cluster under either rule, so TOTAL deletions are
+    // equal — but a cross-language cluster's surviving copy can sit in a
+    // DIFFERENT language, so per-lang counts may shift (observed on the
+    // fixture: en 93 → 92). The oracle gates the per-lang values; this
+    // spec pins the conservation law and the upstream-stage identity.
+    assert(canon.map(_.getAs[Long]("n_canon")).sum ==
+      minId.map(_.getAs[Long]("n_neardup")).sum,
+      "total survivors must be equal under either survivor rule")
+    val mu = minId.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_unique")).toMap
+    canon.foreach { c =>
+      assert(c.getAs[Long]("n_unique") == mu(c.getAs[String]("lang")),
+        "stages upstream of the survivor rule must not move")
+      assert(c.getAs[Long]("surv_id_sum") > 0L)
+    }
+  }
+
   test("funnel drift: v2 counts are the funnel's sampled set, drift non-vacuous") {
     val out = TrainingData.q106FunnelDrift(spark, sf).collect()
     // v2 side of the drift must be exactly the curation sample's counts —
