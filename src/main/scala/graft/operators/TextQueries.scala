@@ -1232,6 +1232,78 @@ object TextQueries {
 
   def q112StreamVocabSql: String = q109VocabOovSql
 
+  /** VOCABULARY COVERAGE CURVE — per-language OOV rate at SEVERAL
+    * candidate vocab sizes in one pass: the sweep a tokenizer owner
+    * reads to pick V (coverage is concave in V; the knee is the
+    * decision). Tokens rank globally by (count DESC, token ASC) — the
+    * q109 vocabulary at size V is exactly ranks 1..V — so per-language
+    * coverage at every V is one conditional sum over the rank-joined
+    * type frame: no per-V vocabulary materialization, no second corpus
+    * scan.
+    *
+    * Scale: the corpus contributes one type-count aggregation (q109's
+    * only corpus-sized step); the global rank is a window over the
+    * TYPE-SUM frame (|types| rows — at web scale ~10⁷; the window's
+    * single global sort is the operator's bound, and the same
+    * escalation as q109 applies: heavy-hitter sketch the ranks when
+    * types outgrow one executor). The per-(lang, V) rollup is
+    * |langs|·|sizes| rows. All counts exact integers; each OOV rate is
+    * one division. */
+  def vocabCoverageCurve(docs: DataFrame, langCol: String, textCol: String,
+                         sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad sizes $sizes")
+    val typeCounts = typeCountsOf(docs, langCol, textCol).localCheckpoint(true)
+    val ranked = typeCounts.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select(col("tok"), col("rank"))
+    val joined = typeCounts.join(ranked, Seq("tok"))
+    val perSize = sizes.sorted.map { v =>
+      joined.groupBy(col("lang")).agg(
+        lit(v.toLong).as("vocab_size"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(col("rank") <= v, col("n")).otherwise(lit(0L)))
+          .as("in_vocab_tokens"))
+    }
+    perSize.reduce(_ unionByName _)
+      .select(col("lang"), col("vocab_size"), col("total_tokens"),
+        col("in_vocab_tokens"),
+        (col("total_tokens") - col("in_vocab_tokens")).as("oov_tokens"),
+        ((col("total_tokens") - col("in_vocab_tokens")).cast("double")
+          / col("total_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("lang"), col("vocab_size"))
+  }
+
+  private val CurveSizes = Seq(64, 128, 256, 512, 1024)
+
+  /** q114: the coverage curve over the documents fixture at five vocab
+    * sizes — row-level exact per (lang, size); the oracle re-derives
+    * the global rank with its own window and sweeps sizes via a VALUES
+    * cross join. Monotonicity of coverage in V falls out of the values
+    * being gated exactly. */
+  def q114VocabCurve(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageCurve(Tables.documents(spark, dir), "lang", "text", CurveSizes)
+
+  val q114VocabCurveSql: String = {
+    val sizeRows = CurveSizes.sorted.map(v => s"($v)").mkString(", ")
+    s"""WITH t AS (SELECT lang, unnest($tokSqlExpr) AS tok FROM documents),
+       |lt AS (SELECT lang, tok, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+       |rk AS (SELECT tok, row_number() OVER (ORDER BY sum(n) DESC, tok ASC)::BIGINT AS rank
+       |       FROM lt GROUP BY tok),
+       |j AS (SELECT lt.lang, lt.n, rk.rank FROM lt JOIN rk USING (tok)),
+       |sz(vocab_size) AS (VALUES $sizeRows)
+       |SELECT j.lang, vocab_size::BIGINT AS vocab_size,
+       |  sum(n)::BIGINT AS total_tokens,
+       |  sum(CASE WHEN rank <= vocab_size THEN n ELSE 0 END)::BIGINT AS in_vocab_tokens,
+       |  (sum(n) - sum(CASE WHEN rank <= vocab_size THEN n ELSE 0 END))::BIGINT AS oov_tokens,
+       |  (sum(n) - sum(CASE WHEN rank <= vocab_size THEN n ELSE 0 END))::double
+       |    / sum(n)::double AS oov_rate
+       |FROM j CROSS JOIN sz
+       |GROUP BY j.lang, vocab_size
+       |ORDER BY j.lang, vocab_size""".stripMargin
+  }
+
   /** q109: vocab induction + coverage over the documents fixture —
     * row-level exact per language, including the OOV rate (one exact-
     * integer division). The oracle re-derives the top-V vocabulary with

@@ -112,6 +112,28 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverageCurve: coverage monotone in V, consistent with q109 at V=512") {
+    val curve = TextQueries.q114VocabCurve(spark, sf).collect()
+    // coverage can only improve as the vocabulary grows
+    curve.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("vocab_size"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("in_vocab_tokens") <= b.getAs[Long]("in_vocab_tokens"),
+            s"$lang coverage must be monotone in V")
+          assert(a.getAs[Long]("total_tokens") == b.getAs[Long]("total_tokens"))
+        case _ =>
+      }
+    }
+    // the V=512 point must agree with q109's single-size report exactly
+    val at512 = curve.filter(_.getAs[Long]("vocab_size") == 512L)
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("in_vocab_tokens")).toMap
+    TextQueries.q109VocabOov(spark, sf).collect().foreach { r =>
+      assert(at512(r.getAs[String]("lang")) == r.getAs[Long]("in_vocab_tokens"),
+        "curve at V=512 must equal the q109 report")
+    }
+  }
+
   test("vocabIngest: state is schedule-independent; replayed batch no-ops") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
