@@ -209,4 +209,83 @@ object Ranking {
        |  id AS doc_id, bm25_rank
        |FROM rr ORDER BY cos DESC, id LIMIT $RerankK""".stripMargin
   }
+
+  // q118 parameters: fixed-point scale (micro-nats) + kept top-N.
+  private val LmScale = 1000000L
+  private val LmTopN = 50
+
+  /** UNIGRAM-LM QUALITY SCORING — the CCNet/RedPajama "perplexity
+    * filter" stage: score every document by its average token log-
+    * probability under a unigram language model trained on the corpus
+    * itself, and keep the most-fluent tail (low perplexity = high avg
+    * log-prob). The LM is `p(t) = c_t / C` (corpus token counts), so
+    *
+    *   lp(d) = Σ_{t∈d} ln c_t − n_d·ln C,   score(d) = lp(d) / n_d.
+    *
+    * Determinism — the fixed-point trick: a raw `sum(ln c_t)` is a
+    * multi-row DOUBLE aggregate whose value depends on summation order
+    * (engine- and partitioning-dependent). Instead each ln is rounded
+    * ONCE to integer micro-nats, `round(ln(c_t)·10⁶)::BIGINT`, and the
+    * per-doc sum is an INTEGER aggregate — order-free, row-level exact
+    * in both engines (ln is applied to the bounded set of distinct
+    * corpus counts; a cross-engine ulp flip would need `ln(c)·10⁶`
+    * within ~1e-10 of a rounding boundary). The ranking key is the one
+    * allowed double: a single IEEE division `lp_micro / n`, identical
+    * in both engines, with doc_id de-tie.
+    *
+    * Scale: unigram counts are one token-hash groupBy whose shuffle is
+    * bounded by the TYPE vocabulary (q109's argument), then broadcast;
+    * the scoring pass is explode → broadcast-probe → per-doc integer
+    * aggregate — map-side partials collapse each doc inside its scan
+    * partition, so the exchange carries |docs| rows, not |tokens|; the
+    * top-N is TakeOrderedAndProject. Two corpus scans total (count
+    * pass + score pass), no corpus-volume shuffle anywhere. */
+  def lmUnigramScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val counts = perTok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("c_total"))
+    perTok
+      .join(broadcast(counts), Seq("t"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_c"),
+        sum(round(log(col("c").cast("double")) * LmScale, 0).cast("long"))
+          .as("sum_ln_micro"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp_micro",
+        col("sum_ln_micro") - col("n_tokens") *
+          round(log(col("c_total").cast("double")) * LmScale, 0).cast("long"))
+      .withColumn("avg_lp", col("lp_micro").cast("double") / col("n_tokens"))
+  }
+
+  /** q118: top-[[LmTopN]] documents by unigram-LM average log-prob —
+    * every gate column is an integer (rank + micro-nat evidence); the
+    * double ranking key never leaves the plan. */
+  def q118LmQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lmUnigramScores(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("avg_lp").desc, col("id").asc).limit(LmTopN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("avg_lp").desc, col("id").asc)))
+      .select(col("rank"), col("id").as("doc_id"),
+        col("n_tokens"), col("sum_c"), col("lp_micro"))
+      .orderBy(col("rank"))
+  }
+
+  val q118LmQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${TextQueries.tokSqlExpr}) AS tk FROM documents),
+       |c AS (SELECT tk, count(*)::BIGINT AS c FROM t GROUP BY 1),
+       |tot AS (SELECT sum(c)::BIGINT AS c_total FROM c),
+       |d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(c)::BIGINT AS sum_c,
+       |    sum(round(ln(c) * $LmScale)::BIGINT)::BIGINT AS sum_ln_micro
+       |  FROM t JOIN c USING (tk) GROUP BY doc_id),
+       |sc AS (SELECT d.*,
+       |    (sum_ln_micro - n_tokens * round(ln(c_total) * $LmScale)::BIGINT)::BIGINT AS lp_micro
+       |  FROM d, tot)
+       |SELECT row_number() OVER (ORDER BY lp_micro::DOUBLE / n_tokens DESC, doc_id) AS rank,
+       |  doc_id, n_tokens, sum_c, lp_micro
+       |FROM sc ORDER BY lp_micro::DOUBLE / n_tokens DESC, doc_id LIMIT $LmTopN""".stripMargin
 }

@@ -727,6 +727,95 @@ object TextQueries {
        |GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // q117: requested single-probe fpp. Measured reality (pinned in
+  // TextQueriesSpec): Spark's util.sketch BloomFilter composes two
+  // 32-bit murmur hashes Kirsch–Mitzenmacher-style, which floors the
+  // achievable per-probe FP rate around ~2e-4 at small bit arrays no
+  // matter how low the requested fpp — so the gate band is sized for
+  // the MEASURED rate (a doc probing ~50 shingles sees ~1% any-hit FP),
+  // not the requested one.
+  private val BloomFpp = 1e-6
+
+  /** q117: BLOOM-FILTER DECONTAMINATION — q60's scale escape hatch. q60
+    * broadcasts the eval shingle set as raw strings; once the held-out
+    * suite grows past broadcast size (many benchmarks × many shingles),
+    * the standard move is a Bloom filter over the eval shingles: ~29
+    * bits per entry at fpp 1e-6 versus ~30+ BYTES per raw shingle — an
+    * order of magnitude smaller broadcast, in exchange for a bounded
+    * false-positive rate and ZERO false negatives (the property
+    * decontamination actually needs: a leaked doc can never slip
+    * through; a clean doc flagged spuriously just costs a row of
+    * over-deletion).
+    *
+    * Gate (the q26/q50 tolerance-row pattern): one row with exact
+    * integer anchors the oracle recomputes (`n_train`, `n_eval`,
+    * `n_exact` — the exact contaminated-doc count via q60's rule) and
+    * two booleans the oracle asserts TRUE — `no_false_negatives`
+    * (every exactly-contaminated doc is Bloom-flagged; guaranteed by
+    * construction, so FALSE means the plumbing is broken) and
+    * `fp_band` (Bloom flags at most `n_exact + max(5, 2% of n_train)`
+    * docs — sized for the sketch's MEASURED ~2e-4 per-probe floor, see
+    * the parameter note; the flagged count is deterministic for fixed
+    * data + seed, so the band cannot flap).
+    *
+    * Scale: the filter is built by Spark's native BloomFilterAggregate
+    * over the bounded eval side (deterministic — fixed seed), broadcast
+    * once, and probed map-side in the corpus scan; the only exchanges
+    * aggregate single-row counts. The probe is a scalar UDF — the one
+    * place a UDF is the right call, since the probe must consult the
+    * broadcast sketch, not a column. */
+  def q117BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % DecontMod =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % DecontMod === 0)
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(shingles(col("text"), DecontN))).as("g"))
+      .distinct().cache() // two driver actions below (count + filter build)
+    val nEvalGrams = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("g", nEvalGrams, BloomFpp)
+    // drop the cache immediately: the final plan re-derives the eval side
+    // itself, and a lingering cached fragment would silently substitute
+    // into OTHER queries' identical subtrees (q60 shares this subplan)
+    evalGrams.unpersist()
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val trainGrams = train.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), DecontN))).as("g"))
+    val bloomDocs = trainGrams.filter(mightContain(col("g")))
+      .select(col("doc_id")).distinct()
+    val exactDocs = contaminatedDocs(train, evalDocs, "doc_id", "text", DecontN)
+      .select(col("doc_id"))
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(evalDocs.agg(count(lit(1)).as("n_eval")))
+      .crossJoin(exactDocs.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(bloomDocs.agg(count(lit(1)).as("n_bloom")))
+      .crossJoin(exactDocs.join(bloomDocs, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed")))
+      .select(
+        col("n_train"), col("n_eval"), col("n_exact"),
+        (col("n_missed") === 0L).as("no_false_negatives"),
+        (col("n_bloom") - col("n_exact") <=
+          greatest(lit(5L), expr("2 * (n_train div 100)"))).as("fp_band"))
+  }
+
+  val q117BloomDecontamSql: String = {
+    val tri = s"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]"
+    s"""WITH ev AS (
+       |  SELECT DISTINCT unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT $tokSqlExpr AS t FROM documents WHERE doc_id % $DecontMod = 0)),
+       |tr AS (
+       |  SELECT doc_id, unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT doc_id, $tokSqlExpr AS t FROM documents
+       |        WHERE doc_id % $DecontMod != 0))
+       |SELECT
+       |  (SELECT count(*) FROM documents WHERE doc_id % $DecontMod != 0)::BIGINT AS n_train,
+       |  (SELECT count(*) FROM documents WHERE doc_id % $DecontMod = 0)::BIGINT AS n_eval,
+       |  (SELECT count(DISTINCT doc_id) FROM tr JOIN ev USING (g))::BIGINT AS n_exact,
+       |  TRUE AS no_false_negatives,
+       |  TRUE AS fp_band""".stripMargin
+  }
+
   /** q59: the SAME clustering as q52 computed by the two-phase
     * large-star/small-star edge rewrite
     * ([[Dedup.connectedComponentsTwoPhase]]) — the per-round

@@ -1754,6 +1754,76 @@ object TrainingData {
        |ORDER BY lang, rn""".stripMargin
   }
 
+  // q119 parameters: ring distance + shard count for negative sampling.
+  private val NegK = 3
+  private val NegShards = 4
+  private val NegSeed = "negatives"
+
+  /** CONTRASTIVE NEGATIVE SAMPLING — the training-pair construction a
+    * retrieval/embedding model build needs: for every anchor document,
+    * `k` pseudo-random negatives drawn WITHOUT a cross join and without
+    * RNG state, by reading the next `k` documents on a seeded-hash RING:
+    * documents order by (md5 bucket, id) within a hash shard, and
+    * anchor i's j-th negative is the document at ring position
+    * `(i − 1 + j) mod n + 1` of its shard. The hash order is
+    * content-independent, so ring neighbors are a uniform draw from the
+    * shard (the distributed form of "in-batch negatives" — the batch is
+    * the shard, fixed by seed, so the pairing is fully reproducible; a
+    * later pass can anti-join known positives exactly like q56's
+    * survivor deletion).
+    *
+    * Scale: the two window functions (rank + shard size) share one
+    * hash exchange on `shard`, whose per-partition sort is bounded by
+    * the shard — the q81 discipline; the ring lookup is ONE equi-join
+    * on (shard, rank) carrying k·|docs| rows. No cross join, no RNG,
+    * no driver state. Requires shard size > k for distinct negatives
+    * (4 shards × sf0.01's 500 docs ≫ 3; at 100 TB you raise shards to
+    * bound the sort and the property only strengthens). */
+  def negativeSamples(docs: DataFrame, idCol: String, shards: Int,
+                      k: Int, seed: String): DataFrame = {
+    require(shards >= 1 && k >= 1, s"shards=$shards k=$k must be positive")
+    val rankW = Window.partitionBy(col("shard")).orderBy(col("bucket"), col("id"))
+    val sizeW = Window.partitionBy(col("shard"))
+    val ring = docs
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("bucket", hashBucket(col("id"), seed))
+      .withColumn("shard", pmod(col("bucket"), lit(shards.toLong)))
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .withColumn("n", count(lit(1)).over(sizeW))
+      .localCheckpoint(true) // anchors + ring-lookup side both read it
+    val anchors = ring
+      .withColumn("j", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("neg_rank", pmod(col("rn") - 1L + col("j"), col("n")) + 1L)
+    anchors.as("a")
+      .join(ring.select(col("shard"), col("rn").as("neg_rank"),
+        col("id").as("neg_doc_id")).as("b"), Seq("shard", "neg_rank"))
+      .select(col("a.id").as("doc_id"), col("j"), col("neg_doc_id"),
+        col("shard"), col("rn"), col("neg_rank"))
+  }
+
+  /** q119: 3 ring negatives per document — row-level exact (every
+    * anchor, position, and drawn negative) against the oracle's rank
+    * formulation over the same md5 buckets. */
+  def q119NegPairs(spark: SparkSession, dir: String): DataFrame =
+    negativeSamples(Tables.documents(spark, dir), "doc_id",
+        NegShards, NegK, NegSeed)
+      .orderBy(col("doc_id"), col("j"))
+
+  val q119NegPairsSql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |    ('0x' || substring(md5('$NegSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM documents),
+       |r AS (SELECT doc_id, bucket, bucket % $NegShards AS shard FROM b),
+       |w AS (SELECT *,
+       |    row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id)::BIGINT AS rn,
+       |    count(*) OVER (PARTITION BY shard)::BIGINT AS n
+       |  FROM r),
+       |x AS (SELECT doc_id, j, shard, rn, ((rn - 1 + j) % n) + 1 AS neg_rank
+       |  FROM w, (SELECT unnest(range(1, ${NegK + 1}))::BIGINT AS j))
+       |SELECT x.doc_id, x.j, w2.doc_id AS neg_doc_id, x.shard, x.rn, x.neg_rank
+       |FROM x JOIN w w2 ON w2.shard = x.shard AND w2.rn = x.neg_rank
+       |ORDER BY x.doc_id, x.j""".stripMargin
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

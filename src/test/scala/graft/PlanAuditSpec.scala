@@ -504,4 +504,41 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"type counting must aggregate partial+final:\n$p")
   }
+
+  test("CDC apply folds as max_by aggregate, never a per-key rank window (q115)") {
+    val p = plan(operators.Cdc.applyChangelog(
+      operators.Cdc.changelog(Tables.events(spark, sf))))
+    assert(!p.contains("Window"),
+      s"last-writer-wins must be an aggregate — a window would sort the changelog:\n$p")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty,
+      s"expected an aggregate fold:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"one key shuffle, carrying per-key partials only:\n$p")
+  }
+
+  test("SCD2's rank and lead windows share one exchange and one sort (q116)") {
+    val p = plan(operators.Cdc.scd2History(
+      operators.Cdc.changelog(Tables.events(spark, sf))))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"row_number + lead over the same key/order must share a shuffle:\n$p")
+    assert("\\bSort\\b".r.findAllIn(p).length <= 1,
+      s"the shared window frame needs exactly one in-partition sort:\n$p")
+  }
+
+  test("LM scoring probes a broadcast vocabulary and TakeOrders the top-N (q118)") {
+    val p = plan(operators.Ranking.q118LmQuality(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram counts must broadcast onto the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N by score must not global-sort:\n$p")
+  }
+
+  test("ring negatives: one bounded window exchange + one equi-join, no cartesian (q119)") {
+    val p = plan(operators.TrainingData.q119NegPairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"negative sampling must never cross-join the corpus:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the ring lookup is an equi-join on (shard, rank):\n$p")
+  }
 }

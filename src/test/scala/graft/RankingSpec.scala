@@ -112,4 +112,31 @@ class RankingSpec extends SparkSpec {
       assert(r.getAs[Long]("dl") >= tfSum)
     }
   }
+
+  test("unigram LM: hand-computed micro-nat log-probs and fluency ordering") {
+    import spark.implicits._
+    // corpus: "a a b" / "a b c" / "c" — counts: a=3, b=2, c=2, C=7
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "c")).toDF("doc_id", "text")
+    val out = Ranking.lmUnigramScores(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    def micro(x: Double): Long = math.round(math.log(x) * 1e6)
+    val lnC = micro(7.0)
+    val exp = Map(
+      1L -> (2 * micro(3.0) + micro(2.0) - 3 * lnC), // a a b
+      2L -> (micro(3.0) + 2 * micro(2.0) - 3 * lnC), // a b c
+      3L -> (micro(2.0) - lnC))                      // c
+    out.foreach { r =>
+      assert(r.getAs[Long]("lp_micro") == exp(r.getAs[Long]("id")),
+        s"doc ${r.getAs[Long]("id")}")
+    }
+    // doc 1 (common tokens) must out-rank doc 2 (one rarer token) per token
+    val byId = out.map(r => r.getAs[Long]("id") -> r.getAs[Double]("avg_lp")).toMap
+    assert(byId(1L) > byId(2L))
+    // q118 gate shape: dense integer ranks, no doubles
+    val gate = Ranking.q118LmQuality(spark, sf).collect()
+    assert(gate.length == 50)
+    assert(gate.map(_.getAs[Int]("rank")).toSeq == (1 to 50))
+    gate.foreach(r => assert(r.getAs[Long]("sum_c") >= r.getAs[Long]("n_tokens"),
+      "every token's corpus count is at least 1"))
+  }
 }

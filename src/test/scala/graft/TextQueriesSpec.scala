@@ -178,4 +178,23 @@ class TextQueriesSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
     }
   }
+
+  test("q117 bloom decontamination gate holds on the fixture; sketch FP floor pinned") {
+    val row = TextQueries.q117BloomDecontam(spark, sf).collect().head
+    assert(row.getAs[Long]("n_exact") > 0L, "gate must be non-vacuous")
+    assert(row.getAs[Boolean]("no_false_negatives"),
+      "a Bloom filter can never miss an inserted shingle")
+    assert(row.getAs[Boolean]("fp_band"))
+    // Pin the claim the q117 band is sized against: Spark's
+    // util.sketch.BloomFilter under-delivers tiny fpp targets (its two
+    // 32-bit murmur base hashes floor the per-probe FP rate around
+    // ~2e-4 at small bit arrays). If a Spark upgrade fixes the floor,
+    // this assertion trips and the band can tighten.
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(270L, 1e-6)
+    (1 to 270).foreach(i => bf.putString(s"inserted item $i"))
+    val fp = (1 to 100000).count(i => bf.mightContainString(s"unseen probe $i"))
+    assert(fp > 0, "measured FP floor (~2e-4) should show in 100k probes; " +
+      "if this trips, the sketch improved — tighten BloomFpp's band")
+    assert(fp < 100, "FP rate above 1e-3 would mean the band itself is unsafe")
+  }
 }

@@ -636,4 +636,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(tot.getAs[Long]("drift_num") ==
       out.filter(_.getAs[Long]("is_total") == 0L).map(_.getAs[Long]("drift_num")).sum)
   }
+
+  test("negative samples: k per anchor, never self, ring arithmetic self-consistent") {
+    val out = TrainingData.q119NegPairs(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length == 3 * n, "every anchor draws exactly k negatives")
+    // the output carries its own ring: (shard, rn) → doc_id from the
+    // anchor rows is a total map, so the drawn negatives can be replayed
+    // driver-side without re-deriving any hash
+    val ring = out.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("rn")) ->
+      r.getAs[Long]("doc_id")).toMap
+    val shardSizes = out.groupBy(_.getAs[Long]("shard"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("rn")).max }
+    out.foreach { r =>
+      val (shard, rn, j) = (r.getAs[Long]("shard"), r.getAs[Long]("rn"), r.getAs[Long]("j"))
+      val expRank = (rn - 1 + j) % shardSizes(shard) + 1
+      assert(r.getAs[Long]("neg_rank") == expRank)
+      assert(r.getAs[Long]("neg_doc_id") == ring((shard, expRank)))
+      assert(r.getAs[Long]("neg_doc_id") != r.getAs[Long]("doc_id"),
+        "ring distance ≤ k < shard size ⇒ no self-negatives")
+    }
+    // each anchor's k negatives are distinct (consecutive ring positions)
+    out.groupBy(r => r.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("neg_doc_id")).distinct.length == rs.length)
+    }
+  }
 }
