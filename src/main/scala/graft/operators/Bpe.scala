@@ -63,9 +63,14 @@ object Bpe {
     ((lhs, rhs, cnt), merged)
   }
 
-  /** Learn `rounds` merges from `docs(textCol)`; returns the merge table
-    * (step, lhs, rhs, merged, cnt) — the artifact a BPE tokenizer ships. */
-  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  /** Learn `rounds` merges from `docs(textCol)`. Returns the merge table
+    * (step, lhs, rhs, merged, cnt) — the artifact a BPE tokenizer
+    * ships — AND the final type frame (word, freq, seq): every word
+    * type's segmentation under the learned merges, which IS the apply
+    * artifact (production BPE tokenizers cache exactly this word →
+    * segmentation table; unseen words fall back to the merge walk). */
+  def learnMergesAndTypes(docs: DataFrame, textCol: String,
+                          rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val types = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
@@ -81,8 +86,12 @@ object Bpe {
       cur = next.localCheckpoint()
     }
     import spark.implicits._
-    merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+    (merges.result().toDF("step", "lhs", "rhs", "merged", "cnt"), cur)
   }
+
+  /** The merge table alone (see [[learnMergesAndTypes]]). */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    learnMergesAndTypes(docs, textCol, rounds)._1
 
   def q120BpeMerges(spark: SparkSession, dir: String): DataFrame =
     learnMerges(Tables.documents(spark, dir), "text", BpeRounds)
@@ -90,10 +99,59 @@ object Bpe {
         col("merged"), col("cnt"))
       .orderBy(col("step"))
 
-  /** The oracle re-derives every round itself: K unrolled CTE blocks,
-    * each picking its own best pair by the same total order and applying
-    * the same doubled-separator replace. */
-  val q120BpeMergesSql: String = {
+  /** q123: BPE APPLY — tokenize the corpus with the learned merges, the
+    * stage that runs at corpus volume once training (q120) is done. The
+    * per-word segmentations live in the final type frame, so apply is a
+    * LOOKUP, not a merge walk: explode doc tokens, broadcast-probe the
+    * (word → symbol count) table (type-vocabulary-bounded, q118's
+    * broadcast argument), and fold per-doc integer aggregates — subword
+    * count, token count, character mass. Emits one row per doc, all
+    * integers, row-level exact: `n_subwords` between `n_tokens` (fully
+    * merged) and `n_chars_tok + n_tokens` (no merges, + the </w>
+    * markers), the compression a consumer divides for chars/subword.
+    *
+    * Scale: learning runs on types (q120); apply is ONE corpus scan with
+    * a broadcast probe and a per-doc map-side partial aggregate — the
+    * shuffle carries |docs| rows. No corpus-volume shuffle, no per-doc
+    * string surgery at apply time (the segmentation was computed once
+    * per TYPE, amortized across every occurrence — the whole point of
+    * the type-frame representation). */
+  def q123BpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, types) = learnMergesAndTypes(docs, "text", BpeRounds)
+    val segs = types.select(col("word"),
+      size(split(col("seq"), " ")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .join(broadcast(segs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).as("n_chars_tok"),
+        sum(col("n_sym")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q120 CTE chain re-derives the merges; t8 (the final type frame)
+    * supplies the oracle's segmentations — shared round logic verbatim.
+    * (lazy: `roundsCtePrefix` is declared below, after the q120 family.) */
+  lazy val q123BpeSegmentSql: String = {
+    val tok = TextQueries.tokSqlExpr
+    s"""$roundsCtePrefix,
+       |segs AS (SELECT word, len(string_split(seq, ' '))::BIGINT AS n_sym FROM t$BpeRounds),
+       |d AS (SELECT doc_id, unnest($tok) AS word FROM documents)
+       |SELECT d.doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(len(d.word))::BIGINT AS n_chars_tok,
+       |  sum(s.n_sym)::BIGINT AS n_subwords
+       |FROM d JOIN segs s USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The shared K-round CTE chain: w (types), t0 (char seqs), then per
+    * round p_i (pair counts) / b_i (chosen pair, MATERIALIZED — DuckDB
+    * otherwise inlines each CTE per reference and the chain expands
+    * exponentially) / t_i (merged seqs). Ends at t{BpeRounds}. */
+  private val roundsCtePrefix: String = {
     val tok = TextQueries.tokSqlExpr
     def pairCte(i: Int): String =
       s"""p$i AS (SELECT pr, sum(freq)::BIGINT AS cnt FROM (
@@ -107,17 +165,23 @@ object Bpe {
          |    ' ' || (SELECT split_part(pr, ' ', 1) FROM b$i) || '  ' || (SELECT split_part(pr, ' ', 2) FROM b$i) || ' ',
          |    ' ' || (SELECT replace(pr, ' ', '') FROM b$i) || ' '),
          |  ' +', ' ', 'g')) AS seq FROM t${i - 1})""".stripMargin
-    val rounds = (1 to BpeRounds).map { i =>
-      if (i < BpeRounds) s"${pairCte(i)},\n${mergeCte(i)}" else pairCte(i)
-    }.mkString(",\n")
-    val union = (1 to BpeRounds)
-      .map(i => s"SELECT $i::BIGINT AS step, pr, cnt FROM b$i")
-      .mkString("\nUNION ALL ")
+    val rounds = (1 to BpeRounds)
+      .map(i => s"${pairCte(i)},\n${mergeCte(i)}").mkString(",\n")
     s"""WITH w AS (SELECT tk AS word, count(*)::BIGINT AS freq
        |  FROM (SELECT unnest($tok) AS tk FROM documents) GROUP BY 1),
        |t0 AS MATERIALIZED (SELECT word, freq,
        |  regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** The oracle re-derives every round itself: K unrolled CTE blocks,
+    * each picking its own best pair by the same total order and applying
+    * the same doubled-separator replace. */
+  val q120BpeMergesSql: String = {
+    val union = (1 to BpeRounds)
+      .map(i => s"SELECT $i::BIGINT AS step, pr, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""$roundsCtePrefix
        |SELECT step, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,
        |  replace(pr, ' ', '') AS merged, cnt
        |FROM ($union)

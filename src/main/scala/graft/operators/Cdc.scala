@@ -217,6 +217,80 @@ object Cdc {
         StructField("n_deletes", LongType))))
   }
 
+  /** Disk-backed fold: read the persistent snapshot at `path/state` (or
+    * start empty), fold `batch` ([[foldCdcBatch]]), atomically swap the
+    * new state in. NO batchId ledger, deliberately: the watermark guard
+    * IS the replay ledger here — a replayed batch's rows are all at or
+    * below the post-fold high-water mark, so the fold no-ops them, and
+    * the atomic swap means a crash mid-write leaves either the pre- or
+    * the post-batch state, both of which the replay handles. Additive
+    * state (q85) needs the explicit ledger because it has no identity
+    * to guard on; keyed last-writer state carries its own. */
+  def cdcIngest(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = new Path(root, "state")
+    val snap =
+      if (fs.exists(state)) spark.read.parquet(state.toString)
+      else emptySnapshot(spark)
+    val merged = foldCdcBatch(snap, batch)
+    val tmp = new Path(path + ".__cdc_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__cdc_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+  }
+
+  /** q122: the SAME fold behind a REAL file stream
+    * ([[graft.streaming.StreamingCdc]] — one micro-batch per landed day
+    * file, Trigger.AvailableNow, the q87/q112 harness shape). Day files
+    * 2 and 3 RE-DELIVER a slice of the prior day (q121's harness), so
+    * the watermark guard is exercised under streaming delivery too.
+    * Final snapshot minus tombstones must equal q115's batch answer —
+    * oracle shared verbatim. */
+  def q122StreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q122_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/cdc_state"
+      val log = changelog(Tables.events(spark, dir))
+      val day = dayofmonth(col("ts"))
+      val days = Seq(
+        log.filter(day <= 10),
+        log.filter(day > 10 && day <= 20)
+          .unionByName(log.filter(day <= 10 && col("event_id") % 7 === 0)),
+        log.filter(day > 20)
+          .unionByName(log.filter(day > 10 && day <= 20 && col("event_id") % 7 === 0)))
+      fs.mkdirs(new Path(srcDir))
+      days.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.parquet(s"$base/stage_$i")
+        val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+      }
+      val q = graft.streaming.StreamingCdc.start(spark, srcDir, statePath,
+        s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      spark.read.parquet(s"$statePath/state")
+        .filter(col("op") =!= "D")
+        .select(col("user_id"), col("last_ts"), col("last_event_id"),
+          col("status"), col("amount"), col("n_ops"), col("n_deletes"))
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // materialize before the state dir is deleted
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  val q122StreamCdcSql: String = q115CdcSnapshotSql
+
   /** q121: three day-ordered batches (the events span January; cut at
     * day 10 and day 20), batches 2 and 3 each RE-DELIVER a slice of the
     * prior batch (every 7th event id) that the watermark guard must

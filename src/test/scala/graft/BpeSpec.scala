@@ -38,6 +38,18 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("a", "a", 2L), ("a", "</w>", 1L)))
   }
 
+  test("final type frame carries the apply-time segmentations (q123's lookup table)") {
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val (_, types) = Bpe.learnMergesAndTypes(docs, "text", 3)
+    val segs = types.collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[String]("seq")).toMap
+    // after (l o), (lo w), (low </w>): low is ONE symbol, lower keeps
+    // its tail unmerged, newest never participated in any merge
+    assert(segs("low") == "low</w>")
+    assert(segs("lower") == "low e r </w>")
+    assert(segs("newest") == "n e w e s t </w>")
+  }
+
   test("merged symbols participate in later rounds (chain growth)") {
     val docs = Seq.fill(4)("abab").toDF("text")
     val merges = Bpe.learnMerges(docs, "text", 3)

@@ -93,6 +93,32 @@ class CdcSpec extends SparkSpec {
     assert(tomb.getAs[String]("op") == "D" && tomb.getAs[Long]("n_ops") == 2)
   }
 
+  test("cdcIngest: disk-backed fold equals batch apply; replayed batch no-ops without a ledger") {
+    val full = log(
+      (1L, 10, 1L, "U", "a", 1.0), (1L, 20, 2L, "U", "b", 2.0),
+      (2L, 10, 3L, "U", "a", 1.0), (2L, 30, 4L, "D", "x", 0.0))
+    val b1 = full.filter(col("event_id") <= 3).localCheckpoint()
+    val b2 = full.filter(col("event_id") > 3).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_ingest_")
+    try {
+      val p = s"$base/cdc"
+      Cdc.cdcIngest(spark, p, b1)
+      Cdc.cdcIngest(spark, p, b2)
+      Cdc.cdcIngest(spark, p, b2) // replay: the watermark is the ledger
+      val got = spark.read.parquet(s"$p/state").filter(col("op") =!= "D")
+        .select("user_id", "status", "amount", "n_ops", "n_deletes")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val want = Cdc.applyChangelog(full)
+        .select("user_id", "status", "amount", "n_ops", "n_deletes")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
   test("q115/q116/q121 smoke on the fixture: q121 incremental equals q115 batch") {
     val a = Cdc.q115CdcSnapshot(spark, sf).collect().map(_.toSeq).toSeq
     val b = Cdc.q121CdcIngest(spark, sf).collect().map(_.toSeq).toSeq
