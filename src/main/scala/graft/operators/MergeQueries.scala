@@ -482,6 +482,174 @@ object MergeQueries {
        |FROM sp_sig s LEFT JOIN reach r ON r.id = s.id
        |GROUP BY s.id ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL ENTITY RESOLUTION against a persistent registry —
+    * [[neardupIngest]]'s induction applied to the fuzzy-KEY family
+    * (reference mongo.py:103-163's keyed upsert, surviving dirty keys):
+    * the registry stores one row per seen record, (key_id, name,
+    * entity_id), where entity_id is the min key over the record's
+    * ed<=1-connected NAME component so far. Each batch:
+    *
+    *  1. drops re-delivered key_ids (q65's anti-join protection);
+    *  2. emits the TOUCHED subgraph's edges: batch-internal fuzzy pairs
+    *     ([[FuzzyJoin.edOnePairs]]), batch→registry pairs
+    *     ([[FuzzyJoin.edOneCrossPairs]] — deletion-variant blocking,
+    *     never a scan of the registry), and one (record → its entity)
+    *     star edge per probed registry row, carrying the old cluster's
+    *     connectivity and min without touching unprobed rows;
+    *  3. closes components over those edges only;
+    *  4. merges: inserts with entity = component min; registry rows of
+    *     entities undercut this round re-point via the old→new map.
+    *
+    * The induction invariant (and its proof) is [[neardupIngestCore]]'s
+    * verbatim with "simhash pair" replaced by "ed<=1 pair": the final
+    * registry equals batch clustering of ALL names ingested so far,
+    * under any arrival order and any re-delivery pattern. */
+  def entityIngest(spark: SparkSession, target: String, batch: DataFrame,
+                   idCol: String, nameCol: String): MergeSink.MergeStats = {
+    val path = new org.apache.hadoop.fs.Path(target)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    def index: DataFrame = spark.read.parquet(target)
+    val fields = Seq("name", "entity_id")
+
+    val batchRows = batch
+      .select(col(idCol).as("id"), col(nameCol).as("name"))
+      .dropDuplicates("id")
+    // localCheckpoint: referenced by the self-pair emitter, the cross
+    // probe, and the insert set (the neardupIngestCore discipline)
+    val newRows = (if (exists)
+        batchRows.join(index.select(col("key_id").as("id")), Seq("id"), "left_anti")
+      else batchRows).localCheckpoint(true)
+
+    val selfPairs = FuzzyJoin.edOnePairs(newRows, "id", "name")
+      .select(col("id_a").as("id1"), col("id_b").as("id2"))
+    val edges: DataFrame =
+      if (!exists) selfPairs
+      else {
+        val idx = index
+        val crossPairs = FuzzyJoin.edOneCrossPairs(
+            newRows, idx.select(col("key_id").as("id"), col("name")))
+          .localCheckpoint(true) // edge union + star lookup both read it
+        val starEdges = crossPairs.select(col("id2").as("key_id")).distinct()
+          .join(idx.select(col("key_id"), col("entity_id")), Seq("key_id"))
+          .select(col("key_id").as("id1"), col("entity_id").as("id2"))
+        selfPairs.union(crossPairs).union(starEdges)
+      }
+    val comp = Dedup.connectedComponents(edges) // (id, comp)
+
+    val inserts = newRows
+      .join(comp, newRows("id") === comp("id"), "left")
+      .select(newRows("id").as("key_id"), col("name"),
+        coalesce(col("comp"), newRows("id")).as("entity_id"))
+    val updates =
+      if (!exists) inserts
+      else {
+        val idx = index
+        val entityMap = comp
+          .join(idx.select(col("entity_id").as("id")).distinct(), Seq("id"))
+          .filter(col("comp") < col("id"))
+          .select(col("id").as("old_ent"), col("comp").as("new_ent"))
+        val remapped = idx
+          .join(broadcast(entityMap), idx("entity_id") === col("old_ent"))
+          .select(col("key_id"), col("name"), col("new_ent").as("entity_id"))
+        inserts.unionByName(remapped)
+      }
+    MergeSink.mergeInto(spark, target, updates, "key_id", fields)
+  }
+
+  /** q127 gate: the q65/q68 day-split + re-delivery harness applied to
+    * [[entityIngest]] over supplier names; the final registry's
+    * (key_id, name, entity_id) must equal batch ed<=1 clustering of ALL
+    * supplier names row-for-row. The fixture's sequential names chain
+    * into one giant component (every two keys differing in one digit
+    * link directly), so the gate's stress is TRANSITIVE-CHAIN closure
+    * under incremental arrival — digit-diverse multi-entity merges and
+    * arrival-order independence are pinned in FuzzyJoinSpec's crafted
+    * cases, where components can actually differ. */
+  def q127EntityIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q127_")
+    try {
+      val target = s"$base/registry"
+      val sup = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))
+      val cut = sup.agg(max(col("s_suppkey"))).head().getLong(0) / 2
+      Seq(
+        sup.filter(col("s_suppkey") <= cut),
+        sup.filter(col("s_suppkey") > cut)
+          .union(sup.filter(col("s_suppkey") % 5 === 0)))
+        .foreach(day => entityIngest(spark, target, day, "s_suppkey", "s_name"))
+      spark.read.parquet(target)
+        .select(col("key_id"), col("name"), col("entity_id"))
+        .orderBy(col("key_id"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** q129: the q127 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingEntity]] — foreachBatch per landed day
+    * file, Trigger.AvailableNow), with day 2's file RE-DELIVERING a
+    * slice of day 1 (the q122 harness shape). Ledger-free AND
+    * order-free: the registry's anti-join absorbs replays, and the
+    * component-min invariant needs no delivery-order guarantee. Same
+    * oracle as q127, verbatim. */
+  def q129StreamEntity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q129_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val registry = s"$base/registry"
+      val sup = Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      val cut = sup.agg(max(col("id"))).head().getLong(0) / 2
+      val days = Seq(
+        sup.filter(col("id") <= cut),
+        sup.filter(col("id") > cut)
+          .unionByName(sup.filter(col("id") % 5 === 0)))
+      fs.mkdirs(new Path(srcDir))
+      days.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.parquet(s"$base/stage_$i")
+        val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+      }
+      val q = graft.streaming.StreamingEntity.start(spark, srcDir, registry,
+        s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      spark.read.parquet(registry)
+        .select(col("key_id"), col("name"), col("entity_id"))
+        .orderBy(col("key_id"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  /** The streamed fold's oracle IS q127's. */
+  def q129StreamEntitySql: String = q127EntityIngestSql
+
+  val q127EntityIngestSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.s_suppkey AS id1, b.s_suppkey AS id2
+      |  FROM supplier a, supplier b
+      |  WHERE a.s_suppkey < b.s_suppkey
+      |    AND levenshtein(a.s_name, b.s_name) <= 1),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM p
+      |          UNION SELECT id2, id1 FROM p),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT s.s_suppkey AS key_id, s.s_name AS name,
+      |  coalesce(min(r.comp), s.s_suppkey)::BIGINT AS entity_id
+      |FROM supplier s LEFT JOIN reach r ON r.id = s.s_suppkey
+      |GROUP BY s.s_suppkey, s.s_name ORDER BY key_id""".stripMargin
+
   /** q80: small-file COMPACTION of an ingest-fragmented snapshot
     * ([[graft.sinks.Compaction.compactPartitioned]]). The gate builds
     * the pathology the operator exists for — 8 arrival batches appended

@@ -275,6 +275,215 @@ object Ranking {
       .orderBy(col("rank"))
   }
 
+  // q126 parameters: feature-hash width, seed, target domain, kept top-N.
+  private[operators] val DsirBuckets = 64
+  private[operators] val DsirSeed = "dsir"
+  private val DsirTarget = "src0"
+  private val DsirTopN = 40
+
+  private def lnMicro(c: Column): Column =
+    round(log(c.cast("double")) * LmScale, 0).cast("long")
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR — Xie et al.,
+    * NeurIPS 2023, public): rank a raw pool by how target-domain-like
+    * each document is, using hashed n-gram importance weights. Both the
+    * target and raw distributions are unigram models over `buckets`
+    * hashed feature buckets (hashing IS the method's point — the feature
+    * space stays fixed-size no matter the vocabulary), smoothed add-one;
+    * a document's log importance weight is
+    *
+    *   w(d) = Σ_{t∈d} [ln p_tgt(b(t)) − ln p_raw(b(t))]
+    *        = Σ_{t∈d} λ_{b(t)} + n_d·C
+    *
+    * with λ_b = ln(ct_b+1) − ln(cr_b+1) and C = ln(R+B) − ln(T+B).
+    *
+    * Determinism is q118's fixed-point discipline, one notch stricter:
+    * EVERY ln here is applied to an integer (counts+1, totals+B) and
+    * rounded once to micro-nats, so λ and C are exact BIGINTs, per-doc
+    * sums are order-free integer aggregates, and the ranking key is the
+    * single allowed IEEE division (avg micro-nats per token, doc_id
+    * de-tie). The md5-bucket hash is [[TrainingData.hashBucket]] — the
+    * oracle reproduces it byte-for-byte.
+    *
+    * Scale: the λ table is `buckets` rows REGARDLESS of corpus size —
+    * that is DSIR's scaling argument, and this plan keeps it: pass 1
+    * collapses tokens to bucket counts (map-side partials into a
+    * `buckets`-row shuffle), the 1-row totals derive from that table,
+    * both broadcast; pass 2 re-scans the corpus, probes the broadcast λ,
+    * and folds per-doc integer partials map-side (the exchange carries
+    * |docs| rows, not |tokens|); top-N is TakeOrderedAndProject. Two
+    * corpus scans, zero corpus-volume shuffles — q118's shape with the
+    * vocabulary dependence removed. */
+  /** The DSIR model state: per-bucket (bk, ct, cr) token counts for the
+    * target and raw distributions — ADDITIVE and `buckets` rows no
+    * matter the corpus, which is what makes it the cheapest incremental
+    * state in the library (see [[dsirIngest]]). One grouped pass over
+    * the token stream with map-side partials. */
+  def dsirBucketCounts(docs: DataFrame, textCol: String, isTarget: Column,
+                       buckets: Int, seed: String): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets")
+    docs
+      .select(isTarget.as("is_t"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("bk",
+        TrainingData.hashBucket(col("t"), seed) % buckets.toLong)
+      .groupBy(col("bk"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+  }
+
+  /** The scoring tail over a prepared count state: λ table + totals
+    * from `counts`, broadcast probe over the pool's token stream,
+    * per-doc integer fold. `counts` must be shaped (bk, ct, cr). */
+  def dsirScoresFromCounts(docs: DataFrame, counts: DataFrame,
+                           idCol: String, textCol: String, isTarget: Column,
+                           buckets: Int, seed: String,
+                           carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = (idCol +: carryCols).map(col)
+    // materialized once (`buckets` rows) — the totals row and the
+    // probe both read it
+    val lam = counts
+      .select(col("bk"),
+        (lnMicro(col("ct") + 1L) - lnMicro(col("cr") + 1L)).as("lam"),
+        col("ct"), col("cr"))
+      .localCheckpoint(true)
+    val tot = lam.agg(
+      (lnMicro(sum(col("cr")) + buckets.toLong) -
+        lnMicro(sum(col("ct")) + buckets.toLong)).as("c_const"))
+    docs.filter(!isTarget)
+      .select(keys :+ explode(TextFunctions.tokens(col(textCol))).as("t"): _*)
+      .withColumn("bk",
+        TrainingData.hashBucket(col("t"), seed) % buckets.toLong)
+      .join(broadcast(lam.select(col("bk"), col("lam"))), Seq("bk"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lam")).as("sum_lam"))
+      .crossJoin(broadcast(tot)) // 1-row constant onto the doc frame
+      .withColumn("score_micro",
+        col("sum_lam") + col("n_tokens") * col("c_const"))
+      .withColumn("avg_score",
+        col("score_micro").cast("double") / col("n_tokens"))
+  }
+
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int, seed: String,
+                 carryCols: Seq[String] = Seq.empty): DataFrame =
+    dsirScoresFromCounts(docs,
+      dsirBucketCounts(docs, textCol, isTarget, buckets, seed),
+      idCol, textCol, isTarget, buckets, seed, carryCols)
+
+  /** INCREMENTAL DSIR — fold a batch's bucket counts into a persistent
+    * `buckets`-row state (ledger-guarded additive fold, the q110 shape):
+    * the model a nightly selection run consults is kept current without
+    * ever re-scanning the corpus, and unlike the vocabulary state
+    * (which grows with the type vocabulary) this state is FIXED-WIDTH —
+    * `buckets` rows forever, the cheapest incremental state the library
+    * maintains. Returns false iff `batchId` was already absorbed. */
+  def dsirIngest(spark: SparkSession, path: String, batch: DataFrame,
+                 batchId: String, textCol: String, isTarget: Column,
+                 buckets: Int, seed: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(root, "_batches")
+    val state = new Path(root, "state")
+    val seen = fs.exists(ledger) &&
+      spark.read.parquet(ledger.toString)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) return false
+    val bs = dsirBucketCounts(batch, textCol, isTarget, buckets, seed)
+    val merged =
+      if (fs.exists(state))
+        spark.read.parquet(state.toString).unionByName(bs)
+          .groupBy(col("bk"))
+          .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+      else bs
+    val tmp = new Path(path + ".__dsir_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__dsir_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(ledger.toString)
+    true
+  }
+
+  /** The shared q126/q131 gate tail: top-[[DsirTopN]] by avg micro-nat
+    * weight, integer-evidence row (the double ranking key never leaves
+    * the plan, q118's gate rule). */
+  private def dsirTop(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .orderBy(col("avg_score").desc, col("doc_id").asc).limit(DsirTopN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("avg_score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("score_micro"))
+      .orderBy(col("rank"))
+  }
+
+  /** q126: DSIR selection over the documents fixture — the raw pool is
+    * every non-`src0` document ranked by similarity to the `src0`
+    * "curated domain". */
+  def q126DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirTop(dsirScores(Tables.documents(spark, dir), "doc_id", "text",
+      col("source") === DsirTarget, DsirBuckets, DsirSeed,
+      carryCols = Seq("lang", "source")))
+
+  /** q131: the incremental DSIR state under the q110 day-split harness
+    * plus a whole-batch replay (ledger no-op); selection FROM THE
+    * SNAPSHOT must equal the whole-corpus batch answer — the oracle IS
+    * q126's, verbatim. */
+  def q131DsirIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q131_")
+    try {
+      val path = s"$base/dsir_state"
+      val docs = Tables.documents(spark, dir)
+      val isT = col("source") === DsirTarget
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      require(dsirIngest(spark, path, docs.filter(col("doc_id") <= cut),
+        "day1", "text", isT, DsirBuckets, DsirSeed))
+      require(dsirIngest(spark, path, docs.filter(col("doc_id") > cut),
+        "day2", "text", isT, DsirBuckets, DsirSeed))
+      require(!dsirIngest(spark, path, docs.filter(col("doc_id") > cut),
+        "day2", "text", isT, DsirBuckets, DsirSeed),
+        "replayed batch must be a ledger no-op")
+      dsirTop(dsirScoresFromCounts(docs, spark.read.parquet(s"$path/state"),
+          "doc_id", "text", isT, DsirBuckets, DsirSeed,
+          carryCols = Seq("lang", "source")))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q126's. */
+  def q131DsirIngestSql: String = q126DsirSelectSql
+
+  val q126DsirSelectSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, source, unnest(${TextQueries.tokSqlExpr}) AS tk FROM documents),
+       |b AS (SELECT doc_id, lang, source, source = '$DsirTarget' AS is_t,
+       |    ('0x' || substring(md5('$DsirSeed:' || tk), 1, 8))::BIGINT % $DsirBuckets AS bk FROM t),
+       |cnt AS (SELECT bk,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |    sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS cr
+       |  FROM b GROUP BY bk),
+       |lam AS (SELECT bk,
+       |    (round(ln(ct + 1) * $LmScale)::BIGINT - round(ln(cr + 1) * $LmScale)::BIGINT) AS lam
+       |  FROM cnt),
+       |tot AS (SELECT (round(ln(sum(cr) + $DsirBuckets) * $LmScale)::BIGINT
+       |              - round(ln(sum(ct) + $DsirBuckets) * $LmScale)::BIGINT) AS c_const FROM cnt),
+       |d AS (SELECT doc_id, lang, source, count(*)::BIGINT AS n_tokens,
+       |    sum(lam.lam)::BIGINT AS sum_lam
+       |  FROM b JOIN lam USING (bk) WHERE NOT is_t GROUP BY 1, 2, 3),
+       |sc AS (SELECT d.*, (sum_lam + n_tokens * tot.c_const)::BIGINT AS score_micro FROM d, tot)
+       |SELECT row_number() OVER (ORDER BY score_micro::DOUBLE / n_tokens DESC, doc_id) AS rank,
+       |  doc_id, lang, source, n_tokens, score_micro
+       |FROM sc ORDER BY score_micro::DOUBLE / n_tokens DESC, doc_id LIMIT $DsirTopN""".stripMargin
+
   val q118LmQualitySql: String =
     s"""WITH t AS (SELECT doc_id, unnest(${TextQueries.tokSqlExpr}) AS tk FROM documents),
        |c AS (SELECT tk, count(*)::BIGINT AS c FROM t GROUP BY 1),

@@ -252,4 +252,76 @@ object SimilarityQueries {
        |SELECT doc_id, lang, score, score >= $ProbeCut AS kept
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  // q125 parameters: every SemDeconMod-th vector is the pretend eval
+  // suite; flag training vectors with cosine >= SemDeconTau to any of it.
+  private[operators] val SemDeconMod = 10
+  private[operators] val SemDeconTau = 0.4
+
+  /** SEMANTIC decontamination: flag training vectors whose embedding is
+    * within cosine `tau` of any eval-suite vector — the embedding-space
+    * analogue of the lexical shingle probes (q60 exact / q117 Bloom).
+    * Lexical decontamination misses paraphrases of a leaked benchmark
+    * item; an embedding probe catches them (the method the phi/FineWeb
+    * class of pipelines runs next to n-gram checks). Returns one row per
+    * contaminated training vector: hit count, the closest eval vector
+    * (cos desc, id asc de-tie), and its rounded cosine.
+    *
+    * Scale: q60's bounded-side argument, moved to embedding space — the
+    * eval suite is small and broadcasts; the corpus is scanned ONCE
+    * through a broadcast nested-loop probe (per-row codegen dot
+    * products, q22's shape), and the only exchange carries HIT rows
+    * (bounded by contamination volume) into a per-vector aggregate with
+    * map-side partials. The corpus itself never shuffles. If the eval
+    * suite outgrows a broadcast, the SRP band join ([[annSrpPairs]]) is
+    * the prefilter with this probe as its verify — same funnel shape as
+    * the lexical q60→q117 escalation. */
+  def semanticContaminated(train: DataFrame, evalVecs: DataFrame,
+                           tau: Double): DataFrame = {
+    val tr = train.select(col("id"), col("v")).withColumn("nrm", norm(col("v")))
+    val ev = evalVecs.select(col("id").as("e_id"), col("v").as("ev"))
+      .withColumn("en", norm(col("ev")))
+    val hits = broadcast(ev).join(tr)
+      .select(col("id").as("vec_id"), col("e_id"),
+        round(cosineWithNorms(col("v"), col("nrm"), col("ev"), col("en")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+    // best-hit as ONE max(struct) aggregate (the q115 move: never a
+    // window sort over the hit set); the oracle's rank-window
+    // formulation certifies the rewrite semantics-free
+    hits.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos_sim").as("c"), (-col("e_id")).as("ni"))).as("m"))
+      .select(col("vec_id"), col("n_hits"),
+        (-col("m.ni")).as("best_eval_id"), col("m.c").as("best_cos"))
+  }
+
+  /** q125: semantic decontamination over the embeddings fixture. */
+  def q125SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    semanticContaminated(
+        all.filter(col("id") % SemDeconMod =!= 0),
+        all.filter(col("id") % SemDeconMod === 0), SemDeconTau)
+      .orderBy(col("vec_id"))
+  }
+
+  val q125SemanticDeconSql: String =
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v,
+       |             sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |           FROM embeddings),
+       |ev AS (SELECT id AS e_id, v AS ev, nrm AS en FROM n WHERE id % $SemDeconMod = 0),
+       |tr AS (SELECT * FROM n WHERE id % $SemDeconMod != 0),
+       |hits AS (SELECT * FROM (
+       |    SELECT tr.id AS vec_id, ev.e_id,
+       |      round(list_sum(list_apply(range(1, ${Dim + 1}),
+       |              i -> tr.v[i]::DOUBLE * ev.ev[i]::DOUBLE)) / (tr.nrm * ev.en), 4) AS cos_sim
+       |    FROM tr, ev)
+       |  WHERE cos_sim >= $SemDeconTau),
+       |rk AS (SELECT vec_id, e_id, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, e_id) AS rn,
+       |    count(*) OVER (PARTITION BY vec_id) AS n_hits
+       |  FROM hits)
+       |SELECT vec_id, n_hits::BIGINT AS n_hits, e_id AS best_eval_id, cos_sim AS best_cos
+       |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
 }

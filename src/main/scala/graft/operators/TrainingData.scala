@@ -1824,6 +1824,130 @@ object TrainingData {
        |FROM x JOIN w w2 ON w2.shard = x.shard AND w2.rn = x.neg_rank
        |ORDER BY x.doc_id, x.j""".stripMargin
 
+  // q128 parameters: seed, kept sample size.
+  private val WsSeed = "wsample"
+  private val WsK = 60
+
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis 2006,
+    * IPL — "weighted random sampling with a reservoir"): draw exactly
+    * `k` rows with inclusion driven by a positive integer weight — the
+    * fixed-k counterpart of rate sampling that [[mixtureSample]] (uniform
+    * rates) and [[takeStratifiedK]] (uniform within stratum) cannot
+    * express ("sample 10M docs proportional to length/quality"). Each
+    * row draws u = (seeded-hash bucket + 1)/2³² ∈ (0, 1] and keys on
+    * ln(u)/w — the E-S exponential-race key in log space (order-
+    * isomorphic to u^(1/w); log form avoids pow's underflow at large w).
+    * The k largest keys are EXACTLY a weighted draw without replacement.
+    * Rows with weight <= 0 are dropped (zero weight = never sampled).
+    *
+    * Determinism: u is exact in both engines (integer+1 divided by a
+    * power of two — an exact IEEE operation), so both engines feed
+    * identical doubles to ln; the gate emits rank + integer evidence
+    * (bucket, weight) with doc_id de-tie, never the double key (q95's
+    * ln/ulp discipline), and distinct buckets separate adjacent keys by
+    * ~16 orders of magnitude more than an ulp (spec-pinned gap floor).
+    *
+    * Scale: one stateless narrow map (hash + ln per row), then
+    * TakeOrderedAndProject — per-partition k-heaps, merged on the
+    * driver; no shuffle at all. The key doubles as mergeable state: the
+    * same top-k over keys is [[GraftUdfs.BottomKAggregator]]'s bottom-k
+    * shape, so a per-stratum variant aggregates with <= k rows per
+    * partition (q66's argument with E-S keys instead of raw hashes). */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k=$k")
+    docs.filter(col(weightCol) > 0)
+      .withColumn("bucket", hashBucket(col(idCol), seed))
+      .withColumn("es_key",
+        log((col("bucket") + 1L).cast("double") / lit(4294967296.0)) /
+          col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(idCol).asc).limit(k)
+  }
+
+  /** q128: E-S weighted sample of the documents fixture, weight =
+    * `n_chars` (length-proportional sampling — the cheap proxy for
+    * token-budget-uniform selection). Integer-evidence gate row. */
+  def q128WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", WsK, WsSeed)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"),
+        col("bucket"))
+      .orderBy(col("rank"))
+
+  val q128WeightedSampleSql: String =
+    s"""WITH s AS (SELECT doc_id, lang, n_chars,
+       |    ('0x' || substring(md5('$WsSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM documents WHERE n_chars > 0),
+       |k AS (SELECT *, ln((bucket + 1) / 4294967296.0) / n_chars AS es_key FROM s)
+       |SELECT row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank,
+       |  doc_id, lang, n_chars, bucket
+       |FROM k ORDER BY es_key DESC, doc_id LIMIT $WsK""".stripMargin
+
+  // q130 parameters: per-stratum draw size (seed shared with q128).
+  private val WtK = 15
+
+  /** PER-STRATUM weighted exact-k — [[weightedSample]]'s E-S draw
+    * composed with [[takeStratifiedK]]'s mergeable selection: exactly
+    * `k` docs per stratum, inclusion proportional to the weight
+    * ("15 M docs per language, favoring long ones"). The E-S key
+    * quantizes order-isomorphically into a BIGINT (negate — keys are
+    * all < 0 — scale by 2⁵², floor: every step is an exact or
+    * deterministic IEEE operation), which lets the selection ride
+    * [[graft.functions.GraftUdfs.BottomKAggregator]] UNCHANGED — the
+    * shuffle carries ≤ k (key, id) pairs per partition regardless of
+    * stratum size, no per-stratum sort anywhere (q66's scale argument
+    * with weighted semantics, closing the scaladoc claim q128 makes).
+    *
+    * Quantization honesty: 2⁻⁵² granularity is ~4 key-ulps, so the
+    * integer order can only disagree with the exact double order for
+    * keys within ~1e-16 of each other — the same separation the gate
+    * already relies on cross-engine (TrainingDataSpec pins the
+    * fixture's adjacent-key gap floor at ≥ 1e-9); id de-ties exactly
+    * in both engines either way. The gate emits rank + integer
+    * evidence, never the key (q95's ln/ulp discipline). */
+  def weightedStratifiedK(docs: DataFrame, idCol: String, strataCol: String,
+                          weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val esKey =
+      log((hashBucket(col(idCol), seed) + 1L).cast("double") / lit(4294967296.0)) /
+        col(weightCol).cast("double")
+    val qk = floor((lit(0.0) - esKey) * lit(4503599627370496.0)).cast("long")
+    val bottomK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GraftUdfs.BottomKAggregator(k))
+    docs.filter(col(weightCol) > 0)
+      .select(col(strataCol).cast("string").as("stratum"), qk.as("qk"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col("stratum"))
+      .agg(bottomK(col("qk"), col("id")).as("sel"))
+      .select(col("stratum"), posexplode(col("sel")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("id"))
+  }
+
+  /** q130: exactly [[WtK]] docs per language, weight = `n_chars`;
+    * rank-per-stratum gate against the oracle's window formulation
+    * (the per-stratum sort the aggregator exists to avoid). */
+  def q130WeightedTake(spark: SparkSession, dir: String): DataFrame =
+    weightedStratifiedK(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", WtK, WsSeed)
+      .select(col("stratum").as("lang"), col("rank"), col("id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+
+  val q130WeightedTakeSql: String =
+    s"""WITH s AS (SELECT doc_id, lang, n_chars,
+       |    ('0x' || substring(md5('$WsSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |  FROM documents WHERE n_chars > 0),
+       |k AS (SELECT *, ln((bucket + 1) / 4294967296.0) / n_chars AS es_key FROM s),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rank
+       |  FROM k)
+       |SELECT lang, rank::BIGINT AS rank, doc_id FROM r WHERE rank <= $WtK
+       |ORDER BY lang, rank""".stripMargin
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

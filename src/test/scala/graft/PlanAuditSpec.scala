@@ -541,4 +541,41 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"the ring lookup is an equi-join on (shard, rank):\n$p")
   }
+
+  test("fuzzy join blocks on variant keys — never the oracle's quadratic form (q124)") {
+    val p = plan(operators.FuzzyJoin.q124FuzzyNames(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ed<=1 matching must go through deletion-neighborhood blocking:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"candidates come from an equi-join on the variant key:\n$p")
+  }
+
+  test("semantic decontamination probes a broadcast eval suite; corpus never shuffles (q125)") {
+    val p = plan(operators.SimilarityQueries.q125SemanticDecon(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the bounded eval suite must broadcast onto one corpus scan:\n$p")
+    // the only hash exchange carries HIT rows into the per-vector fold
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the (bounded) hit set may shuffle:\n$p")
+  }
+
+  test("weighted sampling is one narrow map + TakeOrdered — zero exchanges (q128)") {
+    val p = plan(operators.TrainingData.weightedSample(
+      Tables.documents(spark, sf), "doc_id", "n_chars", 60, "wsample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fixed-k weighted draw must heap per partition, not global-sort:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the E-S key is a stateless per-row map; nothing may shuffle:\n$p")
+  }
+
+  test("DSIR probes a broadcast fixed-width lambda table and TakeOrders (q126)") {
+    val p = plan(operators.Ranking.q126DsirSelect(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-bucket lambda table must broadcast onto the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N by importance weight must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row constant joins via broadcast, not a cartesian:\n$p")
+  }
 }

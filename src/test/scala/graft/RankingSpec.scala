@@ -139,4 +139,66 @@ class RankingSpec extends SparkSpec {
     gate.foreach(r => assert(r.getAs[Long]("sum_c") >= r.getAs[Long]("n_tokens"),
       "every token's corpus count is at least 1"))
   }
+
+  // ---- q126: DSIR importance weighting ----
+
+  /** Driver-side twin of the DSIR feature hash: md5 hex prefix, fully
+    * independent of Spark's md5/conv expressions. */
+  private def bucketOf(tok: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"dsir:$tok".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+
+  private def toksOf(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  test("DSIR scores match a fully independent driver-side recomputation") {
+    import spark.implicits._
+    val b = 64
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    // independent model: JVM md5 buckets, integer micro-nat lambdas
+    def micro(x: Double): Long = math.round(math.log(x) * 1e6)
+    val perTok = docs.flatMap { case (_, src, text) =>
+      toksOf(text).map(t => (bucketOf(t, b), src == "src0")) }
+    val ct = perTok.filter(_._2).groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val cr = perTok.filterNot(_._2).groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val lam = (ct.keySet ++ cr.keySet).map(k =>
+      k -> (micro(ct.getOrElse(k, 0L) + 1.0) - micro(cr.getOrElse(k, 0L) + 1.0))).toMap
+    val cConst = micro(cr.values.sum + b.toDouble) - micro(ct.values.sum + b.toDouble)
+    val expected = docs.filter(_._2 != "src0").map { case (id, _, text) =>
+      val ts = toksOf(text)
+      id -> (ts.map(t => lam(bucketOf(t, b))).sum + ts.size * cConst)
+    }.toMap
+    val got = Ranking.q126DsirSelect(spark, sf)
+      .select(col("doc_id"), col("score_micro"), col("n_tokens"), col("source"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length == 40)
+    got.foreach { case (id, score, n, src) =>
+      assert(src != "src0", s"target doc $id leaked into the pool")
+      assert(score == expected(id), s"doc $id: got $score want ${expected(id)}")
+      assert(n == toksOf(docs.find(_._1 == id).get._3).size.toLong)
+    }
+    // de-tie non-vacuity: the ranking key must actually rank
+    assert(got.map(_._2).distinct.length > 30)
+  }
+
+  test("DSIR fixed-point boundary tripwire: micro-nat roundings stay far from .5") {
+    import spark.implicits._
+    // every ln argument is an integer: bucket counts + 1 and totals + B
+    val toks = Tables.documents(spark, sf)
+      .select(col("source") === "src0", col("text")).as[(Boolean, String)].collect()
+      .flatMap { case (t, text) => toksOf(text).map(tok => (bucketOf(tok, 64), t)) }
+    val args = (toks.groupBy(identity).values.map(_.size.toLong + 1L) ++
+      Seq(toks.count(_._2).toLong + 64L, toks.count(!_._2).toLong + 64L)).toSet
+    val worst = args.map { k =>
+      val f = (math.log(k.toDouble) * 1e6) % 1.0
+      math.abs(f - 0.5)
+    }.min
+    assert(worst > 1e-3, s"a micro-nat rounding sits $worst from its boundary " +
+      "— cross-engine ulp risk; bump LmScale or the seed")
+  }
 }

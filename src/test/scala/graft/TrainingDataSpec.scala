@@ -661,4 +661,81 @@ class TrainingDataSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("neg_doc_id")).distinct.length == rs.length)
     }
   }
+
+  // ---- q128: E-S weighted sampling ----
+
+  private def wsBucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"wsample:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("weighted sample replays exactly from the E-S formula, and the weights bite") {
+    val pool = docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+    def esKey(id: Long, w: Long): Double =
+      math.log((wsBucket(id) + 1).toDouble / 4294967296.0) / w
+    val expected = pool.filter(_._2 > 0)
+      .map { case (id, w) => (id, esKey(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(60).map(_._1).toSeq
+    val got = TrainingData.q128WeightedSample(spark, sf)
+      .orderBy(col("rank")).select(col("doc_id")).as[Long].collect().toSeq
+    assert(got == expected)
+    // weighting is non-vacuous: the uniform draw (w=1 for all) differs
+    val uniform = pool.map { case (id, _) => (id, esKey(id, 1L)) }
+      .sortBy { case (id, k) => (-k, id) }.take(60).map(_._1).toSet
+    assert(got.toSet != uniform)
+    // and longer docs are over-represented vs the corpus median length
+    val median = pool.map(_._2).sorted.apply(pool.length / 2)
+    assert(got.count(id => pool.find(_._1 == id).get._2 > median) > 30)
+  }
+
+  test("weighted stratified k == the per-stratum window formulation, and quantization is faithful") {
+    val pool = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect().filter(_._3 > 0)
+    def esKey(id: Long, w: Long): Double =
+      math.log((wsBucket(id) + 1).toDouble / 4294967296.0) / w
+    val expected = pool.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+      rs.map { case (id, _, w) => (id, esKey(id, w)) }
+        .sortBy { case (id, k) => (-k, id) }.take(15).zipWithIndex
+        .map { case ((id, _), i) => (lang, (i + 1).toLong, id) }
+    }.toSet
+    val got = TrainingData.q130WeightedTake(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+    // quantization faithfulness: floor((-key)·2^52) preserves the exact
+    // double order on this pool (distinct keys -> distinct quanta)
+    val quanta = pool.map { case (id, _, w) =>
+      math.floor(-esKey(id, w) * 4503599627370496.0).toLong }
+    assert(quanta.distinct.length == quanta.length)
+  }
+
+  test("dsir bucket counts are additive across any batch split") {
+    val isT = col("source") === "src0"
+    def counts(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      operators.Ranking.dsirBucketCounts(d, "text", isT, 64, "dsir")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val all = counts(docs)
+    val cut = 250L
+    val a = counts(docs.filter(col("doc_id") <= cut))
+    val b = counts(docs.filter(col("doc_id") > cut))
+    val folded = (a.keySet ++ b.keySet).map { k =>
+      val (a1, a2) = a.getOrElse(k, (0L, 0L)); val (b1, b2) = b.getOrElse(k, (0L, 0L))
+      k -> (a1 + b1, a2 + b2)
+    }.toMap
+    assert(folded == all)
+    assert(all.size <= 64 && all.values.map(v => v._1 + v._2).sum > 1000)
+  }
+
+  test("E-S key separation: adjacent keys differ by far more than an ulp") {
+    val pool = docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect().filter(_._2 > 0)
+    val keys = pool.map { case (id, w) =>
+      math.log((wsBucket(id) + 1).toDouble / 4294967296.0) / w
+    }.sorted
+    val minGap = keys.sliding(2).map(p => p(1) - p(0)).min
+    assert(minGap > 1e-9,
+      s"two E-S keys sit $minGap apart — a cross-engine ln ulp could flip the order")
+  }
 }
