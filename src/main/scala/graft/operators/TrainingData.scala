@@ -1908,13 +1908,23 @@ object TrainingData {
     * fixture's adjacent-key gap floor at ≥ 1e-9); id de-ties exactly
     * in both engines either way. The gate emits rank + integer
     * evidence, never the key (q95's ln/ulp discipline). */
+  /** The E-S key quantized order-isomorphically into a BIGINT (negate —
+    * keys are all < 0 — scale by 2⁵², floor; every step exact or
+    * deterministic IEEE). SMALLER qk = more preferred (first drawn).
+    * Shared by [[weightedStratifiedK]] and [[sampleIngest]] — the integer
+    * form is what makes the selection both mergeable-aggregate-ready and
+    * safe to persist as state (no double ever round-trips storage). */
+  def esQuantKey(id: Column, weight: Column, seed: String): Column = {
+    val esKey =
+      log((hashBucket(id, seed) + 1L).cast("double") / lit(4294967296.0)) /
+        weight.cast("double")
+    floor((lit(0.0) - esKey) * lit(4503599627370496.0)).cast("long")
+  }
+
   def weightedStratifiedK(docs: DataFrame, idCol: String, strataCol: String,
                           weightCol: String, k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k=$k")
-    val esKey =
-      log((hashBucket(col(idCol), seed) + 1L).cast("double") / lit(4294967296.0)) /
-        col(weightCol).cast("double")
-    val qk = floor((lit(0.0) - esKey) * lit(4503599627370496.0)).cast("long")
+    val qk = esQuantKey(col(idCol), col(weightCol), seed)
     val bottomK = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftUdfs.BottomKAggregator(k))
     docs.filter(col(weightCol) > 0)
@@ -1947,6 +1957,96 @@ object TrainingData {
        |  FROM k)
        |SELECT lang, rank::BIGINT AS rank, doc_id FROM r WHERE rank <= $WtK
        |ORDER BY lang, rank""".stripMargin
+
+  /** INCREMENTAL E-S weighted sample — a persistent top-k state folded
+    * per ingest batch, closing the batch→incremental induction for the
+    * weighted-sampling family (the q65/q110/q131 pattern applied to
+    * [[weightedSample]]). The state is the current k selected rows with
+    * their quantized keys ([[esQuantKey]] — integers, so nothing lossy
+    * ever round-trips parquet); each batch computes its OWN top-k
+    * (TakeOrderedAndProject — per-partition k-heaps, zero exchanges over
+    * batch volume), unions it with the ≤ k state rows, dedups by id, and
+    * keeps the k smallest keys.
+    *
+    * Why that fold is exact: the E-S key is a deterministic pure
+    * function of (id, weight), and top-k is a monotone mergeable
+    * summary — top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)) — so after ANY
+    * sequence of folds the state IS the top-k of every row ever seen.
+    * Three consequences, each stronger than the additive-state siblings:
+    * replays fold to no-ops with NO batchId ledger (identical rows dedup
+    * away — q129's property, where q110/q131's additive counts need a
+    * ledger), arrival ORDER is invisible (set-union commutes), and batch
+    * BOUNDARIES are invisible (union associates). An evicted row can
+    * never be needed again: eviction means k better keys exist, and keys
+    * never change.
+    *
+    * Scale: per-batch cost = one narrow hash+ln map over the batch plus
+    * a driver-side merge of 2k rows; state size is k rows FOREVER —
+    * with the 64-row DSIR table, the only states in the library whose
+    * size is independent of corpus growth. The merge's dropDuplicates
+    * shuffles ≤ 2k rows (nothing corpus-sized crosses an exchange). */
+  def sampleIngest(spark: SparkSession, path: String, batch: DataFrame,
+                   idCol: String, weightCol: String, carryCols: Seq[String],
+                   k: Int, seed: String): Unit = {
+    require(k >= 1, s"k=$k")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = new Path(root, "state")
+    val keep = Seq(idCol) ++ carryCols ++ Seq(weightCol, "bucket", "qk")
+    val keyed = batch.filter(col(weightCol) > 0)
+      .withColumn("bucket", hashBucket(col(idCol), seed))
+      .withColumn("qk", esQuantKey(col(idCol), col(weightCol), seed))
+      .select(keep.map(col): _*)
+    val top = keyed.orderBy(col("qk").asc, col(idCol).asc).limit(k)
+    val merged =
+      if (fs.exists(state))
+        spark.read.parquet(state.toString).unionByName(top)
+          .dropDuplicates(idCol)
+          .orderBy(col("qk").asc, col(idCol).asc).limit(k)
+      else top
+    val tmp = new Path(path + ".__sample_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__sample_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+  }
+
+  /** q132: [[sampleIngest]] under the day-split + re-delivery + REVERSED
+    * ORDER harness (days fold day2-first — legal here and only here
+    * among the ingests, because the top-k state is order-free); the
+    * final snapshot must equal the whole-corpus batch draw — the oracle
+    * IS q128's, verbatim. */
+  def q132SampleIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q132_")
+    try {
+      val path = s"$base/sample_state"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      Seq(
+        docs.filter(col("doc_id") > cut), // day 2 delivered FIRST
+        docs.filter(col("doc_id") <= cut)
+          .unionByName(docs.filter(col("doc_id") % 5 === 0))) // re-delivery
+        .foreach(day => sampleIngest(spark, path, day,
+          "doc_id", "n_chars", Seq("lang"), WsK, WsSeed))
+      spark.read.parquet(s"$path/state")
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("qk").asc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"),
+          col("bucket"))
+        .orderBy(col("rank"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q128's. */
+  def q132SampleIngestSql: String = q128WeightedSampleSql
 
   val q45SeqPackSql: String =
     s"""WITH toks AS (

@@ -728,6 +728,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(all.size <= 64 && all.values.map(v => v._1 + v._2).sum > 1000)
   }
 
+  test("sample ingest: state is the top-k of rows seen, under any schedule, replay, or order") {
+    val pool = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    def esKey(id: Long, w: Long): Double =
+      math.log((wsBucket(id) + 1).toDouble / 4294967296.0) / w
+    val rows = pool.as[(Long, String, Long)].collect().filter(_._3 > 0)
+    def expectedTop(ids: Set[Long]): Seq[Long] =
+      rows.filter(r => ids(r._1))
+        .map { case (id, _, w) => (id, esKey(id, w)) }
+        .sortBy { case (id, k) => (-k, id) }.take(60).map(_._1).toSeq
+    def readState(path: String): Seq[Long] =
+      spark.read.parquet(s"$path/state")
+        .orderBy(col("qk").asc, col("doc_id").asc)
+        .select(col("doc_id")).as[Long].collect().toSeq
+    def fold(path: String, batches: Seq[org.apache.spark.sql.DataFrame]): Unit =
+      batches.foreach(b => TrainingData.sampleIngest(spark, path, b,
+        "doc_id", "n_chars", Seq("lang"), 60, "wsample"))
+    val base = java.nio.file.Files.createTempDirectory("graft_si_spec_")
+    try {
+      val cut = rows.map(_._1).max / 2
+      val d1 = pool.filter(col("doc_id") <= cut)
+      val d2 = pool.filter(col("doc_id") > cut)
+      // forward schedule, with a mid-fold invariant check
+      val p1 = s"$base/fwd"
+      fold(p1, Seq(d1))
+      assert(readState(p1) == expectedTop(rows.map(_._1).filter(_ <= cut).toSet),
+        "after day 1 the state is exactly day 1's top-k")
+      fold(p1, Seq(d2))
+      val whole = expectedTop(rows.map(_._1).toSet)
+      assert(readState(p1) == whole)
+      // reversed order + re-delivered slice + whole-batch replay: same state
+      val p2 = s"$base/rev"
+      fold(p2, Seq(d2, d1.unionByName(pool.filter(col("doc_id") % 5 === 0)), d2))
+      assert(readState(p2) == whole,
+        "top-k state is order-free, replay-absorbing, and split-invisible")
+      // many-small-batches schedule over a subset barely above k
+      val p3 = s"$base/drip"
+      val sub = rows.map(_._1).sorted.take(70)
+      fold(p3, sub.grouped(10).toSeq.map(g =>
+        pool.filter(col("doc_id").isin(g: _*))))
+      assert(readState(p3) == expectedTop(sub.toSet))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("E-S key separation: adjacent keys differ by far more than an ulp") {
     val pool = docs.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)].collect().filter(_._2 > 0)
