@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph centrality over an edge list — the numeric-fixpoint sibling of
+  * [[Dedup.connectedComponents]] (CC propagates a min; PageRank folds
+  * weighted contributions). The training-data use is source/page quality
+  * weighting: rank nodes of a navigation (or citation) graph by link
+  * centrality and feed the score into curation (the CommonCrawl-style
+  * seed-quality signal), exactly the class of job the reference's
+  * row-at-a-time ETL (mongo.py:103-163) cannot express.
+  *
+  * Determinism — INTEGER fixed-point throughout (the q118/q126
+  * discipline applied to an iterative fixpoint): ranks live in micro-PR
+  * units as BIGINTs, each round computes per-edge contributions with
+  * integer floor division `(pr * 85 * wt) div (100 * tw)` and integer
+  * sums, so every round's vector is bit-identical in any engine and
+  * under any partitioning (integer + is commutative; div happens
+  * per-edge BEFORE the sum). No double ever enters the fixpoint.
+  *
+  * Scale: the edge frame (with its out-weight attached) is built once
+  * and persisted; each round is ONE join ranks⋈edges on src plus ONE
+  * groupBy dst with map-side partial sums — both shuffles are keyed the
+  * same way every round, so a real cluster pre-partitions edges by src
+  * once and only the |V|-row rank vector moves (and broadcasts outright
+  * while it fits, as the plan does here). localCheckpoint per round cuts
+  * the lineage exactly like the CC loop. Dangling mass (nodes with no
+  * out-edges) is dropped, the standard simplification — documented, and
+  * immaterial to the gate because the oracle drops it identically. */
+object Graph {
+
+  /** Per-user clickstream transition edges from the events fixture:
+    * order each user's events by (ts, event_id), join consecutive pages
+    * (`props.$.k`) into directed (src, dst) steps, and collapse
+    * multiplicity into an integer weight. One window over the user
+    * partitioning (bounded per-user sort), one (src, dst) count. */
+  def transitionEdges(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"))
+      .withColumn("src", lag(col("page"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("page").as("dst"))
+      .agg(count(lit(1)).as("wt"))
+  }
+
+  /** `rounds` PageRank iterations in micro-PR integer units: r0 = 1e6
+    * per node, r_{i+1}(v) = 150000 + Σ_{(u,v)} (r_i(u)·85·wt) div
+    * (100·tw(u)) — damping 0.85 with the (1−d) base in exact micro
+    * units. Returns (page, pr_micro). */
+  def pageRank(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val spark = edges.sparkSession
+    // out-weight attached once; every round re-reads this frame
+    val ew = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("wt")).as("tw")), Seq("src"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("page"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var r = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val contrib = ew
+        .join(r.withColumnRenamed("page", "src"), Seq("src"))
+        .select(col("dst").as("page"),
+          expr("(pr * 85 * wt) div (100 * tw)").as("c"))
+        .groupBy(col("page")).agg(sum(col("c")).as("cin"))
+      r = nodes.join(contrib, Seq("page"), "left")
+        .select(col("page"),
+          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("pr_micro"))
+        .withColumnRenamed("pr_micro", "pr")
+        .localCheckpoint(true)
+    }
+    r.select(col("page"), col("pr").as("pr_micro"))
+  }
+
+  private val PrRounds = 5
+
+  /** q133: [[PrRounds]] rounds over the clickstream transition graph —
+    * every node's micro-PR rank, row-level exact against an oracle that
+    * RE-DERIVES each round in its own unrolled CTE block (the q120
+    * precedent for loop gates). */
+  def q133PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(transitionEdges(Tables.events(spark, dir)), PrRounds)
+      .orderBy(col("pr_micro").desc, col("page"))
+
+  /** The oracle unrolls the fixpoint: r0 … r[[PrRounds]] as successive
+    * CTEs, each one integer-arithmetic identical to the Spark round. */
+  val q133PageRankSql: String = {
+    val rounds = (1 to PrRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT n.page,
+         |    150000 + coalesce((SELECT sum((r.pr * 85 * e.wt) // (100 * e.tw))
+         |                       FROM ew e JOIN r${i - 1} r ON r.page = e.src
+         |                       WHERE e.dst = n.page), 0) AS pr
+         |  FROM nodes n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |    json_extract(props, '$$.k')::bigint AS page
+       |  FROM events),
+       |steps AS (
+       |  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |         page AS dst
+       |  FROM o),
+       |w AS (SELECT src, dst, count(*)::BIGINT AS wt FROM steps
+       |      WHERE src IS NOT NULL GROUP BY src, dst),
+       |ew AS (SELECT w.src, w.dst, w.wt, o2.tw FROM w
+       |       JOIN (SELECT src, sum(wt)::BIGINT AS tw FROM w GROUP BY src) o2
+       |         ON o2.src = w.src),
+       |nodes AS (SELECT DISTINCT page FROM
+       |  (SELECT src AS page FROM w UNION SELECT dst FROM w)),
+       |r0 AS (SELECT page, 1000000::BIGINT AS pr FROM nodes),
+       |$rounds
+       |SELECT page, pr::BIGINT AS pr_micro FROM r$PrRounds
+       |ORDER BY pr_micro DESC, page""".stripMargin
+  }
+}
