@@ -2048,6 +2048,88 @@ object TrainingData {
   /** The whole point of the incremental path: its oracle IS q128's. */
   def q132SampleIngestSql: String = q128WeightedSampleSql
 
+  /** 2-D Pareto-frontier (skyline) selection: keep the rows no other row
+    * dominates — s dominates r iff s is ≥ r in BOTH dims and > in at
+    * least one ("the docs where nothing is simultaneously higher-quality
+    * AND longer"). Multi-criteria curation's primitive: unlike a scalar
+    * score ([[weightedSample]]'s weight, q61's quality cut) the frontier
+    * needs no arbitrary trade-off constant between the dims.
+    *
+    * Plan — the naive form is the O(n²) dominance self-join (kept as the
+    * ORACLE so the rewrite is certified semantics-free, the q47/q124
+    * pattern); this plan is linear: r survives iff y = max(y | x-group)
+    * AND y > max(y | any strictly-greater x). Stage 1 collapses rows to
+    * per-x group maxima (ONE groupBy with map-side partials — the only
+    * corpus-sized exchange, keyed on x); stage 2 runs one cumulative-max
+    * window over the DISTINCT x values — bounded rows, not corpus rows
+    * (quality rounds to 4 dp, so ≤ 10⁴+1 groups ever exist — same class
+    * of bound as q114's type-vocabulary window); stage 3 broadcasts that
+    * frontier table back over the corpus as a stateless filter. Ties on
+    * both dims are mutually non-dominating and all kept. `partCols`
+    * computes an independent frontier per group (per-language curation),
+    * which also spreads the distinct-x window across group partitions. */
+  def skyline2D(rows: DataFrame, xCol: String, yCol: String,
+                partCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = (partCols :+ xCol).map(col)
+    val g = rows.groupBy(keys: _*).agg(max(col(yCol)).as("grp_max_y"))
+    val wPrev = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = g.withColumn("better_y", max(col("grp_max_y")).over(wPrev))
+    rows.join(broadcast(g2), partCols :+ xCol)
+      .filter(col(yCol) === col("grp_max_y") &&
+        (col("better_y").isNull || col("better_y") < col(yCol)))
+      .drop("grp_max_y", "better_y")
+  }
+
+  /** q134: the PER-LANGUAGE documents Pareto frontier over
+    * (quality, n_tokens) — q16's exact composite quality (computed from
+    * the RAW ratios, its rounding discipline) as x, token count as y;
+    * row-level exact against the quadratic NOT EXISTS dominance
+    * oracle. */
+  def q134Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val m = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      alphaRatio(col("text")).as("alpha_raw"),
+      punctRatio(col("text")).as("punct_raw"),
+      stopwordRatio(col("text")).as("stop_raw"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(
+          lit(0.25) * col("alpha_raw") +
+          lit(0.25) * col("stop_raw") +
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
+    skyline2D(m, "quality", "n_tokens", partCols = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+      .orderBy(col("lang"), col("quality").desc, col("n_tokens").desc,
+        col("doc_id"))
+  }
+
+  val q134SkylineSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id, lang, n_tokens,
+       |  round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) AS quality
+       |FROM r)
+       |SELECT doc_id, lang, quality, n_tokens FROM m a
+       |WHERE NOT EXISTS (SELECT 1 FROM m b
+       |  WHERE b.lang = a.lang
+       |    AND ((b.quality > a.quality AND b.n_tokens >= a.n_tokens)
+       |      OR (b.quality >= a.quality AND b.n_tokens > a.n_tokens)))
+       |ORDER BY lang, quality DESC, n_tokens DESC, doc_id""".stripMargin
+  }
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

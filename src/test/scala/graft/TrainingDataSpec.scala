@@ -774,6 +774,49 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("skyline2D equals the brute-force dominance set on crafted and randomized pools") {
+    def brute(rows: Seq[(Long, Long, Long)]): Set[Long] =
+      rows.filter { r =>
+        !rows.exists(s =>
+          (s._2 > r._2 && s._3 >= r._3) || (s._2 >= r._2 && s._3 > r._3))
+      }.map(_._1).toSet
+    def run(rows: Seq[(Long, Long, Long)]): Set[Long] =
+      TrainingData.skyline2D(rows.toDF("id", "x", "y"), "x", "y")
+        .select(col("id")).as[Long].collect().toSet
+    // crafted: x-ties, y-ties, an exact (x, y) twin pair (both survive),
+    // a strictly-dominated interior, and a corner that dominates a ray
+    val crafted = Seq(
+      (1L, 10L, 1L), (2L, 10L, 5L),           // x-tie: only the higher y lives
+      (3L, 8L, 5L),                           // same y as 2, lower x: dominated
+      (4L, 6L, 7L), (5L, 6L, 7L),             // exact twins: both survive
+      (6L, 5L, 6L),                           // strictly inside: dominated
+      (7L, 1L, 9L), (8L, 0L, 9L))             // y-tie at the far end
+    assert(run(crafted) == brute(crafted))
+    assert(run(crafted) == Set(2L, 4L, 5L, 7L))
+    // randomized pools (fixed seeds), including heavy duplication
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = (1L to 300L).map(i =>
+        (i, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      assert(run(pool) == brute(pool), s"seed=$seed")
+    }
+    // partitioned: each group's frontier is independent — equals the
+    // brute force of each slice, and differs from the pooled frontier
+    val rnd = new scala.util.Random(41)
+    val gp = (1L to 200L).map(i =>
+      (i, s"g${i % 3}", rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val gotP = TrainingData.skyline2D(gp.toDF("id", "g", "x", "y"),
+        "x", "y", partCols = Seq("g"))
+      .select(col("id")).as[Long].collect().toSet
+    val expP = gp.groupBy(_._2).values.flatMap { slice =>
+      val s3 = slice.map(r => (r._1, r._3, r._4))
+      brute(s3)
+    }.toSet
+    assert(gotP == expP)
+    assert(gotP != brute(gp.map(r => (r._1, r._3, r._4))),
+      "per-group frontiers keep rows the pooled frontier would dominate away")
+  }
+
   test("E-S key separation: adjacent keys differ by far more than an ulp") {
     val pool = docs.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)].collect().filter(_._2 > 0)
