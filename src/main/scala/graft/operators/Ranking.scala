@@ -210,6 +210,96 @@ object Ranking {
        |FROM rr ORDER BY cos DESC, id LIMIT $RerankK""".stripMargin
   }
 
+  // q135 parameters: RRF constant (Cormack et al. 2009's k), per-list
+  // depth, fused cut.
+  private val RrfC = 60
+  private val RrfDepth = 50
+  private val RrfTopN = 20
+
+  /** Reciprocal-rank fusion of two ranked candidate lists (Cormack,
+    * Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ_lists 1/(c + rank_l(d)),
+    * absent-from-a-list contributing 0 — the standard HYBRID-retrieval
+    * combiner (lexical ∪ semantic) that needs no score calibration
+    * between the lists, only their ranks. Complements q100's sequential
+    * funnel (retrieve THEN rerank): fusion keeps a doc that only ONE
+    * retriever surfaces, which is the property hybrid search exists for.
+    *
+    * Determinism: inputs are integer ranks, rrf is two IEEE divisions
+    * summed in fixed written order — bit-identical cross-engine; doc_id
+    * de-ties (a lex/sem rank SWAP produces exactly equal scores, so the
+    * tie path is exercised by construction, not luck). Gate emits fused
+    * rank + the integer per-list ranks, never the double (q95's rule).
+    *
+    * Scale: both lists arrive as TakeOrdered results (≤ depth rows), so
+    * the fusion is a full-outer join of two constant-size frames —
+    * nothing corpus-sized reaches it. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, c: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col("sem_rank")), lit(0.0)))
+    j.orderBy(col("rrf").desc, col("id").asc).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id").asc)))
+      .select(col("rank"), col("id").as("doc_id"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** q135: hybrid retrieval for [[QueryTerms]] — the BM25 top-[[RrfDepth]]
+    * (lexical list) fused with the cosine top-[[RrfDepth]] against the
+    * lexical champion's embedding (the pseudo-relevance-feedback query
+    * vector, q100's convention), via [[rrfFuse]]. Both lists are
+    * zero-shuffle TakeOrdered scans; the fusion touches 2·depth rows. */
+  def q135HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val scored = bm25(docs, "doc_id", "text", QueryTerms)
+    val lex = scored.orderBy(col("score").desc, col("id").asc).limit(RrfDepth)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+      .select(col("id"), col("lex_rank"))
+      .localCheckpoint(true) // champion row + fusion both read it
+    val qv = lex.filter(col("lex_rank") === 1).join(emb, "id")
+      .select(col("embedding").as("qe"))
+    val sem = emb.crossJoin(broadcast(qv))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("qe")))
+      .orderBy(col("cos").desc, col("id").asc).limit(RrfDepth)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("id").asc)))
+      .select(col("id"), col("sem_rank"))
+    rrfFuse(lex, sem, RrfC, RrfTopN)
+  }
+
+  val q135HybridRrfSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_apply(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT id, lex_rank FROM (
+       |    SELECT id, row_number() OVER (ORDER BY score DESC, id) AS lex_rank FROM sc)
+       |  WHERE lex_rank <= $RrfDepth),
+       |qv AS (SELECT e.embedding AS qe FROM lex l
+       |  JOIN embeddings e ON e.vec_id = l.id WHERE l.lex_rank = 1),
+       |cosl AS (SELECT e.vec_id AS id,
+       |  ${dot("e.embedding", "q.qe")}
+       |    / (sqrt(${dot("e.embedding", "e.embedding")}) * sqrt(${dot("q.qe", "q.qe")})) AS cos
+       |  FROM embeddings e, qv q),
+       |sem AS (SELECT id, sem_rank FROM (
+       |    SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS sem_rank FROM cosl)
+       |  WHERE sem_rank <= $RrfDepth),
+       |fused AS (SELECT coalesce(l.id, s.id) AS id, l.lex_rank, s.sem_rank,
+       |  coalesce(1.0 / ($RrfC + l.lex_rank), 0.0)
+       |    + coalesce(1.0 / ($RrfC + s.sem_rank), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s ON s.id = l.id)
+       |SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rank,
+       |  id AS doc_id, lex_rank, sem_rank
+       |FROM fused ORDER BY rrf DESC, id LIMIT $RrfTopN""".stripMargin
+  }
+
   // q118 parameters: fixed-point scale (micro-nats) + kept top-N.
   private val LmScale = 1000000L
   private val LmTopN = 50

@@ -186,6 +186,42 @@ class RankingSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length > 30)
   }
 
+  test("rrfFuse: union semantics, swap ties de-tie on id, exact reciprocal scores") {
+    import spark.implicits._
+    // A in both lists, B lex-only, C sem-only; D/E are an exact rank
+    // swap (lex 3/sem 4 vs lex 4/sem 3) — equal rrf by construction
+    val lex = Seq((10L, 1), (20L, 2), (40L, 3), (50L, 4))
+      .toDF("id", "lex_rank")
+    val sem = Seq((10L, 1), (30L, 2), (50L, 3), (40L, 4))
+      .toDF("id", "sem_rank")
+    val out = Ranking.rrfFuse(lex, sem, 60, 10).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 40L, 50L, 20L, 30L))
+    // 10 is in both lists at rank 1; 40/50 swap-tie and de-tie on id;
+    // 20 (lex 2) beats 30 (sem 2) only via... both 1/62 — also a tie, id de-tie
+    def rrf(l: Option[Int], s: Option[Int]): Double =
+      l.map(r => 1.0 / (60 + r)).getOrElse(0.0) + s.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+    val expect = Map(10L -> rrf(Some(1), Some(1)), 20L -> rrf(Some(2), None),
+      30L -> rrf(None, Some(2)), 40L -> rrf(Some(3), Some(4)),
+      50L -> rrf(Some(4), Some(3)))
+    assert(rrf(Some(3), Some(4)) == rrf(Some(4), Some(3)), "swap tie is exact")
+    val ranks = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    // verify the fused order equals the driver-side sort of exact scores
+    val want = expect.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    assert(ranks == want)
+  }
+
+  test("q135 keeps single-list survivors from both sides") {
+    val out = Ranking.q135HybridRrf(spark, sf).collect()
+    assert(out.length == 20)
+    val lexOnly = out.count(r => !r.isNullAt(2) && r.isNullAt(3))
+    val semOnly = out.count(r => r.isNullAt(2) && !r.isNullAt(3))
+    val both = out.count(r => !r.isNullAt(2) && !r.isNullAt(3))
+    assert(both >= 1, "the champion doc is in both lists by construction")
+    assert(lexOnly + semOnly >= 1,
+      "fusion must surface docs only one retriever found — else the gate is q100")
+  }
+
   test("DSIR fixed-point boundary tripwire: micro-nat roundings stay far from .5") {
     import spark.implicits._
     // every ln argument is an integer: bucket counts + 1 and totals + B
