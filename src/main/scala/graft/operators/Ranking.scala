@@ -371,7 +371,7 @@ object Ranking {
   private val DsirTarget = "src0"
   private val DsirTopN = 40
 
-  private def lnMicro(c: Column): Column =
+  private[operators] def lnMicro(c: Column): Column =
     round(log(c.cast("double")) * LmScale, 0).cast("long")
 
   /** DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR — Xie et al.,

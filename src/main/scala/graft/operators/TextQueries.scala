@@ -1418,4 +1418,108 @@ object TextQueries {
        |  (total_tokens - coalesce(in_vocab_tokens, 0))::double
        |    / total_tokens::double AS oov_rate
        |FROM tot LEFT JOIN cov USING (lang) ORDER BY tot.lang""".stripMargin
+
+  // q136 parameters: shingle width shared with q60, df governor, kept
+  // attributions per eval doc.
+  private val AttrDfCap = 50L
+  private val AttrTopK = 5
+
+  /** TRAINING-DATA ATTRIBUTION — for each eval document, the top-k
+    * training documents ranked by IDF-WEIGHTED distinct-shingle overlap:
+    * score(e, t) = Σ_{g shared} (ln N − ln df_g) in integer micro-nats.
+    * The question this answers ("which training docs most plausibly
+    * taught the model this eval answer?") is decontamination's (q60)
+    * inverse: q60 finds ANY overlap to delete; attribution RANKS the
+    * overlap to explain, weighting rare shingles up — a doc sharing one
+    * distinctive 3-gram outranks one sharing three boilerplate grams.
+    *
+    * Determinism: every ln argument is an INTEGER (N, df_g), rounded
+    * once to micro-nats ([[Ranking.lnMicro]], the q118/q126 discipline),
+    * so per-pair scores are exact BIGINT sums — order-free.
+    *
+    * Scale: the inverted-index join's fan-out per shingle is its df,
+    * hard-capped by the `dfCap` governor (shingles in more than dfCap
+    * train docs carry ~no attribution signal AND dominate join cost —
+    * the simhash `maxBucketSize` precedent, df-thresholding form). The
+    * train shingle frame feeds both the df count and the index probe →
+    * built once. Exchanges: one shingle-keyed groupBy (bounded by the
+    * shingle type vocabulary), one bounded-fan-out equi-join, one
+    * (eval, train) pair groupBy whose volume is Σ_g min(df_g, cap) ·
+    * eval-side hits — never corpus². Per-eval top-k is a rank window
+    * partitioned by eval doc. */
+  def attributionTopK(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                      textCol: String, n: Int, dfCap: Long,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trainGrams = train
+      .select(col(idCol).as("train_id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .localCheckpoint(true) // df count + index probe both read it
+    val dfs = trainGrams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val nRow = trainGrams.select(col("train_id")).distinct()
+      .agg(count(lit(1)).as("n_train"))
+    val weights = dfs.crossJoin(broadcast(nRow))
+      .select(col("g"),
+        (Ranking.lnMicro(col("n_train")) - Ranking.lnMicro(col("df")))
+          .as("idf_micro"))
+    val evalGrams = evalDocs
+      .select(col(idCol).as("eval_id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val pairs = evalGrams
+      .join(weights, Seq("g"))
+      .join(trainGrams, Seq("g"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(sum(col("idf_micro")).as("score_micro"),
+        count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("score_micro").desc, col("train_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("eval_id"), col("rank"), col("train_id"),
+        col("score_micro"), col("n_shared"))
+  }
+
+  /** q136: attribution of the pretend eval suite (every DecontMod-th
+    * doc, q60's split) against the rest of the corpus — top-[[AttrTopK]]
+    * training docs per eval doc, row-level exact including every
+    * micro-nat score. */
+  def q136Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    attributionTopK(
+        docs.filter(col("doc_id") % DecontMod =!= 0),
+        docs.filter(col("doc_id") % DecontMod === 0),
+        "doc_id", "text", DecontN, AttrDfCap, AttrTopK)
+      .orderBy(col("eval_id"), col("rank"))
+  }
+
+  val q136AttributionSql: String = {
+    val tri = s"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]"
+    s"""WITH tr AS (
+       |  SELECT doc_id AS train_id, unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT doc_id, $tokSqlExpr AS t FROM documents
+       |        WHERE doc_id % $DecontMod != 0)),
+       |dfs AS (SELECT g, count(*)::BIGINT AS df FROM tr GROUP BY g
+       |        HAVING count(*) <= $AttrDfCap),
+       |nt AS (SELECT count(DISTINCT train_id)::BIGINT AS n_train FROM tr),
+       |w AS (SELECT g,
+       |    round(ln(n_train) * 1000000)::BIGINT
+       |      - round(ln(df) * 1000000)::BIGINT AS idf_micro
+       |  FROM dfs, nt),
+       |ev AS (
+       |  SELECT doc_id AS eval_id, unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT doc_id, $tokSqlExpr AS t FROM documents
+       |        WHERE doc_id % $DecontMod = 0)),
+       |pairs AS (
+       |  SELECT eval_id, train_id, sum(idf_micro)::BIGINT AS score_micro,
+       |    count(*)::BIGINT AS n_shared
+       |  FROM ev JOIN w USING (g) JOIN tr USING (g)
+       |  GROUP BY eval_id, train_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY eval_id
+       |    ORDER BY score_micro DESC, train_id)::BIGINT AS rank
+       |  FROM pairs)
+       |SELECT eval_id, rank, train_id, score_micro, n_shared FROM r
+       |WHERE rank <= $AttrTopK ORDER BY eval_id, rank""".stripMargin
+  }
 }

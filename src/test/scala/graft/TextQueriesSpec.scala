@@ -197,4 +197,45 @@ class TextQueriesSpec extends SparkSpec {
       "if this trips, the sketch improved — tighten BloomFpp's band")
     assert(fp < 100, "FP rate above 1e-3 would mean the band itself is unsafe")
   }
+
+  test("attribution: idf weighting, df-cap exclusion, tie-break, and exact micro-nat scores") {
+    def mn(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),  // shares capped + one rare shingle
+      (2L, "alpha beta gamma zeta"),   // shares ONLY the capped shingle
+      (3L, "alpha beta gamma eta"),    // ditto — must be absent entirely
+      (4L, "rare token trio here")     // shares a different rare shingle
+    ).toDF("doc_id", "text")
+    val ev = Seq(
+      (97L, "alpha beta gamma delta rare token trio")
+    ).toDF("doc_id", "text")
+    // dfCap = 2 kills "alpha beta gamma" (df = 3); N = 4 train docs
+    val out = TextQueries.attributionTopK(train, ev, "doc_id", "text",
+        n = 3, dfCap = 2L, k = 2)
+      .orderBy(col("eval_id"), col("rank")).collect()
+    assert(out.map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("train_id"), r.getAs[Long]("score_micro"),
+      r.getAs[Long]("n_shared"))).toSeq == Seq(
+      // t1 and t4 each share one df=1 shingle → equal score mn(4)-mn(1);
+      // the tie de-ties on train_id; t2/t3 never appear (capped-only)
+      (97L, 1L, 1L, mn(4) - mn(1), 1L),
+      (97L, 2L, 4L, mn(4) - mn(1), 1L)))
+    // weighting bites: one RARE shared shingle (df=1) outranks two
+    // COMMON ones (df=2), even though n_shared is smaller
+    val train2 = Seq(
+      (1L, "x y z common one two"),     // shares 3 shingles (df 2,2,1)
+      (2L, "x y z common one alt"),     // shares 2 shingles (df 2,2)
+      (3L, "very unique marker words")  // shares 1 shingle  (df 1)
+    ).toDF("doc_id", "text")
+    val ev2 = Seq((97L, "x y z common one two very unique marker words plus"))
+      .toDF("doc_id", "text")
+    val out2 = TextQueries.attributionTopK(train2, ev2, "doc_id", "text",
+        n = 4, dfCap = 10L, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(out2.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("train_id"),
+      r.getAs[Long]("score_micro"), r.getAs[Long]("n_shared"))).toSeq == Seq(
+      (1L, 1L, 2 * (mn(3) - mn(2)) + mn(3), 3L),
+      (2L, 3L, mn(3), 1L),         // rare beats...
+      (3L, 2L, 2 * (mn(3) - mn(2)), 2L))) // ...two common shares
+  }
 }
