@@ -89,6 +89,131 @@ object Graph {
     pageRank(transitionEdges(Tables.events(spark, dir)), PrRounds)
       .orderBy(col("pr_micro").desc, col("page"))
 
+  /** INCREMENTAL GRAPH INGEST — fold a day's events into persistent
+    * PageRank input state. The state has TWO parts, because a batch
+    * boundary cuts right through the unit of work (a user's event
+    * sequence): (a) the additive (src, dst, wt) edge-weight table —
+    * q110's count-fold shape — and (b) the per-user FRONTIER (the last
+    * (ts, event_id, page) seen), which supplies the `src` for each
+    * user's first event of the NEXT batch; without it every batch
+    * boundary silently drops one transition per active user.
+    *
+    * Delivery contract (exactly [[Cdc]]'s q121 pair of guards): batches
+    * must arrive day-ordered and are ledger-absorbed on whole-batch
+    * replay; PARTIAL re-deliveries inside a batch are dropped by the
+    * per-user watermark (rows at or before the stored frontier), so
+    * already-counted transitions can never double-fold into the additive
+    * weights. (Contrast q129/q132, whose monotone states need neither.)
+    *
+    * Scale: per-batch cost is the batch's own window sort plus a
+    * frontier join keyed on user — state touched is |users| + |distinct
+    * edges| rows, never the event history; both parts swap atomically
+    * per part. Ranks are then derived from the snapshot on demand
+    * ([[pageRank]]) — the model-state/selection split q131 uses. */
+  def graphIngest(spark: SparkSession, path: String, batch: DataFrame,
+                  batchId: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(root, "_batches")
+    val edgesP = new Path(root, "edges")
+    val frontP = new Path(root, "frontier")
+    val seen = fs.exists(ledger) &&
+      spark.read.parquet(ledger.toString)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) return false
+    val pages = batch.select(col("user_id"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("page"))
+    val hasState = fs.exists(frontP)
+    val front = if (hasState) spark.read.parquet(frontP.toString) else null
+    // per-user watermark: drop rows at or before the stored frontier
+    // (partial re-deliveries), then prepend the frontier row itself so
+    // the lag window emits the boundary transition
+    val live =
+      if (!hasState) pages
+      else {
+        val f = front.select(col("user_id"), col("ts").as("f_ts"),
+          col("event_id").as("f_eid"))
+        pages.join(f, Seq("user_id"), "left")
+          .filter(col("f_ts").isNull ||
+            struct(col("ts"), col("event_id")) >
+              struct(col("f_ts"), col("f_eid")))
+          .select(pages.columns.map(col): _*)
+      }
+    val combined =
+      if (hasState) live.unionByName(front).localCheckpoint(true)
+      else live.localCheckpoint(true) // edges + new frontier both read it
+    val batchEdges = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      combined
+        .withColumn("src", lag(col("page"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("page").as("dst"))
+        .agg(count(lit(1)).as("wt"))
+    }
+    val mergedEdges =
+      if (fs.exists(edgesP))
+        spark.read.parquet(edgesP.toString).unionByName(batchEdges)
+          .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
+      else batchEdges
+    val newFront = combined
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("page")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.page").as("page"))
+    def swap(df: DataFrame, target: Path, tag: String): Unit = {
+      val tmp = new Path(s"$path.__${tag}_tmp")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val bak = new Path(s"$path.__${tag}_bak")
+      fs.delete(bak, true)
+      fs.mkdirs(root)
+      graft.sinks.MergeSink.atomicSwap(fs, tmp, target, bak)
+    }
+    // newFront reads the pre-swap frontier lazily — materialize both
+    // BEFORE either swap so neither plan re-reads a replaced dir
+    val me = mergedEdges.localCheckpoint(true)
+    val nf = newFront.localCheckpoint(true)
+    swap(me, edgesP, "edges")
+    swap(nf, frontP, "frontier")
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(ledger.toString)
+    true
+  }
+
+  /** q137: [[graphIngest]] under the day-ordered split (ts median cut)
+    * with a re-delivered day-1 slice inside day 2 (per-user watermark
+    * drop) and a whole-batch replay (ledger no-op); ranks derived from
+    * the edge snapshot must equal the whole-log batch answer — the
+    * oracle IS q133's, verbatim. */
+  def q137GraphIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q137_")
+    try {
+      val path = s"$base/graph_state"
+      val ev = Tables.events(spark, dir)
+      val cut = ev.agg(expr("percentile_approx(ts, 0.5)").as("c"))
+        .head().getTimestamp(0)
+      val d1 = ev.filter(col("ts") <= lit(cut))
+      val d2 = ev.filter(col("ts") > lit(cut))
+        .unionByName(d1.filter(col("event_id") % 5 === 0)) // re-delivery
+      require(graphIngest(spark, path, d1, "day1"))
+      require(graphIngest(spark, path, d2, "day2"))
+      require(!graphIngest(spark, path, d2, "day2"),
+        "replayed batch must be a ledger no-op")
+      pageRank(spark.read.parquet(s"$path/edges"), PrRounds)
+        .orderBy(col("pr_micro").desc, col("page"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q133's. */
+  def q137GraphIngestSql: String = q133PageRankSql
+
   /** The oracle unrolls the fixpoint: r0 … r[[PrRounds]] as successive
     * CTEs, each one integer-arithmetic identical to the Spark round. */
   val q133PageRankSql: String = {

@@ -64,6 +64,45 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((7L, 9L, 2L), (9L, 7L, 1L)))
   }
 
+  test("graphIngest: boundary transitions survive the split, re-deliveries drop, ledger absorbs replays") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    def ev(id: Long, s: Int, u: Long, k: Int) =
+      (id, ts(s), u, "click", 0.0, s"""{"k": $k}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // user 10 crosses the batch boundary (page 1 -> 2 -> | -> 3);
+    // user 20 lives in one batch; user 30 appears only in batch 2
+    val all = Seq(
+      ev(1, 0, 10, 1), ev(2, 10, 10, 2), ev(3, 30, 10, 3),
+      ev(4, 5, 20, 7), ev(5, 15, 20, 8),
+      ev(6, 40, 30, 9), ev(7, 50, 30, 9))
+    val d1 = all.filter(_._2.getTime <= t0.getTime + 20000)
+    val d2 = all.filter(_._2.getTime > t0.getTime + 20000) ++
+      d1.take(2) // re-delivered slice: must be watermark-dropped
+    val base = java.nio.file.Files.createTempDirectory("graft_gi_spec_")
+    try {
+      val p = s"$base/st"
+      assert(Graph.graphIngest(spark, p, d1.toDF(cols: _*), "d1"))
+      assert(Graph.graphIngest(spark, p, d2.toDF(cols: _*), "d2"))
+      assert(!Graph.graphIngest(spark, p, d2.toDF(cols: _*), "d2"),
+        "whole-batch replay must be a ledger no-op")
+      val edges = spark.read.parquet(s"$p/edges")
+        .as[(Long, Long, Long)].collect().toSet
+      val whole = Graph.transitionEdges(all.toDF(cols: _*))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(edges == whole,
+        "incremental edge state must equal the whole-log extraction " +
+          "(2->3 crosses the boundary; re-delivered rows must not double-count 1->2)")
+      assert(whole.contains((2L, 3L, 1L)), "the boundary edge is in the gate at all")
+      val front = spark.read.parquet(s"$p/frontier")
+        .select(col("user_id"), col("page")).as[(Long, Long)].collect().toMap
+      assert(front == Map(10L -> 3L, 20L -> 8L, 30L -> 9L))
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
   test("mass accounting: total rank stays within [N*base, N*initial] — floors and dangling only lose") {
     // steady-state total mass with no losses is exactly N*1e6 (base 0.15
     // + damping 0.85 of the previous total); integer floors and dangling
