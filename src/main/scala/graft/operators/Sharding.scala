@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -92,4 +92,109 @@ object Sharding {
        |SELECT doc_id, bucket, shard,
        |  row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id) AS pos
        |FROM s ORDER BY shard, pos""".stripMargin
+
+  // q138 parameters: bits per dimension, file count.
+  private[operators] val ZBits = 8
+  private[operators] val ZFiles = 8
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * bucketed dimensions — a's bit i lands at position 2i, b's at 2i+1.
+    * Pure integer shifts/masks, bit-identical in any engine. */
+  def zOrderKey(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def zOrderKeySql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-ORDER LAYOUT CLUSTERING — the lakehouse data-skipping layout: a
+    * single sort key that keeps BOTH dimensions locally clustered, so
+    * parquet min/max stats prune files for 2-D predicates where a
+    * plain 1-D sort only ever helps its own column (a quality-range
+    * AND length-range curation query is the canonical consumer).
+    * Files cut the z space into equal-width ranges — the assignment is
+    * a PURE FUNCTION of the row (growth-stable, the [[shuffleShards]]
+    * argument), and physically one hash shuffle on file_id + a
+    * within-partition sort, never a global sort.
+    *
+    * Determinism: both dims are integer buckets (quality·256 floored —
+    * the rounded-4dp quality doubles are engine-identical per q16's
+    * gate, ·256 is exact IEEE, floor deterministic; n_chars div 64),
+    * the key is integer bit algebra, the file cut integer math. */
+  def zOrderLayout(docs: DataFrame, idCol: String, aCol: String,
+                   bCol: String, nFiles: Int): DataFrame = {
+    val z = zOrderKey(col(aCol), col(bCol), ZBits)
+    docs.withColumn("zkey", z)
+      .withColumn("file_id",
+        expr(s"zkey * $nFiles div ${1 << (2 * ZBits)}"))
+  }
+
+  /** q138: the z-ordered layout over documents (quality × length
+    * buckets), gated ROW-LEVEL through the PHYSICAL path — written
+    * `partitionBy(file_id)` sorted by zkey, reopened via partition
+    * discovery (q78's precedent), every (doc_id, qb, lb, zkey,
+    * file_id) exact. The pruning WIN the layout exists for is pinned
+    * in ShardingSpec (per-file min/max rectangles vs a 1-D sort). */
+  def q138ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q138_")
+    try {
+      import graft.functions.TextFunctions._
+      val m = Tables.documents(spark, dir).select(
+        col("doc_id"), col("n_chars"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        alphaRatio(col("text")).as("alpha_raw"),
+        punctRatio(col("text")).as("punct_raw"),
+        stopwordRatio(col("text")).as("stop_raw"))
+        .select(col("doc_id"),
+          least(lit(255L), floor(round(
+            lit(0.25) * col("alpha_raw") +
+            lit(0.25) * col("stop_raw") +
+            lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+            lit(0.25) * (lit(1.0) - col("punct_raw")), 4) * 256).cast("long"))
+            .as("qb"),
+          least(lit(255L), expr("n_chars div 64")).as("lb"))
+      val laid = zOrderLayout(m, "doc_id", "qb", "lb", ZFiles)
+      laid.repartition(ZFiles, col("file_id"))
+        .sortWithinPartitions(col("file_id"), col("zkey"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("file_id")
+        .parquet(s"$base/zorder")
+      spark.read.parquet(s"$base/zorder")
+        .select(col("doc_id"), col("qb"), col("lb"), col("zkey"),
+          col("file_id").cast("long").as("file_id"))
+        .orderBy(col("file_id"), col("zkey"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q138ZOrderSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, n_chars, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, n_chars,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id,
+       |  least(255, floor(round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) * 256))::BIGINT AS qb,
+       |  least(255, n_chars // 64)::BIGINT AS lb
+       |FROM r),
+       |z AS (SELECT doc_id, qb, lb,
+       |  (${zOrderKeySql("qb", "lb", ZBits)})::BIGINT AS zkey
+       |FROM m)
+       |SELECT doc_id, qb, lb, zkey,
+       |  zkey * $ZFiles // ${1 << (2 * ZBits)} AS file_id
+       |FROM z ORDER BY file_id, zkey, doc_id""".stripMargin
+  }
 }

@@ -45,4 +45,46 @@ class ShardingSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
     }
   }
+
+  test("zOrderKey matches the driver-side Morton interleave exhaustively") {
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pts = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .withColumn("z", Sharding.zOrderKey(col("a"), col("b"), 8))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == morton(a, b, 8), s"($a, $b)")
+    }
+    // the defining locality property: z of the 4 sub-quadrants nest
+    assert(morton(0, 0, 8) == 0 && morton(1, 0, 8) == 1 &&
+      morton(0, 1, 8) == 2 && morton(1, 1, 8) == 3)
+  }
+
+  test("z-order files prune on BOTH dims where a 1-D sort only prunes its own") {
+    // the full 256x256 grid: every file's (qb, lb) bounding rectangle is
+    // a pair of 64x64 tiles, so a predicate on EITHER dim prunes files;
+    // a qb-sorted layout gives every file the full lb range
+    val grid = (for (a <- 0L until 256L; b <- 0L until 256L) yield (a, b))
+      .toDF("qb", "lb")
+    val laid = Sharding.zOrderLayout(grid, "qb", "qb", "lb", 8)
+    val rects = laid.groupBy(col("file_id"))
+      .agg(min(col("qb")).as("q0"), max(col("qb")).as("q1"),
+        min(col("lb")).as("l0"), max(col("lb")).as("l1"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rects.length == 8 && rects.forall(_._6 == 65536L / 8))
+    // z-layout: predicate lb < 64 prunes at least half the files
+    val zPruned = rects.count(r => r._4 >= 64)
+    assert(zPruned >= 4, s"z-order pruned only $zPruned of 8 on the non-leading dim")
+    // 1-D qb-sorted layout: every equal-cut file spans the full lb range
+    val oneD = grid.withColumn("file_id", expr("qb * 8 div 256"))
+      .groupBy(col("file_id"))
+      .agg(min(col("lb")).as("l0"), max(col("lb")).as("l1"))
+      .as[(Long, Long, Long)].collect()
+    assert(oneD.forall(r => r._2 == 0 && r._3 == 255),
+      "the 1-D layout cannot prune on lb at all - the property z-order buys")
+    // and z still prunes on the leading dim too: qb < 64
+    assert(rects.count(r => r._2 >= 64) >= 4)
+  }
 }
