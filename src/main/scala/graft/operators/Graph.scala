@@ -214,6 +214,50 @@ object Graph {
   /** The whole point of the incremental path: its oracle IS q133's. */
   def q137GraphIngestSql: String = q133PageRankSql
 
+  /** q139: the q137 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingGraph]] — foreachBatch per landed day
+    * file, Trigger.AvailableNow), with day 2's file RE-DELIVERING a
+    * slice of day 1 that the per-user watermark must drop (the q122
+    * harness shape). Ranks from the streamed edge snapshot; oracle IS
+    * q133's, verbatim. */
+  def q139StreamGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q139_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/graph_state"
+      val ev = Tables.events(spark, dir)
+      val cut = ev.agg(expr("percentile_approx(ts, 0.5)").as("c"))
+        .head().getTimestamp(0)
+      val d1 = ev.filter(col("ts") <= lit(cut))
+      val days = Seq(
+        d1,
+        ev.filter(col("ts") > lit(cut))
+          .unionByName(d1.filter(col("event_id") % 5 === 0))) // re-delivery
+      fs.mkdirs(new Path(srcDir))
+      days.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.parquet(s"$base/stage_$i")
+        val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+      }
+      val q = graft.streaming.StreamingGraph.start(spark, srcDir, statePath,
+        s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      pageRank(spark.read.parquet(s"$statePath/edges"), PrRounds)
+        .orderBy(col("pr_micro").desc, col("page"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  /** The streamed fold's oracle IS q133's. */
+  def q139StreamGraphSql: String = q133PageRankSql
+
   /** The oracle unrolls the fixpoint: r0 … r[[PrRounds]] as successive
     * CTEs, each one integer-arithmetic identical to the Spark round. */
   val q133PageRankSql: String = {
