@@ -492,17 +492,24 @@ object StreamingQueries {
     * corpus length). Ties at equal `ts` break on event_id in BOTH the
     * window and the sequence order, so the gate is row-level exact
     * including every sequence string. */
-  def q91SessionSeq(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared q91/q140 sessionized event frame: every event with its
+    * (user_id, sid) gaps-and-islands session id. One shuffle on
+    * user_id; both consumers fold on that partitioning. */
+  private def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val brk = when(lag(col("ts"), 1).over(w).isNull ||
       unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) >= 1800L,
       1L).otherwise(0L)
-    val sid = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("brk", brk)
       .withColumn("sid", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def q91SessionSeq(spark: SparkSession, dir: String): DataFrame = {
+    val sid = sessionizedEvents(spark, dir)
     sid.groupBy(col("user_id"), col("sid"))
       .agg(
         min(col("ts")).as("session_start"),
@@ -536,6 +543,75 @@ object StreamingQueries {
       |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS has_purchase
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
+
+  // q140 parameters: pattern width + kept patterns.
+  private val SeqN = 3
+  private val SeqTopK = 20
+
+  /** q140: SEQUENTIAL PATTERN MINING over sessions — the top
+    * [[SeqTopK]] event-type trigrams by occurrence across all q91
+    * sessions, with per-pattern session support ("which action
+    * sequences dominate the log" — the mining step behind behavioral-
+    * cloning dataset design and next-action curricula). Patterns never
+    * cross a session boundary (the property sessionization exists for).
+    *
+    * Scale: [[sessionizedEvents]]'s one user shuffle; the per-session
+    * type array is a bounded in-group sort (session length); trigram
+    * explode fans out ≤ |session| rows each; ONE gram-keyed groupBy
+    * with map-side partials (both counts are integers — occurrences
+    * and distinct-session support via a session-key count-distinct
+    * whose partial aggregate is the distinct set per gram, bounded by
+    * session count); TakeOrdered tail. Row-level exact. */
+  def q140SeqMining(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrs = sessionizedEvents(spark, dir)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        e => e.getField("event_type")).as("types"))
+    val grams = arrs.select(
+      concat_ws(":", col("user_id"), col("sid")).as("sk"),
+      explode(when(size(col("types")) < SeqN,
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("types")) - SeqN),
+          i => concat_ws(">", slice(col("types"), i + 1, lit(SeqN))))))
+        .as("gram"))
+    val counts = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("sk")).as("n_sessions"))
+    counts.orderBy(col("n_occurrences").desc, col("gram").asc).limit(SeqTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("gram").asc)).cast("long"))
+      .select(col("rank"), col("gram"), col("n_occurrences"), col("n_sessions"))
+      .orderBy(col("rank"))
+  }
+
+  val q140SeqMiningSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o),
+       |seqs AS (
+       |  SELECT user_id || ':' || sid AS sk,
+       |    list(event_type ORDER BY ts, event_id) AS arr
+       |  FROM s GROUP BY user_id, sid),
+       |g AS (
+       |  SELECT sk, unnest([arr[i] || '>' || arr[i+1] || '>' || arr[i+2]
+       |                     FOR i IN range(1, len(arr) - 1)]) AS gram
+       |  FROM seqs),
+       |c AS (SELECT gram, count(*)::BIGINT AS n_occurrences,
+       |    count(DISTINCT sk)::BIGINT AS n_sessions
+       |  FROM g GROUP BY gram)
+       |SELECT row_number() OVER (ORDER BY n_occurrences DESC, gram)::BIGINT AS rank,
+       |  gram, n_occurrences, n_sessions
+       |FROM c ORDER BY n_occurrences DESC, gram LIMIT $SeqTopK""".stripMargin
 
   val q25SessionizeSql: String =
     """WITH o AS (
