@@ -2048,6 +2048,54 @@ object TrainingData {
   /** The whole point of the incremental path: its oracle IS q128's. */
   def q132SampleIngestSql: String = q128WeightedSampleSql
 
+  /** q142: the q132 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingSample]] — foreachBatch per landed day
+    * file, Trigger.AvailableNow), with day 2's file RE-DELIVERING a
+    * slice of day 1 and the files landed in REVERSED day order — both
+    * legal because the top-k state is replay-absorbing and order-free
+    * (the strongest streamed-ingest contract, shared with q129).
+    * Oracle IS q128's, verbatim. */
+  def q142StreamSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q142_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/sample_state"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val days = Seq(
+        docs.filter(col("doc_id") > cut), // later half lands FIRST
+        docs.filter(col("doc_id") <= cut)
+          .unionByName(docs.filter(col("doc_id") % 5 === 0))) // re-delivery
+      fs.mkdirs(new Path(srcDir))
+      days.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.parquet(s"$base/stage_$i")
+        val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+      }
+      val q = graft.streaming.StreamingSample.start(spark, srcDir, statePath,
+        s"$base/ckpt", WsK, WsSeed, trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      spark.read.parquet(s"$statePath/state")
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("qk").asc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"),
+          col("bucket"))
+        .orderBy(col("rank"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  /** The streamed fold's oracle IS q128's. */
+  def q142StreamSampleSql: String = q128WeightedSampleSql
+
   /** 2-D Pareto-frontier (skyline) selection: keep the rows no other row
     * dominates — s dominates r iff s is ≥ r in BOTH dims and > in at
     * least one ("the docs where nothing is simultaneously higher-quality
@@ -2106,6 +2154,85 @@ object TrainingData {
       .orderBy(col("lang"), col("quality").desc, col("n_tokens").desc,
         col("doc_id"))
   }
+
+  /** INCREMENTAL skyline — the Pareto frontier as persistent state,
+    * folded per ingest batch. Like top-k ([[sampleIngest]]) and unlike
+    * the additive counters, the frontier is a MONOTONE MERGEABLE
+    * summary: skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) —
+    * dominance is transitive, so any row dominated in A ∪ B is
+    * dominated by some row that itself survives. Hence the fold is
+    * ledger-free (replayed rows are identical and dedup by id),
+    * order-free (set union commutes), and split-invisible (union
+    * associates); a row evicted can never return — dominators only
+    * accumulate. Per-batch cost: the batch's OWN skyline (its group
+    * maxima + distinct-x window) merged with the ≤ frontier-size state
+    * rows; nothing rescans history. */
+  def skylineIngest(spark: SparkSession, path: String, batch: DataFrame,
+                    idCol: String, xCol: String, yCol: String,
+                    partCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = new Path(root, "state")
+    val keep = (Seq(idCol) ++ partCols ++ Seq(xCol, yCol)).map(col)
+    val batchSky = skyline2D(batch.select(keep: _*), xCol, yCol, partCols)
+    val merged =
+      if (fs.exists(state))
+        skyline2D(
+          spark.read.parquet(state.toString).unionByName(batchSky)
+            .dropDuplicates(idCol),
+          xCol, yCol, partCols)
+      else batchSky
+    val tmp = new Path(path + ".__sky_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__sky_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+  }
+
+  /** q141: [[skylineIngest]] under the reversed-order day split +
+    * re-delivery harness (legal for monotone mergeable state — the
+    * q132 contract); the final frontier must equal the whole-corpus
+    * batch answer — the oracle IS q134's, verbatim. */
+  def q141SkylineIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val base = java.nio.file.Files.createTempDirectory("graft_q141_")
+    try {
+      val path = s"$base/sky_state"
+      val m = Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        alphaRatio(col("text")).as("alpha_raw"),
+        punctRatio(col("text")).as("punct_raw"),
+        stopwordRatio(col("text")).as("stop_raw"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(
+            lit(0.25) * col("alpha_raw") +
+            lit(0.25) * col("stop_raw") +
+            lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+            lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      Seq(
+        m.filter(col("doc_id") > cut), // day 2 delivered FIRST
+        m.filter(col("doc_id") <= cut)
+          .unionByName(m.filter(col("doc_id") % 5 === 0))) // re-delivery
+        .foreach(day => skylineIngest(spark, path, day,
+          "doc_id", "quality", "n_tokens", Seq("lang")))
+      spark.read.parquet(s"$path/state")
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+        .orderBy(col("lang"), col("quality").desc, col("n_tokens").desc,
+          col("doc_id"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q134's. */
+  def q141SkylineIngestSql: String = q134SkylineSql
 
   val q134SkylineSql: String = {
     val stops = graft.functions.TextFunctions.stopwords

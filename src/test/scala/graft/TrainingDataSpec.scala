@@ -817,6 +817,45 @@ class TrainingDataSpec extends SparkSpec {
       "per-group frontiers keep rows the pooled frontier would dominate away")
   }
 
+  test("skyline ingest: frontier state equals the whole-pool skyline under any schedule") {
+    def brute(rows: Seq[(Long, Long, Long)]): Set[Long] =
+      rows.filter { r =>
+        !rows.exists(s =>
+          (s._2 > r._2 && s._3 >= r._3) || (s._2 >= r._2 && s._3 > r._3))
+      }.map(_._1).toSet
+    val rnd = new scala.util.Random(13)
+    val pool = (1L to 240L).map(i =>
+      (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("id", "x", "y")
+    def readState(path: String): Set[Long] =
+      spark.read.parquet(s"$path/state").select(col("id")).as[Long].collect().toSet
+    def fold(path: String, batches: Seq[Seq[(Long, Long, Long)]]): Unit =
+      batches.foreach(b => TrainingData.skylineIngest(spark, path, df(b),
+        "id", "x", "y", Seq.empty))
+    val base = java.nio.file.Files.createTempDirectory("graft_sky_spec_")
+    try {
+      val (a, b) = pool.partition(_._1 <= 120)
+      val whole = brute(pool)
+      // forward, with a mid-fold invariant
+      val p1 = s"$base/fwd"
+      fold(p1, Seq(a))
+      assert(readState(p1) == brute(a), "after batch 1 the state is batch 1's skyline")
+      fold(p1, Seq(b))
+      assert(readState(p1) == whole)
+      // reversed + re-delivered slice + whole-batch replay
+      val p2 = s"$base/rev"
+      fold(p2, Seq(b, a ++ pool.filter(_._1 % 5 == 0), b))
+      assert(readState(p2) == whole,
+        "frontier state is order-free, replay-absorbing, and split-invisible")
+      // eviction is forever: a dominated row from batch 1 never returns
+      val interior = a.find(r => !whole.contains(r._1))
+      assert(interior.isDefined)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("E-S key separation: adjacent keys differ by far more than an ulp") {
     val pool = docs.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)].collect().filter(_._2 > 0)
