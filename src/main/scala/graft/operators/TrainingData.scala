@@ -2257,6 +2257,101 @@ object TrainingData {
        |ORDER BY lang, quality DESC, n_tokens DESC, doc_id""".stripMargin
   }
 
+  // q143 parameters: phase count + within-phase shuffle seed.
+  private val CurPhases = 4
+  private val CurSeed = "curric"
+
+  /** CURRICULUM CONSTRUCTION — cut the corpus into `phases` equal
+    * difficulty bands by a quality score (cleanest data first, the
+    * standard curriculum-learning schedule) and deterministically
+    * SHUFFLE within each band (ordered-by-score batches inside a phase
+    * would be their own bias — [[Sharding.shuffleShards]]'s argument).
+    *
+    * The scale trick: phase needs each row's GLOBAL rank, but a global
+    * sort/window is the one shape this library refuses. Instead the
+    * rank decomposes exactly: group the corpus by score value (the
+    * distinct-score table is bounded — quality rounds to 4 dp, q134's
+    * argument), take a cumulative count over THAT table (tiny window),
+    * broadcast it, and add a per-score-group row_number — global_rank
+    * = cum_before(score) + rank_within_group. One bounded groupBy, one
+    * broadcast probe, two hash-partitioned windows (score group /
+    * phase) — no global exchange-to-one anywhere. All integer math;
+    * row-level exact against the oracle's single global window. */
+  def curriculumPhases(docs: DataFrame, idCol: String, scoreCol: String,
+                       phases: Int, seed: String): DataFrame = {
+    require(phases >= 1, s"phases=$phases")
+    val counts = docs.groupBy(col(scoreCol)).agg(count(lit(1)).as("n"))
+    val wq = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("cum_before", coalesce(sum(col("n")).over(wq), lit(0L)))
+      .select(col(scoreCol), col("cum_before"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    docs.join(broadcast(cum), Seq(scoreCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("global_rank",
+        col("cum_before") + row_number().over(
+          Window.partitionBy(col(scoreCol)).orderBy(col(idCol))).cast("long"))
+      .withColumn("phase",
+        expr(s"(global_rank - 1) * $phases div n_total"))
+      .withColumn("bucket", hashBucket(col(idCol), seed))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("phase"))
+          .orderBy(col("bucket"), col(idCol))).cast("long"))
+      .drop("cum_before", "n_total")
+  }
+
+  /** q143: the 4-phase curriculum over documents by q16's composite
+    * quality, highest first, hash-shuffled within phase — every
+    * (doc_id, global_rank, phase, pos) row-level exact against the
+    * oracle's one global window. */
+  def q143Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val m = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      alphaRatio(col("text")).as("alpha_raw"),
+      punctRatio(col("text")).as("punct_raw"),
+      stopwordRatio(col("text")).as("stop_raw"))
+      .select(col("doc_id"),
+        round(
+          lit(0.25) * col("alpha_raw") +
+          lit(0.25) * col("stop_raw") +
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
+    curriculumPhases(m, "doc_id", "quality", CurPhases, CurSeed)
+      .select(col("doc_id"), col("quality"), col("global_rank"),
+        col("phase"), col("pos"))
+      .orderBy(col("phase"), col("pos"))
+  }
+
+  val q143CurriculumSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id,
+       |  round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) AS quality
+       |FROM r),
+       |g AS (SELECT doc_id, quality,
+       |  row_number() OVER (ORDER BY quality DESC, doc_id)::BIGINT AS global_rank,
+       |  count(*) OVER ()::BIGINT AS n_total,
+       |  ('0x' || substring(md5('$CurSeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |FROM m)
+       |SELECT doc_id, quality, global_rank,
+       |  (global_rank - 1) * $CurPhases // n_total AS phase,
+       |  row_number() OVER (PARTITION BY (global_rank - 1) * $CurPhases // n_total
+       |                     ORDER BY bucket, doc_id)::BIGINT AS pos
+       |FROM g ORDER BY phase, pos""".stripMargin
+  }
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

@@ -856,6 +856,35 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("curriculum: decomposed global rank equals the single global window, phases balanced") {
+    val rnd = new scala.util.Random(5)
+    // heavy score duplication so the decomposition (cum_before + in-group
+    // rank) is actually exercised across group boundaries
+    val pool = (1L to 500L).map(i => (i, rnd.nextInt(12).toLong))
+    val got = TrainingData.curriculumPhases(
+        pool.toDF("id", "score"), "id", "score", 4, "curric")
+      .select(col("id"), col("global_rank"), col("phase"), col("pos"))
+      .as[(Long, Long, Long, Long)].collect()
+    // driver-side single global sort: score DESC, id ASC
+    val expRank = pool.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    got.foreach { case (id, gr, ph, _) =>
+      assert(gr == expRank(id), s"id=$id")
+      assert(ph == (gr - 1) * 4 / 500)
+    }
+    // phases are equal-sized; positions are dense 1..N within each phase
+    val byPhase = got.groupBy(_._3)
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L))
+    byPhase.values.foreach { rs =>
+      assert(rs.length == 125)
+      assert(rs.map(_._4).sorted.toSeq == (1L to 125L))
+    }
+    // within-phase order is the hash shuffle, not the score order
+    val p0 = byPhase(0L).sortBy(_._4).map(_._1)
+    assert(p0 != byPhase(0L).sortBy(r => expRank(r._1)).map(_._1).toSeq,
+      "a phase whose stream order equals the score order defeats the shuffle")
+  }
+
   test("E-S key separation: adjacent keys differ by far more than an ulp") {
     val pool = docs.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)].collect().filter(_._2 > 0)
