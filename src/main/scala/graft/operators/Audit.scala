@@ -265,4 +265,112 @@ object Audit {
        |$rows
        |ORDER BY column_name""".stripMargin
   }
+
+  // q144 parameters: jackknife group count + metric fixed-point scales.
+  private val JkBuckets = 32
+  private val JkSeed = "jack"
+
+  /** METRIC UNCERTAINTY via delete-group jackknife — a corpus report
+    * that says "mean quality is 0.6931 ± 0.0004", not just the point
+    * estimate: partition documents into [[JkBuckets]] seeded hash
+    * groups, recompute the mean with each group deleted, and fold the
+    * leave-one-out spread into a standard error,
+    *
+    *   se² = (B−1)/B · Σ_b (θ₍b₎ − θ)²,   θ₍b₎ = (S−s_b)/(N−n_b),
+    *
+    * (the delete-group jackknife of Shao & Tu 1995, with the full-
+    * sample θ as the center — the common practical form, and the form
+    * this operator CONTRACTS in its output columns). The release-audit
+    * use: a nightly snapshot whose mean quality moved 3 standard
+    * errors is a real shift, not bucket noise — q96's drift gate with
+    * an uncertainty floor under it.
+    *
+    * Determinism — integers end to end: the per-doc metric is qe4
+    * (quality·10⁴, exact — the rounded-4dp double times an exact power
+    * of ten, rounded once), group sums are integer aggregates, every
+    * mean is integer floor division in micro-qe4 units (quality·10¹⁰ —
+    * divide emitted values by 10¹⁰ to read them as quality), the spread
+    * is Σ of squared integer deviations (bounded: |d| ≤ 10¹⁰ even at
+    * full qe4 range, so Σ_32 d² < 2⁶³), and the final sqrt is one
+    * correctly-rounded IEEE op on an integer — identical everywhere.
+    *
+    * Scale: ONE corpus scan into a 32-row map-side-partial groupBy;
+    * everything after runs on the 32-row frame (window + 1-row
+    * aggregate, broadcast back). Output is B rows regardless of corpus
+    * size — the family invariant. */
+  def jackknifeQuality(docs: DataFrame, idCol: String,
+                       qualityCol: String): DataFrame = {
+    val qe4 = round(col(qualityCol) * 10000).cast("long")
+    val grouped = docs
+      .select(TrainingData.hashBucket(col(idCol), JkSeed)
+          .mod(JkBuckets.toLong).as("bucket"),
+        qe4.as("qe4"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qe4")).as("sum_qe4"))
+    val tot = grouped.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("sum_qe4")).as("s_total"))
+    val loo = grouped.crossJoin(broadcast(tot))
+      .withColumn("loo_mean_micro",
+        expr("((s_total - sum_qe4) * 1000000) div (n_total - n_docs)"))
+      .withColumn("theta_micro", expr("(s_total * 1000000) div n_total"))
+      .withColumn("d", col("loo_mean_micro") - col("theta_micro"))
+    val spread = loo.agg(sum(col("d") * col("d")).as("ss"))
+    loo.crossJoin(broadcast(spread))
+      .withColumn("jk_se_micro",
+        round(sqrt(col("ss").cast("double") * (JkBuckets - 1) / JkBuckets))
+          .cast("long"))
+      .select(col("bucket"), col("n_docs"), col("sum_qe4"),
+        col("loo_mean_micro"), col("theta_micro"), col("jk_se_micro"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q144: jackknife standard error of mean document quality (q16's
+    * composite) — all 32 group rows plus the shared point estimate and
+    * SE, every value an exact integer. */
+  def q144Jackknife(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val m = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      alphaRatio(col("text")).as("alpha_raw"),
+      punctRatio(col("text")).as("punct_raw"),
+      stopwordRatio(col("text")).as("stop_raw"))
+      .select(col("doc_id"),
+        round(
+          lit(0.25) * col("alpha_raw") +
+          lit(0.25) * col("stop_raw") +
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
+    jackknifeQuality(m, "doc_id", "quality")
+  }
+
+  val q144JackknifeSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id,
+       |  round(round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) * 10000)::BIGINT AS qe4,
+       |  ('0x' || substring(md5('$JkSeed:' || doc_id), 1, 8))::BIGINT % $JkBuckets AS bucket
+       |FROM r),
+       |g AS (SELECT bucket, count(*)::BIGINT AS n_docs, sum(qe4)::BIGINT AS sum_qe4
+       |  FROM m GROUP BY bucket),
+       |tt AS (SELECT sum(n_docs)::BIGINT AS n_total, sum(sum_qe4)::BIGINT AS s_total FROM g),
+       |loo AS (SELECT g.*, tt.n_total, tt.s_total,
+       |  ((s_total - sum_qe4) * 1000000) // (n_total - n_docs) AS loo_mean_micro,
+       |  (s_total * 1000000) // n_total AS theta_micro
+       |  FROM g, tt),
+       |sp AS (SELECT sum((loo_mean_micro - theta_micro)
+       |              * (loo_mean_micro - theta_micro))::BIGINT AS ss FROM loo)
+       |SELECT bucket, n_docs, sum_qe4, loo_mean_micro, theta_micro,
+       |  round(sqrt(ss::DOUBLE * ${JkBuckets - 1} / $JkBuckets))::BIGINT AS jk_se_micro
+       |FROM loo, sp ORDER BY bucket""".stripMargin
+  }
 }

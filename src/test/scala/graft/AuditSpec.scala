@@ -106,4 +106,42 @@ class AuditSpec extends SparkSpec {
     assert(high.head.getAs[Long]("n_users") ==
       clean27.select("user_id").distinct().count())
   }
+
+  test("jackknife: exact integer replay, and the SE behaves like bucket noise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"jack:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 32
+    }
+    val rnd = new scala.util.Random(3)
+    val pool = (1L to 2000L).map(i => (i, math.rint(rnd.nextDouble() * 10000) / 10000))
+    val out = operators.Audit.jackknifeQuality(
+        pool.toDF("doc_id", "quality"), "doc_id", "quality").collect()
+    assert(out.length == 32)
+    // driver-side exact replay of the whole integer pipeline
+    val qe4 = pool.map { case (id, q) => (bucketOf(id), math.round(q * 10000)) }
+    val g = qe4.groupBy(_._1).map { case (b, rs) =>
+      b -> (rs.size.toLong, rs.map(_._2).sum) }
+    val n = g.values.map(_._1).sum; val s = g.values.map(_._2).sum
+    val theta = (s * 1000000L) / n
+    val loo = g.map { case (b, (nb, sb)) =>
+      b -> ((s - sb) * 1000000L) / (n - nb) }
+    val ss = loo.values.map(l => (l - theta) * (l - theta)).sum
+    val se = math.round(math.sqrt(ss.toDouble * 31 / 32))
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("n_docs") == g(b)._1)
+      assert(r.getAs[Long]("sum_qe4") == g(b)._2)
+      assert(r.getAs[Long]("loo_mean_micro") == loo(b))
+      assert(r.getAs[Long]("theta_micro") == theta)
+      assert(r.getAs[Long]("jk_se_micro") == se)
+    }
+    // sanity: the SE is nonzero (real bucket noise) and the right size —
+    // units are micro-qe4 (quality x 1e10), and a uniform[0,1] mean over
+    // 2000 draws has SD ~ 0.29/sqrt(2000) ~ 0.0065 quality ~ 6.5e7 here
+    assert(se > 1000000L && se < 200000000L, s"se=$se micro-qe4 units")
+  }
 }
