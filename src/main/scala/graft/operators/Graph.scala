@@ -65,18 +65,24 @@ object Graph {
       .localCheckpoint(true)
     var r = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to rounds) {
-      val contrib = ew
-        .join(r.withColumnRenamed("page", "src"), Seq("src"))
-        .select(col("dst").as("page"),
-          expr("(pr * 85 * wt) div (100 * tw)").as("c"))
-        .groupBy(col("page")).agg(sum(col("c")).as("cin"))
-      r = nodes.join(contrib, Seq("page"), "left")
-        .select(col("page"),
-          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("pr_micro"))
-        .withColumnRenamed("pr_micro", "pr")
-        .localCheckpoint(true)
+      r = pageRankRound(ew, nodes, r).localCheckpoint(true)
     }
     r.select(col("page"), col("pr").as("pr_micro"))
+  }
+
+  /** One PageRank round over (edges-with-out-weight, node set, ranks) —
+    * exposed so PlanAuditSpec can pin the per-round physical shape the
+    * checkpointed loop hides. */
+  private[graft] def pageRankRound(ew: DataFrame, nodes: DataFrame,
+                                   r: DataFrame): DataFrame = {
+    val contrib = ew
+      .join(r.withColumnRenamed("page", "src"), Seq("src"))
+      .select(col("dst").as("page"),
+        expr("(pr * 85 * wt) div (100 * tw)").as("c"))
+      .groupBy(col("page")).agg(sum(col("c")).as("cin"))
+    nodes.join(contrib, Seq("page"), "left")
+      .select(col("page"),
+        (lit(150000L) + coalesce(col("cin"), lit(0L))).as("pr"))
   }
 
   private val PrRounds = 5

@@ -578,4 +578,72 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the 1-row constant joins via broadcast, not a cartesian:\n$p")
   }
+
+  test("skyline filters through a broadcast frontier table — never a dominance self-join (q134)") {
+    val p = plan(operators.TrainingData.q134Skyline(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded per-x maxima table must broadcast back over the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the oracle's quadratic dominance join must never appear in the plan:\n$p")
+  }
+
+  test("RRF fuses two TakeOrdered lists; nothing corpus-sized reaches the join (q135)") {
+    val p = plan(operators.Ranking.q135HybridRrf(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 1,
+      s"the semantic list must heap per partition, not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row query vector joins via broadcast:\n$p")
+  }
+
+  test("attribution joins a df-capped inverted index — no cartesian anywhere (q136)") {
+    val p = plan(operators.TextQueries.q136Attribution(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"eval x train must flow through the shingle equi-join, never a cartesian:\n$p")
+    // the only BNLJ permitted is the 1-row broadcast n_train constant
+    // (the q126 precedent); the index probe itself must be an equi-join
+    assert("BroadcastHashJoin \\[g#".r.findAllIn(p).nonEmpty ||
+        "\\[g#\\d+\\], \\[g#\\d+\\]".r.findAllIn(p).nonEmpty,
+      s"the shingle probe must hash-join on the gram key:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"the shingle-keyed index build shuffles on the gram key:\n$p")
+  }
+
+  test("pageRank round: keyed rank-edge join + map-side-partial in-flow aggregate (q133)") {
+    val edges = operators.Graph.transitionEdges(Tables.events(spark, sf))
+    val ew = edges.join(edges.groupBy(col("src")).agg(sum(col("wt")).as("tw")),
+      Seq("src"))
+    val nodes = edges.select(col("src").as("page"))
+      .union(edges.select(col("dst"))).distinct()
+    val r0 = nodes.withColumn("pr", lit(1000000L))
+    val p = plan(operators.Graph.pageRankRound(ew, nodes, r0))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"per-round in-flow must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"rank-vector joins must be keyed, never cartesian:\n$p")
+  }
+
+  test("z-order assignment is a narrow integer map over the scan (q138 shape)") {
+    val grid = spark.range(1000).selectExpr("id", "id % 31 AS qb", "id % 17 AS lb")
+    val p = plan(operators.Sharding.zOrderLayout(grid, "id", "qb", "lb", 8))
+    assert(!p.contains("Exchange"),
+      s"zkey + file cut are pure per-row integer math; nothing may shuffle:\n$p")
+  }
+
+  test("curriculum: no single-partition window over corpus rows (q143)") {
+    val p = plan(operators.TrainingData.q143Curriculum(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cumulative-count table must broadcast onto the corpus:\n$p")
+    // the only SinglePartition exchange allowed feeds the bounded
+    // distinct-score window, never the corpus-row windows
+    assert(p.contains("Exchange hashpartitioning"),
+      s"corpus windows must partition by score group / phase:\n$p")
+  }
+
+  test("jackknife is one scan into a 32-row aggregate; tiny frames broadcast back (q144)") {
+    val p = plan(operators.Audit.q144Jackknife(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"bucket sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"1-row totals/spread attach via broadcast, not cartesian:\n$p")
+  }
 }
