@@ -95,4 +95,69 @@ object Skew {
       |  round(sum(o_totalprice), 4) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** RUNTIME BLOOM-FILTER JOIN PRUNING — the third join-scale lever
+    * next to broadcasting (q2) and salting (q47): when the selective
+    * side of a join is too big to broadcast, Spark's
+    * `InjectRuntimeFilter` rule can still build a Bloom filter of its
+    * join keys at runtime and push `might_contain(key)` into the BIG
+    * side's scan, so non-matching rows die before the shuffle instead
+    * of after it — at 100 TB the difference between shuffling the
+    * whole fact table and shuffling the ~matching fraction.
+    *
+    * The gate materializes the join INSIDE a conf window that makes the
+    * injection fire at fixture scale (broadcast off — a broadcast join
+    * needs no bloom; application-side threshold 0) and RESTORES every
+    * conf after, with the result localCheckpointed under the window
+    * (planning is lazy — materializing later would plan under the
+    * restored confs and silently test nothing; PlanAuditSpec pins the
+    * `bloom_filter_might_contain` predicate in the executed plan).
+    * The oracle is the PLAIN join + aggregate, so the gate certifies
+    * the runtime filter semantics-free — the q47 pattern: rewrites
+    * must be invisible in values, visible only in the plan. */
+  def bloomPrunedJoin(spark: SparkSession, big: DataFrame, small: DataFrame,
+                      bigKey: String, smallKey: String,
+                      inspect: DataFrame => Unit = _ => ())
+                     (agg: DataFrame => DataFrame): DataFrame = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      val joined = agg(big.join(small, col(bigKey) === col(smallKey)))
+      inspect(joined) // plan-audit hook: sees the pre-checkpoint plan
+      joined.localCheckpoint(true) // execute UNDER the conf window
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** q145: lineitem ⋈ the high-value-order subset (selective,
+    * non-broadcast), revenue per return flag — row-level equal to the
+    * plain-join oracle with the bloom filter in the plan. */
+  def q145RuntimeFilter(spark: SparkSession, dir: String): DataFrame =
+    bloomPrunedJoin(spark,
+      Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_discount")),
+      Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey")),
+      "l_orderkey", "o_orderkey") { j =>
+      j.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }
+
+  val q145RuntimeFilterSql: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 150000.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

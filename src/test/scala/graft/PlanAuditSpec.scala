@@ -646,4 +646,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"1-row totals/spread attach via broadcast, not cartesian:\n$p")
   }
+
+  test("runtime bloom filter lands in the big side's plan inside the conf window (q145)") {
+    var pinned: Option[String] = None
+    operators.Skew.bloomPrunedJoin(spark,
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount")),
+      Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey")),
+      "l_orderkey", "o_orderkey",
+      inspect = df => pinned = Some(df.queryExecution.optimizedPlan.toString)) { j =>
+      j.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_items"))
+    }
+    val p = pinned.get
+    assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+      s"InjectRuntimeFilter must add a bloom probe to the fact-side scan:\n$p")
+  }
 }
