@@ -120,7 +120,7 @@ object SimilarityQueries {
     * the exact parameterization [[srpPairsCtes]] mirrors, exposed so
     * compositions (q69's semantic funnel stage) reuse one edge
     * definition across Scala and oracle. */
-  private[operators] def srpPairsShared(vectors: DataFrame): DataFrame =
+  private[graft] def srpPairsShared(vectors: DataFrame): DataFrame =
     annSrpPairs(vectors, Planes, SrpBands, SrpBitsPerBand, SrpThreshold)
 
   /** q23: SRP-LSH pairs over the embeddings fixture, against the shared
@@ -201,6 +201,80 @@ object SimilarityQueries {
        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id AS vec_id, min(comp)::BIGINT AS cluster_id
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
+  // q146 parameters: negatives kept per anchor.
+  private val HnK = 5
+
+  /** q146: HARD-NEGATIVE MINING — for each anchor (the q22 query set),
+    * the [[HnK]] most-similar vectors that are NOT in the anchor's
+    * semantic near-dup CLUSTER (q53's transitive components, not a raw
+    * cosine threshold: a chained duplicate whose direct cosine to the
+    * anchor is low would pass a threshold test and poison the batch as
+    * a false negative — the exact failure contrastive training cares
+    * about). This is the DPR/contrastive-mining step q119's ring
+    * negatives deliberately avoid being: q119 draws UNIFORM negatives
+    * with zero similarity computation; q146 mines the hardest ones.
+    *
+    * Scale: the cluster map is q53's banded pipeline (candidates
+    * bounded by SRP buckets); the ranking scan is q22's broadcast-
+    * queries × one-corpus-scan shape; the exclusion is two id-keyed
+    * probes of the cluster map. Per-anchor top-k via rank window. */
+  def q146HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+        srpPairsShared(Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))))
+      .localCheckpoint(true) // probed from both sides of the pair
+    val corpus = embWithNorm(spark, dir)
+    val queries = corpus.filter(col("id") < NQueries)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(queries)
+      .join(corpus, col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neg_id"),
+        round(cosineWithNorms(col("qv"), col("qn"), col("v"), col("nrm")), 4)
+          .as("cos_sim"))
+    val qc = clusters.select(col("id").as("q_id"), col("comp").as("q_cl"))
+    val nc = clusters.select(col("id").as("neg_id"), col("comp").as("n_cl"))
+    val kept = scored
+      .join(qc, Seq("q_id"), "left")
+      .join(nc, Seq("neg_id"), "left")
+      .filter(col("q_cl").isNull || col("n_cl").isNull ||
+        col("q_cl") =!= col("n_cl"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id").asc)
+    kept.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HnK)
+      .select(col("q_id"), col("rank"), col("neg_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q146HardNegativesSql: String =
+    s"""WITH RECURSIVE ${srpPairsCtes(prefix = "c")},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM cpairs
+       |          UNION SELECT id2, id1 FROM cpairs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id, min(comp)::BIGINT AS cluster_id FROM reach GROUP BY id),
+       |n AS (SELECT vec_id AS id, embedding AS v,
+       |        sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM n WHERE id < $NQueries),
+       |sc AS (
+       |  SELECT q.q_id, n.id AS neg_id,
+       |    round(list_sum(list_apply(range(1, ${Dim + 1}),
+       |            i -> qv[i]::DOUBLE * n.v[i]::DOUBLE)) / (qn * n.nrm), 4) AS cos_sim
+       |  FROM q, n WHERE n.id != q.q_id),
+       |kept AS (
+       |  SELECT sc.* FROM sc
+       |  LEFT JOIN cl a ON a.id = sc.q_id
+       |  LEFT JOIN cl b ON b.id = sc.neg_id
+       |  WHERE a.cluster_id IS NULL OR b.cluster_id IS NULL
+       |     OR a.cluster_id != b.cluster_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, neg_id)::BIGINT AS rank FROM kept)
+       |SELECT q_id, rank, neg_id, cos_sim FROM r WHERE rank <= $HnK
+       |ORDER BY q_id, rank""".stripMargin
 
   /** q90's fixed linear probe: a deterministic public weight vector
     * (the trained-model stand-in — this sandbox trains nothing) plus a

@@ -40,4 +40,31 @@ class SimilarityQueriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(agg == windowed)
   }
+
+  test("q146: cluster exclusion bites, and no negative shares its anchor's cluster") {
+    // the anchors only join clusters at sf0.01 (the DRIVER's gate scale;
+    // at sf0.001 their max pairwise cosine is 0.39 < the 0.4 threshold,
+    // so exclusion would be vacuous and this test would prove nothing)
+    val sf01 = "/root/testdata/sf0.01"
+    val negs = SimilarityQueries.q146HardNegatives(spark, sf01)
+      .select(col("q_id"), col("neg_id")).as[(Long, Long)].collect()
+    assert(negs.nonEmpty && negs.forall { case (q, n) => q != n })
+    val clusters = operators.Dedup.connectedComponents(
+        SimilarityQueries.srpPairsShared(Tables.embeddings(spark, sf01)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))))
+      .as[(Long, Long)].collect().toMap
+    // contract: an emitted negative never shares a cluster with its anchor
+    negs.foreach { case (q, n) =>
+      assert(!(clusters.contains(q) && clusters.contains(n) &&
+        clusters(q) == clusters(n)), s"($q, $n) share cluster ${clusters.get(q)}")
+    }
+    // non-vacuity: for some anchor, the plain q22 top-k CONTAINS a
+    // cluster-mate — the exclusion must have actually removed something
+    val knn = SimilarityQueries.q22KnnExact(spark, sf01)
+      .select(col("q_id"), col("neighbor_id")).as[(Long, Long)].collect()
+    val excluded = knn.filter { case (q, n) =>
+      clusters.contains(q) && clusters.contains(n) && clusters(q) == clusters(n) }
+    assert(excluded.nonEmpty,
+      "no q22 neighbor was a cluster-mate — the q146 gate would be q22 with a rename")
+  }
 }
