@@ -2352,6 +2352,126 @@ object TrainingData {
        |FROM g ORDER BY phase, pos""".stripMargin
   }
 
+  // q147 parameters: total draw budget, hash seed.
+  private val NeyBudget = 60
+  private val NeySeed = "neyman"
+
+  /** NEYMAN-OPTIMAL STRATIFIED ALLOCATION (Neyman 1934; Cochran,
+    * Sampling Techniques §5.5) — split a fixed eval/annotation budget
+    * across strata ∝ N_h·σ_h, the allocation that minimizes the
+    * variance of the stratified mean: high-variance languages get more
+    * of the budget than proportional allocation would give them
+    * ("spend annotators where the metric is noisy"). The samplers
+    * q66/q130 take k AS GIVEN per stratum; this operator COMPUTES the
+    * k_h, then draws exactly k_h per stratum (q66's uniform hash
+    * draw).
+    *
+    * Determinism: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — the argument is an
+    * exact INTEGER (qe4 metric, integer sums; overflow bound N_h·Σx² <
+    * 2⁶³ holds to ~10⁹ rows·qe4≤10⁴, then move to decimal), sqrt is
+    * one correctly-rounded IEEE op, the quota fractions are identical
+    * doubles in both engines, and largest-remainder rounding is
+    * integer comparisons with a lang tie-break. k_h is capped at N_h
+    * (a tiny high-variance stratum cannot be over-drawn).
+    *
+    * Scale: one corpus scan into a \|strata\|-row map-side-partial
+    * groupBy; the allocation runs on that tiny frame (window + 1-row
+    * totals, broadcast); the draw is q66's per-stratum rank window. */
+  def neymanAllocate(docs: DataFrame, idCol: String, strataCol: String,
+                     metricE4: Column, budget: Int, seed: String): DataFrame = {
+    require(budget >= 1, s"budget=$budget")
+    val m = docs.select(col(idCol).as("id"),
+      col(strataCol).as("stratum"), metricE4.as("x"))
+    val g = m.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val w = g.withColumn("wh",
+      sqrt((col("nh") * col("s2") - col("s1") * col("s1")).cast("double")))
+    val tot = w.agg(sum(col("wh")).as("wt"))
+    val q = w.crossJoin(broadcast(tot))
+      .withColumn("exact", lit(budget) * col("wh") / col("wt"))
+      .withColumn("base", floor(col("exact")).cast("long"))
+      .withColumn("frac", col("exact") - floor(col("exact")))
+    val rem = q.agg((lit(budget.toLong) - sum(col("base"))).as("rem"))
+    val alloc = q
+      .withColumn("fr", row_number().over(
+        Window.orderBy(col("frac").desc, col("stratum"))).cast("long"))
+      .crossJoin(broadcast(rem))
+      .withColumn("k_alloc",
+        least(col("nh"),
+          col("base") + when(col("fr") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("stratum"), col("nh"), col("k_alloc"))
+    val draw = m
+      .withColumn("bucket", hashBucket(col("id"), seed))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(col("bucket"), col("id"))).cast("long"))
+    draw.join(broadcast(alloc), Seq("stratum"))
+      .filter(col("rank") <= col("k_alloc"))
+      .select(col("stratum"), col("nh"), col("k_alloc"), col("rank"),
+        col("id"))
+  }
+
+  /** q147: the [[NeyBudget]]-doc annotation draw over documents,
+    * strata = language, metric = q16's quality in e4 units — every
+    * (lang, allocation, rank, doc_id) row-level exact. */
+  def q147Neyman(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val m = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      alphaRatio(col("text")).as("alpha_raw"),
+      punctRatio(col("text")).as("punct_raw"),
+      stopwordRatio(col("text")).as("stop_raw"))
+      .select(col("doc_id"), col("lang"),
+        round(round(
+          lit(0.25) * col("alpha_raw") +
+          lit(0.25) * col("stop_raw") +
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_raw")), 4) * 10000).cast("long")
+          .as("qe4"))
+    neymanAllocate(m, "doc_id", "lang", col("qe4"), NeyBudget, NeySeed)
+      .select(col("stratum").as("lang"), col("nh"), col("k_alloc"),
+        col("rank"), col("id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q147NeymanSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r0 AS (SELECT doc_id, lang,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id, lang,
+       |  round(round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) * 10000)::BIGINT AS qe4,
+       |  ('0x' || substring(md5('$NeySeed:' || doc_id), 1, 8))::BIGINT AS bucket
+       |FROM r0),
+       |g AS (SELECT lang, count(*)::BIGINT AS nh, sum(qe4)::BIGINT AS s1,
+       |        sum(qe4 * qe4)::BIGINT AS s2 FROM m GROUP BY lang),
+       |w AS (SELECT lang, nh, sqrt((nh * s2 - s1 * s1)::DOUBLE) AS wh FROM g),
+       |tot AS (SELECT sum(wh) AS wt FROM w),
+       |q AS (SELECT lang, nh, $NeyBudget * wh / wt AS exact,
+       |        floor($NeyBudget * wh / wt)::BIGINT AS base,
+       |        $NeyBudget * wh / wt - floor($NeyBudget * wh / wt) AS frac
+       |      FROM w, tot),
+       |rem AS (SELECT $NeyBudget - sum(base) AS rem FROM q),
+       |alloc AS (SELECT lang, nh,
+       |    least(nh, base + CASE WHEN row_number() OVER
+       |        (ORDER BY frac DESC, lang) <= rem THEN 1 ELSE 0 END)::BIGINT AS k_alloc
+       |  FROM q, rem),
+       |draw AS (SELECT lang, doc_id, row_number() OVER
+       |    (PARTITION BY lang ORDER BY bucket, doc_id)::BIGINT AS rank FROM m)
+       |SELECT d.lang, a.nh, a.k_alloc, d.rank, d.doc_id
+       |FROM draw d JOIN alloc a USING (lang)
+       |WHERE d.rank <= a.k_alloc ORDER BY lang, rank""".stripMargin
+  }
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

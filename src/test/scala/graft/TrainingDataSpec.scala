@@ -885,6 +885,46 @@ class TrainingDataSpec extends SparkSpec {
       "a phase whose stream order equals the score order defeats the shuffle")
   }
 
+  test("neyman allocation: exact replay, budget conservation, variance steers the budget") {
+    // three strata, same size, very different metric variance
+    val rnd = new scala.util.Random(11)
+    val pool =
+      (1L to 300L).map(i => (i, "flat", 5000L)) ++                       // sd 0
+      (301L to 600L).map(i => (i, "mid", 5000L + rnd.nextInt(201) - 100L)) ++
+      (601L to 900L).map(i => (i, "wild", rnd.nextInt(10001).toLong))    // sd ~2900
+    val out = TrainingData.neymanAllocate(
+        pool.toDF("id", "stratum", "x"), "id", "stratum", col("x"), 60, "neyman")
+      .collect()
+    val alloc = out.map(r => r.getAs[String]("stratum") -> r.getAs[Long]("k_alloc"))
+      .toMap
+    // driver-side replay of the whole allocation
+    val g = pool.groupBy(_._2).map { case (s, rs) =>
+      val n = rs.size.toLong; val s1 = rs.map(_._3).sum
+      val s2 = rs.map(r => r._3 * r._3).sum
+      s -> (n, math.sqrt((n * s2 - s1 * s1).toDouble))
+    }
+    val wt = g.values.map(_._2).sum
+    val exact = g.map { case (s, (n, w)) => s -> 60 * w / wt }
+    val base = exact.map { case (s, e) => s -> e.toLong }
+    val rem = (60L - base.values.sum).toInt
+    val order = exact.toSeq.map { case (s, e) => (s, e - math.floor(e)) }
+      .sortBy { case (s, f) => (-f, s) }.map(_._1)
+    val expK = base.map { case (s, b) =>
+      s -> math.min(g(s)._1, b + (if (order.indexOf(s) < rem) 1L else 0L)) }
+    // the operator emits DRAWN rows, so a k=0 stratum has no output row
+    assert(alloc == expK.filter(_._2 > 0))
+    // the budget is fully spent (no stratum hit its cap here)
+    assert(alloc.values.sum == 60L)
+    // Neyman's point: the zero-variance stratum gets NOTHING, the wild
+    // one gets far more than the proportional 20
+    assert(expK("flat") == 0L && !alloc.contains("flat"))
+    assert(alloc("wild") > 30L)
+    // per-stratum draw sizes match the allocation
+    val sizes = out.groupBy(_.getAs[String]("stratum")).map { case (s, rs) =>
+      s -> rs.length.toLong }
+    assert(sizes.filterNot(_._2 == 0) == alloc.filterNot(_._2 == 0))
+  }
+
   test("E-S key separation: adjacent keys differ by far more than an ulp") {
     val pool = docs.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)].collect().filter(_._2 > 0)
