@@ -110,4 +110,30 @@ object SinkQueries {
   val q94JsonlSourceSql: String =
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q149: ORC SOURCE/SINK roundtrip — q94's contract for the other
+    * columnar format a Spark shop inherits (Hive-era lakes are ORC):
+    * write the corpus as ORC, reopen through the vectorized ORC
+    * reader, and gate row-level content (text via md5 — any
+    * encoding/compression corruption in the roundtrip flips the
+    * hash). Like q94, the oracle reads the PARQUET fixture — equality
+    * across the two paths is precisely the roundtrip claim. Predicate
+    * pushdown and column pruning work on ORC as on parquet (same
+    * DataSource V1 scan machinery); the q1-shape audit transfers. */
+  def q149OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q149_")
+    try {
+      Tables.documents(spark, dir).write.orc(s"$base/docs_orc")
+      spark.read.orc(s"$base/docs_orc")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_hash"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the staging dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q149OrcRoundtripSql: String = q94JsonlSourceSql
 }

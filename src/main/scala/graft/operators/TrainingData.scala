@@ -2472,6 +2472,85 @@ object TrainingData {
        |WHERE d.rank <= a.k_alloc ORDER BY lang, rank""".stripMargin
   }
 
+  // q148 parameters: folds, embargo gap (seconds).
+  private val WfFolds = 3
+  private val WfEmbargoS = 86400L
+
+  /** WALK-FORWARD TEMPORAL SPLITS WITH EMBARGO — the time-series
+    * counterpart of q63's hash splits: models trained on behavioral
+    * data must validate on the FUTURE, and an embargo gap between each
+    * train window's end and its test window's start keeps
+    * label/feature leakage across the boundary out (the purged
+    * walk-forward scheme of de Prado, Advances in Financial ML §7 —
+    * the same discipline a next-event model over the events fixture
+    * needs). Fold i trains on everything before cut_i and tests on
+    * [cut_i + embargo, cut_{i+1}); cuts divide the observed time range
+    * into equal micro-second integer segments.
+    *
+    * Determinism: cuts are integer epoch-microsecond arithmetic
+    * ((range·i) div (folds+1)); every emitted column is an integer
+    * count, an exact timestamp, or the integer embargo verdict.
+    *
+    * Scale: ONE scan fanned out over a broadcast `folds`-row spec
+    * (each event meets every fold's conditions as conditional
+    * aggregates), map-side partials into a `folds`-row result. */
+  def walkForwardSplits(events: DataFrame, tsCol: String, folds: Int,
+                        embargoS: Long): DataFrame = {
+    require(folds >= 1, s"folds=$folds")
+    val tt = events.agg(min(unix_micros(col(tsCol))).as("t0"),
+      max(unix_micros(col(tsCol))).as("t1"))
+    val spec = tt.select(explode(sequence(lit(1), lit(folds))).as("fold"),
+        col("t0"), col("t1"))
+      .select(col("fold"),
+        (col("t0") + expr(s"(t1 - t0) * fold div ${folds + 1}")).as("cut"),
+        when(col("fold") < folds,
+          col("t0") + expr(s"(t1 - t0) * (fold + 1) div ${folds + 1}"))
+          .otherwise(col("t1") + 1L).as("t_end"))
+      .withColumn("test_from", col("cut") + embargoS * 1000000L)
+    events.select(unix_micros(col(tsCol)).as("us"))
+      .crossJoin(broadcast(spec))
+      .groupBy(col("fold"))
+      .agg(
+        sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("train_n"),
+        sum(when(col("us") >= col("test_from") && col("us") < col("t_end"),
+          1L).otherwise(0L)).as("test_n"),
+        max(when(col("us") < col("cut"), col("us"))).as("train_max_us"),
+        min(when(col("us") >= col("test_from") && col("us") < col("t_end"),
+          col("us"))).as("test_min_us"))
+      .withColumn("embargo_ok",
+        (col("test_min_us") - col("train_max_us") >=
+          embargoS * 1000000L).cast("long"))
+      .orderBy(col("fold"))
+  }
+
+  /** q148: 3 walk-forward folds over the events fixture with a one-day
+    * embargo — fold sizes, boundary timestamps, and the embargo
+    * verdict, row-level exact. */
+  def q148WalkForward(spark: SparkSession, dir: String): DataFrame =
+    walkForwardSplits(Tables.events(spark, dir), "ts", WfFolds, WfEmbargoS)
+
+  val q148WalkForwardSql: String =
+    s"""WITH tt AS (SELECT min(epoch_us(ts))::BIGINT AS t0,
+       |                   max(epoch_us(ts))::BIGINT AS t1 FROM events),
+       |spec AS (SELECT f.fold::BIGINT AS fold,
+       |    t0 + (t1 - t0) * f.fold // ${WfFolds + 1} AS cut,
+       |    CASE WHEN f.fold < $WfFolds
+       |         THEN t0 + (t1 - t0) * (f.fold + 1) // ${WfFolds + 1}
+       |         ELSE t1 + 1 END AS t_end,
+       |    t0 + (t1 - t0) * f.fold // ${WfFolds + 1}
+       |      + ${WfEmbargoS * 1000000L} AS test_from
+       |  FROM tt, range(1, ${WfFolds + 1}) f(fold)),
+       |e AS (SELECT epoch_us(ts)::BIGINT AS us FROM events)
+       |SELECT fold,
+       |  sum(CASE WHEN us < cut THEN 1 ELSE 0 END)::BIGINT AS train_n,
+       |  sum(CASE WHEN us >= test_from AND us < t_end THEN 1 ELSE 0 END)::BIGINT AS test_n,
+       |  max(CASE WHEN us < cut THEN us END)::BIGINT AS train_max_us,
+       |  min(CASE WHEN us >= test_from AND us < t_end THEN us END)::BIGINT AS test_min_us,
+       |  (min(CASE WHEN us >= test_from AND us < t_end THEN us END)
+       |     - max(CASE WHEN us < cut THEN us END)
+       |     >= ${WfEmbargoS * 1000000L})::BIGINT AS embargo_ok
+       |FROM e, spec GROUP BY fold ORDER BY fold""".stripMargin
+
   val q45SeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang,

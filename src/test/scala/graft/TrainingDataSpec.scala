@@ -925,6 +925,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(sizes.filterNot(_._2 == 0) == alloc.filterNot(_._2 == 0))
   }
 
+  test("walk-forward splits: growing train windows, embargoed gaps swallow boundary events") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(hours: Int) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // 0..96h, one event per hour; 2 folds over the range with a 6h embargo:
+    // cuts at 32h and 64h; fold 1 tests [38h, 64h), fold 2 tests [70h, 97h]
+    val ev = (0 to 96).map(h => (h.toLong, ts(h))).toDF("event_id", "ts")
+    val out = TrainingData.walkForwardSplits(ev, "ts", 2, 6 * 3600L)
+      .collect().map(r => r.getAs[Long]("fold") ->
+        (r.getAs[Long]("train_n"), r.getAs[Long]("test_n"),
+         r.getAs[Long]("embargo_ok"))).toMap
+    // fold 1: train hours 0..31 (32), test hours 38..63 (26); hours
+    // 32..37 fall INSIDE the embargo and belong to neither set
+    assert(out(1L) == ((32L, 26L, 1L)))
+    // fold 2: train 0..63 (64) — walk-forward means strictly MORE train
+    // data than fold 1 — test 70..96 (27)
+    assert(out(2L) == ((64L, 27L, 1L)))
+    // the embargo actually swallows rows: per fold, train+test < total
+    assert(32L + 26L < 97L && 64L + 27L < 97L)
+  }
+
   test("E-S key separation: adjacent keys differ by far more than an ulp") {
     val pool = docs.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)].collect().filter(_._2 > 0)
