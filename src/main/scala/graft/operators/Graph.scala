@@ -264,9 +264,11 @@ object Graph {
   /** The streamed fold's oracle IS q133's. */
   def q139StreamGraphSql: String = q133PageRankSql
 
-  /** The oracle unrolls the fixpoint: r0 … r[[PrRounds]] as successive
-    * CTEs, each one integer-arithmetic identical to the Spark round. */
-  val q133PageRankSql: String = {
+  /** The oracle's fixpoint unroll: CTE chain ending in
+    * `r[[PrRounds]](page, pr)` — shared by the q133/q137/q139 gates and
+    * the q150 composition so every consumer agrees on the rank vector
+    * by construction (the srpPairsCtes precedent). */
+  private[operators] val pageRankCtes: String = {
     val rounds = (1 to PrRounds).map { i =>
       s"""r$i AS (
          |  SELECT n.page,
@@ -275,7 +277,7 @@ object Graph {
          |                       WHERE e.dst = n.page), 0) AS pr
          |  FROM nodes n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH o AS (
+    s"""o AS (
        |  SELECT user_id, ts, event_id,
        |    json_extract(props, '$$.k')::bigint AS page
        |  FROM events),
@@ -291,8 +293,48 @@ object Graph {
        |nodes AS (SELECT DISTINCT page FROM
        |  (SELECT src AS page FROM w UNION SELECT dst FROM w)),
        |r0 AS (SELECT page, 1000000::BIGINT AS pr FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** The oracle unrolls the fixpoint: r0 … r[[PrRounds]] as successive
+    * CTEs, each one integer-arithmetic identical to the Spark round. */
+  val q133PageRankSql: String =
+    s"""WITH $pageRankCtes
        |SELECT page, pr::BIGINT AS pr_micro FROM r$PrRounds
        |ORDER BY pr_micro DESC, page""".stripMargin
+
+  // q150 parameters: draw size + seed.
+  private val PrSampleK = 20
+  private val PrSampleSeed = "prsample"
+
+  /** q150: CENTRALITY-WEIGHTED SAMPLING — the q133 × q128 composition:
+    * draw [[PrSampleK]] pages without replacement with inclusion
+    * proportional to their PageRank mass (the CommonCrawl-style
+    * crawl-seed/quality-weighted selection: prominent pages are worth
+    * more training tokens). Weight = pr_micro, a positive exact
+    * integer, so the E-S draw inherits q128's full determinism
+    * contract unchanged; gate emits rank + integer evidence (page,
+    * pr_micro, bucket), oracle splices the shared PageRank CTE chain
+    * into q128's E-S formulation. */
+  def q150PrSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    TrainingData.weightedSample(
+        pageRank(transitionEdges(Tables.events(spark, dir)), PrRounds),
+        "page", "pr_micro", PrSampleK, PrSampleSeed)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("es_key").desc, col("page"))))
+      .select(col("rank"), col("page"), col("pr_micro"), col("bucket"))
+      .orderBy(col("rank"))
   }
+
+  val q150PrSampleSql: String =
+    s"""WITH $pageRankCtes,
+       |pr AS (SELECT page, pr::BIGINT AS pr_micro FROM r$PrRounds),
+       |s AS (SELECT page, pr_micro,
+       |    ('0x' || substring(md5('$PrSampleSeed:' || page), 1, 8))::BIGINT AS bucket
+       |  FROM pr WHERE pr_micro > 0),
+       |k AS (SELECT *, ln((bucket + 1) / 4294967296.0) / pr_micro AS es_key FROM s)
+       |SELECT row_number() OVER (ORDER BY es_key DESC, page) AS rank,
+       |  page, pr_micro, bucket
+       |FROM k ORDER BY es_key DESC, page LIMIT $PrSampleK""".stripMargin
 }
