@@ -2136,20 +2136,8 @@ object TrainingData {
     * row-level exact against the quadratic NOT EXISTS dominance
     * oracle. */
   def q134Skyline(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions._
-    val m = Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      alphaRatio(col("text")).as("alpha_raw"),
-      punctRatio(col("text")).as("punct_raw"),
-      stopwordRatio(col("text")).as("stop_raw"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(
-          lit(0.25) * col("alpha_raw") +
-          lit(0.25) * col("stop_raw") +
-          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-          lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
-    skyline2D(m, "quality", "n_tokens", partCols = Seq("lang"))
+    skyline2D(scoredDocs(spark, dir), "quality", "n_tokens",
+        partCols = Seq("lang"))
       .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
       .orderBy(col("lang"), col("quality").desc, col("n_tokens").desc,
         col("doc_id"))
@@ -2197,22 +2185,10 @@ object TrainingData {
     * q132 contract); the final frontier must equal the whole-corpus
     * batch answer — the oracle IS q134's, verbatim. */
   def q141SkylineIngest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions._
     val base = java.nio.file.Files.createTempDirectory("graft_q141_")
     try {
       val path = s"$base/sky_state"
-      val m = Tables.documents(spark, dir).select(
-        col("doc_id"), col("lang"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        alphaRatio(col("text")).as("alpha_raw"),
-        punctRatio(col("text")).as("punct_raw"),
-        stopwordRatio(col("text")).as("stop_raw"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          round(
-            lit(0.25) * col("alpha_raw") +
-            lit(0.25) * col("stop_raw") +
-            lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-            lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
+      val m = scoredDocs(spark, dir)
       val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
       Seq(
         m.filter(col("doc_id") > cut), // day 2 delivered FIRST
@@ -2233,6 +2209,69 @@ object TrainingData {
 
   /** The whole point of the incremental path: its oracle IS q134's. */
   def q141SkylineIngestSql: String = q134SkylineSql
+
+  /** The scored (doc_id, lang, quality, n_tokens) frame q134/q141/q151
+    * all select from — one definition of the dims across the family. */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      alphaRatio(col("text")).as("alpha_raw"),
+      punctRatio(col("text")).as("punct_raw"),
+      stopwordRatio(col("text")).as("stop_raw"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(
+          lit(0.25) * col("alpha_raw") +
+          lit(0.25) * col("stop_raw") +
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
+  }
+
+  /** q151: the q141 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingSkyline]] — foreachBatch per landed
+    * day file, Trigger.AvailableNow), files landed in REVERSED day
+    * order with a re-delivered slice — legal under the monotone-
+    * mergeable contract (the q142 harness applied to the frontier).
+    * Oracle IS q134's, verbatim. */
+  def q151StreamSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q151_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/sky_state"
+      val m = scoredDocs(spark, dir)
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val days = Seq(
+        m.filter(col("doc_id") > cut), // later half lands FIRST
+        m.filter(col("doc_id") <= cut)
+          .unionByName(m.filter(col("doc_id") % 5 === 0))) // re-delivery
+      fs.mkdirs(new Path(srcDir))
+      days.zipWithIndex.foreach { case (d, i) =>
+        d.coalesce(1).write.parquet(s"$base/stage_$i")
+        val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+      }
+      val q = graft.streaming.StreamingSkyline.start(spark, srcDir, statePath,
+        s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      spark.read.parquet(s"$statePath/state")
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+        .orderBy(col("lang"), col("quality").desc, col("n_tokens").desc,
+          col("doc_id"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  /** The streamed fold's oracle IS q134's. */
+  def q151StreamSkylineSql: String = q134SkylineSql
 
   val q134SkylineSql: String = {
     val stops = graft.functions.TextFunctions.stopwords
