@@ -301,12 +301,18 @@ object Audit {
   def jackknifeQuality(docs: DataFrame, idCol: String,
                        qualityCol: String): DataFrame = {
     val qe4 = round(col(qualityCol) * 10000).cast("long")
-    val grouped = docs
+    jackknifeFromGroups(docs
       .select(TrainingData.hashBucket(col(idCol), JkSeed)
           .mod(JkBuckets.toLong).as("bucket"),
         qe4.as("qe4"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("qe4")).as("sum_qe4"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qe4")).as("sum_qe4")))
+  }
+
+  /** The jackknife tail over prepared per-bucket integer sums
+    * `(bucket, n_docs, sum_qe4)` — shared by the direct scan (q144)
+    * and the moments-snapshot derivation (q152). */
+  private[operators] def jackknifeFromGroups(grouped: DataFrame): DataFrame = {
     val tot = grouped.agg(sum(col("n_docs")).as("n_total"),
       sum(col("sum_qe4")).as("s_total"))
     val loo = grouped.crossJoin(broadcast(tot))
@@ -327,22 +333,9 @@ object Audit {
   /** q144: jackknife standard error of mean document quality (q16's
     * composite) — all 32 group rows plus the shared point estimate and
     * SE, every value an exact integer. */
-  def q144Jackknife(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions._
-    val m = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      alphaRatio(col("text")).as("alpha_raw"),
-      punctRatio(col("text")).as("punct_raw"),
-      stopwordRatio(col("text")).as("stop_raw"))
-      .select(col("doc_id"),
-        round(
-          lit(0.25) * col("alpha_raw") +
-          lit(0.25) * col("stop_raw") +
-          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-          lit(0.25) * (lit(1.0) - col("punct_raw")), 4).as("quality"))
-    jackknifeQuality(m, "doc_id", "quality")
-  }
+  def q144Jackknife(spark: SparkSession, dir: String): DataFrame =
+    jackknifeQuality(TrainingData.scoredDocs(spark, dir),
+      "doc_id", "quality")
 
   val q144JackknifeSql: String = {
     val stops = graft.functions.TextFunctions.stopwords
@@ -373,4 +366,112 @@ object Audit {
        |  round(sqrt(ss::DOUBLE * ${JkBuckets - 1} / $JkBuckets))::BIGINT AS jk_se_micro
        |FROM loo, sp ORDER BY bucket""".stripMargin
   }
+
+  /** INCREMENTAL MOMENT STATE — one additive snapshot serving every
+    * downstream statistic: per (stratum, jackknife-bucket) the integer
+    * (n, Σx, Σx²) triple, folded per batch with the q110 batchId
+    * ledger. The point is that FIRST and SECOND moments are the whole
+    * interface both q144 (uncertainty) and q147 (allocation) consume —
+    * so one \|strata\|·32-row state keeps the corpus report AND the
+    * annotation budget current without ever re-scanning history:
+    * jackknife sums the strata out (per-bucket marginals), Neyman sums
+    * the buckets out (per-stratum marginals), and both marginalizations
+    * are exact because integer addition is associative — the additive
+    * twin of the monotone-mergeable states' free lunch. Per-batch cost
+    * is the batch's own scan into a map-side-partial groupBy. */
+  def momentsIngest(spark: SparkSession, path: String, batch: DataFrame,
+                    idCol: String, strataCol: String, metricE4: Column,
+                    batchId: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(root, "_batches")
+    val state = new Path(root, "state")
+    val seen = fs.exists(ledger) &&
+      spark.read.parquet(ledger.toString)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) return false
+    val bs = batch
+      .select(col(strataCol).as("stratum"),
+        TrainingData.hashBucket(col(idCol), JkSeed)
+          .mod(JkBuckets.toLong).as("bucket"),
+        metricE4.as("x"))
+      .groupBy(col("stratum"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val merged =
+      if (fs.exists(state))
+        spark.read.parquet(state.toString).unionByName(bs)
+          .groupBy(col("stratum"), col("bucket"))
+          .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+            sum(col("s2")).as("s2"))
+      else bs
+    val tmp = new Path(path + ".__mom_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__mom_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(ledger.toString)
+    true
+  }
+
+  /** The q152/q153 shared harness: fold the scored corpus into a
+    * moments snapshot under the day-split + whole-batch-replay
+    * schedule (q131's — additive state, hence the ledger), then hand
+    * the snapshot to `derive`. */
+  private def withMomentsSnapshot(spark: SparkSession, dir: String)
+                                 (derive: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mom_")
+    try {
+      val path = s"$base/moments"
+      val m = TrainingData.scoredDocs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") * 10000).cast("long").as("qe4"))
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      require(momentsIngest(spark, path, m.filter(col("doc_id") <= cut),
+        "doc_id", "lang", col("qe4"), "day1"))
+      require(momentsIngest(spark, path, m.filter(col("doc_id") > cut),
+        "doc_id", "lang", col("qe4"), "day2"))
+      require(!momentsIngest(spark, path, m.filter(col("doc_id") > cut),
+        "doc_id", "lang", col("qe4"), "day2"),
+        "replayed batch must be a ledger no-op")
+      derive(spark.read.parquet(s"$path/state"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** q152: the jackknife report derived from the moments SNAPSHOT —
+    * strata marginalized out into per-bucket sums, then q144's exact
+    * tail; oracle IS q144's, verbatim. */
+  def q152JkIngest(spark: SparkSession, dir: String): DataFrame =
+    withMomentsSnapshot(spark, dir) { st =>
+      jackknifeFromGroups(st.groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n_docs"), sum(col("s1")).as("sum_qe4")))
+    }
+
+  /** q153: the Neyman annotation draw whose ALLOCATION comes from the
+    * moments snapshot (buckets marginalized out into per-stratum
+    * moments) while the draw itself re-scans the corpus — q131's
+    * model-state/selection split; oracle IS q147's, verbatim. */
+  def q153NeymanIngest(spark: SparkSession, dir: String): DataFrame =
+    withMomentsSnapshot(spark, dir) { st =>
+      val g = st.groupBy(col("stratum"))
+        .agg(sum(col("n")).as("nh"), sum(col("s1")).as("s1"),
+          sum(col("s2")).as("s2"))
+      val m = TrainingData.scoredDocs(spark, dir)
+        .select(col("doc_id").as("id"), col("lang").as("stratum"))
+      TrainingData.neymanDraw(m,
+          TrainingData.neymanAllocFromMoments(g, TrainingData.NeyBudget),
+          TrainingData.NeySeed)
+        .select(col("stratum").as("lang"), col("nh"), col("k_alloc"),
+          col("rank"), col("id").as("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }
 }

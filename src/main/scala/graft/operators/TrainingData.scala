@@ -2212,7 +2212,7 @@ object TrainingData {
 
   /** The scored (doc_id, lang, quality, n_tokens) frame q134/q141/q151
     * all select from — one definition of the dims across the family. */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
@@ -2392,8 +2392,8 @@ object TrainingData {
   }
 
   // q147 parameters: total draw budget, hash seed.
-  private val NeyBudget = 60
-  private val NeySeed = "neyman"
+  private[operators] val NeyBudget = 60
+  private[operators] val NeySeed = "neyman"
 
   /** NEYMAN-OPTIMAL STRATIFIED ALLOCATION (Neyman 1934; Cochran,
     * Sampling Techniques §5.5) — split a fixed eval/annotation budget
@@ -2416,14 +2416,13 @@ object TrainingData {
     * Scale: one corpus scan into a \|strata\|-row map-side-partial
     * groupBy; the allocation runs on that tiny frame (window + 1-row
     * totals, broadcast); the draw is q66's per-stratum rank window. */
-  def neymanAllocate(docs: DataFrame, idCol: String, strataCol: String,
-                     metricE4: Column, budget: Int, seed: String): DataFrame = {
+  /** The allocation math over prepared per-stratum integer moments
+    * `(stratum, nh, s1, s2)` — shared by the direct scan (q147) and
+    * the moments-snapshot derivation (q153). Returns
+    * (stratum, nh, k_alloc). */
+  private[operators] def neymanAllocFromMoments(g: DataFrame,
+                                                budget: Int): DataFrame = {
     require(budget >= 1, s"budget=$budget")
-    val m = docs.select(col(idCol).as("id"),
-      col(strataCol).as("stratum"), metricE4.as("x"))
-    val g = m.groupBy(col("stratum"))
-      .agg(count(lit(1)).as("nh"), sum(col("x")).as("s1"),
-        sum(col("x") * col("x")).as("s2"))
     val w = g.withColumn("wh",
       sqrt((col("nh") * col("s2") - col("s1") * col("s1")).cast("double")))
     val tot = w.agg(sum(col("wh")).as("wt"))
@@ -2432,14 +2431,19 @@ object TrainingData {
       .withColumn("base", floor(col("exact")).cast("long"))
       .withColumn("frac", col("exact") - floor(col("exact")))
     val rem = q.agg((lit(budget.toLong) - sum(col("base"))).as("rem"))
-    val alloc = q
-      .withColumn("fr", row_number().over(
+    q.withColumn("fr", row_number().over(
         Window.orderBy(col("frac").desc, col("stratum"))).cast("long"))
       .crossJoin(broadcast(rem))
       .withColumn("k_alloc",
         least(col("nh"),
           col("base") + when(col("fr") <= col("rem"), 1L).otherwise(0L)))
       .select(col("stratum"), col("nh"), col("k_alloc"))
+  }
+
+  /** The exact-k_h draw against a computed allocation — q66's uniform
+    * hash rank gated by the broadcast alloc table. */
+  private[operators] def neymanDraw(m: DataFrame, alloc: DataFrame,
+                                    seed: String): DataFrame = {
     val draw = m
       .withColumn("bucket", hashBucket(col("id"), seed))
       .withColumn("rank", row_number().over(
@@ -2449,6 +2453,16 @@ object TrainingData {
       .filter(col("rank") <= col("k_alloc"))
       .select(col("stratum"), col("nh"), col("k_alloc"), col("rank"),
         col("id"))
+  }
+
+  def neymanAllocate(docs: DataFrame, idCol: String, strataCol: String,
+                     metricE4: Column, budget: Int, seed: String): DataFrame = {
+    val m = docs.select(col(idCol).as("id"),
+      col(strataCol).as("stratum"), metricE4.as("x"))
+    val g = m.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    neymanDraw(m, neymanAllocFromMoments(g, budget), seed)
   }
 
   /** q147: the [[NeyBudget]]-doc annotation draw over documents,

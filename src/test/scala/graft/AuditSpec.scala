@@ -144,4 +144,42 @@ class AuditSpec extends SparkSpec {
     // 2000 draws has SD ~ 0.29/sqrt(2000) ~ 0.0065 quality ~ 6.5e7 here
     assert(se > 1000000L && se < 200000000L, s"se=$se micro-qe4 units")
   }
+
+  test("moments state: additive across any split, marginals serve both consumers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9)
+    val pool = (1L to 500L).map(i =>
+      (i, s"g${i % 3}", rnd.nextInt(10000).toLong)).toDF("id", "g", "x")
+    def readState(path: String): Set[(String, Long, Long, Long, Long)] =
+      spark.read.parquet(s"$path/state")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val base = java.nio.file.Files.createTempDirectory("graft_mom_spec_")
+    try {
+      // whole pool in one batch vs three uneven batches: identical state
+      val p1 = s"$base/one"; val p2 = s"$base/three"
+      assert(operators.Audit.momentsIngest(spark, p1, pool, "id", "g", col("x"), "b0"))
+      Seq(pool.filter(col("id") <= 100), pool.filter(col("id") > 100 && col("id") <= 150),
+          pool.filter(col("id") > 150)).zipWithIndex.foreach { case (b, i) =>
+        assert(operators.Audit.momentsIngest(spark, p2, b, "id", "g", col("x"), s"b$i"))
+      }
+      assert(operators.Audit.momentsIngest(spark, p2,
+        pool.filter(col("id") > 150), "id", "g", col("x"), "b2") == false,
+        "replayed batchId must be a ledger no-op")
+      val s1 = readState(p1); val s2 = readState(p2)
+      assert(s1 == s2, "integer moment sums are split-invariant")
+      // marginals: summing buckets out reproduces exact per-stratum moments
+      val perG = s1.groupBy(_._1).map { case (g, rs) =>
+        val sq = rs.toSeq // Set.map would collapse duplicate n values
+        g -> (sq.map(_._3).sum, sq.map(_._4).sum, sq.map(_._5).sum) }
+      val direct = pool.groupBy(col("g"))
+        .agg(count(lit(1)), sum(col("x")), sum(col("x") * col("x")))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(perG == direct)
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
 }
