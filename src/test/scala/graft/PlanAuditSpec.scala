@@ -662,4 +662,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
       s"InjectRuntimeFilter must add a bloom probe to the fact-side scan:\n$p")
   }
+
+  test("neyman: one corpus aggregate + broadcast allocation; draw windows by stratum (q147)") {
+    val p = plan(operators.TrainingData.q147Neyman(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the strata-row allocation table must broadcast onto the draw:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"1-row totals attach via broadcast, never cartesian:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"per-stratum moments must combine map-side:\n$p")
+  }
+
+  test("sequence mining rides ONE user-keyed exchange into the gram aggregate (q140)") {
+    val p = plan(operators.StreamingQueries.q140SeqMining(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the session build must reuse the q91 user partitioning: exactly one
+    // user-keyed exchange, then the gram-keyed aggregate exchange
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userEx == 1, s"sessionization must shuffle on user_id exactly once:\n$p")
+  }
 }
