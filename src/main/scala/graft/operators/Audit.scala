@@ -382,15 +382,8 @@ object Audit {
   def momentsIngest(spark: SparkSession, path: String, batch: DataFrame,
                     idCol: String, strataCol: String, metricE4: Column,
                     batchId: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = new Path(root, "_batches")
-    val state = new Path(root, "state")
-    val seen = fs.exists(ledger) &&
-      spark.read.parquet(ledger.toString)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (seen) return false
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
     val bs = batch
       .select(col(strataCol).as("stratum"),
         TrainingData.hashBucket(col(idCol), JkSeed)
@@ -399,23 +392,16 @@ object Audit {
       .groupBy(col("stratum"), col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"))
-    val merged =
-      if (fs.exists(state))
-        spark.read.parquet(state.toString).unionByName(bs)
-          .groupBy(col("stratum"), col("bucket"))
-          .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
-            sum(col("s2")).as("s2"))
-      else bs
-    val tmp = new Path(path + ".__mom_tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__mom_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(ledger.toString)
+    val merged = LedgeredState.readPart(spark, path, "moments") match {
+      case Some(st) => st.unionByName(bs)
+        .groupBy(col("stratum"), col("bucket"))
+        .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+          sum(col("s2")).as("s2"))
+      case None => bs
+    }
+    // moments + ledger in ONE atomic commit — no window where the fold
+    // is applied but unrecorded (a replay would double-count)
+    LedgeredState.commit(spark, path, batchId, Seq("moments" -> merged))
     true
   }
 
@@ -439,7 +425,7 @@ object Audit {
       require(!momentsIngest(spark, path, m.filter(col("doc_id") > cut),
         "doc_id", "lang", col("qe4"), "day2"),
         "replayed batch must be a ledger no-op")
-      derive(spark.read.parquet(s"$path/state"))
+      derive(spark.read.parquet(s"$path/state/moments"))
         .localCheckpoint(true) // materialize before the state dir dies
     } finally {
       val p = new org.apache.hadoop.fs.Path(base.toString)

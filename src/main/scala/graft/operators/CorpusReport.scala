@@ -138,42 +138,28 @@ object CorpusReport {
     * is a no-op. At 100 TB the per-batch cost is the batch's own
     * aggregation plus a merge over |strata| rows — the snapshot never
     * re-scans the corpus, which is the entire point of keeping report
-    * state. Swap is the sinks' two-rename rollback. */
+    * state. State and ledger publish in ONE
+    * [[graft.sinks.LedgeredState]] commit, so a crash can never leave
+    * the fold applied but unrecorded (the replay-double-count window). */
   def reportIngest(spark: SparkSession, path: String, batch: DataFrame,
                    batchId: String, textCol: String,
                    strata: Seq[String]): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = new Path(root, "_batches")
-    val state = new Path(root, "state")
-    val seen = fs.exists(ledger) &&
-      spark.read.parquet(ledger.toString)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (seen) return false
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
     val bs = batchState(batch, textCol, strata)
-    val merged =
-      if (fs.exists(state))
-        spark.read.parquet(state.toString).unionByName(bs)
-          .groupBy(strata.map(col): _*)
-          .agg(
-            sum(col("n_docs")).as("n_docs"),
-            sum(col("total_tokens")).as("total_tokens"),
-            min(col("min_tokens")).as("min_tokens"),
-            max(col("max_tokens")).as("max_tokens"),
-            sum(col("quality_fp")).as("quality_fp"),
-            sum(col("n_short")).as("n_short"))
-      else bs
-    val tmp = new Path(path + ".__report_tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__report_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(ledger.toString)
+    val merged = LedgeredState.readPart(spark, path, "report") match {
+      case Some(st) => st.unionByName(bs)
+        .groupBy(strata.map(col): _*)
+        .agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"),
+          min(col("min_tokens")).as("min_tokens"),
+          max(col("max_tokens")).as("max_tokens"),
+          sum(col("quality_fp")).as("quality_fp"),
+          sum(col("n_short")).as("n_short"))
+      case None => bs
+    }
+    LedgeredState.commit(spark, path, batchId, Seq("report" -> merged))
     true
   }
 
@@ -261,7 +247,7 @@ object CorpusReport {
       // whole-batch replay: at-least-once upstream delivers day2 again
       require(!reportIngest(spark, path, day2, "day2", "text", Seq("lang", "source")),
         "replayed batch must be a ledger no-op")
-      spark.read.parquet(s"$path/state")
+      spark.read.parquet(s"$path/state/report")
         .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
           col("min_tokens"), col("max_tokens"),
           (expr("(2 * quality_fp + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
@@ -327,7 +313,7 @@ object CorpusReport {
         s"$base/ckpt", Seq("lang", "source"), trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      spark.read.parquet(s"$statePath/state")
+      spark.read.parquet(s"$statePath/state/report")
         .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
           col("min_tokens"), col("max_tokens"),
           (expr("(2 * quality_fp + n_docs) div (2 * n_docs)").cast("double") / 10000.0)

@@ -113,25 +113,22 @@ object Graph {
     *
     * Scale: per-batch cost is the batch's own window sort plus a
     * frontier join keyed on user — state touched is |users| + |distinct
-    * edges| rows, never the event history; both parts swap atomically
-    * per part. Ranks are then derived from the snapshot on demand
-    * ([[pageRank]]) — the model-state/selection split q131 uses. */
+    * edges| rows, never the event history; edges, frontier, AND the
+    * batch ledger publish in ONE [[graft.sinks.LedgeredState]] commit,
+    * so a crash can never leave the batch half-applied (edges swapped
+    * but frontier/ledger not — the window where a replay would
+    * double-count rows above the stale frontier). Ranks are then
+    * derived from the snapshot on demand ([[pageRank]]) — the
+    * model-state/selection split q131 uses. */
   def graphIngest(spark: SparkSession, path: String, batch: DataFrame,
                   batchId: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = new Path(root, "_batches")
-    val edgesP = new Path(root, "edges")
-    val frontP = new Path(root, "frontier")
-    val seen = fs.exists(ledger) &&
-      spark.read.parquet(ledger.toString)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (seen) return false
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
     val pages = batch.select(col("user_id"), col("ts"), col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("page"))
-    val hasState = fs.exists(frontP)
-    val front = if (hasState) spark.read.parquet(frontP.toString) else null
+    val frontOpt = LedgeredState.readPart(spark, path, "frontier")
+    val hasState = frontOpt.isDefined
+    val front = frontOpt.orNull
     // per-user watermark: drop rows at or before the stored frontier
     // (partial re-deliveries), then prepend the frontier row itself so
     // the lag window emits the boundary transition
@@ -157,35 +154,22 @@ object Graph {
         .groupBy(col("src"), col("page").as("dst"))
         .agg(count(lit(1)).as("wt"))
     }
-    val mergedEdges =
-      if (fs.exists(edgesP))
-        spark.read.parquet(edgesP.toString).unionByName(batchEdges)
-          .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
-      else batchEdges
+    val mergedEdges = LedgeredState.readPart(spark, path, "edges") match {
+      case Some(st) => st.unionByName(batchEdges)
+        .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
+      case None => batchEdges
+    }
     val newFront = combined
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("ts"), col("event_id"), col("page")),
         struct(col("ts"), col("event_id"))).as("m"))
       .select(col("user_id"), col("m.ts").as("ts"),
         col("m.event_id").as("event_id"), col("m.page").as("page"))
-    def swap(df: DataFrame, target: Path, tag: String): Unit = {
-      val tmp = new Path(s"$path.__${tag}_tmp")
-      fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      val bak = new Path(s"$path.__${tag}_bak")
-      fs.delete(bak, true)
-      fs.mkdirs(root)
-      graft.sinks.MergeSink.atomicSwap(fs, tmp, target, bak)
-    }
-    // newFront reads the pre-swap frontier lazily — materialize both
-    // BEFORE either swap so neither plan re-reads a replaced dir
-    val me = mergedEdges.localCheckpoint(true)
-    val nf = newFront.localCheckpoint(true)
-    swap(me, edgesP, "edges")
-    swap(nf, frontP, "frontier")
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(ledger.toString)
+    // both parts read the pre-commit state lazily; commit materializes
+    // them into the temp dir BEFORE the single swap, so neither plan
+    // ever re-reads a replaced directory
+    LedgeredState.commit(spark, path, batchId,
+      Seq("edges" -> mergedEdges, "frontier" -> newFront))
     true
   }
 
@@ -208,7 +192,7 @@ object Graph {
       require(graphIngest(spark, path, d2, "day2"))
       require(!graphIngest(spark, path, d2, "day2"),
         "replayed batch must be a ledger no-op")
-      pageRank(spark.read.parquet(s"$path/edges"), PrRounds)
+      pageRank(spark.read.parquet(s"$path/state/edges"), PrRounds)
         .orderBy(col("pr_micro").desc, col("page"))
         .localCheckpoint(true) // materialize before the state dir dies
     } finally {
@@ -253,7 +237,7 @@ object Graph {
         s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      pageRank(spark.read.parquet(s"$statePath/edges"), PrRounds)
+      pageRank(spark.read.parquet(s"$statePath/state/edges"), PrRounds)
         .orderBy(col("pr_micro").desc, col("page"))
         .localCheckpoint(true) // materialize before the state dir dies
     } finally {

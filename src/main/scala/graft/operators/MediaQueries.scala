@@ -296,7 +296,8 @@ object MediaQueries {
 
   /** The media gram-simhash pipeline as reusable CTEs ending in
     * `mpairs(id1, id2, hamming)` over the signature relation `msig` —
-    * shared by the q98 oracle and (recursively closed) the q103 ingest
+    * shared by the q98 oracle and (closed via [[OracleSql.closureCtes]])
+    * the q103 ingest
     * oracle, the simhashPairsCtes precedent for the media family. */
   private def mediaGramPairsCtes: String = {
     def bitTerms(hs: String): String = (0 until 32).map { j =>
@@ -318,14 +319,14 @@ object MediaQueries {
        |  list_apply(grams, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
        |  list_apply(grams, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
        |  FROM mg),
-       |msig AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM mhh),
-       |mch AS (SELECT id, sh_lo, sh_hi, c.chunk,
+       |msig AS MATERIALIZED (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM mhh),
+       |mch AS MATERIALIZED (SELECT id, sh_lo, sh_hi, c.chunk,
        |  CASE WHEN c.chunk = 0 THEN sh_lo & 65535
        |       WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
        |       WHEN c.chunk = 2 THEN sh_hi & 65535
        |       ELSE (sh_hi >> 16) & 65535 END AS cval
        |  FROM msig, range(4) c(chunk)),
-       |mpairs AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |mpairs AS MATERIALIZED (SELECT DISTINCT a.id AS id1, b.id AS id2,
        |  (bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)))::BIGINT AS hamming
        |  FROM mch a JOIN mch b ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id
        |  WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3)""".stripMargin
@@ -391,14 +392,9 @@ object MediaQueries {
   }
 
   val q103MediaIngestSql: String =
-    s"""WITH RECURSIVE $mediaGramPairsCtes,
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM mpairs
-       |          UNION SELECT id2, id1 FROM mpairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT s.id AS media_id, coalesce(min(r.comp), s.id)::BIGINT AS survivor_id
-       |FROM msig s LEFT JOIN reach r ON r.id = s.id
-       |GROUP BY s.id ORDER BY media_id""".stripMargin
+    s"""WITH $mediaGramPairsCtes,
+       |${OracleSql.closureCtes("mpairs")}
+       |SELECT s.id AS media_id, coalesce(c.comp, s.id)::BIGINT AS survivor_id
+       |FROM msig s LEFT JOIN clus c ON c.id = s.id
+       |ORDER BY media_id""".stripMargin
 }

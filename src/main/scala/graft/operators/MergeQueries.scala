@@ -471,16 +471,11 @@ object MergeQueries {
   }
 
   val q68IncrNeardupSql: String =
-    s"""WITH RECURSIVE ${TextQueries.simhashPairsCtes()},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-       |          UNION SELECT id2, id1 FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT s.id AS doc_id, coalesce(min(r.comp), s.id)::BIGINT AS survivor_id
-       |FROM sp_sig s LEFT JOIN reach r ON r.id = s.id
-       |GROUP BY s.id ORDER BY doc_id""".stripMargin
+    s"""WITH ${TextQueries.simhashPairsCtes()},
+       |${OracleSql.closureCtes("pairs")}
+       |SELECT s.id AS doc_id, coalesce(c.comp, s.id)::BIGINT AS survivor_id
+       |FROM sp_sig s LEFT JOIN clus c ON c.id = s.id
+       |ORDER BY doc_id""".stripMargin
 
   /** INCREMENTAL ENTITY RESOLUTION against a persistent registry —
     * [[neardupIngest]]'s induction applied to the fuzzy-KEY family
@@ -634,21 +629,16 @@ object MergeQueries {
   def q129StreamEntitySql: String = q127EntityIngestSql
 
   val q127EntityIngestSql: String =
-    """WITH RECURSIVE p AS (
+    s"""WITH p AS MATERIALIZED (
       |  SELECT a.s_suppkey AS id1, b.s_suppkey AS id2
       |  FROM supplier a, supplier b
       |  WHERE a.s_suppkey < b.s_suppkey
       |    AND levenshtein(a.s_name, b.s_name) <= 1),
-      |edges AS (SELECT id1 AS src, id2 AS dst FROM p
-      |          UNION SELECT id2, id1 FROM p),
-      |reach(id, comp) AS (
-      |  SELECT DISTINCT src, src FROM edges
-      |  UNION
-      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      |${OracleSql.closureCtes("p")}
       |SELECT s.s_suppkey AS key_id, s.s_name AS name,
-      |  coalesce(min(r.comp), s.s_suppkey)::BIGINT AS entity_id
-      |FROM supplier s LEFT JOIN reach r ON r.id = s.s_suppkey
-      |GROUP BY s.s_suppkey, s.s_name ORDER BY key_id""".stripMargin
+      |  coalesce(c.comp, s.s_suppkey)::BIGINT AS entity_id
+      |FROM supplier s LEFT JOIN clus c ON c.id = s.s_suppkey
+      |ORDER BY key_id""".stripMargin
 
   /** q80: small-file COMPACTION of an ingest-fragmented snapshot
     * ([[graft.sinks.Compaction.compactPartitioned]]). The gate builds
@@ -755,4 +745,72 @@ object MergeQueries {
       |            WHEN v2.h IS NULL THEN 'removed'
       |            WHEN v1.h != v2.h THEN 'changed' END) IS NOT NULL
       |ORDER BY doc_id""".stripMargin
+
+  /** q154: MERGE-SINK SCHEMA EVOLUTION across all four physical layouts
+    * — the nightly-ingest property a growing corpus eventually needs
+    * (every real corpus adds a column): day 1 merges (lang, n_chars);
+    * day 2's updates carry a NEW `flag` column for every third document.
+    * The snapshot must evolve in place — touched rows carry the value,
+    * day-1 rows read null — in the full-rewrite directory, the
+    * hash-partitioned directory (via parquet mergeSchema over mixed
+    * footers; untouched buckets are NOT rewritten — pinned in
+    * MergeSinkSpec), the bucketed catalog table, and the composed
+    * partitioned+bucketed table (via ALTER TABLE ADD COLUMNS; the
+    * catalog schema reads null from pre-evolution files). The reference
+    * hard-codes one fixed schema end to end (src/cli/generate_data.py:
+    * 27-34, src/func/parquet.py:18-50) — Mongo would have absorbed the
+    * new field silently; this gate proves the relational snapshot does
+    * too, with identical rows from every layout. */
+  def q154SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .localCheckpoint(true) // feeds 8 merges across 4 layouts
+    val day2 = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("flag", col("doc_id") % 7)
+    val f1 = Seq("lang", "n_chars")
+    val f2 = Seq("lang", "n_chars", "flag")
+    val outCols = Seq(col("doc_id"), col("lang"), col("n_chars"), col("flag"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q154_")
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tblB = "graft_q154_bucketed"
+    val tblPB = "graft_q154_pd_bucketed"
+    try {
+      val full = s"$base/full"
+      MergeSink.mergeInto(spark, full, docs, "doc_id", f1)
+      MergeSink.mergeInto(spark, full, day2, "doc_id", f2)
+      val part = s"$base/part"
+      MergeSink.mergeIntoPartitioned(spark, part, docs, "doc_id", f1, nBuckets = 8)
+      MergeSink.mergeIntoPartitioned(spark, part, day2, "doc_id", f2, nBuckets = 8)
+      MergeSink.mergeIntoBucketed(spark, tblB, docs, "doc_id", f1, nBuckets = 4)
+      MergeSink.mergeIntoBucketed(spark, tblB, day2, "doc_id", f2, nBuckets = 4)
+      MergeSink.mergeIntoPartitionedBucketed(spark, tblPB, docs, "doc_id", f1,
+        nParts = 4, nBuckets = 2)
+      MergeSink.mergeIntoPartitionedBucketed(spark, tblPB, day2, "doc_id", f2,
+        nParts = 4, nBuckets = 2)
+      Seq(
+        "full" -> spark.read.parquet(full),
+        // mixed footers after an in-place evolution: union-schema read
+        "partitioned" -> spark.read.option("mergeSchema", "true").parquet(part),
+        "bucketed" -> spark.table(tblB),
+        "partitioned_bucketed" -> spark.table(tblPB))
+        .map { case (name, df) => df.select(lit(name).as("layout") +: outCols: _*) }
+        .reduce(_ unionByName _)
+        .orderBy(col("layout"), col("doc_id"))
+        .localCheckpoint(true) // materialize before tables/dirs drop
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tblB")
+      spark.sql(s"DROP TABLE IF EXISTS $tblPB")
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  val q154SchemaEvolutionSql: String =
+    """WITH l(layout) AS (VALUES ('bucketed'), ('full'), ('partitioned'),
+      |                          ('partitioned_bucketed'))
+      |SELECT l.layout, d.doc_id, d.lang, d.n_chars,
+      |  (CASE WHEN d.doc_id % 3 = 0 THEN d.doc_id % 7 END)::BIGINT AS flag
+      |FROM l, documents d
+      |ORDER BY layout, doc_id""".stripMargin
 }

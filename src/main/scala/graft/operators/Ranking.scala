@@ -471,32 +471,18 @@ object Ranking {
   def dsirIngest(spark: SparkSession, path: String, batch: DataFrame,
                  batchId: String, textCol: String, isTarget: Column,
                  buckets: Int, seed: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = new Path(root, "_batches")
-    val state = new Path(root, "state")
-    val seen = fs.exists(ledger) &&
-      spark.read.parquet(ledger.toString)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (seen) return false
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
     val bs = dsirBucketCounts(batch, textCol, isTarget, buckets, seed)
-    val merged =
-      if (fs.exists(state))
-        spark.read.parquet(state.toString).unionByName(bs)
-          .groupBy(col("bk"))
-          .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
-      else bs
-    val tmp = new Path(path + ".__dsir_tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__dsir_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(ledger.toString)
+    val merged = LedgeredState.readPart(spark, path, "counts") match {
+      case Some(st) => st.unionByName(bs)
+        .groupBy(col("bk"))
+        .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+      case None => bs
+    }
+    // counts + ledger in ONE atomic commit — no window where the fold
+    // is applied but unrecorded (a replay would double-count)
+    LedgeredState.commit(spark, path, batchId, Seq("counts" -> merged))
     true
   }
 
@@ -540,7 +526,7 @@ object Ranking {
       require(!dsirIngest(spark, path, docs.filter(col("doc_id") > cut),
         "day2", "text", isT, DsirBuckets, DsirSeed),
         "replayed batch must be a ledger no-op")
-      dsirTop(dsirScoresFromCounts(docs, spark.read.parquet(s"$path/state"),
+      dsirTop(dsirScoresFromCounts(docs, spark.read.parquet(s"$path/state/counts"),
           "doc_id", "text", isT, DsirBuckets, DsirSeed,
           carryCols = Seq("lang", "source")))
         .localCheckpoint(true) // materialize before the state dir dies

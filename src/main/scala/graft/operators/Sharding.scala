@@ -97,19 +97,41 @@ object Sharding {
   private[operators] val ZBits = 8
   private[operators] val ZFiles = 8
 
-  /** Morton (Z-order) key: interleave the low `bits` bits of two
-    * bucketed dimensions — a's bit i lands at position 2i, b's at 2i+1.
-    * Pure integer shifts/masks, bit-identical in any engine. */
-  def zOrderKey(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+  /** General N-dimensional Morton (Z-order) key: interleave the low
+    * `bits` bits of each bucketed dimension — dimension d's bit i lands
+    * at position i·D + d, so all D dimensions advance together through
+    * the key and every dimension's range predicate maps to contiguous-
+    * ish z ranges (the data-skipping property). Pure integer
+    * shifts/masks, bit-identical in any engine. Real layout tuning
+    * wants 3-4 dims (lang × source × length × quality — q155); 2-D
+    * ([[zOrderKey]]) is the q138 special case. Key width is D·bits —
+    * keep it ≤ 62. */
+  def zOrderKeyN(dims: Seq[Column], bits: Int): Column = {
+    val d = dims.size
+    require(d >= 2 && d * bits <= 62, s"dims=$d bits=$bits")
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * d + j)
+      }
     }.reduce(_ + _)
+  }
+
+  private[operators] def zOrderKeyNSql(dims: Seq[String], bits: Int): String = {
+    val d = dims.size
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, j) =>
+        s"((($c >> $i) & 1) << ${i * d + j})"
+      }
+    }.mkString(" + ")
+  }
+
+  /** Morton (Z-order) key over two dimensions — a's bit i lands at
+    * position 2i, b's at 2i+1: [[zOrderKeyN]] with D = 2. */
+  def zOrderKey(a: Column, b: Column, bits: Int): Column =
+    zOrderKeyN(Seq(a, b), bits)
 
   private def zOrderKeySql(a: String, b: String, bits: Int): String =
-    (0 until bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
-    }.mkString(" + ")
+    zOrderKeyNSql(Seq(a, b), bits)
 
   /** Z-ORDER LAYOUT CLUSTERING — the lakehouse data-skipping layout: a
     * single sort key that keeps BOTH dimensions locally clustered, so
@@ -195,6 +217,92 @@ object Sharding {
        |FROM m)
        |SELECT doc_id, qb, lb, zkey,
        |  zkey * $ZFiles // ${1 << (2 * ZBits)} AS file_id
+       |FROM z ORDER BY file_id, zkey, doc_id""".stripMargin
+  }
+
+  // q155 parameters: 4 dimensions × 5 bits each (20-bit key), 16 files —
+  // nFiles must be >= 2^D for the equal-width z cut to split on every
+  // dimension's top bit (with fewer files only the later-interleaved
+  // dims reach the cut, and the earlier dims never prune).
+  private[operators] val Z4Bits = 5
+  private[operators] val Z4Files = 16
+
+  /** q155: N-DIMENSIONAL layout clustering — [[zOrderKeyN]] over the
+    * FOUR dimensions a real corpus layout tunes on (lang × source ×
+    * length × quality), q138's physical-path gate generalized: written
+    * `partitionBy(file_id)` sorted by zkey, reopened via partition
+    * discovery, every row exact. All four buckets are integer-exact
+    * derivations (the q138 discipline): quality·32 floored on the
+    * 4-dp-rounded score, n_chars div 512, the source's numeric suffix,
+    * and a two-char code-point fold of lang (·2 on the first char so no
+    * two fixture languages collide — en/es and fr/es tie on plain
+    * sums). The 4-D pruning property (every dimension's box predicate
+    * prunes files; a 1-D sort only ever helps its own column) is pinned
+    * in ShardingSpec. */
+  def q155ZOrder4D(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q155_")
+    try {
+      import graft.functions.TextFunctions._
+      val m = Tables.documents(spark, dir).select(
+        col("doc_id"), col("n_chars"), col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        alphaRatio(col("text")).as("alpha_raw"),
+        punctRatio(col("text")).as("punct_raw"),
+        stopwordRatio(col("text")).as("stop_raw"))
+        .select(col("doc_id"),
+          (ascii(substring(col("lang"), 1, 1)) * 2 +
+            ascii(substring(col("lang"), 2, 1))).mod(32).cast("long").as("gb"),
+          substring(col("source"), 4, 10).cast("long").mod(32).as("sb"),
+          least(lit(31L), expr("n_chars div 512")).as("lb"),
+          least(lit(31L), floor(round(
+            lit(0.25) * col("alpha_raw") +
+            lit(0.25) * col("stop_raw") +
+            lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+            lit(0.25) * (lit(1.0) - col("punct_raw")), 4) * 32).cast("long"))
+            .as("qb"))
+      val dims = Seq(col("gb"), col("sb"), col("lb"), col("qb"))
+      val laid = m.withColumn("zkey", zOrderKeyN(dims, Z4Bits))
+        .withColumn("file_id",
+          expr(s"zkey * $Z4Files div ${1L << (4 * Z4Bits)}"))
+      laid.repartition(Z4Files, col("file_id"))
+        .sortWithinPartitions(col("file_id"), col("zkey"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("file_id")
+        .parquet(s"$base/zorder4")
+      spark.read.parquet(s"$base/zorder4")
+        .select(col("doc_id"), col("gb"), col("sb"), col("lb"), col("qb"),
+          col("zkey"), col("file_id").cast("long").as("file_id"))
+        .orderBy(col("file_id"), col("zkey"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q155ZOrder4DSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, n_chars, lang, source, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, n_chars, lang, source,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id,
+       |  ((ascii(substring(lang, 1, 1)) * 2 + ascii(substring(lang, 2, 1))) % 32)::BIGINT AS gb,
+       |  (substring(source, 4)::BIGINT % 32)::BIGINT AS sb,
+       |  least(31, n_chars // 512)::BIGINT AS lb,
+       |  least(31, floor(round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) * 32))::BIGINT AS qb
+       |FROM r),
+       |z AS (SELECT doc_id, gb, sb, lb, qb,
+       |  (${zOrderKeyNSql(Seq("gb", "sb", "lb", "qb"), Z4Bits)})::BIGINT AS zkey
+       |FROM m)
+       |SELECT doc_id, gb, sb, lb, qb, zkey,
+       |  zkey * $Z4Files // ${1L << (4 * Z4Bits)} AS file_id
        |FROM z ORDER BY file_id, zkey, doc_id""".stripMargin
   }
 }

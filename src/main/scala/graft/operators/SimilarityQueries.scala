@@ -142,30 +142,45 @@ object SimilarityQueries {
     * splice these next to the simhash CTEs' unprefixed `pairs`. */
   private[operators] def srpPairsCtes(src: String = "embeddings",
                                       prefix: String = ""): String = {
-    def planeLit(p: Array[Double]): String =
-      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    // Explicit left-associated term chains, NOT list_apply lambdas: the
+    // lambda form re-constructed the 64-element plane literal per list
+    // element (quadratic — measured 20.9 s for the 500-row fixture's
+    // `bits` CTE alone), where the unrolled chain is one vectorized
+    // expression. Addition order (i = 1..Dim, left to right) is the
+    // lambda form's exact order, so every double — and therefore every
+    // sign bit and every round(cos, 4) — is bit-identical (verified
+    // value-equal against the lambda formulation on the sf0.001/sf0.01
+    // fixtures before the swap).
     val bitEntries = Planes.map { p =>
-      s"CASE WHEN list_sum(list_apply(range(1, ${Dim + 1}), i -> v[i]::DOUBLE * (${planeLit(p)})[i])) >= 0 THEN 1 ELSE 0 END"
+      val dot = p.zipWithIndex.map { case (w, i) =>
+        s"${if (w > 0) "+" else "-"} v[${i + 1}]::DOUBLE"
+      }.mkString(" ")
+      s"CASE WHEN ($dot) >= 0 THEN 1 ELSE 0 END"
     }.mkString(",\n    ")
     val keyExpr = (0 until SrpBitsPerBand).map { j =>
       s"bs[b.band * $SrpBitsPerBand + ${j + 1}] * ${1 << (SrpBitsPerBand - 1 - j)}"
     }.mkString(" + ")
+    val cosDot = (1 to Dim)
+      .map(i => s"e1.v[$i]::DOUBLE * e2.v[$i]::DOUBLE").mkString(" + ")
+    // MATERIALIZED throughout: DuckDB inlines CTEs per reference, and
+    // every stage here is multi-referenced (bands twice by cand, bits
+    // twice by pairs, pairs twice by the symmetric edge union) — without
+    // the hint each reference re-runs the full upstream pipeline.
     val p = prefix
-    s"""${p}n AS (SELECT vec_id AS id, embedding AS v,
+    s"""${p}n AS MATERIALIZED (SELECT vec_id AS id, embedding AS v,
        |             sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
        |           FROM $src),
-       |${p}bits AS (SELECT id, v, nrm, [
+       |${p}bits AS MATERIALIZED (SELECT id, v, nrm, [
        |    $bitEntries
        |  ] AS bs FROM ${p}n),
-       |${p}bands AS (SELECT id, b.band, $keyExpr AS key
+       |${p}bands AS MATERIALIZED (SELECT id, b.band, $keyExpr AS key
        |          FROM ${p}bits, range($SrpBands) b(band)),
-       |${p}cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |${p}cand AS MATERIALIZED (SELECT DISTINCT a.id AS id1, b.id AS id2
        |         FROM ${p}bands a JOIN ${p}bands b
        |         ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-       |${p}pairs AS (SELECT * FROM (
+       |${p}pairs AS MATERIALIZED (SELECT * FROM (
        |  SELECT id1, id2,
-       |    round(list_sum(list_apply(range(1, ${Dim + 1}),
-       |            i -> e1.v[i]::DOUBLE * e2.v[i]::DOUBLE)) / (e1.nrm * e2.nrm), 4) AS cos_sim
+       |    round(($cosDot) / (e1.nrm * e2.nrm), 4) AS cos_sim
        |  FROM ${p}cand JOIN ${p}bits e1 ON ${p}cand.id1 = e1.id JOIN ${p}bits e2 ON ${p}cand.id2 = e2.id)
        |WHERE cos_sim >= $SrpThreshold)""".stripMargin
   }
@@ -180,7 +195,8 @@ object SimilarityQueries {
     * story end-to-end in both spaces: pair emitters bound candidates,
     * component formation closes transitive chains, min-id doubles as
     * the canonical survivor. The oracle recomputes the SAME SRP edge
-    * set (shared CTEs with q23) and closes it with a recursive CTE, so
+    * set (shared CTEs with q23) and closes it with the certified
+    * unrolled closure ([[OracleSql.closureCtes]]), so
     * the gate value-checks chains with no direct qualifying pair. */
   def q53SemanticClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
@@ -192,15 +208,10 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
 
   val q53SemanticClustersSql: String =
-    s"""WITH RECURSIVE ${srpPairsCtes()},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-       |          UNION SELECT id2, id1 FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT id AS vec_id, min(comp)::BIGINT AS cluster_id
-       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+    s"""WITH ${srpPairsCtes()},
+       |${OracleSql.closureCtes("pairs")}
+       |SELECT id AS vec_id, comp AS cluster_id
+       |FROM clus ORDER BY vec_id""".stripMargin
 
   // q146 parameters: negatives kept per anchor.
   private val HnK = 5
@@ -248,22 +259,16 @@ object SimilarityQueries {
   }
 
   val q146HardNegativesSql: String =
-    s"""WITH RECURSIVE ${srpPairsCtes(prefix = "c")},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM cpairs
-       |          UNION SELECT id2, id1 FROM cpairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-       |cl AS (SELECT id, min(comp)::BIGINT AS cluster_id FROM reach GROUP BY id),
-       |n AS (SELECT vec_id AS id, embedding AS v,
+    s"""WITH ${srpPairsCtes(prefix = "c")},
+       |${OracleSql.closureCtes("cpairs", prefix = "c")},
+       |cl AS MATERIALIZED (SELECT id, comp AS cluster_id FROM cclus),
+       |n AS MATERIALIZED (SELECT vec_id AS id, embedding AS v,
        |        sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
        |      FROM embeddings),
        |q AS (SELECT id AS q_id, v AS qv, nrm AS qn FROM n WHERE id < $NQueries),
        |sc AS (
        |  SELECT q.q_id, n.id AS neg_id,
-       |    round(list_sum(list_apply(range(1, ${Dim + 1}),
-       |            i -> qv[i]::DOUBLE * n.v[i]::DOUBLE)) / (qn * n.nrm), 4) AS cos_sim
+       |    round((${(1 to Dim).map(i => s"qv[$i]::DOUBLE * n.v[$i]::DOUBLE").mkString(" + ")}) / (qn * n.nrm), 4) AS cos_sim
        |  FROM q, n WHERE n.id != q.q_id),
        |kept AS (
        |  SELECT sc.* FROM sc

@@ -493,8 +493,8 @@ object TextQueries {
        |        list_apply(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
        |        list_apply(g, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
        |      FROM sp_t WHERE len(g) > 0),
-       |sp_sig AS (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM sp_h),
-       |sp_chunks AS (SELECT id, sh_lo, sh_hi, c.chunk,
+       |sp_sig AS MATERIALIZED (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM sp_h),
+       |sp_chunks AS MATERIALIZED (SELECT id, sh_lo, sh_hi, c.chunk,
        |           CASE WHEN c.chunk = 0 THEN sh_lo & 65535
        |                WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
        |                WHEN c.chunk = 2 THEN sh_hi & 65535
@@ -504,7 +504,7 @@ object TextQueries {
        |                a.sh_lo AS al, a.sh_hi AS ah, b.sh_lo AS bl, b.sh_hi AS bh
        |         FROM sp_chunks a JOIN sp_chunks b
        |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id),
-       |pairs AS (SELECT id1, id2,
+       |pairs AS MATERIALIZED (SELECT id1, id2,
        |            (bit_count(xor(al, bl)) + bit_count(xor(ah, bh)))::bigint AS hamming
        |          FROM sp_cand
        |          WHERE (bit_count(xor(al, bl)) + bit_count(xor(ah, bh))) <= 3)""".stripMargin
@@ -518,7 +518,8 @@ object TextQueries {
     * simhash pair set ([[Dedup.connectedComponents]]), one row per
     * clustered document with its cluster id (= min doc_id in the
     * component, the canonical survivor). The oracle recomputes the SAME
-    * edge set (shared CTEs with q21) and closes it with a recursive CTE
+    * edge set (shared CTEs with q21) and closes it with the certified
+    * unrolled closure ([[OracleSql.closureCtes]])
     * (min reachable id), so the gate certifies the iterative Spark
     * fixpoint against an independent transitive-closure formulation —
     * including the transitive chains a~b~c where a~c is NOT itself a
@@ -531,15 +532,10 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   val q52DedupClustersSql: String =
-    s"""WITH RECURSIVE ${simhashPairsCtes()},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-       |          UNION SELECT id2, id1 FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT id AS doc_id, min(comp)::BIGINT AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    s"""WITH ${simhashPairsCtes()},
+       |${OracleSql.closureCtes("pairs")}
+       |SELECT id AS doc_id, comp AS cluster_id
+       |FROM clus ORDER BY doc_id""".stripMargin
 
   // Chunking gate parameters (q67).
   private val ChunkSize = 32
@@ -1219,34 +1215,20 @@ object TextQueries {
     * itself is the bottleneck, the merge moves to a token-bucketed
     * snapshot layout (the [[graft.sinks.MergeSink]] bucketed discipline)
     * and the state-side exchange disappears; the fold is unchanged.
-    * Swap is the sinks' two-rename rollback. */
+    * Counts and ledger publish in ONE [[graft.sinks.LedgeredState]]
+    * commit, so a crash can never leave the fold applied but
+    * unrecorded (the replay-double-count window). */
   def vocabIngest(spark: SparkSession, path: String, batch: DataFrame,
                   batchId: String, langCol: String, textCol: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = new Path(root, "_batches")
-    val state = new Path(root, "state")
-    val seen = fs.exists(ledger) &&
-      spark.read.parquet(ledger.toString)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (seen) return false
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
     val bs = typeCountsOf(batch, langCol, textCol)
-    val merged =
-      if (fs.exists(state))
-        spark.read.parquet(state.toString).unionByName(bs)
-          .groupBy(col("lang"), col("tok")).agg(sum(col("n")).as("n"))
-      else bs
-    val tmp = new Path(path + ".__vocab_tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__vocab_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
-    import spark.implicits._
-    Seq(batchId).toDF("batch_id")
-      .write.mode("append").parquet(ledger.toString)
+    val merged = LedgeredState.readPart(spark, path, "counts") match {
+      case Some(st) => st.unionByName(bs)
+        .groupBy(col("lang"), col("tok")).agg(sum(col("n")).as("n"))
+      case None => bs
+    }
+    LedgeredState.commit(spark, path, batchId, Seq("counts" -> merged))
     true
   }
 
@@ -1270,7 +1252,7 @@ object TextQueries {
       // whole-batch replay: at-least-once upstream delivers day2 again
       require(!vocabIngest(spark, path, day2, "day2", "lang", "text"),
         "replayed batch must be a ledger no-op")
-      coverageFromTypeCounts(spark.read.parquet(s"$path/state"), VocabSize)
+      coverageFromTypeCounts(spark.read.parquet(s"$path/state/counts"), VocabSize)
         .localCheckpoint(true) // materialize before the state dir is deleted
     } finally {
       val fs = new org.apache.hadoop.fs.Path(base.toString)
@@ -1312,7 +1294,7 @@ object TextQueries {
         s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      coverageFromTypeCounts(spark.read.parquet(s"$statePath/state"), VocabSize)
+      coverageFromTypeCounts(spark.read.parquet(s"$statePath/state/counts"), VocabSize)
         .localCheckpoint(true) // materialize before the state dir is deleted
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)

@@ -519,8 +519,11 @@ object TrainingData {
     segs.write.mode("overwrite").partitionBy(partCol, "shard").parquet(path)
     val re = docs.sparkSession.read.parquet(path)
     // partition discovery re-infers directory-key types (shard comes back
-    // int); cast back so the reopened frame is schema-identical
-    re.select(col(partCol).cast("string"), col("shard").cast("long"),
+    // int, a numeric partCol would too); cast back to the INPUT frame's
+    // type — hardcoding string here would silently retype a numeric
+    // partition column in the "schema-identical" reopened frame
+    val partType = docs.schema(partCol).dataType
+    re.select(col(partCol).cast(partType), col("shard").cast("long"),
       col("pack_id"), col(orderCol), col("seg_start"), col("seg_end"),
       col("pack_off"))
   }
@@ -693,7 +696,8 @@ object TrainingData {
     *
     * Oracle: q56's funnel CTEs + the q23/q53 shared SRP CTEs (prefixed,
     * computed over the post-lexical survivors' embeddings) + the
-    * recursive closure — both deletion stages value-checked in
+    * unrolled label-propagation closure ([[OracleSql.closureCtes]]) —
+    * both deletion stages value-checked in
     * composition.
     *
     * Scale: adds one semi-join against the (already small) survivor set
@@ -727,27 +731,15 @@ object TrainingData {
   }
 
   val q69SemanticFunnelSql: String =
-    s"""WITH RECURSIVE $funnelBaseCtes,
+    s"""WITH $funnelBaseCtes,
        |${TextQueries.simhashPairsCtes("uniq")},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-       |          UNION SELECT id2, id1 FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, rr.comp FROM reach rr JOIN edges e ON e.src = rr.id),
-       |clus AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
-       |nd AS (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
+       |${OracleSql.closureCtes("pairs")},
+       |nd AS MATERIALIZED (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
        |       WHERE u.doc_id NOT IN (SELECT id FROM clus WHERE id <> comp)),
        |ndemb AS (SELECT e.vec_id, e.embedding FROM embeddings e
        |          WHERE e.vec_id IN (SELECT doc_id FROM nd)),
        |${SimilarityQueries.srpPairsCtes("ndemb", "sr_")},
-       |sr_edges AS (SELECT id1 AS src, id2 AS dst FROM sr_pairs
-       |             UNION SELECT id2, id1 FROM sr_pairs),
-       |sr_reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM sr_edges
-       |  UNION
-       |  SELECT e.dst, rr.comp FROM sr_reach rr JOIN sr_edges e ON e.src = rr.id),
-       |sr_clus AS (SELECT id, min(comp) AS comp FROM sr_reach GROUP BY id),
+       |${OracleSql.closureCtes("sr_pairs", prefix = "sr_")},
        |sem AS (SELECT n.doc_id, n.lang, n.n_tokens FROM nd n
        |        WHERE n.doc_id NOT IN (SELECT id FROM sr_clus WHERE id <> comp)),
        |${funnelTailSql("sem",
@@ -1380,18 +1372,22 @@ object TrainingData {
        |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
        |FROM tok0),
-       |qual AS (SELECT *, round(0.25 * alpha_raw + 0.25 * stop_raw
+       |qual AS MATERIALIZED (SELECT *, round(0.25 * alpha_raw + 0.25 * stop_raw
        |        + 0.25 * least(1.0, n_tokens::double / 100.0)
        |        + 0.25 * (1.0 - punct_raw), 4) AS quality FROM rat)""".stripMargin
   }
+  // MATERIALIZED on qual/keep/uniq/samp: DuckDB inlines CTE references,
+  // so every extra reference (the funnel reports read keep/uniq twice
+  // more for their counts) re-runs the tokenizer-heavy quality chain —
+  // the hint pins one evaluation without changing a single value.
 
   private def funnelBaseCtes: String = funnelBaseCtesOf("documents")
 
   private def funnelBaseCtesOf(src: String): String = {
     s"""${qualityCtesOf(src)},
-       |keep AS (SELECT * FROM qual WHERE quality >= $QualityMin AND n_tokens >= $MinTokens),
+       |keep AS MATERIALIZED (SELECT * FROM qual WHERE quality >= $QualityMin AND n_tokens >= $MinTokens),
        |surv AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
-       |uniq AS (SELECT k.doc_id, k.lang, k.text, k.n_tokens FROM keep k
+       |uniq AS MATERIALIZED (SELECT k.doc_id, k.lang, k.text, k.n_tokens FROM keep k
        |         WHERE k.doc_id IN (SELECT doc_id FROM surv))""".stripMargin
   }
 
@@ -1402,7 +1398,7 @@ object TrainingData {
     val cases = MixRates
       .map { case (s, r) => s"WHEN '$s' THEN ${rateThreshold(r)}" }
       .mkString(" ")
-    s"""samp AS (SELECT doc_id, lang, n_tokens FROM $src
+    s"""samp AS MATERIALIZED (SELECT doc_id, lang, n_tokens FROM $src
        |         WHERE ('0x' || substring(md5('$MixSeed:' || doc_id), 1, 8))::BIGINT
        |               < CASE lang $cases ELSE -1 END)""".stripMargin
   }
@@ -1477,16 +1473,10 @@ object TrainingData {
        |${CorpusReport.driftTailSql(Seq("lang"), "documents", "samp")}""".stripMargin
 
   val q56NearDupFunnelSql: String =
-    s"""WITH RECURSIVE $funnelBaseCtes,
+    s"""WITH $funnelBaseCtes,
        |${TextQueries.simhashPairsCtes("uniq")},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-       |          UNION SELECT id2, id1 FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, rr.comp FROM reach rr JOIN edges e ON e.src = rr.id),
-       |clus AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
-       |nd AS (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
+       |${OracleSql.closureCtes("pairs")},
+       |nd AS MATERIALIZED (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
        |       WHERE u.doc_id NOT IN (SELECT id FROM clus WHERE id <> comp)),
        |${funnelTailSql("nd",
           "f2b AS (SELECT lang, count(*)::BIGINT AS n_neardup FROM nd GROUP BY 1),",
@@ -1558,16 +1548,10 @@ object TrainingData {
   }
 
   val q108QualityCanonSql: String =
-    s"""WITH RECURSIVE $qualityCtes,
+    s"""WITH $qualityCtes,
        |${TextQueries.simhashPairsCtes("documents")},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-       |          UNION SELECT id2, id1 FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-       |clus AS (SELECT id, min(comp)::BIGINT AS comp FROM reach GROUP BY id),
-       |m AS (SELECT c.id, c.comp, q.quality FROM clus c
+       |${OracleSql.closureCtes("pairs")},
+       |m AS MATERIALIZED (SELECT c.id, c.comp, q.quality FROM clus c
        |      JOIN qual q ON q.doc_id = c.id),
        |canon AS (SELECT comp, id AS canon_id, quality AS canon_quality FROM m
        |          QUALIFY row_number() OVER (PARTITION BY comp
@@ -1623,21 +1607,15 @@ object TrainingData {
   }
 
   val q113CanonFunnelSql: String =
-    s"""WITH RECURSIVE $funnelBaseCtes,
+    s"""WITH $funnelBaseCtes,
        |${TextQueries.simhashPairsCtes("uniq")},
-       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-       |          UNION SELECT id2, id1 FROM pairs),
-       |reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, rr.comp FROM reach rr JOIN edges e ON e.src = rr.id),
-       |clus AS (SELECT id, min(comp)::BIGINT AS comp FROM reach GROUP BY id),
-       |cm AS (SELECT c.id, c.comp, q.quality FROM clus c
+       |${OracleSql.closureCtes("pairs")},
+       |cm AS MATERIALIZED (SELECT c.id, c.comp, q.quality FROM clus c
        |       JOIN qual q ON q.doc_id = c.id),
        |canon AS (SELECT comp, id AS canon_id FROM cm
        |          QUALIFY row_number() OVER (PARTITION BY comp
        |            ORDER BY quality DESC, id ASC) = 1),
-       |nd AS (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
+       |nd AS MATERIALIZED (SELECT u.doc_id, u.lang, u.n_tokens FROM uniq u
        |       WHERE u.doc_id NOT IN
        |         (SELECT id FROM cm WHERE id NOT IN (SELECT canon_id FROM canon))),
        |${funnelTailSql("nd",
@@ -1998,6 +1976,12 @@ object TrainingData {
       .withColumn("bucket", hashBucket(col(idCol), seed))
       .withColumn("qk", esQuantKey(col(idCol), col(weightCol), seed))
       .select(keep.map(col): _*)
+      // intra-batch duplicates must not consume top-k slots: a batch
+      // carrying >= k-1 better-keyed rows PLUS one duplicate would
+      // silently evict a true global top-k member before the id-level
+      // dedup below ever sees it (the discipline entityIngest and
+      // neardupIngestCore already apply via dropDuplicates("id"))
+      .dropDuplicates(idCol)
     val top = keyed.orderBy(col("qk").asc, col(idCol).asc).limit(k)
     val merged =
       if (fs.exists(state))
@@ -2425,9 +2409,17 @@ object TrainingData {
     require(budget >= 1, s"budget=$budget")
     val w = g.withColumn("wh",
       sqrt((col("nh") * col("s2") - col("s1") * col("s1")).cast("double")))
-    val tot = w.agg(sum(col("wh")).as("wt"))
+    val tot = w.agg(sum(col("wh")).as("wt"),
+      sum(col("nh")).cast("double").as("nt"))
+    // all-zero-variance degenerate case (every stratum internally
+    // constant): N_h·σ_h = 0 for all h makes the Neyman weights 0/0 —
+    // fall back to PROPORTIONAL allocation (w_h = N_h, Cochran's
+    // convention when no variance signal exists) instead of silently
+    // emitting NaN quotas and null k_alloc
     val q = w.crossJoin(broadcast(tot))
-      .withColumn("exact", lit(budget) * col("wh") / col("wt"))
+      .withColumn("exact",
+        when(col("wt") > 0.0, lit(budget) * col("wh") / col("wt"))
+          .otherwise(lit(budget) * col("nh") / col("nt")))
       .withColumn("base", floor(col("exact")).cast("long"))
       .withColumn("frac", col("exact") - floor(col("exact")))
     val rem = q.agg((lit(budget.toLong) - sum(col("base"))).as("rem"))

@@ -59,18 +59,42 @@ object MergeSink {
       .select(col(key) +: fields.map(f => col(s"__folded_$f").as(f)): _*)
   }
 
+  /** SCHEMA EVOLUTION (every layout): the merged field set is the UNION
+    * of the target's existing payload columns and the update's fields,
+    * in target order with new columns appended — so a nightly ingest
+    * whose day-2 batch carries a column day 1 never had evolves the
+    * snapshot in place (new column null on unmatched rows) instead of
+    * forcing a manual snapshot rewrite. The reference hard-codes one
+    * fixed schema end to end (src/cli/generate_data.py:27-34, duplicated
+    * in src/func/parquet.py:18-50); Mongo documents would have absorbed
+    * a new field silently — this restores that property for the
+    * relational snapshot. Field presence decides the merge expression:
+    * both sides → null-skip coalesce; update-only → the update value
+    * (old rows null); target-only → carried through untouched. */
+  private[sinks] def evolvedFields(target: DataFrame, key: String,
+                                   fields: Seq[String],
+                                   updatedAtCol: String): Seq[String] = {
+    val tPayload = target.columns.toSeq
+      .filterNot(c => c == key || c == updatedAtCol)
+    tPayload ++ fields.filterNot(tPayload.contains)
+  }
+
   /** The merged snapshot as a lazy plan (no side effects): full-outer join
-    * + per-field coalesce. `updates` must be unique per key (use
-    * [[collapseUpdates]] first). Target must carry `key`, `fields` and
-    * `updatedAtCol`. */
+    * + presence-aware per-field merge (see [[evolvedFields]]). `updates`
+    * must be unique per key (use [[collapseUpdates]] first). `fields`
+    * may include columns only one side carries. */
   def mergePlan(target: DataFrame, updates: DataFrame, key: String,
                 fields: Seq[String], updatedAtCol: String = "updatedAt",
                 now: Column = current_timestamp()): DataFrame = {
     val t = target.alias("t")
     val u = updates.filter(col(key).isNotNull).alias("u")
     val touched = col(s"u.$key").isNotNull
+    val inT = target.columns.toSet
+    val inU = updates.columns.toSet
     val merged = fields.map { f =>
-      coalesce(col(s"u.$f"), col(s"t.$f")).as(f)
+      (if (inT(f) && inU(f)) coalesce(col(s"u.$f"), col(s"t.$f"))
+       else if (inU(f)) col(s"u.$f")
+       else col(s"t.$f")).as(f)
     }
     t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
       .select(
@@ -93,11 +117,22 @@ object MergeSink {
     val t = target.alias("t")
     val u = updates.filter(col(key).isNotNull).alias("u")
     val matched = col(s"t.$key").isNotNull && col(s"u.$key").isNotNull
-    val changed = fields.map { f =>
-      col(s"u.$f").isNotNull && (col(s"t.$f").isNull || col(s"u.$f") =!= col(s"t.$f"))
-    }.reduce(_ || _)
+    val inT = target.columns.toSet
+    val inU = updates.columns.toSet
+    // modified = any update-side field lands a new value; a column the
+    // target doesn't have yet counts whenever the update value is
+    // non-null (the matched row gains a field — evolution IS a change)
+    val changed = fields.filter(inU).map { f =>
+      if (inT(f))
+        col(s"u.$f").isNotNull && (col(s"t.$f").isNull || col(s"u.$f") =!= col(s"t.$f"))
+      else col(s"u.$f").isNotNull
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val touched = col(s"u.$key").isNotNull
-    val merged = fields.map { f => coalesce(col(s"u.$f"), col(s"t.$f")).as(f) }
+    val merged = fields.map { f =>
+      (if (inT(f) && inU(f)) coalesce(col(s"u.$f"), col(s"t.$f"))
+       else if (inU(f)) col(s"u.$f")
+       else col(s"t.$f")).as(f)
+    }
     val observed = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
       .observe(obs,
         coalesce(sum(when(matched, 1L).otherwise(0L)), lit(0L)).as("n_matched"),
@@ -130,9 +165,12 @@ object MergeSink {
     val t = target.alias("t")
     val u = updates.filter(col(key).isNotNull).alias("u")
     val matched = col(s"t.$key").isNotNull && col(s"u.$key").isNotNull
-    val changed = fields.map { f =>
-      col(s"u.$f").isNotNull && (col(s"t.$f").isNull || col(s"u.$f") =!= col(s"t.$f"))
-    }.reduce(_ || _)
+    val inT = target.columns.toSet
+    val changed = fields.filter(updates.columns.toSet).map { f =>
+      if (inT(f))
+        col(s"u.$f").isNotNull && (col(s"t.$f").isNull || col(s"u.$f") =!= col(s"t.$f"))
+      else col(s"u.$f").isNotNull
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val row = t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
       .select(
         sum(when(matched, 1L).otherwise(0L)).as("m"),
@@ -179,7 +217,9 @@ object MergeSink {
 
     // One join execution total: the parquet write materializes the merge,
     // and the counts come back as observed metrics of that same action.
-    val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
+    // Field set = target payload ∪ update fields (schema evolution).
+    val (merged, obs) = mergePlanObserved(target, unique, key,
+      evolvedFields(target, key, fields, updatedAtCol), updatedAtCol)
 
     val tmp = new Path(targetPath + ".__merge_tmp")
     val bak = new Path(targetPath + ".__merge_bak")
@@ -236,13 +276,18 @@ object MergeSink {
     val touched = unique.select(pb(col(key)).as("pb")).distinct()
       .collect().map(_.getLong(0)) // ≤ nBuckets values — driver-safe
     val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    // mergeSchema: after an evolving merge, touched bucket dirs carry the
+    // new column while untouched dirs still have the old footer — the
+    // union schema is the snapshot's real schema (old files read null
+    // for the added column; day-1 data is never rewritten)
     val target =
       if (exists)
-        spark.read.parquet(targetPath)
+        spark.read.option("mergeSchema", "true").parquet(targetPath)
           .filter(col("pb").isin(touched.map(java.lang.Long.valueOf): _*))
           .drop("pb") // recomputed from the key on write
       else emptyTarget(spark, unique, key, fields, updatedAtCol)
-    val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
+    val (merged, obs) = mergePlanObserved(target, unique, key,
+      evolvedFields(target, key, fields, updatedAtCol), updatedAtCol)
 
     val tmp = new Path(targetPath + ".__merge_tmp")
     fs.delete(tmp, true)
@@ -303,7 +348,8 @@ object MergeSink {
     val target =
       if (spark.catalog.tableExists(table)) spark.table(table)
       else emptyTarget(spark, unique, key, fields, updatedAtCol)
-    val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
+    val (merged, obs) = mergePlanObserved(target, unique, key,
+      evolvedFields(target, key, fields, updatedAtCol), updatedAtCol)
     val tmp = s"${table}__merge_tmp"
     val bak = s"${table}__merge_bak"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -352,7 +398,21 @@ object MergeSink {
     val target = spark.table(table)
       .filter(col("pd").isin(touched.map(java.lang.Long.valueOf): _*))
       .drop("pd") // recomputed from the key on write
-    val (merged, obs) = mergePlanObserved(target, unique, key, fields, updatedAtCol)
+    val (merged, obs) = mergePlanObserved(target, unique, key,
+      evolvedFields(target, key, fields, updatedAtCol), updatedAtCol)
+    // schema evolution on the catalog layout: new update columns are
+    // declared via ALTER TABLE ADD COLUMNS (metadata-only — the catalog
+    // schema is authoritative, so files written BEFORE the evolution
+    // read null for the added column; untouched directories are never
+    // rewritten), and the insert aligns to the table's column order
+    // because insertInto matches POSITIONALLY
+    val newCols = unique.columns
+      .filterNot(c => c == key || spark.table(table).columns.contains(c))
+    newCols.foreach { c =>
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($c ${unique.schema(c).dataType.sql})")
+    }
+    val aligned = merged.withColumn("pd", pd(col(key)))
+      .select(spark.table(table).columns.map(col): _*)
     // dynamic overwrite replaces exactly the touched directories and
     // keeps the table's bucket spec; scope the session-global mode and
     // restore it (the q59-advice discipline on global mutation)
@@ -360,8 +420,7 @@ object MergeSink {
     val prev = spark.conf.getOption(modeKey)
     spark.conf.set(modeKey, "dynamic")
     try
-      merged.withColumn("pd", pd(col(key)))
-        .write.mode("overwrite").insertInto(table)
+      aligned.write.mode("overwrite").insertInto(table)
     finally prev match {
       case Some(v) => spark.conf.set(modeKey, v)
       case None => spark.conf.unset(modeKey)

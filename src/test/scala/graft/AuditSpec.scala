@@ -152,7 +152,7 @@ class AuditSpec extends SparkSpec {
     val pool = (1L to 500L).map(i =>
       (i, s"g${i % 3}", rnd.nextInt(10000).toLong)).toDF("id", "g", "x")
     def readState(path: String): Set[(String, Long, Long, Long, Long)] =
-      spark.read.parquet(s"$path/state")
+      spark.read.parquet(s"$path/state/moments")
         .as[(String, Long, Long, Long, Long)].collect().toSet
     val base = java.nio.file.Files.createTempDirectory("graft_mom_spec_")
     try {

@@ -343,4 +343,100 @@ class MergeSinkSpec extends SparkSpec {
     assert(s == MergeSink.MergeStats(0, 0, 0))
     assert(spark.read.parquet(targetPath).count() == 50)
   }
+
+  // ---- schema evolution: a day-2 update carries a column day 1 never
+  // had; the snapshot must evolve in place (new column null on
+  // untouched rows) in every layout, and the partitioned layouts must
+  // NOT rewrite day-1 data to do it ----
+
+  private def day2 = Seq(("a", 9.0)).toDF("k", "f3")
+
+  private def assertEvolved(rows: Map[String, (Any, Any, Any)]): Unit = {
+    assert(rows("a") == (1.0, 2.0, 9.0), s"touched row must carry f3: $rows")
+    assert(rows("b") == (3.0, 4.0, null), s"day-1 row reads null f3: $rows")
+  }
+
+  test("schema evolution (full rewrite): day-2 column lands, day-1 rows read null") {
+    val dir = Files.createTempDirectory("graft_evo_full").toString + "/idx"
+    try {
+      MergeSink.mergeInto(spark, dir, df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0))),
+        "k", fields)
+      val st = MergeSink.mergeInto(spark, dir, day2, "k", Seq("f3"))
+      assert(st == MergeSink.MergeStats(1, 1, 0),
+        s"gaining a field on a matched row IS a modification: $st")
+      assertEvolved(spark.read.parquet(dir)
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.get(1), r.get(2), r.getAs[Any]("f3")))).toMap)
+      // old fields untouched by an f3-only update on a matched row
+      val st2 = MergeSink.mergeInto(spark, dir, day2, "k", Seq("f3"))
+      assert(st2 == MergeSink.MergeStats(1, 0, 0), s"idempotent re-apply: $st2")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p.getParent, true)
+    }
+  }
+
+  test("schema evolution (partitioned): untouched buckets keep their day-1 files") {
+    val dir = Files.createTempDirectory("graft_evo_part").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val nB = 8
+      MergeSink.mergeIntoPartitioned(spark, dir,
+        df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0))), "k", fields, nB)
+      def files(): Map[String, Seq[(String, Long, Long)]] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(_.getPath.getName.startsWith("pb=")).map { d =>
+            d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+              .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+          }.toMap
+      val before = files()
+      MergeSink.mergeIntoPartitioned(spark, dir, day2, "k", Seq("f3"), nB)
+      val after = files()
+      val aBucket = spark.range(1)
+        .select(pmod(xxhash64(lit("a")), lit(nB.toLong))).head().getLong(0)
+      val changed = before.keySet.filter(b => before(b) != after(b))
+      assert(changed == Set(s"pb=$aBucket"),
+        s"evolution must not rewrite day-1 buckets: changed=$changed")
+      // the union schema needs mergeSchema on a path-based read: touched
+      // dirs carry f3, untouched dirs read null for it
+      assertEvolved(spark.read.option("mergeSchema", "true").parquet(dir)
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Any]("f1"), r.getAs[Any]("f2"), r.getAs[Any]("f3")))).toMap)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+  }
+
+  test("schema evolution (bucketed table): catalog schema evolves with the rewrite") {
+    val table = "graft_evo_bucketed"
+    try {
+      MergeSink.mergeIntoBucketed(spark, table,
+        df(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0))), "k", fields, 4)
+      val st = MergeSink.mergeIntoBucketed(spark, table, day2, "k", Seq("f3"), 4)
+      assert(st == MergeSink.MergeStats(1, 1, 0), s"$st")
+      assertEvolved(spark.table(table)
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Any]("f1"), r.getAs[Any]("f2"), r.getAs[Any]("f3")))).toMap)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("schema evolution (partitioned+bucketed): ALTER ADD COLUMNS, old dirs read null") {
+    val table = "graft_evo_pd_bucketed"
+    try {
+      // enough keys that some pd directories are untouched by day 2
+      val seed = df((1 to 32).map(i => (s"k$i",
+        java.lang.Double.valueOf(i.toDouble), java.lang.Double.valueOf(0.0))) ++
+        Seq(("a", java.lang.Double.valueOf(1.0), java.lang.Double.valueOf(2.0)),
+            ("b", java.lang.Double.valueOf(3.0), java.lang.Double.valueOf(4.0))))
+      MergeSink.mergeIntoPartitionedBucketed(spark, table, seed, "k", fields, 4, 2)
+      val st = MergeSink.mergeIntoPartitionedBucketed(spark, table, day2,
+        "k", Seq("f3"), 4, 2)
+      assert(st == MergeSink.MergeStats(1, 1, 0), s"$st")
+      // catalog schema is authoritative: files in untouched pd= dirs
+      // predate the column and read null for it — no mergeSchema needed
+      assertEvolved(spark.table(table).filter(col("k").isin("a", "b"))
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Any]("f1"), r.getAs[Any]("f2"), r.getAs[Any]("f3")))).toMap)
+      assert(spark.table(table).count() == 34, "no rows lost through evolution")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -87,4 +87,69 @@ class ShardingSpec extends SparkSpec {
     // and z still prunes on the leading dim too: qb < 64
     assert(rects.count(r => r._2 >= 64) >= 4)
   }
+
+  test("zOrderKeyN matches the driver-side N-D interleave; 2-D case is zOrderKey") {
+    def mortonN(ds: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap(i => ds.zipWithIndex.map { case (v, j) =>
+        ((v >> i) & 1L) << (i * ds.size + j)
+      }).sum
+    val pts = for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L; d <- 0L until 8L)
+      yield (a, b, c, d)
+    val got = pts.toDF("a", "b", "c", "d")
+      .withColumn("z", Sharding.zOrderKeyN(
+        Seq(col("a"), col("b"), col("c"), col("d")), 3))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4) -> r._5).toMap
+    pts.foreach { case (a, b, c, d) =>
+      assert(got((a, b, c, d)) == mortonN(Seq(a, b, c, d), 3), s"($a,$b,$c,$d)")
+    }
+    // the 2-D specialization is the N-D key with D = 2
+    val two = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)).toDF("a", "b")
+      .select(Sharding.zOrderKey(col("a"), col("b"), 4).as("z2"),
+        Sharding.zOrderKeyN(Seq(col("a"), col("b")), 4).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(two == 0L)
+  }
+
+  test("4-D z-order files prune on EVERY dim where a 1-D sort only prunes its own") {
+    // full 16^4 grid, 4 bits per dim, 16 files: every dimension's box
+    // predicate must exclude files under the z layout; the 1-D layout
+    // (sorted by dim a alone) spans the full range of b/c/d in every file.
+    // nFiles >= 2^D so the file cut's top bits include one bit from EVERY
+    // dimension (with fewer files only the later-interleaved dims split)
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L;
+                     c <- 0L until 16L; d <- 0L until 16L) yield (a, b, c, d))
+      .toDF("a", "b", "c", "d")
+    val nFiles = 16
+    val laid = grid.withColumn("zkey", Sharding.zOrderKeyN(
+        Seq(col("a"), col("b"), col("c"), col("d")), 4))
+      .withColumn("file_id", expr(s"zkey * $nFiles div ${1L << 16}"))
+    val rects = laid.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("a0"), max(col("a")).as("a1"),
+        min(col("b")).as("b0"), max(col("b")).as("b1"),
+        min(col("c")).as("c0"), max(col("c")).as("c1"),
+        min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .collect().map(r => (r.getAs[Long]("n"),
+        Seq(("a", r.getAs[Long]("a0"), r.getAs[Long]("a1")),
+            ("b", r.getAs[Long]("b0"), r.getAs[Long]("b1")),
+            ("c", r.getAs[Long]("c0"), r.getAs[Long]("c1")),
+            ("d", r.getAs[Long]("d0"), r.getAs[Long]("d1")))))
+    assert(rects.length == nFiles && rects.forall(_._1 == 65536L / nFiles))
+    // for every dimension, the predicate `dim < 8` excludes some files
+    Seq("a", "b", "c", "d").foreach { dim =>
+      val pruned = rects.count(_._2.exists(t => t._1 == dim && t._2 >= 8))
+      assert(pruned >= 2,
+        s"4-D z-order pruned only $pruned of $nFiles files on $dim < 8")
+    }
+    // the 1-D a-sorted layout spans the full range of every OTHER dim
+    val oneD = grid.withColumn("file_id", expr(s"a * $nFiles div 16"))
+      .groupBy(col("file_id"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"),
+        min(col("c")).as("c0"), max(col("c")).as("c1"))
+      .collect()
+    assert(oneD.forall(r => r.getAs[Long]("b0") == 0 && r.getAs[Long]("b1") == 15 &&
+      r.getAs[Long]("c0") == 0 && r.getAs[Long]("c1") == 15),
+      "the 1-D layout cannot prune on b/c/d at all — the property N-D z-order buys")
+  }
 }

@@ -8,13 +8,23 @@ Runs each oracle_sql.json entry in DuckDB against the parquet tables in
 <sfDir>, loads the Spark result parquet from <verifyOutDir>/<name>, and
 compares: row count, column names (sorted), and exact values with columns
 sorted by name (both row-order-as-is and row-sorted variants reported).
+
+Each oracle is TIMED and held to a per-oracle budget (default 5 s at
+sf0.01, override with GRAFT_ORACLE_BUDGET_SEC): the round-11 driver gate
+produced an empty artifact because one recursive-closure oracle alone
+took 176 s — a slow oracle must fail THIS tool loudly before the driver's
+budgeted gate ever sees it. The ledger prints seconds per oracle and a
+slowest-five summary.
 """
 import json
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
+
+BUDGET_SEC = float(os.environ.get("GRAFT_ORACLE_BUDGET_SEC", "5"))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -36,6 +46,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
     failures = 0
     skipped = 0
+    timings = {}
     # A GRAFT_VERIFY_ONLY-filtered dump legitimately omits the other queries'
     # parquet dirs — but ONLY those. Any other missing dir means the query
     # crashed during Verify (it catches per-query Throwables and writes no
@@ -52,13 +63,19 @@ def main(sf_dir: str, out_dir: str) -> int:
                 failures += 1
             continue
         try:
+            t0 = time.time()
             expected = norm(con.sql(sql).df())
+            timings[name] = time.time() - t0
             got = norm(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
             failures += 1
             continue
         problems = []
+        if timings[name] > BUDGET_SEC:
+            problems.append(
+                f"oracle took {timings[name]:.1f}s > {BUDGET_SEC:.0f}s budget "
+                f"(reformulate it — a slow oracle can blank the driver's whole artifact)")
         # The driver's hash is DTYPE-sensitive where pandas equality is not:
         # an uncast DuckDB HUGEINT (e.g. bare integer sum()) arrives as
         # float64 while the Spark parquet column is int64 — identical values,
@@ -90,9 +107,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
-            print(f"PASS {name} ({len(got)} rows, {ordered})")
+            print(f"PASS {name} ({len(got)} rows, {ordered}, oracle {timings[name]:.2f}s)")
     checked = len(oracles) - skipped
     note = f", {skipped} skipped (GRAFT_VERIFY_ONLY filter)" if skipped else ""
+    if timings:
+        top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        print("\nslowest oracles: " +
+              ", ".join(f"{n} {s:.2f}s" for n, s in top) +
+              f"; total {sum(timings.values()):.1f}s")
     print(f"\n{checked - failures}/{checked} passed{note}")
     return 1 if failures else 0
 
