@@ -47,6 +47,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     skipped = 0
     timings = {}
+    results = {}
     # A GRAFT_VERIFY_ONLY-filtered dump legitimately omits the other queries'
     # parquet dirs — but ONLY those. Any other missing dir means the query
     # crashed during Verify (it catches per-query Throwables and writes no
@@ -60,6 +61,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             else:
                 print(f"FAIL {name}: no parquet dir (query crashed during Verify, "
                       f"or dump was filtered without GRAFT_VERIFY_ONLY set)")
+                results[name] = "FAIL: no parquet dir"
                 failures += 1
             continue
         try:
@@ -69,6 +71,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             got = norm(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
+            results[name] = f"FAIL: load/exec error: {e}"[:200]
             failures += 1
             continue
         problems = []
@@ -105,11 +108,27 @@ def main(sf_dir: str, out_dir: str) -> int:
                     ordered = None
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = ("FAIL: " + "; ".join(problems))[:200]
             failures += 1
         else:
             print(f"PASS {name} ({len(got)} rows, {ordered}, oracle {timings[name]:.2f}s)")
+            results[name] = f"PASS ({len(got)} rows, {ordered})" 
     checked = len(oracles) - skipped
     note = f", {skipped} skipped (GRAFT_VERIFY_ONLY filter)" if skipped else ""
+    # Self-attested evidence artifact (committed per round so an empty
+    # driver-side artifact is immediately diagnosable as harness-side):
+    # per-query pass plus the per-oracle seconds ledger.
+    out_json = os.environ.get("GRAFT_CORRECTNESS_OUT")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({
+                "checked": checked, "passed": checked - failures,
+                "failures": failures, "skipped": skipped,
+                "results": results,
+                "oracle_seconds": {k: round(v, 3) for k, v in sorted(timings.items())},
+                "oracle_seconds_total": round(sum(timings.values()), 1),
+                "budget_sec": BUDGET_SEC,
+            }, f, indent=1)
     if timings:
         top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
         print("\nslowest oracles: " +
