@@ -407,6 +407,74 @@ object StreamingQueries {
     }
   }
 
+  /** q157: SCHEMA EVOLUTION THROUGH THE STREAMED MERGE — the pipeline
+    * UPGRADE a long-running ingest actually performs: a file stream's
+    * source schema is fixed at query start, so a new column arrives as
+    * a RESTARTED stream (the upgraded nightly job) whose batches carry
+    * the wider schema. Run 1 drains day 1 (lang, n_chars) through
+    * [[graft.streaming.StreamingMerge]] into the snapshot; run 2 — new
+    * arrivals dir, new checkpoint, wider field list — drains day 2
+    * (every third document, now carrying `flag`). The merge sink's
+    * evolution (q154's [[graft.sinks.MergeSink.evolvedFields]]) absorbs
+    * the widening mid-pipeline: touched rows carry the value, day-1
+    * rows read null, and the final snapshot equals q154's batch answer
+    * row-for-row (same oracle, minus the layout axis).
+    *
+    * Scale: two AvailableNow drains of the q46 shape — each batch pays
+    * the merge's one full-outer join; the restart is metadata (a new
+    * checkpoint), not a snapshot rewrite. */
+  def q157StreamEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamingMerge
+    val base = java.nio.file.Files.createTempDirectory("graft_q157_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val target = s"$base/snapshot"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val day2 = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("flag", col("doc_id") % 7)
+      def land(df: DataFrame, arrivals: String, stage: String): Unit = {
+        fs.mkdirs(new Path(arrivals))
+        df.coalesce(1).write.parquet(stage)
+        val part = fs.globStatus(new Path(s"$stage/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$arrivals/day.parquet"))
+      }
+      land(docs, s"$base/arrivals1", s"$base/stage1")
+      land(day2, s"$base/arrivals2", s"$base/stage2")
+      val schema1 = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val schema2 = schema1.add(StructField("flag", LongType))
+      def drain(arrivals: String, schema: StructType, ckpt: String,
+                fields: Seq[String]): Unit = {
+        val src = spark.readStream.schema(schema).parquet(arrivals)
+        val q = StreamingMerge.start(src, target, ckpt, "doc_id", fields,
+          trigger = Some(Trigger.AvailableNow()))
+        try q.awaitTermination()
+        finally { if (q.isActive) q.stop() }
+      }
+      drain(s"$base/arrivals1", schema1, s"$base/ckpt1", Seq("lang", "n_chars"))
+      drain(s"$base/arrivals2", schema2, s"$base/ckpt2",
+        Seq("lang", "n_chars", "flag"))
+      spark.read.parquet(target)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("flag"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  /** The streamed upgrade must land exactly where the batch evolution
+    * lands — q154's expected rows, minus the layout axis. */
+  val q157StreamEvolutionSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  (CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 END)::BIGINT AS flag
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val q46StreamMergeSql: String =
     """SELECT count(*)::BIGINT AS n_rows,
       |  count(DISTINCT user_id)::BIGINT AS n_users,

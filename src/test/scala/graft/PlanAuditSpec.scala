@@ -681,4 +681,32 @@ class PlanAuditSpec extends SparkSpec {
     val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
     assert(userEx == 1, s"sessionization must shuffle on user_id exactly once:\n$p")
   }
+
+  test("N-D z-order key is a narrow integer map over the scan (q155 shape)") {
+    val grid = spark.range(1000).selectExpr("id", "id % 31 AS a", "id % 17 AS b",
+      "id % 13 AS c", "id % 7 AS d")
+    val laid = grid.withColumn("zkey", operators.Sharding.zOrderKeyN(
+        Seq(col("a"), col("b"), col("c"), col("d")), 5))
+      .withColumn("file_id", expr(s"zkey * 16 div ${1L << 20}"))
+    val p = plan(laid)
+    assert(!p.contains("Exchange"),
+      s"4-D zkey + file cut are pure per-row integer math; nothing may shuffle:\n$p")
+    assert(p.contains("*(1) Project"),
+      s"the interleave must stay inside one whole-stage-codegen projection:\n$p")
+  }
+
+  test("evolving merge keeps the single full-outer key join (q154 shape)") {
+    import spark.implicits._
+    val target = Seq((1L, "en", 10L)).toDF("doc_id", "lang", "n_chars")
+      .withColumn("updatedAt", to_timestamp(lit("2020-01-01 00:00:00")))
+    val updates = Seq((1L, 5L)).toDF("doc_id", "flag")
+    val merged = graft.sinks.MergeSink.mergePlan(target, updates, "doc_id",
+      Seq("lang", "n_chars", "flag"))
+    val p = plan(merged)
+    // evolution must not add a pass: one join, no extra exchange beyond
+    // the join's own partitioning (presence-aware projection only)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).length == 1,
+      s"the evolved merge is still exactly one full-outer key join:\n$p")
+  }
 }
