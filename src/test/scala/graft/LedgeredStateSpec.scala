@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.LedgeredState
+
+/** The atomic-commit contract the five ledgered ingests (vocab, report,
+  * DSIR, moments, graph) lean on: a batch's state parts and its ledger
+  * row become visible together or not at all — there is no window where
+  * the fold is applied but unrecorded (the replay-double-count hazard
+  * the per-part swap + separate ledger append used to have). */
+class LedgeredStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit publishes all parts + the ledger row in one swap") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ls_spec_")
+    try {
+      val path = s"$base/st"
+      assert(!LedgeredState.absorbed(spark, path, "b1"))
+      LedgeredState.commit(spark, path, "b1", Seq(
+        "edges" -> Seq((1L, 2L)).toDF("src", "dst"),
+        "frontier" -> Seq((10L, 99L)).toDF("user_id", "page")))
+      assert(LedgeredState.absorbed(spark, path, "b1"))
+      assert(!LedgeredState.absorbed(spark, path, "b2"))
+      assert(LedgeredState.readPart(spark, path, "edges").get.count() == 1)
+      assert(LedgeredState.readPart(spark, path, "frontier").get.count() == 1)
+      assert(LedgeredState.readPart(spark, path, "absent").isEmpty)
+      // second commit: parts may read the previous committed state
+      val grown = LedgeredState.readPart(spark, path, "edges").get
+        .unionByName(Seq((3L, 4L)).toDF("src", "dst"))
+      LedgeredState.commit(spark, path, "b2", Seq(
+        "edges" -> grown,
+        "frontier" -> Seq((10L, 100L)).toDF("user_id", "page")))
+      assert(LedgeredState.absorbed(spark, path, "b1"), "ledger carries history")
+      assert(LedgeredState.absorbed(spark, path, "b2"))
+      assert(LedgeredState.readPart(spark, path, "edges").get.count() == 2)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("a commit that fails mid-write leaves the previous state authoritative") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ls_crash_")
+    try {
+      val path = s"$base/st"
+      LedgeredState.commit(spark, path, "day1",
+        Seq("counts" -> Seq(("a", 1L)).toDF("k", "n")))
+      // the second part's plan throws during materialization — AFTER the
+      // first part already landed in the temp dir: the classic partial-
+      // apply crash. Nothing may move: state, parts, and ledger must all
+      // still be day-1's, and day-2 must not read as absorbed.
+      val boom = udf((n: Long) => {
+        if (n >= 0) throw new RuntimeException("injected crash"); n
+      })
+      val bad = Seq(("b", 2L)).toDF("k", "n").withColumn("n", boom(col("n")))
+      intercept[Exception] {
+        LedgeredState.commit(spark, path, "day2", Seq(
+          "counts" -> Seq(("a", 2L)).toDF("k", "n"),
+          "extra" -> bad))
+      }
+      assert(LedgeredState.absorbed(spark, path, "day1"))
+      assert(!LedgeredState.absorbed(spark, path, "day2"),
+        "a failed commit must not record its batch")
+      val st = LedgeredState.readPart(spark, path, "counts").get.collect()
+      assert(st.length == 1 && st.head.getLong(1) == 1L,
+        "the previous committed counts must be untouched")
+      assert(LedgeredState.readPart(spark, path, "extra").isEmpty,
+        "no partial part may become visible")
+      // the replayed batch (same id) now folds exactly once
+      LedgeredState.commit(spark, path, "day2",
+        Seq("counts" -> Seq(("a", 2L)).toDF("k", "n")))
+      assert(LedgeredState.absorbed(spark, path, "day2"))
+      assert(LedgeredState.readPart(spark, path, "counts").get
+        .collect().head.getLong(1) == 2L)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
