@@ -51,38 +51,29 @@ object GraftUdfs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** Custom distinct-count sketch: KMV (k minimum values). The buffer
-    * keeps the k smallest 64-bit hashes seen; since the k-th smallest of
-    * n uniform hashes sits at ≈ k/n of the hash space, the estimate is
-    * (k-1) / (kthMin / 2⁶⁴). Buffers merge by union+truncate — associative
-    * and commutative, so partial aggregation is exact and the sketch
-    * shuffles k longs per group regardless of group size. Standard error
-    * ≈ 1/√(k−2) (~7% at k=256). Complements the built-in HLL++
-    * (approx_count_distinct, q26): this is the SURVEY §4 "custom sketch
-    * via the typed aggregation route" demonstration, with mergeability
-    * the tests exercise across partitionings. */
-  final class KmvDistinctAggregator(k: Int)
-      extends Aggregator[String, Array[Long], Long] {
-    require(k >= 8, s"k=$k too small for a meaningful estimate")
-
-    private def hash(s: String): Long = {
-      // 64-bit FNV-1a: cheap, seedless, uniform enough for KMV
+  /** The KMV kernel, factored out so the distinct-count aggregator and
+    * the SET-ALGEBRA path ([[graft.operators.Overlap]]) share one hash,
+    * one insert discipline, and one estimator — two consumers of the
+    * same sketch must agree bit-for-bit on what the sketch IS. */
+  private[graft] object Kmv {
+    def hash(s: String): Long = {
+      // 64-bit FNV-1a core + the murmur3 fmix64 finalizer: bare FNV-1a
+      // has weak avalanche on short keys, and KMV is EXACTLY the
+      // consumer that notices — the k smallest values of a biased hash
+      // cluster, and the union estimate came out 2.4× high on
+      // sequential-integer keys (OverlapSpec's known-overlap case).
+      // The finalizer restores uniformity at two multiplies' cost.
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
       h
     }
 
-    // buffer: ascending k smallest UNSIGNED hashes seen so far
-    override def zero: Array[Long] = Array.empty[Long]
-
-    override def reduce(buf: Array[Long], e: String): Array[Long] =
-      insert(buf, hash(e))
-
-    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-      b.foldLeft(a)(insert)
-
-    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+    /** Insert into an ascending (unsigned order) k-smallest buffer. */
+    def insert(k: Int)(buf: Array[Long], h: Long): Array[Long] = {
       val idx = java.util.Arrays.binarySearch(buf.map(_ ^ Long.MinValue),
         h ^ Long.MinValue)
       if (idx >= 0) buf // duplicate hash
@@ -99,7 +90,9 @@ object GraftUdfs {
       }
     }
 
-    override def finish(buf: Array[Long]): Long =
+    /** Distinct-count estimate from a k-smallest buffer: exact below k,
+      * (k−1)/frac(kth unsigned min) at saturation. */
+    def estimate(k: Int, buf: Array[Long]): Long =
       if (buf.length < k) buf.length.toLong // saw fewer than k distinct: exact
       else {
         // sign-flip gives the unsigned ORDER as a signed long in
@@ -108,10 +101,57 @@ object GraftUdfs {
         val frac = kthUnsigned / math.pow(2.0, 64)
         math.round((k - 1) / frac)
       }
+  }
+
+  /** Custom distinct-count sketch: KMV (k minimum values). The buffer
+    * keeps the k smallest 64-bit hashes seen; since the k-th smallest of
+    * n uniform hashes sits at ≈ k/n of the hash space, the estimate is
+    * (k-1) / (kthMin / 2⁶⁴). Buffers merge by union+truncate — associative
+    * and commutative, so partial aggregation is exact and the sketch
+    * shuffles k longs per group regardless of group size. Standard error
+    * ≈ 1/√(k−2) (~7% at k=256). Complements the built-in HLL++
+    * (approx_count_distinct, q26): this is the SURVEY §4 "custom sketch
+    * via the typed aggregation route" demonstration, with mergeability
+    * the tests exercise across partitionings. */
+  final class KmvDistinctAggregator(k: Int)
+      extends Aggregator[String, Array[Long], Long] {
+    require(k >= 8, s"k=$k too small for a meaningful estimate")
+
+    // buffer: ascending k smallest UNSIGNED hashes seen so far
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(buf: Array[Long], e: String): Array[Long] =
+      Kmv.insert(k)(buf, Kmv.hash(e))
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(Kmv.insert(k))
+
+    override def finish(buf: Array[Long]): Long = Kmv.estimate(k, buf)
 
     override def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** The RAW KMV sketch as the aggregate value (not the finished
+    * estimate): the mergeable k-smallest hash sample set algebra needs —
+    * two corpora's sketches combine into union/intersection/Jaccard
+    * estimates ([[graft.operators.Overlap]], Beyer et al., SIGMOD 2007)
+    * without either corpus rescanning the other. Same kernel as
+    * [[KmvDistinctAggregator]], so the sample is identical. */
+  final class KmvSketchAggregator(k: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(k >= 8, s"k=$k too small for a meaningful estimate")
+    override def zero: Array[Long] = Array.empty[Long]
+    override def reduce(buf: Array[Long], e: String): Array[Long] =
+      Kmv.insert(k)(buf, Kmv.hash(e))
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(Kmv.insert(k))
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   /** Count-min sketch: point-frequency estimation in sublinear space —
