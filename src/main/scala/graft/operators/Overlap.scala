@@ -114,4 +114,171 @@ object Overlap {
       |  (SELECT count(DISTINCT doc_id) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))::BIGINT AS true_union,
       |  (SELECT count(*) FROM a WHERE doc_id IN (SELECT doc_id FROM b))::BIGINT AS true_intersection,
       |  TRUE AS union_ok, TRUE AS intersection_ok, TRUE AS jaccard_ok""".stripMargin
+
+  /** INCREMENTAL SKETCH STATE — fold a day's keys into a persistent
+    * k-min sketch, so every snapshot VERSION carries a 2 KB overlap
+    * fingerprint that compares against any other version (or corpus)
+    * ever, for free. The k-min set is MONOTONE-MERGEABLE (union +
+    * truncate is idempotent, commutative, associative on hash SETS), so
+    * like the top-k sample state (q132) — and unlike the additive
+    * ledgered folds — re-delivery and arrival order are absorbed by
+    * construction: no batch ledger, no watermark, just the fold.
+    *
+    * Scale: per-batch cost is the batch's own one-pass fold; state is k
+    * longs FOREVER. Swap is the sinks' atomic rename. */
+  def sketchIngest(spark: SparkSession, path: String, batch: DataFrame,
+                   keyCol: String, k: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = new Path(root, "state")
+    val agg = new GraftUdfs.KmvSketchAggregator(k).toColumn
+    val bs = batch.select(col(keyCol).cast("string")).as[String]
+      .select(agg).head()
+    val merged =
+      if (fs.exists(state)) {
+        val old = spark.read.parquet(state.toString)
+          .select(col("sketch")).as[Array[Long]].head()
+        bs.foldLeft(old)(GraftUdfs.Kmv.insert(k))
+      } else bs
+    val tmp = new Path(path + ".__sketch_tmp")
+    fs.delete(tmp, true)
+    Seq(Tuple1(merged)).toDF("sketch").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path + ".__sketch_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(root)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+  }
+
+  /** Read a persisted sketch state. */
+  def readSketch(spark: SparkSession, path: String): Array[Long] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/state")
+      .select(col("sketch")).as[Array[Long]].head()
+  }
+
+  /** Overlap estimate from two RAW sketches (the persisted-fingerprint
+    * comparison path — no corpus access at all). */
+  def overlapFromSketches(sa: Array[Long], sb: Array[Long], k: Int): Estimate = {
+    val union = sb.foldLeft(sa)(GraftUdfs.Kmv.insert(k))
+    val inA = sa.toSet
+    val inB = sb.toSet
+    val kk = union.length
+    val both = union.count(h => inA(h) && inB(h))
+    val estU = GraftUdfs.Kmv.estimate(k, union)
+    val estJacE4 = if (kk == 0) 0L else math.round(both.toDouble * 10000.0 / kk)
+    val estI = if (kk == 0) 0L else math.round(both.toDouble * estU / kk)
+    Estimate(GraftUdfs.Kmv.estimate(k, sa), GraftUdfs.Kmv.estimate(k, sb),
+      estU, estI, estJacE4)
+  }
+
+  /** The q159/q160 shared gate tail: the A-side sketch from `path`'s
+    * ingested state vs the batch-computed B sketch — the whole point of
+    * the incremental path is that the snapshot-derived estimate EQUALS
+    * the batch answer (`matches_batch`, deterministic equality: the
+    * k-min hash set is grouping- and order-independent), gated next to
+    * q158's oracle-exact anchors and bands. */
+  private[operators] def ingestedGateRow(spark: SparkSession, dir: String,
+                                         statePath: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      concat(lit("d:"), col("doc_id")).as("key"), col("doc_id"))
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 2 === 0)
+    val agg = new GraftUdfs.KmvSketchAggregator(K).toColumn
+    import spark.implicits._
+    val sb = b.select(col("key").cast("string")).as[String].select(agg).head()
+    val est = overlapFromSketches(readSketch(spark, statePath), sb, K)
+    val batchEst = kmvOverlap(a, b, "key", K)
+    val exact = a.select(col("key")).union(b.select(col("key")))
+      .agg(countDistinct(col("key")).as("true_union"))
+      .crossJoin(broadcast(
+        a.select(col("key")).intersect(b.select(col("key")))
+          .agg(count(lit(1)).as("true_intersection"))))
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+    exact.select(
+      col("n_a"), col("n_b"), col("true_union"), col("true_intersection"),
+      lit(est == batchEst).as("matches_batch"),
+      (abs(lit(est.estUnion) - col("true_union")) * 10000 <=
+        col("true_union") * UnionBandE4).as("union_ok"),
+      (abs(lit(est.estIntersection) - col("true_intersection")) * 10000 <=
+        col("true_intersection") * InterBandE4).as("intersection_ok"),
+      (abs(lit(est.estJaccardE4) -
+        col("true_intersection") * 10000 / col("true_union")) <=
+        JaccardBandE4).as("jaccard_ok"))
+      .localCheckpoint(true) // materialize before the state dir dies
+  }
+
+  /** q159: [[sketchIngest]] under the REVERSED day-split + re-delivery
+    * harness (day 2 folds FIRST, then day 1 carrying a re-delivered
+    * slice — legal here and only among the monotone states, q132's
+    * precedent): the A-side corpus arrives incrementally, and the
+    * overlap derived from the persisted fingerprint must EQUAL the
+    * whole-corpus batch estimate, inside q158's certified bands. */
+  def q159SketchIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q159_")
+    try {
+      val path = s"$base/sketch_state"
+      val docs = Tables.documents(spark, dir).select(
+        concat(lit("d:"), col("doc_id")).as("key"), col("doc_id"))
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      Seq(
+        a.filter(col("doc_id") > cut), // day 2 delivered FIRST
+        a.filter(col("doc_id") <= cut)
+          .unionByName(a.filter(col("doc_id") % 5 === 0))) // re-delivery
+        .foreach(day => sketchIngest(spark, path, day, "key", K))
+      ingestedGateRow(spark, dir, path)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** q158's oracle + the matches_batch literal. */
+  val q159SketchIngestSql: String = q158KmvOverlapSql.replace(
+    "TRUE AS union_ok", "TRUE AS matches_batch,\n  TRUE AS union_ok")
+
+  /** q160: the q159 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingSketch]] — foreachBatch per landed day
+    * file, Trigger.AvailableNow), files landed in reversed day order
+    * with a re-delivered slice — both absorbed by the monotone merge
+    * (the q142/q151 streamed-monotone-state pattern). Oracle IS
+    * q159's. */
+  def q160StreamSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q160_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/sketch_state"
+      val docs = Tables.documents(spark, dir).select(
+        concat(lit("d:"), col("doc_id")).as("key"), col("doc_id"))
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new Path(srcDir))
+      Seq(
+        a.filter(col("doc_id") > cut), // reversed day order
+        a.filter(col("doc_id") <= cut)
+          .unionByName(a.filter(col("doc_id") % 5 === 0)))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingSketch.start(spark, srcDir, statePath,
+        s"$base/ckpt", "key", K, trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      ingestedGateRow(spark, dir, statePath)
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  val q160StreamSketchSql: String = q159SketchIngestSql
 }
