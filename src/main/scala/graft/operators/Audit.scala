@@ -367,6 +367,184 @@ object Audit {
        |FROM loo, sp ORDER BY bucket""".stripMargin
   }
 
+  // q161/q162 parameters: the report's quantile points, in e4 units.
+  private[operators] val QuantPs: Seq[Long] = Seq(5000L, 9000L, 9900L)
+
+  /** EXACT quantiles from BOUNDED integer value-counts — the tail
+    * statistics the corpus report (q85) lacks: the mean hides a p99
+    * length blowup or a p50 quality collapse, and the moments state
+    * (q152/q153) only reaches mean/σ. For an e4 fixed-point metric the
+    * value domain is ≤ 10001 integers, so the per-stratum DISTRIBUTION
+    * itself is bounded state: one value-count groupBy (map-side
+    * partial) and every quantile is EXACT — no t-digest/KLL
+    * approximation needed, because the metric was integer-quantized
+    * before the distribution was formed (the q77 fixed-point
+    * discipline applied to order statistics).
+    *
+    * Definition, engine-identical by construction: q(p) = the k-th
+    * smallest value with k = ⌈n·p/10⁴⌉ (integer ceiling) = min x whose
+    * running count reaches k. Pure integer comparisons — no
+    * interpolation, nothing for float dust to flip.
+    *
+    * Scale: the counts frame is ≤ |strata|·10001 rows regardless of
+    * corpus size; the cumsum window sorts ≤ 10001 rows per stratum. */
+  def histQuantiles(counts: DataFrame, psE4: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("stratum")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("n")).over(w))
+    val tot = counts.groupBy(col("stratum")).agg(sum(col("n")).as("n_rows"))
+    cum.join(broadcast(tot), "stratum")
+      .crossJoin(broadcast(psE4.toDF("p_e4")))
+      .withColumn("k", expr("(n_rows * p_e4 + 9999) div 10000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("stratum"), col("p_e4"))
+      .agg(max(col("n_rows")).as("n_rows"), max(col("k")).as("k"),
+        min(col("x")).as("q_x"))
+      .select(col("stratum"), col("p_e4"), col("n_rows"), col("k"), col("q_x"))
+  }
+
+  /** The bounded value-count distribution: (stratum, x, n). */
+  def histCounts(docs: DataFrame, strataCol: String, metricE4: Column): DataFrame =
+    docs.select(col(strataCol).as("stratum"), metricE4.as("x"))
+      .groupBy(col("stratum"), col("x")).agg(count(lit(1)).as("n"))
+
+  /** q161: per-language p50/p90/p99 of the e4 quality score, exact. */
+  def q161HistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    histQuantiles(
+        histCounts(TrainingData.scoredDocs(spark, dir), "lang",
+          round(col("quality") * 10000).cast("long")),
+        QuantPs)
+      .withColumnRenamed("stratum", "lang")
+      .orderBy(col("lang"), col("p_e4"))
+
+  val q161HistQuantilesSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    val ps = QuantPs.mkString("(", "), (", ")")
+    s"""WITH t AS (SELECT doc_id, lang, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT lang,
+       |  round(round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) * 10000)::BIGINT AS x
+       |FROM r),
+       |c AS (SELECT lang, x, count(*)::BIGINT AS n FROM m GROUP BY lang, x),
+       |cc AS (SELECT lang, x, n,
+       |  sum(n) OVER (PARTITION BY lang ORDER BY x
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+       |  sum(n) OVER (PARTITION BY lang)::BIGINT AS n_rows FROM c),
+       |p(p_e4) AS (VALUES $ps)
+       |SELECT lang, p_e4::BIGINT AS p_e4, max(n_rows) AS n_rows,
+       |  max((n_rows * p_e4 + 9999) // 10000) AS k,
+       |  min(x) AS q_x
+       |FROM cc, p WHERE cum >= (n_rows * p_e4 + 9999) // 10000
+       |GROUP BY lang, p_e4 ORDER BY lang, p_e4""".stripMargin
+  }
+
+  /** INCREMENTAL DISTRIBUTION STATE — [[histCounts]] folded per batch
+    * into a persistent additive (stratum, x, n) snapshot, committed
+    * atomically with its batch ledger via
+    * [[graft.sinks.LedgeredState]] (additive state double-counts on
+    * replay without one — the q110 contract). The report derives from
+    * the snapshot on demand ([[histQuantiles]]) — q131's
+    * model-state/selection split, here for order statistics: nightly
+    * p50/p90/p99 without re-scanning history, state bounded by
+    * |strata|·10001 rows forever. */
+  def histIngest(spark: SparkSession, path: String, batch: DataFrame,
+                 strataCol: String, metricE4: Column,
+                 batchId: String): Boolean = {
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val bs = histCounts(batch, strataCol, metricE4)
+    val merged = LedgeredState.readPart(spark, path, "counts") match {
+      case Some(st) => st.unionByName(bs)
+        .groupBy(col("stratum"), col("x")).agg(sum(col("n")).as("n"))
+      case None => bs
+    }
+    LedgeredState.commit(spark, path, batchId, Seq("counts" -> merged))
+    true
+  }
+
+  /** q162: the quantile report derived from the INGESTED distribution
+    * snapshot under the day-split + whole-batch-replay schedule
+    * (q131's harness — additive state, hence the ledger); must equal
+    * the whole-corpus batch answer — oracle IS q161's, verbatim. */
+  def q162HistIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q162_")
+    try {
+      val path = s"$base/hist_state"
+      val m = TrainingData.scoredDocs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") * 10000).cast("long").as("qe4"))
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      require(histIngest(spark, path, m.filter(col("doc_id") <= cut),
+        "lang", col("qe4"), "day1"))
+      require(histIngest(spark, path, m.filter(col("doc_id") > cut),
+        "lang", col("qe4"), "day2"))
+      require(!histIngest(spark, path, m.filter(col("doc_id") > cut),
+        "lang", col("qe4"), "day2"),
+        "replayed batch must be a ledger no-op")
+      histQuantiles(spark.read.parquet(s"$path/state/counts"), QuantPs)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"), col("p_e4"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q161's. */
+  def q162HistIngestSql: String = q161HistQuantilesSql
+
+  /** q163: the q162 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingHist]] — foreachBatch per landed day
+    * file, Trigger.AvailableNow; disjoint day files, the additive-state
+    * input contract) — q87's pattern for the distribution ledger.
+    * Oracle IS q161's. */
+  def q163StreamHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_q163_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/hist_state"
+      val m = TrainingData.scoredDocs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") * 10000).cast("long").as("qe4"))
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new Path(srcDir))
+      Seq(m.filter(col("doc_id") <= cut), m.filter(col("doc_id") > cut))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingHist.start(spark, srcDir, statePath,
+        s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      histQuantiles(spark.read.parquet(s"$statePath/state/counts"), QuantPs)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"), col("p_e4"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  def q163StreamHistSql: String = q161HistQuantilesSql
+
   /** INCREMENTAL MOMENT STATE — one additive snapshot serving every
     * downstream statistic: per (stratum, jackknife-bucket) the integer
     * (n, Σx, Σx²) triple, folded per batch with the q110 batchId

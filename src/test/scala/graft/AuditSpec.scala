@@ -182,4 +182,55 @@ class AuditSpec extends SparkSpec {
       pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
     }
   }
+
+  test("histQuantiles: exact k-th-smallest semantics on a crafted distribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stratum a: values 1..10 once each -> p50 = 5th smallest = 5,
+    // p90 = 9, p99 = ceil(9.9) = 10th = 10. stratum b: heavy tie block
+    // (five 7s then one 100): p50 = 3rd = 7, p90 = ceil(5.4) = 6th = 100.
+    // stratum c: single row -> every quantile is that value (k = 1).
+    val rows = (1L to 10L).map(("a", _)) ++
+      Seq.fill(5)(("b", 7L)) ++ Seq(("b", 100L)) ++ Seq(("c", 42L))
+    val counts = rows.toDF("stratum", "x")
+      .groupBy(col("stratum"), col("x")).agg(count(lit(1)).as("n"))
+    val got = operators.Audit.histQuantiles(counts, Seq(5000L, 9000L, 9900L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("a", 5000L)) == ((10L, 5L, 5L)))
+    assert(got(("a", 9000L)) == ((10L, 9L, 9L)))
+    assert(got(("a", 9900L)) == ((10L, 10L, 10L)))
+    assert(got(("b", 5000L)) == ((6L, 3L, 7L)))
+    assert(got(("b", 9000L)) == ((6L, 6L, 100L)))
+    assert(got(("c", 5000L)) == ((1L, 1L, 42L)))
+    assert(got(("c", 9900L)) == ((1L, 1L, 42L)))
+  }
+
+  test("hist ingest: distribution state is split-invariant; replays no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val pool = (1L to 600L).map(i =>
+      (i, s"g${i % 3}", rnd.nextInt(50).toLong)).toDF("id", "lang", "qe4")
+    def readState(p: String): Map[(String, Long), Long] =
+      spark.read.parquet(s"$p/state/counts")
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val base = java.nio.file.Files.createTempDirectory("graft_hist_spec_")
+    try {
+      val p1 = s"$base/one"; val p2 = s"$base/three"
+      assert(operators.Audit.histIngest(spark, p1, pool, "lang", col("qe4"), "b0"))
+      Seq(pool.filter(col("id") <= 200), pool.filter(col("id") > 200 && col("id") <= 350),
+          pool.filter(col("id") > 350)).zipWithIndex.foreach { case (b, i) =>
+        assert(operators.Audit.histIngest(spark, p2, b, "lang", col("qe4"), s"b$i"))
+      }
+      assert(!operators.Audit.histIngest(spark, p2,
+        pool.filter(col("id") > 350), "lang", col("qe4"), "b2"),
+        "replayed batchId must be a ledger no-op")
+      assert(readState(p1) == readState(p2),
+        "integer value counts are split-invariant")
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
 }
