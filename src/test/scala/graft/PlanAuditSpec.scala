@@ -695,6 +695,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the interleave must stay inside one whole-stage-codegen projection:\n$p")
   }
 
+  test("hist quantiles: stratum-keyed windows only, tiny frames broadcast (q161)") {
+    val p = plan(operators.Audit.q161HistQuantiles(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(stratum"),
+      s"the cumsum window must partition by stratum, never a global sort:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("BroadcastExchange"),
+      s"no corpus-sized single-partition exchange:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the totals and quantile points must broadcast onto the counts:\n$p")
+  }
+
   test("evolving merge keeps the single full-outer key join (q154 shape)") {
     import spark.implicits._
     val target = Seq((1L, "en", 10L)).toDF("doc_id", "lang", "n_chars")
