@@ -43,27 +43,24 @@ object Overlap {
   final case class Estimate(nA: Long, nB: Long, estUnion: Long,
                             estIntersection: Long, estJaccardE4: Long)
 
-  /** Estimate |A|, |B|, |A∪B|, |A∩B| and Jaccard over the distinct
-    * values of `keyCol` using k-min-value sketches. */
-  def kmvOverlap(a: DataFrame, b: DataFrame, keyCol: String, k: Int): Estimate = {
-    val spark = a.sparkSession
+  /** One side's k-min sketch: one mergeable fold. Null keys are
+    * dropped, not crashed on — externally-landed data (the streamed
+    * ingest path) can carry them, and a null has no distinct-value
+    * identity to sample. */
+  def sketchOf(df: DataFrame, keyCol: String, k: Int): Array[Long] = {
+    val spark = df.sparkSession
     import spark.implicits._
     val agg = new GraftUdfs.KmvSketchAggregator(k).toColumn
-    def sketch(df: DataFrame): Array[Long] =
-      df.select(col(keyCol).cast("string")).as[String].select(agg).head()
-    val sa = sketch(a)
-    val sb = sketch(b)
-    val union = sb.foldLeft(sa)(GraftUdfs.Kmv.insert(k))
-    val inA = sa.toSet
-    val inB = sb.toSet
-    val kk = union.length // k, or the exact union size below saturation
-    val both = union.count(h => inA(h) && inB(h))
-    val estU = GraftUdfs.Kmv.estimate(k, union)
-    val estJacE4 = if (kk == 0) 0L else math.round(both.toDouble * 10000.0 / kk)
-    val estI = if (kk == 0) 0L else math.round(both.toDouble * estU / kk)
-    Estimate(GraftUdfs.Kmv.estimate(k, sa), GraftUdfs.Kmv.estimate(k, sb),
-      estU, estI, estJacE4)
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string")).as[String].select(agg).head()
   }
+
+  /** Estimate |A|, |B|, |A∪B|, |A∩B| and Jaccard over the distinct
+    * values of `keyCol` using k-min-value sketches — one pass per side,
+    * then [[overlapFromSketches]] (ONE estimator body; the batch and
+    * fingerprint paths must agree by construction). */
+  def kmvOverlap(a: DataFrame, b: DataFrame, keyCol: String, k: Int): Estimate =
+    overlapFromSketches(sketchOf(a, keyCol, k), sketchOf(b, keyCol, k), k)
 
   // q158 parameters: sketch size and the certification bands. k = 256
   // gives ~6.3% SE on the union and ~3σ ≈ 9-point absolute error on the
@@ -82,12 +79,19 @@ object Overlap {
     * certify each estimate inside its band. Sketches saturate at the
     * gate SF (n_union ≈ 417 > k = 256), so the approximate path — not
     * the exact-below-k shortcut — is what's certified. */
-  def q158KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+  /** The gate-fixture pair: A = two thirds of documents, B = half. */
+  private def gateSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir).select(
       concat(lit("d:"), col("doc_id")).as("key"), col("doc_id"))
-    val a = docs.filter(col("doc_id") % 3 =!= 0)
-    val b = docs.filter(col("doc_id") % 2 === 0)
-    val est = kmvOverlap(a, b, "key", K)
+    (docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** The shared gate tail: oracle-exact anchors + the band booleans
+    * over `est`, with q159/q160's matches_batch spliced in when the
+    * incremental path is under test — ONE block, so a band or fixture
+    * tweak can never desynchronize the three gates. */
+  private def gateRow(a: DataFrame, b: DataFrame, est: Estimate,
+                      matchesBatch: Option[Boolean]): DataFrame = {
     val exact = a.select(col("key")).union(b.select(col("key")))
       .agg(countDistinct(col("key")).as("true_union"))
       .crossJoin(broadcast(
@@ -95,8 +99,9 @@ object Overlap {
           .agg(count(lit(1)).as("true_intersection"))))
       .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))
       .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
-    exact.select(
-      col("n_a"), col("n_b"), col("true_union"), col("true_intersection"),
+    val base = Seq(
+      col("n_a"), col("n_b"), col("true_union"), col("true_intersection")) ++
+      matchesBatch.map(m => lit(m).as("matches_batch")).toSeq ++ Seq(
       (abs(lit(est.estUnion) - col("true_union")) * 10000 <=
         col("true_union") * UnionBandE4).as("union_ok"),
       (abs(lit(est.estIntersection) - col("true_intersection")) * 10000 <=
@@ -104,6 +109,12 @@ object Overlap {
       (abs(lit(est.estJaccardE4) -
         col("true_intersection") * 10000 / col("true_union")) <=
         JaccardBandE4).as("jaccard_ok"))
+    exact.select(base: _*)
+  }
+
+  def q158KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = gateSides(spark, dir)
+    gateRow(a, b, kmvOverlap(a, b, "key", K), matchesBatch = None)
   }
 
   val q158KmvOverlapSql: String =
@@ -132,10 +143,9 @@ object Overlap {
     import spark.implicits._
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSketch(fs, path)
     val state = new Path(root, "state")
-    val agg = new GraftUdfs.KmvSketchAggregator(k).toColumn
-    val bs = batch.select(col(keyCol).cast("string")).as[String]
-      .select(agg).head()
+    val bs = sketchOf(batch, keyCol, k)
     val merged =
       if (fs.exists(state)) {
         val old = spark.read.parquet(state.toString)
@@ -152,9 +162,26 @@ object Overlap {
     graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
   }
 
+  /** atomicSwap's two-rename crash window (state moved aside, tmp not
+    * yet in place) would silently RESET the fingerprint to empty on the
+    * next fold — restore the moved-aside state first, exactly
+    * [[graft.sinks.LedgeredState]]'s recovery rule (restore only when
+    * `state` is absent). */
+  private def recoverSketch(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String): Unit = {
+    val state = new org.apache.hadoop.fs.Path(s"$path/state")
+    val bak = new org.apache.hadoop.fs.Path(path + ".__sketch_bak")
+    if (!fs.exists(state) && fs.exists(bak)) {
+      require(fs.rename(bak, state),
+        s"sketch-state recovery failed: could not restore $bak to $state")
+    }
+  }
+
   /** Read a persisted sketch state. */
   def readSketch(spark: SparkSession, path: String): Array[Long] = {
     import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    recoverSketch(p.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     spark.read.parquet(s"$path/state")
       .select(col("sketch")).as[Array[Long]].head()
   }
@@ -175,39 +202,20 @@ object Overlap {
   }
 
   /** The q159/q160 shared gate tail: the A-side sketch from `path`'s
-    * ingested state vs the batch-computed B sketch — the whole point of
-    * the incremental path is that the snapshot-derived estimate EQUALS
-    * the batch answer (`matches_batch`, deterministic equality: the
-    * k-min hash set is grouping- and order-independent), gated next to
-    * q158's oracle-exact anchors and bands. */
+    * ingested state vs the batch-computed sketches (each side scanned
+    * ONCE — the batch comparison reuses the same B sketch) — the whole
+    * point of the incremental path is that the snapshot-derived
+    * estimate EQUALS the batch answer (`matches_batch`, deterministic
+    * equality: the k-min hash set is grouping- and order-independent),
+    * gated next to q158's oracle-exact anchors and bands. */
   private[operators] def ingestedGateRow(spark: SparkSession, dir: String,
                                          statePath: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(
-      concat(lit("d:"), col("doc_id")).as("key"), col("doc_id"))
-    val a = docs.filter(col("doc_id") % 3 =!= 0)
-    val b = docs.filter(col("doc_id") % 2 === 0)
-    val agg = new GraftUdfs.KmvSketchAggregator(K).toColumn
-    import spark.implicits._
-    val sb = b.select(col("key").cast("string")).as[String].select(agg).head()
+    val (a, b) = gateSides(spark, dir)
+    val sa = sketchOf(a, "key", K)
+    val sb = sketchOf(b, "key", K)
     val est = overlapFromSketches(readSketch(spark, statePath), sb, K)
-    val batchEst = kmvOverlap(a, b, "key", K)
-    val exact = a.select(col("key")).union(b.select(col("key")))
-      .agg(countDistinct(col("key")).as("true_union"))
-      .crossJoin(broadcast(
-        a.select(col("key")).intersect(b.select(col("key")))
-          .agg(count(lit(1)).as("true_intersection"))))
-      .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))
-      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
-    exact.select(
-      col("n_a"), col("n_b"), col("true_union"), col("true_intersection"),
-      lit(est == batchEst).as("matches_batch"),
-      (abs(lit(est.estUnion) - col("true_union")) * 10000 <=
-        col("true_union") * UnionBandE4).as("union_ok"),
-      (abs(lit(est.estIntersection) - col("true_intersection")) * 10000 <=
-        col("true_intersection") * InterBandE4).as("intersection_ok"),
-      (abs(lit(est.estJaccardE4) -
-        col("true_intersection") * 10000 / col("true_union")) <=
-        JaccardBandE4).as("jaccard_ok"))
+    val batchEst = overlapFromSketches(sa, sb, K)
+    gateRow(a, b, est, matchesBatch = Some(est == batchEst))
       .localCheckpoint(true) // materialize before the state dir dies
   }
 

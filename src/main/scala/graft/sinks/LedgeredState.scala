@@ -44,11 +44,31 @@ object LedgeredState {
   /** The committed location of a state part (for readers). */
   def partPath(path: String, part: String): String = s"$path/state/$part"
 
+  /** [[MergeSink.atomicSwap]] is two renames (state → bak, tmp →
+    * state); a crash BETWEEN them leaves no `state` dir while `bak`
+    * holds the last committed one. Without recovery the next ingest
+    * would silently restart from EMPTY state — exactly the data loss
+    * the atomic contract promises away — so every entry point probes
+    * for that window first and restores `bak`. The rule is
+    * unambiguous: restore ONLY when `state` is absent (a crash after
+    * the second rename but before the bak cleanup leaves BOTH — then
+    * the new state is committed and `bak` is just garbage, removed by
+    * the next commit's delete). */
+  private def recover(fs: FileSystem, path: String): Unit = {
+    val state = new Path(s"$path/state")
+    val bak = new Path(path + ".__state_bak")
+    if (!fs.exists(state) && fs.exists(bak)) {
+      require(fs.rename(bak, state),
+        s"ledgered-state recovery failed: could not restore $bak to $state")
+    }
+  }
+
   /** true iff `batchId` is recorded in the COMMITTED ledger — i.e. the
     * batch's fold is fully applied (commit is all-or-nothing). */
   def absorbed(spark: SparkSession, path: String, batchId: String): Boolean = {
     val ledger = new Path(s"$path/state/_batches")
     val fs = fsOf(spark, ledger)
+    recover(fs, path)
     fs.exists(ledger) &&
       spark.read.parquet(ledger.toString)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
@@ -57,7 +77,9 @@ object LedgeredState {
   /** The committed state part as a frame, or None before first commit. */
   def readPart(spark: SparkSession, path: String, part: String): Option[DataFrame] = {
     val p = new Path(partPath(path, part))
-    if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val fs = fsOf(spark, p)
+    recover(fs, path)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Publish `parts` plus the batchId-extended ledger in one atomic
@@ -67,6 +89,7 @@ object LedgeredState {
              parts: Seq[(String, DataFrame)]): Unit = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
+    recover(fs, path)
     val state = new Path(root, "state")
     val tmp = new Path(path + ".__state_tmp")
     fs.delete(tmp, true)

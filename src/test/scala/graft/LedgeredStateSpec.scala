@@ -39,6 +39,34 @@ class LedgeredStateSpec extends SparkSpec {
     }
   }
 
+  test("the two-rename crash window recovers: moved-aside state is restored") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ls_swap_")
+    try {
+      val path = s"$base/st"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      LedgeredState.commit(spark, path, "day1",
+        Seq("counts" -> Seq(("a", 1L)).toDF("k", "n")))
+      // simulate a crash BETWEEN atomicSwap's two renames: state moved
+      // aside to bak, replacement never arrived
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/state"),
+        new org.apache.hadoop.fs.Path(path + ".__state_bak")))
+      // every entry point must restore the committed state, not start empty
+      assert(LedgeredState.absorbed(spark, path, "day1"),
+        "the crash window must not erase the committed ledger")
+      assert(LedgeredState.readPart(spark, path, "counts").get
+        .collect().head.getLong(1) == 1L)
+      // and the next fold proceeds on top of the recovered state
+      val grown = LedgeredState.readPart(spark, path, "counts").get
+        .unionByName(Seq(("b", 2L)).toDF("k", "n"))
+      LedgeredState.commit(spark, path, "day2", Seq("counts" -> grown))
+      assert(LedgeredState.readPart(spark, path, "counts").get.count() == 2)
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
   test("a commit that fails mid-write leaves the previous state authoritative") {
     val base = java.nio.file.Files.createTempDirectory("graft_ls_crash_")
     try {

@@ -699,7 +699,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(operators.Audit.q161HistQuantiles(spark, sf))
     assert(p.contains("Exchange hashpartitioning(stratum"),
       s"the cumsum window must partition by stratum, never a global sort:\n$p")
-    assert(!p.contains("Exchange SinglePartition") || p.contains("BroadcastExchange"),
+    assert(!p.contains("Exchange SinglePartition"),
       s"no corpus-sized single-partition exchange:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"the totals and quantile points must broadcast onto the counts:\n$p")

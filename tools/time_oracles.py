@@ -43,7 +43,13 @@ def main(sf_dir, out_dir, budget=30.0):
             results.append((budget, name, -1, f"TIMEOUT >{budget}s"))
             print(f"{name}: TIMEOUT >{budget}s", flush=True)
         else:
-            sec, n, err = q.get()
+            # the child can die WITHOUT enqueueing (OOM kill, segfault) —
+            # a blocking get() would wedge the exact sweep the timeout
+            # exists to protect
+            try:
+                sec, n, err = q.get(timeout=5)
+            except Exception:
+                sec, n, err = budget, -1, f"CHILD DIED (exitcode {p.exitcode})"
             results.append((sec, name, n, err))
             tag = f"ERROR {err}" if err else f"{n} rows"
             print(f"{name}: {sec:.2f}s ({tag})", flush=True)
