@@ -280,6 +280,138 @@ object Sharding {
     }
   }
 
+  /** LAYOUT-HEALTH monitor — the signal that schedules a re-cluster
+    * (the lakehouse OPTIMIZE trigger), completing the layout family the
+    * way q89 completes IVF: q138/q155 BUILD a clustered layout; nightly
+    * appends then decay it, because appended files span wide z ranges
+    * and data skipping stops working. Per file: row count, its z-range,
+    * and `overlap_cnt` — how many OTHER files its range intersects. A
+    * freshly clustered layout has disjoint ranges (overlap 0 on every
+    * file, by construction of the equal-width cut); an appended
+    * unclustered file overlaps many, and every point query must now
+    * read it too. When Σ overlap crosses a threshold you re-cluster —
+    * measured, not scheduled.
+    *
+    * Scale: per-file stats are a map-side-partial groupBy to |files|
+    * rows; the interval self-join runs on that tiny frame (files ×
+    * files, never rows). The stats mirror exactly what parquet footers
+    * carry, so at 100 TB this reads metadata, not data. */
+  def layoutHealth(layout: DataFrame): DataFrame = {
+    val f = layout.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zkey")).as("z_lo"), max(col("zkey")).as("z_hi"))
+    val other = f.select(col("file_id").as("o_id"),
+      col("z_lo").as("o_lo"), col("z_hi").as("o_hi"))
+    f.join(broadcast(other),
+        col("o_id") =!= col("file_id") &&
+        col("o_lo") <= col("z_hi") && col("o_hi") >= col("z_lo"), "left")
+      .groupBy(col("file_id"), col("n_rows"), col("z_lo"), col("z_hi"))
+      .agg(sum(when(col("o_id").isNotNull, 1L).otherwise(0L)).as("overlap_cnt"))
+  }
+
+  /** q164: the health monitor through the layout LIFECYCLE the operator
+    * exists for — three phases, each reported: (1) day 1 z-clustered
+    * (disjoint ranges, overlap 0); (2) day 2 APPENDED as one
+    * unclustered file spanning the z space (it overlaps every file it
+    * straddles, and the report says exactly how badly); (3)
+    * re-clustered over all rows (overlap back to 0 — the OPTIMIZE this
+    * monitor schedules). Physical path throughout: each phase is
+    * written, reopened via partition discovery, and measured from the
+    * reopened frame (what footer stats would say). Buckets are q138's
+    * (qb × lb). */
+  def q164LayoutHealth(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q164_")
+    try {
+      import graft.functions.TextFunctions._
+      val m = Tables.documents(spark, dir).select(
+        col("doc_id"), col("n_chars"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        alphaRatio(col("text")).as("alpha_raw"),
+        punctRatio(col("text")).as("punct_raw"),
+        stopwordRatio(col("text")).as("stop_raw"))
+        .select(col("doc_id"),
+          least(lit(255L), floor(round(
+            lit(0.25) * col("alpha_raw") +
+            lit(0.25) * col("stop_raw") +
+            lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+            lit(0.25) * (lit(1.0) - col("punct_raw")), 4) * 256).cast("long"))
+            .as("qb"),
+          least(lit(255L), expr("n_chars div 64")).as("lb"))
+        .localCheckpoint(true) // cut once, reused by all three phases
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val path = s"$base/layout"
+      def write(df: DataFrame, mode: String): Unit =
+        df.repartition(col("file_id"))
+          .sortWithinPartitions(col("file_id"), col("zkey"), col("doc_id"))
+          .write.mode(mode).partitionBy("file_id").parquet(path)
+      def reopened(): DataFrame = spark.read.parquet(path)
+        .select(col("doc_id"), col("zkey"), col("file_id").cast("long").as("file_id"))
+      // phase 1: day 1, clustered
+      write(zOrderLayout(m.filter(col("doc_id") <= cut), "doc_id", "qb", "lb",
+        ZFiles), "overwrite")
+      // each phase's report materializes BEFORE the next write replaces
+      // the files its lazy plan would re-read
+      val p1 = layoutHealth(reopened()).withColumn("phase", lit("1_clustered"))
+        .localCheckpoint(true)
+      // phase 2: day 2 appended as ONE unclustered file (the nightly
+      // ingest residue) — file_id past the clustered range
+      write(m.filter(col("doc_id") > cut)
+        .withColumn("zkey", zOrderKey(col("qb"), col("lb"), ZBits))
+        .withColumn("file_id", lit(ZFiles.toLong)), "append")
+      val p2 = layoutHealth(reopened()).withColumn("phase", lit("2_appended"))
+        .localCheckpoint(true)
+      // phase 3: re-cluster everything — the OPTIMIZE the monitor schedules
+      write(zOrderLayout(m, "doc_id", "qb", "lb", ZFiles), "overwrite")
+      val p3 = layoutHealth(reopened()).withColumn("phase", lit("3_reclustered"))
+      p1.unionByName(p2).unionByName(p3)
+        .select(col("phase"), col("file_id"), col("n_rows"),
+          col("z_lo"), col("z_hi"), col("overlap_cnt"))
+        .orderBy(col("phase"), col("file_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q164LayoutHealthSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, n_chars, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, n_chars,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id,
+       |  least(255, floor(round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) * 256))::BIGINT AS qb,
+       |  least(255, n_chars // 64)::BIGINT AS lb
+       |FROM r),
+       |z AS (SELECT doc_id, (${zOrderKeyNSql(Seq("qb", "lb"), ZBits)})::BIGINT AS zkey FROM m),
+       |cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+       |a1 AS (SELECT doc_id, zkey, zkey * $ZFiles // ${1 << (2 * ZBits)} AS file_id
+       |       FROM z, cut WHERE doc_id <= c),
+       |a2 AS (SELECT doc_id, zkey, $ZFiles::BIGINT AS file_id FROM z, cut WHERE doc_id > c),
+       |a3 AS (SELECT doc_id, zkey, zkey * $ZFiles // ${1 << (2 * ZBits)} AS file_id FROM z),
+       |ph(phase, doc_id, zkey, file_id) AS (
+       |  SELECT '1_clustered', * FROM a1
+       |  UNION ALL SELECT '2_appended', * FROM a1
+       |  UNION ALL SELECT '2_appended', * FROM a2
+       |  UNION ALL SELECT '3_reclustered', * FROM a3),
+       |f AS (SELECT phase, file_id, count(*)::BIGINT AS n_rows,
+       |        min(zkey)::BIGINT AS z_lo, max(zkey)::BIGINT AS z_hi
+       |      FROM ph GROUP BY phase, file_id)
+       |SELECT f.phase, f.file_id, f.n_rows, f.z_lo, f.z_hi,
+       |  (SELECT count(*) FROM f o WHERE o.phase = f.phase
+       |     AND o.file_id != f.file_id
+       |     AND o.z_lo <= f.z_hi AND o.z_hi >= f.z_lo)::BIGINT AS overlap_cnt
+       |FROM f ORDER BY phase, file_id""".stripMargin
+  }
+
   val q155ZOrder4DSql: String = {
     val stops = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")
