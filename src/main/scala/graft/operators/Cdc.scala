@@ -231,6 +231,7 @@ object Cdc {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state = new Path(root, "state")
+    graft.sinks.MergeSink.recoverSwap(fs, state, new Path(path + ".__cdc_bak"))
     val snap =
       if (fs.exists(state)) spark.read.parquet(state.toString)
       else emptySnapshot(spark)

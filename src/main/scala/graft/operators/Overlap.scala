@@ -168,14 +168,10 @@ object Overlap {
     * [[graft.sinks.LedgeredState]]'s recovery rule (restore only when
     * `state` is absent). */
   private def recoverSketch(fs: org.apache.hadoop.fs.FileSystem,
-                            path: String): Unit = {
-    val state = new org.apache.hadoop.fs.Path(s"$path/state")
-    val bak = new org.apache.hadoop.fs.Path(path + ".__sketch_bak")
-    if (!fs.exists(state) && fs.exists(bak)) {
-      require(fs.rename(bak, state),
-        s"sketch-state recovery failed: could not restore $bak to $state")
-    }
-  }
+                            path: String): Unit =
+    graft.sinks.MergeSink.recoverSwap(fs,
+      new org.apache.hadoop.fs.Path(s"$path/state"),
+      new org.apache.hadoop.fs.Path(path + ".__sketch_bak"))
 
   /** Read a persisted sketch state. */
   def readSketch(spark: SparkSession, path: String): Array[Long] = {

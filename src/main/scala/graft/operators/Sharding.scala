@@ -133,6 +133,47 @@ object Sharding {
   private def zOrderKeySql(a: String, b: String, bits: Int): String =
     zOrderKeyNSql(Seq(a, b), bits)
 
+  /** The (doc_id, qb, lb) bucket frame q138 and q164 both layout over —
+    * ONE derivation (quality·256 floored on the 4-dp-rounded score,
+    * n_chars div 64, both capped at 255) so the two gates can never
+    * silently diverge on the bucketing. */
+  private def qualityLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("n_chars"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      alphaRatio(col("text")).as("alpha_raw"),
+      punctRatio(col("text")).as("punct_raw"),
+      stopwordRatio(col("text")).as("stop_raw"))
+      .select(col("doc_id"),
+        least(lit(255L), floor(round(
+          lit(0.25) * col("alpha_raw") +
+          lit(0.25) * col("stop_raw") +
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * (lit(1.0) - col("punct_raw")), 4) * 256).cast("long"))
+          .as("qb"),
+        least(lit(255L), expr("n_chars div 64")).as("lb"))
+  }
+
+  /** The matching oracle CTE prefix ending in `m(doc_id, qb, lb)`. */
+  private def qualityLengthBucketsSql: String = {
+    val stops = graft.functions.TextFunctions.stopwords
+      .map(x => s"'$x'").mkString(", ")
+    s"""t AS (SELECT doc_id, n_chars, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
+       |r AS (SELECT doc_id, n_chars,
+       |  len(toks)::bigint AS n_tokens,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
+       |FROM t),
+       |m AS (SELECT doc_id,
+       |  least(255, floor(round(0.25 * alpha_raw + 0.25 * stop_raw
+       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
+       |      + 0.25 * (1.0 - punct_raw), 4) * 256))::BIGINT AS qb,
+       |  least(255, n_chars // 64)::BIGINT AS lb
+       |FROM r)""".stripMargin
+  }
+
   /** Z-ORDER LAYOUT CLUSTERING — the lakehouse data-skipping layout: a
     * single sort key that keeps BOTH dimensions locally clustered, so
     * parquet min/max stats prune files for 2-D predicates where a
@@ -164,21 +205,7 @@ object Sharding {
   def q138ZOrder(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q138_")
     try {
-      import graft.functions.TextFunctions._
-      val m = Tables.documents(spark, dir).select(
-        col("doc_id"), col("n_chars"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        alphaRatio(col("text")).as("alpha_raw"),
-        punctRatio(col("text")).as("punct_raw"),
-        stopwordRatio(col("text")).as("stop_raw"))
-        .select(col("doc_id"),
-          least(lit(255L), floor(round(
-            lit(0.25) * col("alpha_raw") +
-            lit(0.25) * col("stop_raw") +
-            lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-            lit(0.25) * (lit(1.0) - col("punct_raw")), 4) * 256).cast("long"))
-            .as("qb"),
-          least(lit(255L), expr("n_chars div 64")).as("lb"))
+      val m = qualityLengthBuckets(spark, dir)
       val laid = zOrderLayout(m, "doc_id", "qb", "lb", ZFiles)
       laid.repartition(ZFiles, col("file_id"))
         .sortWithinPartitions(col("file_id"), col("zkey"), col("doc_id"))
@@ -197,21 +224,7 @@ object Sharding {
   }
 
   val q138ZOrderSql: String = {
-    val stops = graft.functions.TextFunctions.stopwords
-      .map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, n_chars, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
-       |r AS (SELECT doc_id, n_chars,
-       |  len(toks)::bigint AS n_tokens,
-       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
-       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
-       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
-       |FROM t),
-       |m AS (SELECT doc_id,
-       |  least(255, floor(round(0.25 * alpha_raw + 0.25 * stop_raw
-       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
-       |      + 0.25 * (1.0 - punct_raw), 4) * 256))::BIGINT AS qb,
-       |  least(255, n_chars // 64)::BIGINT AS lb
-       |FROM r),
+    s"""WITH $qualityLengthBucketsSql,
        |z AS (SELECT doc_id, qb, lb,
        |  (${zOrderKeySql("qb", "lb", ZBits)})::BIGINT AS zkey
        |FROM m)
@@ -297,9 +310,12 @@ object Sharding {
     * files, never rows). The stats mirror exactly what parquet footers
     * carry, so at 100 TB this reads metadata, not data. */
   def layoutHealth(layout: DataFrame): DataFrame = {
+    // the |files|-row stats frame feeds BOTH sides of the interval
+    // self-join — materialize it once or the full layout scan runs twice
     val f = layout.groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("zkey")).as("z_lo"), max(col("zkey")).as("z_hi"))
+      .localCheckpoint(true)
     val other = f.select(col("file_id").as("o_id"),
       col("z_lo").as("o_lo"), col("z_hi").as("o_hi"))
     f.join(broadcast(other),
@@ -322,21 +338,7 @@ object Sharding {
   def q164LayoutHealth(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q164_")
     try {
-      import graft.functions.TextFunctions._
-      val m = Tables.documents(spark, dir).select(
-        col("doc_id"), col("n_chars"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        alphaRatio(col("text")).as("alpha_raw"),
-        punctRatio(col("text")).as("punct_raw"),
-        stopwordRatio(col("text")).as("stop_raw"))
-        .select(col("doc_id"),
-          least(lit(255L), floor(round(
-            lit(0.25) * col("alpha_raw") +
-            lit(0.25) * col("stop_raw") +
-            lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-            lit(0.25) * (lit(1.0) - col("punct_raw")), 4) * 256).cast("long"))
-            .as("qb"),
-          least(lit(255L), expr("n_chars div 64")).as("lb"))
+      val m = qualityLengthBuckets(spark, dir)
         .localCheckpoint(true) // cut once, reused by all three phases
       val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
       val path = s"$base/layout"
@@ -376,21 +378,7 @@ object Sharding {
   }
 
   val q164LayoutHealthSql: String = {
-    val stops = graft.functions.TextFunctions.stopwords
-      .map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, n_chars, text, ${TextQueries.tokSqlExpr} AS toks FROM documents),
-       |r AS (SELECT doc_id, n_chars,
-       |  len(toks)::bigint AS n_tokens,
-       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double / len(text) END AS alpha_raw,
-       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::double / len(text) END AS punct_raw,
-       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ($stops)))::double / len(toks) END AS stop_raw
-       |FROM t),
-       |m AS (SELECT doc_id,
-       |  least(255, floor(round(0.25 * alpha_raw + 0.25 * stop_raw
-       |      + 0.25 * least(1.0, n_tokens::double / 100.0)
-       |      + 0.25 * (1.0 - punct_raw), 4) * 256))::BIGINT AS qb,
-       |  least(255, n_chars // 64)::BIGINT AS lb
-       |FROM r),
+    s"""WITH $qualityLengthBucketsSql,
        |z AS (SELECT doc_id, (${zOrderKeyNSql(Seq("qb", "lb"), ZBits)})::BIGINT AS zkey FROM m),
        |cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
        |a1 AS (SELECT doc_id, zkey, zkey * $ZFiles // ${1 << (2 * ZBits)} AS file_id

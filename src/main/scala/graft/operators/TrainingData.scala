@@ -1971,6 +1971,7 @@ object TrainingData {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state = new Path(root, "state")
+    graft.sinks.MergeSink.recoverSwap(fs, state, new Path(path + ".__sample_bak"))
     val keep = Seq(idCol) ++ carryCols ++ Seq(weightCol, "bucket", "qk")
     val keyed = batch.filter(col(weightCol) > 0)
       .withColumn("bucket", hashBucket(col(idCol), seed))
@@ -2146,6 +2147,7 @@ object TrainingData {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state = new Path(root, "state")
+    graft.sinks.MergeSink.recoverSwap(fs, state, new Path(path + ".__sky_bak"))
     val keep = (Seq(idCol) ++ partCols ++ Seq(xCol, yCol)).map(col)
     val batchSky = skyline2D(batch.select(keep: _*), xCol, yCol, partCols)
     val merged =

@@ -54,14 +54,9 @@ object LedgeredState {
     * the second rename but before the bak cleanup leaves BOTH — then
     * the new state is committed and `bak` is just garbage, removed by
     * the next commit's delete). */
-  private def recover(fs: FileSystem, path: String): Unit = {
-    val state = new Path(s"$path/state")
-    val bak = new Path(path + ".__state_bak")
-    if (!fs.exists(state) && fs.exists(bak)) {
-      require(fs.rename(bak, state),
-        s"ledgered-state recovery failed: could not restore $bak to $state")
-    }
-  }
+  private def recover(fs: FileSystem, path: String): Unit =
+    MergeSink.recoverSwap(fs, new Path(s"$path/state"),
+      new Path(path + ".__state_bak"))
 
   /** true iff `batchId` is recorded in the COMMITTED ledger — i.e. the
     * batch's fold is fully applied (commit is all-or-nothing). */

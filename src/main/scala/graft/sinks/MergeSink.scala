@@ -209,6 +209,7 @@ object MergeSink {
     val path = new Path(targetPath)
     val fs = path.getFileSystem(hconf)
 
+    recoverSwap(fs, path, new Path(targetPath + ".__merge_bak"))
     val unique = collapseUpdates(updates.filter(col(key).isNotNull), key, fields, orderCol)
     val target =
       if (fs.exists(path) && fs.listStatus(path).nonEmpty)
@@ -303,6 +304,24 @@ object MergeSink {
       }
     fs.delete(tmp, true)
     statsOf(obs)
+  }
+
+  /** The [[atomicSwap]] crash-window probe, shared by EVERY swap-backed
+    * state sink (this sink, [[LedgeredState]], the sketch/sample/
+    * skyline/CDC states): a crash BETWEEN the two renames leaves no
+    * target while `bak` holds the last committed snapshot — without
+    * recovery the next operation's exists-check silently treats the
+    * state as fresh-empty and the whole committed history is discarded.
+    * The rule is unambiguous and must stay in ONE place: restore ONLY
+    * when the target is absent (a crash after the second rename but
+    * before the bak cleanup leaves BOTH — then the new state is
+    * committed and `bak` is just garbage for the next swap's delete).
+    * Call this before any exists/read of a swap-managed path. */
+  private[graft] def recoverSwap(fs: FileSystem, path: Path, bak: Path): Unit = {
+    if (!fs.exists(path) && fs.exists(bak)) {
+      require(fs.rename(bak, path),
+        s"swap recovery failed: could not restore $bak to $path")
+    }
   }
 
   /** Two-rename snapshot swap with automatic rollback: `path` → `bak`,

@@ -42,4 +42,47 @@ class OverlapSpec extends SparkSpec {
       same.estIntersection == same.estUnion,
       s"identical sets are EXACTLY Jaccard 1 (same sketch both sides): $same")
   }
+
+  test("null keys are dropped by the sketch fold, not crashed on") {
+    val withNulls = Seq(Some(1L), None, Some(2L), None, Some(3L))
+      .toDF("id")
+    val clean = Seq(1L, 2L, 3L).toDF("id")
+    val sn = Overlap.sketchOf(withNulls, "id", 16)
+    val sc = Overlap.sketchOf(clean, "id", 16)
+    assert(sn.toSeq == sc.toSeq,
+      "a null key has no distinct-value identity: same sketch as without it")
+    // and the ingest path absorbs a null-carrying batch end to end
+    val base = java.nio.file.Files.createTempDirectory("graft_ov_null_")
+    try {
+      val p = s"$base/st"
+      Overlap.sketchIngest(spark, p, withNulls, "id", 16)
+      assert(Overlap.readSketch(spark, p).toSeq == sc.toSeq)
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
+  test("the sketch state's two-rename crash window recovers") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ov_swap_")
+    try {
+      val p = s"$base/st"
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Overlap.sketchIngest(spark, p, (0L until 100L).toDF("id"), "id", 64)
+      val committed = Overlap.readSketch(spark, p).toSeq
+      // simulate a crash BETWEEN atomicSwap's renames
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$p/state"),
+        new org.apache.hadoop.fs.Path(p + ".__sketch_bak")))
+      assert(Overlap.readSketch(spark, p).toSeq == committed,
+        "readSketch must restore the moved-aside fingerprint")
+      // and the next fold proceeds on top of it, not from empty
+      Overlap.sketchIngest(spark, p, (100L until 200L).toDF("id"), "id", 64)
+      val grown = Overlap.readSketch(spark, p)
+      assert(grown.length == 64 && grown.toSeq != committed)
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
 }

@@ -35,8 +35,10 @@ def main(sf_dir, out_dir, budget=30.0):
     for name, sql in sorted(oracles.items()):
         q = mp.Queue()
         p = mp.Process(target=run_one, args=(sf_dir, sql, q))
+        t_start = time.time()
         p.start()
         p.join(budget)
+        elapsed = time.time() - t_start
         if p.is_alive():
             p.terminate()
             p.join()
@@ -49,7 +51,9 @@ def main(sf_dir, out_dir, budget=30.0):
             try:
                 sec, n, err = q.get(timeout=5)
             except Exception:
-                sec, n, err = budget, -1, f"CHILD DIED (exitcode {p.exitcode})"
+                # record the MEASURED elapsed, not the budget — a child
+                # that died in 0.1s must not top the slowest-first ledger
+                sec, n, err = elapsed, -1, f"CHILD DIED (exitcode {p.exitcode})"
             results.append((sec, name, n, err))
             tag = f"ERROR {err}" if err else f"{n} rows"
             print(f"{name}: {sec:.2f}s ({tag})", flush=True)
