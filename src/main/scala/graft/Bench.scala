@@ -79,20 +79,30 @@ object Bench {
         if (sorted.isEmpty) None
         else if (sorted.size % 2 == 1) Some(sorted(sorted.size / 2))
         else Some((sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2)
-      (name, median, reps - durations.size)
+      (name, median, reps - durations.size, durations)
     }
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val flaky = results.collect { case (k, Some(_), nf) if nf > 0 =>
+    val flaky = results.collect { case (k, Some(_), nf, _) if nf > 0 =>
       s"\"" + k + "\":" + nf
+    }.mkString("{", ",", "}")
+    // per-rep durations IN RUN ORDER (not sorted): the artifact itself
+    // must show run-to-run spread — a 2.6× swing between two runs of
+    // identical code (the r12 q56/q68 finding) is invisible in a median,
+    // and a reader diffing two BENCH artifacts needs to tell a plan
+    // regression (all reps moved) from scheduler/GC noise (one rep
+    // spiked) without re-running anything
+    val repsSec = results.map { case (k, _, _, ds) =>
+      s"\"" + k + "\":" + ds.map(d => f"$d%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"flaky":$flaky,"reps":$reps,"sf":"$sfDir"}"""
+        s""""failed":$failed,"flaky":$flaky,"reps":$reps,"reps_sec":$repsSec,""" +
+        s""""sf":"$sfDir"}"""
     println(json)
     // a GRAFT_BENCH_ONLY-filtered run is an iteration tool: its partial
     // total must not clobber the canonical full-run artifact the driver

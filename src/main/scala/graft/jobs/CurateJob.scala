@@ -133,7 +133,7 @@ object CurateJob {
       val nonSurvivors = if (cfg.canonicalSurvivors) {
         // members referenced by the score semi-join AND the canonical
         // agg — materialize once (the q108 lesson)
-        val members = Dedup.connectedComponents(pairs).localCheckpoint(true)
+        val members = Dedup.clusterComponents(pairs).localCheckpoint(true)
         val scored = uniq
           .join(broadcast(members.select(col("id").as("doc_id"))),
             Seq("doc_id"), "left_semi")
@@ -141,7 +141,7 @@ object CurateJob {
             round(TextFunctions.qualityScore(col("text")), 4).as("score"))
         TrainingData.canonicalByScore(members, scored)
           .filter(!col("kept")).select(col("id").as("doc_id"))
-      } else Dedup.connectedComponents(pairs)
+      } else Dedup.clusterComponents(pairs)
         .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
       uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
     }

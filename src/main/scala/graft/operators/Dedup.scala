@@ -510,6 +510,25 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v")))
         .distinct()
     }
+    // CONSTRAINT-PROPAGATION WINDOW (the q145 conf save/set/restore
+    // discipline for global mutation): the loop's checkpointed frames
+    // are self-referenced (largeStar unions `e` with its own swap,
+    // smallStar unions two derivations of `e`), and Spark's
+    // DeduplicateRelations re-instances one branch's attribute ids
+    // while the checkpoint's captured origin constraints keep the OLD
+    // ids — Union's constraint rewrite then dies with "key not found:
+    // u#…" (observed composing this loop into the q103 media-ingest
+    // pipeline; which call sites trip it depends on upstream filter
+    // shapes). Constraints only drive filter-inference optimizations,
+    // which buy nothing on these tiny star frames — so every eager
+    // materialization below (including the returned labels) runs with
+    // propagation off and captures an EMPTY constraint set, making the
+    // output composition-safe downstream too.
+    val spark = pairs.sparkSession
+    val confKey = "spark.sql.constraintPropagation.enabled"
+    val prevConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    try {
     // one eager checkpoint per round truncates lineage (same trap as the
     // label loop); the edge frame is the round's whole state
     var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
@@ -520,9 +539,17 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // edge-set fixpoint: both frames are checkpointed and star-shaped
-      // (small), so the symmetric difference is a cheap exact test
-      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // edge-set fixpoint: both frames are checkpointed, DISTINCT, and
+      // star-shaped (small), so set equality is two anti-join emptiness
+      // probes. NOT `exceptAll(a,b).union(exceptAll(b,a))`: ExceptAll
+      // lowers to a union-of-signed-counts plan whose constraint set can
+      // reference the other side's attributes, and unioning two of them
+      // trips Catalyst's Union constraint rewrite ("key not found: u#…")
+      // when the edge frames carry rich constraints (observed composing
+      // this loop into the q103 media-ingest pipeline).
+      converged =
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
       edges = next
       it += 1
     }
@@ -532,21 +559,45 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponentsTwoPhase did not converge within maxIter=$maxIter " +
           "alternations — partial star graphs would split components; raise maxIter")
-    // converged: every edge is (child, component-min); minima label themselves
-    edges.select(col("u").as("id"), col("v").as("comp"))
-      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+    // converged: edges form stars — every non-min node's neighbors are
+    // exactly its component min, minima appear only on the v side. The
+    // label frame is nodes ⋈ per-u parent with comp = coalesce(parent,
+    // own id). NOT the tempting `union(select(v as id, v as comp))`
+    // self-label form: aliasing the SAME attribute into both output
+    // columns of a union branch trips Catalyst's Union constraint
+    // rewrite ("key not found: u#…") when callers compose joins
+    // downstream (observed in the q103 media-ingest pipeline); the
+    // coalesce projection introduces a fresh attribute instead.
+    // Materialized: the labels are the operator's OUTPUT, orders
+    // smaller than any corpus, and funnel callers reference them more
+    // than once (label propagation returns a checkpointed frame too).
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
       .distinct()
+    val parent = edges.groupBy(col("u")).agg(min(col("v")).as("p"))
+    nodes.join(parent.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("p"), col("id")).as("comp"))
+      .localCheckpoint(true)
+    } finally prevConf match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 
-  /** 32-bit hash of a token from its md5 hex prefix (chars 1-8) —
-    * reproducible in DuckDB as ('0x' || substring(md5(t),1,8))::BIGINT. */
-  def tokenHash32(t: Column): Column =
-    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-
-  /** Second independent 32-bit token hash (md5 chars 9-16) — the upper
-    * word of the 64-bit simhash signature. */
-  def tokenHash32Hi(t: Column): Column =
-    conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+  /** The clustering every COMPOSED consumer (curation funnels, canonical
+    * survivors, incremental ingest cores) routes through — currently
+    * [[connectedComponentsTwoPhase]]. Both implementations are gated
+    * against the same recursive-closure oracle (q52 pins label
+    * propagation, q59 pins two-phase on the identical graph), so this is
+    * a COST choice, not a semantics one: on the near-dup graph shapes
+    * the funnels produce (stars/cliques plus one boilerplate giant
+    * component), two-phase converges in fewer, cheaper rounds — the r12
+    * driver measured the same sf0.1 graph at 7.8 s (q59) vs 14.1 s
+    * (q52), and the label loop's longer eager-checkpoint chain is also
+    * the bench family's dominant run-to-run variance source. Flipping
+    * the default back is this one line. */
+  def clusterComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsTwoPhase(pairs)
 
   /** One 32-bit simhash word over a MATERIALIZED array of token hashes:
     * per bit, the sign of the +1/-1 vote sum — a codegen'd single pass
@@ -605,8 +656,19 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0) // empty docs have no signal
-      .withColumn("h_lo", transform(col("toks"), tokenHash32 _))
-      .withColumn("h_hi", transform(col("toks"), tokenHash32Hi _))
+      // ONE md5 per token: both 32-bit word hashes are substrings of the
+      // SAME digest (lo = hex chars 1-8, hi = chars 9-16 — reproducible
+      // in DuckDB as ('0x' || substring(md5(t), ...))::BIGINT), and md5
+      // is the emitter's dominant per-token cost, so evaluating the
+      // digest once per token instead of once per word halves it. The
+      // hex array gets its own projected column so CollapseProject keeps
+      // the multiply-referenced non-cheap alias materialized (the
+      // simhashWord rule below).
+      .withColumn("hx", transform(col("toks"), t => md5(t)))
+      .withColumn("h_lo", transform(col("hx"),
+        h => conv(substring(h, 1, 8), 16, 10).cast("long")))
+      .withColumn("h_hi", transform(col("hx"),
+        h => conv(substring(h, 9, 8), 16, 10).cast("long")))
       .select(col("id"),
         simhashWord(col("h_lo")).as("sh_lo"),
         simhashWord(col("h_hi")).as("sh_hi"))

@@ -413,7 +413,7 @@ object MergeQueries {
           .union(crossPairs).union(starEdges)
       }
     }
-    val comp = Dedup.connectedComponents(edges) // (id, comp)
+    val comp = Dedup.clusterComponents(edges) // (id, comp)
 
     val inserts = newSigs
       .join(comp, newSigs("id") === comp("id"), "left")
@@ -530,7 +530,7 @@ object MergeQueries {
           .select(col("key_id").as("id1"), col("entity_id").as("id2"))
         selfPairs.union(crossPairs).union(starEdges)
       }
-    val comp = Dedup.connectedComponents(edges) // (id, comp)
+    val comp = Dedup.clusterComponents(edges) // (id, comp)
 
     val inserts = newRows
       .join(comp, newRows("id") === comp("id"), "left")
@@ -746,15 +746,114 @@ object MergeQueries {
       |            WHEN v1.h != v2.h THEN 'changed' END) IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** q166: SNAPSHOT VERSION CATALOG — commit / time-travel / diff /
+    * vacuum through [[graft.sinks.VersionCatalog]], the release-
+    * management layer q82's diff was missing (q82 only works if the
+    * caller manually kept both directories; the catalog names versions
+    * and keeps them until retention says otherwise). The gate runs the
+    * full lifecycle: three deterministic versions commit (v1 = the
+    * corpus, v2 = every-7th removed, v3 = v2 with every-5th's size
+    * bumped plus shifted-id additions — the q82 plant-your-own-fixture
+    * pattern); v2 TIME-TRAVELS back row-equal to what was committed;
+    * v1→v3 diffs THROUGH the catalog (the q82 full-outer classification
+    * re-rooted on catalog reads); vacuum(retain 2) drops exactly v1.
+    * Sections share one schema: (sect, doc_id, status, lang, c), with
+    * the post-vacuum version list as `versions` rows — deterministic
+    * integers end to end, so the oracle states them as VALUES.
+    * Crash-window behavior (manifest swap recovery, orphan sweep,
+    * vacuumed-read refusal) is pinned in VersionCatalogSpec. */
+  def q166VersionCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_q166_")
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val cat = s"$base/catalog"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .localCheckpoint(true) // feeds all three version frames
+      VersionCatalog.commit(spark, cat,
+        docs.select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") +
+              when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("c"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars").as("c"))))
+      val nullC = lit(null).cast("long").as("c")
+      val nullStatus = lit(null).cast("string").as("status")
+      // time travel + diff materialize BEFORE vacuum deletes v1's dir
+      val v2 = VersionCatalog.readVersion(spark, cat, 2L)
+        .select(lit("v2").as("sect"), col("doc_id"), nullStatus,
+          col("lang"), col("c"))
+        .localCheckpoint(true)
+      val diff = snapshotDiff(
+          VersionCatalog.readVersion(spark, cat, 1L),
+          VersionCatalog.readVersion(spark, cat, 3L),
+          "doc_id", "c", Seq("lang"))
+        .select(lit("diff_v1_v3").as("sect"), col("doc_id"), col("status"),
+          col("lang"), nullC)
+        .localCheckpoint(true)
+      val dropped = VersionCatalog.vacuum(spark, cat, retainLast = 2)
+      val versionRows =
+        (dropped.map(_ -> "vacuumed") ++
+          VersionCatalog.versions(spark, cat).map(_ -> "retained"))
+      val ss = spark; import ss.implicits._
+      val vrows = versionRows.toDF("doc_id", "status")
+        .select(lit("versions").as("sect"), col("doc_id"), col("status"),
+          lit(null).cast("string").as("lang"), nullC)
+      diff.unionByName(v2).unionByName(vrows)
+        .orderBy(col("sect"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the catalog dir dies
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q166VersionCatalogSql: String =
+    """WITH v1 AS (SELECT doc_id, lang, n_chars AS c FROM documents),
+      |v2 AS (SELECT doc_id, lang, n_chars AS c FROM documents WHERE doc_id % 7 != 0),
+      |v3 AS (
+      |  SELECT doc_id, lang,
+      |    n_chars + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS c
+      |  FROM documents WHERE doc_id % 7 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id % 11 = 0),
+      |d AS (SELECT coalesce(v3.doc_id, v1.doc_id) AS doc_id,
+      |        CASE WHEN v1.c IS NULL THEN 'added'
+      |             WHEN v3.c IS NULL THEN 'removed'
+      |             WHEN v1.c != v3.c THEN 'changed' END AS status,
+      |        coalesce(v3.lang, v1.lang) AS lang
+      |      FROM v1 FULL OUTER JOIN v3 ON v1.doc_id = v3.doc_id)
+      |SELECT * FROM (
+      |  SELECT 'diff_v1_v3' AS sect, doc_id, status, lang, NULL::BIGINT AS c
+      |  FROM d WHERE status IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'v2', doc_id, NULL, lang, c FROM v2
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    ('versions', 1::BIGINT, 'vacuumed', NULL::VARCHAR, NULL::BIGINT),
+      |    ('versions', 2::BIGINT, 'retained', NULL::VARCHAR, NULL::BIGINT),
+      |    ('versions', 3::BIGINT, 'retained', NULL::VARCHAR, NULL::BIGINT))
+      |    t(sect, doc_id, status, lang, c))
+      |ORDER BY sect, doc_id""".stripMargin
+
   /** q154: MERGE-SINK SCHEMA EVOLUTION across all four physical layouts
     * — the nightly-ingest property a growing corpus eventually needs
     * (every real corpus adds a column): day 1 merges (lang, n_chars);
     * day 2's updates carry a NEW `flag` column for every third document.
     * The snapshot must evolve in place — touched rows carry the value,
     * day-1 rows read null — in the full-rewrite directory, the
-    * hash-partitioned directory (via parquet mergeSchema over mixed
-    * footers; untouched buckets are NOT rewritten — pinned in
-    * MergeSinkSpec), the bucketed catalog table, and the composed
+    * hash-partitioned directory (read via its persisted schema MANIFEST
+    * — [[graft.sinks.MergeSink.readPartitioned]] — so mixed footers
+    * never need a per-file mergeSchema scan; untouched buckets are NOT
+    * rewritten — pinned in MergeSinkSpec), the bucketed catalog table,
+    * and the composed
     * partitioned+bucketed table (via ALTER TABLE ADD COLUMNS; the
     * catalog schema reads null from pre-evolution files). The reference
     * hard-codes one fixed schema end to end (src/cli/generate_data.py:
@@ -791,8 +890,10 @@ object MergeQueries {
         nParts = 4, nBuckets = 2)
       Seq(
         "full" -> spark.read.parquet(full),
-        // mixed footers after an in-place evolution: union-schema read
-        "partitioned" -> spark.read.option("mergeSchema", "true").parquet(part),
+        // mixed footers after an in-place evolution: the snapshot's
+        // schema MANIFEST is the authority (one tiny file read; no
+        // per-footer scan, no inference lottery)
+        "partitioned" -> MergeSink.readPartitioned(spark, part),
         "bucketed" -> spark.table(tblB),
         "partitioned_bucketed" -> spark.table(tblPB))
         .map { case (name, df) => df.select(lit(name).as("layout") +: outCols: _*) }

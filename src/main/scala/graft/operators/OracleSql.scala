@@ -28,9 +28,12 @@ package graft.operators
   * propagation round certifies the fixpoint, and any remaining
   * improvement raises `error(...)` through DuckDB, failing the gate
   * loudly instead of silently producing under-merged clusters. (With
-  * jumping, effective reach at round k exceeds 2^k hops; rounds = 6
-  * covers any plausible near-dup chain, and the certificate catches the
-  * implausible ones.)
+  * jumping, effective reach at round k exceeds 2^k hops; rounds = 8
+  * covers any plausible near-dup chain — the extra rounds beyond the
+  * original 6 cost only a few joins over the already-materialized tiny
+  * label frames, and mean a denser future fixture converges instead of
+  * blanking the round's gate the way the recursive-CTE timeout did —
+  * and the certificate catches the implausible ones.)
   *
   * Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines CTE
   * references by default, which re-evaluates the producer per reference —
@@ -45,7 +48,7 @@ private[graft] object OracleSql {
     * `<prefix>clus(id, comp)` has one row per node appearing in any pair,
     * `comp` = min node id of its component, BIGINT. Splice after the
     * pair-emitting CTEs (plain `WITH` — no RECURSIVE keyword needed). */
-  def closureCtes(pairs: String, prefix: String = "", rounds: Int = 6): String = {
+  def closureCtes(pairs: String, prefix: String = "", rounds: Int = 8): String = {
     val p = prefix
     val head = Seq(
       s"${p}edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM $pairs" +

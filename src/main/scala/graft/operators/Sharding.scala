@@ -265,7 +265,11 @@ object Sharding {
         .select(col("doc_id"),
           (ascii(substring(col("lang"), 1, 1)) * 2 +
             ascii(substring(col("lang"), 2, 1))).mod(32).cast("long").as("gb"),
-          substring(col("source"), 4, 10).cast("long").mod(32).as("sb"),
+          // 2-arg substring (no length cap), mirroring the oracle's
+          // substring(source, 4) exactly — a 3-arg length-capped form
+          // would silently disagree on a source id whose numeric suffix
+          // exceeds the cap
+          expr("substring(source, 4)").cast("long").mod(32).as("sb"),
           least(lit(31L), expr("n_chars div 512")).as("lb"),
           least(lit(31L), floor(round(
             lit(0.25) * col("alpha_raw") +
@@ -399,6 +403,165 @@ object Sharding {
        |     AND o.z_lo <= f.z_hi AND o.z_hi >= f.z_lo)::BIGINT AS overlap_cnt
        |FROM f ORDER BY phase, file_id""".stripMargin
   }
+
+  /** What a targeted OPTIMIZE pass did: the health-flagged file ids it
+    * rewrote (after transitive closure over receiving files) and the
+    * file ids its rewrite produced. Empty `rewritten` = the layout was
+    * healthy and NOTHING was touched (byte-identical — the q80
+    * skip-idempotence contract). */
+  final case class OptimizeStats(flagged: Seq[Long], rewritten: Seq[Long],
+                                 produced: Seq[Long])
+
+  /** TARGETED incremental OPTIMIZE — the operator [[layoutHealth]]'s
+    * report schedules: rewrite ONLY the overlap-flagged files of a
+    * z-ordered `partitionBy(file_id)` layout, re-cutting their rows by
+    * the pure equal-width z function (`file_id = zkey·nFiles div
+    * zSpace`), and leave every clean file untouched on disk
+    * (byte-identical — pinned in ShardingSpec). q138/q155 re-cluster by
+    * rewriting the ENTIRE layout; at 100 TB a full nightly re-layout is
+    * not a plan, and the monitor already names exactly which files
+    * overlap — this is the Delta/Iceberg `OPTIMIZE` analog built on
+    * q80-compaction's skip-aware per-directory swap pattern
+    * ([[graft.sinks.Compaction]]).
+    *
+    * Correctness of the flagged set: rewritten rows may only land in a
+    * file id whose z range they overlap — so a clean file can receive
+    * rows ONLY if some flagged file's range overlaps its range, which
+    * would have flagged it. The one exception is a GAP: a flagged row
+    * whose cut id names an existing file whose ACTUAL row range does
+    * not overlap the incoming row (cut ranges are wider than actual
+    * ranges). The transitive closure below catches exactly that case —
+    * any existing un-flagged file that would RECEIVE rows is promoted
+    * into the rewrite set (its rows must merge with the incoming ones,
+    * not be clobbered), and closure re-checks the promoted files' own
+    * targets. Clustered files cut to themselves, so the closure
+    * terminates in practice after one promotion round (bounded by
+    * |files| regardless).
+    *
+    * Scale: the health report is footer-stats metadata (|files| rows);
+    * the flagged set and closure are driver-side set algebra over
+    * ≤ |files| longs (the touched-bucket budget of
+    * [[graft.sinks.MergeSink.mergeIntoPartitioned]]); data I/O is
+    * proportional to the flagged files' bytes, never the layout's. The
+    * per-directory delete+rename swap is [[graft.sinks.Compaction]]'s;
+    * like the partitioned merge, the swap is atomic per directory, not
+    * across directories — a crash mid-swap re-converges on re-run
+    * because the re-cut is a pure function of the surviving rows. */
+  def optimizeFlagged(spark: SparkSession, path: String, nFiles: Int,
+                      zSpace: Long): OptimizeStats = {
+    require(nFiles >= 1 && zSpace >= 1, s"nFiles=$nFiles zSpace=$zSpace")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirOf(id: Long) = new org.apache.hadoop.fs.Path(root, s"file_id=$id")
+    val existing = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("file_id="))
+      .map(_.getPath.getName.stripPrefix("file_id=").toLong).toSet
+    val health = layoutHealth(
+      spark.read.parquet(path).select(col("zkey"), col("file_id")))
+    val flagged = health.filter(col("overlap_cnt") > 0)
+      .select(col("file_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet // ≤ |files| — footer-stats scale
+    if (flagged.isEmpty) return OptimizeStats(Nil, Nil, Nil)
+    // transitive closure over receiving files (see scaladoc): promote any
+    // existing file a rewrite-set row would land in
+    def cutIdsOf(ids: Set[Long]): Set[Long] =
+      spark.read.parquet(path)
+        .filter(col("file_id").isin(ids.toSeq.map(java.lang.Long.valueOf): _*))
+        .select(expr(s"zkey * $nFiles div $zSpace").as("cid"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    var rewrite = flagged
+    var frontier = flagged
+    while (frontier.nonEmpty) {
+      frontier = (cutIdsOf(frontier) intersect existing) diff rewrite
+      rewrite ++= frontier
+    }
+    val rows = spark.read.parquet(path)
+      .filter(col("file_id").isin(rewrite.toSeq.map(java.lang.Long.valueOf): _*))
+      .drop("file_id")
+      .withColumn("file_id", expr(s"zkey * $nFiles div $zSpace"))
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__optimize_tmp")
+    fs.delete(tmp, true)
+    rows.repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id"), col("zkey"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(tmp.toString)
+    // swap: the rewrite set's rows all live in the temp layout now —
+    // drop their old dirs, move the produced dirs in
+    rewrite.foreach(id => fs.delete(dirOf(id), true))
+    val produced = fs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("file_id="))
+      .map { st =>
+        val dest = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        fs.delete(dest, true)
+        require(fs.rename(st.getPath, dest),
+          s"optimize swap failed: could not move ${st.getPath} to $dest")
+        st.getPath.getName.stripPrefix("file_id=").toLong
+      }.toSeq
+    fs.delete(tmp, true)
+    OptimizeStats(flagged.toSeq.sorted, rewrite.toSeq.sorted, produced.sorted)
+  }
+
+  // q165's day-2 z cap: appended rows are confined to the lower quarter
+  // of the z space so the appended file straddles only the low-z files
+  // — the flagged set is a strict subset and the untouched-files claim
+  // is non-vacuous (pinned in ShardingSpec).
+  private[operators] val OptZCap = (1 << (2 * ZBits)) / 4
+
+  /** q165: TARGETED OPTIMIZE through the layout lifecycle — day 1
+    * z-clustered (q138's layout over the ≤-cut half), day 2 appended as
+    * ONE unclustered low-z file (`file_id = ZFiles`, rows capped at
+    * [[OptZCap]]), then [[optimizeFlagged]]: only the appended file and
+    * the low-z files it straddles rewrite; every other file stays
+    * byte-identical on disk (ShardingSpec pins bytes, flagged-subset,
+    * post-health ≡ full re-cluster, and no-op idempotence on a healthy
+    * layout). The gate is row-level through the PHYSICAL path (q138's
+    * precedent): the optimized layout reopens via partition discovery
+    * and every (doc_id, qb, lb, zkey, file_id) must equal the oracle's
+    * pure-function recomputation over day1 ∪ day2∩cap — which IS the
+    * full re-cluster assignment, so health ≡ re-clustered follows
+    * row-for-row. */
+  def q165OptimizeFlagged(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q165_")
+    try {
+      val m = qualityLengthBuckets(spark, dir)
+        .localCheckpoint(true) // cut once, reused by both days
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val path = s"$base/layout"
+      def write(df: DataFrame, mode: String): Unit =
+        df.repartition(col("file_id"))
+          .sortWithinPartitions(col("file_id"), col("zkey"), col("doc_id"))
+          .write.mode(mode).partitionBy("file_id").parquet(path)
+      // day 1: clustered
+      write(zOrderLayout(m.filter(col("doc_id") <= cut), "doc_id", "qb", "lb",
+        ZFiles), "overwrite")
+      // day 2: ONE unclustered appended file, low-z rows only
+      write(m.filter(col("doc_id") > cut)
+        .withColumn("zkey", zOrderKey(col("qb"), col("lb"), ZBits))
+        .filter(col("zkey") < OptZCap)
+        .withColumn("file_id", lit(ZFiles.toLong)), "append")
+      optimizeFlagged(spark, path, ZFiles, 1L << (2 * ZBits))
+      spark.read.parquet(path)
+        .select(col("doc_id"), col("qb"), col("lb"), col("zkey"),
+          col("file_id").cast("long").as("file_id"))
+        .orderBy(col("file_id"), col("zkey"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q165OptimizeFlaggedSql: String =
+    s"""WITH $qualityLengthBucketsSql,
+       |z AS (SELECT doc_id, qb, lb,
+       |  (${zOrderKeySql("qb", "lb", ZBits)})::BIGINT AS zkey
+       |FROM m),
+       |cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+       |keep AS (SELECT z.* FROM z, cut
+       |         WHERE doc_id <= c OR zkey < $OptZCap)
+       |SELECT doc_id, qb, lb, zkey,
+       |  zkey * $ZFiles // ${1 << (2 * ZBits)} AS file_id
+       |FROM keep ORDER BY file_id, zkey, doc_id""".stripMargin
 
   val q155ZOrder4DSql: String = {
     val stops = graft.functions.TextFunctions.stopwords

@@ -231,7 +231,7 @@ object SimilarityQueries {
     * queries × one-corpus-scan shape; the exclusion is two id-keyed
     * probes of the cluster map. Per-anchor top-k via rank window. */
   def q146HardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.connectedComponents(
+    val clusters = Dedup.clusterComponents(
         srpPairsShared(Tables.embeddings(spark, dir)
           .select(col("vec_id").as("id"), col("embedding").as("v"))))
       .localCheckpoint(true) // probed from both sides of the pair

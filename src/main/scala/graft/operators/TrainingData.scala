@@ -663,7 +663,7 @@ object TrainingData {
     // emitter's tokenize+hash pass reads a materialized frame
     val uniq = uniqT.localCheckpoint(true)
     val pairs = Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3)
-    val comps = Dedup.connectedComponents(pairs)
+    val comps = Dedup.clusterComponents(pairs)
     val nonSurvivors = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     val nd = uniq.join(nonSurvivors, Seq("doc_id"), "left_anti")
@@ -707,7 +707,7 @@ object TrainingData {
   def q69SemanticFunnel(spark: SparkSession, dir: String): DataFrame = {
     val (docs, keep, uniqT) = funnelStages(spark, dir)
     val uniq = uniqT.localCheckpoint(true)
-    val ndNonSurv = Dedup.connectedComponents(
+    val ndNonSurv = Dedup.clusterComponents(
         Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3))
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     // referenced by the embedding join, the semantic anti-join, and the
@@ -718,7 +718,7 @@ object TrainingData {
     val ndEmb = Tables.embeddings(spark, dir)
       .join(nd.select(col("doc_id")), col("vec_id") === col("doc_id"), "left_semi")
       .select(col("vec_id").as("id"), col("embedding").as("v"))
-    val semNonSurv = Dedup.connectedComponents(
+    val semNonSurv = Dedup.clusterComponents(
         SimilarityQueries.srpPairsShared(ndEmb))
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     val sem = nd.join(semNonSurv, Seq("doc_id"), "left_anti")
@@ -1530,7 +1530,7 @@ object TrainingData {
     // and the canonical agg) — materialize the pair-pipeline + CC result
     // once, or every reference re-runs the whole clustering (measured:
     // 15.2 s → 9.5 s isolated at sf0.1, reps 3)
-    val members = Dedup.connectedComponents(
+    val members = Dedup.clusterComponents(
         Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
       .localCheckpoint(true)
     // score ONLY cluster members: the corpus narrows through the
@@ -1581,7 +1581,7 @@ object TrainingData {
     val (docs, keep, uniqT) = funnelStages(spark, dir)
     val uniq = uniqT.localCheckpoint(true)
     // referenced by the score semi-join and the canonical agg (q108)
-    val members = Dedup.connectedComponents(
+    val members = Dedup.clusterComponents(
         Dedup.simhashPairs(uniq, "doc_id", "text", maxHamming = 3))
       .localCheckpoint(true)
     val scored = qualityScored(

@@ -54,9 +54,38 @@ object LedgeredState {
     * the second rename but before the bak cleanup leaves BOTH — then
     * the new state is committed and `bak` is just garbage, removed by
     * the next commit's delete). */
-  private def recover(fs: FileSystem, path: String): Unit =
+  private def recover(fs: FileSystem, path: String): Unit = {
+    legacyLayoutCheck(fs, path)
     MergeSink.recoverSwap(fs, new Path(s"$path/state"),
       new Path(path + ".__state_bak"))
+  }
+
+  /** Fail LOUDLY on the pre-round-12 on-disk layout ($path/state holding
+    * parquet files directly, ledger at $path/_batches) instead of
+    * silently treating it as fresh: under the current layout
+    * ([[absorbed]] probing $path/state/_batches, [[readPart]] probing
+    * $path/state/<part>) legacy state looks absent, and the first
+    * post-upgrade commit would atomically swap the accumulated state
+    * away — the exact silent-restart-from-empty loss this file's
+    * contract exists to prevent. Migration is a rename (state files →
+    * state/<part>/, _batches → state/_batches), but it must be the
+    * OPERATOR's deliberate act, not an implicit one mid-ingest. */
+  private def legacyLayoutCheck(fs: FileSystem, path: String): Unit = {
+    val legacyLedger = new Path(s"$path/_batches")
+    val state = new Path(s"$path/state")
+    val legacyFlat = fs.exists(state) &&
+      fs.listStatus(state).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (fs.exists(legacyLedger) || legacyFlat)
+      throw new IllegalStateException(
+        s"legacy LedgeredState layout detected at $path (" +
+          (if (fs.exists(legacyLedger)) s"ledger at $legacyLedger; " else "") +
+          (if (legacyFlat) s"parquet files directly under $state; " else "") +
+          "expected $path/state/<part>/ + $path/state/_batches/). " +
+          "Refusing to proceed: a commit would silently discard the " +
+          "accumulated state. Migrate by moving the state files into a " +
+          "named part dir and _batches under state/.")
+  }
 
   /** true iff `batchId` is recorded in the COMMITTED ledger — i.e. the
     * batch's fold is fully applied (commit is all-or-nothing). */

@@ -277,13 +277,9 @@ object MergeSink {
     val touched = unique.select(pb(col(key)).as("pb")).distinct()
       .collect().map(_.getLong(0)) // ≤ nBuckets values — driver-safe
     val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
-    // mergeSchema: after an evolving merge, touched bucket dirs carry the
-    // new column while untouched dirs still have the old footer — the
-    // union schema is the snapshot's real schema (old files read null
-    // for the added column; day-1 data is never rewritten)
     val target =
       if (exists)
-        spark.read.option("mergeSchema", "true").parquet(targetPath)
+        readPartitioned(spark, targetPath)
           .filter(col("pb").isin(touched.map(java.lang.Long.valueOf): _*))
           .drop("pb") // recomputed from the key on write
       else emptyTarget(spark, unique, key, fields, updatedAtCol)
@@ -295,6 +291,23 @@ object MergeSink {
     merged.withColumn("pb", pb(col(key)))
       .write.mode("overwrite").partitionBy("pb").parquet(tmp.toString)
     fs.mkdirs(path)
+    // Persist the evolved schema BEFORE the bucket swaps: after an
+    // in-place evolution the snapshot has mixed parquet footers (touched
+    // pb= dirs carry the new column, untouched dirs don't), and footer
+    // inference — plain OR mergeSchema — is the wrong authority: plain
+    // read silently drops the evolved column depending on which footer
+    // Spark samples, and mergeSchema reads EVERY file's footer on every
+    // open (at 100 TB, a metadata scan per query). The manifest is the
+    // one-file authority [[readPartitioned]] reads instead. Ordering
+    // argument: manifest-then-buckets means a crash between them leaves
+    // a manifest advertising a column no file carries yet — an explicit-
+    // schema read returns null for it (exactly parquet's missing-column
+    // semantics, and the re-run converges); buckets-then-manifest would
+    // leave the OPPOSITE window, a stale manifest silently hiding
+    // already-written data.
+    writeSchemaManifest(fs, path, org.apache.spark.sql.types.StructType(
+      merged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "pb", org.apache.spark.sql.types.LongType, nullable = false)))
     fs.listStatus(tmp).filter(_.getPath.getName.startsWith("pb="))
       .foreach { st =>
         val dest = new Path(path, st.getPath.getName)
@@ -304,6 +317,61 @@ object MergeSink {
       }
     fs.delete(tmp, true)
     statsOf(obs)
+  }
+
+  /** The schema-manifest file a partitioned snapshot carries at its root
+    * (underscore-prefixed so Spark's file listing ignores it as data). */
+  private[graft] val SchemaManifestFile = "_graft_schema.json"
+
+  /** Atomically publish the snapshot's authoritative schema: write to a
+    * sibling temp file, rename into place. A crash between the delete
+    * and the rename leaves no manifest — [[readPartitioned]] then falls
+    * back to the mergeSchema union read, which is correct (just slower),
+    * so every window degrades to a safe read. */
+  private def writeSchemaManifest(fs: FileSystem, root: Path,
+                                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = new Path(root, SchemaManifestFile + ".__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(root, SchemaManifestFile)
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest),
+      s"schema manifest publish failed: could not move $tmp to $dest")
+  }
+
+  /** The committed manifest schema of a partitioned snapshot, if one has
+    * been published. */
+  private[graft] def readSchemaManifest(
+      fs: FileSystem, root: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val dest = new Path(root, SchemaManifestFile)
+    if (!fs.exists(dest)) None
+    else {
+      val in = fs.open(dest)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Read a [[mergeIntoPartitioned]] snapshot with its MANIFEST schema —
+    * the contract path-based consumers must use after any evolving merge:
+    * the manifest names every evolved column (pre-evolution files read
+    * null for columns they lack), costs one tiny file read instead of
+    * mergeSchema's every-footer scan, and is immune to plain footer
+    * inference's which-file-did-Spark-sample lottery. Snapshots written
+    * before the manifest existed (or a crash in the manifest's
+    * delete→rename window) fall back to the mergeSchema union read —
+    * correct on mixed footers, just metadata-expensive. */
+  def readPartitioned(spark: SparkSession, targetPath: String): DataFrame = {
+    val path = new Path(targetPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSchemaManifest(fs, path) match {
+      case Some(schema) => spark.read.schema(schema).parquet(targetPath)
+      case None => spark.read.option("mergeSchema", "true").parquet(targetPath)
+    }
   }
 
   /** The [[atomicSwap]] crash-window probe, shared by EVERY swap-backed

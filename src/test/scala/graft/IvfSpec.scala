@@ -163,4 +163,93 @@ class IvfSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [list_id"),
       s"the anti-join's index side must prune directories:\n$p")
   }
+
+  // --- sketch + exact re-rank (q167) --------------------------------------
+
+  private def sketchedIndexDir(): String = {
+    val index = Ivf.build(emb, "id", "v", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sk").toString
+    Ivf.writeIndexSketched(index, dir, Ivf.sketchPlanes(64))
+    dir
+  }
+
+  test("sketch re-rank with candPool = corpus reproduces exact KNN exactly") {
+    val dir = sketchedIndexDir()
+    try {
+      val n = emb.count().toInt
+      val got = Ivf.topKSketchRerank(spark, dir, emb.filter(col("id") < 10),
+          k = 10, candPool = n, planes = Ivf.sketchPlanes(64))
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk")) ->
+          (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+      val exact = SimilarityQueries.q22KnnExact(spark, sf)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk")) ->
+          (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+      assert(got == exact,
+        "candPool >= corpus must equal brute force incl. rounded cosines")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("sketch re-rank hits are monotone in candPool and high at the gate pool") {
+    val dir = sketchedIndexDir()
+    try {
+      val exact = SimilarityQueries.q22KnnExact(spark, sf)
+        .collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      val hits = Seq(16, 32, 64, 128).map { c =>
+        val got = Ivf.topKSketchRerank(spark, dir, emb.filter(col("id") < 10),
+            k = 10, candPool = c, planes = Ivf.sketchPlanes(64)).collect()
+        c -> got.count(r =>
+          exact(r.getAs[Long]("q_id")).contains(r.getAs[Long]("neighbor_id")))
+      }
+      val vals = hits.map(_._2)
+      assert(vals.zip(vals.tail).forall { case (a, b) => b >= a },
+        s"hits must be monotone in candPool: $hits")
+      val total = exact.values.map(_.size).sum
+      assert(vals.last >= (total * 0.95).ceil.toInt,
+        s"candPool=128 recall ${vals.last}/$total below the 0.95 regime")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("sketch pass column-prunes and the re-rank point-read pushes an In filter") {
+    val dir = sketchedIndexDir()
+    try {
+      // stage 1's scan shape: only (id, sk) decode — the ⅛-bytes claim
+      val s1 = spark.read.parquet(dir).select(col("id"), col("sk"))
+        .queryExecution.executedPlan.toString
+      assert(s1.contains("ReadSchema") && !s1.contains("v:array"),
+        s"sketch scan must not decode the vector column:\n$s1")
+      // stage 2's scan shape: literal IN pushed to the parquet source —
+      // the row-group point-read claim on id-sorted list files
+      val s2 = spark.read.parquet(dir)
+        .filter(col("id").isin((1L to 40L).map(java.lang.Long.valueOf): _*))
+        .select(col("id"), col("v"), col("nrm"))
+        .queryExecution.executedPlan.toString
+      assert(s2.contains("PushedFilters: [In(id"),
+        s"re-rank point-read must push the candidate IN filter:\n$s2")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("q167 gate rows: anchors, cost, monotone, hi-recall, endpoint booleans") {
+    val rows = Ivf.q167SketchRerank(spark, sf).collect()
+    val n = emb.count()
+    val hiPool = math.max(128L, n / 8)
+    assert(rows.map(_.getAs[Long]("cand_pool")).toSeq ==
+      ((Seq(16L, 32L, 64L, 128L) :+ hiPool).filter(_ < n) :+ n).distinct.sorted)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == n)
+      assert(r.getAs[Boolean]("cost_ok"), s"cost_ok: $r")
+      assert(r.getAs[Boolean]("monotone_ok"), s"monotone_ok: $r")
+      assert(r.getAs[Boolean]("hi_recall_ok"), s"hi_recall_ok: $r")
+      assert(r.getAs[Boolean]("full_exact_ok"), s"full_exact_ok: $r")
+    }
+  }
 }

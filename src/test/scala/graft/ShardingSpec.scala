@@ -152,4 +152,167 @@ class ShardingSpec extends SparkSpec {
       r.getAs[Long]("c0") == 0 && r.getAs[Long]("c1") == 15),
       "the 1-D layout cannot prune on b/c/d at all — the property N-D z-order buys")
   }
+
+  // --- targeted OPTIMIZE (q165) -------------------------------------------
+
+  /** Per-file byte fingerprints of a partitionBy(file_id) layout: the
+    * data-file (name, length, md5-of-bytes) set per directory. */
+  private def dirBytes(path: String): Map[Long, Set[(String, Long, String)]] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("file_id="))
+      .map { d =>
+        val id = d.getPath.getName.stripPrefix("file_id=").toLong
+        val files = fs.listStatus(d.getPath)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map { st =>
+            val in = fs.open(st.getPath)
+            val buf = new Array[Byte](st.getLen.toInt)
+            try in.readFully(0, buf) finally in.close()
+            val dig = java.security.MessageDigest.getInstance("MD5").digest(buf)
+            (st.getPath.getName, st.getLen, dig.map("%02x".format(_)).mkString)
+          }.toSet
+        id -> files
+      }.toMap
+  }
+
+  /** Degraded-layout fixture: 16 z-clustered files over a 256×256 bucket
+    * grid + one appended unclustered file confined to the low-z quarter.
+    * Returns (path, appended id). */
+  private def degradedLayout(base: java.nio.file.Path): String = {
+    val nFiles = 16
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a * 4, b * 4))
+      .toDF("qb", "lb")
+    val laid = grid
+      .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+      .withColumn("file_id", expr(s"zkey * $nFiles div ${1L << 16}"))
+    val path = s"$base/layout"
+    laid.repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id"), col("zkey"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+    // the nightly residue: an unclustered file of low-z rows (offset
+    // buckets so the rows are NEW, not duplicates of the grid)
+    val appended = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a * 4 + 1, b * 4 + 1))
+      .toDF("qb", "lb")
+      .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+      .filter(col("zkey") < (1L << 14)) // low quarter of the z space
+      .withColumn("file_id", lit(nFiles.toLong))
+    appended.repartition(col("file_id"))
+      .write.mode("append").partitionBy("file_id").parquet(path)
+    path
+  }
+
+  test("optimizeFlagged rewrites only the flagged subset, byte-identical elsewhere") {
+    val base = java.nio.file.Files.createTempDirectory("graft_opt_spec_")
+    try {
+      val nFiles = 16
+      val path = degradedLayout(base)
+      val before = dirBytes(path)
+      val health0 = Sharding.layoutHealth(spark.read.parquet(path)
+          .select(col("zkey"), col("file_id")))
+        .collect().map(r => r.getAs[Long]("file_id") -> r.getAs[Long]("overlap_cnt")).toMap
+      val flaggedIds = health0.filter(_._2 > 0).keySet
+      assert(health0(nFiles.toLong) > 0, "appended file must be flagged")
+      assert(flaggedIds.size < health0.size,
+        s"flagged set must be a STRICT subset (got all ${health0.size} files)")
+
+      val stats = Sharding.optimizeFlagged(spark, path, nFiles, 1L << 16)
+      assert(stats.flagged.toSet == flaggedIds, "operator flags = monitor flags")
+      val after = dirBytes(path)
+      // untouched files byte-identical; appended dir gone; rewritten dirs differ
+      (before.keySet -- stats.rewritten).foreach { id =>
+        assert(after(id) == before(id), s"untouched file $id must be byte-identical")
+      }
+      assert(!after.contains(nFiles.toLong), "appended residue dir must be gone")
+
+      // re-measured health ≡ a full re-cluster: every overlap 0, and the
+      // row-level assignment equals the pure-function re-cut of all rows
+      val health1 = Sharding.layoutHealth(spark.read.parquet(path)
+          .select(col("zkey"), col("file_id")))
+        .collect()
+      assert(health1.forall(_.getAs[Long]("overlap_cnt") == 0L),
+        "optimized layout must be overlap-free")
+      val reopened = spark.read.parquet(path)
+        .select(col("qb"), col("lb"), col("zkey"), col("file_id").cast("long").as("file_id"))
+      val expected = reopened.drop("file_id")
+        .withColumn("file_id", expr(s"zkey * $nFiles div ${1L << 16}"))
+      assert(reopened.exceptAll(expected).isEmpty && expected.exceptAll(reopened).isEmpty,
+        "optimized assignment must equal the full re-cluster's pure cut")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  test("optimizeFlagged on a healthy layout is a byte-identical no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_opt_noop_")
+    try {
+      val nFiles = 16
+      val path = degradedLayout(base)
+      Sharding.optimizeFlagged(spark, path, nFiles, 1L << 16)
+      val before = dirBytes(path)
+      val stats2 = Sharding.optimizeFlagged(spark, path, nFiles, 1L << 16)
+      assert(stats2.flagged.isEmpty && stats2.rewritten.isEmpty && stats2.produced.isEmpty,
+        "healthy layout must not flag anything")
+      assert(dirBytes(path) == before,
+        "second optimize must leave every file byte-identical (q80's skip gate)")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  test("optimizeFlagged closure promotes a clean receiving file instead of clobbering it") {
+    // the gap case the closure exists for: an appended file whose z range
+    // does NOT overlap a clean file's ACTUAL range, but whose rows CUT
+    // into that file's id — without the closure the swap would replace
+    // the clean dir with only the incoming rows
+    val base = java.nio.file.Files.createTempDirectory("graft_opt_gap_")
+    try {
+      val nFiles = 4
+      val path = s"$base/layout"
+      // file 0 covers cut range [0, 16384): give it actual rows only in
+      // [0, 100]; files 1..3 dense in their own ranges
+      val clustered = ((0L to 100L) ++ (16384L until 16484L) ++
+        (32768L until 32868L) ++ (49152L until 49252L))
+        .toDF("zkey")
+        .withColumn("file_id", expr(s"zkey * $nFiles div ${1L << 16}"))
+      clustered.repartition(col("file_id"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(path)
+      // appended rows {16600, 32800}: the file's z range [16600, 32800]
+      // INTERSECTS file 2's actual range (32800 ∈ [32768, 32868)) — so
+      // the appended file and file 2 flag — but SKIPS OVER file 1's
+      // actual range [16384, 16484), so file 1 is NOT flagged even
+      // though row 16600 cuts into file 1's id: the gap case
+      val appended = Seq(16600L, 32800L).toDF("zkey")
+        .withColumn("file_id", lit(nFiles.toLong))
+      appended.repartition(col("file_id"))
+        .write.mode("append").partitionBy("file_id").parquet(path)
+      val health = Sharding.layoutHealth(spark.read.parquet(path)
+          .select(col("zkey"), col("file_id")))
+        .collect().map(r => r.getAs[Long]("file_id") -> r.getAs[Long]("overlap_cnt")).toMap
+      assert(health(1L) == 0L, "fixture: receiving file must NOT be health-flagged")
+      assert(health(nFiles.toLong) > 0L && health(2L) > 0L,
+        "fixture: appended file and file 2 must flag")
+
+      val stats = Sharding.optimizeFlagged(spark, path, nFiles, 1L << 16)
+      assert(!stats.flagged.contains(1L), "monitor must not have flagged file 1")
+      assert(stats.rewritten.contains(1L),
+        "closure must promote the receiving file into the rewrite set")
+      val file1 = spark.read.parquet(path).filter(col("file_id") === 1)
+        .select(col("zkey")).as[Long].collect().toSet
+      assert(file1 == ((16384L until 16484L).toSet + 16600L),
+        "receiving file must hold BOTH its old rows and the incoming one")
+      // files 0 and 3 never entered the rewrite set
+      assert(!stats.rewritten.contains(0L) && !stats.rewritten.contains(3L))
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
 }

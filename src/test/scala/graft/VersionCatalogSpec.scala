@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sinks.VersionCatalog
+
+/** Version-catalog lifecycle + crash windows (the LedgeredStateSpec
+  * discipline applied to the manifest): commit/read round-trips, the
+  * swap's between-renames window, orphan sweep, vacuumed-read refusal. */
+class VersionCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(base: java.nio.file.Path) =
+    new Path(base.toString).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def frame(n: Int) =
+    (1 to n).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+
+  test("commit assigns 1-based versions and time travel returns exact rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcat_")
+    try {
+      val cat = s"$base/c"
+      assert(VersionCatalog.versions(spark, cat).isEmpty)
+      assert(VersionCatalog.commit(spark, cat, frame(3)) == 1L)
+      assert(VersionCatalog.commit(spark, cat, frame(5)) == 2L)
+      assert(VersionCatalog.commit(spark, cat, frame(2)) == 3L)
+      assert(VersionCatalog.versions(spark, cat) == Seq(1L, 2L, 3L))
+      assert(VersionCatalog.latest(spark, cat).contains(3L))
+      // v2 row-equal to what was committed, long after v3 replaced it
+      val got = VersionCatalog.readVersion(spark, cat, 2L)
+      assert(got.exceptAll(frame(5)).isEmpty && frame(5).exceptAll(got).isEmpty)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("manifest swap crash window recovers: bak restores on next entry") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcat_crash_")
+    try {
+      val cat = s"$base/c"
+      VersionCatalog.commit(spark, cat, frame(3))
+      VersionCatalog.commit(spark, cat, frame(4))
+      // simulate a crash BETWEEN atomicSwap's two renames: manifest moved
+      // aside to bak, replacement never moved in
+      val fs = fsOf(base)
+      assert(fs.rename(new Path(s"$cat/_manifest"), new Path(cat + ".__manifest_bak")))
+      // without recovery this would report "no versions" — the silent
+      // restart-from-empty loss the swap contract prevents
+      assert(VersionCatalog.versions(spark, cat) == Seq(1L, 2L))
+      val got = VersionCatalog.readVersion(spark, cat, 2L)
+      assert(got.exceptAll(frame(4)).isEmpty && frame(4).exceptAll(got).isEmpty)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("vacuum retracts the manifest, deletes dirs, and refuses vacuumed reads") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcat_vac_")
+    try {
+      val cat = s"$base/c"
+      (1 to 4).foreach(i => VersionCatalog.commit(spark, cat, frame(i)))
+      assert(VersionCatalog.vacuum(spark, cat, retainLast = 2) == Seq(1L, 2L))
+      assert(VersionCatalog.versions(spark, cat) == Seq(3L, 4L))
+      val fs = fsOf(base)
+      assert(!fs.exists(new Path(s"$cat/v=1")) && !fs.exists(new Path(s"$cat/v=2")),
+        "vacuumed dirs must be deleted")
+      assert(fs.exists(new Path(s"$cat/v=3")) && fs.exists(new Path(s"$cat/v=4")))
+      intercept[IllegalArgumentException] {
+        VersionCatalog.readVersion(spark, cat, 1L)
+      }
+      // idempotent: nothing left to drop
+      assert(VersionCatalog.vacuum(spark, cat, retainLast = 2).isEmpty)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("orphan data dirs (crashed commit residue) are invisible and swept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcat_orph_")
+    try {
+      val cat = s"$base/c"
+      VersionCatalog.commit(spark, cat, frame(3))
+      // a crashed commit: data dir written, manifest never published
+      frame(9).write.parquet(s"$cat/v=2")
+      assert(VersionCatalog.versions(spark, cat) == Seq(1L),
+        "manifest is authoritative — orphan must be invisible")
+      intercept[IllegalArgumentException] {
+        VersionCatalog.readVersion(spark, cat, 2L)
+      }
+      // the next commit of version 2 overwrites the orphan cleanly
+      assert(VersionCatalog.commit(spark, cat, frame(4)) == 2L)
+      val got = VersionCatalog.readVersion(spark, cat, 2L)
+      assert(got.exceptAll(frame(4)).isEmpty && frame(4).exceptAll(got).isEmpty)
+      // and vacuum sweeps any orphan a crash left behind
+      frame(7).write.parquet(s"$cat/v=99")
+      VersionCatalog.vacuum(spark, cat, retainLast = 2)
+      assert(!fsOf(base).exists(new Path(s"$cat/v=99")), "orphan swept")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+}
