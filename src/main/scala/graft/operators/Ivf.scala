@@ -420,12 +420,23 @@ object Ivf {
     graft.functions.VectorFunctions.srpPlanes(SkWords * 64, dim, seed = 7L)
 
   /** The packed SRP sketch: bit j of word w = sign of the dot against
-    * plane w·64+j. Disjoint single-bit addends, so the sum IS the OR —
-    * including the sign bit (1L << 63 makes the word negative; no carry
-    * can occur). Build-time cost: 256 codegen'd dots per vector, paid
-    * once at index write, which is what buys every later query its
-    * 8×-cheaper first pass. */
-  def srpSketch(v: Column, planes: Array[Array[Double]]): Column =
+    * plane w·64+j — the native one-pass expression
+    * ([[graft.expressions.SrpSketch]]; the composed 256-dot column form
+    * below blew the JIT budget and ran interpreted). Build-time cost:
+    * ~16k fused multiply-adds per vector, paid once at index write,
+    * which is what buys every later query its 8×-cheaper first pass. */
+  def srpSketch(v: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SrpSketch(
+      ColumnBridge.expression(v), planes))
+  }
+
+  /** The composed column form [[srpSketch]] replaced — kept as the
+    * readable reference and for the equivalence test (bit j of word w =
+    * sign of dot(v, plane w·64+j); disjoint single-bit addends, so the
+    * sum IS the OR — including the sign bit: 1L << 63 makes the word
+    * negative, but no carry can occur). */
+  def srpSketchHof(v: Column, planes: Array[Array[Double]]): Column =
     array((0 until SkWords).map { w =>
       (0 until 64).map { j =>
         when(dot(v, typedlit(planes(w * 64 + j).toSeq)) >= 0, lit(1L << j))

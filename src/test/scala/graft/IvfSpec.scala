@@ -173,6 +173,19 @@ class IvfSpec extends SparkSpec {
     dir
   }
 
+  test("native SrpSketch equals the composed 256-dot column form bit-for-bit") {
+    val planes = Ivf.sketchPlanes(64)
+    val both = emb.select(col("id"),
+        Ivf.srpSketch(col("v"), planes).as("native"),
+        Ivf.srpSketchHof(col("v"), planes).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1).toList == r.getSeq[Long](2).toList,
+        s"sketch mismatch for id=${r.getAs[Long]("id")}")
+    }
+  }
+
   test("sketch re-rank with candPool = corpus reproduces exact KNN exactly") {
     val dir = sketchedIndexDir()
     try {

@@ -398,9 +398,28 @@ class MergeSinkSpec extends SparkSpec {
       val changed = before.keySet.filter(b => before(b) != after(b))
       assert(changed == Set(s"pb=$aBucket"),
         s"evolution must not rewrite day-1 buckets: changed=$changed")
-      // the union schema needs mergeSchema on a path-based read: touched
-      // dirs carry f3, untouched dirs read null for it
-      assertEvolved(spark.read.option("mergeSchema", "true").parquet(dir)
+      // the contract read path is the persisted schema MANIFEST —
+      // readPartitioned, NOT a mergeSchema footer scan: touched dirs
+      // carry f3, untouched dirs read null for it
+      assertEvolved(MergeSink.readPartitioned(spark, dir)
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Any]("f1"), r.getAs[Any]("f2"), r.getAs[Any]("f3")))).toMap)
+      // the manifest is the schema authority: the read plan's schema
+      // carries the evolved column WITHOUT any footer-merge inference
+      // (the file exists, and the analyzed scan lists f3 in its output)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_schema.json")),
+        "evolving merge must publish the schema manifest")
+      val reopened = MergeSink.readPartitioned(spark, dir)
+      assert(reopened.schema.fieldNames.contains("f3") &&
+        reopened.schema.fieldNames.contains("pb"),
+        s"manifest read must expose the evolved column: ${reopened.schema}")
+      val scan = reopened.queryExecution.executedPlan.toString
+      assert(scan.contains("f3"),
+        s"the scan's ReadSchema must carry the manifest's evolved column:\n$scan")
+      // and a manifest-less legacy snapshot still reads (mergeSchema
+      // fallback): deleting the manifest must not lose the column
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_schema.json"), false)
+      assertEvolved(MergeSink.readPartitioned(spark, dir)
         .collect().map(r => r.getAs[String]("k") ->
           ((r.getAs[Any]("f1"), r.getAs[Any]("f2"), r.getAs[Any]("f3")))).toMap)
     } finally fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
