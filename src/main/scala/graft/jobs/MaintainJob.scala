@@ -1,0 +1,110 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.Sharding
+import graft.sinks.{Compaction, VersionCatalog}
+
+/** CLI: the nightly MAINTENANCE run — the housekeeping pass every
+  * incrementally-ingested corpus layout needs, assembled from the
+  * individually-gated operators (the CurateJob composition pattern
+  * applied to storage health instead of content):
+  *
+  *   1. COMPACT the partitioned snapshot's fragmented directories
+  *      (q80's skip-aware per-directory rewrite — only dirs over their
+  *      byte-derived file target pay I/O);
+  *   2. MEASURE layout health (q164's per-file z-range overlap report —
+  *      footer-stats metadata, not data);
+  *   3. OPTIMIZE only the flagged files if the overlap budget is
+  *      exceeded (q165's targeted re-cluster — clean files stay
+  *      byte-identical, so a healthy night costs a metadata read);
+  *   4. COMMIT the post-maintenance layout as a catalog version and
+  *      VACUUM past the retention window (q166's manifest-authoritative
+  *      time travel — the release-management trail an auditable corpus
+  *      keeps).
+  *
+  * Every step is idempotent (compaction skip-gate, optimize no-op on a
+  * healthy layout, versioning append-only), so a crashed run re-runs
+  * safely — the reference's own tolerance posture (mongo.py:148-159)
+  * applied to maintenance.
+  *
+  * Scale shape: steps 2-3 are driver-side set algebra over ≤ |files|
+  * stats rows plus I/O proportional to what actually degraded; step 1
+  * reads only over-target directories; step 4 is metadata plus the
+  * snapshot copy the retention policy demands. A 100 TB layout that
+  * stayed healthy pays footer reads and nothing else.
+  *
+  * Usage: MaintainJob <layoutDir> <catalogDir>
+  *        [--target-bytes N] [--max-overlap N] [--retain N]
+  *        [--n-files N] [--z-space N]
+  */
+object MaintainJob {
+
+  final case class MaintainSummary(dirsCompacted: Long, filesBefore: Long,
+                                   filesAfter: Long, overlapBefore: Long,
+                                   overlapAfter: Long, filesRewritten: Long,
+                                   version: Long, vacuumed: Seq[Long])
+
+  final case class MaintainConfig(targetBytes: Long = 128L << 20,
+                                  maxOverlap: Long = 0L,
+                                  retain: Int = 3,
+                                  nFiles: Int = 8, // q138's ZFiles default
+                                  zSpace: Long = 1L << 16)
+
+  object MaintainConfig {
+    def fromFlags(flags: Seq[String]): MaintainConfig = {
+      def parse(c: MaintainConfig, fs: List[String]): MaintainConfig = fs match {
+        case Nil => c
+        case "--target-bytes" :: v :: rest => parse(c.copy(targetBytes = v.toLong), rest)
+        case "--max-overlap" :: v :: rest => parse(c.copy(maxOverlap = v.toLong), rest)
+        case "--retain" :: v :: rest => parse(c.copy(retain = v.toInt), rest)
+        case "--n-files" :: v :: rest => parse(c.copy(nFiles = v.toInt), rest)
+        case "--z-space" :: v :: rest => parse(c.copy(zSpace = v.toLong), rest)
+        case f :: _ => throw new IllegalArgumentException(
+          s"unknown flag '$f' (known: --target-bytes, --max-overlap, --retain, " +
+            "--n-files, --z-space)")
+      }
+      parse(MaintainConfig(), flags.toList)
+    }
+  }
+
+  def run(spark: SparkSession, layoutDir: String, catalogDir: String,
+          cfg: MaintainConfig = MaintainConfig()): MaintainSummary = {
+    // 1. compact fragmented partition directories (skip-aware)
+    val comp = Compaction.compactPartitioned(spark, layoutDir, cfg.targetBytes)
+    // 2. measure (footer-stats scale; reopened through the physical path)
+    def overlapSum(): Long = Sharding.layoutHealth(
+        spark.read.parquet(layoutDir).select(col("zkey"), col("file_id")))
+      .agg(sum(col("overlap_cnt"))).head().getLong(0)
+    val before = overlapSum()
+    // 3. optimize only when the measured budget is exceeded — the
+    //    monitor schedules the rewrite, the rewrite touches only
+    //    flagged (+ closure-promoted) files
+    val stats =
+      if (before > cfg.maxOverlap)
+        Sharding.optimizeFlagged(spark, layoutDir, cfg.nFiles, cfg.zSpace)
+      else Sharding.OptimizeStats(Nil, Nil, Nil)
+    val after = if (stats.rewritten.nonEmpty) overlapSum() else before
+    // 4. version the maintained layout and enforce retention
+    val version = VersionCatalog.commit(spark, catalogDir,
+      spark.read.parquet(layoutDir))
+    val vacuumed = VersionCatalog.vacuum(spark, catalogDir, cfg.retain)
+    MaintainSummary(comp.nCompacted, comp.filesBefore, comp.filesAfter,
+      before, after, stats.rewritten.size.toLong, version, vacuumed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: MaintainJob <layoutDir> <catalogDir> [flags]")
+    val cfg = MaintainConfig.fromFlags(args.drop(2).toSeq)
+    val spark = GraftSession.builder().getOrCreate()
+    val s = run(spark, args(0), args(1), cfg)
+    // structured stage log (the reference's dict-event style, log.py:15-41)
+    System.err.println(
+      s"""{"stage":"maintain","dirs_compacted":${s.dirsCompacted},""" +
+        s""""overlap_before":${s.overlapBefore},"overlap_after":${s.overlapAfter},""" +
+        s""""files_rewritten":${s.filesRewritten},"version":${s.version},""" +
+        s""""vacuumed":[${s.vacuumed.mkString(",")}]}""")
+    spark.stop()
+  }
+}

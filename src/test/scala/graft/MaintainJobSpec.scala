@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.jobs.MaintainJob
+import graft.operators.Sharding
+import graft.sinks.VersionCatalog
+
+/** The nightly maintenance composition: compact → measure → targeted
+  * optimize → version+vacuum, each stage individually gated elsewhere
+  * (q80/q164/q165/q166) — this pins the COMPOSITION: a degraded layout
+  * heals, a healthy layout costs a metadata read, retention holds, and
+  * a re-run is idempotent. */
+class MaintainJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(base: java.nio.file.Path) =
+    new Path(base.toString).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** q165's degraded fixture: 8 clustered z-files over a 256×256 bucket
+    * grid + one appended unclustered low-z file, written fragmented
+    * (several files per dir) so compaction has work too. */
+  private def writeDegraded(path: String): Unit = {
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a * 4, b * 4))
+      .toDF("qb", "lb")
+      .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+      .withColumn("file_id", expr(s"zkey * 8 div ${1L << 16}"))
+    grid.repartition(6) // fragment: several small files per partition dir
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+    val appended = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a * 4 + 1, b * 4 + 1))
+      .toDF("qb", "lb")
+      .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+      .filter(col("zkey") < (1L << 14))
+      .withColumn("file_id", lit(8L))
+    appended.repartition(col("file_id"))
+      .write.mode("append").partitionBy("file_id").parquet(path)
+  }
+
+  test("a degraded layout heals: compaction + targeted optimize + versioning") {
+    val base = java.nio.file.Files.createTempDirectory("graft_maintain_")
+    try {
+      val layout = s"$base/layout"
+      val catalog = s"$base/catalog"
+      writeDegraded(layout)
+      val rows = spark.read.parquet(layout).count()
+      val s = MaintainJob.run(spark, layout, catalog,
+        MaintainJob.MaintainConfig(targetBytes = 1L << 20, retain = 3))
+      assert(s.dirsCompacted > 0, "fragmented dirs must compact")
+      assert(s.filesAfter < s.filesBefore)
+      assert(s.overlapBefore > 0 && s.overlapAfter == 0,
+        s"optimize must restore disjoint ranges: $s")
+      assert(s.filesRewritten > 0 && s.filesRewritten < 9,
+        s"optimize must rewrite a strict subset: $s")
+      assert(s.version == 1L && s.vacuumed.isEmpty)
+      // no rows lost through the whole pass, and the version snapshot
+      // equals the maintained layout
+      assert(spark.read.parquet(layout).count() == rows)
+      val v1 = VersionCatalog.readVersion(spark, catalog, 1L)
+      assert(v1.count() == rows)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("a healthy layout is a no-op night; retention vacuums old versions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_maintain2_")
+    try {
+      val layout = s"$base/layout"
+      val catalog = s"$base/catalog"
+      writeDegraded(layout)
+      val cfg = MaintainJob.MaintainConfig(targetBytes = 1L << 20, retain = 2)
+      MaintainJob.run(spark, layout, catalog, cfg)
+      // night 2: already healthy — nothing compacts, nothing rewrites
+      val s2 = MaintainJob.run(spark, layout, catalog, cfg)
+      assert(s2.dirsCompacted == 0 && s2.filesRewritten == 0 &&
+        s2.overlapBefore == 0 && s2.overlapAfter == 0,
+        s"healthy night must be a metadata read: $s2")
+      assert(s2.version == 2L && s2.vacuumed.isEmpty)
+      // night 3: retention window (2) pushes v1 out
+      val s3 = MaintainJob.run(spark, layout, catalog, cfg)
+      assert(s3.version == 3L && s3.vacuumed == Seq(1L), s"retention: $s3")
+      assert(VersionCatalog.versions(spark, catalog) == Seq(2L, 3L))
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("flag parsing is strict and complete") {
+    val c = MaintainJob.MaintainConfig.fromFlags(Seq(
+      "--target-bytes", "1024", "--max-overlap", "2", "--retain", "5",
+      "--n-files", "16", "--z-space", "1048576"))
+    assert(c == MaintainJob.MaintainConfig(1024L, 2L, 5, 16, 1048576L))
+    intercept[IllegalArgumentException] {
+      MaintainJob.MaintainConfig.fromFlags(Seq("--bogus"))
+    }
+  }
+}
