@@ -96,7 +96,11 @@ object Bench {
     // regression (all reps moved) from scheduler/GC noise (one rep
     // spiked) without re-running anything
     val repsSec = results.map { case (k, _, _, ds) =>
-      s"\"" + k + "\":" + ds.map(d => f"$d%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: the f-interpolator honors the default locale, and a
+      // comma decimal separator would corrupt the JSON artifact
+      s"\"" + k + "\":" + ds.map(d =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val json =

@@ -73,8 +73,10 @@ object Ivf {
 
   /** Reopen a written index. Filters on list_id prune partitions at the
     * source (asserted in IvfSpec). */
-  def readIndex(spark: SparkSession, model: KMeansModel, path: String): Index =
+  def readIndex(spark: SparkSession, model: KMeansModel, path: String): Index = {
+    recoverIndex(spark, path)
     Index(model, spark.read.parquet(path))
+  }
 
   /** Top-k cosine neighbors per query, probing the `nprobe` nearest
     * lists. Output matches q22's shape (q_id, neighbor_id, cos_sim, rnk). */
@@ -112,6 +114,63 @@ object Ivf {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** The index swap's crash-window probe (the [[graft.sinks.MergeSink]]
+    * contract every swap-backed store follows): [[refit]] replaces the
+    * whole index via the two-rename swap, and a crash between the
+    * renames leaves no index dir while `.__refit_bak` holds the
+    * committed one — every entry point that reads the index recovers
+    * first, or the next ingest would silently rebuild from empty. */
+  private def recoverIndex(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.MergeSink.recoverSwap(fs, p,
+      new org.apache.hadoop.fs.Path(path + ".__refit_bak"))
+  }
+
+  /** QUANTIZER REFIT — the rebuild q89's drift monitor schedules: when
+    * ingest has drifted the corpus away from the day-1 centroids and
+    * recall falls through the band, fit a NEW coarse quantizer on the
+    * CURRENT corpus (bounded sample, the [[build]] discipline) and
+    * re-lay every stored row under its new list in one pass, then swap
+    * the layout atomically (two-rename; crash window recovered by
+    * [[recoverIndex]] at every entry). Everything except `list_id` is
+    * carried through untouched — vectors, norms, and the sketch column
+    * of a [[writeIndexSketched]] layout all survive, so both access
+    * paths keep working without recomputation.
+    *
+    * This is the full-rebuild member of the IVF maintenance pair:
+    * [[ingest]] is the nightly append that NEVER refits (a fixed
+    * quantizer is what makes its anti-join pruning and re-delivery
+    * dedup deterministic); refit is the measured, occasional rebuild —
+    * one corpus-sized read + write, the same cost class as the index's
+    * original build, scheduled by evidence (q89) instead of calendars.
+    * Returns the new model (callers persist it however they persist the
+    * original build's). */
+  def refit(spark: SparkSession, path: String, nlist: Int, seed: Long = 42L,
+            fitSampleRows: Int = 100000): KMeansModel = {
+    recoverIndex(spark, path)
+    val cur = spark.read.parquet(path).drop("list_id")
+    val feat = cur.withColumn("features", array_to_vector(col("v")))
+    val n = feat.count()
+    val frac = math.min(1.0, fitSampleRows.toDouble * 1.2 / math.max(n, 1L))
+    val fitSet =
+      if (frac >= 1.0) feat
+      else feat.sample(withReplacement = false, frac, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(fitSet)
+    val assigned = model.transform(feat).drop("features")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__refit_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".__refit_bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    graft.sinks.MergeSink.atomicSwap(fs, tmp, root, bak)
+    model
+  }
+
   /** Incrementally ingest a batch of vectors into a written IVF index —
     * the nightly-embedding analog of q65/q68's snapshot-state story.
     * The coarse quantizer is FIXED (the model fit at index-build time):
@@ -136,6 +195,7 @@ object Ivf {
     * Returns the number of fresh rows ingested. */
   def ingest(spark: SparkSession, path: String, model: KMeansModel,
              batch: DataFrame, idCol: String, vecCol: String): Long = {
+    recoverIndex(spark, path)
     val feat = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .dropDuplicates("id")
       .withColumn("features", array_to_vector(col("v")))
@@ -612,6 +672,81 @@ object Ivf {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  /** q168: QUANTIZER REFIT under the drift harness — the maintenance
+    * operation that closes the IVF lifecycle (build → ingest → monitor
+    * → REFIT): day 1 builds on half the corpus, day 2 ingests the rest
+    * (the q89 drift shape — day-2 vectors were never seen by the
+    * quantizer), then [[refit]] rebuilds the coarse quantizer on the
+    * CURRENT corpus and re-lays the index atomically. Gate row
+    * (integer anchors + booleans, the q71/q89 pattern):
+    *
+    *  - `n_vectors` (oracle anchor): no row lost or duplicated through
+    *    ingest + refit — the full-outer compare against the embeddings
+    *    fixture breaks it on any defect;
+    *  - `contents_match`: every (id, v) survives the rebuild exactly;
+    *  - `assign_match`: every stored list_id equals the NEW model's
+    *    assignment of that row's vector — the determinism the fixed-
+    *    quantizer contract ([[ingest]]'s pruning, q71) depends on,
+    *    re-established under the new model;
+    *  - `recall_ok`: the refit index still answers (micro-averaged
+    *    recall@[[K]] ≥ [[MinRecall]] at nprobe=[[Nprobe]], the q28/q89
+    *    band discipline — refit on the full corpus typically lands
+    *    ABOVE the half-corpus fit, but k-means luck is not a contract,
+    *    the band is). */
+  def q168IvfRefit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cut = emb.agg(max(col("id"))).head().getLong(0) / 2
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_q168_idx")
+    try {
+      val built = build(emb.filter(col("id") <= cut), "id", "v",
+        nlist = Nlist, fitSampleRows = 20000)
+      writeIndex(built, idxPath.toString)
+      ingest(spark, idxPath.toString, built.model, emb.filter(col("id") > cut),
+        "id", "v")
+      val model2 = refit(spark, idxPath.toString, nlist = Nlist,
+        fitSampleRows = 20000)
+      val after = spark.read.parquet(idxPath.toString)
+        .select(col("id"), col("v"), col("list_id"))
+        .localCheckpoint(true) // compared twice + probed below
+      // contents + assignment: full outer against the fixture and the
+      // new model's own assignment of the same vectors
+      val reassign = model2.transform(
+          emb.withColumn("features", array_to_vector(col("v"))))
+        .select(col("id").as("b_id"), col("v").as("b_v"),
+          col("list_id").as("b_list"))
+      val checks = after.join(reassign, after("id") === col("b_id"), "full_outer")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(after("id").isNull || col("b_id").isNull ||
+            after("v") =!= col("b_v"), 1).otherwise(0)).as("n_content_bad"),
+          sum(when(after("list_id") =!= col("b_list"), 1).otherwise(0))
+            .as("n_assign_bad"))
+      // the refit index still answers: q89's band on the reopened layout
+      val ivf = topK(spark, readIndex(spark, model2, idxPath.toString),
+          emb.filter(col("id") < NQueries), k = K, nprobe = Nprobe)
+        .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      val exact = SimilarityQueries.q22KnnExact(spark, dir)
+        .select(col("q_id"), col("neighbor_id"))
+      val recall = exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact_total"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      checks.crossJoin(recall)
+        .select(col("n_vectors"),
+          (col("n_content_bad") === 0).as("contents_match"),
+          (col("n_assign_bad") === 0).as("assign_match"),
+          (col("n_hit") >= col("n_exact_total") * MinRecall).as("recall_ok"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idxPath.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q168IvfRefitSql: String =
+    """SELECT count(*)::BIGINT AS n_vectors, TRUE AS contents_match,
+      |  TRUE AS assign_match, TRUE AS recall_ok
+      |FROM embeddings""".stripMargin
 
   /** Oracle: the pool ladder + the corpus endpoint with integer anchors
     * and literal TRUEs (the q156 pattern). */

@@ -251,6 +251,66 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("refit preserves every payload column (incl. the sketch) and re-lays by the new model") {
+    val dir = sketchedIndexDir() // nlist=8 layout WITH the sk column
+    try {
+      val before = spark.read.parquet(dir)
+        .select(col("id"), col("v"), col("nrm"), col("sk")).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getDouble(2),
+          r.getSeq[Long](3)))).toMap
+      val model2 = Ivf.refit(spark, dir, nlist = 4)
+      val after = spark.read.parquet(dir)
+      assert(after.columns.toSet == Set("id", "v", "nrm", "sk", "list_id"))
+      val lists = after.select("list_id").distinct().collect().map(_.getInt(0))
+      assert(lists.forall(l => l >= 0 && l < 4), s"new layout lists: ${lists.toSeq}")
+      val got = after.select(col("id"), col("v"), col("nrm"), col("sk")).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getDouble(2),
+          r.getSeq[Long](3)))).toMap
+      assert(got == before, "refit must carry every payload column untouched")
+      // assignments match the new model exactly (determinism restored)
+      import org.apache.spark.ml.functions.array_to_vector
+      val expect = model2.transform(after.drop("list_id")
+          .withColumn("features", array_to_vector(col("v"))))
+        .select(col("id"), col("list_id").as("e_list"))
+      assert(after.select(col("id"), col("list_id")).join(expect, "id")
+        .filter(col("list_id") =!= col("e_list")).count() == 0)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("refit swap crash window recovers: bak restores on the next entry") {
+    val index = Ivf.build(emb, "id", "v", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString + "/idx"
+    try {
+      Ivf.writeIndex(index, dir)
+      val n = spark.read.parquet(dir).count()
+      // simulate a crash BETWEEN atomicSwap's two renames: index moved
+      // aside to bak, replacement never moved in
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + ".__refit_bak")))
+      // without recovery this ingest would silently rebuild from empty
+      Ivf.ingest(spark, dir, index.model, emb.limit(0), "id", "v")
+      assert(spark.read.parquet(dir).count() == n,
+        "recoverIndex must restore the committed layout before any read")
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(dir)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pp.getParent, true)
+    }
+  }
+
+  test("q168 gate row: refit keeps contents, re-establishes assignment, still answers") {
+    val r = Ivf.q168IvfRefit(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_vectors") == emb.count())
+    assert(r(0).getAs[Boolean]("contents_match"), s"contents: ${r(0)}")
+    assert(r(0).getAs[Boolean]("assign_match"), s"assign: ${r(0)}")
+    assert(r(0).getAs[Boolean]("recall_ok"), s"recall: ${r(0)}")
+  }
+
   test("q167 gate rows: anchors, cost, monotone, hi-recall, endpoint booleans") {
     val rows = Ivf.q167SketchRerank(spark, sf).collect()
     val n = emb.count()
