@@ -74,9 +74,12 @@ object MaintainJob {
     // 1. compact fragmented partition directories (skip-aware)
     val comp = Compaction.compactPartitioned(spark, layoutDir, cfg.targetBytes)
     // 2. measure (footer-stats scale; reopened through the physical path)
-    def overlapSum(): Long = Sharding.layoutHealth(
-        spark.read.parquet(layoutDir).select(col("zkey"), col("file_id")))
-      .agg(sum(col("overlap_cnt"))).head().getLong(0)
+    def overlapSum(): Long = {
+      val row = Sharding.layoutHealth(
+          spark.read.parquet(layoutDir).select(col("zkey"), col("file_id")))
+        .agg(sum(col("overlap_cnt"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0) // empty layout → healthy
+    }
     val before = overlapSum()
     // 3. optimize only when the measured budget is exceeded — the
     //    monitor schedules the rewrite, the rewrite touches only

@@ -375,6 +375,16 @@ object Dedup {
     val prevCheckpointDir: Option[String] =
       if (checkpointDir.isDefined) spark.sparkContext.getCheckpointDir else None
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Constraint-propagation window (see connectedComponentsTwoPhase for
+    // the full account): this loop self-unions the checkpointed pair
+    // frame (`p.select ∪ p.select`), the exact shape whose stale origin
+    // constraints crash Catalyst's Union rewrite under relation dedup in
+    // constraint-rich compositions. Constraints buy nothing on these
+    // tiny label frames; run the loop (and its materializations) with
+    // propagation off, scoped save/set/restore.
+    val constraintKey = "spark.sql.constraintPropagation.enabled"
+    val prevConstraint = spark.conf.getOption(constraintKey)
+    spark.conf.set(constraintKey, "false")
     try {
     // per-round lineage control: reliable checkpoint on interval rounds,
     // recomputable persist between them; localCheckpoint when no dir
@@ -454,6 +464,10 @@ object Dedup {
         out
     }
     } finally {
+      prevConstraint match {
+        case Some(v) => spark.conf.set(constraintKey, v)
+        case None => spark.conf.unset(constraintKey)
+      }
       if (checkpointDir.isDefined)
         prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
     }

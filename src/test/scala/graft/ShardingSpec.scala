@@ -210,13 +210,24 @@ class ShardingSpec extends SparkSpec {
       val nFiles = 16
       val path = degradedLayout(base)
       val before = dirBytes(path)
+      // getAs[Number].longValue: the discovered partition column is INT,
+      // and erased getAs[Long] would smuggle Integers into the map
       val health0 = Sharding.layoutHealth(spark.read.parquet(path)
           .select(col("zkey"), col("file_id")))
-        .collect().map(r => r.getAs[Long]("file_id") -> r.getAs[Long]("overlap_cnt")).toMap
+        .collect().map(r => r.getAs[Number]("file_id").longValue ->
+          r.getAs[Number]("overlap_cnt").longValue).toMap
       val flaggedIds = health0.filter(_._2 > 0).keySet
       assert(health0(nFiles.toLong) > 0, "appended file must be flagged")
       assert(flaggedIds.size < health0.size,
         s"flagged set must be a STRICT subset (got all ${health0.size} files)")
+
+      // the operator's data read prunes to the flagged directories at the
+      // source (the touched-bucket discipline) — pin the scan shape
+      val scan = spark.read.parquet(path)
+        .filter(col("file_id").isin(flaggedIds.toSeq.map(java.lang.Long.valueOf): _*))
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [file_id"),
+        s"optimize reads must prune to flagged dirs:\n$scan")
 
       val stats = Sharding.optimizeFlagged(spark, path, nFiles, 1L << 16)
       assert(stats.flagged.toSet == flaggedIds, "operator flags = monitor flags")
