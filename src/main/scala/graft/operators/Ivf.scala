@@ -194,13 +194,30 @@ object Ivf {
     * pruned anti-join; the corpus-sized index is only ever APPENDED to.
     * Returns the number of fresh rows ingested. */
   def ingest(spark: SparkSession, path: String, model: KMeansModel,
-             batch: DataFrame, idCol: String, vecCol: String): Long = {
+             batch: DataFrame, idCol: String, vecCol: String,
+             planes: Option[Array[Array[Double]]] = None): Long = {
     recoverIndex(spark, path)
+    // LAYOUT-CONSISTENCY guard: a [[writeIndexSketched]] index carries
+    // the `sk` column, and appending sketch-less rows would leave mixed
+    // footers whose schema lottery silently degrades (or breaks) the
+    // q167 sketch path — every appended row must carry the sketch, so
+    // the caller must supply the SAME planes the index was built with.
+    // Conversely, sketching rows into a plain index would mix the other
+    // way. Fail loudly either way; schema drift in a persistent index
+    // is an operator error, never something to paper over.
+    val hasSk = spark.read.parquet(path).columns.contains("sk")
+    require(hasSk == planes.isDefined,
+      if (hasSk) "index carries a sketch column — pass the build-time planes " +
+        "so appended rows stay sketch-complete"
+      else "index has no sketch column — sketch planes were passed; " +
+        "build the layout with writeIndexSketched first")
     val feat = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .dropDuplicates("id")
       .withColumn("features", array_to_vector(col("v")))
-    val assigned = model.transform(feat).drop("features")
+    val assigned0 = model.transform(feat).drop("features")
       .withColumn("nrm", norm(col("v")))
+    val assigned = planes.fold(assigned0)(pl =>
+        assigned0.withColumn("sk", srpSketch(col("v"), pl)))
       .localCheckpoint(true) // referenced by the list probe AND the
                              // anti-join — one assignment pass, not two
     // <= nlist small ints: driver-safe by construction, and a LITERAL

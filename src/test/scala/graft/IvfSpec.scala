@@ -251,6 +251,51 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("ingest into a sketched layout keeps appended rows sketch-complete; mismatch throws") {
+    val planes = Ivf.sketchPlanes(64)
+    val cut = emb.agg(max(col("id"))).head().getLong(0) / 2
+    val index = Ivf.build(emb.filter(col("id") <= cut), "id", "v", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ski").toString
+    try {
+      Ivf.writeIndexSketched(index, dir, planes)
+      // plain ingest into a sketched layout must fail loudly, not mix schemas
+      intercept[IllegalArgumentException] {
+        Ivf.ingest(spark, dir, index.model, emb.filter(col("id") > cut), "id", "v")
+      }
+      val n = Ivf.ingest(spark, dir, index.model, emb.filter(col("id") > cut),
+        "id", "v", planes = Some(planes))
+      assert(n > 0)
+      val after = spark.read.parquet(dir)
+      assert(after.filter(col("sk").isNull).count() == 0,
+        "every appended row must carry the sketch")
+      // the sketch path still answers over the grown layout, endpoint-exact
+      val total = emb.count().toInt
+      val got = Ivf.topKSketchRerank(spark, dir, emb.filter(col("id") < 10),
+          k = 10, candPool = total, planes = planes)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk")) ->
+          r.getAs[Long]("neighbor_id")).toMap
+      val exact = SimilarityQueries.q22KnnExact(spark, sf)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk")) ->
+          r.getAs[Long]("neighbor_id")).toMap
+      assert(got == exact, "grown sketched layout must stay endpoint-exact")
+      // and sketching into a PLAIN layout also fails loudly
+      val plainDir = java.nio.file.Files.createTempDirectory("graft_ivf_pl").toString
+      try {
+        Ivf.writeIndex(index, plainDir)
+        intercept[IllegalArgumentException] {
+          Ivf.ingest(spark, plainDir, index.model, emb.limit(1), "id", "v",
+            planes = Some(planes))
+        }
+      } finally {
+        val pp = new org.apache.hadoop.fs.Path(plainDir)
+        pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("refit preserves every payload column (incl. the sketch) and re-lays by the new model") {
     val dir = sketchedIndexDir() // nlist=8 layout WITH the sk column
     try {
