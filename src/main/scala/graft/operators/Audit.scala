@@ -134,20 +134,28 @@ object Audit {
   def columnProfileSketch(df: DataFrame, cols: Seq[String],
                           rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "columnProfileSketch needs at least one column")
-    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
-      Seq(count_distinct(col(c)).as(s"dist_$c"),
-        approx_count_distinct(col(c), rsd).as(s"approx_$c"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      struct(lit(c).as("column_name"), col(s"dist_$c").as("n_distinct"),
-        (abs(col(s"approx_$c") - col(s"dist_$c")).cast("double") <=
-          greatest(lit(5.0), lit(5.0 * rsd) * col(s"dist_$c").cast("double")))
-          .as("approx_in_band"))
-    }
-    one.select(col("n_rows"), explode(array(stacked: _*)).as("p"))
-      .select(col("p.column_name"), col("n_rows"), col("p.n_distinct"),
-        col("p.approx_in_band"))
+    // One single-distinct aggregate PER column, unioned, instead of one
+    // multi-distinct aggregate over all of them: k distinct aggregates in
+    // one Aggregate force Catalyst's Expand rewrite — every input row is
+    // replicated k+1 times (all columns carried, mostly null) through two
+    // shuffled aggregates. A single distinct child per branch plans
+    // without Expand (partial dedup on the value, then count), each
+    // branch's parquet scan reads ONLY its own column, and the k branches
+    // are independent leaf stages the scheduler runs concurrently — so
+    // total IO equals one full scan and no row is ever replicated.
+    val nRows = df.agg(count(lit(1)).as("n_rows"))
+    val perCol = cols.map { c =>
+      df.select(col(c)).agg(
+          count_distinct(col(c)).as("n_distinct"),
+          approx_count_distinct(col(c), rsd).as("approx"))
+        .select(lit(c).as("column_name"), col("n_distinct"),
+          (abs(col("approx") - col("n_distinct")).cast("double") <=
+            greatest(lit(5.0), lit(5.0 * rsd) * col("n_distinct").cast("double")))
+            .as("approx_in_band"))
+    }.reduce(_ unionAll _)
+    perCol.crossJoin(broadcast(nRows))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        col("approx_in_band"))
       .orderBy(col("column_name"))
   }
 
