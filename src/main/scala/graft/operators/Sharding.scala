@@ -588,4 +588,250 @@ object Sharding {
        |  zkey * $Z4Files // ${1L << (4 * Z4Bits)} AS file_id
        |FROM z ORDER BY file_id, zkey, doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // File-level data skipping: stats manifest (zone maps) + Bloom index
+  // ---------------------------------------------------------------------
+
+  /** PER-FILE COLUMN-STATS MANIFEST (zone maps) — one row per layout
+    * file carrying `n_rows` and `min_c`/`max_c` for every stats column:
+    * exactly what parquet footers already know, lifted into ONE tiny
+    * table so a planner prunes the file list from a single metadata
+    * read instead of opening every footer (the Delta/Iceberg
+    * `add.stats` analog — at 100 TB a million-footer open is itself a
+    * scan). The aggregate is map-side partial to |files| rows; the
+    * manifest is metadata-scale forever. */
+  def statsManifest(layout: DataFrame, fileCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "statsManifest needs at least one stats column")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    layout.groupBy(col(fileCol).cast("long").as("file_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def statsPath(path: String) = s"$path/_stats"
+
+  /** Write a `partitionBy(file_id)` layout AND its [[statsManifest]] in
+    * one pass each: data first, then the manifest computed from the
+    * REOPENED files (what the footers actually contain, not what the
+    * writer intended — a lost partition shows up as a missing manifest
+    * row, not a phantom one). The manifest lands at `$path/_stats` as
+    * one file (it is |files| rows). */
+  def writeStatsLayout(df: DataFrame, fileCol: String, sortCols: Seq[String],
+                       statsCols: Seq[String], path: String): Unit = {
+    val spark = df.sparkSession
+    df.repartition(col(fileCol))
+      .sortWithinPartitions((fileCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(fileCol).parquet(path)
+    statsManifest(spark.read.parquet(path), fileCol, statsCols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** What a skipping scan read: the pruned row frame plus the file
+    * economics the manifest bought (`filesRead` of `filesTotal`). */
+  final case class SkipScan(rows: DataFrame, filesRead: Long, filesTotal: Long)
+
+  /** MANIFEST-PRUNED RANGE SCAN — the consumer of [[writeStatsLayout]]:
+    * one metadata read of `_stats` decides which files can possibly
+    * hold `lo ≤ c ≤ hi` (`max_c ≥ lo ∧ min_c ≤ hi` — the zone-map
+    * test), and ONLY those partitions are opened (`file_id IN (…)` on
+    * the partition column prunes at planning time — pinned in
+    * ShardingSpec via the scan's selected-partition count). The row
+    * predicate still applies inside the surviving files, so the scan is
+    * exact regardless of how loose the zone maps are; the manifest only
+    * ever removes provably-empty files. Driver-side state is the pruned
+    * id list — ≤ |files| longs, the [[optimizeFlagged]] budget. */
+  def skippingScan(spark: SparkSession, path: String, predCol: String,
+                   lo: Column, hi: Column): SkipScan = {
+    val stats = spark.read.parquet(statsPath(path))
+      .select(col("file_id"), col(s"min_$predCol"), col(s"max_$predCol"))
+      .localCheckpoint(true) // one metadata read feeds both counts
+    val filesTotal = stats.count()
+    val keep = stats
+      .filter(col(s"max_$predCol") >= lo && col(s"min_$predCol") <= hi)
+      .select(col("file_id")).collect().map(_.getLong(0)).toSeq
+    val rows = spark.read.parquet(path)
+      .filter(col("file_id").isin(keep.map(java.lang.Long.valueOf): _*))
+      .filter(col(predCol) >= lo && col(predCol) <= hi)
+    SkipScan(rows, keep.size.toLong, filesTotal)
+  }
+
+  // q169 parameters: events laid out by ingest day (4 days per file —
+  // the nightly-append layout a stream sink produces), stats on the
+  // event timestamp, and a 4-day window query that the manifest must
+  // prune to exactly the 2 files whose day ranges intersect it.
+  private[operators] val SkipDaysPerFile = 4
+  private[operators] val SkipLo = "2024-01-10 00:00:00"
+  private[operators] val SkipHi = "2024-01-13 23:59:59.999999"
+
+  /** q169: DATA SKIPPING through the physical path — `events` written
+    * `partitionBy(file_id)` with `file_id = (day-1) div 4` (the
+    * ingest-day layout), its `_stats` manifest written beside it, then
+    * a 4-day `ts` window answered via [[skippingScan]]. The gate is
+    * row-level exact on the window's events AND on the file economics:
+    * the oracle recomputes every file's min/max ts from the same pure
+    * day assignment, applies the same zone-map test, and must agree on
+    * `files_read` (2), `files_total` (8), and `pruned_ok` — no literal
+    * booleans, every anchor recomputed. The predicate column (`ts`) is
+    * NOT the partition key: the manifest prunes on correlation between
+    * event time and ingest day, exactly the case footer stats serve and
+    * a partition filter alone cannot express. */
+  def q169SkippingScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q169_")
+    try {
+      val path = s"$base/layout"
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .withColumn("file_id", expr(s"(dayofmonth(ts) - 1) div $SkipDaysPerFile"))
+      writeStatsLayout(ev, "file_id", Seq("ts", "event_id"),
+        Seq("ts", "user_id"), path)
+      val scan = skippingScan(spark, path, "ts",
+        lit(SkipLo).cast("timestamp"), lit(SkipHi).cast("timestamp"))
+      scan.rows
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("file_id").cast("long").as("file_id"))
+        .withColumn("files_read", lit(scan.filesRead))
+        .withColumn("files_total", lit(scan.filesTotal))
+        .withColumn("pruned_ok", lit(scan.filesRead < scan.filesTotal))
+        .orderBy(col("event_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q169SkippingScanSql: String =
+    s"""WITH e AS (SELECT event_id, ts, user_id, event_type,
+       |  ((date_part('day', ts) - 1) // $SkipDaysPerFile)::BIGINT AS file_id
+       |  FROM events),
+       |f AS (SELECT file_id, min(ts) AS mn, max(ts) AS mx FROM e GROUP BY 1),
+       |sel AS (SELECT count(*)::BIGINT AS files_read FROM f
+       |        WHERE mx >= TIMESTAMP '$SkipLo' AND mn <= TIMESTAMP '$SkipHi'),
+       |tot AS (SELECT count(*)::BIGINT AS files_total FROM f)
+       |SELECT event_id, ts, user_id, event_type, file_id,
+       |  files_read, files_total, (files_read < files_total) AS pruned_ok
+       |FROM e, sel, tot
+       |WHERE ts >= TIMESTAMP '$SkipLo' AND ts <= TIMESTAMP '$SkipHi'
+       |ORDER BY event_id""".stripMargin
+
+  // q170 Bloom parameters: m bits per file, k hash functions. Fixture
+  // files carry ~625 keys at sf0.1 → load k·n/m ≈ 0.11, per-file false-
+  // positive rate (1-e^-load)^k ≈ 1e-3 — candidate sets stay ~1 file.
+  private[operators] val BloomBits = 16384
+  private[operators] val BloomK = 3
+
+  /** PER-FILE BLOOM INDEX — the skipping structure for POINT lookups on
+    * a key the layout scatters ([[statsManifest]]'s complement: a
+    * hash-sharded corpus gives every file the full key range, so
+    * min/max prunes nothing, which is exactly why Delta/Iceberg carry
+    * per-file bloom filters beside the zone maps). Representation: the
+    * set of SET BIT POSITIONS per file, `pos_j(key) =
+    * md5("bf<j>:"+key) mod m` for j < k — the seeded-md5 hash family
+    * every sampler gate already uses ([[TrainingData.hashBucket]]), so
+    * the index is oracle-reproducible bit for bit. Size: ≤ min(k·n, m)
+    * ints per file, metadata-scale; build is one map-side-partial
+    * distinct over (file, pos). */
+  def bloomFileIndex(layout: DataFrame, fileCol: String,
+                     keyCol: String): DataFrame = {
+    val positions = (0 until BloomK).map(j =>
+      pmod(TrainingData.hashBucket(col(keyCol), s"bf$j"), lit(BloomBits.toLong)))
+    layout.select(col(fileCol).cast("long").as("file_id"),
+        explode(array(positions: _*)).as("pos"))
+      .distinct()
+  }
+
+  /** q170: BLOOM POINT LOOKUP through the physical path — `documents`
+    * written in q78's HASH-SHARDED layout (`file_id` from the seeded id
+    * hash: every file spans the full doc_id range, so zone maps are
+    * provably useless here), a per-file [[bloomFileIndex]] on `doc_id`
+    * built beside it, then every 29th doc_id point-looked-up through
+    * the index. Row-level exact on the retrieved documents AND on the
+    * economics: the oracle rebuilds the same md5 bloom bit-for-bit and
+    * must agree on every per-key `n_candidates` — the false-positive
+    * count is CHECKED, not waved at. */
+  def q170BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q170_")
+    try {
+      val path = s"$base/layout"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("bucket", TrainingData.hashBucket(col("doc_id"), ShufSeed))
+        .withColumn("file_id", expr(s"bucket * $NShards div 4294967296"))
+        .drop("bucket")
+      docs.repartition(col("file_id"))
+        .sortWithinPartitions(col("file_id"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(path)
+      val reopened = spark.read.parquet(path)
+      val index = bloomFileIndex(reopened, "file_id", "doc_id")
+        .localCheckpoint(true) // metadata-scale; feeds probe + total
+      val filesTotal = index.select(col("file_id")).distinct().count()
+      val keys = reopened.select(col("doc_id"))
+        .filter(col("doc_id") % 29 === 1)
+      val probePos = keys.select(col("doc_id"),
+        explode(array((0 until BloomK).map(j =>
+          pmod(TrainingData.hashBucket(col("doc_id"), s"bf$j"),
+            lit(BloomBits.toLong))): _*)).as("pos"))
+        .distinct()
+      // candidate iff ALL the key's probed positions are set in the
+      // file's index — "all" is the key's own DISTINCT position count,
+      // not k: two seeds may hash a key to the same bit
+      val nPos = probePos.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pos"))
+      val cand = probePos.join(index, Seq("pos"))
+        .groupBy(col("doc_id"), col("file_id"))
+        .agg(count_distinct(col("pos")).as("n_hit"))
+        .join(broadcast(nPos), Seq("doc_id"))
+        .filter(col("n_hit") === col("n_pos"))
+        .select(col("doc_id"), col("file_id"))
+        .localCheckpoint(true) // feeds the pruned read AND the counts
+      val candFiles = cand.select(col("file_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq // ≤ |files| — metadata scale
+      val perKey = cand.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val rows = spark.read.parquet(path)
+        .filter(col("file_id").isin(candFiles.map(java.lang.Long.valueOf): _*))
+        .join(broadcast(keys), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("file_id").cast("long").as("file_id"))
+      rows.join(broadcast(perKey), Seq("doc_id"))
+        .withColumn("files_total", lit(filesTotal))
+        .withColumn("pruned_ok", col("n_candidates") < col("files_total"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q170BloomLookupSql: String = {
+    val posSel = (0 until BloomK).map(j =>
+      s"('0x' || substring(md5('bf$j:' || doc_id), 1, 8))::BIGINT % $BloomBits")
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id, lang, n_chars,
+       |  (('0x' || substring(md5('$ShufSeed:' || doc_id), 1, 8))::BIGINT
+       |    * $NShards // 4294967296)::BIGINT AS file_id
+       |  FROM documents),
+       |idx AS (SELECT DISTINCT file_id, unnest([$posSel]) AS pos FROM d),
+       |tot AS (SELECT count(DISTINCT file_id)::BIGINT AS files_total FROM idx),
+       |k AS (SELECT doc_id FROM d WHERE doc_id % 29 = 1),
+       |pp AS (SELECT doc_id, unnest([$posSel]) AS pos FROM k),
+       |cand AS (SELECT pp.doc_id, idx.file_id
+       |         FROM (SELECT DISTINCT doc_id, pos FROM pp) pp
+       |         JOIN idx ON idx.pos = pp.pos
+       |         GROUP BY pp.doc_id, idx.file_id
+       |         HAVING count(DISTINCT pp.pos) =
+       |           (SELECT count(DISTINCT pos) FROM pp p2 WHERE p2.doc_id = pp.doc_id)),
+       |pk AS (SELECT doc_id, count(*)::BIGINT AS n_candidates FROM cand GROUP BY 1)
+       |SELECT d.doc_id, d.lang, d.n_chars, d.file_id,
+       |  pk.n_candidates, files_total,
+       |  (pk.n_candidates < files_total) AS pruned_ok
+       |FROM d JOIN pk ON pk.doc_id = d.doc_id, tot
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -326,4 +326,58 @@ class ShardingSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
     }
   }
+
+  test("skippingScan opens ONLY manifest-selected partitions and loses no row") {
+    val base = java.nio.file.Files.createTempDirectory("graft_skip_spec_")
+    try {
+      val path = s"$base/layout"
+      // 8 files, file i holding metric range [i·100, i·100+99]
+      val df = (0L until 800L).toDF("id")
+        .withColumn("metric", col("id"))
+        .withColumn("file_id", expr("id div 100"))
+      Sharding.writeStatsLayout(df, "file_id", Seq("id"), Seq("metric"), path)
+
+      val scan = Sharding.skippingScan(spark, path, "metric", lit(150L), lit(420L))
+      assert(scan.filesTotal == 8L)
+      assert(scan.filesRead == 4L, s"files 1..4 intersect [150,420]: $scan")
+      // no-loss: pruned result ≡ brute-force filter over the full layout
+      val brute = spark.read.parquet(path)
+        .filter(col("metric") >= 150 && col("metric") <= 420).select(col("id"))
+      val got = scan.rows.select(col("id"))
+      assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+      // PHYSICAL pin: the scan's file source selected exactly filesRead
+      // partition directories — the pruning is plan-time, not a filter
+      // after an 8-file read
+      val parts = scan.rows.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(parts == Seq(4), s"selected partitions must equal filesRead: $parts")
+
+      // empty-range scan: zero files opened, zero rows, still exact
+      val none = Sharding.skippingScan(spark, path, "metric", lit(5000L), lit(6000L))
+      assert(none.filesRead == 0L && none.rows.isEmpty)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  test("bloom index never false-negatives and q170 lookups stay pruned") {
+    val sf001 = "/root/testdata/sf0.01"
+    val out = Sharding.q170BloomLookup(spark, sf001)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "probe set must be non-empty at sf0.01")
+    // every probed key retrieved exactly once (no false negative can
+    // hide a row; no candidate file duplicates one)
+    val expected = Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 29 === 1).count()
+    assert(rows.length.toLong == expected, s"${rows.length} != $expected")
+    // economics: candidate sets are strictly smaller than the layout
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_candidates")
+      assert(nc >= 1L && nc < r.getAs[Long]("files_total"), s"pruned: $r")
+    }
+  }
 }
