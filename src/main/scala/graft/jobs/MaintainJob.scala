@@ -18,7 +18,10 @@ import graft.sinks.{Compaction, VersionCatalog}
   *      footer-stats metadata, not data);
   *   3. OPTIMIZE only the flagged files if the overlap budget is
   *      exceeded (q165's targeted re-cluster — clean files stay
-  *      byte-identical, so a healthy night costs a metadata read);
+  *      byte-identical, so a healthy night costs a metadata read),
+  *      then refresh the q169 zone-map manifest iff a step touched
+  *      data (stale stats stop pruning; a manifest row for a deleted
+  *      file would prune a phantom);
   *   4. COMMIT the post-maintenance layout as a catalog version and
   *      VACUUM past the retention window (q166's manifest-authoritative
   *      time travel — the release-management trail an auditable corpus
@@ -37,20 +40,22 @@ import graft.sinks.{Compaction, VersionCatalog}
   *
   * Usage: MaintainJob <layoutDir> <catalogDir>
   *        [--target-bytes N] [--max-overlap N] [--retain N]
-  *        [--n-files N] [--z-space N]
+  *        [--n-files N] [--z-space N] [--stats-cols a,b]
   */
 object MaintainJob {
 
   final case class MaintainSummary(dirsCompacted: Long, filesBefore: Long,
                                    filesAfter: Long, overlapBefore: Long,
                                    overlapAfter: Long, filesRewritten: Long,
+                                   statsRefreshed: Boolean,
                                    version: Long, vacuumed: Seq[Long])
 
   final case class MaintainConfig(targetBytes: Long = 128L << 20,
                                   maxOverlap: Long = 0L,
                                   retain: Int = 3,
                                   nFiles: Int = 8, // q138's ZFiles default
-                                  zSpace: Long = 1L << 16)
+                                  zSpace: Long = 1L << 16,
+                                  statsCols: Seq[String] = Nil)
 
   object MaintainConfig {
     def fromFlags(flags: Seq[String]): MaintainConfig = {
@@ -61,9 +66,11 @@ object MaintainJob {
         case "--retain" :: v :: rest => parse(c.copy(retain = v.toInt), rest)
         case "--n-files" :: v :: rest => parse(c.copy(nFiles = v.toInt), rest)
         case "--z-space" :: v :: rest => parse(c.copy(zSpace = v.toLong), rest)
+        case "--stats-cols" :: v :: rest =>
+          parse(c.copy(statsCols = v.split(',').toSeq.filter(_.nonEmpty)), rest)
         case f :: _ => throw new IllegalArgumentException(
           s"unknown flag '$f' (known: --target-bytes, --max-overlap, --retain, " +
-            "--n-files, --z-space)")
+            "--n-files, --z-space, --stats-cols)")
       }
       parse(MaintainConfig(), flags.toList)
     }
@@ -89,12 +96,21 @@ object MaintainJob {
         Sharding.optimizeFlagged(spark, layoutDir, cfg.nFiles, cfg.zSpace)
       else Sharding.OptimizeStats(Nil, Nil, Nil)
     val after = if (stats.rewritten.nonEmpty) overlapSum() else before
+    // 3b. the zone-map manifest must FOLLOW every rewrite — refresh it
+    //     when a step touched data (or it does not exist yet); a healthy
+    //     no-op night leaves it untouched so the night stays metadata-only
+    val touched = comp.nCompacted > 0 || stats.rewritten.nonEmpty
+    val statsRefreshed = cfg.statsCols.nonEmpty &&
+      (touched || !Sharding.hasStatsManifest(spark, layoutDir))
+    if (statsRefreshed)
+      Sharding.refreshStatsManifest(spark, layoutDir, cfg.statsCols)
     // 4. version the maintained layout and enforce retention
     val version = VersionCatalog.commit(spark, catalogDir,
       spark.read.parquet(layoutDir))
     val vacuumed = VersionCatalog.vacuum(spark, catalogDir, cfg.retain)
     MaintainSummary(comp.nCompacted, comp.filesBefore, comp.filesAfter,
-      before, after, stats.rewritten.size.toLong, version, vacuumed)
+      before, after, stats.rewritten.size.toLong, statsRefreshed,
+      version, vacuumed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,7 +122,8 @@ object MaintainJob {
     System.err.println(
       s"""{"stage":"maintain","dirs_compacted":${s.dirsCompacted},""" +
         s""""overlap_before":${s.overlapBefore},"overlap_after":${s.overlapAfter},""" +
-        s""""files_rewritten":${s.filesRewritten},"version":${s.version},""" +
+        s""""files_rewritten":${s.filesRewritten},""" +
+        s""""stats_refreshed":${s.statsRefreshed},"version":${s.version},""" +
         s""""vacuumed":[${s.vacuumed.mkString(",")}]}""")
     spark.stop()
   }

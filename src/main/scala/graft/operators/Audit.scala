@@ -518,7 +518,8 @@ object Audit {
     * file, Trigger.AvailableNow; disjoint day files, the additive-state
     * input contract) — q87's pattern for the distribution ledger.
     * Oracle IS q161's. */
-  def q163StreamHist(spark: SparkSession, dir: String): DataFrame = {
+  def q163StreamHist(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q163_")

@@ -252,7 +252,8 @@ object Cdc {
     * the watermark guard is exercised under streaming delivery too.
     * Final snapshot minus tombstones must equal q115's batch answer —
     * oracle shared verbatim. */
-  def q122StreamCdc(spark: SparkSession, dir: String): DataFrame = {
+  def q122StreamCdc(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q122_")

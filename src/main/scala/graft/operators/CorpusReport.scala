@@ -290,7 +290,8 @@ object CorpusReport {
     * duplicates — the q85 scaladoc's honest caveat; sink-side batch
     * replays ARE absorbed by the batchId ledger). Final state must
     * equal one batch aggregation of the whole corpus — q85's oracle. */
-  def q87StreamReport(spark: SparkSession, dir: String): DataFrame = {
+  def q87StreamReport(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q87_")
     val conf = spark.sparkContext.hadoopConfiguration

@@ -210,7 +210,8 @@ object Graph {
     * slice of day 1 that the per-user watermark must drop (the q122
     * harness shape). Ranks from the streamed edge snapshot; oracle IS
     * q133's, verbatim. */
-  def q139StreamGraph(spark: SparkSession, dir: String): DataFrame = {
+  def q139StreamGraph(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q139_")

@@ -590,7 +590,8 @@ object MergeQueries {
     * order-free: the registry's anti-join absorbs replays, and the
     * component-min invariant needs no delivery-order guarantee. Same
     * oracle as q127, verbatim. */
-  def q129StreamEntity(spark: SparkSession, dir: String): DataFrame = {
+  def q129StreamEntity(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q129_")
@@ -745,6 +746,279 @@ object MergeQueries {
       |            WHEN v2.h IS NULL THEN 'removed'
       |            WHEN v1.h != v2.h THEN 'changed' END) IS NOT NULL
       |ORDER BY doc_id""".stripMargin
+
+  /** One step of the CHANGE FEED: the keyed diff of two consecutive
+    * catalog versions, KEEPING the new-side values ([[snapshotDiff]]
+    * drops them — an audit wants volume, a REPLAY wants the data).
+    * Removed rows carry their old values for the consumer's audit; the
+    * replay ignores them. One full-outer co-partitioned shuffle on the
+    * key, null-safe struct comparison over the value columns. */
+  private def changeStep(prev: DataFrame, cur: DataFrame, key: String,
+                         valCols: Seq[String]): DataFrame = {
+    val l = prev.select(col(key), struct(valCols.map(col): _*).as("l_v"))
+    val r = cur.select(col(key), struct(valCols.map(col): _*).as("r_v"))
+    l.join(r, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("l_v").isNull, lit("added"))
+          .when(col("r_v").isNull, lit("removed"))
+          .when(!(col("l_v") <=> col("r_v")), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(key) +: col("status") +:
+        valCols.map(c => coalesce(col(s"r_v.$c"), col(s"l_v.$c")).as(c)): _*)
+  }
+
+  /** CHANGE FEED over the version catalog — what an INCREMENTAL
+    * consumer (a trainer resuming from a cursor, a downstream index)
+    * replays instead of re-reading the whole head snapshot: for every
+    * version v > `afterVersion`, the keyed add/remove/change delta
+    * v-1 → v, tagged with `version` so the consumer applies steps in
+    * order and advances its cursor to the max it has seen (the Delta
+    * CDF / Iceberg incremental-read analog over the engine's own
+    * catalog). Each step is one co-partitioned diff join; the feed's
+    * size is the DRIFT between versions, never the corpus — the whole
+    * point at 100 TB. A step whose base version was vacuumed fails
+    * loudly in [[graft.sinks.VersionCatalog.readVersion]] (retention
+    * must outlive the slowest consumer's cursor — the same contract
+    * Delta documents for CDF). */
+  def catalogChanges(spark: SparkSession, path: String, afterVersion: Long,
+                     key: String, valCols: Seq[String]): DataFrame = {
+    import graft.sinks.VersionCatalog
+    val vs = VersionCatalog.versions(spark, path).filter(_ > afterVersion).sorted
+    require(vs.nonEmpty,
+      s"no versions after $afterVersion at $path — cursor already at head")
+    vs.map { v =>
+        changeStep(VersionCatalog.readVersion(spark, path, v - 1),
+            VersionCatalog.readVersion(spark, path, v), key, valCols)
+          .withColumn("version", lit(v))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Apply a [[catalogChanges]] feed to a base snapshot: per key, the
+    * LAST step wins (one rank window over the feed — the feed is
+    * drift-sized, so the window is cheap), removed keys drop, everything
+    * untouched carries from the base via one anti join. Replaying
+    * base = v_cursor against the feed reconstructs the head version
+    * EXACTLY — gated row-level in q171. */
+  def applyChangeFeed(base: DataFrame, feed: DataFrame, key: String,
+                      valCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val last = feed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+    val untouched = base.join(last.select(col(key)), Seq(key), "left_anti")
+    untouched.select(col(key) +: valCols.map(col): _*)
+      .unionByName(last.filter(col("status") =!= "removed")
+        .select(col(key) +: valCols.map(col): _*))
+  }
+
+  /** q171: CHANGE-FEED CONSUMPTION through the catalog — q166 committed
+    * versions and diffed endpoints; this gate closes the INCREMENTAL
+    * consumer loop: the same three deterministic versions commit, a
+    * consumer whose cursor sits at v1 reads [[catalogChanges]] (step
+    * v1→v2 = the every-7th removals, step v2→v3 = the every-5th edits
+    * plus shifted-id additions), and [[applyChangeFeed]] replays the
+    * feed onto its stale v1 copy — which must reconstruct v3 ROW-FOR-ROW
+    * (the oracle states the replay as v3 directly, so any lost delta,
+    * phantom change, or mis-ordered application fails the hash). Both
+    * sections ride one schema: ('feed', version, doc_id, status, lang,
+    * c) ∪ ('replay', null, doc_id, null, lang, c). */
+  def q171ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_q171_")
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val cat = s"$base/catalog"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .localCheckpoint(true) // feeds all three version frames
+      VersionCatalog.commit(spark, cat,
+        docs.select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") +
+              when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("c"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars").as("c"))))
+      val feed = catalogChanges(spark, cat, afterVersion = 1L,
+          "doc_id", Seq("lang", "c"))
+        .localCheckpoint(true) // feeds the gate section AND the replay
+      val replayed = applyChangeFeed(
+        VersionCatalog.readVersion(spark, cat, 1L), feed,
+        "doc_id", Seq("lang", "c"))
+      feed.select(lit("feed").as("sect"), col("version"), col("doc_id"),
+          col("status"), col("lang"), col("c"))
+        .unionByName(replayed.select(lit("replay").as("sect"),
+          lit(null).cast("long").as("version"), col("doc_id"),
+          lit(null).cast("string").as("status"), col("lang"), col("c")))
+        .orderBy(col("sect"), col("version"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the catalog dir dies
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q171ChangeFeedSql: String =
+    """WITH v1 AS (SELECT doc_id, lang, n_chars AS c FROM documents),
+      |v2 AS (SELECT doc_id, lang, n_chars AS c FROM documents WHERE doc_id % 7 != 0),
+      |v3 AS (
+      |  SELECT doc_id, lang,
+      |    n_chars + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS c
+      |  FROM documents WHERE doc_id % 7 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id % 11 = 0),
+      |s2 AS (SELECT coalesce(v2.doc_id, v1.doc_id) AS doc_id,
+      |         CASE WHEN v1.c IS NULL THEN 'added'
+      |              WHEN v2.c IS NULL THEN 'removed'
+      |              WHEN v1.c != v2.c OR v1.lang != v2.lang THEN 'changed' END AS status,
+      |         coalesce(v2.lang, v1.lang) AS lang, coalesce(v2.c, v1.c) AS c
+      |       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+      |s3 AS (SELECT coalesce(v3.doc_id, v2.doc_id) AS doc_id,
+      |         CASE WHEN v2.c IS NULL THEN 'added'
+      |              WHEN v3.c IS NULL THEN 'removed'
+      |              WHEN v2.c != v3.c OR v2.lang != v3.lang THEN 'changed' END AS status,
+      |         coalesce(v3.lang, v2.lang) AS lang, coalesce(v3.c, v2.c) AS c
+      |       FROM v2 FULL OUTER JOIN v3 ON v2.doc_id = v3.doc_id)
+      |SELECT * FROM (
+      |  SELECT 'feed' AS sect, 2::BIGINT AS version, doc_id, status, lang, c
+      |  FROM s2 WHERE status IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'feed', 3::BIGINT, doc_id, status, lang, c
+      |  FROM s3 WHERE status IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'replay', NULL::BIGINT, doc_id, NULL::VARCHAR, lang, c FROM v3)
+      |ORDER BY sect, version, doc_id""".stripMargin
+
+  /** CURSOR-TRACKED FEED CONSUMER — one advance of a derived snapshot
+    * toward the catalog head: bootstrap from version 1 on first contact
+    * (the CDC snapshot-then-tail convention), otherwise replay
+    * [[catalogChanges]] past the stored cursor onto the stored snapshot,
+    * and commit (snapshot', cursor') ATOMICALLY with the batch ledger
+    * ([[graft.sinks.LedgeredState]] — a cursor that outruns its snapshot,
+    * or vice versa, is exactly the torn state the ledgered swap
+    * exists to prevent). Returns false when there is nothing to do:
+    * head ≤ cursor, or this head's batch already in the ledger (a
+    * replayed notification). Idempotent under at-least-once, unordered
+    * delivery — the CATALOG is the authority for what is pending, the
+    * notification only wakes the consumer. */
+  def feedConsumerIngest(spark: SparkSession, catalogPath: String,
+                         statePath: String, key: String,
+                         valCols: Seq[String]): Boolean = {
+    import graft.sinks.{LedgeredState, VersionCatalog}
+    val latest = VersionCatalog.latest(spark, catalogPath).getOrElse(return false)
+    val batchId = s"v$latest"
+    if (LedgeredState.absorbed(spark, statePath, batchId)) return false
+    val cursor = LedgeredState.readPart(spark, statePath, "cursor")
+      .map(_.head().getLong(0)).getOrElse(0L)
+    if (latest <= cursor) return false
+    val bootstrap = cursor == 0L
+    val base =
+      if (bootstrap) VersionCatalog.readVersion(spark, catalogPath, 1L)
+      else LedgeredState.readPart(spark, statePath, "snapshot").getOrElse(
+        throw new IllegalStateException(
+          s"cursor $cursor committed without a snapshot part at $statePath"))
+    val fromV = if (bootstrap) 1L else cursor
+    val snap =
+      if (latest > fromV)
+        applyChangeFeed(base,
+          catalogChanges(spark, catalogPath, fromV, key, valCols), key, valCols)
+      else base
+    val ss = spark; import ss.implicits._
+    LedgeredState.commit(spark, statePath, batchId, Seq(
+      "snapshot" -> snap.select(col(key) +: valCols.map(col): _*)
+        .localCheckpoint(true), // materialized BEFORE the swap moves its inputs
+      "cursor" -> Seq(latest).toDF("cursor")))
+    true
+  }
+
+  /** q172: the change-feed consumer STREAMED — the catalog family's
+    * taxonomy closes (q166 batch lifecycle → q171 incremental replay →
+    * this): three versions commit with a NOTIFICATION marker landed per
+    * commit, [[graft.streaming.StreamingFeed]] drives
+    * [[feedConsumerIngest]] one marker per micro-batch (bootstrap from
+    * v1, then drift-sized feed replays to v2, v3), and the final
+    * derived snapshot must equal v3 ROW-FOR-ROW with the cursor at 3 —
+    * same oracle shape as q171's replay section. A fourth, REPLAYED
+    * marker is landed for the head version to exercise the at-least-once
+    * path in-gate (its batch must no-op via the state ledger, not
+    * double-apply). */
+  def q172StreamFeed(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.{LedgeredState, VersionCatalog}
+    val base = java.nio.file.Files.createTempDirectory("graft_q172_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val cat = s"$base/catalog"
+      val notify = s"$base/notify"
+      val statePath = s"$base/derived"
+      fs.mkdirs(new Path(notify))
+      val ss = spark; import ss.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .localCheckpoint(true) // feeds all three version frames
+      def land(v: Long, tag: String): Unit = {
+        Seq(v).toDF("version").coalesce(1).write.parquet(s"$base/stage_$tag")
+        val part = fs.globStatus(new Path(s"$base/stage_$tag/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$notify/commit_$tag.parquet"))
+      }
+      VersionCatalog.commit(spark, cat,
+        docs.select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      land(1L, "v1")
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      land(2L, "v2")
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") +
+              when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("c"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars").as("c"))))
+      land(3L, "v3")
+      land(3L, "v3_replayed") // at-least-once: must no-op via the ledger
+      val q = graft.streaming.StreamingFeed.start(spark, notify, cat,
+        statePath, s"$base/ckpt", "doc_id", Seq("lang", "c"),
+        trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      val snap = LedgeredState.readPart(spark, statePath, "snapshot").get
+      val cursor = LedgeredState.readPart(spark, statePath, "cursor")
+        .get.head().getLong(0)
+      snap.select(lit("snapshot").as("sect"), col("doc_id"),
+          col("lang"), col("c"))
+        .unionByName(Seq(("cursor", cursor, null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+          .toDF("sect", "doc_id", "lang", "c"))
+        .orderBy(col("sect"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  val q172StreamFeedSql: String =
+    """WITH v3 AS (
+      |  SELECT doc_id, lang,
+      |    n_chars + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS c
+      |  FROM documents WHERE doc_id % 7 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id % 11 = 0)
+      |SELECT * FROM (
+      |  SELECT 'snapshot' AS sect, doc_id, lang, c FROM v3
+      |  UNION ALL
+      |  SELECT 'cursor', 3::BIGINT, NULL::VARCHAR, NULL::BIGINT)
+      |ORDER BY sect, doc_id""".stripMargin
 
   /** q166: SNAPSHOT VERSION CATALOG — commit / time-travel / diff /
     * vacuum through [[graft.sinks.VersionCatalog]], the release-

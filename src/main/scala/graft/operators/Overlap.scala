@@ -251,7 +251,8 @@ object Overlap {
     * with a re-delivered slice — both absorbed by the monotone merge
     * (the q142/q151 streamed-monotone-state pattern). Oracle IS
     * q159's. */
-  def q160StreamSketch(spark: SparkSession, dir: String): DataFrame = {
+  def q160StreamSketch(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q160_")

@@ -620,13 +620,29 @@ object Sharding {
     * one file (it is |files| rows). */
   def writeStatsLayout(df: DataFrame, fileCol: String, sortCols: Seq[String],
                        statsCols: Seq[String], path: String): Unit = {
-    val spark = df.sparkSession
     df.repartition(col(fileCol))
       .sortWithinPartitions((fileCol +: sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(fileCol).parquet(path)
-    statsManifest(spark.read.parquet(path), fileCol, statsCols)
+    refreshStatsManifest(df.sparkSession, path, statsCols)
+  }
+
+  /** Recompute `_stats` from the layout's current files — the manifest
+    * must FOLLOW every rewrite (compaction, targeted optimize): stale
+    * zone maps don't lose rows ([[skippingScan]] re-filters inside the
+    * surviving files) but they stop pruning, and a manifest row for a
+    * deleted file id would prune a phantom. One |files|-row aggregate;
+    * [[graft.jobs.MaintainJob]] runs this as its step 3b whenever a
+    * maintenance pass touched data. */
+  def refreshStatsManifest(spark: SparkSession, path: String,
+                           statsCols: Seq[String]): Unit =
+    statsManifest(spark.read.parquet(path), "file_id", statsCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(path))
+
+  /** Whether the layout carries a stats manifest. */
+  def hasStatsManifest(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(statsPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** What a skipping scan read: the pruned row frame plus the file

@@ -118,18 +118,23 @@ object StreamingQueries {
     // 5.7s overlapped; full-alphabet numbers swing more than this delta.
     // If either side fails, stop BOTH before rethrowing — a leaked active
     // query would collide with the next invocation's queryName.
-    val qWin = launch(EventStreams.tumblingCounts(_), "q41_stream_windows")
-    val qSes =
-      try launch(EventStreams.sessionize(_), "q41_stream_sessions")
-      catch { case e: Throwable => qWin.stop(); throw e }
-    try {
-      qWin.awaitTermination()
-      qSes.awaitTermination()
-    } catch {
-      case e: Throwable =>
-        if (qWin.isActive) qWin.stop()
-        if (qSes.isActive) qSes.stop()
-        throw e
+    // streams run narrowed ([[graft.streaming.StreamConf]]): two queries
+    // × stores × 32 per-partition state commits swing the wall clock
+    // with fs pressure; the state is a few hundred windows/sessions
+    graft.streaming.StreamConf.withShuffle(spark) {
+      val qWin = launch(EventStreams.tumblingCounts(_), "q41_stream_windows")
+      val qSes =
+        try launch(EventStreams.sessionize(_), "q41_stream_sessions")
+        catch { case e: Throwable => qWin.stop(); throw e }
+      try {
+        qWin.awaitTermination()
+        qSes.awaitTermination()
+      } catch {
+        case e: Throwable =>
+          if (qWin.isActive) qWin.stop()
+          if (qSes.isActive) qSes.stop()
+          throw e
+      }
     }
     val streamWin = spark.table("q41_stream_windows")
     val streamSes = spark.table("q41_stream_sessions")
@@ -184,7 +189,8 @@ object StreamingQueries {
     * duplicates from re-matched state — flips the boolean and fails the
     * driver's hash gate. (Memory sink = test bridge, bounded at gate
     * scale; see the q41 doc for the production sink shape.) */
-  def q51StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q51StreamJoin(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     def split(df: DataFrame, t: String) = df.filter(col("event_type") === t)
     val ev = Tables.events(spark, dir)
@@ -245,7 +251,8 @@ object StreamingQueries {
     * recomputes + `dedup_match` — symmetric difference between the
     * streamed and batch outputs is empty. Duplicated rows are
     * byte-identical copies, so which copy survives is immaterial. */
-  def q57StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q57StreamDedup(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, dir)
     val dupBatch = ev.union(ev.filter(col("event_id") % 3 === 0))
@@ -291,7 +298,8 @@ object StreamingQueries {
     * stream-static joins emit rows as processed and hold nothing);
     * `static_match` is the exact symmetric-difference parity boolean.
     * Memory sink = test bridge (see q41). */
-  def q64StreamStatic(spark: SparkSession, dir: String): DataFrame = {
+  def q64StreamStatic(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -358,7 +366,8 @@ object StreamingQueries {
     * and `value` are non-null (n_users / sum_value parity). The oracle's
     * n_typed mirrors the snapshot semantics (non-null event_type filter)
     * rather than assuming the invariant. */
-  def q46StreamMerge(spark: SparkSession, dir: String): DataFrame = {
+  def q46StreamMerge(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sinks.MergeSink
     import graft.streaming.StreamingMerge
@@ -423,7 +432,8 @@ object StreamingQueries {
     * Scale: two AvailableNow drains of the q46 shape — each batch pays
     * the merge's one full-outer join; the restart is metadata (a new
     * checkpoint), not a snapshot rewrite. */
-  def q157StreamEvolution(spark: SparkSession, dir: String): DataFrame = {
+  def q157StreamEvolution(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
@@ -504,7 +514,8 @@ object StreamingQueries {
     * streaming adds none of its own — foreachBatch holds zero rows
     * between batches, so the stream's memory is one micro-batch's
     * collision neighborhood regardless of corpus size. */
-  def q72StreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def q72StreamNeardup(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamingNeardup
     val base = java.nio.file.Files.createTempDirectory("graft_q72_")

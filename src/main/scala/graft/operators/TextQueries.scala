@@ -1271,7 +1271,8 @@ object TextQueries {
     * harness lands two disjoint day files; the final snapshot-derived
     * coverage report must equal the whole-corpus batch answer — q109's
     * oracle, verbatim. */
-  def q112StreamVocab(spark: SparkSession, dir: String): DataFrame = {
+  def q112StreamVocab(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q112_")
     val conf = spark.sparkContext.hadoopConfiguration

@@ -2040,7 +2040,8 @@ object TrainingData {
     * legal because the top-k state is replay-absorbing and order-free
     * (the strongest streamed-ingest contract, shared with q129).
     * Oracle IS q128's, verbatim. */
-  def q142StreamSample(spark: SparkSession, dir: String): DataFrame = {
+  def q142StreamSample(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q142_")
@@ -2220,7 +2221,8 @@ object TrainingData {
     * order with a re-delivered slice — legal under the monotone-
     * mergeable contract (the q142 harness applied to the frontier).
     * Oracle IS q134's, verbatim. */
-  def q151StreamSkyline(spark: SparkSession, dir: String): DataFrame = {
+  def q151StreamSkyline(spark: SparkSession, dir: String): DataFrame = 
+    graft.streaming.StreamConf.withShuffle(spark) {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_q151_")

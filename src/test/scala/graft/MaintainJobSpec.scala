@@ -84,10 +84,43 @@ class MaintainJobSpec extends SparkSpec {
   test("flag parsing is strict and complete") {
     val c = MaintainJob.MaintainConfig.fromFlags(Seq(
       "--target-bytes", "1024", "--max-overlap", "2", "--retain", "5",
-      "--n-files", "16", "--z-space", "1048576"))
-    assert(c == MaintainJob.MaintainConfig(1024L, 2L, 5, 16, 1048576L))
+      "--n-files", "16", "--z-space", "1048576", "--stats-cols", "qb,lb"))
+    assert(c == MaintainJob.MaintainConfig(1024L, 2L, 5, 16, 1048576L,
+      Seq("qb", "lb")))
     intercept[IllegalArgumentException] {
       MaintainJob.MaintainConfig.fromFlags(Seq("--bogus"))
     }
+  }
+
+  test("the zone-map manifest follows rewrites and rests on healthy nights") {
+    val base = java.nio.file.Files.createTempDirectory("graft_maintain3_")
+    try {
+      val layout = s"$base/layout"
+      val catalog = s"$base/catalog"
+      writeDegraded(layout)
+      val cfg = MaintainJob.MaintainConfig(targetBytes = 1L << 20, retain = 3,
+        statsCols = Seq("zkey"))
+      // night 1: the pass rewrites files AND (first contact) writes _stats
+      val s1 = MaintainJob.run(spark, layout, catalog, cfg)
+      assert(s1.statsRefreshed, s"first night must build the manifest: $s1")
+      // the refreshed manifest prunes correctly on the POST-optimize layout:
+      // a skipping scan over it loses no row vs the brute-force filter
+      val scan = Sharding.skippingScan(spark, layout, "zkey",
+        lit(0L), lit((1L << 13) - 1))
+      assert(scan.filesRead < scan.filesTotal, s"zone maps must prune: $scan")
+      val brute = spark.read.parquet(layout)
+        .filter(col("zkey") < (1L << 13)).select(col("zkey"))
+      val got = scan.rows.select(col("zkey"))
+      assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+      // night 2: healthy — manifest untouched (metadata-only night)
+      val fs = fsOf(base)
+      val statsFile = fs.globStatus(new Path(s"$layout/_stats/part-*.parquet"))(0)
+      val s2 = MaintainJob.run(spark, layout, catalog, cfg)
+      assert(!s2.statsRefreshed, s"healthy night must not rewrite stats: $s2")
+      val statsFile2 = fs.globStatus(new Path(s"$layout/_stats/part-*.parquet"))(0)
+      assert(statsFile.getPath == statsFile2.getPath &&
+        statsFile.getModificationTime == statsFile2.getModificationTime,
+        "manifest file must be byte-level untouched on a healthy night")
+    } finally fsOf(base).delete(new Path(base.toString), true)
   }
 }

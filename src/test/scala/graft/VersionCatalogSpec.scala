@@ -91,4 +91,39 @@ class VersionCatalogSpec extends SparkSpec {
       assert(!fsOf(base).exists(new Path(s"$cat/v=99")), "orphan swept")
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
+
+  test("change feed: last step wins, remove-then-re-add survives, vacuumed base refuses") {
+    import graft.operators.MergeQueries
+    val base = java.nio.file.Files.createTempDirectory("graft_vcat_feed_")
+    try {
+      val cat = s"$base/c"
+      def f(rows: (Long, String)*) = rows.toDF("id", "payload")
+      // v1: {1,2,3}; v2: 1 edited, 2 removed; v3: 2 RE-ADDED with a new
+      // value, 3 edited then this edit survives as the last step
+      VersionCatalog.commit(spark, cat, f(1L -> "a", 2L -> "b", 3L -> "c"))
+      VersionCatalog.commit(spark, cat, f(1L -> "a2", 3L -> "c"))
+      VersionCatalog.commit(spark, cat,
+        f(1L -> "a2", 2L -> "b3", 3L -> "c3"))
+      val feed = MergeQueries.catalogChanges(spark, cat, 1L, "id", Seq("payload"))
+      val got = feed.select("version", "id", "status", "payload")
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(got == Set((2L, 1L, "changed", "a2"), (2L, 2L, "removed", "b"),
+        (3L, 2L, "added", "b3"), (3L, 3L, "changed", "c3")), s"feed: $got")
+      // replay from the v1 cursor reconstructs v3 exactly — key 2's
+      // remove-then-re-add resolves to the LAST step's value
+      val replayed = MergeQueries.applyChangeFeed(
+        VersionCatalog.readVersion(spark, cat, 1L), feed, "id", Seq("payload"))
+      val v3 = VersionCatalog.readVersion(spark, cat, 3L)
+      assert(replayed.exceptAll(v3).isEmpty && v3.exceptAll(replayed).isEmpty)
+      // a consumer whose cursor predates retention fails LOUDLY: step
+      // v1→v2 needs v1, and vacuum dropped it
+      VersionCatalog.vacuum(spark, cat, retainLast = 2)
+      intercept[IllegalArgumentException] {
+        MergeQueries.catalogChanges(spark, cat, 1L, "id", Seq("payload"))
+      }
+      // ... while a cursor inside retention still reads its steps
+      val tail = MergeQueries.catalogChanges(spark, cat, 2L, "id", Seq("payload"))
+      assert(tail.select(col("version")).distinct().as[Long].collect().toSeq == Seq(3L))
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
 }
