@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** IN-ENGINE TEXT CLASSIFICATION + COLLOCATION STATISTICS — the two
+  * supervised/lexical-statistics stages a curation pipeline runs that
+  * the library did not yet own end to end:
+  *
+  *  - a multinomial NAIVE BAYES text classifier trained and applied
+  *    inside the engine (the CCNet / fastText-style "model-based
+  *    filter" loop: label a split, count, smooth, argmax) — q90 scores
+  *    documents with an EXTERNALLY-trained linear head over embeddings;
+  *    this operator closes the loop where the model itself is fit on
+  *    the corpus with nothing but counts;
+  *  - PMI COLLOCATION extraction (Church & Hanks 1990), the lexical
+  *    statistic vocabulary/tokenizer work reads off a corpus before
+  *    deciding what deserves a merged token.
+  *
+  * Both are exact-integer analytics end to end: every logarithm is
+  * applied ONCE to an integer count and rounded to micro-nats
+  * ([[Ranking.lnMicro]] — q118's fixed-point discipline), so per-doc
+  * and per-pair scores are order-free BIGINT aggregates the DuckDB
+  * oracle reproduces bit for bit; the only doubles are single IEEE
+  * divisions/comparisons identical in both engines.
+  */
+object Classify {
+
+  // q173 parameters: hashed-feature width, hash seed, test-split modulus.
+  val NbBuckets = 256
+  val NbSeed = "nb"
+  private val NbTestMod = 5L
+
+  // q174 parameters: minimum pair support and kept top-N.
+  private val PmiMinCount = 5L
+  private val PmiTopN = 40
+
+  import Ranking.lnMicro
+
+  /** The trained NB model: one row per (label, feature-bucket) carrying
+    * the raw count and its micro-nat log `ln(c+1)`, plus a per-label
+    * frame of (prior, likelihood-denominator) micro-nats.
+    *
+    * Features are seeded-md5 hashed token buckets
+    * ([[TrainingData.hashBucket]] — DSIR's fixed-width argument: the
+    * model is ≤ labels×buckets rows NO MATTER the vocabulary, so it
+    * broadcasts at any corpus size, and the oracle reproduces the hash
+    * byte for byte). Add-one smoothing on both the likelihood
+    * (`(c_lb+1)/(n_l+B)`) and the prior (`(d_l+1)/(D+L)`).
+    *
+    * Scale: one token pass with map-side partials into a ≤ L·B-row
+    * shuffle (the q126 bucket-counts shape) + one |docs|-row label
+    * count. Training cost is ONE corpus scan regardless of label
+    * cardinality. */
+  def nbTrain(docs: DataFrame, labelCol: String, textCol: String,
+              buckets: Int = NbBuckets, seed: String = NbSeed)
+      : (DataFrame, DataFrame) = {
+    require(buckets > 0, s"buckets=$buckets")
+    val lam = docs
+      .select(col(labelCol).as("label"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("bk",
+        TrainingData.hashBucket(col("t"), seed) % buckets.toLong)
+      .groupBy(col("label"), col("bk"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lnc1", lnMicro(col("c") + 1L))
+    val docCounts = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("d_l"))
+    val totals = docCounts
+      .agg(sum(col("d_l")).as("dd"), count(lit(1)).as("ll"))
+    // a label whose train docs carry zero tokens still needs a denom —
+    // coalesce its token total to 0 (smoothing keeps the ln argument > 0)
+    val tokTotals = lam.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
+    val classes = docCounts
+      .join(tokTotals, Seq("label"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("label"),
+        (lnMicro(col("d_l") + 1L) - lnMicro(col("dd") + col("ll")))
+          .as("prior_micro"),
+        lnMicro(coalesce(col("n_l"), lit(0L)) + buckets.toLong)
+          .as("denom_micro"))
+    (classes, lam)
+  }
+
+  /** Score every document against every class and keep the argmax:
+    *
+    *   score(d, l) = prior_l + Σ_{t∈d} ln(c_{l,b(t)}+1) − n_d·ln(n_l+B)
+    *
+    * in integer micro-nats (unseen (l, b) pairs contribute ln(1) = 0,
+    * so the λ probe is a left join + coalesce). Ties break on label
+    * ascending — deterministic in both engines.
+    *
+    * Scale: the corpus-sized frames only ever carry (doc, bucket)
+    * partial counts; both model frames broadcast (≤ L·B rows). The one
+    * exchange is the (doc, label) integer aggregate — map-side partials
+    * collapse each doc inside its scan partition, so it carries
+    * |docs|·L rows, never |tokens|. Empty documents survive explode
+    * via the doc-frame left join and score as the pure prior argmax —
+    * which is also what the whole classifier degrades to when features
+    * carry no signal (the fixture's labels are independent of its
+    * synthetic text, so the gate pins exactly that degeneration along
+    * with the full count/smooth/argmax arithmetic). */
+  def nbScore(test: DataFrame, idCol: String, textCol: String,
+              classes: DataFrame, lam: DataFrame,
+              buckets: Int = NbBuckets, seed: String = NbSeed): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val perDoc = test.select(col(idCol).as("id"), col(textCol),
+      size(toks).as("n_tokens"))
+    val docBuckets = test
+      .select(col(idCol).as("id"), explode(toks).as("t"))
+      .withColumn("bk",
+        TrainingData.hashBucket(col("t"), seed) % buckets.toLong)
+      .groupBy(col("id"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+    val sums = docBuckets
+      .crossJoin(broadcast(classes.select(col("label"))))
+      .join(broadcast(lam.select(col("label"), col("bk"), col("lnc1"))),
+        Seq("label", "bk"), "left")
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("cnt") * coalesce(col("lnc1"), lit(0L))).as("sum_lnc"))
+    perDoc
+      .crossJoin(broadcast(classes))
+      .join(sums, Seq("id", "label"), "left")
+      .select(col("id"), col("label"), col("n_tokens"),
+        (col("prior_micro") - col("n_tokens") * col("denom_micro") +
+          coalesce(col("sum_lnc"), lit(0L))).as("score_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score_micro").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** q173: the NB loop end to end — train on `doc_id % 5 != 0` with
+    * `lang` as the label, score the held-out fifth, emit every
+    * prediction (doc, true label, argmax label, its micro-nat score,
+    * token count) plus the confusion-matrix section the curator actually
+    * reads. The oracle restates the entire train/score/argmax pipeline
+    * in SQL over the same md5 buckets, so one miscounted bucket, a
+    * smoothing slip, or an argmax tie broken differently fails the hash
+    * row-level. */
+  def q173NbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % NbTestMod =!= 0L)
+    val test = docs.filter(col("doc_id") % NbTestMod === 0L)
+    val (classes, lam) = nbTrain(train, "lang", "text")
+    val scored = nbScore(test, "doc_id", "text", classes, lam)
+      .join(test.select(col("doc_id").as("id"), col("lang").as("true_lang")),
+        Seq("id"))
+      .localCheckpoint(true) // feeds both sections below
+    val pred = scored.select(lit("pred").as("sect"), col("id").as("doc_id"),
+      col("true_lang"), col("label").as("pred_lang"),
+      col("score_micro"), col("n_tokens"))
+    val confusion = scored.groupBy(col("true_lang"), col("label"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .select(lit("confusion").as("sect"),
+        lit(null).cast("long").as("doc_id"), col("true_lang"),
+        col("label").as("pred_lang"), lit(null).cast("long").as("score_micro"),
+        col("n_tokens"))
+    pred.unionByName(confusion)
+      .orderBy(col("sect"), col("doc_id"), col("true_lang"), col("pred_lang"))
+  }
+
+  val q173NbClassifierSql: String = {
+    val tok = TextQueries.tokSqlExpr
+    val bk = s"('0x' || substring(md5('$NbSeed:' || tk), 1, 8))::BIGINT % $NbBuckets"
+    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % $NbTestMod != 0),
+       |te AS (SELECT doc_id, lang, text, len($tok)::BIGINT AS n FROM documents
+       |       WHERE doc_id % $NbTestMod = 0),
+       |lam AS (SELECT lang AS label, $bk AS bkt, count(*)::BIGINT AS c,
+       |    round(ln(count(*) + 1) * 1000000)::BIGINT AS lnc1
+       |  FROM (SELECT lang, unnest($tok) AS tk FROM tr) GROUP BY 1, 2),
+       |dc AS (SELECT lang AS label, count(*)::BIGINT AS d_l FROM tr GROUP BY 1),
+       |tots AS (SELECT sum(d_l)::BIGINT AS dd, count(*)::BIGINT AS ll FROM dc),
+       |nl AS (SELECT label, sum(c)::BIGINT AS n_l FROM lam GROUP BY 1),
+       |cl AS (SELECT dc.label,
+       |    (round(ln(d_l + 1) * 1000000)::BIGINT
+       |     - round(ln(dd + ll) * 1000000)::BIGINT) AS prior,
+       |    round(ln(coalesce(n_l, 0) + $NbBuckets) * 1000000)::BIGINT AS denom
+       |  FROM dc CROSS JOIN tots LEFT JOIN nl ON nl.label = dc.label),
+       |db AS (SELECT doc_id, $bk AS bkt, count(*)::BIGINT AS cnt
+       |  FROM (SELECT doc_id, unnest($tok) AS tk FROM te) GROUP BY 1, 2),
+       |sums AS (SELECT db.doc_id, cl.label,
+       |    sum(db.cnt * coalesce(lam.lnc1, 0))::BIGINT AS s
+       |  FROM db CROSS JOIN cl
+       |  LEFT JOIN lam ON lam.label = cl.label AND lam.bkt = db.bkt
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT te.doc_id, te.lang AS true_lang, cl.label, te.n,
+       |    (cl.prior - te.n * cl.denom + coalesce(s.s, 0))::BIGINT AS score
+       |  FROM te CROSS JOIN cl
+       |  LEFT JOIN sums s ON s.doc_id = te.doc_id AND s.label = cl.label),
+       |pr AS (SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
+       |SELECT * FROM (
+       |  SELECT 'pred' AS sect, doc_id, true_lang, label AS pred_lang,
+       |    score AS score_micro, n AS n_tokens
+       |  FROM pr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'confusion', NULL::BIGINT, true_lang, label,
+       |    NULL::BIGINT, count(*)::BIGINT
+       |  FROM pr WHERE rn = 1 GROUP BY true_lang, label)
+       |ORDER BY sect, doc_id, true_lang, pred_lang""".stripMargin
+  }
+
+  /** q174: PMI COLLOCATIONS — the top adjacent-token pairs by pointwise
+    * mutual information,
+    *
+    *   pmi(x,y) = ln p(x,y) − ln p(x) − ln p(y)
+    *            = ln c_xy − ln M − ln c_x − ln c_y + 2·ln N
+    *
+    * with c_xy adjacent-bigram counts (support ≥ [[PmiMinCount]]), c_x
+    * unigram counts, M/N the bigram/token totals — every ln applied to
+    * one integer and micro-nat-rounded, so pmi is an exact BIGINT.
+    *
+    * Scale: bigram and unigram counts are type-bounded groupBys (Zipf's
+    * argument — the shuffles carry distinct TYPES with map-side
+    * partials, never corpus volume); the pair table joins its two
+    * unigram legs on type-level frames (AQE broadcasts the small side);
+    * top-N is TakeOrderedAndProject. Two corpus scans, zero
+    * corpus-volume shuffles — q118's shape over pairs. */
+  def q174PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = TextFunctions.tokens(col("text"))
+    val perTok = docs.select(explode(toks).as("t"))
+    val uni = perTok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum(col("c")).as("n_total"))
+    val pairs = docs
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+      .select(col("p.0").as("t1"), col("p.1").as("t2"))
+    val bi = pairs.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_xy"))
+    val mTotal = bi.agg(sum(col("c_xy")).as("m_total"))
+    bi.filter(col("c_xy") >= PmiMinCount)
+      .join(uni.select(col("t").as("t1"), col("c").as("c_x")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("c").as("c_y")), Seq("t2"))
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(mTotal))
+      .select(col("t1"), col("t2"), col("c_xy"), col("c_x"), col("c_y"),
+        (lnMicro(col("c_xy")) - lnMicro(col("m_total"))
+          - lnMicro(col("c_x")) - lnMicro(col("c_y"))
+          + lit(2L) * lnMicro(col("n_total"))).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("t1").asc, col("t2").asc)
+      .limit(PmiTopN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_micro").desc, col("t1").asc, col("t2").asc)))
+      .select(col("rank"), col("t1"), col("t2"), col("c_xy"),
+        col("c_x"), col("c_y"), col("pmi_micro"))
+      .orderBy(col("rank"))
+  }
+
+  val q174PmiCollocationsSql: String = {
+    val tok = TextQueries.tokSqlExpr
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |p AS (SELECT toks[g.i] AS t1, toks[g.i + 1] AS t2
+       |  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+       |bi AS (SELECT t1, t2, count(*)::BIGINT AS c_xy FROM p GROUP BY 1, 2),
+       |uni AS (SELECT tk, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(toks) AS tk FROM t) GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(c) FROM uni)::BIGINT AS n_total,
+       |               (SELECT sum(c_xy) FROM bi)::BIGINT AS m_total),
+       |sc AS (SELECT bi.t1, bi.t2, bi.c_xy, ux.c AS c_x, uy.c AS c_y,
+       |    (round(ln(bi.c_xy) * 1000000)::BIGINT
+       |     - round(ln(tot.m_total) * 1000000)::BIGINT
+       |     - round(ln(ux.c) * 1000000)::BIGINT
+       |     - round(ln(uy.c) * 1000000)::BIGINT
+       |     + 2 * round(ln(tot.n_total) * 1000000)::BIGINT) AS pmi_micro
+       |  FROM bi
+       |  JOIN uni ux ON ux.tk = bi.t1
+       |  JOIN uni uy ON uy.tk = bi.t2
+       |  CROSS JOIN tot
+       |  WHERE bi.c_xy >= $PmiMinCount)
+       |SELECT row_number() OVER (ORDER BY pmi_micro DESC, t1, t2) AS rank,
+       |  t1, t2, c_xy, c_x, c_y, pmi_micro
+       |FROM sc ORDER BY pmi_micro DESC, t1, t2 LIMIT $PmiTopN""".stripMargin
+  }
+}

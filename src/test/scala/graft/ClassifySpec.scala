@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+/** Pins for the NB classifier and PMI collocations beyond the oracle
+  * gate (the gate proves count/smooth/argmax arithmetic vs DuckDB on
+  * the no-signal fixture; these prove the operator LEARNS when there
+  * is signal, degrades to the prior when a doc is empty, and computes
+  * PMI a hand-derivation agrees with). */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labeled = Seq(
+    // "pos" docs carry "good", "neg" docs carry "bad" — fully separable
+    (1L, "pos", "good good fine story"), (2L, "pos", "good day good work"),
+    (3L, "pos", "a good one"), (4L, "neg", "bad bad ending"),
+    (5L, "neg", "very bad story"), (6L, "neg", "bad bad bad day"),
+  ).toDF("doc_id", "lang", "text")
+
+  test("NB learns a separable signal and scores held-out docs correctly") {
+    val (classes, lam) = Classify.nbTrain(labeled, "lang", "text")
+    val test = Seq((10L, "good good good news"), (11L, "bad bad news"))
+      .toDF("doc_id", "text")
+    val got = Classify.nbScore(test, "doc_id", "text", classes, lam)
+      .select($"id", $"label").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "pos", 11L -> "neg"), s"argmax: $got")
+  }
+
+  test("an empty document survives scoring and takes the prior argmax") {
+    // priors: neg trains on 3 docs, pos on 3 — tip the prior with a 4th neg
+    val (classes, lam) = Classify.nbTrain(
+      labeled.unionByName(Seq((7L, "neg", "so bad")).toDF("doc_id", "lang", "text")),
+      "lang", "text")
+    val got = Classify.nbScore(
+        Seq((20L, "...")).toDF("doc_id", "text"), // trims to zero tokens
+        "doc_id", "text", classes, lam)
+      .select($"id", $"label", $"n_tokens").as[(Long, String, Long)].collect()
+    assert(got.toSeq == Seq((20L, "neg", 0L)), s"prior argmax: ${got.toSeq}")
+  }
+
+  test("NB model frames stay model-sized and broadcast into the score plan") {
+    val (classes, lam) = Classify.nbTrain(labeled, "lang", "text")
+    assert(classes.count() == 2 && lam.count() <= 2L * Classify.NbBuckets)
+    val plan = Classify.nbScore(labeled, "doc_id", "text", classes, lam)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"model joins must broadcast:\n$plan")
+  }
+
+  test("PMI ranks the engineered collocation first, exact micro-nats") {
+    // "ad hoc" always co-occurs (5 times, min support); every other
+    // adjacency is diluted across partners, so pmi(ad, hoc) is maximal
+    val docs = (1 to 5).map(i => (i.toLong, s"ad hoc w$i x$i ad hoc"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_classify_")
+    try {
+      // q174 reads the documents table — stage the fixture as one
+      docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val top = Classify.q174PmiCollocations(spark, tmp.toString)
+        .select($"rank", $"t1", $"t2", $"c_xy", $"c_x", $"c_y", $"pmi_micro")
+        .as[(Int, String, String, Long, Long, Long, Long)].collect()
+      // pairs with support >= 5: (ad,hoc) x10 and (hoc,ad)... hoc->w_i
+      // varies per doc, so only (ad,hoc) survives the support cut
+      assert(top.length == 1 && top.head._2 == "ad" && top.head._3 == "hoc",
+        s"top pairs: ${top.toSeq}")
+      val (_, _, _, cxy, cx, cy, pmi) = top.head
+      assert(cxy == 10L && cx == 10L && cy == 10L)
+      // hand derivation: N = 30 tokens, M = 25 bigrams,
+      // pmi = ln10 - ln25 - ln10 - ln10 + 2 ln30
+      def ln(x: Long) = math.round(math.log(x.toDouble) * 1000000L)
+      assert(pmi == ln(10) - ln(25) - ln(10) - ln(10) + 2 * ln(30),
+        s"pmi_micro: $pmi")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(tmp.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+    }
+  }
+}
