@@ -59,17 +59,38 @@ object Classify {
   def nbTrain(docs: DataFrame, labelCol: String, textCol: String,
               buckets: Int = NbBuckets, seed: String = NbSeed)
       : (DataFrame, DataFrame) = {
+    val (lamCounts, docCounts) = nbCounts(docs, labelCol, textCol, buckets, seed)
+    nbModelFromCounts(lamCounts, docCounts, buckets)
+  }
+
+  /** The NB model's RAW STATE: per-(label, bucket) token counts and
+    * per-label doc counts. Both frames are ADDITIVE (counts of disjoint
+    * batches sum to the whole-corpus counts), which is what makes the
+    * model incrementally maintainable ([[nbIngest]]) — and like DSIR's
+    * the token state is FIXED-WIDTH: ≤ labels×buckets rows forever. */
+  def nbCounts(docs: DataFrame, labelCol: String, textCol: String,
+               buckets: Int = NbBuckets, seed: String = NbSeed)
+      : (DataFrame, DataFrame) = {
     require(buckets > 0, s"buckets=$buckets")
-    val lam = docs
+    val lamCounts = docs
       .select(col(labelCol).as("label"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
       .withColumn("bk",
         TrainingData.hashBucket(col("t"), seed) % buckets.toLong)
       .groupBy(col("label"), col("bk"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("lnc1", lnMicro(col("c") + 1L))
     val docCounts = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("d_l"))
+    (lamCounts, docCounts)
+  }
+
+  /** Derive the scoring model (classes, λ) from raw counts — the
+    * model-state/derivation split q131 uses: the persisted state is the
+    * counts; priors, denominators, and log tables are recomputed on
+    * demand (model-sized math, never a corpus scan). */
+  def nbModelFromCounts(lamCounts: DataFrame, docCounts: DataFrame,
+                        buckets: Int = NbBuckets): (DataFrame, DataFrame) = {
+    val lam = lamCounts.withColumn("lnc1", lnMicro(col("c") + 1L))
     val totals = docCounts
       .agg(sum(col("d_l")).as("dd"), count(lit(1)).as("ll"))
     // a label whose train docs carry zero tokens still needs a denom —
@@ -84,6 +105,34 @@ object Classify {
         lnMicro(coalesce(col("n_l"), lit(0L)) + buckets.toLong)
           .as("denom_micro"))
     (classes, lam)
+  }
+
+  /** INCREMENTAL NB — fold a batch's counts into the persistent model
+    * state (ledger-guarded additive fold, the q131/q110 shape): the
+    * classifier a nightly filter run consults stays current without
+    * re-scanning the corpus. Both parts (token counts + doc counts)
+    * commit ATOMICALLY with the batch ledger — a token fold without its
+    * prior fold would silently skew every score. Returns false iff
+    * `batchId` was already absorbed. */
+  def nbIngest(spark: SparkSession, path: String, batch: DataFrame,
+               batchId: String, labelCol: String, textCol: String,
+               buckets: Int = NbBuckets, seed: String = NbSeed): Boolean = {
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val (lc, dc) = nbCounts(batch, labelCol, textCol, buckets, seed)
+    val mergedLam = LedgeredState.readPart(spark, path, "lam_counts") match {
+      case Some(st) => st.unionByName(lc)
+        .groupBy(col("label"), col("bk")).agg(sum(col("c")).as("c"))
+      case None => lc
+    }
+    val mergedDoc = LedgeredState.readPart(spark, path, "doc_counts") match {
+      case Some(st) => st.unionByName(dc)
+        .groupBy(col("label")).agg(sum(col("d_l")).as("d_l"))
+      case None => dc
+    }
+    LedgeredState.commit(spark, path, batchId,
+      Seq("lam_counts" -> mergedLam, "doc_counts" -> mergedDoc))
+    true
   }
 
   /** Score every document against every class and keep the argmax:
@@ -146,8 +195,14 @@ object Classify {
   def q173NbClassifier(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(col("doc_id") % NbTestMod =!= 0L)
-    val test = docs.filter(col("doc_id") % NbTestMod === 0L)
     val (classes, lam) = nbTrain(train, "lang", "text")
+    nbGateTail(docs.filter(col("doc_id") % NbTestMod === 0L), classes, lam)
+  }
+
+  /** The shared q173/q175 gate tail: score the held-out fifth, emit the
+    * per-doc predictions plus the confusion-matrix section. */
+  private def nbGateTail(test: DataFrame, classes: DataFrame,
+                         lam: DataFrame): DataFrame = {
     val scored = nbScore(test, "doc_id", "text", classes, lam)
       .join(test.select(col("doc_id").as("id"), col("lang").as("true_lang")),
         Seq("id"))
@@ -164,6 +219,41 @@ object Classify {
     pred.unionByName(confusion)
       .orderBy(col("sect"), col("doc_id"), col("true_lang"), col("pred_lang"))
   }
+
+  /** q175: the NB model INCREMENTAL — the train split arrives as two
+    * day batches folded into the persistent count state ([[nbIngest]],
+    * q131's day-split + whole-batch-replay harness: the replayed day
+    * must no-op via the ledger), the model derives from the SNAPSHOT,
+    * and scoring the same held-out fifth must equal training in one
+    * shot — the oracle IS q173's, verbatim (count additivity is the
+    * whole claim, so the gate states it as batch ≡ incremental). */
+  def q175NbIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q175_")
+    try {
+      val path = s"$base/nb_state"
+      val docs = Tables.documents(spark, dir)
+      val train = docs.filter(col("doc_id") % NbTestMod =!= 0L)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      require(nbIngest(spark, path, train.filter(col("doc_id") <= cut),
+        "day1", "lang", "text"))
+      require(nbIngest(spark, path, train.filter(col("doc_id") > cut),
+        "day2", "lang", "text"))
+      require(!nbIngest(spark, path, train.filter(col("doc_id") > cut),
+        "day2", "lang", "text"), "replayed batch must be a ledger no-op")
+      val (classes, lam) = nbModelFromCounts(
+        LedgeredState.readPart(spark, path, "lam_counts").get,
+        LedgeredState.readPart(spark, path, "doc_counts").get)
+      nbGateTail(docs.filter(col("doc_id") % NbTestMod === 0L), classes, lam)
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q173's. */
+  def q175NbIngestSql: String = q173NbClassifierSql
 
   val q173NbClassifierSql: String = {
     val tok = TextQueries.tokSqlExpr

@@ -48,6 +48,20 @@ class ClassifySpec extends SparkSpec {
       s"model joins must broadcast:\n$plan")
   }
 
+  test("NB count state is additive: split-fold equals whole-corpus counts") {
+    val (lcAll, dcAll) = Classify.nbCounts(labeled, "lang", "text")
+    val (lcA, dcA) = Classify.nbCounts(
+      labeled.filter($"doc_id" <= 3), "lang", "text")
+    val (lcB, dcB) = Classify.nbCounts(
+      labeled.filter($"doc_id" > 3), "lang", "text")
+    val lcFold = lcA.unionByName(lcB)
+      .groupBy($"label", $"bk").agg(sum($"c").as("c"))
+    val dcFold = dcA.unionByName(dcB)
+      .groupBy($"label").agg(sum($"d_l").as("d_l"))
+    assert(lcFold.exceptAll(lcAll).isEmpty && lcAll.exceptAll(lcFold).isEmpty)
+    assert(dcFold.exceptAll(dcAll).isEmpty && dcAll.exceptAll(dcFold).isEmpty)
+  }
+
   test("PMI ranks the engineered collocation first, exact micro-nats") {
     // "ad hoc" always co-occurs (5 times, min support); every other
     // adjacency is diluted across partners, so pmi(ad, hoc) is maximal
