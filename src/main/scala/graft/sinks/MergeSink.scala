@@ -374,6 +374,78 @@ object MergeSink {
     }
   }
 
+  /** Key-purge result: row counts over the TOUCHED buckets only (the
+    * untouched remainder is never read). */
+  final case class PurgeStats(nBefore: Long, nAfter: Long,
+                              nBucketsTouched: Int) {
+    def nPurged: Long = nBefore - nAfter
+  }
+
+  /** DELETE every row whose `key` is in `keys` from a
+    * [[mergeIntoPartitioned]] snapshot — the right-to-be-forgotten /
+    * Delta-DELETE operation a governed corpus must run on demand.
+    *
+    * IO contract (the whole point at 100 TB): the key frame hashes to
+    * its buckets, ONLY those bucket dirs are read, anti-joined against
+    * the broadcast key set, and rewritten via the per-dir delete+rename
+    * swap [[mergeIntoPartitioned]] uses; every untouched bucket stays
+    * BYTE-identical (spec-pinned). A bucket whose rows are all purged
+    * produces no tmp dir and its target dir is deleted outright. Purge
+    * cost ∝ touched-bucket bytes, never snapshot size. The schema
+    * manifest is left untouched — a purge never changes the schema.
+    *
+    * Purging keys that are absent is a content-level no-op (the touched
+    * buckets are rewritten with identical rows — idempotent, so a purge
+    * REPLAY is always safe). Both row counts ride the single write
+    * action as [[Observation]]s, the mergePlanObserved discipline. */
+  def purgePartitioned(spark: SparkSession, targetPath: String,
+                       keys: DataFrame, key: String,
+                       nBuckets: Int): PurgeStats = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    val path = new Path(targetPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"purge target $targetPath does not exist")
+    def pb(c: Column): Column = pmod(xxhash64(c), lit(nBuckets.toLong))
+    // localCheckpoint: probed for buckets, then broadcast-anti-joined
+    val uniq = keys.select(col(key)).filter(col(key).isNotNull)
+      .distinct().localCheckpoint(true)
+    val touched = uniq.select(pb(col(key)).as("pb")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nBuckets values — driver-safe
+    if (touched.isEmpty) return PurgeStats(0L, 0L, 0)
+    val obsBefore = Observation()
+    val obsAfter = Observation()
+    val kept = readPartitioned(spark, targetPath)
+      .filter(col("pb").isin(touched.map(java.lang.Long.valueOf): _*))
+      .drop("pb")
+      .observe(obsBefore, count(lit(1)).as("n"))
+      .join(broadcast(uniq), Seq(key), "left_anti")
+      .observe(obsAfter, count(lit(1)).as("n"))
+    val tmp = new Path(targetPath + ".__purge_tmp")
+    fs.delete(tmp, true)
+    kept.withColumn("pb", pb(col(key)))
+      .write.mode("overwrite").partitionBy("pb").parquet(tmp.toString)
+    touched.foreach { b =>
+      val dest = new Path(path, s"pb=$b")
+      val src = new Path(tmp, s"pb=$b")
+      fs.delete(dest, true)
+      if (fs.exists(src))
+        require(fs.rename(src, dest),
+          s"purge swap failed: could not move $src to $dest")
+    }
+    fs.delete(tmp, true)
+    PurgeStats(obsBefore.get("n").asInstanceOf[Long],
+      obsAfter.get("n").asInstanceOf[Long], touched.length)
+  }
+
+  /** [[purgePartitioned]] with the purge set given as plain values —
+    * the shape a deletion-request queue delivers. */
+  def purgePartitionedKeys(spark: SparkSession, targetPath: String,
+                           keyValues: Seq[Long], key: String,
+                           nBuckets: Int): PurgeStats = {
+    import spark.implicits._
+    purgePartitioned(spark, targetPath, keyValues.toDF(key), key, nBuckets)
+  }
+
   /** The [[atomicSwap]] crash-window probe, shared by EVERY swap-backed
     * state sink (this sink, [[LedgeredState]], the sketch/sample/
     * skyline/CDC states): a crash BETWEEN the two renames leaves no
