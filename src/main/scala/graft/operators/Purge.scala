@@ -112,6 +112,138 @@ object Purge {
     }
   }
 
+  /** q177: the purge reaching RETAINED HISTORY — q176 forgets in the
+    * head snapshot and its index; this gate proves time travel forgets
+    * too. Three deterministic versions commit (q171's fixture shapes),
+    * [[graft.sinks.VersionCatalog.purge]] drops every 13th doc from ALL
+    * of them, and each version reads back row-equal to its original
+    * frame minus the purged keys — a version the purge skipped, or a
+    * non-purged row it clipped, fails the hash. Purged counts are
+    * emitted as one `sect='purged'` row per version (exact integers the
+    * oracle recomputes). */
+  def q177CatalogPurge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_q177_")
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val cat = s"$base/catalog"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .localCheckpoint(true) // feeds all three version frames
+      VersionCatalog.commit(spark, cat,
+        docs.select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("c")))
+      VersionCatalog.commit(spark, cat,
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") +
+              when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("c")))
+      val purgedPerV = VersionCatalog.purge(spark, cat,
+        docs.filter(col("doc_id") % PurgeMod === 0L).select(col("doc_id")),
+        "doc_id")
+      val ss = spark; import ss.implicits._
+      val counts = purgedPerV.toDF("v", "n")
+        .select(lit("purged").as("sect"), col("v").as("version"),
+          col("n").as("doc_id"), lit(null).cast("string").as("lang"),
+          lit(null).cast("long").as("c"))
+      (1L to 3L).map { v =>
+          VersionCatalog.readVersion(spark, cat, v)
+            .select(lit(s"v$v").as("sect"), lit(v).as("version"),
+              col("doc_id"), col("lang"), col("c"))
+        }
+        .reduce(_ unionByName _)
+        .unionByName(counts)
+        .orderBy(col("sect"), col("version"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the catalog dir dies
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q177CatalogPurgeSql: String =
+    s"""WITH v1 AS (SELECT doc_id, lang, n_chars AS c FROM documents),
+       |v2 AS (SELECT doc_id, lang, n_chars AS c FROM documents WHERE doc_id % 7 != 0),
+       |v3 AS (SELECT doc_id, lang,
+       |    n_chars + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS c
+       |  FROM documents WHERE doc_id % 7 != 0)
+       |SELECT * FROM (
+       |  SELECT 'purged' AS sect, 1::BIGINT AS version,
+       |    (SELECT count(*) FROM v1 WHERE doc_id % $PurgeMod = 0) AS doc_id,
+       |    NULL::VARCHAR AS lang, NULL::BIGINT AS c
+       |  UNION ALL
+       |  SELECT 'purged', 2::BIGINT,
+       |    (SELECT count(*) FROM v2 WHERE doc_id % $PurgeMod = 0),
+       |    NULL::VARCHAR, NULL::BIGINT
+       |  UNION ALL
+       |  SELECT 'purged', 3::BIGINT,
+       |    (SELECT count(*) FROM v3 WHERE doc_id % $PurgeMod = 0),
+       |    NULL::VARCHAR, NULL::BIGINT
+       |  UNION ALL
+       |  SELECT 'v1', 1::BIGINT, doc_id, lang, c FROM v1 WHERE doc_id % $PurgeMod != 0
+       |  UNION ALL
+       |  SELECT 'v2', 2::BIGINT, doc_id, lang, c FROM v2 WHERE doc_id % $PurgeMod != 0
+       |  UNION ALL
+       |  SELECT 'v3', 3::BIGINT, doc_id, lang, c FROM v3 WHERE doc_id % $PurgeMod != 0)
+       |ORDER BY sect, version, doc_id""".stripMargin
+
+  /** q178: the purge QUEUE streamed — deletion requests land as marker
+    * files (each a parquet of doc_ids), [[graft.streaming.StreamingPurge]]
+    * drives [[MergeSink.purgePartitioned]] one request per micro-batch,
+    * and a REPLAYED duplicate of the first request is landed in-gate:
+    * purge idempotence (absent keys rewrite identical content) is the
+    * at-least-once contract here — no ledger needed, unlike the
+    * additive-state sinks. Final snapshot = documents minus both
+    * request sets, row-level exact. */
+  def q178StreamPurge(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_q178_")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(base.toString).getFileSystem(conf)
+      try {
+        val snap = s"$base/snap"
+        val queue = s"$base/queue"
+        fs.mkdirs(new Path(queue))
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .localCheckpoint(true) // feeds the ingest and the request sets
+        MergeSink.mergeIntoPartitioned(spark, snap, docs, "doc_id",
+          Seq("lang", "n_chars"), NBuckets)
+        def land(ids: DataFrame, tag: String): Unit = {
+          ids.coalesce(1).write.parquet(s"$base/stage_$tag")
+          val part = fs.globStatus(
+            new Path(s"$base/stage_$tag/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$queue/req_$tag.parquet"))
+        }
+        land(docs.filter(col("doc_id") % PurgeMod === 0L)
+          .select(col("doc_id")), "a")
+        land(docs.filter(col("doc_id") % 11L === 0L)
+          .select(col("doc_id")), "b")
+        land(docs.filter(col("doc_id") % PurgeMod === 0L)
+          .select(col("doc_id")), "a_replayed") // idempotence exercised
+        val q = graft.streaming.StreamingPurge.start(spark, queue, snap,
+          s"$base/ckpt", "doc_id", NBuckets,
+          trigger = Some(Trigger.AvailableNow()))
+        try q.awaitTermination()
+        finally { if (q.isActive) q.stop() }
+        MergeSink.readPartitioned(spark, snap)
+          .select(col("doc_id"), col("lang"), col("n_chars").as("c"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true) // materialize before the temp dirs die
+      } finally {
+        fs.delete(new Path(base.toString), true)
+      }
+    }
+
+  val q178StreamPurgeSql: String =
+    s"""SELECT doc_id, lang, n_chars AS c FROM documents
+       |WHERE doc_id % $PurgeMod != 0 AND doc_id % 11 != 0
+       |ORDER BY doc_id""".stripMargin
+
   val q176PurgeForgetSql: String =
     s"""WITH d AS (SELECT doc_id, lang, n_chars AS c, md5(text) AS h FROM documents),
        |idx0 AS (SELECT h, min(doc_id) AS s FROM d GROUP BY h),

@@ -1,8 +1,8 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit}
 
 /** Snapshot VERSION CATALOG — named versions, time travel, and retention
   * over the engine's atomic-swap machinery.
@@ -94,7 +94,54 @@ object VersionCatalog {
     val vs = versions(spark, path)
     require(vs.contains(n),
       s"version $n is not in the catalog at $path (committed: ${vs.mkString(",")})")
-    spark.read.parquet(new Path(new Path(path), s"v=$n").toString)
+    val dataDir = new Path(new Path(path), s"v=$n")
+    // a crashed purge's swap window: dir absent, purge-bak holds the
+    // pre-purge data — restore rather than failing the read
+    MergeSink.recoverSwap(fsOf(spark, dataDir), dataDir,
+      purgeBak(new Path(path), n))
+    spark.read.parquet(dataDir.toString)
+  }
+
+  private def purgeBak(root: Path, n: Long) = new Path(root, s".purge_bak_v$n")
+
+  /** PURGE ACROSS RETAINED VERSIONS — time travel must forget too: a
+    * key purged only from the head snapshot is still readable at every
+    * retained version, so a governed catalog rewrites ALL of them (the
+    * reason Delta documents that DELETE alone does not satisfy GDPR
+    * until VACUUM passes the retention window — this operator is the
+    * eager form that keeps the history READABLE minus the keys).
+    *
+    * Each version rewrites atomically (write-aside + two-rename swap;
+    * [[readVersion]] probes the crash window, and the temp/bak names
+    * dodge the `v=` prefix so vacuum's orphan sweep never parses them).
+    * Idempotent — a replayed purge rewrites identical content. Cost:
+    * one pruned read + rewrite per RETAINED version — bounded by the
+    * retention window, never by history length. Returns
+    * (version, nPurged) per retained version. */
+  def purge(spark: SparkSession, path: String, keys: DataFrame,
+            key: String): Seq[(Long, Long)] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    recover(fs, path)
+    // localCheckpoint: probed once per retained version
+    val uniq = keys.select(col(key)).filter(col(key).isNotNull)
+      .distinct().localCheckpoint(true)
+    versions(spark, path).map { n =>
+      val dataDir = new Path(root, s"v=$n")
+      MergeSink.recoverSwap(fs, dataDir, purgeBak(root, n))
+      val obsBefore = Observation()
+      val obsAfter = Observation()
+      val kept = spark.read.parquet(dataDir.toString)
+        .observe(obsBefore, count(lit(1)).as("n"))
+        .join(broadcast(uniq), Seq(key), "left_anti")
+        .observe(obsAfter, count(lit(1)).as("n"))
+      val tmp = new Path(root, s".purge_tmp_v$n")
+      fs.delete(tmp, true)
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      MergeSink.atomicSwap(fs, tmp, dataDir, purgeBak(root, n))
+      n -> (obsBefore.get("n").asInstanceOf[Long] -
+        obsAfter.get("n").asInstanceOf[Long])
+    }
   }
 
   /** Drop every version except the newest `retainLast`, plus any orphan

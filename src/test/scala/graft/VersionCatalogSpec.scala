@@ -92,6 +92,30 @@ class VersionCatalogSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("catalog purge forgets in every retained version; replay no-ops; crash window recovers") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcat_purge_")
+    try {
+      val cat = s"$base/c"
+      def f(ids: Long*) = ids.map(i => (i, s"p$i")).toDF("id", "payload")
+      VersionCatalog.commit(spark, cat, f(1L, 2L, 3L))
+      VersionCatalog.commit(spark, cat, f(1L, 2L, 3L, 4L))
+      val purged = VersionCatalog.purge(spark, cat, Seq(2L).toDF("id"), "id")
+      assert(purged == Seq(1L -> 1L, 2L -> 1L), s"per-version counts: $purged")
+      def ids(v: Long) = VersionCatalog.readVersion(spark, cat, v)
+        .select($"id").as[Long].collect().toSet
+      assert(ids(1L) == Set(1L, 3L) && ids(2L) == Set(1L, 3L, 4L))
+      // a replayed purge is idempotent: zero rows purged, content stable
+      val again = VersionCatalog.purge(spark, cat, Seq(2L).toDF("id"), "id")
+      assert(again == Seq(1L -> 0L, 2L -> 0L), s"replay counts: $again")
+      // crash window: dir swapped aside, bak holds the data — the next
+      // read must restore instead of failing
+      val fs = fsOf(base)
+      assert(fs.rename(new Path(s"$cat/v=2"), new Path(s"$cat/.purge_bak_v2")))
+      assert(ids(2L) == Set(1L, 3L, 4L), "read must recover the swap window")
+      assert(fs.exists(new Path(s"$cat/v=2")))
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("change feed: last step wins, remove-then-re-add survives, vacuumed base refuses") {
     import graft.operators.MergeQueries
     val base = java.nio.file.Files.createTempDirectory("graft_vcat_feed_")
