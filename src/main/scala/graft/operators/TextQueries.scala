@@ -671,6 +671,60 @@ object TextQueries {
        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
   }
 
+  /** q179: INCREMENTAL decontamination — the q171 × q60 composition a
+    * GROWING corpus actually runs: once the standing corpus is
+    * decontaminated, the nightly question is only "is the NEW data
+    * clean?", so the probe reads the catalog CHANGE FEED (the v1→v2
+    * 'added' rows — drift-sized, never the corpus) and only those docs
+    * probe the broadcast eval shingle set. Decontamination cost becomes
+    * ∝ drift: the standing corpus is never re-scanned — the same
+    * economics argument as q171's replay. The gate commits v1 (the
+    * standing corpus), v2 (v1 + the new crawl), extracts the added docs
+    * through [[MergeQueries.catalogChanges]], and the contaminated-doc
+    * rows gate against q60's oracle restated over exactly the added
+    * split — a doc the feed missed, or a standing doc the engine
+    * re-probed into the output, fails the hash. */
+  def q179IncrDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.VersionCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_q179_")
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val cat = s"$base/catalog"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint(true) // feeds both version frames and the eval set
+      VersionCatalog.commit(spark, cat, docs.filter(col("doc_id") % 3 =!= 1))
+      VersionCatalog.commit(spark, cat, docs)
+      val added = MergeQueries
+        .catalogChanges(spark, cat, 1L, "doc_id", Seq("lang", "text"))
+        .filter(col("status") === "added")
+        .select(col("doc_id"), col("lang"), col("text"))
+      contaminatedDocs(
+          added.filter(col("doc_id") % DecontMod =!= 0),
+          docs.filter(col("doc_id") % DecontMod === 0),
+          "doc_id", "text", DecontN, carryCols = Seq("lang"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the catalog dir dies
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q179IncrDecontamSql: String = {
+    val tri = s"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]"
+    s"""WITH ev AS (
+       |  SELECT DISTINCT unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT $tokSqlExpr AS t FROM documents WHERE doc_id % $DecontMod = 0)),
+       |tr AS (
+       |  SELECT doc_id, lang, unnest(list_distinct($tri)) AS g
+       |  FROM (SELECT doc_id, lang, $tokSqlExpr AS t FROM documents
+       |        WHERE doc_id % 3 = 1 AND doc_id % $DecontMod != 0))
+       |SELECT doc_id, lang, count(*)::BIGINT AS n_shared
+       |FROM tr JOIN ev USING (g)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
+
   /** q70: CHUNK-level decontamination — the q67 × q60 composition a
     * training pipeline actually ships: whole-doc deletion (q60) throws
     * away an entire long document for one leaked paragraph; chunk-level

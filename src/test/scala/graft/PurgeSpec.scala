@@ -50,6 +50,28 @@ class PurgeSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("the purge read is plan-time directory pruning, not a filtered full scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_purge4_")
+    try {
+      val snap = s"$base/snap"
+      MergeSink.mergeIntoPartitioned(spark, snap,
+        (1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 8)
+      val keys = Seq(3L, 7L)
+      val touched = keys.toDF("id")
+        .select(pmod(xxhash64($"id"), lit(8L))).as[Long].collect().toSet
+      // the exact read shape purgePartitioned issues before the anti-join
+      val read = MergeSink.readPartitioned(spark, snap)
+        .filter($"pb".isin(touched.toSeq.map(java.lang.Long.valueOf): _*))
+      val parts = read.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(parts == Seq(touched.size),
+        s"scan must select exactly the touched bucket dirs: $parts vs $touched")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("purging absent keys is a content no-op; empty purge set touches nothing") {
     val base = java.nio.file.Files.createTempDirectory("graft_purge2_")
     try {
