@@ -322,4 +322,102 @@ object Graph {
        |SELECT row_number() OVER (ORDER BY es_key DESC, page) AS rank,
        |  page, pr_micro, bucket
        |FROM k ORDER BY es_key DESC, page LIMIT $PrSampleK""".stripMargin
+
+  /** EXACT TRIANGLE COUNTING over the undirected transition graph —
+    * the clustering-coefficient primitive (how clique-ish is each
+    * page's neighborhood) and the other classic distributed graph
+    * analytic next to PageRank's centrality.
+    *
+    * Plan — degree orientation (Suri & Vassilvitskii, WWW 2011 — the
+    * MPC-standard trick): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher, so each node's
+    * out-degree is O(√m) on any graph and the wedge self-join's volume
+    * is Σ d_out² = O(m^{3/2}) instead of the Σ d² blowup a hub causes
+    * unoriented (the skew argument: a celebrity node with d = 10⁶
+    * generates ZERO wedges as a source because all its edges point IN).
+    * Every triangle has exactly one source (its minimum in the total
+    * order), so each is counted once — no /3 correction, no duplicate
+    * pairs. The total order key packs (degree, id) into one long
+    * (degrees and page ids are both bounded well below 2³¹).
+    *
+    * Per-node counts credit all three corners (unnest + one groupBy);
+    * the gate emits every node's count plus the global total. All
+    * joins are on node/edge keys over TYPE-bounded frames — the edge
+    * set, never the event log. */
+  def q180TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val tri = triangles(transitionEdges(Tables.events(spark, dir)))
+      .localCheckpoint(true) // feeds per-node counts AND the total
+    val perNode = tri.select(explode(array(col("u"), col("x"), col("y"))).as("page"))
+      .groupBy(col("page")).agg(count(lit(1)).as("n"))
+      .select(lit("node").as("sect"), col("page"), col("n"))
+    val total = tri.agg(count(lit(1)).as("n"))
+      .select(lit("total").as("sect"), lit(null).cast("long").as("page"),
+        col("n"))
+    perNode.unionByName(total)
+      .orderBy(col("sect"), col("page"))
+  }
+
+  /** Each triangle of the UNDIRECTED simplification of `edges` exactly
+    * once, as (u, x, y) with u the minimum and y the maximum in the
+    * (degree, id) total order — see [[q180TriangleCount]] for the
+    * orientation argument. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees + orientation
+    val ord = und.select(col("a").as("v")).union(und.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .select(col("v"), (col("deg") * 1000000000L + col("v")).as("o"))
+    val oriented = und
+      .join(ord.select(col("v").as("a"), col("o").as("oa")), Seq("a"))
+      .join(ord.select(col("v").as("b"), col("o").as("ob")), Seq("b"))
+      .select(
+        when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("u"),
+        when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("w"),
+        when(col("oa") < col("ob"), col("ob")).otherwise(col("oa")).as("ow"))
+      .localCheckpoint(true) // wedge source, wedge sink, and closing probe
+    val wedges = oriented.select(col("u"), col("w").as("x"), col("ow").as("ox"))
+      .join(oriented.select(col("u"), col("w").as("y"), col("ow").as("oy")),
+        Seq("u"))
+      .filter(col("ox") < col("oy"))
+    // the closing edge runs x→y in the orientation (ord(x) < ord(y))
+    wedges.join(
+        oriented.select(col("u").as("x"), col("w").as("y")),
+        Seq("x", "y"), "inner")
+      .select(col("u"), col("x"), col("y"))
+  }
+
+  val q180TriangleCountSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |    json_extract(props, '$$.k')::bigint AS page
+       |  FROM events),
+       |steps AS (
+       |  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |         page AS dst
+       |  FROM o),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM steps WHERE src IS NOT NULL AND src != dst),
+       |ordk AS (SELECT v, count(*) * 1000000000 + v AS o
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |orient AS (SELECT
+       |    CASE WHEN oa.o < ob.o THEN und.a ELSE und.b END AS u,
+       |    CASE WHEN oa.o < ob.o THEN und.b ELSE und.a END AS w,
+       |    CASE WHEN oa.o < ob.o THEN ob.o ELSE oa.o END AS ow
+       |  FROM und JOIN ordk oa ON oa.v = und.a JOIN ordk ob ON ob.v = und.b),
+       |tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
+       |  FROM orient e1
+       |  JOIN orient e2 ON e2.u = e1.u AND e1.ow < e2.ow
+       |  JOIN orient e3 ON e3.u = e1.w AND e3.w = e2.w)
+       |SELECT * FROM (
+       |  SELECT 'node' AS sect, page, count(*)::BIGINT AS n
+       |  FROM (SELECT u AS page FROM tri
+       |        UNION ALL SELECT x FROM tri
+       |        UNION ALL SELECT y FROM tri)
+       |  GROUP BY page
+       |  UNION ALL
+       |  SELECT 'total', NULL::BIGINT, count(*)::BIGINT FROM tri)
+       |ORDER BY sect, page""".stripMargin
 }

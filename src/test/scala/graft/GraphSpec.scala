@@ -115,4 +115,31 @@ class GraphSpec extends SparkSpec {
       assert(total >= n * 150000L, s"base mass lost: $total")
     }
   }
+
+  test("triangles: counted once each, equal to the brute-force triple scan") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // K4 on {1..4} (4 triangles) + a pendant (5) + a hub (6) wired to
+    // 1,2 without closing (adds the 1-2-6 triangle only), self-loop and
+    // duplicate/reversed edges thrown in to exercise simplification
+    val raw = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 1L), (2L, 6L), (2L, 1L), (3L, 3L), (1L, 2L))
+    val edges = raw.toDF("src", "dst").withColumn("wt", lit(1L))
+    val got = Graph.triangles(edges)
+      .as[(Long, Long, Long)].collect()
+      .map(t => Set(t._1, t._2, t._3)).toSeq
+    // each triangle exactly once
+    assert(got.size == got.toSet.size, s"duplicate triangles: $got")
+    // brute force over all unordered triples of the simplified graph
+    val und = raw.filter(e => e._1 != e._2)
+      .map(e => Set(e._1, e._2)).toSet
+    val nodes = und.flatten.toSeq.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if und(Set(i, j)) && und(Set(j, k)) && und(Set(i, k))
+    } yield Set(i, j, k)).toSet
+    assert(got.toSet == brute && brute.size == 5,
+      s"got ${got.toSet}, brute $brute")
+  }
 }
