@@ -1050,6 +1050,66 @@ object TrainingData {
         col("split").cast("long").as("split"))
       .orderBy(col("doc_id"))
 
+  // q181 parameters: the group-split seed (distinct from q63's so the
+  // two gates cannot mask each other).
+  private val GroupSplitSeed = "gsplit"
+
+  /** q181: GROUP-AWARE train/val/test split — the leakage-proof form of
+    * q63: hashing DOCUMENT ids puts two near-duplicates of the same
+    * text on both sides of the train/test wall (the classic eval
+    * inflation q60 then has to detect after the fact); hashing the
+    * near-dup CLUSTER's canonical id makes straddling impossible BY
+    * CONSTRUCTION — the split is a function of the cluster, so every
+    * member lands together (scikit-learn's GroupShuffleSplit, run at
+    * corpus scale on the engine's own q52 clusters). Docs outside any
+    * pair are their own singleton group (coalesce to doc_id), so the
+    * split remains total. Gate = every doc's (cluster, bucket, split),
+    * row-level exact: the oracle re-derives the clusters through the
+    * closure CTEs and re-hashes the same md5 buckets, so a cluster the
+    * engine split across the wall — or a singleton mis-grouped — fails
+    * the hash.
+    *
+    * Scale: the cluster map is q52's CC output (its O(log d) cost is
+    * the dedup pass the pipeline already ran — reuse, not recompute);
+    * the split itself is a zero-shuffle narrow map over (doc, cluster)
+    * plus one broadcast-size left join. */
+  def q181GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // two-phase CC — the funnels' default since it does label-prop's
+    // job at roughly half the wall clock (q59 vs q52)
+    val clusters = Dedup.connectedComponentsTwoPhase(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    hashSplit(
+        docs.select(col("doc_id"), col("lang"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))),
+        "cluster_id", SplitFracs, GroupSplitSeed)
+      .select(col("doc_id"), col("lang"), col("cluster_id"), col("bucket"),
+        col("split").cast("long").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q181GroupSplitSql: String = {
+    val total = SplitFracs.sum
+    val cuts = SplitFracs.scanLeft(0.0)(_ + _).tail
+      .map(c => rateThreshold(c / total)).dropRight(1)
+    val cases = cuts.zipWithIndex
+      .map { case (t, i) => s"WHEN bucket < $t THEN $i" }.mkString(" ")
+    s"""WITH ${TextQueries.simhashPairsCtes()},
+       |${OracleSql.closureCtes("pairs")},
+       |g AS (
+       |  SELECT d.doc_id, d.lang, coalesce(clus.comp, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN clus ON clus.id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, lang, cluster_id,
+       |    ('0x' || substring(md5('$GroupSplitSeed:' || cluster_id), 1, 8))::BIGINT AS bucket
+       |  FROM g)
+       |SELECT doc_id, lang, cluster_id, bucket,
+       |  (CASE $cases ELSE ${SplitFracs.size - 1} END)::BIGINT AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   val q63HashSplitSql: String = {
     val total = SplitFracs.sum
     val cuts = SplitFracs.scanLeft(0.0)(_ + _).tail

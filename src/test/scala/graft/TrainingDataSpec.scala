@@ -955,4 +955,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(minGap > 1e-9,
       s"two E-S keys sit $minGap apart — a cross-engine ln ulp could flip the order")
   }
+
+  test("group-aware split: no cluster straddles the train/test wall, non-vacuously") {
+    val got = TrainingData.q181GroupSplit(spark, sf)
+      .select(col("cluster_id"), col("split"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_docs"))
+    import spark.implicits._
+    val multi = got.filter($"n_docs" > 1)
+    assert(multi.count() > 0,
+      "fixture must carry at least one multi-doc near-dup cluster")
+    val leaked = got.filter($"n_splits" > 1).count()
+    assert(leaked == 0, s"$leaked clusters straddle splits")
+    // and the doc-hash split (q63) WOULD leak on this fixture — the
+    // operator exists because the naive split demonstrably fails here
+    val naive = TrainingData.q63HashSplit(spark, sf)
+      .join(TrainingData.q181GroupSplit(spark, sf)
+        .select($"doc_id", $"cluster_id"), Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1)
+    assert(naive.count() > 0,
+      "vacuous gate: the doc-hash split does not leak on this fixture")
+  }
 }
