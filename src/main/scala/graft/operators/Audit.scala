@@ -647,4 +647,295 @@ object Audit {
           col("rank"), col("id").as("doc_id"))
         .orderBy(col("lang"), col("rank"))
     }
+
+  /** A DECLARATIVE DATA CONTRACT over one table: row predicates that
+    * must hold, key-uniqueness assertions, and referential rules — the
+    * dbt-test / Great-Expectations-style suite a corpus publisher runs
+    * against every release before consumers see it. Declared once,
+    * validated in one report (q186). */
+  sealed trait ContractRule { def name: String }
+  /** Row-level predicate that must HOLD on every row; a NULL predicate
+    * value counts as a violation (three-valued logic never hides one). */
+  final case class Check(name: String, holds: Column) extends ContractRule
+  /** Every value of `key` must occur exactly once; all members of a
+    * duplicated key count as violations (the consumer sees them all). */
+  final case class Unique(name: String, key: Column) extends ContractRule
+  /** Every non-null `fk` must exist in `parent.pk`. */
+  final case class RefIntegrity(name: String, fk: Column,
+                                parent: DataFrame, pk: Column) extends ContractRule
+
+  /** Validate a contract: ONE report row per rule —
+    * (rule, n_checked, n_violations, first_bad_key, pass) with
+    * `first_bad_key` the minimum offending `keyCol` rendered as a
+    * string (uniform schema across key types), null when the rule
+    * passes (for Unique rules it is the minimum duplicated KEY value).
+    *
+    * Scale: each Check is one aggregate over the scan (Catalyst merges
+    * the per-rule scans of a cached frame; at 100 TB run the suite off
+    * one materialized pass). Unique is a key-grouped count (map-side
+    * partials, key-width shuffle). RefIntegrity is one left join against
+    * the distinct parent keys (AQE broadcasts a small parent) — the
+    * q101 fkAudit shape with the report folded into the same row
+    * schema. Nothing shuffles row payloads; every rule's report is one
+    * row. */
+  def contractValidate(df: DataFrame, keyCol: String,
+                       rules: Seq[ContractRule]): DataFrame = {
+    require(rules.nonEmpty, "contract needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "duplicate rule names would make the report ambiguous")
+    val key = col(keyCol)
+    val reports = rules.map {
+      case Check(name, holds) =>
+        val bad = !coalesce(holds, lit(false))
+        df.agg(count(lit(1)).as("n_checked"),
+            sum(bad.cast("long")).as("n_violations"),
+            min(when(bad, key)).cast("string").as("first_bad_key"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+            col("first_bad_key"))
+      case Unique(name, ukey) =>
+        df.groupBy(ukey.as("k")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_checked"),
+            coalesce(sum(when(col("c") > 1L, col("c")).otherwise(0L)), lit(0L))
+              .as("n_violations"),
+            min(when(col("c") > 1L, col("k"))).cast("string").as("first_bad_key"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            col("n_violations"), col("first_bad_key"))
+      case RefIntegrity(name, fk, parent, pk) =>
+        df.select(key.as("__key"), fk.as("__fk"))
+          .join(parent.select(pk.as("__pk")).distinct(),
+            col("__fk") === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum((col("__fk").isNotNull && col("__pk").isNull).cast("long"))
+              .as("n_violations"),
+            min(when(col("__fk").isNotNull && col("__pk").isNull, col("__key")))
+              .cast("string").as("first_bad_key"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+            col("first_bad_key"))
+    }
+    reports.reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
+  /** INCREMENTAL CONTRACTS — fold a batch's contract evidence into a
+    * persistent report state so a GROWING table's release report stays
+    * current without re-validating the corpus. Every rule kind is
+    * mergeable:
+    *
+    *  - Check / RefIntegrity reduce per batch to ONE
+    *    (rule, n_checked, n_violations, first_bad) row, merged by
+    *    (sum, sum, min) — counts are additive and the global first
+    *    offender is the min of per-batch minima. RefIntegrity folds
+    *    additively ONLY against a STATIC parent (a dimension): a
+    *    growing parent could legitimize yesterday's orphan, which an
+    *    additive count cannot retract — re-derive from the snapshot in
+    *    that regime.
+    *  - Unique keeps per-key counts (rule, k, c) — additive — and the
+    *    report derives from them on demand, so a key duplicated ACROSS
+    *    batches is caught (a per-batch violation count would miss it).
+    *
+    * The incremental path requires a NUMERIC key (state stores the
+    * offender as a BIGINT so min merges exactly; the batch path stays
+    * string-generic). Both parts commit atomically with the q110
+    * batchId ledger. */
+  def contractIngest(spark: SparkSession, path: String, batch: DataFrame,
+                     batchId: String, keyCol: String,
+                     rules: Seq[ContractRule]): Boolean = {
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val key = col(keyCol).cast("long")
+    def aggRow(name: String, bad: Column, checked: Column): DataFrame =
+      batch.agg(count(checked).as("n_checked"),
+          coalesce(sum(bad.cast("long")), lit(0L)).as("n_violations"),
+          min(when(bad, key)).as("first_bad"))
+        .select(lit(name).as("rule"), col("n_checked"),
+          col("n_violations"), col("first_bad"))
+    val bAgg = rules.collect {
+      case Check(name, holds) =>
+        aggRow(name, !coalesce(holds, lit(false)), lit(1))
+      case RefIntegrity(name, fk, parent, pk) =>
+        val joined = batch.select(key.as("__key"), fk.as("__fk"))
+          .join(parent.select(pk.as("__pk")).distinct(),
+            col("__fk") === col("__pk"), "left")
+        val bad = col("__fk").isNotNull && col("__pk").isNull
+        joined.agg(count(lit(1)).as("n_checked"),
+            coalesce(sum(bad.cast("long")), lit(0L)).as("n_violations"),
+            min(when(bad, col("__key"))).as("first_bad"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            col("n_violations"), col("first_bad"))
+    }.reduceOption(_.unionByName(_))
+    val bKeys = rules.collect { case Unique(name, ukey) =>
+      batch.groupBy(ukey.cast("long").as("k")).agg(count(lit(1)).as("c"))
+        .select(lit(name).as("rule"), col("k"), col("c"))
+    }.reduceOption(_.unionByName(_))
+    val parts = Seq.newBuilder[(String, DataFrame)]
+    bAgg.foreach { b =>
+      val merged = LedgeredState.readPart(spark, path, "agg_rules") match {
+        case Some(st) => st.unionByName(b).groupBy(col("rule"))
+          .agg(sum(col("n_checked")).as("n_checked"),
+            sum(col("n_violations")).as("n_violations"),
+            min(col("first_bad")).as("first_bad"))
+        case None => b
+      }
+      parts += ("agg_rules" -> merged)
+    }
+    bKeys.foreach { b =>
+      val merged = LedgeredState.readPart(spark, path, "key_counts") match {
+        case Some(st) => st.unionByName(b).groupBy(col("rule"), col("k"))
+          .agg(sum(col("c")).as("c"))
+        case None => b
+      }
+      parts += ("key_counts" -> merged)
+    }
+    LedgeredState.commit(spark, path, batchId, parts.result())
+    true
+  }
+
+  /** The contract report derived from the persistent state —
+    * state-sized math, the same (rule, n_checked, n_violations,
+    * first_bad_key, pass) schema [[contractValidate]] emits. */
+  def contractReportFromState(aggRules: Option[DataFrame],
+                              keyCounts: Option[DataFrame]): DataFrame = {
+    val a = aggRules.map(_.select(col("rule"), col("n_checked"),
+      col("n_violations"), col("first_bad").cast("string").as("first_bad_key")))
+    val u = keyCounts.map(_.groupBy(col("rule"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_checked"),
+        coalesce(sum(when(col("c") > 1L, col("c")).otherwise(0L)), lit(0L))
+          .as("n_violations"),
+        min(when(col("c") > 1L, col("k"))).cast("string").as("first_bad_key")))
+    (a.toSeq ++ u.toSeq).reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
+  /** The q186 rule suite, shared by the batch gate and the
+    * incremental/streamed ones. */
+  private[graft] def docContractRules(spark: SparkSession, dir: String): Seq[ContractRule] = Seq(
+    Check("text_not_null", col("text").isNotNull),
+    Check("nchars_consistent", col("n_chars") === length(col("text"))),
+    Check("lang_accepted", col("lang").isin("en", "de", "es", "fr")),
+    Check("nchars_range", col("n_chars").between(1L, 100000L)),
+    Unique("doc_id_unique", col("doc_id")),
+    RefIntegrity("embedding_fk", col("doc_id"),
+      Tables.embeddings(spark, dir), col("vec_id")))
+
+  /** q189: the contract report INCREMENTAL — q186's six rules folded
+    * over a day split with a whole-batch replay (q131's harness), the
+    * report derived from the snapshot, oracle IS q186's verbatim. The
+    * split is adversarial for Unique by construction of the state (a
+    * cross-batch duplicate would surface in key_counts where per-batch
+    * validation cannot see it); embeddings is the STATIC parent the
+    * RefIntegrity fold's contract requires. */
+  def q189ContractsIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q189_")
+    try {
+      val path = s"$base/contract_state"
+      val docs = Tables.documents(spark, dir)
+      val rules = docContractRules(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      require(contractIngest(spark, path, docs.filter(col("doc_id") <= cut),
+        "day1", "doc_id", rules))
+      require(contractIngest(spark, path, docs.filter(col("doc_id") > cut),
+        "day2", "doc_id", rules))
+      require(!contractIngest(spark, path, docs.filter(col("doc_id") > cut),
+        "day2", "doc_id", rules), "replayed batch must be a ledger no-op")
+      contractReportFromState(
+        LedgeredState.readPart(spark, path, "agg_rules"),
+        LedgeredState.readPart(spark, path, "key_counts"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q186's. */
+  def q189ContractsIngestSql: String = q186ContractsSql
+
+  /** q190: the q189 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingContracts]] — foreachBatch per landed
+    * day file, Trigger.AvailableNow; disjoint day files, the
+    * additive-state input contract) — q163's harness for the release
+    * contract. Oracle IS q186's. */
+  def q190StreamContracts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q190_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/contract_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new Path(srcDir))
+      Seq(docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingContracts.start(spark, srcDir,
+        statePath, s"$base/ckpt", docContractRules(spark, dir),
+        trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      contractReportFromState(
+        LedgeredState.readPart(spark, statePath, "agg_rules"),
+        LedgeredState.readPart(spark, statePath, "key_counts"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  def q190StreamContractsSql: String = q186ContractsSql
+
+  /** q186: the release contract of the documents table — six rules
+    * spanning all three rule kinds, with the fixture deliberately
+    * violating one (`lang_accepted` excludes 'zh', so the violation
+    * counter and first-offender probe are exercised, not just the happy
+    * path): text non-null, n_chars consistent with the text it
+    * summarizes, lang in the accepted set, n_chars in range, doc_id
+    * unique, and every doc_id carrying an embedding. */
+  def q186Contracts(spark: SparkSession, dir: String): DataFrame =
+    contractValidate(Tables.documents(spark, dir), "doc_id",
+      docContractRules(spark, dir))
+
+  val q186ContractsSql: String =
+    s"""WITH c1 AS (SELECT 'text_not_null' AS rule, count(*)::BIGINT AS n_checked,
+       |    sum((NOT coalesce(text IS NOT NULL, false))::int)::BIGINT AS n_violations,
+       |    min(CASE WHEN NOT coalesce(text IS NOT NULL, false) THEN doc_id END)::VARCHAR AS first_bad_key
+       |  FROM documents),
+       |c2 AS (SELECT 'nchars_consistent', count(*)::BIGINT,
+       |    sum((NOT coalesce(n_chars = length(text), false))::int)::BIGINT,
+       |    min(CASE WHEN NOT coalesce(n_chars = length(text), false) THEN doc_id END)::VARCHAR
+       |  FROM documents),
+       |c3 AS (SELECT 'lang_accepted', count(*)::BIGINT,
+       |    sum((NOT coalesce(lang IN ('en','de','es','fr'), false))::int)::BIGINT,
+       |    min(CASE WHEN NOT coalesce(lang IN ('en','de','es','fr'), false) THEN doc_id END)::VARCHAR
+       |  FROM documents),
+       |c4 AS (SELECT 'nchars_range', count(*)::BIGINT,
+       |    sum((NOT coalesce(n_chars BETWEEN 1 AND 100000, false))::int)::BIGINT,
+       |    min(CASE WHEN NOT coalesce(n_chars BETWEEN 1 AND 100000, false) THEN doc_id END)::VARCHAR
+       |  FROM documents),
+       |u AS (SELECT 'doc_id_unique', coalesce(sum(c), 0)::BIGINT,
+       |    coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT,
+       |    min(CASE WHEN c > 1 THEN k END)::VARCHAR
+       |  FROM (SELECT doc_id AS k, count(*)::BIGINT AS c FROM documents GROUP BY 1)),
+       |r AS (SELECT 'embedding_fk', count(*)::BIGINT,
+       |    sum((d.doc_id IS NOT NULL AND e.vec_id IS NULL)::int)::BIGINT,
+       |    min(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL THEN d.doc_id END)::VARCHAR
+       |  FROM documents d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+       |    ON d.doc_id = e.vec_id)
+       |SELECT rule, n_checked, n_violations, first_bad_key,
+       |  (n_violations = 0) AS pass
+       |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+       |      UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM u UNION ALL SELECT * FROM r)
+       |ORDER BY rule""".stripMargin
 }

@@ -155,7 +155,24 @@ object Classify {
     * with the full count/smooth/argmax arithmetic). */
   def nbScore(test: DataFrame, idCol: String, textCol: String,
               classes: DataFrame, lam: DataFrame,
-              buckets: Int = NbBuckets, seed: String = NbSeed): DataFrame = {
+              buckets: Int = NbBuckets, seed: String = NbSeed): DataFrame =
+    nbScoresAll(test, idCol, textCol, classes, lam, buckets, seed)
+      .withColumn("rn", row_number().over(nbRankWindow))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+  /** The deterministic per-doc label order every consumer ranks by:
+    * score descending, label ascending — identical in both engines. */
+  private def nbRankWindow =
+    Window.partitionBy(col("id"))
+      .orderBy(col("score_micro").desc, col("label").asc)
+
+  /** The FULL per-(doc, label) score matrix [[nbScore]] argmaxes over —
+    * exposed because calibration ([[marginReliability]]) needs the
+    * runner-up too, not just the winner. */
+  def nbScoresAll(test: DataFrame, idCol: String, textCol: String,
+                  classes: DataFrame, lam: DataFrame,
+                  buckets: Int = NbBuckets, seed: String = NbSeed): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val perDoc = test.select(col(idCol).as("id"), col(textCol),
       size(toks).as("n_tokens"))
@@ -177,11 +194,6 @@ object Classify {
       .select(col("id"), col("label"), col("n_tokens"),
         (col("prior_micro") - col("n_tokens") * col("denom_micro") +
           coalesce(col("sum_lnc"), lit(0L))).as("score_micro"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("score_micro").desc, col("label").asc)))
-      .filter(col("rn") === 1)
-      .drop("rn")
   }
 
   /** q173: the NB loop end to end — train on `doc_id % 5 != 0` with
@@ -255,10 +267,15 @@ object Classify {
   /** The whole point of the incremental path: its oracle IS q173's. */
   def q175NbIngestSql: String = q173NbClassifierSql
 
-  val q173NbClassifierSql: String = {
+  /** The shared q173/q175/q184 oracle prefix — train counts, smoothing,
+    * the per-(doc, label) score matrix `sc` — kept ONE string so the
+    * calibration oracle scores with exactly the classifier the
+    * prediction oracle gates (a drifted copy would gate two different
+    * models and prove nothing). */
+  private def nbScoreCtesSql: String = {
     val tok = TextQueries.tokSqlExpr
     val bk = s"('0x' || substring(md5('$NbSeed:' || tk), 1, 8))::BIGINT % $NbBuckets"
-    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % $NbTestMod != 0),
+    s"""tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % $NbTestMod != 0),
        |te AS (SELECT doc_id, lang, text, len($tok)::BIGINT AS n FROM documents
        |       WHERE doc_id % $NbTestMod = 0),
        |lam AS (SELECT lang AS label, $bk AS bkt, count(*)::BIGINT AS c,
@@ -282,7 +299,11 @@ object Classify {
        |sc AS (SELECT te.doc_id, te.lang AS true_lang, cl.label, te.n,
        |    (cl.prior - te.n * cl.denom + coalesce(s.s, 0))::BIGINT AS score
        |  FROM te CROSS JOIN cl
-       |  LEFT JOIN sums s ON s.doc_id = te.doc_id AND s.label = cl.label),
+       |  LEFT JOIN sums s ON s.doc_id = te.doc_id AND s.label = cl.label)""".stripMargin
+  }
+
+  val q173NbClassifierSql: String = {
+    s"""WITH $nbScoreCtesSql,
        |pr AS (SELECT *, row_number() OVER (
        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
        |SELECT * FROM (
@@ -294,6 +315,103 @@ object Classify {
        |    NULL::BIGINT, count(*)::BIGINT
        |  FROM pr WHERE rn = 1 GROUP BY true_lang, label)
        |ORDER BY sect, doc_id, true_lang, pred_lang""".stripMargin
+  }
+
+  // q184 parameters: margin bin width (micro-nats) and the top bin every
+  // larger margin clamps into.
+  val MarginBinMicro = 2000000L
+  val MarginMaxBin = 9L
+
+  /** MARGIN RELIABILITY — the curve a curator reads before turning a
+    * classifier into a FILTER: bin the held-out predictions by argmax
+    * margin (winner's score minus runner-up's, integer micro-nats — the
+    * exact-arithmetic confidence proxy; softmax probabilities would put
+    * IEEE transcendentals on both engines' disagreement surface), and
+    * for each bin report its accuracy plus the CUMULATIVE precision of
+    * "keep only predictions with margin >= this bin" — i.e. the
+    * precision/selectivity tradeoff of every candidate confidence
+    * threshold at once. Choosing the operating threshold for a
+    * model-based quality filter IS reading this table.
+    *
+    * Exactness: margins and bins are pure BIGINT algebra (`div` floor
+    * division on non-negative margins ≡ DuckDB's `//`); the only
+    * doubles are the final display ratios, each one IEEE division of
+    * two exact integers. Single-class corpora degrade to margin 0
+    * (runner-up coalesces to the winner), never null.
+    *
+    * Scale: per-(doc, label) scores are the q173 map-side-partial
+    * aggregate; everything after the argmax window is ≤ |test docs|
+    * rows, and the report is ≤ maxBin+1 rows. */
+  def marginReliability(test: DataFrame, idCol: String, textCol: String,
+                        labelCol: String, classes: DataFrame, lam: DataFrame,
+                        binMicro: Long = MarginBinMicro,
+                        maxBin: Long = MarginMaxBin,
+                        buckets: Int = NbBuckets, seed: String = NbSeed): DataFrame = {
+    require(binMicro > 0, s"binMicro=$binMicro")
+    val w = nbRankWindow
+    val top = nbScoresAll(test, idCol, textCol, classes, lam, buckets, seed)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("score_micro"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label").as("pred"),
+        (col("score_micro") - coalesce(col("nxt"), col("score_micro")))
+          .as("margin"))
+      .join(test.select(col(idCol).as("id"), col(labelCol).as("truth")), Seq("id"))
+    val binned = top
+      .withColumn("bin", least(expr(s"margin div $binMicro"), lit(maxBin)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("pred") === col("truth")).cast("long")).as("n_correct"))
+    val wd = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .select(col("bin"), (col("bin") * binMicro).as("lo_micro"),
+        col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 4).as("acc"),
+        sum(col("n")).over(wd).as("cum_n"),
+        sum(col("n_correct")).over(wd).as("cum_correct"),
+        round(sum(col("n_correct")).over(wd).cast("double") /
+          sum(col("n")).over(wd), 4).as("prec_at_margin"))
+      .orderBy(col("bin"))
+  }
+
+  /** q184: the calibration gate — train q173's classifier on the same
+    * 4/5 split, score the held-out fifth, and emit the margin
+    * reliability curve. The oracle restates the whole pipeline from
+    * [[nbScoreCtesSql]] (the IDENTICAL model CTEs q173 gates) through
+    * the margin window, binning, and cumulative fold, so a margin
+    * computed off the wrong runner-up, a bin boundary off by one, or a
+    * cumulative window running the wrong direction all fail row-level. */
+  def q184MarginCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % NbTestMod =!= 0L)
+    val (classes, lam) = nbTrain(train, "lang", "text")
+    marginReliability(docs.filter(col("doc_id") % NbTestMod === 0L),
+      "doc_id", "text", "lang", classes, lam)
+  }
+
+  val q184MarginCalibrationSql: String = {
+    s"""WITH $nbScoreCtesSql,
+       |pr AS (SELECT *,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
+       |    lead(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS nxt
+       |  FROM sc),
+       |m AS (SELECT doc_id, true_lang,
+       |    label AS pred_lang,
+       |    (score - coalesce(nxt, score))::BIGINT AS margin
+       |  FROM pr WHERE rn = 1),
+       |b AS (SELECT least(margin // $MarginBinMicro, $MarginMaxBin)::BIGINT AS bin,
+       |    count(*)::BIGINT AS n,
+       |    sum((pred_lang = true_lang)::int)::BIGINT AS n_correct
+       |  FROM m GROUP BY 1)
+       |SELECT bin, (bin * $MarginBinMicro)::BIGINT AS lo_micro, n, n_correct,
+       |  round(n_correct::double / n, 4) AS acc,
+       |  (sum(n) OVER wd)::BIGINT AS cum_n,
+       |  (sum(n_correct) OVER wd)::BIGINT AS cum_correct,
+       |  round((sum(n_correct) OVER wd)::double / (sum(n) OVER wd), 4) AS prec_at_margin
+       |FROM b
+       |WINDOW wd AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bin""".stripMargin
   }
 
   /** q174: PMI COLLOCATIONS — the top adjacent-token pairs by pointwise
@@ -367,5 +485,108 @@ object Classify {
        |SELECT row_number() OVER (ORDER BY pmi_micro DESC, t1, t2) AS rank,
        |  t1, t2, c_xy, c_x, c_y, pmi_micro
        |FROM sc ORDER BY pmi_micro DESC, t1, t2 LIMIT $PmiTopN""".stripMargin
+  }
+
+  // q185 parameters: synchronous propagation rounds and the seed stride.
+  val LpRounds = 3
+  private val LpSeedMod = 3L
+
+  /** SEMI-SUPERVISED LABEL PROPAGATION — spread a trusted label subset
+    * through a similarity graph (here: near-dup pairs), the standard
+    * move for extending expensive labels (human ratings, audited
+    * quality verdicts, licensing decisions) to the near-duplicates that
+    * obviously share them. Synchronous frontier rounds:
+    *
+    *   round k labels every still-unlabeled node adjacent to >= 1
+    *   labeled node with the MAJORITY label of its labeled neighbors
+    *   (ties: label ascending); labeled nodes are CLAMPED (never flip),
+    *   so the fold is monotone and each node's (label, src_round) is
+    *   deterministic regardless of execution order.
+    *
+    * Nodes never reached stay unlabeled (left-join null downstream).
+    * The clamped/monotone variant is chosen over classic re-labeling LP
+    * deliberately: it terminates in <= diameter rounds, its fixpoint is
+    * order-free (a re-labeling vote can oscillate), and "seed labels
+    * are ground truth" is precisely the curation contract.
+    *
+    * Scale: one edge-frame checkpoint, then per round ONE join of edges
+    * against the (small, grows-by-frontier) labeled frame, an integer
+    * vote aggregate keyed by node, and an anti-join — all shuffles carry
+    * (node, label, count), never documents. Bounded `rounds` like the
+    * pointer-jumping CC (each round is one localCheckpoint barrier). */
+  def labelPropagation(seeds: DataFrame, idCol: String, labelCol: String,
+                       pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of [1,16]")
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labeled = seeds
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        lit(0L).as("src_round"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val votes = edges
+        .join(labeled.select(col("id").as("src"), col("label")), "src")
+        .join(labeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val newly = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("label"), lit(r.toLong).as("src_round"))
+      labeled = labeled.unionByName(newly).localCheckpoint(true)
+    }
+    labeled
+  }
+
+  /** q185: the propagation gate — seed `lang` on every third document,
+    * spread it [[LpRounds]] rounds over the q19-grade exact near-dup
+    * graph (token Jaccard >= 0.8 inside a source block), and emit every
+    * document with its propagated label and the round that labeled it
+    * (0 = seed, null = never reached). The oracle unrolls the identical
+    * rounds as CTEs over the brute-forced pair set, so a wrong majority,
+    * a tie broken the other way, a node relabeled after clamping, or a
+    * frontier off by one round all fail row-level. */
+  def q185LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.8, blockCol = Some("source"))
+    val seeds = docs.filter(col("doc_id") % LpSeedMod === 0L)
+      .select(col("doc_id"), col("lang"))
+    val out = labelPropagation(seeds, "doc_id", "lang", pairs, LpRounds)
+    docs.select(col("doc_id"))
+      .join(out.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  val q185LabelPropSql: String = {
+    val tok = TextQueries.tokSqlExpr
+    val roundCtes = (1 to LpRounds).map { k =>
+      s"""v$k AS (SELECT e.dst AS id, l.label, count(*)::BIGINT AS c
+         |  FROM e JOIN l${k - 1} l ON l.id = e.src
+         |  WHERE e.dst NOT IN (SELECT id FROM l${k - 1}) GROUP BY 1, 2),
+         |n$k AS (SELECT id, label, $k::BIGINT AS src_round FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |    FROM v$k) WHERE rn = 1),
+         |l$k AS (SELECT * FROM l${k - 1} UNION ALL SELECT * FROM n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, source, list_distinct($tok) AS g FROM documents),
+       |p AS (SELECT id1, id2 FROM (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |      round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+       |            ELSE len(list_intersect(a.g, b.g))::double
+       |                 / len(list_distinct(list_concat(a.g, b.g))) END, 4) AS j
+       |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |  WHERE j >= 0.8),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM p
+       |      UNION ALL SELECT id2, id1 FROM p),
+       |l0 AS (SELECT doc_id AS id, lang AS label, 0::BIGINT AS src_round
+       |       FROM documents WHERE doc_id % $LpSeedMod = 0),
+       |$roundCtes
+       |SELECT d.doc_id, l.label, l.src_round
+       |FROM documents d LEFT JOIN l$LpRounds l ON l.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -98,6 +98,98 @@ object Dedup {
     checkpointAndRelease(prefixFilterPairs(base, threshold), base)
   }
 
+  /** All qualifying DIRECTIONAL containment pairs by exact n-gram
+    * containment c(A→B) = |A∩B| / |A| >= t — the asymmetric near-dup
+    * predicate Jaccard misses: a short document quoted whole inside a
+    * much longer one has c ≈ 1 but J ≈ |A|/|B| → 0, so quote/boilerplate
+    * inclusion and document-subsumption detection need the directional
+    * form (Broder 1997's resemblance/containment split).
+    *
+    * Same AllPairs/PPJoin skeleton as [[ngramJaccardPairs]], re-derived
+    * for the asymmetric predicate:
+    *
+    *  1. canonical rarest-first gram order (global df, gram tiebreak);
+    *  2. INNER prefix: the overlap must reach R = ceil(t·|A|), so any
+    *     qualifying B intersects A's first |A| − R + 1 canonical grams —
+    *     only those explode on the probe side ((1−t)-thin);
+    *  3. the INDEX side cannot be prefix-cut (R depends on |A| alone,
+    *     so no suffix of B is safely skippable), so B contributes ALL
+    *     its grams WITH canonical positions — the same exploded-gram
+    *     volume every df pass in this file already shuffles, and the
+    *     rarest-first probe keeps per-gram fan-in Zipf-bounded;
+    *  4. size filter: |A∩B| <= |B| forces |B| >= R inside the join;
+    *  5. positional filter: a shared gram at canonical positions (p, q)
+    *     bounds the overlap from there on by 1 + min(|A|−p−1, |B|−q−1),
+    *     which must reach R — a qualifying pair always survives via its
+    *     FIRST shared canonical gram (no earlier shared gram exists, so
+    *     the whole overlap sits at or after (p, q)): recall stays exact;
+    *  6. exact verify: one sorted-merge intersect per candidate
+    *     ([[graft.expressions.SortedIntersectSize]]), with c = |I|/|A|
+    *     compared UNROUNDED — the emitted 4-dp column is display-only,
+    *     so the gate predicate is the same IEEE division of two exact
+    *     integers in both engines.
+    *
+    * Zero false negatives at any scale. Self-pairs are excluded; both
+    * directions are reported when both hold (mutual containment ≡
+    * near-identical sets). Optional `blockCol` restricts pairs to equal
+    * block values. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       blockCol: Option[String] = None): DataFrame = {
+    requireThreshold(threshold)
+    val base = gramsProjection(df, idCol, textCol, n, blockCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    checkpointAndRelease(
+      verifyContainment(containmentCandidates(base, threshold), base, threshold),
+      base)
+  }
+
+  /** Candidate (id1 = inner, id2 = outer) pairs for the containment join
+    * (steps 1-5 above) — every qualifying pair present, false positives
+    * left to the verify step. */
+  private def containmentCandidates(base: DataFrame, threshold: Double): DataFrame = {
+    val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "g")
+      .groupBy("id", "blk", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("og"))
+      .withColumn("og", transform(col("og"), s => s.getField("g")))
+    val req = ceil(col("a.sz") * threshold) // R: set by the INNER size alone
+    val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val probe = ordered.select(col("id"), col("blk"), col("sz"),
+      posexplode(slice(col("og"), lit(1), plen)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "pg")
+    val index = ordered.select(col("id"), col("blk"), col("sz"),
+      posexplode(col("og")))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "ig")
+    probe.alias("a")
+      .join(index.alias("b"),
+        col("a.pg") === col("b.ig") && col("a.blk") === col("b.blk") &&
+          col("a.id") =!= col("b.id") &&
+          col("b.sz") >= req &&
+          lit(1) + least(col("a.sz") - (col("a.p") + 1),
+                         col("b.sz") - (col("b.q") + 1)) >= req)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact containment verify: c = |A∩B| / |A| via the sorted-merge
+    * intersect kernel, threshold compared on the unrounded division. */
+  private def verifyContainment(cand: DataFrame, docs: DataFrame,
+                                threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def isect(a: Column, b: Column): Column =
+      ColumnBridge.column(graft.expressions.SortedIntersectSize(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    cand
+      .join(docs.select(col("id").as("id1"), col("grams").as("g1"), col("sz").as("sz1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("grams").as("g2")), "id2")
+      .withColumn("c", isect(col("g1"), col("g2")).cast("double") / col("sz1"))
+      .filter(col("c") >= threshold)
+      .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
+        round(col("c"), 4).as("containment"))
+  }
+
   private def requireThreshold(threshold: Double): Unit =
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0,1]")
 

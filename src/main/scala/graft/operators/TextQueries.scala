@@ -143,6 +143,215 @@ object TextQueries {
        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.95 ORDER BY id1, id2""".stripMargin
 
+  /** q183: DIRECTIONAL containment near-dup — every (inner, outer) pair
+    * with token-set containment |A∩B|/|A| >= 0.8 inside a source block,
+    * the asymmetric predicate that catches a short document quoted whole
+    * inside a longer one (Jaccard ≈ |A|/|B| → 0 there, so q19 is blind
+    * to it). Spark side runs the exact prefix-filter containment join
+    * ([[Dedup.containmentPairs]]); the oracle brute-forces the same
+    * predicate, so one missed candidate (a recall bug in the prefix or
+    * positional filter) fails the gate row-level. */
+  def q183Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 1, threshold = 0.8, blockCol = Some("source"))
+      .orderBy(col("inner_id"), col("outer_id"))
+
+  val q183ContainmentSql: String =
+    s"""WITH t AS (SELECT doc_id, source, list_distinct($tokSqlExpr) AS g FROM documents)
+       |SELECT inner_id, outer_id, round(c, 4) AS containment FROM (
+       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+       |    len(list_intersect(a.g, b.g))::double / len(a.g) AS c
+       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id != b.doc_id
+       |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+       |WHERE c >= 0.8 ORDER BY inner_id, outer_id""".stripMargin
+
+  /** q187: N-GRAM NOVELTY — per-document share of its distinct bigram
+    * shingles appearing in NO other document (document frequency 1),
+    * the memorization/novelty signal a data mixer reads next to quality:
+    * near-zero novelty marks template/boilerplate output (everything
+    * the doc says, some other doc says verbatim), near-one marks unique
+    * content worth upweighting — the inverse view of q38's boilerplate
+    * detection, reported per DOCUMENT instead of per shingle.
+    *
+    * Exactness: counts are integers; the ratio is one IEEE division
+    * emitted as a display column (null for shingle-less docs — a 0/0
+    * novelty is meaningless, not zero).
+    *
+    * Scale: one explode → gram-keyed df count (map-side partials, the
+    * same inverted-index volume every dedup pass shuffles) → one join
+    * back on gram → per-doc integer fold. No pair joins, no payload
+    * shuffles; governors are unnecessary because per-gram fan-out is
+    * its document frequency, consumed as a COUNT, never materialized
+    * as pairs. */
+  def q187Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val g = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 2))).as("g"))
+    val dfq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val perDoc = g.join(dfq, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") === 1L).cast("long")).as("n_unique"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_grams") > 0L,
+          round(col("n_unique").cast("double") / col("n_grams"), 4)).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** INCREMENTAL NOVELTY — fold a batch's gram statistics into the
+    * persistent state so per-document novelty stays current as the
+    * corpus GROWS without re-scanning it. Two additive parts, committed
+    * atomically with the q110 batchId ledger:
+    *
+    *  - `gram_df` (gram, df, owner): corpus document frequency per
+    *    gram, plus the single owning doc WHEN df == 1 (else null) —
+    *    the only per-doc fact the novelty derivation needs, so the
+    *    state never stores per-doc gram SETS (that would be the corpus
+    *    itself). The owner column merges exactly: sum(df) == 1 means
+    *    exactly one part carried the gram, so max(owner) is its owner;
+    *    any larger sum nulls it. A doc can thus LOSE novelty when a
+    *    later batch re-says its gram — the correct semantics (novelty
+    *    is a corpus-relative signal, not a doc-local one).
+    *  - `doc_grams` (doc_id, n_grams): each doc's distinct-gram count
+    *    (static per doc; summed defensively in the fold).
+    *
+    * Derivation ([[noveltyFromState]]) is state-sized: one filter of
+    * the gram table to df == 1, one groupBy owner, one join against
+    * doc_grams — never a corpus scan. */
+  def noveltyIngest(spark: SparkSession, path: String, batch: DataFrame,
+                    batchId: String): Boolean = {
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val g = batch.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 2))).as("g"))
+    val bGram = g.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"),
+        when(count(lit(1)) === 1L, max(col("doc_id"))).as("owner"))
+    val bDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val mergedGram = LedgeredState.readPart(spark, path, "gram_df") match {
+      case Some(st) => st.unionByName(bGram).groupBy(col("g"))
+        .agg(sum(col("df")).as("df"),
+          when(sum(col("df")) === 1L, max(col("owner"))).as("owner"))
+      case None => bGram
+    }
+    val mergedDoc = LedgeredState.readPart(spark, path, "doc_grams") match {
+      case Some(st) => st.unionByName(bDoc).groupBy(col("doc_id"))
+        .agg(sum(col("n_grams")).as("n_grams"))
+      case None => bDoc
+    }
+    LedgeredState.commit(spark, path, batchId,
+      Seq("gram_df" -> mergedGram, "doc_grams" -> mergedDoc))
+    true
+  }
+
+  /** The per-doc novelty report off the persistent state (state-sized
+    * math; `allDocs` supplies the doc universe so gram-less documents
+    * report 0 grams / null novelty exactly like the batch q187). */
+  def noveltyFromState(gramDf: DataFrame, docGrams: DataFrame,
+                       allDocs: DataFrame): DataFrame = {
+    val uniq = gramDf.filter(col("df") === 1L)
+      .groupBy(col("owner").as("doc_id")).agg(count(lit(1)).as("n_unique"))
+    allDocs.select(col("doc_id"))
+      .join(docGrams.join(uniq, Seq("doc_id"), "left"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_grams") > 0L,
+          round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+            col("n_grams"), 4)).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q188: the novelty state INCREMENTAL — day-split + whole-batch
+    * replay (q131's harness), report derived from the snapshot, oracle
+    * IS q187's verbatim: gram-df additivity plus the owner-merge rule
+    * are the whole claim, stated as batch ≡ incremental. The day split
+    * is the adversarial one for the owner column: a gram seen once on
+    * day 1 and again on day 2 must LOSE its df=1 owner in the fold. */
+  def q188NoveltyIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q188_")
+    try {
+      val path = s"$base/novelty_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      require(noveltyIngest(spark, path, docs.filter(col("doc_id") <= cut), "day1"))
+      require(noveltyIngest(spark, path, docs.filter(col("doc_id") > cut), "day2"))
+      require(!noveltyIngest(spark, path, docs.filter(col("doc_id") > cut), "day2"),
+        "replayed batch must be a ledger no-op")
+      noveltyFromState(
+        LedgeredState.readPart(spark, path, "gram_df").get,
+        LedgeredState.readPart(spark, path, "doc_grams").get, docs)
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q187's. */
+  def q188NoveltyIngestSql: String = q187NoveltySql
+
+  /** q191: the q188 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingNovelty]] — foreachBatch per landed
+    * day file, Trigger.AvailableNow; disjoint day files, the
+    * additive-state input contract) — q163's harness for the novelty
+    * index. Oracle IS q187's. */
+  def q191StreamNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q191_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/novelty_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new Path(srcDir))
+      Seq(docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingNovelty.start(spark, srcDir,
+        statePath, s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      noveltyFromState(
+        LedgeredState.readPart(spark, statePath, "gram_df").get,
+        LedgeredState.readPart(spark, statePath, "doc_grams").get, docs)
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  def q191StreamNoveltySql: String = q187NoveltySql
+
+  val q187NoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, $tokSqlExpr AS toks FROM documents),
+       |b AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+       |    THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+       |    ELSE [] END AS grams FROM t),
+       |g AS (SELECT doc_id, unnest(grams) AS gram FROM b),
+       |dfq AS (SELECT gram, count(*)::BIGINT AS df FROM g GROUP BY 1),
+       |pd AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+       |    sum((df = 1)::int)::BIGINT AS n_unique
+       |  FROM g JOIN dfq USING (gram) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(n_unique, 0)::BIGINT AS n_unique,
+       |  CASE WHEN n_grams > 0 THEN round(n_unique::double / n_grams, 4) END AS novelty
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // MinHash-LSH parameters shared by the Spark plan and the generated
   // oracle. Band shape sets the s-curve midpoint (1/b)^(1/r): 4 bands of
   // 4 rows → ~0.71, the right curve for near-dup detection (high recall

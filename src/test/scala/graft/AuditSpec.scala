@@ -233,4 +233,75 @@ class AuditSpec extends SparkSpec {
       pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
     }
   }
+
+  test("contract validation: every rule kind counts violations and names the first offender") {
+    val parent = Seq(10L, 11L).toDF("pk")
+    val frame = Seq(
+      (1L, Option("aa"), 10L),
+      (2L, Option.empty[String], 11L), // null text → Check violation
+      (3L, Option("bb"), 99L),         // orphan fk
+      (3L, Option("cc"), 10L)          // duplicate key 3 (both members count)
+    ).toDF("id", "txt", "fk")
+    val rep = Audit.contractValidate(frame, "id", Seq(
+        Audit.Check("txt_not_null", col("txt").isNotNull),
+        Audit.Unique("id_unique", col("id")),
+        Audit.RefIntegrity("fk_ok", col("fk"), parent, col("pk"))))
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    val nn = rep("txt_not_null")
+    assert(nn.getAs[Long]("n_checked") == 4 && nn.getAs[Long]("n_violations") == 1)
+    assert(nn.getAs[String]("first_bad_key") == "2" && !nn.getAs[Boolean]("pass"))
+    val u = rep("id_unique")
+    assert(u.getAs[Long]("n_checked") == 4 && u.getAs[Long]("n_violations") == 2)
+    assert(u.getAs[String]("first_bad_key") == "3")
+    val fk = rep("fk_ok")
+    assert(fk.getAs[Long]("n_violations") == 1 && fk.getAs[String]("first_bad_key") == "3")
+    assert(!fk.getAs[Boolean]("pass"))
+  }
+
+  test("contract validation: a clean table passes every rule with null offenders") {
+    val frame = Seq((1L, "a"), (2L, "b")).toDF("id", "txt")
+    val rep = Audit.contractValidate(frame, "id", Seq(
+      Audit.Check("txt_not_null", col("txt").isNotNull),
+      Audit.Unique("id_unique", col("id")))).collect()
+    assert(rep.forall(_.getAs[Boolean]("pass")))
+    assert(rep.forall(_.getAs[String]("first_bad_key") == null))
+  }
+
+  test("contract validation rejects duplicate rule names") {
+    val frame = Seq((1L, "a")).toDF("id", "txt")
+    intercept[IllegalArgumentException] {
+      Audit.contractValidate(frame, "id", Seq(
+        Audit.Check("r", col("txt").isNotNull), Audit.Check("r", col("id") > 0)))
+    }
+  }
+
+  test("contract ingest: a key duplicated ACROSS batches is caught by the state") {
+    // per-batch validation cannot see this violation — each batch is
+    // individually unique; only the folded key_counts state can
+    val base = java.nio.file.Files.createTempDirectory("graft_cspec_")
+    try {
+      val path = s"$base/state"
+      val rules = Seq(
+        Audit.Check("txt_not_null", col("txt").isNotNull),
+        Audit.Unique("id_unique", col("id")))
+      val day1 = Seq((1L, "a"), (2L, "b")).toDF("id", "txt")
+      val day2 = Seq((2L, "b-again"), (3L, "c")).toDF("id", "txt")
+      assert(Audit.contractIngest(spark, path, day1, "d1", "id", rules))
+      assert(Audit.contractIngest(spark, path, day2, "d2", "id", rules))
+      assert(!Audit.contractIngest(spark, path, day2, "d2", "id", rules), "replay no-op")
+      val rep = Audit.contractReportFromState(
+          graft.sinks.LedgeredState.readPart(spark, path, "agg_rules"),
+          graft.sinks.LedgeredState.readPart(spark, path, "key_counts"))
+        .collect().map(r => r.getAs[String]("rule") -> r).toMap
+      val u = rep("id_unique")
+      assert(u.getAs[Long]("n_checked") == 4 && u.getAs[Long]("n_violations") == 2,
+        "both members of the cross-batch duplicate count")
+      assert(u.getAs[String]("first_bad_key") == "2" && !u.getAs[Boolean]("pass"))
+      val nn = rep("txt_not_null")
+      assert(nn.getAs[Long]("n_checked") == 4 && nn.getAs[Boolean]("pass"))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }

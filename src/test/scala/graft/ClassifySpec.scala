@@ -94,4 +94,53 @@ class ClassifySpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
     }
   }
+
+  test("margin reliability: bins partition the test set; the cumulative fold runs top-down") {
+    val (classes, lam) = Classify.nbTrain(labeled, "lang", "text")
+    val test = Seq((10L, "pos", "good good good news"), (11L, "pos", "bad bad news"),
+      (12L, "neg", "bad ending"), (13L, "neg", "good fine")).toDF("doc_id", "lang", "text")
+    val rep = Classify.marginReliability(test, "doc_id", "text", "lang",
+      classes, lam, binMicro = 500000L, maxBin = 4L).collect()
+    assert(rep.map(_.getAs[Long]("n")).sum == 4L, "bins must partition the test docs")
+    val byBin = rep.sortBy(_.getAs[Long]("bin"))
+    assert(byBin.head.getAs[Long]("cum_n") == 4L,
+      "the lowest bin's cumulative row covers the whole test set")
+    val cums = byBin.map(_.getAs[Long]("cum_n"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a >= b },
+      s"cum_n must fall as the margin threshold rises: ${cums.toSeq}")
+    assert(rep.forall(r => r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 4))
+  }
+
+  test("margin reliability: a single-class model degrades to margin 0, never null") {
+    val (classes, lam) = Classify.nbTrain(labeled.filter($"lang" === "pos"), "lang", "text")
+    val test = Seq((10L, "pos", "anything here"), (11L, "neg", "else entirely"))
+      .toDF("doc_id", "lang", "text")
+    val rep = Classify.marginReliability(test, "doc_id", "text", "lang", classes, lam)
+      .collect()
+    assert(rep.length == 1 && rep.head.getAs[Long]("bin") == 0L, "one zero-margin bin")
+    assert(rep.head.getAs[Long]("n") == 2L && rep.head.getAs[Long]("n_correct") == 1L)
+  }
+
+  test("label propagation: frontier rounds, majority vote, deterministic ties, clamped seeds") {
+    val seeds = Seq((1L, "a"), (5L, "b"), (6L, "b")).toDF("id", "lab")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain: 2,3,4 labeled at rounds 1,2,3
+      (5L, 7L), (6L, 7L), (1L, 7L), // 7 sees b,b,a → majority b
+      (1L, 8L), (5L, 8L)            // 8 sees a,b 1-1 → tie breaks to 'a'
+    ).toDF("id1", "id2")
+    val out = Classify.labelPropagation(seeds, "id", "lab", pairs, rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a", 0L)) && out(5L) == (("b", 0L)) && out(6L) == (("b", 0L)))
+    assert(out(2L) == (("a", 1L)) && out(3L) == (("a", 2L)) && out(4L) == (("a", 3L)))
+    assert(out(7L) == (("b", 1L)), s"majority vote: ${out(7L)}")
+    assert(out(8L) == (("a", 1L)), s"tie must break label-ascending: ${out(8L)}")
+  }
+
+  test("label propagation: components with no seed stay unlabeled; seeds never flip") {
+    val seeds = Seq((1L, "z")).toDF("id", "lab")
+    val pairs = Seq((2L, 3L)).toDF("id1", "id2") // disjoint from the seed
+    val out = Classify.labelPropagation(seeds, "id", "lab", pairs, 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L), "2 and 3 are unreachable")
+    assert(out.head.getString(1) == "z" && out.head.getLong(2) == 0L)
+  }
 }

@@ -512,4 +512,39 @@ class DedupSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_masked") == 8L)
     assert(out(2L).getAs[Long]("n_masked") == 8L)
   }
+
+  test("containment join finds the quote direction Jaccard is blind to") {
+    val frame = Seq(
+      (1L, "alpha beta gamma delta"), // A: 4 distinct tokens
+      (2L, "alpha beta gamma delta plus lots of extra words appended here"),
+      (3L, "unrelated totally different content entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(frame, "doc_id", "text", n = 1, threshold = 0.9)
+      .select($"inner_id", $"outer_id").as[(Long, Long)].collect().toSet
+    // c(A→B) = 4/4 = 1.0 qualifies; c(B→A) = 4/11 and J = 4/11 do not —
+    // the directional predicate is exactly what q19-style Jaccard misses
+    assert(got == Set((1L, 2L)), s"pairs: $got")
+  }
+
+  test("mutual containment (identical token sets) reports both directions") {
+    val frame = Seq((1L, "x y z"), (2L, "z y x x"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(frame, "doc_id", "text", 1, 1.0)
+      .select($"inner_id", $"outer_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L)), s"pairs: $got")
+  }
+
+  test("containment join is exactly the brute-force predicate (zero false negatives)") {
+    val base = docs.select(col("doc_id").as("id"),
+        array_distinct(tokens(col("text"))).as("g"))
+      .filter(size(col("g")) > 0)
+    val bf = base.alias("a").join(base.alias("b"), col("a.id") =!= col("b.id"))
+      .withColumn("c", size(array_intersect(col("a.g"), col("b.g")))
+        .cast("double") / size(col("a.g")))
+      .filter(col("c") >= 0.8)
+      .select(col("a.id").as("inner_id"), col("b.id").as("outer_id"),
+        round(col("c"), 4).as("containment"))
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 1, 0.8)
+    assert(got.exceptAll(bf).isEmpty && bf.exceptAll(got).isEmpty,
+      s"operator=${got.count()} brute=${bf.count()}")
+  }
 }

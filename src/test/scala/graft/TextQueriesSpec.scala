@@ -238,4 +238,37 @@ class TextQueriesSpec extends SparkSpec {
       (2L, 3L, mn(3), 1L),         // rare beats...
       (3L, 2L, 2 * (mn(3) - mn(2)), 2L))) // ...two common shares
   }
+
+  test("novelty ingest: a doc LOSES novelty when a later batch re-says its gram") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_novspec_")
+    try {
+      val path = s"$base/state"
+      // day 1: doc 1's "alpha beta" bigram is corpus-unique (df=1)
+      val day1 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      // day 2: doc 3 says the same bigram — doc 1's novelty must drop to 0
+      val day2 = Seq((3L, "alpha beta")).toDF("doc_id", "text")
+      assert(TextQueries.noveltyIngest(spark, path, day1, "d1"))
+      val all1 = Seq((1L, ""), (2L, "")).toDF("doc_id", "ignored")
+      val mid = TextQueries.noveltyFromState(
+        graft.sinks.LedgeredState.readPart(spark, path, "gram_df").get,
+        graft.sinks.LedgeredState.readPart(spark, path, "doc_grams").get, all1)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_unique")).toMap
+      assert(mid(1L) == 1L, "day-1 snapshot: doc 1 owns its unique gram")
+      assert(TextQueries.noveltyIngest(spark, path, day2, "d2"))
+      assert(!TextQueries.noveltyIngest(spark, path, day2, "d2"), "replay no-op")
+      val all2 = Seq((1L, ""), (2L, ""), (3L, "")).toDF("doc_id", "ignored")
+      val fin = TextQueries.noveltyFromState(
+        graft.sinks.LedgeredState.readPart(spark, path, "gram_df").get,
+        graft.sinks.LedgeredState.readPart(spark, path, "doc_grams").get, all2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique")))).toMap
+      assert(fin(1L) == ((1L, 0L)), s"the owner-merge rule must null doc 1's gram: ${fin(1L)}")
+      assert(fin(3L) == ((1L, 0L)))
+      assert(fin(2L) == ((1L, 1L)), "doc 2's gram stays unique")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
