@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
@@ -188,6 +188,91 @@ object Dedup {
       .filter(col("c") >= threshold)
       .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
         round(col("c"), 4).as("containment"))
+  }
+
+  /** INCREMENTAL CONTAINMENT — fold a batch into a persistent
+    * containment index so the directional pair relation stays current
+    * as the corpus grows, without re-scanning it. Three parts, committed
+    * atomically with the batchId ledger ([[graft.sinks.LedgeredState]]):
+    *
+    *  - `postings` (blk, g, id): the inverted gram index — token-level
+    *    state, because exact containment fundamentally needs it (unlike
+    *    the signature families, whose state is fixed-width per doc).
+    *    At 100 TB this is the search-engine regime: host the postings
+    *    in an append-only partitioned layout (the MergeSink partitioned
+    *    merge) rather than this gate's whole-part rewrite;
+    *  - `sizes` (id, blk, sz): each doc's distinct-gram count;
+    *  - `pairs` (inner_id, outer_id, containment): the accumulated
+    *    relation — the operator's OUTPUT as state, so a replayed batch
+    *    is a true no-op (pairs commit with the ledger).
+    *
+    * Per batch: within-batch pairs run the exact prefix-filter join
+    * ([[containmentPairs]]'s internals on the batch projection);
+    * cross pairs (old×new, BOTH directions) come from one counting
+    * join — postings ⋈ batch grams on (blk, g), grouped per (old, new)
+    * pair: both gram sets are distinct, so the count IS |A∩B|, making
+    * candidates and verification one pass with zero false negatives.
+    * Its fan-out is the co-occurrence volume Σ_g df_old(g)·df_batch(g)
+    * — governed by the block column; the escalation for ungoverned
+    * corpora is probing only prefix postings (store each doc's
+    * (1−t)-thin prefix grams as a fourth part — any fixed gram subset
+    * of that size is sound, so df drift cannot break it). */
+  def containmentIngest(spark: SparkSession, path: String, batch: DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        threshold: Double, blockCol: Option[String],
+                        batchId: String): Boolean = {
+    import graft.sinks.LedgeredState
+    requireThreshold(threshold)
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val bproj = gramsProjection(batch, idCol, textCol, n, blockCol)
+      .localCheckpoint(true)
+    val batchPairs =
+      verifyContainment(containmentCandidates(bproj, threshold), bproj, threshold)
+    val cross = (LedgeredState.readPart(spark, path, "postings"),
+                 LedgeredState.readPart(spark, path, "sizes")) match {
+      case (Some(post), Some(sizes)) =>
+        containmentCrossPairs(post, sizes, bproj, threshold)
+      case _ => batchPairs.limit(0)
+    }
+    val newPairs = batchPairs.unionByName(cross)
+    val mergedPairs = LedgeredState.readPart(spark, path, "pairs")
+      .map(_.unionByName(newPairs)).getOrElse(newPairs)
+    val bPost = bproj.select(col("blk"), explode(col("grams")).as("g"), col("id"))
+    val mergedPost = LedgeredState.readPart(spark, path, "postings")
+      .map(_.unionByName(bPost)).getOrElse(bPost)
+    val bSizes = bproj.select(col("id"), col("blk"), col("sz"))
+    val mergedSizes = LedgeredState.readPart(spark, path, "sizes")
+      .map(_.unionByName(bSizes)).getOrElse(bSizes)
+    LedgeredState.commit(spark, path, batchId, Seq(
+      "pairs" -> mergedPairs, "postings" -> mergedPost, "sizes" -> mergedSizes))
+    true
+  }
+
+  /** Old×new containment pairs, BOTH directions, from one counting join
+    * of the posting index against the batch's exploded grams: distinct
+    * gram sets make count(g) ≡ |A∩B|, so this is candidates + exact
+    * verification in one aggregate. */
+  private def containmentCrossPairs(postings: DataFrame, sizes: DataFrame,
+                                    bproj: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val bg = bproj.select(col("id").as("nid"), col("blk"),
+      col("sz").as("nsz"), explode(col("grams")).as("g"))
+    val cnt = postings.select(col("blk"), col("g"), col("id").as("oid"))
+      .join(bg, Seq("blk", "g"))
+      .groupBy(col("oid"), col("nid"), col("nsz"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("oid"), col("sz").as("osz")), "oid")
+    val oldInner = cnt
+      .withColumn("c", col("inter").cast("double") / col("osz"))
+      .filter(col("c") >= threshold)
+      .select(col("oid").as("inner_id"), col("nid").as("outer_id"),
+        round(col("c"), 4).as("containment"))
+    val newInner = cnt
+      .withColumn("c", col("inter").cast("double") / col("nsz"))
+      .filter(col("c") >= threshold)
+      .select(col("nid").as("inner_id"), col("oid").as("outer_id"),
+        round(col("c"), 4).as("containment"))
+    oldInner.unionByName(newInner)
   }
 
   private def requireThreshold(threshold: Double): Unit =

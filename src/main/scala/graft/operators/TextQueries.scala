@@ -336,6 +336,86 @@ object TextQueries {
 
   def q191StreamNoveltySql: String = q187NoveltySql
 
+  // q192/q193 share q183's parameters exactly — the incremental and
+  // streamed forms must answer the same question as the batch join.
+  private val ContainN = 1
+  private val ContainT = 0.8
+
+  /** q192: the containment relation INCREMENTAL — day-split +
+    * whole-batch replay (q131's harness) against the persistent
+    * posting/size/pair state ([[Dedup.containmentIngest]]); the final
+    * pair part must equal the batch q183 join on the whole corpus —
+    * oracle IS q183's verbatim. The split is adversarial in BOTH
+    * directions by construction: day-2 docs contained in day-1 docs
+    * exercise the new-inner probe, day-1 docs contained in day-2 docs
+    * the old-inner probe, and within-day pairs the batch join. */
+  def q192ContainmentIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q192_")
+    try {
+      val path = s"$base/contain_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      def ingest(d: DataFrame, id: String): Boolean =
+        Dedup.containmentIngest(spark, path, d, "doc_id", "text",
+          ContainN, ContainT, Some("source"), id)
+      require(ingest(docs.filter(col("doc_id") <= cut), "day1"))
+      require(ingest(docs.filter(col("doc_id") > cut), "day2"))
+      require(!ingest(docs.filter(col("doc_id") > cut), "day2"),
+        "replayed batch must be a ledger no-op")
+      LedgeredState.readPart(spark, path, "pairs").get
+        .orderBy(col("inner_id"), col("outer_id"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q183's. */
+  def q192ContainmentIngestSql: String = q183ContainmentSql
+
+  /** q193: the q192 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingContainment]] — foreachBatch per
+    * landed day file, Trigger.AvailableNow; disjoint day files, and the
+    * replay protection is the LEDGER+pairs atomic commit, exercised by
+    * the incremental gate). Oracle IS q183's — the containment family's
+    * batch/incremental/streamed triple closes. */
+  def q193StreamContainment(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q193_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/contain_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new Path(srcDir))
+      Seq(docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingContainment.start(spark, srcDir,
+        statePath, s"$base/ckpt", n = ContainN, threshold = ContainT,
+        blockCol = Some("source"), trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      LedgeredState.readPart(spark, statePath, "pairs").get
+        .orderBy(col("inner_id"), col("outer_id"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  def q193StreamContainmentSql: String = q183ContainmentSql
+
   val q187NoveltySql: String =
     s"""WITH t AS (SELECT doc_id, $tokSqlExpr AS toks FROM documents),
        |b AS (SELECT doc_id, CASE WHEN len(toks) >= 2

@@ -533,6 +533,41 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 1L)), s"pairs: $got")
   }
 
+  test("containment ingest: the folded pair state equals the batch join, both cross directions") {
+    val day1 = Seq(
+      (1L, "w x y z p q r s t u"), // 10 grams
+      (2L, "w x y z")              // ⊂ doc 1 within day 1
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (3L, "w x y c"),                              // 3/4 = .75 — below t everywhere
+      (4L, "w x y z a"),                            // 4/5 = .8 into docs 1 and 2
+      (5L, "p q r s t u w x y z extra1 extra2")     // ⊇ doc 1
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_cispec_")
+    try {
+      val path = s"$base/state"
+      def ingest(d: org.apache.spark.sql.DataFrame, id: String) =
+        Dedup.containmentIngest(spark, path, d, "doc_id", "text",
+          n = 1, threshold = 0.8, blockCol = None, batchId = id)
+      assert(ingest(day1, "d1"))
+      assert(ingest(day2, "d2"))
+      assert(!ingest(day2, "d2"), "replayed batch must be a ledger no-op")
+      val got = graft.sinks.LedgeredState.readPart(spark, path, "pairs").get
+        .select($"inner_id", $"outer_id", $"containment")
+        .as[(Long, Long, Double)].collect().toSet
+      val want = Dedup.containmentPairs(day1.unionByName(day2),
+          "doc_id", "text", 1, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"incremental=$got batch=$want")
+      // non-vacuity: BOTH cross directions crossed a batch boundary
+      assert(want.exists(p => p._1 == 2L && p._2 == 4L), "old-inner × new-outer")
+      assert(want.exists(p => p._1 == 4L && p._2 == 1L), "new-inner × old-outer")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("containment join is exactly the brute-force predicate (zero false negatives)") {
     val base = docs.select(col("doc_id").as("id"),
         array_distinct(tokens(col("text"))).as("g"))
