@@ -403,4 +403,105 @@ object SimilarityQueries {
        |  FROM hits)
        |SELECT vec_id, n_hits::BIGINT AS n_hits, e_id AS best_eval_id, cos_sim AS best_cos
        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // q194 parameters: selection size and the deterministic seed point.
+  private val KcK = 8
+  private val KcSeed = 0L
+
+  /** GREEDY k-CENTER (farthest-point) DIVERSITY SELECTION — pick k
+    * embeddings such that every corpus point is близко to some pick:
+    * the classic 2-approximation (Gonzalez 1985) and the standard
+    * "choose k DIVERSE exemplars" move in training-data curation
+    * (coreset seeding, eval-set design, annotation budgets) — the
+    * complement of every similarity-driven selector in this file:
+    * q146 mines points NEAR a query; this mines points FAR from each
+    * other, so every corpus point ends up close to some pick, with a
+    * certified coverage radius.
+    *
+    * Round r: the point maximizing its min cosine-distance to the
+    * selected set joins it (distance = round(1 − cos, 4): rounding at
+    * every comparison keeps the argmax identical in both engines —
+    * the q22 discipline; ties break on id ascending). The selection
+    * ORDER and each pick's radius-at-selection are emitted — the
+    * radius sequence is non-increasing, and the final `coverage` row
+    * is max over unselected points of min-distance-to-centers: the
+    * k-center objective value, certified exact.
+    *
+    * Scale: the min-distance frame carries one row per corpus vector;
+    * each of the k rounds is ONE broadcast of the newly-picked vector
+    * + a narrow least() map + a 1-row TakeOrdered — k linear passes,
+    * nothing pairwise, no shuffle beyond the top-1 reduce. The 1-row
+    * collect per round is the documented BPE/IVF-centroid precedent. */
+  def kCenterGreedy(emb: DataFrame, k: Int, seedId: Long): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val sparkSess = emb.sparkSession
+    import sparkSess.implicits._
+    def distTo(centerOneRow: DataFrame)(base: DataFrame): DataFrame =
+      base.crossJoin(broadcast(centerOneRow
+          .select(col("v").as("cv"), col("nrm").as("cn"))))
+        .withColumn("d",
+          round(lit(1.0) - cosineWithNorms(col("v"), col("nrm"),
+            col("cv"), col("cn")), 4))
+    val picks = Seq.newBuilder[(String, Option[Long], Option[Long], Option[Double])]
+    picks += (("center", Some(1L), Some(seedId), None))
+    var mind = distTo(emb.filter(col("id") === seedId))(
+        emb.filter(col("id") =!= seedId))
+      .select(col("id"), col("v"), col("nrm"), col("d").as("mind"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val top = mind.orderBy(col("mind").desc, col("id").asc).limit(1)
+        .select(col("id"), col("mind")).collect()(0) // 1 row — driver-safe
+      picks += (("center", Some(r.toLong), Some(top.getLong(0)),
+        Some(top.getDouble(1))))
+      mind = distTo(mind.filter(col("id") === top.getLong(0)))(
+          mind.filter(col("id") =!= top.getLong(0)))
+        .select(col("id"), col("v"), col("nrm"),
+          least(col("mind"), col("d")).as("mind"))
+        .localCheckpoint(true)
+    }
+    val coverage = mind.agg(max(col("mind"))).head().getDouble(0)
+    picks += (("coverage", None, None, Some(coverage)))
+    picks.result().toDF("sect", "rank", "center_id", "radius")
+      .orderBy(col("sect"), col("rank"))
+  }
+
+  /** q194: the diversity-selection gate — 8 greedy k-center picks over
+    * the embeddings fixture from seed 0, each with its
+    * radius-at-selection, plus the certified coverage radius. The
+    * oracle unrolls the identical rounds as CTEs (1-row argmax per
+    * round, the q120 loop-gate precedent), so a wrong argmax, a tie
+    * broken the other way, a stale min-distance, or a coverage radius
+    * off by one pick all fail row-level. */
+  def q194KCenter(spark: SparkSession, dir: String): DataFrame =
+    kCenterGreedy(embWithNorm(spark, dir), KcK, KcSeed)
+
+  val q194KCenterSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_apply(range(1, ${Dim + 1}), i -> $a.v[i]::DOUBLE * $b.v[i]::DOUBLE))"
+    val rounds = (2 to KcK).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT id, v, nrm, mind FROM m${r - 1}
+         |  ORDER BY mind DESC, id LIMIT 1),
+         |m$r AS MATERIALIZED (SELECT m.id, m.v, m.nrm,
+         |    least(m.mind, round(1 - ${dot("m", "c")} / (m.nrm * c.nrm), 4)) AS mind
+         |  FROM m${r - 1} m CROSS JOIN c$r c WHERE m.id != c.id)""".stripMargin
+    }.mkString(",\n")
+    val centerRows = (2 to KcK).map { r =>
+      s"SELECT 'center', $r::BIGINT, (SELECT id FROM c$r)::BIGINT, (SELECT mind FROM c$r)::DOUBLE"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v,
+       |    sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT id, v, nrm FROM n WHERE id = $KcSeed),
+       |m1 AS MATERIALIZED (SELECT m.id, m.v, m.nrm,
+       |    round(1 - ${dot("m", "c")} / (m.nrm * c.nrm), 4) AS mind
+       |  FROM n m CROSS JOIN c1 c WHERE m.id != $KcSeed),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 'center' AS sect, 1::BIGINT AS rank, $KcSeed::BIGINT AS center_id,
+       |    NULL::DOUBLE AS radius
+       |  UNION ALL $centerRows
+       |  UNION ALL SELECT 'coverage', NULL::BIGINT, NULL::BIGINT,
+       |    (SELECT max(mind) FROM m$KcK)::DOUBLE)
+       |ORDER BY sect, rank""".stripMargin
+  }
 }

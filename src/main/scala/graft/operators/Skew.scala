@@ -160,4 +160,76 @@ object Skew {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_totalprice > 150000.0
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q195 parameters: hot keys reported and the target rows-per-task the
+  // salt recommendation divides against.
+  private val SkewTopN = 10
+  private val SkewTarget = 50L
+
+  /** SKEW DIAGNOSTICS — the report an operator reads BEFORE choosing a
+    * mitigation: per-key counts reduced to the top-N hot keys plus one
+    * summary row carrying the exact skew ratio (max·n_keys·1000 div
+    * n_rows, an integer — 1000 ≡ perfectly uniform) and the
+    * RECOMMENDED SALT for the hottest key (⌈max / targetRows⌉ — the
+    * `salts` argument [[saltedJoin]]/[[saltedSum]] then take). Turns
+    * "the stage is slow" into "key 17 carries 8.6% of the table, salt
+    * it 2 ways" — the planning step q47 assumes already happened.
+    *
+    * Exactness: counts, ratio, and salt are pure BIGINT algebra (`div`
+    * floor division ≡ DuckDB `//` on non-negatives); nulls in the key
+    * column are excluded (they never co-locate in a hash join anyway).
+    *
+    * Scale: one key-grouped count with map-side partials (the shuffle
+    * carries distinct keys), a TakeOrdered top-N (never a global
+    * sort/window over the key universe), and a 3-number aggregate. The
+    * rank window runs AFTER the limit, over topN rows. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int,
+                 targetRows: Long): DataFrame = {
+    require(topN >= 1 && targetRows >= 1, s"topN=$topN targetRows=$targetRows")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumed by both the top-N and the summary
+    val nulls = Seq("n_rows", "n_keys", "skew_x1000", "salt")
+    val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(topN)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cnt").desc, col("k").asc)).cast("long"))
+      .select(Seq(lit("key").as("sect"), col("rank"), col("k").as("key"),
+        col("cnt")) ++ nulls.map(c => lit(null).cast("long").as(c)): _*)
+    val summary = counts
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .select(lit("summary").as("sect"), lit(null).cast("long").as("rank"),
+        lit(null).cast("long").as("key"), col("max_cnt").as("cnt"),
+        col("n_rows"), col("n_keys"),
+        expr("(max_cnt * n_keys * 1000) div n_rows").as("skew_x1000"),
+        expr(s"(max_cnt + ${targetRows - 1}) div $targetRows").as("salt"))
+    top.unionByName(summary).orderBy(col("sect"), col("rank"))
+  }
+
+  /** q195: skew diagnostics over the clickstream's user key — the table
+    * whose per-user fan-out actually is skewed on the fixture, so the
+    * hot-key ranks, the >1000 skew ratio, and a >1 salt recommendation
+    * are all exercised non-vacuously. */
+  def q195SkewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReport(Tables.events(spark, dir), "user_id", SkewTopN, SkewTarget)
+
+  val q195SkewReportSql: String =
+    s"""WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS cnt FROM events
+       |  WHERE user_id IS NOT NULL GROUP BY 1),
+       |t AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rank
+       |  FROM c ORDER BY cnt DESC, k LIMIT $SkewTopN),
+       |s AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+       |  max(cnt)::BIGINT AS max_cnt FROM c)
+       |SELECT * FROM (
+       |  SELECT 'key' AS sect, rank::BIGINT AS rank, k AS key, cnt,
+       |    NULL::BIGINT AS n_rows, NULL::BIGINT AS n_keys,
+       |    NULL::BIGINT AS skew_x1000, NULL::BIGINT AS salt
+       |  FROM t
+       |  UNION ALL
+       |  SELECT 'summary', NULL::BIGINT, NULL::BIGINT, max_cnt, n_rows, n_keys,
+       |    ((max_cnt * n_keys * 1000) // n_rows)::BIGINT,
+       |    ((max_cnt + ${SkewTarget - 1}) // $SkewTarget)::BIGINT
+       |  FROM s)
+       |ORDER BY sect, rank""".stripMargin
 }

@@ -67,4 +67,37 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(excluded.nonEmpty,
       "no q22 neighbor was a cluster-mate — the q146 gate would be q22 with a rename")
   }
+
+  test("k-center greedy: hand-replayed picks, id-ascending ties, duplicate coverage") {
+    // orthogonal axes + a duplicate of the seed + a 45° point
+    val r2 = math.sqrt(2) / 2
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0)), (3L, Seq(1.0, 0.0, 0.0)), // dup of seed
+      (4L, Seq(r2, r2, 0.0))
+    ).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+    val out = SimilarityQueries.kCenterGreedy(emb, k = 4, seedId = 0L).collect()
+    val centers = out.filter(_.getString(0) == "center")
+      .map(r => (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // r2: ids 1 and 2 tie at distance 1.0 → id ascending picks 1;
+    // r4: the 45° point at 0.2929 beats the zero-distance duplicate
+    assert(centers.toSeq == Seq(
+      (1L, 0L, None), (2L, 1L, Some(1.0)), (3L, 2L, Some(1.0)),
+      (4L, 4L, Some(0.2929))), s"picks: ${centers.toSeq}")
+    val cov = out.filter(_.getString(0) == "coverage").head.getDouble(3)
+    assert(cov == 0.0, s"only the seed-duplicate remains → coverage 0, got $cov")
+  }
+
+  test("k-center radius sequence is non-increasing (greedy far-point invariant)") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+    val radii = SimilarityQueries.kCenterGreedy(emb, k = 5, seedId = 0L)
+      .filter(col("sect") === "center" && col("radius").isNotNull)
+      .orderBy(col("rank")).collect().map(_.getDouble(3))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii must not increase: ${radii.toSeq}")
+  }
 }

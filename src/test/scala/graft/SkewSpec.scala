@@ -74,4 +74,17 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(salted >= 4, "the hot key's rows must land in several salt buckets")
   }
+
+  test("skew report: hand-computed ranks, ratio, and salt recommendation") {
+    import spark.implicits._
+    val frame = Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val rep = Skew.skewReport(frame, "k", topN = 2, targetRows = 2L).collect()
+    val keys = rep.filter(_.getString(0) == "key")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(keys.toSeq == Seq((1L, 1L, 4L), (2L, 2L, 2L)), s"hot keys: ${keys.toSeq}")
+    val s = rep.filter(_.getString(0) == "summary").head
+    assert(s.getAs[Long]("n_rows") == 7 && s.getAs[Long]("n_keys") == 3)
+    assert(s.getAs[Long]("skew_x1000") == 4L * 3 * 1000 / 7, "max*keys*1000 div rows")
+    assert(s.getAs[Long]("salt") == 2, "ceil(4 / 2) = 2")
+  }
 }
