@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -403,6 +403,105 @@ object SimilarityQueries {
        |  FROM hits)
        |SELECT vec_id, n_hits::BIGINT AS n_hits, e_id AS best_eval_id, cos_sim AS best_cos
        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // q196 parameters: candidate pool fetched by the quantized stage
+  // before the exact re-rank.
+  private val QuantPool = 50
+
+  /** Per-vector symmetric int8 quantization: q_i = round(x_i·127 / s)
+    * with s = max|x_i| (0 → all-zero codes). The standard
+    * 4-8× scan-byte reduction for embedding search — and, unlike every
+    * float path in this file, the quantized DOT PRODUCT is pure BIGINT
+    * algebra, so the candidate stage is bit-exact across engines with
+    * no rounding discipline needed at all. */
+  def int8Quantize(v: Column): Column = {
+    import graft.functions.TextFunctions.bind
+    bind(array_max(transform(v, x => abs(x.cast("double"))))) { s =>
+      transform(v, x =>
+        when(s === 0.0, lit(0))
+          .otherwise(round(x.cast("double") * 127.0 / s).cast("int")))
+    }
+  }
+
+  /** Exact integer dot product of two int8 code arrays. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** q196: QUANTIZED-PREFILTER KNN — q22's exact search with the
+    * corpus-scan stage run on int8 codes instead of float vectors: per
+    * query, the top-[[QuantPool]] candidates by INTEGER quantized dot
+    * (deterministic: qdot desc, id asc — exact BIGINTs, no float
+    * discipline needed), then the exact-cosine re-rank of the pool
+    * only. The int8 analog of q167's SRP-sketch stage: at rest the
+    * code column is 4× narrower than the float vector (plus one scale
+    * per vector), so the stage-1 scan reads a quarter of the bytes;
+    * unlike the 256-bit sketch it preserves magnitude structure, so
+    * the pool needs no hamming-style band tuning. Gate = the full
+    * pipeline output row-level exact (pool cut, integer dots, re-rank
+    * order, final top-k), not a recall boolean — the oracle recomputes
+    * the identical quantization, so a codebook off by one level fails
+    * row-level. Recall vs exact KNN is spec-pinned next to q167's.
+    *
+    * Scale: broadcast queries × one corpus scan (stage 1, codes only)
+    * → per-query TakeOrdered pool → re-rank joins float vectors for
+    * POOL rows only (at rest: a parquet point-read by id, the q167
+    * stage-2 shape). */
+  def q196QuantKnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embWithNorm(spark, dir)
+      .withColumn("v8", int8Quantize(col("v")))
+    val queries = corpus.filter(col("id") < NQueries)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("v8").as("q8"))
+    val cand = broadcast(queries)
+      .join(corpus, col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        intDot(col("q8"), col("v8")).as("qdot"),
+        col("qv"), col("qn"), col("v"), col("nrm"))
+    val poolW = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    val pool = cand.withColumn("prnk", row_number().over(poolW))
+      .filter(col("prnk") <= QuantPool)
+    val rerankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pool
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("qv"), col("qn"), col("v"), col("nrm")), 4))
+      .withColumn("rnk", row_number().over(rerankW).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("neighbor_id"), col("qdot"), col("cos_sim"),
+        col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q196QuantKnnSql: String = {
+    val dotIdx = (a: String, b: String) =>
+      s"list_sum(list_apply(range(1, ${Dim + 1}), i -> ($a[i] * $b[i])::BIGINT))::BIGINT"
+    s"""WITH n AS (SELECT vec_id AS id, embedding AS v,
+       |    sqrt(list_sum(list_apply(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+       |    list_max(list_apply(embedding, x -> abs(x::DOUBLE))) AS s
+       |  FROM embeddings),
+       |c AS (SELECT id, v, nrm,
+       |    list_transform(v, x -> CASE WHEN s = 0 THEN 0
+       |      ELSE round(x::DOUBLE * 127 / s)::INT END) AS v8
+       |  FROM n),
+       |q AS (SELECT id AS q_id, v AS qv, nrm AS qn, v8 AS q8 FROM c
+       |  WHERE id < $NQueries),
+       |cand AS (SELECT q.q_id, c.id AS neighbor_id,
+       |    ${dotIdx("q.q8", "c.v8")} AS qdot, q.qv, q.qn, c.v, c.nrm
+       |  FROM q JOIN c ON c.id != q.q_id),
+       |pool AS (SELECT * FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS prnk FROM cand)
+       |  WHERE prnk <= $QuantPool),
+       |rr AS (SELECT q_id, neighbor_id, qdot,
+       |    round(list_sum(list_apply(range(1, ${Dim + 1}),
+       |      i -> qv[i]::DOUBLE * v[i]::DOUBLE)) / (qn * nrm), 4) AS cos_sim
+       |  FROM pool),
+       |rk AS (SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM rr)
+       |SELECT q_id, neighbor_id, qdot, cos_sim, rnk::BIGINT AS rnk FROM rk
+       |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
 
   // q194 parameters: selection size and the deterministic seed point.
   private val KcK = 8

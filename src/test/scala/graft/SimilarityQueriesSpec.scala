@@ -90,6 +90,27 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(cov == 0.0, s"only the seed-duplicate remains → coverage 0, got $cov")
   }
 
+  test("int8 quantization: extremes map to ±127, zero vectors to zero codes") {
+    val frame = Seq(
+      (1L, Seq(2.0f, -2.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val got = frame.select($"id",
+        SimilarityQueries.int8Quantize($"v").as("v8"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(127, -127, 64, 0), s"codes: ${got(1L)}") // round(1*127/2)=64
+    assert(got(2L) == Seq(0, 0, 0, 0), "zero scale must not divide")
+  }
+
+  test("quantized prefilter keeps high recall vs exact KNN on the fixture") {
+    val exact = SimilarityQueries.q22KnnExact(spark, sf)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = SimilarityQueries.q196QuantKnn(spark, sf)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pool=50 int8 recall vs exact top-10: $recall")
+  }
+
   test("k-center radius sequence is non-increasing (greedy far-point invariant)") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("id"), col("embedding").as("v"))
