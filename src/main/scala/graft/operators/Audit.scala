@@ -200,11 +200,19 @@ object Audit {
     * BIGINT until ~10¹⁴ daily rows × 10⁴ days. */
   def dayAnomalies(events: DataFrame, tsCol: Column, userCol: Column,
                    lowNum: Int = 1, lowDen: Int = 2,
-                   highNum: Int = 2, highDen: Int = 1): DataFrame = {
-    val perDay = events
+                   highNum: Int = 2, highDen: Int = 1): DataFrame =
+    anomalyTail(events
       .groupBy(to_date(tsCol).as("day"))
       .agg(count(lit(1)).as("n_events"),
-        count_distinct(userCol).as("n_users"))
+        count_distinct(userCol).as("n_users")),
+      lowNum, lowDen, highNum, highDen)
+
+  /** The anomaly comparator over a prepared per-day
+    * (day, n_events, n_users) frame — shared by the batch scan and the
+    * state-derived paths so every gate flags with ONE rule. Exact
+    * cross-multiplied integer comparisons, never a mean/float. */
+  private def anomalyTail(perDay: DataFrame, lowNum: Int, lowDen: Int,
+                          highNum: Int, highDen: Int): DataFrame = {
     val tot = perDay.agg(count(lit(1)).as("n_days"),
       sum(col("n_events")).as("total_events"))
     perDay.crossJoin(broadcast(tot))
@@ -215,6 +223,116 @@ object Audit {
           col("total_events") * highNum).as("high_anomaly"))
       .orderBy(col("day"))
   }
+
+  /** INCREMENTAL DAY-ANOMALY STATE — per-(day, user) event counts,
+    * folded per batch with the batchId ledger. The key-level grain is
+    * the point (the q189 Unique argument over again): per-day DISTINCT
+    * users are not additive across batches that split a day — a user
+    * active in both halves would double-count — but per-(day, user)
+    * counts are, and both report columns derive from them exactly
+    * (n_events = Σc, n_users = row count). State size = days ×
+    * active-users-per-day, type-bounded like the vocab family. */
+  def anomalyIngest(spark: SparkSession, path: String, batch: DataFrame,
+                    tsCol: Column, userCol: Column, batchId: String): Boolean = {
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val b = batch.groupBy(to_date(tsCol).as("day"), userCol.as("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val merged = LedgeredState.readPart(spark, path, "day_user") match {
+      case Some(st) => st.unionByName(b).groupBy(col("day"), col("user_id"))
+        .agg(sum(col("c")).as("c"))
+      case None => b
+    }
+    LedgeredState.commit(spark, path, batchId, Seq("day_user" -> merged))
+    true
+  }
+
+  /** The anomaly report off the persistent state — state-sized math. */
+  def anomaliesFromState(dayUser: DataFrame,
+                         lowNum: Int = 1, lowDen: Int = 2,
+                         highNum: Int = 2, highDen: Int = 1): DataFrame =
+    anomalyTail(dayUser.groupBy(col("day"))
+        .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_users")),
+      lowNum, lowDen, highNum, highDen)
+
+  /** q107's planted-defect event view (day 3 dark, day 27 delivered
+    * thrice), shared by the batch gate and the incremental/streamed
+    * ones. */
+  private[graft] def anomalyFixture(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val keep = lit(TrainingData.rateThreshold(DropKeep))
+    val dropped = ev.filter(dayofmonth(col("ts")) =!= DropDay ||
+      TrainingData.hashBucket(col("event_id"), "evdrop") < keep)
+    val dup = ev.filter(dayofmonth(col("ts")) === DupDay)
+    dropped.unionAll(dup).unionAll(dup)
+  }
+
+  /** q197: the anomaly monitor INCREMENTAL — q107's planted-defect view
+    * folded in two batches split by EVENT-ID PARITY, the adversarial
+    * split: every day and most USERS straddle both batches, so a
+    * per-batch distinct-user count provably double-counts and only the
+    * (day, user) state grain survives; whole-batch replay must no-op
+    * via the ledger. Oracle IS q107's verbatim. */
+  def q197AnomalyIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q197_")
+    try {
+      val path = s"$base/anomaly_state"
+      val v = anomalyFixture(spark, dir)
+      def ingest(d: DataFrame, id: String): Boolean =
+        anomalyIngest(spark, path, d, col("ts"), col("user_id"), id)
+      require(ingest(v.filter(col("event_id") % 2 === 0L), "even"))
+      require(ingest(v.filter(col("event_id") % 2 =!= 0L), "odd"))
+      require(!ingest(v.filter(col("event_id") % 2 =!= 0L), "odd"),
+        "replayed batch must be a ledger no-op")
+      anomaliesFromState(LedgeredState.readPart(spark, path, "day_user").get)
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q107's. */
+  def q197AnomalyIngestSql: String = q107DayAnomalySql
+
+  /** q198: the q197 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingAnomaly]] — foreachBatch per landed
+    * file, Trigger.AvailableNow; the two parity files are each
+    * day-straddling, so the stream exercises the same adversarial
+    * grain). Oracle IS q107's — the anomaly family's triple closes. */
+  def q198StreamAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q198_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/anomaly_state"
+      val v = anomalyFixture(spark, dir)
+      fs.mkdirs(new Path(srcDir))
+      Seq(v.filter(col("event_id") % 2 === 0L),
+          v.filter(col("event_id") % 2 =!= 0L))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/half_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingAnomaly.start(spark, srcDir, statePath,
+        s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      anomaliesFromState(LedgeredState.readPart(spark, statePath, "day_user").get)
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  def q198StreamAnomalySql: String = q107DayAnomalySql
 
   private val DropDay = 3
   private val DropKeep = 0.3
@@ -227,14 +345,8 @@ object Audit {
     * both detectors fire — exactly day 3 low, exactly day 27 high at
     * both fixture scales (measured: 100 vs the ~174 low cut, 1023 vs
     * the ~696 high cut at sf0.01) — and that clean days stay silent. */
-  def q107DayAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val keep = lit(TrainingData.rateThreshold(DropKeep))
-    val dropped = ev.filter(dayofmonth(col("ts")) =!= DropDay ||
-      TrainingData.hashBucket(col("event_id"), "evdrop") < keep)
-    val dup = ev.filter(dayofmonth(col("ts")) === DupDay)
-    dayAnomalies(dropped.unionAll(dup).unionAll(dup), col("ts"), col("user_id"))
-  }
+  def q107DayAnomaly(spark: SparkSession, dir: String): DataFrame =
+    dayAnomalies(anomalyFixture(spark, dir), col("ts"), col("user_id"))
 
   val q107DayAnomalySql: String = {
     val thr = TrainingData.rateThreshold(DropKeep)

@@ -147,13 +147,11 @@ object Dedup {
   /** Candidate (id1 = inner, id2 = outer) pairs for the containment join
     * (steps 1-5 above) — every qualifying pair present, false positives
     * left to the verify step. */
-  private def containmentCandidates(base: DataFrame, threshold: Double): DataFrame = {
-    val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
-    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "g")
-      .groupBy("id", "blk", "sz")
-      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("og"))
-      .withColumn("og", transform(col("og"), s => s.getField("g")))
+  private def containmentCandidates(base: DataFrame, threshold: Double): DataFrame =
+    containmentCandidatesFromOrdered(rarestOrdered(base), threshold)
+
+  private def containmentCandidatesFromOrdered(ordered: DataFrame,
+                                               threshold: Double): DataFrame = {
     val req = ceil(col("a.sz") * threshold) // R: set by the INNER size alone
     val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val probe = ordered.select(col("id"), col("blk"), col("sz"),
@@ -195,28 +193,28 @@ object Dedup {
     * as the corpus grows, without re-scanning it. Three parts, committed
     * atomically with the batchId ledger ([[graft.sinks.LedgeredState]]):
     *
-    *  - `postings` (blk, g, id): the inverted gram index — token-level
-    *    state, because exact containment fundamentally needs it (unlike
-    *    the signature families, whose state is fixed-width per doc).
-    *    At 100 TB this is the search-engine regime: host the postings
-    *    in an append-only partitioned layout (the MergeSink partitioned
-    *    merge) rather than this gate's whole-part rewrite;
-    *  - `sizes` (id, blk, sz): each doc's distinct-gram count;
+    *  - `docgrams` (id, blk, sz, grams): each doc's sorted distinct
+    *    gram set — token-level state, because exact containment
+    *    fundamentally needs it (unlike the signature families, whose
+    *    state is fixed-width per doc). At 100 TB this is the
+    *    search-engine regime: host it in an append-only partitioned
+    *    layout (the MergeSink partitioned merge) rather than this
+    *    gate's whole-part rewrite;
+    *  - `prefixes` (blk, g, id): each doc's (1−t)-thin inner-prefix
+    *    grams ([[prefixGrams]]) — the persisted probe set, immune to
+    *    df drift because ANY pigeonhole-sized gram subset is sound;
     *  - `pairs` (inner_id, outer_id, containment): the accumulated
     *    relation — the operator's OUTPUT as state, so a replayed batch
     *    is a true no-op (pairs commit with the ledger).
     *
     * Per batch: within-batch pairs run the exact prefix-filter join
-    * ([[containmentPairs]]'s internals on the batch projection);
-    * cross pairs (old×new, BOTH directions) come from one counting
-    * join — postings ⋈ batch grams on (blk, g), grouped per (old, new)
-    * pair: both gram sets are distinct, so the count IS |A∩B|, making
-    * candidates and verification one pass with zero false negatives.
-    * Its fan-out is the co-occurrence volume Σ_g df_old(g)·df_batch(g)
-    * — governed by the block column; the escalation for ungoverned
-    * corpora is probing only prefix postings (store each doc's
-    * (1−t)-thin prefix grams as a fourth part — any fixed gram subset
-    * of that size is sound, so df drift cannot break it). */
+    * ([[containmentPairs]]'s internals on the batch projection); cross
+    * pairs (old×new, BOTH directions) come from the prefix-restricted
+    * probe + one sorted-merge intersect per candidate
+    * ([[containmentCrossPairs]]) — zero false negatives, with join
+    * volume the co-occurrence sum over PREFIX grams only (rarest-first
+    * keeps hot grams out of thin prefixes; the block column governs
+    * the rest). */
   def containmentIngest(spark: SparkSession, path: String, batch: DataFrame,
                         idCol: String, textCol: String, n: Int,
                         threshold: Double, blockCol: Option[String],
@@ -226,53 +224,107 @@ object Dedup {
     if (LedgeredState.absorbed(spark, path, batchId)) return false
     val bproj = gramsProjection(batch, idCol, textCol, n, blockCol)
       .localCheckpoint(true)
-    val batchPairs =
-      verifyContainment(containmentCandidates(bproj, threshold), bproj, threshold)
-    val cross = (LedgeredState.readPart(spark, path, "postings"),
-                 LedgeredState.readPart(spark, path, "sizes")) match {
-      case (Some(post), Some(sizes)) =>
-        containmentCrossPairs(post, sizes, bproj, threshold)
+    // the rarest-first ordering feeds BOTH the within-batch candidates
+    // and the persisted prefixes — computed once per batch
+    val ordered = rarestOrdered(bproj).localCheckpoint(true)
+    val batchPairs = verifyContainment(
+      containmentCandidatesFromOrdered(ordered, threshold), bproj, threshold)
+    val bPrefix = prefixGramsFromOrdered(ordered, threshold)
+    val cross = (LedgeredState.readPart(spark, path, "docgrams"),
+                 LedgeredState.readPart(spark, path, "prefixes")) match {
+      case (Some(docgrams), Some(prefixes)) =>
+        containmentCrossPairs(docgrams, prefixes, bproj, bPrefix, threshold)
       case _ => batchPairs.limit(0)
     }
     val newPairs = batchPairs.unionByName(cross)
     val mergedPairs = LedgeredState.readPart(spark, path, "pairs")
       .map(_.unionByName(newPairs)).getOrElse(newPairs)
-    val bPost = bproj.select(col("blk"), explode(col("grams")).as("g"), col("id"))
-    val mergedPost = LedgeredState.readPart(spark, path, "postings")
-      .map(_.unionByName(bPost)).getOrElse(bPost)
-    val bSizes = bproj.select(col("id"), col("blk"), col("sz"))
-    val mergedSizes = LedgeredState.readPart(spark, path, "sizes")
-      .map(_.unionByName(bSizes)).getOrElse(bSizes)
+    val mergedDocs = LedgeredState.readPart(spark, path, "docgrams")
+      .map(_.unionByName(bproj)).getOrElse(bproj)
+    val bPrefPart = bPrefix.select(col("blk"), col("pg").as("g"), col("id"))
+    val mergedPref = LedgeredState.readPart(spark, path, "prefixes")
+      .map(_.unionByName(bPrefPart)).getOrElse(bPrefPart)
     LedgeredState.commit(spark, path, batchId, Seq(
-      "pairs" -> mergedPairs, "postings" -> mergedPost, "sizes" -> mergedSizes))
+      "pairs" -> mergedPairs, "docgrams" -> mergedDocs,
+      "prefixes" -> mergedPref))
     true
   }
 
-  /** Old×new containment pairs, BOTH directions, from one counting join
-    * of the posting index against the batch's exploded grams: distinct
-    * gram sets make count(g) ≡ |A∩B|, so this is candidates + exact
-    * verification in one aggregate. */
-  private def containmentCrossPairs(postings: DataFrame, sizes: DataFrame,
-                                    bproj: DataFrame,
+  /** Each doc's (1−t)-thin inner-prefix grams in rarest-first order —
+    * the pigeonhole probe set: ANY |A| − ⌈t·|A|⌉ + 1 of A's grams must
+    * intersect every qualifying B, so the subset choice is free
+    * (rarest-first minimizes posting fan-in) and, crucially for the
+    * incremental store, df DRIFT CANNOT BREAK a persisted prefix. */
+  private def prefixGramsFromOrdered(ordered: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    ordered.select(col("id"), col("blk"), col("sz"),
+      explode(slice(col("og"), lit(1), plen)).as("pg"))
+  }
+
+  /** The (id, blk, sz, og) frame with `og` = the doc's grams in global
+    * rarest-first canonical order — the shared precursor of every
+    * prefix construction in this file. */
+  private def rarestOrdered(base: DataFrame): DataFrame = {
+    val ex = base.select(col("id"), col("blk"), col("sz"), explode(col("grams")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "g")
+      .groupBy("id", "blk", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("og"))
+      .withColumn("og", transform(col("og"), s => s.getField("g")))
+  }
+
+  /** Old×new containment pairs, BOTH directions, via the
+    * prefix-restricted probe: candidates come from thin prefix⋈gram
+    * joins (new-inner: the batch's prefixes against the index's
+    * exploded grams; old-inner: the PERSISTED prefixes against the
+    * batch's grams — exact either way by the pigeonhole argument in
+    * [[prefixGrams]]), then ONE sorted-merge intersect per candidate
+    * verifies. The earlier counting-join formulation was exact too but
+    * paid the full co-occurrence volume Σ_g df_old(g)·df_batch(g);
+    * the prefix probe's volume is the same sum over PREFIX grams only —
+    * rarest-first, so hot grams enter only for docs where everything
+    * is hot. */
+  private def containmentCrossPairs(docgrams: DataFrame, prefixes: DataFrame,
+                                    bproj: DataFrame, bPrefix: DataFrame,
                                     threshold: Double): DataFrame = {
-    val bg = bproj.select(col("id").as("nid"), col("blk"),
-      col("sz").as("nsz"), explode(col("grams")).as("g"))
-    val cnt = postings.select(col("blk"), col("g"), col("id").as("oid"))
-      .join(bg, Seq("blk", "g"))
-      .groupBy(col("oid"), col("nid"), col("nsz"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("oid"), col("sz").as("osz")), "oid")
-    val oldInner = cnt
-      .withColumn("c", col("inter").cast("double") / col("osz"))
+    val oldPost = docgrams.select(col("blk"), col("id").as("oid"),
+      col("sz").as("osz"), explode(col("grams")).as("g"))
+    val newInnerCand = oldPost
+      .join(bPrefix.select(col("blk"), col("pg").as("g"),
+        col("id").as("nid"), col("sz").as("nsz")), Seq("blk", "g"))
+      .filter(col("osz") >= ceil(col("nsz") * threshold)) // |B| >= R(inner)
+      .select(col("nid").as("inner_id"), col("oid").as("outer_id"))
+      .distinct()
+    val bFull = bproj.select(col("blk"), explode(col("grams")).as("g"),
+      col("id").as("nid"), col("sz").as("nsz"))
+    val oldInnerCand = prefixes
+      .join(bFull, Seq("blk", "g"))
+      .select(col("id").as("inner_id"), col("nid").as("outer_id"))
+      .distinct()
+    val innerOld = verifyCrossPairs(oldInnerCand, docgrams, bproj, threshold)
+    val innerNew = verifyCrossPairs(newInnerCand, bproj, docgrams, threshold)
+    innerNew.unionByName(innerOld)
+  }
+
+  /** Exact verify of directional cross candidates: the inner side's
+    * grams from `innerDocs`, the outer side's from `outerDocs`. */
+  private def verifyCrossPairs(cand: DataFrame, innerDocs: DataFrame,
+                               outerDocs: DataFrame,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def isect(a: Column, b: Column): Column =
+      ColumnBridge.column(graft.expressions.SortedIntersectSize(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    cand
+      .join(innerDocs.select(col("id").as("inner_id"), col("grams").as("g1"),
+        col("sz").as("sz1")), "inner_id")
+      .join(outerDocs.select(col("id").as("outer_id"), col("grams").as("g2")),
+        "outer_id")
+      .withColumn("c", isect(col("g1"), col("g2")).cast("double") / col("sz1"))
       .filter(col("c") >= threshold)
-      .select(col("oid").as("inner_id"), col("nid").as("outer_id"),
+      .select(col("inner_id"), col("outer_id"),
         round(col("c"), 4).as("containment"))
-    val newInner = cnt
-      .withColumn("c", col("inter").cast("double") / col("nsz"))
-      .filter(col("c") >= threshold)
-      .select(col("nid").as("inner_id"), col("oid").as("outer_id"),
-        round(col("c"), 4).as("containment"))
-    oldInner.unionByName(newInner)
   }
 
   private def requireThreshold(threshold: Double): Unit =

@@ -416,6 +416,97 @@ object TextQueries {
 
   def q193StreamContainmentSql: String = q183ContainmentSql
 
+  // q199 parameters: non-overlapping token chunks of this size vote on
+  // the document's language mixture.
+  private val MixChunk = 20
+
+  /** q199: LANGUAGE-MIXTURE REPORT — q17's language ID applied per
+    * CHUNK instead of per document, then folded to a per-doc mixture:
+    * majority chunk language (ties label-ascending), distinct chunk
+    * languages, and the majority's exact e4 share. A document-level
+    * langid calls a half-en/half-fr page "en" and moves on; the chunk
+    * votes are what catch code-switched, template-injected, or
+    * wrongly-concatenated documents — the mixture filter every
+    * multilingual curation pipeline runs after langid.
+    *
+    * Honest instrument note: chunks are TOKEN windows, and the
+    * tokenizer is latin-alphabet ([a-z0-9]) — CJK text contributes no
+    * tokens, so its chunks vote 'und'; the doc-level `cjk_chars`
+    * column (the same script counter q17's zh branch uses) carries
+    * that signal instead, keeping the two detectors orthogonal exactly
+    * as in q17.
+    *
+    * Exactness: votes and shares are pure integers (share = cnt·10000
+    * div n_chunks); the chunk boundaries are q67's integer arithmetic.
+    *
+    * Scale: one narrow chunk explode (no shuffle), one (doc, lang)
+    * vote count with map-side partials, one per-doc fold — nothing
+    * beyond q67 + q17's own cost envelope. */
+  def q199LangMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val chunks = chunkDocuments(docs, "doc_id", "text", MixChunk, 0)
+      .select(col("id").as("doc_id"), langId(col("chunk_text")).as("cl"))
+    val votes = chunks.groupBy(col("doc_id"), col("cl"))
+      .agg(count(lit(1)).as("cnt"))
+    val per = votes.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chunks"), count(lit(1)).as("n_langs"))
+    val major = votes
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("cl").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cl").as("lang_major"),
+        col("cnt").as("major_cnt"))
+    docs.select(col("doc_id"), TextFunctions.cjkCount(col("text"))
+        .cast("long").as("cjk_chars"))
+      .join(per.join(major, Seq("doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        col("lang_major"),
+        expr("CASE WHEN n_chunks > 0 THEN (major_cnt * 10000) div n_chunks END")
+          .as("major_share_e4"),
+        col("cjk_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q199LangMixSql: String = {
+    val slice = s"t[chunk_id * $MixChunk + 1 : least(chunk_id * $MixChunk + $MixChunk, L)]"
+    val marks = TextFunctions.langMarkers.map { case (lang, ms) =>
+      s"len(list_filter($slice, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS s_$lang"
+    }.mkString(",\n  ")
+    s"""WITH tk AS (SELECT doc_id, $tokSqlExpr AS t FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS L,
+       |      greatest(1, (len(t) + ${MixChunk - 1}) // $MixChunk) AS nc
+       |      FROM tk WHERE len(t) > 0),
+       |c AS (SELECT doc_id, unnest(range(nc))::BIGINT AS chunk_id, t, L FROM n),
+       |sc AS (SELECT doc_id,
+       |  $marks
+       |FROM c),
+       |v AS (SELECT doc_id,
+       |  CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS cl FROM sc),
+       |g AS (SELECT doc_id, cl, count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+       |p AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chunks,
+       |      count(*)::BIGINT AS n_langs FROM g GROUP BY 1),
+       |m AS (SELECT doc_id, cl AS lang_major, cnt AS major_cnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, cl) AS rn FROM g) WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(p.n_chunks, 0)::BIGINT AS n_chunks,
+       |  coalesce(p.n_langs, 0)::BIGINT AS n_langs,
+       |  m.lang_major,
+       |  (CASE WHEN p.n_chunks > 0 THEN (m.major_cnt * 10000) // p.n_chunks END)::BIGINT
+       |    AS major_share_e4,
+       |  len(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::BIGINT AS cjk_chars
+       |FROM documents d
+       |LEFT JOIN p ON p.doc_id = d.doc_id
+       |LEFT JOIN m ON m.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val q187NoveltySql: String =
     s"""WITH t AS (SELECT doc_id, $tokSqlExpr AS toks FROM documents),
        |b AS (SELECT doc_id, CASE WHEN len(toks) >= 2

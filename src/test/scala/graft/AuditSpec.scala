@@ -275,6 +275,32 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("anomaly ingest: per-day distinct users stay exact across a mid-day batch split") {
+    val base = java.nio.file.Files.createTempDirectory("graft_anspec_")
+    try {
+      val path = s"$base/state"
+      val t = "2026-01-0"
+      def ev(rows: Seq[(Long, String, Long)]) = rows.toDF("event_id", "tss", "user_id")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"))
+      // user 7 is active on day 1 in BOTH batches: a per-batch distinct
+      // count would say 2 users; the (day, user) grain must say 1
+      val b1 = ev(Seq((1L, s"${t}1 10:00:00", 7L), (2L, s"${t}2 10:00:00", 8L)))
+      val b2 = ev(Seq((3L, s"${t}1 11:00:00", 7L), (4L, s"${t}2 11:00:00", 9L)))
+      assert(Audit.anomalyIngest(spark, path, b1, col("ts"), col("user_id"), "b1"))
+      assert(Audit.anomalyIngest(spark, path, b2, col("ts"), col("user_id"), "b2"))
+      assert(!Audit.anomalyIngest(spark, path, b2, col("ts"), col("user_id"), "b2"))
+      val rep = Audit.anomaliesFromState(
+          graft.sinks.LedgeredState.readPart(spark, path, "day_user").get)
+        .collect().map(r => r.getDate(0).toString ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_users")))).toMap
+      assert(rep("2026-01-01") == ((2L, 1L)), s"same user twice on day 1: ${rep("2026-01-01")}")
+      assert(rep("2026-01-02") == ((2L, 2L)), s"two users on day 2: ${rep("2026-01-02")}")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("contract ingest: a key duplicated ACROSS batches is caught by the state") {
     // per-batch validation cannot see this violation — each batch is
     // individually unique; only the folded key_counts state can
