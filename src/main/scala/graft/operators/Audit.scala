@@ -1019,35 +1019,46 @@ object Audit {
     contractValidate(Tables.documents(spark, dir), "doc_id",
       docContractRules(spark, dir))
 
-  val q186ContractsSql: String =
-    s"""WITH c1 AS (SELECT 'text_not_null' AS rule, count(*)::BIGINT AS n_checked,
+  /** The q186 rule suite's oracle CTEs over an arbitrary source exposing
+    * (doc_id, text, lang, source, n_chars) — shared by the batch gate
+    * and the q200 release audit, so both validate with ONE SQL
+    * restatement of the rules. */
+  private[graft] def contractCtesSqlOver(src: String): String =
+    s"""c1 AS (SELECT 'text_not_null' AS rule, count(*)::BIGINT AS n_checked,
        |    sum((NOT coalesce(text IS NOT NULL, false))::int)::BIGINT AS n_violations,
        |    min(CASE WHEN NOT coalesce(text IS NOT NULL, false) THEN doc_id END)::VARCHAR AS first_bad_key
-       |  FROM documents),
+       |  FROM $src),
        |c2 AS (SELECT 'nchars_consistent', count(*)::BIGINT,
        |    sum((NOT coalesce(n_chars = length(text), false))::int)::BIGINT,
        |    min(CASE WHEN NOT coalesce(n_chars = length(text), false) THEN doc_id END)::VARCHAR
-       |  FROM documents),
+       |  FROM $src),
        |c3 AS (SELECT 'lang_accepted', count(*)::BIGINT,
        |    sum((NOT coalesce(lang IN ('en','de','es','fr'), false))::int)::BIGINT,
        |    min(CASE WHEN NOT coalesce(lang IN ('en','de','es','fr'), false) THEN doc_id END)::VARCHAR
-       |  FROM documents),
+       |  FROM $src),
        |c4 AS (SELECT 'nchars_range', count(*)::BIGINT,
        |    sum((NOT coalesce(n_chars BETWEEN 1 AND 100000, false))::int)::BIGINT,
        |    min(CASE WHEN NOT coalesce(n_chars BETWEEN 1 AND 100000, false) THEN doc_id END)::VARCHAR
-       |  FROM documents),
+       |  FROM $src),
        |u AS (SELECT 'doc_id_unique', coalesce(sum(c), 0)::BIGINT,
        |    coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT,
        |    min(CASE WHEN c > 1 THEN k END)::VARCHAR
-       |  FROM (SELECT doc_id AS k, count(*)::BIGINT AS c FROM documents GROUP BY 1)),
+       |  FROM (SELECT doc_id AS k, count(*)::BIGINT AS c FROM $src GROUP BY 1)),
        |r AS (SELECT 'embedding_fk', count(*)::BIGINT,
        |    sum((d.doc_id IS NOT NULL AND e.vec_id IS NULL)::int)::BIGINT,
        |    min(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL THEN d.doc_id END)::VARCHAR
-       |  FROM documents d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
-       |    ON d.doc_id = e.vec_id)
+       |  FROM $src d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+       |    ON d.doc_id = e.vec_id)""".stripMargin
+
+  /** The union of the six rule CTEs, column names from c1. */
+  private[graft] val contractUnionSql: String =
+    """SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+      |      UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM u UNION ALL SELECT * FROM r""".stripMargin
+
+  val q186ContractsSql: String =
+    s"""WITH ${contractCtesSqlOver("documents")}
        |SELECT rule, n_checked, n_violations, first_bad_key,
        |  (n_violations = 0) AS pass
-       |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
-       |      UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM u UNION ALL SELECT * FROM r)
+       |FROM ($contractUnionSql)
        |ORDER BY rule""".stripMargin
 }
