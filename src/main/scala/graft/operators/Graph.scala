@@ -398,16 +398,16 @@ object Graph {
        |  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
        |         page AS dst
        |  FROM o),
-       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |        FROM steps WHERE src IS NOT NULL AND src != dst),
        |ordk AS (SELECT v, count(*) * 1000000000 + v AS o
        |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
-       |orient AS (SELECT
+       |orient AS MATERIALIZED (SELECT
        |    CASE WHEN oa.o < ob.o THEN und.a ELSE und.b END AS u,
        |    CASE WHEN oa.o < ob.o THEN und.b ELSE und.a END AS w,
        |    CASE WHEN oa.o < ob.o THEN ob.o ELSE oa.o END AS ow
        |  FROM und JOIN ordk oa ON oa.v = und.a JOIN ordk ob ON ob.v = und.b),
-       |tri AS (SELECT e1.u, e1.w AS x, e2.w AS y
+       |tri AS MATERIALIZED (SELECT e1.u, e1.w AS x, e2.w AS y
        |  FROM orient e1
        |  JOIN orient e2 ON e2.u = e1.u AND e1.ow < e2.ow
        |  JOIN orient e3 ON e3.u = e1.w AND e3.w = e2.w)

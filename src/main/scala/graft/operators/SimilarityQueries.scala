@@ -508,7 +508,7 @@ object SimilarityQueries {
   private val KcSeed = 0L
 
   /** GREEDY k-CENTER (farthest-point) DIVERSITY SELECTION — pick k
-    * embeddings such that every corpus point is близко to some pick:
+    * embeddings such that every corpus point lies near some pick:
     * the classic 2-approximation (Gonzalez 1985) and the standard
     * "choose k DIVERSE exemplars" move in training-data curation
     * (coreset seeding, eval-set design, annotation budgets) — the
