@@ -184,11 +184,20 @@ object Skew {
     * sort/window over the key universe), and a 3-number aggregate. The
     * rank window runs AFTER the limit, over topN rows. */
   def skewReport(df: DataFrame, keyCol: String, topN: Int,
-                 targetRows: Long): DataFrame = {
+                 targetRows: Long): DataFrame =
+    skewReportFromCounts(
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("cnt")),
+      topN, targetRows)
+
+  /** The report tail over a prepared (k, cnt) frame — shared by the
+    * batch scan and the state-derived paths ([[skewIngest]]) so every
+    * gate ranks and recommends with ONE rule. */
+  def skewReportFromCounts(rawCounts: DataFrame, topN: Int,
+                           targetRows: Long): DataFrame = {
     require(topN >= 1 && targetRows >= 1, s"topN=$topN targetRows=$targetRows")
-    val counts = df.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).cast("long").as("k"))
-      .agg(count(lit(1)).as("cnt"))
+    val counts = rawCounts
       .localCheckpoint(true) // consumed by both the top-N and the summary
     val nulls = Seq("n_rows", "n_keys", "skew_x1000", "salt")
     val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(topN)
@@ -213,6 +222,99 @@ object Skew {
     * are all exercised non-vacuously. */
   def q195SkewReport(spark: SparkSession, dir: String): DataFrame =
     skewReport(Tables.events(spark, dir), "user_id", SkewTopN, SkewTarget)
+
+  /** INCREMENTAL SKEW STATE — per-key counts folded per batch with the
+    * batchId ledger: the monitor a nightly pipeline keeps warm so the
+    * salt decision for tomorrow's join reads a snapshot instead of
+    * re-counting the corpus. The grain argument is q189's Unique case
+    * one more time: a hot key's rows arrive across MANY batches, so
+    * only key-level additive counts see the true maximum. State size =
+    * distinct keys, with map-side partials per batch. */
+  def skewIngest(spark: SparkSession, path: String, batch: DataFrame,
+                 keyCol: String, batchId: String): Boolean = {
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val b = batch.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = LedgeredState.readPart(spark, path, "key_counts") match {
+      case Some(st) => st.unionByName(b).groupBy(col("k"))
+        .agg(sum(col("cnt")).as("cnt"))
+      case None => b
+    }
+    LedgeredState.commit(spark, path, batchId, Seq("key_counts" -> merged))
+    true
+  }
+
+  /** q201: the skew monitor INCREMENTAL — the clickstream folded in two
+    * event-id-parity batches (every hot user straddles both, so a
+    * per-batch maximum provably understates the skew), report derived
+    * from the snapshot, whole-batch replay a ledger no-op. Oracle IS
+    * q195's verbatim. */
+  def q201SkewIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q201_")
+    try {
+      val path = s"$base/skew_state"
+      val ev = Tables.events(spark, dir)
+      require(skewIngest(spark, path, ev.filter(col("event_id") % 2 === 0L),
+        "user_id", "even"))
+      require(skewIngest(spark, path, ev.filter(col("event_id") % 2 =!= 0L),
+        "user_id", "odd"))
+      require(!skewIngest(spark, path, ev.filter(col("event_id") % 2 =!= 0L),
+        "user_id", "odd"), "replayed batch must be a ledger no-op")
+      skewReportFromCounts(
+          LedgeredState.readPart(spark, path, "key_counts").get,
+          SkewTopN, SkewTarget)
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** The whole point of the incremental path: its oracle IS q195's. */
+  def q201SkewIngestSql: String = q195SkewReportSql
+
+  /** q202: the q201 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingSkew]] — foreachBatch per landed
+    * parity file, Trigger.AvailableNow). Oracle IS q195's — the skew
+    * monitor's batch/incremental/streamed triple closes. */
+  def q202StreamSkew(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q202_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val statePath = s"$base/skew_state"
+      val ev = Tables.events(spark, dir)
+      fs.mkdirs(new Path(srcDir))
+      Seq(ev.filter(col("event_id") % 2 === 0L),
+          ev.filter(col("event_id") % 2 =!= 0L))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/half_$i.parquet"))
+        }
+      val q = graft.streaming.StreamingSkew.start(spark, srcDir, statePath,
+        s"$base/ckpt", keyCol = "user_id",
+        trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      skewReportFromCounts(
+          LedgeredState.readPart(spark, statePath, "key_counts").get,
+          SkewTopN, SkewTarget)
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      fs.delete(new Path(base.toString), true)
+    }
+  }
+
+  def q202StreamSkewSql: String = q195SkewReportSql
 
   val q195SkewReportSql: String =
     s"""WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS cnt FROM events

@@ -75,6 +75,31 @@ class SkewSpec extends SparkSpec {
     assert(salted >= 4, "the hot key's rows must land in several salt buckets")
   }
 
+  test("skew ingest: a hot key split across batches keeps its true maximum") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_skspec_")
+    try {
+      val path = s"$base/state"
+      // key 1 has 4 rows total, but at most 2 in any one batch: a
+      // per-batch maximum would say 2; the folded state must say 4
+      val b1 = Seq(1L, 1L, 2L).toDF("k")
+      val b2 = Seq(1L, 1L, 3L).toDF("k")
+      assert(Skew.skewIngest(spark, path, b1, "k", "b1"))
+      assert(Skew.skewIngest(spark, path, b2, "k", "b2"))
+      assert(!Skew.skewIngest(spark, path, b2, "k", "b2"), "replay no-op")
+      val rep = Skew.skewReportFromCounts(
+          graft.sinks.LedgeredState.readPart(spark, path, "key_counts").get,
+          topN = 1, targetRows = 2L).collect()
+      val hot = rep.find(_.getString(0) == "key").get
+      assert(hot.getLong(2) == 1L && hot.getLong(3) == 4L, "true cross-batch max")
+      val s = rep.find(_.getString(0) == "summary").get
+      assert(s.getAs[Long]("salt") == 2L, "ceil(4/2)")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("skew report: hand-computed ranks, ratio, and salt recommendation") {
     import spark.implicits._
     val frame = Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
