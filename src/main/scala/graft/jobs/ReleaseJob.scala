@@ -133,6 +133,10 @@ object ReleaseJob {
     * not), else commit it as the next catalog version. Prints one JSON
     * line per stage (the BulkUpdateJob convention). */
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: ReleaseJob <sfDir> <catalogPath>")
+      sys.exit(2)
+    }
     val Array(sfDir, catalogPath) = args
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -150,8 +154,14 @@ object ReleaseJob {
       println(s"""{"stage":"release","status":"refused","blocking":${blocking.length}}""")
       spark.stop(); sys.exit(1)
     }
+    // Advisory rules never block, but their failures are part of the
+    // release record — surfaced in the final JSON line, not swallowed.
+    val advisoryFailed = report.filter(r =>
+      !r.getAs[Boolean]("pass") && advisory(r.getAs[String]("rule")))
+      .map(_.getAs[String]("rule")).sorted
     val v = VersionCatalog.commit(spark, catalogPath, docs)
-    println(s"""{"stage":"release","status":"committed","version":$v}""")
+    println(s"""{"stage":"release","status":"committed","version":$v,""" +
+      s""""advisory_failures":[${advisoryFailed.map(r => s""""$r"""").mkString(",")}]}""")
     spark.stop()
   }
 }

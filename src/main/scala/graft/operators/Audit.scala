@@ -917,7 +917,11 @@ object Audit {
         coalesce(sum(when(col("c") > 1L, col("c")).otherwise(0L)), lit(0L))
           .as("n_violations"),
         min(when(col("c") > 1L, col("k"))).cast("string").as("first_bad_key")))
-    (a.toSeq ++ u.toSeq).reduce(_.unionByName(_))
+    val parts = a.toSeq ++ u.toSeq
+    require(parts.nonEmpty,
+      "contractReportFromState: both state parts are empty — no batch has " +
+        "been ingested into this state path yet")
+    parts.reduce(_.unionByName(_))
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy(col("rule"))
   }

@@ -547,18 +547,27 @@ object SimilarityQueries {
         emb.filter(col("id") =!= seedId))
       .select(col("id"), col("v"), col("nrm"), col("d").as("mind"))
       .localCheckpoint(true)
-    for (r <- 2 to k) {
+    // If k meets/exceeds the number of distinct points the candidate frame
+    // drains early: stop picking (every point is already a center) rather
+    // than crashing on an empty argmax.
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
       val top = mind.orderBy(col("mind").desc, col("id").asc).limit(1)
-        .select(col("id"), col("mind")).collect()(0) // 1 row — driver-safe
-      picks += (("center", Some(r.toLong), Some(top.getLong(0)),
-        Some(top.getDouble(1))))
-      mind = distTo(mind.filter(col("id") === top.getLong(0)))(
-          mind.filter(col("id") =!= top.getLong(0)))
-        .select(col("id"), col("v"), col("nrm"),
-          least(col("mind"), col("d")).as("mind"))
-        .localCheckpoint(true)
+        .select(col("id"), col("mind")).collect() // ≤1 row — driver-safe
+      if (top.isEmpty) exhausted = true
+      else {
+        picks += (("center", Some(r.toLong), Some(top(0).getLong(0)),
+          Some(top(0).getDouble(1))))
+        mind = distTo(mind.filter(col("id") === top(0).getLong(0)))(
+            mind.filter(col("id") =!= top(0).getLong(0)))
+          .select(col("id"), col("v"), col("nrm"),
+            least(col("mind"), col("d")).as("mind"))
+          .localCheckpoint(true)
+      }
     }
-    val coverage = mind.agg(max(col("mind"))).head().getDouble(0)
+    // Empty residual (all points selected) ⇒ the objective is met exactly.
+    val covRow = mind.agg(max(col("mind"))).head()
+    val coverage = if (covRow.isNullAt(0)) 0.0 else covRow.getDouble(0)
     picks += (("coverage", None, None, Some(coverage)))
     picks.result().toDF("sect", "rank", "center_id", "radius")
       .orderBy(col("sect"), col("rank"))

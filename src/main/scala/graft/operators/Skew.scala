@@ -175,9 +175,14 @@ object Skew {
     * "the stage is slow" into "key 17 carries 8.6% of the table, salt
     * it 2 ways" — the planning step q47 assumes already happened.
     *
-    * Exactness: counts, ratio, and salt are pure BIGINT algebra (`div`
-    * floor division ≡ DuckDB `//` on non-negatives); nulls in the key
-    * column are excluded (they never co-locate in a hash join anyway).
+    * Exactness: counts, ratio, and salt are pure integer algebra (`div`
+    * floor division ≡ DuckDB `//` on non-negatives); the ratio's
+    * intermediate widens to DECIMAL(38,0) (HUGEINT on the oracle side)
+    * so max_cnt·n_keys·1000 stays exact up to ~3e17 input rows — far
+    * past the 100 TB row counts these monitors target. Keys that are
+    * null OR fail the long cast are excluded (filtered AFTER the cast,
+    * so a non-numeric string key is dropped rather than collapsing the
+    * whole column into one k=null group).
     *
     * Scale: one key-grouped count with map-side partials (the shuffle
     * carries distinct keys), a TakeOrdered top-N (never a global
@@ -186,8 +191,9 @@ object Skew {
   def skewReport(df: DataFrame, keyCol: String, topN: Int,
                  targetRows: Long): DataFrame =
     skewReportFromCounts(
-      df.filter(col(keyCol).isNotNull)
-        .groupBy(col(keyCol).cast("long").as("k"))
+      df.select(col(keyCol).cast("long").as("k"))
+        .filter(col("k").isNotNull) // post-cast: drops unparseable keys too
+        .groupBy(col("k"))
         .agg(count(lit(1)).as("cnt")),
       topN, targetRows)
 
@@ -211,7 +217,8 @@ object Skew {
       .select(lit("summary").as("sect"), lit(null).cast("long").as("rank"),
         lit(null).cast("long").as("key"), col("max_cnt").as("cnt"),
         col("n_rows"), col("n_keys"),
-        expr("(max_cnt * n_keys * 1000) div n_rows").as("skew_x1000"),
+        expr("(cast(max_cnt as decimal(38,0)) * n_keys * 1000) div n_rows")
+          .as("skew_x1000"),
         expr(s"(max_cnt + ${targetRows - 1}) div $targetRows").as("salt"))
     top.unionByName(summary).orderBy(col("sect"), col("rank"))
   }
@@ -234,8 +241,9 @@ object Skew {
                  keyCol: String, batchId: String): Boolean = {
     import graft.sinks.LedgeredState
     if (LedgeredState.absorbed(spark, path, batchId)) return false
-    val b = batch.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).cast("long").as("k"))
+    val b = batch.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull) // post-cast, mirroring skewReport
+      .groupBy(col("k"))
       .agg(count(lit(1)).as("cnt"))
     val merged = LedgeredState.readPart(spark, path, "key_counts") match {
       case Some(st) => st.unionByName(b).groupBy(col("k"))
@@ -330,7 +338,7 @@ object Skew {
        |  FROM t
        |  UNION ALL
        |  SELECT 'summary', NULL::BIGINT, NULL::BIGINT, max_cnt, n_rows, n_keys,
-       |    ((max_cnt * n_keys * 1000) // n_rows)::BIGINT,
+       |    ((max_cnt::HUGEINT * n_keys * 1000) // n_rows)::BIGINT,
        |    ((max_cnt + ${SkewTarget - 1}) // $SkewTarget)::BIGINT
        |  FROM s)
        |ORDER BY sect, rank""".stripMargin
