@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1188,4 +1189,138 @@ object MergeQueries {
       |  (CASE WHEN d.doc_id % 3 = 0 THEN d.doc_id % 7 END)::BIGINT AS flag
       |FROM l, documents d
       |ORDER BY layout, doc_id""".stripMargin
+
+  /** q203: OPTIMISTIC-CONCURRENCY CATALOG COMMIT — the multi-writer
+    * scenario every prior sink excluded by fiat (and the reference
+    * never handles either: its Mongo bulk writes are atomic per
+    * statement, last-writer-wins across jobs, mongo.py:103-163). Two
+    * committers interleave on one [[graft.sinks.VersionCatalog]]:
+    * writer A reads the empty head; writer B commits v1 (the full
+    * corpus) in between; A's CAS commit against its stale head MUST
+    * fail loudly ([[graft.sinks.CommitLog.CommitConflictException]] —
+    * counted in the output, expected exactly 1), and B's v1 must
+    * survive untouched (no lost update). A then retries through the
+    * retry loop and lands as v2; a clean CAS at the current head lands
+    * v3. The gate reads every version BACK through time travel and
+    * emits (rows, Σdoc_id) per version — a lost update, a phantom
+    * extra version, or a commit that "won" with the wrong content all
+    * fail row-level against the oracle's per-frame expectations.
+    *
+    * Scale: contention cost is metadata-only — the loser's retry
+    * re-reads a tiny commit file and re-appends one; its data dir is
+    * writer-unique and never rewritten. Nothing here is corpus². */
+  def q203CasCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{CommitLog, VersionCatalog}
+    val base = java.nio.file.Files.createTempDirectory("graft_q203_")
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val cat = s"$base/catalog"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")).localCheckpoint(true)
+      val aFrame = docs.filter(col("doc_id") % 3 === 0)
+      // writer A reads the head...
+      val (headA, _) = VersionCatalog.headState(spark, cat)
+      // ...writer B commits v1 in between...
+      VersionCatalog.commit(spark, cat, docs)
+      // ...A's stale CAS must lose, loudly and retryably
+      var conflicts = 0L
+      try { VersionCatalog.commitCas(spark, cat, aFrame, headA); () }
+      catch { case _: CommitLog.CommitConflictException => conflicts += 1 }
+      // A retries (the convenience loop re-reads the head) → v2
+      VersionCatalog.commit(spark, cat, aFrame)
+      // a clean CAS against the CURRENT head → v3
+      val (h2, _) = VersionCatalog.headState(spark, cat)
+      VersionCatalog.commitCas(spark, cat,
+        docs.filter(col("doc_id") % 3 =!= 0), h2)
+      // read-back: every version's rows + id checksum via time travel
+      val perV = VersionCatalog.versions(spark, cat).map { v =>
+        VersionCatalog.readVersion(spark, cat, v)
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .select(lit("version").as("sect"), lit(v).as("v"),
+            col("n"), col("id_sum"))
+      }.reduce(_ unionByName _)
+      val ss = spark; import ss.implicits._
+      perV.unionByName(
+          Seq(("conflicts", Option.empty[Long], conflicts, Option.empty[Long]))
+            .toDF("sect", "v", "n", "id_sum"))
+        .orderBy(col("sect"), col("v"))
+        .localCheckpoint(true) // materialize before the catalog dir dies
+    } finally fs.delete(new Path(base.toString), true)
+  }
+
+  val q203CasCatalogSql: String =
+    """SELECT * FROM (
+      |  SELECT 'conflicts' AS sect, NULL::BIGINT AS v, 1::BIGINT AS n,
+      |    NULL::BIGINT AS id_sum
+      |  UNION ALL
+      |  SELECT 'version', 1, count(*), sum(doc_id) FROM documents
+      |  UNION ALL
+      |  SELECT 'version', 2, count(*), sum(doc_id) FROM documents
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'version', 3, count(*), sum(doc_id) FROM documents
+      |  WHERE doc_id % 3 != 0)
+      |ORDER BY sect, v""".stripMargin
+
+  /** [[dedupIngest]] against the MANIFEST-POINTER snapshot
+    * ([[graft.sinks.ManifestMergeSink]]) — the fifth physical layout:
+    * bounded touched-bucket IO like the partitioned form, but publish
+    * is ONE commit-file create (no renames — object-store-safe, and
+    * safe under concurrent writers via the commit log's CAS). The
+    * anti-join probe prunes to the batch's buckets through the head
+    * mapping (a hash's bucket is deterministic — re-delivered keys can
+    * only collide there, the q73 argument). */
+  def dedupIngestManifested(spark: SparkSession, target: String,
+                            batch: DataFrame,
+                            nBuckets: Int): MergeSink.MergeStats = {
+    import graft.sinks.ManifestMergeSink
+    val uniq = batch.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(true) // probed for buckets, then anti-joined
+    val fresh =
+      if (ManifestMergeSink.headState(spark, target).isDefined) {
+        val touched = ManifestMergeSink.bucketsOf(spark, target, uniq,
+          "content_hash", nBuckets)
+        uniq.join(
+          ManifestMergeSink.readManifestedBuckets(spark, target, touched)
+            .select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+      } else uniq
+    ManifestMergeSink.mergeIntoManifested(spark, target, fresh,
+      "content_hash", Seq("doc_id"), nBuckets)
+  }
+
+  /** q204: the q65 day-split + re-delivery harness through the
+    * MANIFEST-POINTER layout — the fifth physical form under the
+    * driver's gate, proving the rename-free commit-log publish
+    * preserves the exact first-arrival dedup semantics of the swap
+    * layouts. Same oracle as q65/q73/q83: the final index must equal
+    * batch dedup of the whole corpus row-for-row. */
+  def q204IncrDedupManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q204_")
+    try {
+      val target = s"$base/dedup_index"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      // day 2 re-delivers every 5th document — q65's harness verbatim
+      Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+        .foreach(day => dedupIngestManifested(spark, target, day,
+          nBuckets = 16))
+      ManifestMergeSink.readManifested(spark, target)
+        .select(col("content_hash"), col("doc_id").as("survivor_id"))
+        .orderBy(col("content_hash"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  def q204IncrDedupManifestSql: String = q65IncrDedupSql
 }

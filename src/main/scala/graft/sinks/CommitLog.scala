@@ -1,0 +1,164 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+
+/** APPEND-ONLY COMMIT LOG — the optimistic-concurrency primitive every
+  * multi-writer sink publishes through.
+  *
+  * The engine's original publish protocol ([[MergeSink.atomicSwap]]) is
+  * rename-based and single-writer: two jobs committing the same snapshot
+  * interleave their swaps and the last rename silently wins — the lost
+  * update the reference shares (its Mongo sink,
+  * /root/reference/src/func/mongo.py:103-163, has per-statement
+  * server-side atomicity but nothing across writers). And on an object
+  * store there is no atomic rename to build the swap from in the first
+  * place.
+  *
+  * This log replaces the swap with the lakehouse commit protocol
+  * (Delta/Iceberg's): state lives as IMMUTABLE numbered commit files
+  * `_commits/<seq>` under the sink root, each carrying the FULL
+  * metadata of the state after that commit (tiny — mappings and schema,
+  * never data). The publish step is ONE file creation with
+  * put-if-absent semantics, which is simultaneously:
+  *
+  *  - the CAS: a writer that read head seq `s` publishes by creating
+  *    `_commits/<s+1>`; if a concurrent writer got there first the
+  *    create fails and the loser gets a retryable
+  *    [[CommitLog.CommitConflictException]] — one winner per slot,
+  *    never a silent overwrite;
+  *  - the object-store-safe publish: one immutable object write — no
+  *    renames anywhere on the read or publish path. On HDFS
+  *    `create(overwrite=false)` is atomic; on S3 it maps to a
+  *    conditional PUT (`If-None-Match: *`); the local filesystem's
+  *    exists-check+create suffices for the deterministic interleaves
+  *    the specs drive.
+  *
+  * Crash discipline (no recovery renames needed — compare
+  * [[MergeSink.recoverSwap]]'s two-rename window):
+  *
+  *  - data is always written BEFORE the commit file that references it;
+  *    a crash pre-publish leaves invisible orphan data dirs (swept by
+  *    the owning sink's vacuum), state stays at the previous commit;
+  *  - a crash MID-WRITE of a commit file leaves a truncated head file.
+  *    Readers validate content (each sink's format ends with a sentinel
+  *    line) and fall back past unparsable residue; the next writer
+  *    reclaims the slot (an invalid file is deletable by contract — a
+  *    writer that crashed mid-write never returned success, so nothing
+  *    ever referenced that commit). A PARSABLE commit file is never
+  *    deleted or rewritten.
+  *
+  * Scale: O(commits) tiny metadata files, read = one listing + one
+  * small file; nothing here is corpus-shaped. Sinks that accumulate
+  * very long histories can sweep fully-superseded files in their
+  * vacuum (every commit carries full state, so old files are never
+  * needed for correctness).
+  */
+object CommitLog {
+
+  /** Retryable: another writer won the commit slot. Re-read the head,
+    * reconcile, and publish again. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private[sinks] val Dir = "_commits"
+
+  private def logDir(root: Path) = new Path(root, Dir)
+
+  private def fileOf(root: Path, seq: Long): Path = {
+    require(seq >= 1, s"commit seq $seq must be >= 1")
+    new Path(logDir(root), f"$seq%020d")
+  }
+
+  /** All commit seqs present (ascending), including any unparsable
+    * crash residue — callers validate content. */
+  def seqs(fs: FileSystem, root: Path): Seq[Long] = {
+    val d = logDir(root)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).iterator
+      .filter(_.isFile)
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .toSeq.sorted
+  }
+
+  /** Content of commit `seq`, if the file exists (raw — may be a
+    * truncated crash residue; validate before trusting). */
+  def read(fs: FileSystem, root: Path, seq: Long): Option[String] = {
+    val f = fileOf(root, seq)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** The newest VALID commit: walks down from the highest seq past any
+    * unparsable residue (at most the in-flight tail can be invalid).
+    * Returns (seq, content), or None on an empty/never-committed log. */
+  def head(fs: FileSystem, root: Path,
+           isValid: String => Boolean): Option[(Long, String)] =
+    seqs(fs, root).reverseIterator
+      .flatMap(s => read(fs, root, s).filter(isValid).map(s -> _))
+      .nextOption()
+
+  /** Publish `content` as commit `expectedHead + 1`. Throws
+    * [[CommitConflictException]] if the slot is taken by a VALID commit
+    * (another writer won — retryable). Invalid residue in the slot (a
+    * crashed writer's truncated file) is reclaimed: deletable by the
+    * crash contract above. `expectedHead` 0 means "I read an empty log".
+    *
+    * The content write goes through a create(overwrite = false): the
+    * existence check IS the CAS. A crash between our create and the
+    * full content landing leaves residue the next writer reclaims. */
+  def tryAppend(fs: FileSystem, root: Path, expectedHead: Long,
+                content: String, isValid: String => Boolean): Long = {
+    require(expectedHead >= 0, s"expectedHead=$expectedHead")
+    require(isValid(content),
+      "refusing to append content the caller's own validator rejects " +
+        "(readers would skip it as crash residue)")
+    val seq = expectedHead + 1
+    val f = fileOf(root, seq)
+    fs.mkdirs(logDir(root))
+    if (fs.exists(f)) {
+      if (read(fs, root, seq).exists(isValid))
+        throw new CommitConflictException(
+          s"commit $seq at $root already published by another writer " +
+            s"(expected head $expectedHead is stale) — re-read and retry")
+      fs.delete(f, false) // truncated crash residue: reclaim the slot
+    }
+    // Any seq beyond ours ⇒ we lost long ago (head moved past us).
+    val newest = seqs(fs, root).lastOption.getOrElse(0L)
+    if (newest > seq || (newest == seq && fs.exists(f)))
+      throw new CommitConflictException(
+        s"commit log at $root is at seq $newest, past expected head " +
+          s"$expectedHead — re-read and retry")
+    val out =
+      try fs.create(f, false) // put-if-absent: the CAS itself
+      catch {
+        case _: FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"lost the race for commit $seq at $root — re-read and retry")
+        case e: java.io.IOException if fs.exists(f) =>
+          // FileSystem contract only promises "IOException if exists" —
+          // map the exists case to a conflict, rethrow real IO errors
+          throw new CommitConflictException(
+            s"lost the race for commit $seq at $root (${e.getMessage}) — " +
+              "re-read and retry")
+      }
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    seq
+  }
+
+  /** Sweep fully-superseded commit files strictly below `belowSeq`
+    * (each commit carries full state, so only the head is ever read;
+    * keeping a margin below head lets concurrent readers finish).
+    * Never touches the head. */
+  def sweep(fs: FileSystem, root: Path, belowSeq: Long): Seq[Long] = {
+    val all = seqs(fs, root)
+    val headSeq = all.lastOption.getOrElse(0L)
+    val victims = all.filter(s => s < belowSeq && s < headSeq)
+    victims.foreach(s => fs.delete(fileOf(root, s), false))
+    victims
+  }
+}

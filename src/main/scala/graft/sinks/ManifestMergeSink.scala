@@ -1,0 +1,349 @@
+package graft.sinks
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** MANIFEST-POINTER merge snapshot — the fifth physical merge layout,
+  * and the one that survives rename-less object stores and concurrent
+  * writers.
+  *
+  * [[MergeSink.mergeIntoPartitioned]] bounds per-merge IO to the
+  * touched hash buckets, but its publish step is N per-bucket directory
+  * renames: atomic per bucket, NOT across buckets (a crash mid-swap
+  * leaves a mixed snapshot), meaningless on S3 (no atomic rename), and
+  * last-writer-wins under concurrency. Here the same bounded data plane
+  * publishes through the [[CommitLog]] instead:
+  *
+  * Layout — immutable objects only, zero renames:
+  *  - `$target/g-<tok>/pb=<b>/` immutable parquet dirs: each merge
+  *    writes its touched buckets as ONE new generation dir (its staging
+  *    dir IS its final home — nothing moves);
+  *  - `$target/_commits/<seq>` commit files, each carrying the full
+  *    snapshot state: payload schema (authoritative — the
+  *    [[MergeSink.readPartitioned]] manifest lesson), the bucket count,
+  *    and the bucket → data-dir mapping.
+  *
+  * A merge: read head; read ONLY the touched buckets' dirs; merge
+  * ([[MergeSink.mergePlanObserved]] — same semantics, same counts, same
+  * schema evolution as every other layout); write the results as a new
+  * generation dir; publish ONE commit file repointing the touched
+  * buckets. Untouched buckets are never read, written, moved, or even
+  * listed — their dirs stay byte-identical and their mapping rows carry
+  * forward.
+  *
+  * Concurrency (the [[CommitLog]] CAS): two merges race on the commit
+  * slot; exactly one wins. The loser inspects the winner's commit —
+  * if the winner touched DISJOINT buckets, the loser's merge result is
+  * still exactly right (it derived only from its own touched buckets),
+  * so it re-publishes against the new head with a metadata-only retry
+  * (schema = union — both sides' evolutions land); if the bucket sets
+  * OVERLAP, its input changed under it, so it discards its generation
+  * dir and re-merges from the new head. Either way: no lost updates,
+  * no silent overwrite — the contention spec interleaves both cases.
+  *
+  * Crash windows: a crash before the commit-file create leaves an
+  * orphan generation dir (invisible — state stays at the previous
+  * commit; the re-run converges; [[vacuumManifested]] sweeps the
+  * residue); a crash mid-write of the commit file leaves residue
+  * readers skip and the next writer reclaims ([[CommitLog]]). There is
+  * NO window in which readers see a mixed snapshot — the commit file
+  * flips every touched bucket at once.
+  *
+  * Scale: per-merge IO ∝ touched-bucket bytes (the
+  * mergeIntoPartitioned argument), publish is one tiny object write
+  * regardless of how many buckets changed, reads are schema-pinned
+  * pruned parquet scans of exactly the mapped dirs. Old generations'
+  * only cost is unreclaimed space until vacuum. */
+object ManifestMergeSink {
+
+  /** Full snapshot state as carried by every commit file. */
+  final case class ManifestState(schema: StructType, nBuckets: Int,
+                                 mapping: Map[Long, String])
+
+  private val Header = "graft-merge-manifest-v1"
+  private val End = "END"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tok(): String = UUID.randomUUID().toString.take(8)
+
+  private[sinks] def isValid(content: String): Boolean = {
+    val ls = content.linesIterator.toSeq
+    ls.headOption.contains(Header) && ls.lastOption.contains(End) && {
+      val body = ls.drop(1).dropRight(1)
+      body.count(_.startsWith("S\t")) == 1 &&
+        body.count(_.startsWith("N\t")) == 1 &&
+        body.forall { l =>
+          l.split('\t') match {
+            case Array("S", j) => j.nonEmpty
+            case Array("N", n) => n.toIntOption.exists(_ >= 1)
+            case Array("B", b, d) => b.toLongOption.isDefined && d.nonEmpty
+            case _ => false
+          }
+        }
+    }
+  }
+
+  private def render(st: ManifestState): String =
+    (Seq(Header, s"S\t${st.schema.json}", s"N\t${st.nBuckets}") ++
+      st.mapping.toSeq.sortBy(_._1).map { case (b, d) => s"B\t$b\t$d" } :+
+      End).mkString("\n")
+
+  private def parse(content: String): ManifestState = {
+    val body = content.linesIterator.toSeq.drop(1).dropRight(1)
+    val schema = body.collectFirst { case l if l.startsWith("S\t") =>
+      org.apache.spark.sql.types.DataType.fromJson(l.drop(2))
+        .asInstanceOf[StructType]
+    }.get
+    val n = body.collectFirst { case l if l.startsWith("N\t") =>
+      l.drop(2).toInt
+    }.get
+    val mapping = body.collect { case l if l.startsWith("B\t") =>
+      val Array(_, b, d) = l.split('\t'); b.toLong -> d
+    }.toMap
+    ManifestState(schema, n, mapping)
+  }
+
+  /** The committed head: (commit seq, state); None before first merge. */
+  def headState(spark: SparkSession,
+                target: String): Option[(Long, ManifestState)] = {
+    val root = new Path(target)
+    CommitLog.head(fsOf(spark, root), root, isValid)
+      .map { case (seq, c) => (seq, parse(c)) }
+  }
+
+  private def pb(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets.toLong))
+
+  private def readDirs(spark: SparkSession, target: String,
+                       st: ManifestState, buckets: Seq[Long]): DataFrame = {
+    val dirs = buckets.flatMap(st.mapping.get)
+      .map(d => new Path(new Path(target), d).toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    else spark.read.schema(st.schema).parquet(dirs: _*)
+  }
+
+  /** Read the whole snapshot with its committed schema (files written
+    * before an evolution read null for the evolved columns — parquet's
+    * missing-column semantics, pinned by the schema the commit carries). */
+  def readManifested(spark: SparkSession, target: String): DataFrame =
+    headState(spark, target) match {
+      case Some((_, st)) => readDirs(spark, target, st,
+        st.mapping.keys.toSeq.sorted)
+      case None => throw new IllegalArgumentException(
+        s"no committed manifest snapshot at $target")
+    }
+
+  /** Bucket-pruned read: only the named buckets' dirs are listed/read —
+    * the probe path an ingest's anti-join uses (a key's bucket is
+    * deterministic, so no match can hide elsewhere). */
+  def readManifestedBuckets(spark: SparkSession, target: String,
+                            buckets: Seq[Long]): DataFrame =
+    headState(spark, target) match {
+      case Some((_, st)) => readDirs(spark, target, st, buckets)
+      case None => throw new IllegalArgumentException(
+        s"no committed manifest snapshot at $target")
+    }
+
+  /** The bucket ids `keys` hash into under the snapshot's (or, before
+    * first commit, the given) bucket count. */
+  def bucketsOf(spark: SparkSession, target: String, keys: DataFrame,
+                key: String, nBuckets: Int): Seq[Long] = {
+    val n = headState(spark, target).map(_._2.nBuckets).getOrElse(nBuckets)
+    keys.select(pb(col(key), n).as("pb")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ nBuckets values — driver-safe
+  }
+
+  /** Merge `updates` into the manifest snapshot at `target` — same
+    * semantics and counts as every [[MergeSink]] layout, published
+    * through one commit-file create. Retries contention per the
+    * disjoint/overlap rule above; after `maxRetries` losses the last
+    * conflict propagates (loudly — the caller decides whether to back
+    * off and re-run). */
+  def mergeIntoManifested(spark: SparkSession, target: String,
+                          updates: DataFrame, key: String,
+                          fields: Seq[String], nBuckets: Int,
+                          orderCol: Option[String] = None,
+                          updatedAtCol: String = "updatedAt",
+                          maxRetries: Int = 20,
+                          beforePublish: () => Unit = () => ()): MergeSink.MergeStats = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    // localCheckpoint: probed for buckets, then merged
+    val uniq = MergeSink.collapseUpdates(
+      updates.filter(col(key).isNotNull), key, fields, orderCol)
+      .localCheckpoint(true)
+
+    // beforePublish: injectable contention seam (the catalogSwap
+    // precedent) — runs ONCE, after this writer's generation dir lands
+    // and before its first publish attempt, so a spec can interleave a
+    // competing committer deterministically
+    var hookPending = true
+    var attempt = 0
+    while (true) {
+      val head = headState(spark, target)
+      val seq = head.map(_._1).getOrElse(0L)
+      val st = head.map(_._2)
+      st.foreach(s => require(s.nBuckets == nBuckets,
+        s"snapshot at $target is bucketed ${s.nBuckets} ways, merge asked " +
+          s"for $nBuckets — bucket counts are immutable per snapshot"))
+      val n = st.map(_.nBuckets).getOrElse(nBuckets)
+      val touched = uniq.select(pb(col(key), n).as("pb")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // ≤ nBuckets — driver-safe
+      val targetDf = st match {
+        case Some(s) => readDirs(spark, target, s, touched)
+        case None => MergeSink.emptyTarget(spark, uniq, key, fields,
+          updatedAtCol)
+      }
+      val (merged, obs) = MergeSink.mergePlanObserved(targetDf, uniq, key,
+        MergeSink.evolvedFields(targetDf, key, fields, updatedAtCol),
+        updatedAtCol)
+      val gdir = s"g-${tok()}"
+      merged.withColumn("pb", pb(col(key), n))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(new Path(root, gdir).toString)
+      val mySchema = merged.schema
+      val touchedAtRead = touched.map(b =>
+        b -> st.flatMap(_.mapping.get(b))).toMap
+      if (hookPending) { hookPending = false; beforePublish() }
+
+      // publish loop: metadata-only retries while winners stay disjoint
+      var pubSeq = seq
+      var pubState = st
+      var done = false
+      var stats: MergeSink.MergeStats = null
+      while (!done) {
+        val baseMapping = pubState.map(_.mapping).getOrElse(Map.empty)
+        val baseSchema = pubState.map(_.schema.fields.toSeq)
+          .getOrElse(Seq.empty)
+        val unionSchema = StructType(baseSchema ++
+          mySchema.fields.filterNot(f => baseSchema.exists(_.name == f.name)))
+        val newMapping = baseMapping ++
+          touched.map(b => b -> s"$gdir/pb=$b")
+        try {
+          CommitLog.tryAppend(fs, root, pubSeq,
+            render(ManifestState(unionSchema, n, newMapping)), isValid)
+          stats = MergeSink.statsOf(obs)
+          done = true
+        } catch {
+          case e: CommitLog.CommitConflictException =>
+            attempt += 1
+            if (attempt >= maxRetries) {
+              fs.delete(new Path(root, gdir), true)
+              throw e
+            }
+            val newHead = headState(spark, target)
+            val nh = newHead.map(_._2)
+            // inputs unchanged ⇔ the winner left every bucket I read
+            // alone AND agrees on the bucket count (a first-commit race
+            // can disagree — then the outer re-read fails loudly)
+            val myInputsUnchanged = nh.forall(_.nBuckets == n) &&
+              touchedAtRead.forall { case (b, d) =>
+                nh.flatMap(_.mapping.get(b)) == d
+              }
+            if (myInputsUnchanged) {
+              // winner(s) touched disjoint buckets: my merge result is
+              // still exact — repoint against the new head, data as-is
+              pubSeq = newHead.map(_._1).getOrElse(0L)
+              pubState = nh
+            } else {
+              // overlap: my inputs changed — discard and re-merge
+              fs.delete(new Path(root, gdir), true)
+              done = true // break to the outer re-merge loop
+            }
+        }
+      }
+      if (stats != null) return stats
+    }
+    null // unreachable
+  }
+
+  /** DELETE every row whose `key` is in `keys` — the manifest layout's
+    * right-to-be-forgotten. Copy-on-write: touched buckets' survivors
+    * land in a new generation dir, one commit repoints them (a bucket
+    * purged EMPTY drops out of the mapping entirely), untouched buckets
+    * stay byte-identical. Contention always re-runs from the new head
+    * (purge must see the winner's rows). Idempotent under replay. */
+  def purgeManifested(spark: SparkSession, target: String, keys: DataFrame,
+                      key: String,
+                      maxRetries: Int = 20): MergeSink.PurgeStats = {
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    val uniq = keys.select(col(key)).filter(col(key).isNotNull)
+      .distinct().localCheckpoint(true)
+    var attempt = 0
+    while (true) {
+      val (seq, st) = headState(spark, target).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest snapshot at $target"))
+      val touched = uniq.select(pb(col(key), st.nBuckets).as("pb"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        .filter(st.mapping.contains)
+      if (touched.isEmpty) return MergeSink.PurgeStats(0L, 0L, 0)
+      val obsBefore = Observation()
+      val obsAfter = Observation()
+      val kept = readDirs(spark, target, st, touched)
+        .observe(obsBefore, count(lit(1)).as("n"))
+        .join(broadcast(uniq), Seq(key), "left_anti")
+        .observe(obsAfter, count(lit(1)).as("n"))
+      val gdir = s"g-${tok()}"
+      kept.withColumn("pb", pb(col(key), st.nBuckets))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(new Path(root, gdir).toString)
+      // partitionBy writes only non-empty buckets: survivors repoint,
+      // emptied buckets leave the mapping
+      val written = fs.listStatus(new Path(root, gdir))
+        .filter(_.getPath.getName.startsWith("pb="))
+        .map(_.getPath.getName.stripPrefix("pb=").toLong).toSet
+      val newMapping = (st.mapping -- touched) ++
+        touched.filter(written).map(b => b -> s"$gdir/pb=$b")
+      try {
+        CommitLog.tryAppend(fs, root, seq,
+          render(ManifestState(st.schema, st.nBuckets, newMapping)), isValid)
+        return MergeSink.PurgeStats(
+          obsBefore.get("n").asInstanceOf[Long],
+          obsAfter.get("n").asInstanceOf[Long], touched.length)
+      } catch {
+        case e: CommitLog.CommitConflictException =>
+          fs.delete(new Path(root, gdir), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    null // unreachable
+  }
+
+  /** Sweep generation dirs the head commit does not reference (crashed
+    * or conflict-losing writers, superseded generations) and
+    * fully-superseded commit files. Requires quiesced writers — an
+    * in-flight merge's generation dir looks orphaned (same caveat as
+    * [[VersionCatalog.vacuum]]; a swept-mid-flight merge re-merges).
+    * Returns the deleted dir names. */
+  def vacuumManifested(spark: SparkSession, target: String): Seq[String] = {
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    headState(spark, target) match {
+      case None => Seq.empty
+      case Some((seq, st)) =>
+        val live = st.mapping.values.map(_.split('/').head).toSet
+        val victims =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("g-"))
+            .map(_.getPath.getName)
+            .filterNot(live)
+            .toSeq.sorted
+        victims.foreach(d => fs.delete(new Path(root, d), true))
+        CommitLog.sweep(fs, root, seq)
+        victims
+    }
+  }
+}

@@ -185,8 +185,8 @@ object MergeSink {
     * UPDATE frame (a hard-coded string key would make the snapshot's key
     * column string forever, and every later bucketed merge would cast —
     * re-shuffling the target the bucketing exists to protect). */
-  private def emptyTarget(spark: SparkSession, unique: DataFrame, key: String,
-                          fields: Seq[String], updatedAtCol: String): DataFrame = {
+  private[sinks] def emptyTarget(spark: SparkSession, unique: DataFrame, key: String,
+                                 fields: Seq[String], updatedAtCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     val s = StructType(
       unique.schema(key).copy(name = key) +:

@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sinks.{CommitLog, ManifestMergeSink, MergeSink}
+
+/** The manifest-pointer merge layout: semantics parity with the swap
+  * layouts, one-file publish, untouched buckets byte-identical,
+  * disjoint/overlap writer contention, crash-residue vacuum, purge. */
+class ManifestMergeSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(base: java.nio.file.Path) =
+    new Path(base.toString).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataDirChecksums(fs: org.apache.hadoop.fs.FileSystem,
+                               target: String): Map[String, Seq[(String, Long)]] = {
+    val root = new Path(target)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
+      .map { g =>
+        val files = new scala.collection.mutable.ArrayBuffer[(String, Long)]
+        val it = fs.listFiles(g.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          files += ((f.getPath.toString.stripPrefix(root.toString),
+            f.getLen))
+        }
+        g.getPath.getName -> files.sortBy(_._1).toSeq
+      }.toMap
+  }
+
+  test("merge parity with mergeInto: null-skip, upsert, counts, duplicate fold") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_par_")
+    try {
+      val m = s"$base/manifested"
+      val s = s"$base/swapped"
+      val day1 = Seq((1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)),
+        (3L, Some("c"), None)).toDF("id", "name", "score")
+      // day 2: null-skip on 2's name, update 3's score, upsert 4,
+      // duplicate key 5 folded (last non-null in order wins)
+      val day2 = Seq((2L, None, Some(25L)), (3L, None, Some(30L)),
+        (4L, Some("d"), Some(40L)), (5L, Some("e1"), None),
+        (5L, None, Some(50L))).toDF("id", "name", "score")
+        .withColumn("arrival", col("score")) // any deterministic order col
+      for (day <- Seq(day1.withColumn("arrival", lit(0L)), day2)) {
+        val st1 = ManifestMergeSink.mergeIntoManifested(spark, m, day, "id",
+          Seq("name", "score"), nBuckets = 4, orderCol = Some("arrival"))
+        val st2 = MergeSink.mergeInto(spark, s, day, "id",
+          Seq("name", "score"), orderCol = Some("arrival"))
+        assert(st1 == st2, s"stats must match the swap layout: $st1 vs $st2")
+      }
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .select("id", "name", "score")
+      val want = spark.read.parquet(s).select("id", "name", "score")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "snapshot must equal the swap layout's row-for-row")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("publish is ONE commit-file create; untouched buckets stay byte-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_one_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      val day1 = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "payload")
+      ManifestMergeSink.mergeIntoManifested(spark, m, day1, "id",
+        Seq("payload"), nBuckets = 8)
+      val before = dataDirChecksums(fs, m)
+      val commitsBefore = CommitLog.seqs(fs, new Path(m))
+      // day 2 touches a single key → a single bucket
+      val day2 = Seq((7L, "v7b")).toDF("id", "payload")
+      ManifestMergeSink.mergeIntoManifested(spark, m, day2, "id",
+        Seq("payload"), nBuckets = 8)
+      val after = dataDirChecksums(fs, m)
+      val commitsAfter = CommitLog.seqs(fs, new Path(m))
+      assert(commitsAfter.size == commitsBefore.size + 1,
+        "publish must be exactly one new commit file")
+      // day 1's generation dir: every file byte-for-byte in place
+      before.foreach { case (gen, files) =>
+        assert(after(gen) == files,
+          s"generation $gen must be untouched (immutable dirs)")
+      }
+      // and the snapshot content is correct
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .filter(col("id") === 7L).select("payload").as[String].collect()
+      assert(got.toSeq == Seq("v7b"))
+      val n = ManifestMergeSink.readManifested(spark, m).count()
+      assert(n == 200L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("contention, disjoint buckets: loser repoints metadata-only, both merges land") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_dis_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      val day1 = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload")
+      ManifestMergeSink.mergeIntoManifested(spark, m, day1, "id",
+        Seq("payload"), nBuckets = 8)
+      // find two keys in DIFFERENT buckets
+      val Seq(kA, kB) = Seq(1L to 100L: _*)
+        .groupBy(k => Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42), 2))
+        .values.take(2).map(_.head).toSeq match {
+          case two if two.size == 2 => two
+          case _ => Seq(1L, 2L)
+        }
+      // actually derive buckets the sink's own way, to be exact:
+      def bucketOf(k: Long): Long = Seq(k).toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(8L))).head().getLong(0)
+      val keyA = (1L to 100L).find(k => bucketOf(k) == 0L).get
+      val keyB = (1L to 100L).find(k => bucketOf(k) == 1L).get
+      val gensBefore = dataDirChecksums(fs, m).keySet
+      // writer A merges keyA; before A publishes, writer B lands keyB
+      val statsA = ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((keyA, "A")).toDF("id", "payload"), "id", Seq("payload"),
+        nBuckets = 8,
+        beforePublish = () => {
+          ManifestMergeSink.mergeIntoManifested(spark, m,
+            Seq((keyB, "B")).toDF("id", "payload"), "id", Seq("payload"),
+            nBuckets = 8)
+          ()
+        })
+      assert(statsA.nMatched == 1L && statsA.nModified == 1L)
+      // NO lost update: both writers' values present
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .filter(col("id").isin(keyA, keyB))
+        .select("id", "payload").as[(Long, String)].collect().toMap
+      assert(got == Map(keyA -> "A", keyB -> "B"), s"got $got")
+      // metadata-only retry: A's generation dir survived (2 new gens,
+      // not 3 — A did not re-merge)
+      val gensAfter = dataDirChecksums(fs, m).keySet
+      assert((gensAfter -- gensBefore).size == 2,
+        s"disjoint loser must not rewrite data: ${gensAfter -- gensBefore}")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("contention, overlapping bucket: loser re-merges from the winner's state") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_ovl_")
+    try {
+      val m = s"$base/snap"
+      val day1 = Seq((1L, Some("a"), Some(1L))).toDF("id", "name", "score")
+      ManifestMergeSink.mergeIntoManifested(spark, m, day1, "id",
+        Seq("name", "score"), nBuckets = 4)
+      // A updates key 1's score; B (winning first) updates key 1's name.
+      // A must re-merge on top of B: final row carries BOTH fields.
+      val statsA = ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((1L, Option.empty[String], Some(100L)))
+          .toDF("id", "name", "score"),
+        "id", Seq("name", "score"), nBuckets = 4,
+        beforePublish = () => {
+          ManifestMergeSink.mergeIntoManifested(spark, m,
+            Seq((1L, Some("bWins"), Option.empty[Long]))
+              .toDF("id", "name", "score"),
+            "id", Seq("name", "score"), nBuckets = 4)
+          ()
+        })
+      assert(statsA.nMatched == 1L)
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .select("id", "name", "score").as[(Long, String, Long)].collect()
+      assert(got.toSeq == Seq((1L, "bWins", 100L)),
+        s"sequential B-then-A semantics required, got ${got.toSeq}")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("crash residue: orphan generation invisible; vacuum sweeps it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_cr_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 50L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      // a crashed writer: generation written, commit never published
+      (1L to 5L).map(i => (i, "CRASH")).toDF("id", "payload")
+        .withColumn("pb", pmod(xxhash64(col("id")), lit(4L)))
+        .write.partitionBy("pb").parquet(s"$m/g-crashed0")
+      val visible = ManifestMergeSink.readManifested(spark, m)
+        .filter(col("payload") === "CRASH").count()
+      assert(visible == 0L, "orphan generation must be invisible")
+      val swept = ManifestMergeSink.vacuumManifested(spark, m)
+      assert(swept == Seq("g-crashed0"), s"swept: $swept")
+      assert(!fs.exists(new Path(s"$m/g-crashed0")))
+      assert(ManifestMergeSink.readManifested(spark, m).count() == 50L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("schema evolution: day-2 column, day-1 rows read null via committed schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_ev_")
+    try {
+      val m = s"$base/snap"
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 40L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 8)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((3L, "v3b", "extra3")).toDF("id", "payload", "flag"),
+        "id", Seq("payload", "flag"), nBuckets = 8)
+      val snap = ManifestMergeSink.readManifested(spark, m)
+      assert(snap.columns.contains("flag"))
+      val flags = snap.select("id", "flag").as[(Long, Option[String])]
+        .collect().toMap
+      assert(flags(3L).contains("extra3"))
+      assert(flags.filterNot(_._1 == 3L).values.forall(_.isEmpty),
+        "pre-evolution rows must read null for the evolved column")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("purge: copy-on-write repoint, emptied bucket drops out, replay no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_pg_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      val rows = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "payload")
+      ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
+        Seq("payload"), nBuckets = 4)
+      def bucketOf(k: Long): Long = Seq(k).toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(4L))).head().getLong(0)
+      // purge one bucket ENTIRELY plus one key from another bucket
+      val b0keys = (1L to 60L).filter(bucketOf(_) == 0L)
+      val otherKey = (1L to 60L).find(bucketOf(_) == 1L).get
+      val before = dataDirChecksums(fs, m)
+      val stats = ManifestMergeSink.purgeManifested(spark, m,
+        (b0keys :+ otherKey).toDF("id"), "id")
+      assert(stats.nPurged == b0keys.size + 1L, s"stats: $stats")
+      val snap = ManifestMergeSink.readManifested(spark, m)
+      assert(snap.count() == 60L - b0keys.size - 1L)
+      assert(snap.filter(col("id").isin(b0keys :+ otherKey: _*)).count() == 0L)
+      // emptied bucket left the mapping
+      val (_, st) = ManifestMergeSink.headState(spark, m).get
+      assert(!st.mapping.contains(0L), s"mapping: ${st.mapping}")
+      // untouched buckets byte-identical
+      val after = dataDirChecksums(fs, m)
+      before.foreach { case (gen, files) =>
+        after.get(gen).foreach { fNow =>
+          val untouched = files.filterNot(f =>
+            f._1.contains("pb=0/") || f._1.contains(s"pb=${bucketOf(otherKey)}/"))
+          assert(untouched.forall(fNow.contains),
+            s"untouched bucket files must survive in $gen")
+        }
+      }
+      // replay no-ops on content
+      val again = ManifestMergeSink.purgeManifested(spark, m,
+        (b0keys :+ otherKey).toDF("id"), "id")
+      assert(again.nPurged == 0L)
+      assert(ManifestMergeSink.readManifested(spark, m).count() == snap.count())
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+}

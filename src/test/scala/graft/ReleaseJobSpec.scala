@@ -54,7 +54,9 @@ class ReleaseJobSpec extends SparkSpec {
       // tamper with v1's committed data: the SAME audit re-run against a
       // fresh catalog is fine, but reading the tampered version through
       // the catalog must now disagree with the frame
-      val v1dir = new org.apache.hadoop.fs.Path(s"$base/cat/v=1")
+      val v1entry = graft.sinks.VersionCatalog.headState(spark, s"$base/cat")
+        ._2.find(_.version == 1L).get
+      val v1dir = new org.apache.hadoop.fs.Path(s"$base/cat/${v1entry.dir}")
       val fs = v1dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       Seq((9L, "zz", "de", "s9", 2L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")

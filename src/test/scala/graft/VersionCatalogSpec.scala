@@ -2,11 +2,14 @@ package graft
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
-import graft.sinks.VersionCatalog
+import graft.sinks.{CommitLog, VersionCatalog}
 
-/** Version-catalog lifecycle + crash windows (the LedgeredStateSpec
-  * discipline applied to the manifest): commit/read round-trips, the
-  * swap's between-renames window, orphan sweep, vacuumed-read refusal. */
+/** Version-catalog lifecycle + crash windows + WRITER CONTENTION (the
+  * LedgeredStateSpec discipline applied to the commit log):
+  * commit/read round-trips, truncated-commit residue recovery, orphan
+  * sweep, vacuumed-read refusal, and the optimistic-concurrency
+  * contract — interleaved writers produce exactly one loser, a loud
+  * retryable conflict, and no lost updates. */
 class VersionCatalogSpec extends SparkSpec {
   import spark.implicits._
 
@@ -32,25 +35,62 @@ class VersionCatalogSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
-  test("manifest swap crash window recovers: bak restores on next entry") {
+  test("interleaved writers: stale CAS fails loudly, no lost update, loser retries") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcat_cas_")
+    try {
+      val cat = s"$base/c"
+      VersionCatalog.commit(spark, cat, frame(2))
+      // writer A reads the head...
+      val (headA, _) = VersionCatalog.headState(spark, cat)
+      // ...writer B commits v2 in between...
+      assert(VersionCatalog.commitCas(spark, cat, frame(5), headA) == 2L)
+      // ...A's CAS on the stale head MUST lose, loudly and retryably
+      intercept[CommitLog.CommitConflictException] {
+        VersionCatalog.commitCas(spark, cat, frame(7), headA)
+      }
+      // B's commit was NOT overwritten (no lost update)
+      val v2 = VersionCatalog.readVersion(spark, cat, 2L)
+      assert(v2.exceptAll(frame(5)).isEmpty && frame(5).exceptAll(v2).isEmpty)
+      // the losing writer's data dir was tidied — only committed dirs live
+      val dirs = fsOf(base).listStatus(new Path(cat))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      assert(dirs.length == 2, s"expected 2 live dirs, saw ${dirs.length}")
+      // A retries against the NEW head and lands as v3; B's v2 intact
+      val (headA2, _) = VersionCatalog.headState(spark, cat)
+      assert(VersionCatalog.commitCas(spark, cat, frame(7), headA2) == 3L)
+      assert(VersionCatalog.versions(spark, cat) == Seq(1L, 2L, 3L))
+      val v3 = VersionCatalog.readVersion(spark, cat, 3L)
+      assert(v3.exceptAll(frame(7)).isEmpty && frame(7).exceptAll(v3).isEmpty)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("truncated head commit file (crash mid-write) is skipped and reclaimed") {
     val base = java.nio.file.Files.createTempDirectory("graft_vcat_crash_")
     try {
       val cat = s"$base/c"
       VersionCatalog.commit(spark, cat, frame(3))
       VersionCatalog.commit(spark, cat, frame(4))
-      // simulate a crash BETWEEN atomicSwap's two renames: manifest moved
-      // aside to bak, replacement never moved in
+      // simulate a writer that crashed mid-write of commit 3: the file
+      // exists but the END sentinel never landed
       val fs = fsOf(base)
-      assert(fs.rename(new Path(s"$cat/_manifest"), new Path(cat + ".__manifest_bak")))
-      // without recovery this would report "no versions" — the silent
-      // restart-from-empty loss the swap contract prevents
+      val residue = new Path(s"$cat/_commits/${"%020d".format(3)}")
+      val out = fs.create(residue, false)
+      out.write("graft-catalog-v1\n1\td-trunc".getBytes("UTF-8"))
+      out.close()
+      // readers fall back past the residue — state is still commit 2
       assert(VersionCatalog.versions(spark, cat) == Seq(1L, 2L))
       val got = VersionCatalog.readVersion(spark, cat, 2L)
       assert(got.exceptAll(frame(4)).isEmpty && frame(4).exceptAll(got).isEmpty)
+      // the next writer reclaims the slot (crashed writers never
+      // returned success, so nothing references the residue)
+      assert(VersionCatalog.commit(spark, cat, frame(6)) == 3L)
+      assert(VersionCatalog.versions(spark, cat) == Seq(1L, 2L, 3L))
+      val v3 = VersionCatalog.readVersion(spark, cat, 3L)
+      assert(v3.exceptAll(frame(6)).isEmpty && frame(6).exceptAll(v3).isEmpty)
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
-  test("vacuum retracts the manifest, deletes dirs, and refuses vacuumed reads") {
+  test("vacuum retracts versions in one commit, deletes dirs, refuses vacuumed reads") {
     val base = java.nio.file.Files.createTempDirectory("graft_vcat_vac_")
     try {
       val cat = s"$base/c"
@@ -58,14 +98,17 @@ class VersionCatalogSpec extends SparkSpec {
       assert(VersionCatalog.vacuum(spark, cat, retainLast = 2) == Seq(1L, 2L))
       assert(VersionCatalog.versions(spark, cat) == Seq(3L, 4L))
       val fs = fsOf(base)
-      assert(!fs.exists(new Path(s"$cat/v=1")) && !fs.exists(new Path(s"$cat/v=2")),
-        "vacuumed dirs must be deleted")
-      assert(fs.exists(new Path(s"$cat/v=3")) && fs.exists(new Path(s"$cat/v=4")))
+      val dirs = fs.listStatus(new Path(cat))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      assert(dirs.length == 2, "vacuumed data dirs must be deleted")
       intercept[IllegalArgumentException] {
         VersionCatalog.readVersion(spark, cat, 1L)
       }
       // idempotent: nothing left to drop
       assert(VersionCatalog.vacuum(spark, cat, retainLast = 2).isEmpty)
+      // retained versions still read exactly
+      val got = VersionCatalog.readVersion(spark, cat, 4L)
+      assert(got.exceptAll(frame(4)).isEmpty && frame(4).exceptAll(got).isEmpty)
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
@@ -74,25 +117,25 @@ class VersionCatalogSpec extends SparkSpec {
     try {
       val cat = s"$base/c"
       VersionCatalog.commit(spark, cat, frame(3))
-      // a crashed commit: data dir written, manifest never published
-      frame(9).write.parquet(s"$cat/v=2")
+      // a crashed commit: data dir written, commit file never published
+      frame(9).write.parquet(s"$cat/d-orphaned1")
       assert(VersionCatalog.versions(spark, cat) == Seq(1L),
-        "manifest is authoritative — orphan must be invisible")
+        "head commit is authoritative — orphan must be invisible")
       intercept[IllegalArgumentException] {
         VersionCatalog.readVersion(spark, cat, 2L)
       }
-      // the next commit of version 2 overwrites the orphan cleanly
+      // subsequent commits are unaffected by the orphan
       assert(VersionCatalog.commit(spark, cat, frame(4)) == 2L)
       val got = VersionCatalog.readVersion(spark, cat, 2L)
       assert(got.exceptAll(frame(4)).isEmpty && frame(4).exceptAll(got).isEmpty)
-      // and vacuum sweeps any orphan a crash left behind
-      frame(7).write.parquet(s"$cat/v=99")
-      VersionCatalog.vacuum(spark, cat, retainLast = 2)
-      assert(!fsOf(base).exists(new Path(s"$cat/v=99")), "orphan swept")
+      // and vacuum sweeps orphans even when no version is dropped
+      VersionCatalog.vacuum(spark, cat, retainLast = 5)
+      assert(!fsOf(base).exists(new Path(s"$cat/d-orphaned1")), "orphan swept")
+      assert(VersionCatalog.versions(spark, cat) == Seq(1L, 2L))
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
-  test("catalog purge forgets in every retained version; replay no-ops; crash window recovers") {
+  test("catalog purge forgets in every retained version; replay no-ops; history stays consistent") {
     val base = java.nio.file.Files.createTempDirectory("graft_vcat_purge_")
     try {
       val cat = s"$base/c"
@@ -107,12 +150,10 @@ class VersionCatalogSpec extends SparkSpec {
       // a replayed purge is idempotent: zero rows purged, content stable
       val again = VersionCatalog.purge(spark, cat, Seq(2L).toDF("id"), "id")
       assert(again == Seq(1L -> 0L, 2L -> 0L), s"replay counts: $again")
-      // crash window: dir swapped aside, bak holds the data — the next
-      // read must restore instead of failing
-      val fs = fsOf(base)
-      assert(fs.rename(new Path(s"$cat/v=2"), new Path(s"$cat/.purge_bak_v2")))
-      assert(ids(2L) == Set(1L, 3L, 4L), "read must recover the swap window")
-      assert(fs.exists(new Path(s"$cat/v=2")))
+      // copy-on-write left no stale dirs behind: one live dir per version
+      val dirs = fsOf(base).listStatus(new Path(cat))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      assert(dirs.length == 2, s"expected 2 live dirs, saw ${dirs.length}")
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
