@@ -45,7 +45,24 @@ object Bench {
     // driver's; a filtered run's totals are not comparable to it)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => cfg.benchOnly.isEmpty || cfg.benchOnly(name) }
+    // The iterative families (connected components, IVF build/refit,
+    // streaming harnesses, ledgered ingests) JIT/codegen-compile whole
+    // operator stacks on their first run: their rep-1 duration carries
+    // 2-6 s of compilation the steady state never pays, which a
+    // 3-rep median only partially absorbs (the r13 artifact's
+    // reps_sec showed 2.6× rep-1 spikes on identical code). One
+    // DISCARDED warmup rep before the timed ones keeps the recorded
+    // medians inside the committed artifact's rep spread.
+    val warmupFamilies = Seq("stream", "ivf", "cluster", "ingest", "refit")
+    def needsWarmup(name: String): Boolean =
+      warmupFamilies.exists(name.contains)
     val results = selected.map { case (name, fn) =>
+      if (needsWarmup(name)) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // failures surface in timed reps
+        spark.catalog.clearCache()
+        System.gc()
+      }
       val durations = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -103,10 +120,11 @@ object Bench {
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    val nWarmed = selected.count { case (name, _) => needsWarmup(name) }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"flaky":$flaky,"reps":$reps,"reps_sec":$repsSec,""" +
-        s""""sf":"$sfDir"}"""
+        s""""warmup_queries":$nWarmed,"sf":"$sfDir"}"""
     println(json)
     // a GRAFT_BENCH_ONLY-filtered run is an iteration tool: its partial
     // total must not clobber the canonical full-run artifact the driver

@@ -81,11 +81,26 @@ object Ivf {
   /** Top-k cosine neighbors per query, probing the `nprobe` nearest
     * lists. Output matches q22's shape (q_id, neighbor_id, cos_sim, rnk). */
   def topK(spark: SparkSession, index: Index, queries: DataFrame,
-           k: Int, nprobe: Int): DataFrame = {
+           k: Int, nprobe: Int): DataFrame =
+    topKWithCentroids(spark, index.assigned, centroidsOf(index.model),
+      queries, k, nprobe)
+
+  /** A model's centroids in the plain (list_id, center) form the
+    * centroid-parameterized paths take ([[refitLocalized]] refreshes
+    * centers without a KMeansModel to hold them — MLlib's model has no
+    * public constructor from raw centers, and needing one would force a
+    * full re-fit just to package a local refresh). */
+  def centroidsOf(model: KMeansModel): Seq[(Int, Array[Double])] =
+    model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+
+  /** [[topK]] with explicit centroids — the probe path shared by the
+    * model-backed index and a [[refitLocalized]]-refreshed one. */
+  def topKWithCentroids(spark: SparkSession, assigned: DataFrame,
+                        centers: Seq[(Int, Array[Double])],
+                        queries: DataFrame,
+                        k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val centroids = index.model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("list_id", "centroid")
+    val centroids = centers.toDF("list_id", "centroid")
     val q = queries.select(col("id").as("q_id"), col("v").as("qv"))
       .withColumn("qn", norm(col("qv")))
     // probe selection: small q × small centroid table — both broadcastable.
@@ -104,7 +119,7 @@ object Ivf {
     // would shuffle on a 16-value key
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    index.assigned.join(broadcast(probes), "list_id")
+    assigned.join(broadcast(probes), "list_id")
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("neighbor_id"),
         round(cosineWithNorms(col("qv"), col("qn"), col("v"), col("nrm")), 4)
@@ -169,6 +184,141 @@ object Ivf {
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
     graft.sinks.MergeSink.atomicSwap(fs, tmp, root, bak)
     model
+  }
+
+  /** The per-list mean frame (list_id, pos, m): one narrow pass with
+    * map-side partials; the shuffle carries nlist×dim tiny rows. */
+  private def listMeansFrame(idx: DataFrame): DataFrame =
+    idx.select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos")).agg(avg(col("x")).as("m"))
+
+  private def collectMeans(df: DataFrame): Map[Int, Array[Double]] =
+    df.collect() // ≤ nlist×dim tiny rows — driver-safe by construction
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        l -> arr
+      }
+
+  private def meansPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_list_means")
+
+  /** Record the CURRENT per-list means as the drift baseline
+    * (`$path/_list_means`, underscore-prefixed so data reads ignore
+    * it). Call at build/refit time; [[refitLocalized]] measures
+    * displacement against THIS snapshot — against the fitted centroid
+    * it would be polluted by the centroid-vs-mean gap any sampled,
+    * tolerance-terminated k-means leaves even with zero drift. The
+    * baseline is derived data (reconstructible from the index by
+    * re-running this), so its write needs no swap protocol. */
+  def snapshotListMeans(spark: SparkSession, path: String): Unit = {
+    recoverIndex(spark, path)
+    listMeansFrame(spark.read.parquet(path))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(meansPath(path).toString)
+  }
+
+  /** DRIFT-LOCALIZED REFIT — the bounded sibling of [[refit]]: instead
+    * of refitting the quantizer and rewriting the WHOLE index (one
+    * corpus-sized read+write — the most expensive maintenance op in
+    * the repo at 100 TB), refresh ONLY the lists whose data actually
+    * moved:
+    *
+    *  1. per-list displacement = L2(current mean, baseline mean at the
+    *     last snapshot) — an undrifted list measures ~0 by
+    *     construction (same rows ⇒ same mean, modulo fp summation
+    *     noise ~1e-13, far under any meaningful ε);
+    *  2. lists with displacement > ε are DRIFTED: their centroid is
+    *     replaced by the current list mean (one localized Lloyd step —
+    *     the k-means update restricted to the moved region);
+    *  3. only drifted lists' rows re-assign, and only among the
+    *     drifted lists' refreshed centers (partition-constrained
+    *     reassignment): undrifted list dirs are never read, written,
+    *     or renamed — byte-identical, the q165 flagged-files-only
+    *     pattern applied to the index. The constraint trades a vector
+    *     whose true nearest is an undrifted centroid (it stays local);
+    *     the gate certifies recall stays above the [[refit]] band, and
+    *     a drift that DOES spill across the boundary is what schedules
+    *     the occasional full [[refit]] (q89 → q168) — this is the
+    *     nightly tool, not the quarterly one;
+    *  4. drifted dirs swap per-directory (the mergeIntoPartitioned
+    *     contract: atomic per dir, idempotent re-run), and the
+    *     baseline refreshes for exactly the drifted lists.
+    *
+    * Cost ∝ drifted-region bytes + one mean pass, never corpus size.
+    * Returns the refreshed centers and the drifted list ids. */
+  def refitLocalized(spark: SparkSession, path: String,
+                     centers: Seq[(Int, Array[Double])],
+                     epsilon: Double): (Seq[(Int, Array[Double])], Seq[Int]) = {
+    import spark.implicits._
+    require(epsilon > 0.0, s"epsilon=$epsilon")
+    recoverIndex(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(meansPath(path)),
+      s"no drift baseline at ${meansPath(path)} — call snapshotListMeans " +
+        "when the index is built or fully refit")
+    val baseline = collectMeans(spark.read.parquet(meansPath(path).toString))
+    val idx = spark.read.parquet(path)
+    val current = collectMeans(listMeansFrame(idx))
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val drifted = current.keys.toSeq.sorted.filter { l =>
+      baseline.get(l).forall(b => l2(current(l), b) > epsilon)
+    }
+    if (drifted.isEmpty) return (centers, Seq.empty)
+    val newCenters = centers.map { case (l, c) =>
+      l -> (if (drifted.contains(l)) current(l) else c)
+    }
+    // re-assign the drifted region among the refreshed drifted centers:
+    // a tiny broadcast centroid table × the pruned drifted-lists scan
+    val dc = drifted.map(l => (l, current(l))).toDF("new_list", "c")
+      .withColumn("cn2", dot(col("c"), col("c")))
+    val rowsD = idx
+      .filter(col("list_id").isin(drifted.map(Integer.valueOf): _*))
+      .drop("list_id")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("new_list").asc) // deterministic ties
+    val reassigned = rowsD.crossJoin(broadcast(dc))
+      // argmin ||v - c||² ≡ argmin (|c|² - 2 v·c) — |v|² is constant per row
+      .withColumn("d2", col("cn2") - lit(2.0) * dot(col("v"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("d2", "rn", "c", "cn2")
+      .withColumnRenamed("new_list", "list_id")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__localrefit_tmp")
+    fs.delete(tmp, true)
+    reassigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(tmp.toString)
+    drifted.foreach { l =>
+      val dest = new org.apache.hadoop.fs.Path(root, s"list_id=$l")
+      val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$l")
+      fs.delete(dest, true)
+      if (fs.exists(src))
+        require(fs.rename(src, dest),
+          s"localized refit swap failed: could not move $src to $dest")
+    }
+    fs.delete(tmp, true)
+    // refresh the baseline for the drifted lists only (undrifted lists
+    // carry their existing baseline forward — no corpus-sized pass; the
+    // drifted re-read is pruned to exactly the swapped dirs)
+    val keptBaseline = baseline.toSeq
+      .filter(e => current.contains(e._1) && !drifted.contains(e._1))
+      .flatMap { case (l, arr) =>
+        arr.zipWithIndex.map { case (m, p) => (l, p, m) }
+      }
+      .toDF("list_id", "pos", "m")
+    val driftedDirs = drifted
+      .filter(l => fs.exists(new org.apache.hadoop.fs.Path(root, s"list_id=$l")))
+      .map(l => s"$path/list_id=$l")
+    val refreshed =
+      if (driftedDirs.isEmpty) keptBaseline
+      else keptBaseline.unionByName(listMeansFrame(
+        spark.read.option("basePath", path).parquet(driftedDirs: _*)))
+    refreshed.coalesce(1).write.mode("overwrite")
+      .parquet(meansPath(path).toString)
+    (newCenters, drifted)
   }
 
   /** Incrementally ingest a batch of vectors into a written IVF index —
@@ -764,6 +914,102 @@ object Ivf {
     """SELECT count(*)::BIGINT AS n_vectors, TRUE AS contents_match,
       |  TRUE AS assign_match, TRUE AS recall_ok
       |FROM embeddings""".stripMargin
+
+  /** q208: DRIFT-LOCALIZED REFIT under the gate — q168's full rebuild
+    * is the quarterly tool; this is the nightly one. Harness: build on
+    * the full fixture, snapshot the mean baseline, then ingest a
+    * drift batch (shifted copies of every 4th vector — the +0.6/coord
+    * shift concentrates them in the positive-orthant lists, so SOME
+    * lists drift and others provably don't). [[refitLocalized]] at
+    * ε=0.05 must then (certificates, the q167/q168 style):
+    *  - touch at least one list and FEWER than all of them
+    *    (`drift_localized` — the whole point vs q168);
+    *  - leave every undrifted list dir byte-identical (file name+size
+    *    fingerprints before vs after — `untouched_identical`);
+    *  - conserve every row (`n_vectors` exact vs the oracle's count
+    *    algebra — a reassignment that drops or duplicates rows fails
+    *    the hash);
+    *  - still answer: micro-averaged recall@10 of the refreshed index
+    *    (centroid-parameterized probes, nprobe=4) against the exact
+    *    KNN of the DRIFTED corpus ≥ the q28/q89/q168 band
+    *    (`recall_ok`).
+    * Cost scales with the drifted region, not the corpus — the plan
+    * reads the undrifted dirs zero times (IvfSpec's localized case
+    * pins the undrifted dirs byte-identical, file for file). */
+  def q208IvfLocalRefit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_q208_idx")
+    val root = new org.apache.hadoop.fs.Path(idxPath.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val built = build(emb, "id", "v", nlist = Nlist, fitSampleRows = 20000)
+      writeIndex(built, idxPath.toString)
+      snapshotListMeans(spark, idxPath.toString)
+      val batch = emb.filter(col("id") % 4 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          transform(col("v"), x => x + lit(0.6f)).as("v"))
+        .localCheckpoint(true) // ingested, then unioned into the corpus
+      ingest(spark, idxPath.toString, built.model, batch, "id", "v")
+      def fingerprints(): Map[String, Set[(String, Long)]] =
+        fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+          .map { d =>
+            d.getPath.getName -> fs.listStatus(d.getPath)
+              .filter(_.isFile)
+              .map(f => (f.getPath.getName, f.getLen)).toSet
+          }.toMap
+      val before = fingerprints()
+      val (newCenters, drifted) = refitLocalized(spark, idxPath.toString,
+        centroidsOf(built.model), epsilon = 0.05)
+      val after = fingerprints()
+      val driftedDirs = drifted.map(l => s"list_id=$l").toSet
+      val untouchedOk = before.keys.filterNot(driftedDirs)
+        .forall(d => after.get(d).contains(before(d)))
+      val localizedOk = drifted.nonEmpty && drifted.size < before.size
+      // conservation + recall over the DRIFTED corpus
+      val idx = spark.read.parquet(idxPath.toString)
+        .localCheckpoint(true) // counted and probed
+      val corpus = emb.unionByName(batch)
+        .localCheckpoint(true) // exact side + query set
+      val qf = corpus.filter(col("id") < NQueries)
+        .select(col("id").as("q_id"), col("v").as("qv"))
+        .withColumn("qn", norm(col("qv")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val exact = corpus.withColumn("nrm", norm(col("v")))
+        .crossJoin(broadcast(qf))
+        .filter(col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id").as("neighbor_id"),
+          round(cosineWithNorms(col("qv"), col("qn"), col("v"), col("nrm")), 4)
+            .as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("q_id"), col("neighbor_id"))
+      val ivf = topKWithCentroids(spark, idx, newCenters,
+          corpus.filter(col("id") < NQueries), k = K, nprobe = Nprobe)
+        .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      val recall = exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact_total"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      idx.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(recall)
+        .select(col("n_vectors"),
+          lit(localizedOk).as("drift_localized"),
+          lit(untouchedOk).as("untouched_identical"),
+          (col("n_hit") >= col("n_exact_total") * MinRecall).as("recall_ok"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally {
+      fs.delete(root, true)
+    }
+  }
+
+  val q208IvfLocalRefitSql: String =
+    """SELECT ((SELECT count(*) FROM embeddings) +
+      |  (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0))::BIGINT
+      |    AS n_vectors,
+      |  TRUE AS drift_localized, TRUE AS untouched_identical,
+      |  TRUE AS recall_ok""".stripMargin
 
   /** Oracle: the pool ladder + the corpus endpoint with integer anchors
     * and literal TRUEs (the q156 pattern). */

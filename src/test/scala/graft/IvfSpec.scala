@@ -370,4 +370,64 @@ class IvfSpec extends SparkSpec {
       assert(r.getAs[Boolean]("full_exact_ok"), s"full_exact_ok: $r")
     }
   }
+
+  test("localized refit touches only drifted lists; zero-drift is a no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_local_")
+    val root = new org.apache.hadoop.fs.Path(s"$base/idx")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val built = Ivf.build(emb, "id", "v", nlist = 8, fitSampleRows = 20000)
+      Ivf.writeIndex(built, root.toString)
+      Ivf.snapshotListMeans(spark, root.toString)
+      def fp() = fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+        .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+          .filter(_.isFile).map(f => (f.getPath.getName, f.getLen)).toSet)
+        .toMap
+      // zero drift: nothing moved since the snapshot — a no-op
+      val before0 = fp()
+      val (c0, d0) = Ivf.refitLocalized(spark, root.toString,
+        Ivf.centroidsOf(built.model), epsilon = 0.05)
+      assert(d0.isEmpty, s"no list drifted, got $d0")
+      assert(c0 == Ivf.centroidsOf(built.model))
+      assert(fp() == before0, "zero-drift refit must not touch any dir")
+      // drift one region: shifted copies land in few lists
+      val batch = emb.filter(col("id") % 4 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          transform(col("v"), x => x + lit(0.6f)).as("v"))
+      Ivf.ingest(spark, root.toString, built.model, batch, "id", "v")
+      val before = fp()
+      val nAll = spark.read.parquet(root.toString).count()
+      val (c1, drifted) = Ivf.refitLocalized(spark, root.toString,
+        Ivf.centroidsOf(built.model), epsilon = 0.05)
+      assert(drifted.nonEmpty && drifted.size < before.size,
+        s"drift must be localized: $drifted of ${before.size}")
+      val after = fp()
+      before.keys.filterNot(d => drifted.map(l => s"list_id=$l").contains(d))
+        .foreach(d => assert(after.get(d).contains(before(d)),
+          s"undrifted $d must be byte-identical"))
+      assert(spark.read.parquet(root.toString).count() == nAll,
+        "reassignment must conserve every row")
+      // refreshed centers differ exactly on the drifted lists
+      val cm0 = Ivf.centroidsOf(built.model).toMap
+      c1.foreach { case (l, c) =>
+        if (drifted.contains(l)) assert(!c.sameElements(cm0(l)))
+        else assert(c.sameElements(cm0(l)))
+      }
+      // a second localized refit right after is a no-op (baseline moved)
+      val (_, d2) = Ivf.refitLocalized(spark, root.toString, c1, epsilon = 0.05)
+      assert(d2.isEmpty, s"post-refresh drift must be ~0, got $d2")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+  }
+
+  test("q208 gate row: conservation, localized, untouched-identical, recall") {
+    val r = Ivf.q208IvfLocalRefit(spark, sf).collect()
+    assert(r.length == 1)
+    val nExpected = emb.count() + emb.filter(col("id") % 4 === 0).count()
+    assert(r(0).getAs[Long]("n_vectors") == nExpected, s"row: ${r(0)}")
+    assert(r(0).getAs[Boolean]("drift_localized"), s"localized: ${r(0)}")
+    assert(r(0).getAs[Boolean]("untouched_identical"), s"untouched: ${r(0)}")
+    assert(r(0).getAs[Boolean]("recall_ok"), s"recall: ${r(0)}")
+  }
 }
