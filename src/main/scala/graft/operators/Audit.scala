@@ -612,7 +612,7 @@ object Audit {
       require(!histIngest(spark, path, m.filter(col("doc_id") > cut),
         "lang", col("qe4"), "day2"),
         "replayed batch must be a ledger no-op")
-      histQuantiles(spark.read.parquet(s"$path/state/counts"), QuantPs)
+      histQuantiles(graft.sinks.LedgeredState.readPart(spark, path, "counts").get, QuantPs)
         .withColumnRenamed("stratum", "lang")
         .orderBy(col("lang"), col("p_e4"))
         .localCheckpoint(true) // materialize before the state dir dies
@@ -655,7 +655,7 @@ object Audit {
         s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      histQuantiles(spark.read.parquet(s"$statePath/state/counts"), QuantPs)
+      histQuantiles(graft.sinks.LedgeredState.readPart(spark, statePath, "counts").get, QuantPs)
         .withColumnRenamed("stratum", "lang")
         .orderBy(col("lang"), col("p_e4"))
         .localCheckpoint(true) // materialize before the state dir dies
@@ -724,7 +724,7 @@ object Audit {
       require(!momentsIngest(spark, path, m.filter(col("doc_id") > cut),
         "doc_id", "lang", col("qe4"), "day2"),
         "replayed batch must be a ledger no-op")
-      derive(spark.read.parquet(s"$path/state/moments"))
+      derive(graft.sinks.LedgeredState.readPart(spark, path, "moments").get)
         .localCheckpoint(true) // materialize before the state dir dies
     } finally {
       val p = new org.apache.hadoop.fs.Path(base.toString)

@@ -247,7 +247,7 @@ object CorpusReport {
       // whole-batch replay: at-least-once upstream delivers day2 again
       require(!reportIngest(spark, path, day2, "day2", "text", Seq("lang", "source")),
         "replayed batch must be a ledger no-op")
-      spark.read.parquet(s"$path/state/report")
+      graft.sinks.LedgeredState.readPart(spark, path, "report").get
         .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
           col("min_tokens"), col("max_tokens"),
           (expr("(2 * quality_fp + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
@@ -314,7 +314,7 @@ object CorpusReport {
         s"$base/ckpt", Seq("lang", "source"), trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      spark.read.parquet(s"$statePath/state/report")
+      graft.sinks.LedgeredState.readPart(spark, statePath, "report").get
         .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
           col("min_tokens"), col("max_tokens"),
           (expr("(2 * quality_fp + n_docs) div (2 * n_docs)").cast("double") / 10000.0)

@@ -192,7 +192,7 @@ object Graph {
       require(graphIngest(spark, path, d2, "day2"))
       require(!graphIngest(spark, path, d2, "day2"),
         "replayed batch must be a ledger no-op")
-      pageRank(spark.read.parquet(s"$path/state/edges"), PrRounds)
+      pageRank(graft.sinks.LedgeredState.readPart(spark, path, "edges").get, PrRounds)
         .orderBy(col("pr_micro").desc, col("page"))
         .localCheckpoint(true) // materialize before the state dir dies
     } finally {
@@ -238,7 +238,7 @@ object Graph {
         s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      pageRank(spark.read.parquet(s"$statePath/state/edges"), PrRounds)
+      pageRank(graft.sinks.LedgeredState.readPart(spark, statePath, "edges").get, PrRounds)
         .orderBy(col("pr_micro").desc, col("page"))
         .localCheckpoint(true) // materialize before the state dir dies
     } finally {

@@ -526,7 +526,7 @@ object Ranking {
       require(!dsirIngest(spark, path, docs.filter(col("doc_id") > cut),
         "day2", "text", isT, DsirBuckets, DsirSeed),
         "replayed batch must be a ledger no-op")
-      dsirTop(dsirScoresFromCounts(docs, spark.read.parquet(s"$path/state/counts"),
+      dsirTop(dsirScoresFromCounts(docs, graft.sinks.LedgeredState.readPart(spark, path, "counts").get,
           "doc_id", "text", isT, DsirBuckets, DsirSeed,
           carryCols = Seq("lang", "source")))
         .localCheckpoint(true) // materialize before the state dir dies

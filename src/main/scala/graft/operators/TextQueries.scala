@@ -1686,7 +1686,7 @@ object TextQueries {
       // whole-batch replay: at-least-once upstream delivers day2 again
       require(!vocabIngest(spark, path, day2, "day2", "lang", "text"),
         "replayed batch must be a ledger no-op")
-      coverageFromTypeCounts(spark.read.parquet(s"$path/state/counts"), VocabSize)
+      coverageFromTypeCounts(graft.sinks.LedgeredState.readPart(spark, path, "counts").get, VocabSize)
         .localCheckpoint(true) // materialize before the state dir is deleted
     } finally {
       val fs = new org.apache.hadoop.fs.Path(base.toString)
@@ -1729,7 +1729,7 @@ object TextQueries {
         s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      coverageFromTypeCounts(spark.read.parquet(s"$statePath/state/counts"), VocabSize)
+      coverageFromTypeCounts(graft.sinks.LedgeredState.readPart(spark, statePath, "counts").get, VocabSize)
         .localCheckpoint(true) // materialize before the state dir is deleted
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)

@@ -1,137 +1,160 @@
 package graft.sinks
 
+import java.util.UUID
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
-/** Atomic commit for LEDGER-GUARDED additive ingest state.
+/** Atomic commit for LEDGER-GUARDED additive ingest state — published
+  * through the [[CommitLog]].
   *
-  * The five additive folds (vocabulary, corpus report, DSIR counts,
-  * moments, graph edges+frontier) restore idempotence under
-  * at-least-once delivery with a batchId ledger. Originally each ingest
-  * swapped its state dir(s) and THEN appended the ledger row as a
-  * separate write — leaving a crash window where the fold is applied
-  * but unrecorded: on replay the ledger says "new batch" and the
-  * additive state double-counts (exactly the failure the ledger
-  * exists to prevent). Multi-part states (graph: edges, then frontier,
-  * then ledger) had two such windows.
+  * The additive folds (vocabulary, corpus report, DSIR counts, moments,
+  * graph edges+frontier, contracts, skew, KLL, …) restore idempotence
+  * under at-least-once delivery with a batchId ledger, and the ledger
+  * must travel ATOMICALLY with the state parts: a crash window between
+  * "fold applied" and "batch recorded" double-counts on replay —
+  * exactly the failure the ledger exists to prevent.
   *
-  * Here the ledger IS part of the swapped state: all parts land in one
-  * temp dir — `<part>/` parquet per part plus `_batches/` carrying the
-  * old ledger + the new batchId — and ONE [[MergeSink.atomicSwap]]
-  * publishes everything. Either the whole batch (every part and its
-  * ledger row) is visible, or none of it is; a crash at any point
-  * leaves the previous committed state authoritative (the un-swapped
-  * temp dir is deleted on the next attempt).
+  * Earlier revisions guaranteed that with a whole-directory two-rename
+  * swap. This revision publishes through the commit log instead —
+  * immutable objects only, ZERO renames on any path:
   *
-  * Layout: `$path/state/<part>/` per part, `$path/state/_batches/` for
-  * the ledger. The ledger is REWRITTEN per commit (it must travel in
-  * the swap); it holds one tiny row per absorbed batch, so the rewrite
-  * is O(batches) metadata, never corpus-shaped.
+  *  - `$path/g-<tok>/<part>/` one immutable parquet dir per part per
+  *    commit (the generation dir; writer-unique token);
+  *  - `$path/_commits/<seq>` commit files, each carrying the FULL
+  *    state: the absorbed batch-id set AND the part → dir mapping.
+  *    THE HEAD COMMIT IS AUTHORITATIVE; a generation dir it does not
+  *    reference is dead (a crashed commit's residue or a superseded
+  *    generation) and is swept by the next commit.
   *
-  * Scale: the commit adds zero data-plane cost over the original
-  * two-step — the part writes are the same fold outputs, the swap is
-  * the same metadata rename, and the ledger rewrite is negligible. The
-  * fold plans read the PREVIOUS state lazily; every read completes
-  * while that state is still in place (writes target the temp dir), so
-  * no checkpoint is needed between parts.
-  */
+  * Either the whole batch (every part and its ledger row) is visible,
+  * or none of it is: the parts land first, then ONE commit-file create
+  * publishes them together. A crash pre-publish leaves invisible
+  * orphans and the previous commit authoritative; a crash mid-write of
+  * the commit file leaves truncated residue readers skip and the next
+  * writer reclaims ([[CommitLog]]'s contract). Commit semantics are
+  * FULL REPLACEMENT: the new head carries exactly the parts this
+  * commit names (unchanged from the swap era — every fold writes its
+  * whole state set).
+  *
+  * Writers: ledgered state is per-pipeline SINGLE-writer by design
+  * (the fold reads the previous state lazily — a concurrent commit
+  * would invalidate it, and no metadata-only reconciliation exists for
+  * an additive fold). The commit log upgrades that assumption from
+  * silent corruption to a LOUD failure: a second concurrent committer
+  * now loses the CAS and gets [[CommitLog.CommitConflictException]] —
+  * re-derive the fold from the new head and re-commit.
+  *
+  * Scale: the publish adds zero data-plane cost — part writes are the
+  * same fold outputs, the commit file is O(batches + parts) tiny
+  * lines. Superseded generation dirs are deleted after each publish,
+  * so disk holds ~one committed state plus the in-flight write. */
 object LedgeredState {
+
+  private val Header = "graft-ledgered-v1"
+  private val End = "END"
+
+  private final case class State(batches: Set[String],
+                                 parts: Map[String, String])
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed location of a state part (for readers). */
-  def partPath(path: String, part: String): String = s"$path/state/$part"
-
-  /** [[MergeSink.atomicSwap]] is two renames (state → bak, tmp →
-    * state); a crash BETWEEN them leaves no `state` dir while `bak`
-    * holds the last committed one. Without recovery the next ingest
-    * would silently restart from EMPTY state — exactly the data loss
-    * the atomic contract promises away — so every entry point probes
-    * for that window first and restores `bak`. The rule is
-    * unambiguous: restore ONLY when `state` is absent (a crash after
-    * the second rename but before the bak cleanup leaves BOTH — then
-    * the new state is committed and `bak` is just garbage, removed by
-    * the next commit's delete). */
-  private def recover(fs: FileSystem, path: String): Unit = {
-    legacyLayoutCheck(fs, path)
-    MergeSink.recoverSwap(fs, new Path(s"$path/state"),
-      new Path(path + ".__state_bak"))
+  private def isValid(content: String): Boolean = {
+    val ls = content.linesIterator.toSeq
+    ls.headOption.contains(Header) && ls.lastOption.contains(End) &&
+      ls.drop(1).dropRight(1).forall { l =>
+        l.split('\t') match {
+          case Array("B", b) => b.nonEmpty
+          case Array("P", p, d) => p.nonEmpty && d.nonEmpty
+          case _ => false
+        }
+      }
   }
 
-  /** Fail LOUDLY on the pre-round-12 on-disk layout ($path/state holding
-    * parquet files directly, ledger at $path/_batches) instead of
-    * silently treating it as fresh: under the current layout
-    * ([[absorbed]] probing $path/state/_batches, [[readPart]] probing
-    * $path/state/<part>) legacy state looks absent, and the first
-    * post-upgrade commit would atomically swap the accumulated state
-    * away — the exact silent-restart-from-empty loss this file's
-    * contract exists to prevent. Migration is a rename (state files →
-    * state/<part>/, _batches → state/_batches), but it must be the
-    * OPERATOR's deliberate act, not an implicit one mid-ingest. */
+  private def render(st: State): String =
+    (Header +:
+      (st.batches.toSeq.sorted.map(b => s"B\t$b") ++
+        st.parts.toSeq.sortBy(_._1).map { case (p, d) => s"P\t$p\t$d" }) :+
+      End).mkString("\n")
+
+  private def parse(content: String): State = {
+    val body = content.linesIterator.toSeq.drop(1).dropRight(1)
+    State(
+      body.collect { case l if l.startsWith("B\t") => l.drop(2) }.toSet,
+      body.collect { case l if l.startsWith("P\t") =>
+        val Array(_, p, d) = l.split('\t'); p -> d
+      }.toMap)
+  }
+
+  private def headState(spark: SparkSession,
+                        path: String): (Long, Option[State]) = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    legacyLayoutCheck(fs, path)
+    CommitLog.head(fs, root, isValid)
+      .map { case (seq, c) => (seq, Some(parse(c))) }
+      .getOrElse((0L, None))
+  }
+
+  /** Fail LOUDLY on the two retired on-disk layouts (pre-r12 flat
+    * parquet + `$path/_batches`; r12–r14 swapped `$path/state/<part>`)
+    * instead of silently treating them as fresh: under the commit-log
+    * layout both look absent, and the first post-upgrade commit would
+    * leave the accumulated state orphaned — the silent
+    * restart-from-empty loss this file's contract exists to prevent.
+    * Migration is one deliberate re-commit of the old parts under a
+    * batch ledger rebuilt from the old `_batches` rows — the
+    * OPERATOR's act, never an implicit one mid-ingest. */
   private def legacyLayoutCheck(fs: FileSystem, path: String): Unit = {
     val legacyLedger = new Path(s"$path/_batches")
-    val state = new Path(s"$path/state")
-    val legacyFlat = fs.exists(state) &&
-      fs.listStatus(state).exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (fs.exists(legacyLedger) || legacyFlat)
+    val legacyState = new Path(s"$path/state")
+    if (fs.exists(legacyLedger) || fs.exists(legacyState))
       throw new IllegalStateException(
         s"legacy LedgeredState layout detected at $path (" +
           (if (fs.exists(legacyLedger)) s"ledger at $legacyLedger; " else "") +
-          (if (legacyFlat) s"parquet files directly under $state; " else "") +
-          "expected $path/state/<part>/ + $path/state/_batches/). " +
-          "Refusing to proceed: a commit would silently discard the " +
-          "accumulated state. Migrate by moving the state files into a " +
-          "named part dir and _batches under state/.")
+          (if (fs.exists(legacyState)) s"swapped state at $legacyState; " else "") +
+          "expected $path/_commits/ + $path/g-*/). Refusing to proceed: " +
+          "a commit would silently orphan the accumulated state. Migrate " +
+          "by re-committing the old parts through LedgeredState.commit " +
+          "with the old ledger's batch ids.")
   }
 
   /** true iff `batchId` is recorded in the COMMITTED ledger — i.e. the
     * batch's fold is fully applied (commit is all-or-nothing). */
-  def absorbed(spark: SparkSession, path: String, batchId: String): Boolean = {
-    val ledger = new Path(s"$path/state/_batches")
-    val fs = fsOf(spark, ledger)
-    recover(fs, path)
-    fs.exists(ledger) &&
-      spark.read.parquet(ledger.toString)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-  }
+  def absorbed(spark: SparkSession, path: String, batchId: String): Boolean =
+    headState(spark, path)._2.exists(_.batches.contains(batchId))
 
   /** The committed state part as a frame, or None before first commit. */
-  def readPart(spark: SparkSession, path: String, part: String): Option[DataFrame] = {
-    val p = new Path(partPath(path, part))
-    val fs = fsOf(spark, p)
-    recover(fs, path)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+  def readPart(spark: SparkSession, path: String, part: String): Option[DataFrame] =
+    headState(spark, path)._2.flatMap(_.parts.get(part))
+      .map(d => spark.read.parquet(new Path(new Path(path), d).toString))
 
-  /** Publish `parts` plus the batchId-extended ledger in one atomic
-    * directory swap. Part frames may read the previous committed state;
-    * they are materialized into the temp dir before anything moves. */
+  /** Publish `parts` plus the batchId-extended ledger in ONE commit-file
+    * create. Part frames may read the previous committed state: its
+    * dirs are immutable and never move, so every lazy read completes
+    * against exactly the bytes it planned over. After the publish, the
+    * superseded generation dirs (and any crash residue) are swept. */
   def commit(spark: SparkSession, path: String, batchId: String,
              parts: Seq[(String, DataFrame)]): Unit = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    recover(fs, path)
-    val state = new Path(root, "state")
-    val tmp = new Path(path + ".__state_tmp")
-    fs.delete(tmp, true)
+    val (seq, prev) = headState(spark, path)
+    val gen = s"g-${UUID.randomUUID().toString.take(8)}"
     parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
+      df.write.mode("overwrite")
+        .parquet(new Path(root, s"$gen/$name").toString)
     }
-    import spark.implicits._
-    val newRow = Seq(batchId).toDF("batch_id")
-    val oldLedger = new Path(state, "_batches")
-    val ledger =
-      if (fs.exists(oldLedger))
-        spark.read.parquet(oldLedger.toString).unionByName(newRow)
-      else newRow
-    ledger.coalesce(1).write.mode("overwrite")
-      .parquet(new Path(tmp, "_batches").toString)
-    val bak = new Path(path + ".__state_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    MergeSink.atomicSwap(fs, tmp, state, bak)
+    val next = State(
+      prev.map(_.batches).getOrElse(Set.empty) + batchId,
+      parts.map { case (name, _) => name -> s"$gen/$name" }.toMap)
+    CommitLog.tryAppend(fs, root, seq, render(next), isValid)
+    // superseded generations + crash residue: dirs the new head does
+    // not reference (a crash here leaves orphans for the next sweep)
+    if (fs.exists(root)) fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
+      .filterNot(_.getPath.getName == gen)
+      .foreach(st => fs.delete(st.getPath, true))
+    CommitLog.sweep(fs, root, seq + 1)
   }
 }

@@ -152,7 +152,7 @@ class AuditSpec extends SparkSpec {
     val pool = (1L to 500L).map(i =>
       (i, s"g${i % 3}", rnd.nextInt(10000).toLong)).toDF("id", "g", "x")
     def readState(path: String): Set[(String, Long, Long, Long, Long)] =
-      spark.read.parquet(s"$path/state/moments")
+      graft.sinks.LedgeredState.readPart(spark, path, "moments").get
         .as[(String, Long, Long, Long, Long)].collect().toSet
     val base = java.nio.file.Files.createTempDirectory("graft_mom_spec_")
     try {
@@ -213,7 +213,7 @@ class AuditSpec extends SparkSpec {
     val pool = (1L to 600L).map(i =>
       (i, s"g${i % 3}", rnd.nextInt(50).toLong)).toDF("id", "lang", "qe4")
     def readState(p: String): Map[(String, Long), Long] =
-      spark.read.parquet(s"$p/state/counts")
+      graft.sinks.LedgeredState.readPart(spark, p, "counts").get
         .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val base = java.nio.file.Files.createTempDirectory("graft_hist_spec_")
     try {

@@ -51,7 +51,7 @@ class CorpusReportSpec extends SparkSpec {
       assert(!CorpusReport.reportIngest(spark, dir,
         docs.filter(col("doc_id") % 3 === order.head), s"b${order.head}",
         "text", Seq("lang", "source")))
-      spark.read.parquet(s"$dir/state/report").orderBy("lang", "source").collect()
+      graft.sinks.LedgeredState.readPart(spark, dir, "report").get.orderBy("lang", "source").collect()
     }
     val base = java.nio.file.Files.createTempDirectory("graft_report_ingest_")
     try {
@@ -63,7 +63,7 @@ class CorpusReportSpec extends SparkSpec {
       try {
         assert(CorpusReport.reportIngest(spark, s"$whole/w", docs, "all",
           "text", Seq("lang", "source")))
-        val w = spark.read.parquet(s"$whole/w/state/report").orderBy("lang", "source").collect()
+        val w = graft.sinks.LedgeredState.readPart(spark, s"${whole}/w", "report").get.orderBy("lang", "source").collect()
         assert(a.sameElements(w), "incremental must equal batch aggregation")
       } finally {
         val fs = new org.apache.hadoop.fs.Path(whole.toString)

@@ -86,7 +86,7 @@ class GraphSpec extends SparkSpec {
       assert(Graph.graphIngest(spark, p, d2.toDF(cols: _*), "d2"))
       assert(!Graph.graphIngest(spark, p, d2.toDF(cols: _*), "d2"),
         "whole-batch replay must be a ledger no-op")
-      val edges = spark.read.parquet(s"$p/state/edges")
+      val edges = graft.sinks.LedgeredState.readPart(spark, p, "edges").get
         .as[(Long, Long, Long)].collect().toSet
       val whole = Graph.transitionEdges(all.toDF(cols: _*))
         .as[(Long, Long, Long)].collect().toSet
@@ -94,7 +94,7 @@ class GraphSpec extends SparkSpec {
         "incremental edge state must equal the whole-log extraction " +
           "(2->3 crosses the boundary; re-delivered rows must not double-count 1->2)")
       assert(whole.contains((2L, 3L, 1L)), "the boundary edge is in the gate at all")
-      val front = spark.read.parquet(s"$p/state/frontier")
+      val front = graft.sinks.LedgeredState.readPart(spark, p, "frontier").get
         .select(col("user_id"), col("page")).as[(Long, Long)].collect().toMap
       assert(front == Map(10L -> 3L, 20L -> 8L, 30L -> 9L))
     } finally {

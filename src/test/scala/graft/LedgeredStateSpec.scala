@@ -39,28 +39,54 @@ class LedgeredStateSpec extends SparkSpec {
     }
   }
 
-  test("the two-rename crash window recovers: moved-aside state is restored") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ls_swap_")
+  test("crash residue: truncated head commit skipped+reclaimed, orphan gens swept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ls_crash2_")
     try {
       val path = s"$base/st"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       LedgeredState.commit(spark, path, "day1",
         Seq("counts" -> Seq(("a", 1L)).toDF("k", "n")))
-      // simulate a crash BETWEEN atomicSwap's two renames: state moved
-      // aside to bak, replacement never arrived
-      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/state"),
-        new org.apache.hadoop.fs.Path(path + ".__state_bak")))
-      // every entry point must restore the committed state, not start empty
-      assert(LedgeredState.absorbed(spark, path, "day1"),
-        "the crash window must not erase the committed ledger")
+      // a writer that crashed mid-publish: parts landed as a generation
+      // dir, plus a TRUNCATED commit file (no END sentinel)
+      Seq(("ghost", 9L)).toDF("k", "n")
+        .write.parquet(s"$path/g-crashed0/counts")
+      val residue = new org.apache.hadoop.fs.Path(
+        s"$path/_commits/${"%020d".format(2)}")
+      val out = fs.create(residue, false)
+      out.write("graft-ledgered-v1\nB\tday2".getBytes("UTF-8")); out.close()
+      // readers fall back past the residue: day-1 state authoritative
+      assert(LedgeredState.absorbed(spark, path, "day1"))
+      assert(!LedgeredState.absorbed(spark, path, "day2"),
+        "a crashed commit must not read as absorbed")
       assert(LedgeredState.readPart(spark, path, "counts").get
-        .collect().head.getLong(1) == 1L)
-      // and the next fold proceeds on top of the recovered state
+        .collect().head.getLong(1) == 1L, "orphan gen must be invisible")
+      // the next fold reclaims the slot and sweeps every dead dir
       val grown = LedgeredState.readPart(spark, path, "counts").get
         .unionByName(Seq(("b", 2L)).toDF("k", "n"))
       LedgeredState.commit(spark, path, "day2", Seq("counts" -> grown))
+      assert(LedgeredState.absorbed(spark, path, "day2"))
       assert(LedgeredState.readPart(spark, path, "counts").get.count() == 2)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/g-crashed0")),
+        "crash-residue generation must be swept")
+      val gens = fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
+      assert(gens.length == 1,
+        s"superseded generations must be deleted, saw ${gens.length}")
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
+  test("a legacy swapped layout fails loudly instead of silently restarting") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ls_legacy_")
+    try {
+      val path = s"$base/st"
+      Seq(("a", 1L)).toDF("k", "n").write.parquet(s"$path/state/counts")
+      intercept[IllegalStateException] {
+        LedgeredState.absorbed(spark, path, "day1")
+      }
     } finally {
       val pp = new org.apache.hadoop.fs.Path(base.toString)
       pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)

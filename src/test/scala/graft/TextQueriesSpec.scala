@@ -147,7 +147,7 @@ class TextQueriesSpec extends SparkSpec {
           assert(TextQueries.vocabIngest(spark, p,
             docs.filter(col("doc_id").isInCollection(ids)), s"b$i", "lang", "text"))
         }
-        spark.read.parquet(s"$p/state/counts").collect()
+        graft.sinks.LedgeredState.readPart(spark, p, "counts").get.collect()
           .map(r => (r.getAs[String]("lang"), r.getAs[String]("tok")) ->
             r.getAs[Long]("n")).toMap
       } finally {
@@ -169,7 +169,7 @@ class TextQueriesSpec extends SparkSpec {
       val p = s"$base/v"
       assert(TextQueries.vocabIngest(spark, p, docs, "d1", "lang", "text"))
       assert(!TextQueries.vocabIngest(spark, p, docs, "d1", "lang", "text"))
-      val n = spark.read.parquet(s"$p/state/counts")
+      val n = graft.sinks.LedgeredState.readPart(spark, p, "counts").get
         .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
       assert(n == 7L, s"replay must not double-count (total token count $n != 7)")
     } finally {
