@@ -1323,4 +1323,70 @@ object MergeQueries {
   }
 
   def q204IncrDedupManifestSql: String = q65IncrDedupSql
+
+  /** q209: MANIFEST-MERGE WRITER CONTENTION under the gate — the
+    * two-nightly-jobs scenario end to end, not just in the spec: day 1
+    * seeds the snapshot; then writer A (docs with odd doc_id) has its
+    * generation written and, BEFORE A publishes, writer B (even
+    * doc_id) commits through the injectable seam. A's publish loses
+    * the CAS and reconciles by the bucket rule (disjoint → repoint
+    * metadata-only; overlapping → re-merge from B's state — both
+    * paths converge to sequential semantics, so the FINAL SNAPSHOT is
+    * interleave-invariant). The oracle is plain batch dedup of the
+    * whole corpus: a lost update (B's rows vanishing under A's
+    * stale-head publish), a double-fold, or a half-published bucket
+    * set all fail row-level. Also emits a commit-count row: exactly
+    * day1 + A + B commits land — one per writer, losers never
+    * double-publish. */
+  def q209ManifestContention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{CommitLog, ManifestMergeSink}
+    val base = java.nio.file.Files.createTempDirectory("graft_q209_")
+    try {
+      val target = s"$base/dedup_index"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      dedupIngestManifested(spark, target, docs.filter(col("doc_id") <= cut),
+        nBuckets = 16)
+      // writer A's day-2 slice (odd ids above the cut) holds its publish
+      // until writer B (even ids above the cut) has fully committed
+      val dayA = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 1)
+      val dayB = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 0)
+      val uniqA = dayA.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id")).localCheckpoint(true)
+      val freshA = uniqA.join(
+        ManifestMergeSink.readManifestedBuckets(spark, target,
+          ManifestMergeSink.bucketsOf(spark, target, uniqA, "content_hash", 16))
+          .select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      ManifestMergeSink.mergeIntoManifested(spark, target, freshA,
+        "content_hash", Seq("doc_id"), nBuckets = 16,
+        beforePublish = () => {
+          dedupIngestManifested(spark, target, dayB, nBuckets = 16); ()
+        })
+      val fs = new Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nCommits = CommitLog.seqs(fs, new Path(target)).size.toLong
+      val ss = spark; import ss.implicits._
+      ManifestMergeSink.readManifested(spark, target)
+        .select(lit("row").as("sect"), col("content_hash"),
+          col("doc_id").as("survivor_id"))
+        .unionByName(Seq(("commits", null.asInstanceOf[String], nCommits))
+          .toDF("sect", "content_hash", "survivor_id"))
+        .orderBy(col("sect"), col("content_hash"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q209ManifestContentionSql: String =
+    """SELECT * FROM (
+      |  SELECT 'row' AS sect, md5(text) AS content_hash,
+      |    min(doc_id)::BIGINT AS survivor_id
+      |  FROM documents GROUP BY md5(text)
+      |  UNION ALL
+      |  SELECT 'commits', NULL, 3)
+      |ORDER BY sect, content_hash""".stripMargin
 }
