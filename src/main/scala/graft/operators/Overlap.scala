@@ -165,7 +165,7 @@ object Overlap {
   /** atomicSwap's two-rename crash window (state moved aside, tmp not
     * yet in place) would silently RESET the fingerprint to empty on the
     * next fold — restore the moved-aside state first, exactly
-    * [[graft.sinks.LedgeredState]]'s recovery rule (restore only when
+    * [[graft.sinks.MergeSink.recoverSwap]]'s rule (restore only when
     * `state` is absent). */
   private def recoverSketch(fs: org.apache.hadoop.fs.FileSystem,
                             path: String): Unit =

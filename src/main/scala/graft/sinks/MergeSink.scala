@@ -447,8 +447,9 @@ object MergeSink {
   }
 
   /** The [[atomicSwap]] crash-window probe, shared by EVERY swap-backed
-    * state sink (this sink, [[LedgeredState]], the sketch/sample/
-    * skyline/CDC states): a crash BETWEEN the two renames leaves no
+    * state sink (this sink, the sketch/sample/skyline/CDC states;
+    * [[LedgeredState]] and [[VersionCatalog]] moved to the rename-free
+    * [[CommitLog]] protocol): a crash BETWEEN the two renames leaves no
     * target while `bak` holds the last committed snapshot — without
     * recovery the next operation's exists-check silently treats the
     * state as fresh-empty and the whole committed history is discarded.
