@@ -224,6 +224,8 @@ object VersionCatalog {
     var attempt = 0
     while (true) {
       val (seq, entries) = headState(spark, path)
+      if (entries.isEmpty) return Seq.empty // nothing committed: a no-op,
+      // not a first (empty) commit
       val rewritten = entries.sortBy(_.version).map { e =>
         val obsBefore = Observation()
         val obsAfter = Observation()

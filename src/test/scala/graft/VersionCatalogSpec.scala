@@ -140,6 +140,10 @@ class VersionCatalogSpec extends SparkSpec {
     try {
       val cat = s"$base/c"
       def f(ids: Long*) = ids.map(i => (i, s"p$i")).toDF("id", "payload")
+      // purging an EMPTY catalog is a no-op, not a first (empty) commit
+      assert(VersionCatalog.purge(spark, cat, Seq(2L).toDF("id"), "id").isEmpty)
+      assert(VersionCatalog.versions(spark, cat).isEmpty,
+        "an empty-catalog purge must not publish any commit")
       VersionCatalog.commit(spark, cat, f(1L, 2L, 3L))
       VersionCatalog.commit(spark, cat, f(1L, 2L, 3L, 4L))
       val purged = VersionCatalog.purge(spark, cat, Seq(2L).toDF("id"), "id")
