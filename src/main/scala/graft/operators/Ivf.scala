@@ -183,6 +183,11 @@ object Ivf {
     fs.delete(tmp, true); fs.delete(bak, true)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
     graft.sinks.MergeSink.atomicSwap(fs, tmp, root, bak)
+    // the swap replaced the whole dir, baseline included: re-snapshot so
+    // the NIGHTLY tool ([[refitLocalized]]) measures drift against THIS
+    // rebuild instead of failing its baseline probe until an operator
+    // remembers to; one nlist×dim mean pass — noise next to the rebuild
+    snapshotListMeans(spark, path)
     model
   }
 

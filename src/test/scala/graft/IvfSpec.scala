@@ -319,6 +319,14 @@ class IvfSpec extends SparkSpec {
         .select(col("id"), col("list_id").as("e_list"))
       assert(after.select(col("id"), col("list_id")).join(expect, "id")
         .filter(col("list_id") =!= col("e_list")).count() == 0)
+      // the rebuild refreshed the drift baseline: the nightly localized
+      // tool measures zero drift right after a full refit
+      val fsDir = new org.apache.hadoop.fs.Path(s"$dir/_list_means")
+      assert(fsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(fsDir), "refit must re-snapshot the localized baseline")
+      val (_, drifted) = Ivf.refitLocalized(spark, dir,
+        Ivf.centroidsOf(model2), epsilon = 0.05)
+      assert(drifted.isEmpty, s"fresh refit must measure zero drift: $drifted")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
