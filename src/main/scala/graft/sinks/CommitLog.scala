@@ -29,9 +29,11 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   *  - the object-store-safe publish: one immutable object write — no
   *    renames anywhere on the read or publish path. On HDFS
   *    `create(overwrite=false)` is atomic; on S3 it maps to a
-  *    conditional PUT (`If-None-Match: *`); the local filesystem's
-  *    exists-check+create suffices for the deterministic interleaves
-  *    the specs drive.
+  *    conditional PUT (`If-None-Match: *`). The local filesystem's
+  *    exists-check+create is NOT atomic — good enough for the
+  *    deterministic interleaves the specs drive and for
+  *    single-writer-per-slot deployments, while the reclaim grace
+  *    below closes the local-FS slow-writer window.
   *
   * Crash discipline (no recovery renames needed — compare
   * [[MergeSink.recoverSwap]]'s two-rename window):
@@ -44,8 +46,20 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   *    line) and fall back past unparsable residue; the next writer
   *    reclaims the slot (an invalid file is deletable by contract — a
   *    writer that crashed mid-write never returned success, so nothing
-  *    ever referenced that commit). A PARSABLE commit file is never
-  *    deleted or rewritten.
+  *    ever referenced that commit) — but ONLY once the residue has aged
+  *    past [[DefaultReclaimGraceMs]]: on a filesystem where create and
+  *    the content write are separate operations (the local FS; HDFS), a
+  *    SLOW concurrent writer mid-stream is byte-indistinguishable from
+  *    a crashed one, and deleting its in-flight file would let both
+  *    writers return success — the silent lost update this log exists
+  *    to prevent. Younger invalid residue is treated as a conflict
+  *    (loud, retryable); after the grace only a genuinely dead writer
+  *    can own it (a live writer's create-to-close window is bounded by
+  *    the tiny metadata payload, not by data-plane work — every sink
+  *    writes its data dirs BEFORE appending). A PARSABLE commit file is
+  *    never deleted or rewritten. On a store whose conditional PUT is
+  *    atomic with the content (S3 `If-None-Match: *`), partial residue
+  *    cannot exist and the grace never engages.
   *
   * Scale: O(commits) tiny metadata files, read = one listing + one
   * small file; nothing here is corpus-shaped. Sinks that accumulate
@@ -61,6 +75,14 @@ object CommitLog {
     extends RuntimeException(msg)
 
   private[sinks] val Dir = "_commits"
+
+  /** How long invalid slot residue must sit unmodified before a writer
+    * may reclaim it (see the crash-discipline doc above): long enough
+    * that no live writer is still streaming a kilobyte-scale metadata
+    * file, short enough that a crashed slot never blocks the pipeline's
+    * next run. Specs that plant synthetic residue age it explicitly
+    * with `FileSystem.setTimes`. */
+  val DefaultReclaimGraceMs: Long = 60000L
 
   private def logDir(root: Path) = new Path(root, Dir)
 
@@ -103,15 +125,19 @@ object CommitLog {
 
   /** Publish `content` as commit `expectedHead + 1`. Throws
     * [[CommitConflictException]] if the slot is taken by a VALID commit
-    * (another writer won — retryable). Invalid residue in the slot (a
-    * crashed writer's truncated file) is reclaimed: deletable by the
-    * crash contract above. `expectedHead` 0 means "I read an empty log".
+    * (another writer won — retryable). Invalid residue in the slot is
+    * reclaimed ONLY once it has aged past `reclaimGraceMs` — younger
+    * residue may be a slow concurrent writer mid-stream, which is a
+    * conflict, not a crash (see the crash-discipline doc). `expectedHead`
+    * 0 means "I read an empty log".
     *
     * The content write goes through a create(overwrite = false): the
     * existence check IS the CAS. A crash between our create and the
-    * full content landing leaves residue the next writer reclaims. */
+    * full content landing leaves residue the next writer reclaims
+    * after the grace. */
   def tryAppend(fs: FileSystem, root: Path, expectedHead: Long,
-                content: String, isValid: String => Boolean): Long = {
+                content: String, isValid: String => Boolean,
+                reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     require(expectedHead >= 0, s"expectedHead=$expectedHead")
     require(isValid(content),
       "refusing to append content the caller's own validator rejects " +
@@ -124,7 +150,18 @@ object CommitLog {
         throw new CommitConflictException(
           s"commit $seq at $root already published by another writer " +
             s"(expected head $expectedHead is stale) — re-read and retry")
-      fs.delete(f, false) // truncated crash residue: reclaim the slot
+      // invalid content: crashed writer's residue OR a live writer still
+      // streaming — indistinguishable by bytes, distinguished by age
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(f).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age < reclaimGraceMs)
+        throw new CommitConflictException(
+          s"commit slot $seq at $root holds invalid content younger than " +
+            s"the ${reclaimGraceMs}ms reclaim grace — a concurrent writer " +
+            "may still be streaming it; re-read and retry after it " +
+            "publishes or ages out")
+      fs.delete(f, false) // aged truncated crash residue: reclaim the slot
     }
     // Any seq beyond ours ⇒ we lost long ago (head moved past us).
     val newest = seqs(fs, root).lastOption.getOrElse(0L)

@@ -47,8 +47,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale: the publish adds zero data-plane cost — part writes are the
   * same fold outputs, the commit file is O(batches + parts) tiny
-  * lines. Superseded generation dirs are deleted after each publish,
-  * so disk holds ~one committed state plus the in-flight write. */
+  * lines. Generation dirs superseded past the reader-retention margin
+  * (see [[commit]]'s `retainCommits`) are deleted after each publish,
+  * so disk holds ~retainCommits committed states plus the in-flight
+  * write. */
 object LedgeredState {
 
   private val Header = "graft-ledgered-v1"
@@ -133,10 +135,17 @@ object LedgeredState {
   /** Publish `parts` plus the batchId-extended ledger in ONE commit-file
     * create. Part frames may read the previous committed state: its
     * dirs are immutable and never move, so every lazy read completes
-    * against exactly the bytes it planned over. After the publish, the
-    * superseded generation dirs (and any crash residue) are swept. */
+    * against exactly the bytes it planned over. After the publish,
+    * generation dirs no RETAINED commit references (and any crash
+    * residue) are swept — `retainCommits` keeps the last N commits and
+    * their dirs alive, so a long-running READER that resolved a recent
+    * head finishes its scan across a concurrent commit + sweep (the
+    * single-writer discipline covers writers, never readers; this is
+    * [[CommitLog.sweep]]'s margin put to its designed use). */
   def commit(spark: SparkSession, path: String, batchId: String,
-             parts: Seq[(String, DataFrame)]): Unit = {
+             parts: Seq[(String, DataFrame)],
+             retainCommits: Int = 2): Unit = {
+    require(retainCommits >= 1, s"retainCommits=$retainCommits")
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val (seq, prev) = headState(spark, path)
@@ -149,12 +158,19 @@ object LedgeredState {
       prev.map(_.batches).getOrElse(Set.empty) + batchId,
       parts.map { case (name, _) => name -> s"$gen/$name" }.toMap)
     CommitLog.tryAppend(fs, root, seq, render(next), isValid)
-    // superseded generations + crash residue: dirs the new head does
-    // not reference (a crash here leaves orphans for the next sweep)
+    // sweep commits below the retention margin, then every generation
+    // dir no surviving commit references — superseded beyond the
+    // margin, crashed writers' residue (a crash here leaves orphans
+    // for the next sweep)
+    val keepFrom = (seq + 1) - (retainCommits - 1)
+    CommitLog.sweep(fs, root, keepFrom)
+    val live = CommitLog.seqs(fs, root)
+      .flatMap(s => CommitLog.read(fs, root, s).filter(isValid))
+      .flatMap(c => parse(c).parts.values.map(_.split('/').head))
+      .toSet + gen
     if (fs.exists(root)) fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
-      .filterNot(_.getPath.getName == gen)
+      .filterNot(st => live(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
-    CommitLog.sweep(fs, root, seq + 1)
   }
 }

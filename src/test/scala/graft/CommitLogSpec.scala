@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import graft.sinks.CommitLog
+
+/** The commit log's CAS fine print under adversarial schedules — the
+  * windows the sink-level specs (LedgeredState / VersionCatalog /
+  * ManifestMergeSink) drive only the happy side of. The operative
+  * contract: exactly one writer wins a slot, a loser is LOUD, and an
+  * in-flight writer's half-written slot is never mistaken for a crashed
+  * one (the slow-writer/crashed-writer ambiguity is resolved by AGE —
+  * see [[CommitLog.DefaultReclaimGraceMs]]). */
+class CommitLogSpec extends SparkSpec {
+
+  private val valid = (s: String) => s.endsWith("\nEND")
+  private def content(tag: String) = s"payload-$tag\nEND"
+
+  private def withRoot(f: (org.apache.hadoop.fs.FileSystem, Path) => Unit): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_clog_")
+    val root = new Path(s"$base/log")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try f(fs, root)
+    finally fs.delete(new Path(base.toString), true)
+  }
+
+  private def slot(root: Path, seq: Long) =
+    new Path(s"$root/_commits/${"%020d".format(seq)}")
+
+  test("a slow concurrent writer's in-flight slot conflicts — it is never reclaimed young") {
+    withRoot { (fs, root) =>
+      CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
+      // writer W1: create() returned, content not yet streamed — the
+      // byte state a crashed writer would also leave
+      fs.mkdirs(new Path(root, "_commits"))
+      val w1 = fs.create(slot(root, 2L), false)
+      // writer W2 at the same head: the young invalid slot must read as
+      // an in-flight writer, not reclaimable residue — deleting it here
+      // would let BOTH writers return success (the silent lost update)
+      val e = intercept[CommitLog.CommitConflictException] {
+        CommitLog.tryAppend(fs, root, 1L, content("w2"), valid)
+      }
+      assert(e.getMessage.contains("reclaim grace"))
+      assert(fs.exists(slot(root, 2L)), "W1's in-flight slot must survive")
+      // W1 finishes streaming its content and closes — its commit wins
+      w1.write(content("w1").getBytes("UTF-8")); w1.close()
+      assert(CommitLog.head(fs, root, valid).contains(2L -> content("w1")),
+        "the slow writer's commit must land intact")
+      // W2 retries against the NEW head and lands in the next slot
+      assert(CommitLog.tryAppend(fs, root, 2L, content("w2"), valid) == 3L)
+      assert(CommitLog.head(fs, root, valid).contains(3L -> content("w2")))
+    }
+  }
+
+  test("aged invalid residue (a genuinely crashed writer) is reclaimed") {
+    withRoot { (fs, root) =>
+      CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
+      val out = fs.create(slot(root, 2L), false)
+      out.write("truncated-no-sentinel".getBytes("UTF-8")); out.close()
+      fs.setTimes(slot(root, 2L), System.currentTimeMillis() - 120000L, -1L)
+      // readers skip the residue; the next writer reclaims the slot
+      assert(CommitLog.head(fs, root, valid).contains(1L -> content("base")))
+      assert(CommitLog.tryAppend(fs, root, 1L, content("w2"), valid) == 2L)
+      assert(CommitLog.head(fs, root, valid).contains(2L -> content("w2")))
+    }
+  }
+
+  test("a VALID slot is never deleted or rewritten, whatever its age") {
+    withRoot { (fs, root) =>
+      CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
+      fs.setTimes(slot(root, 1L), 1000L, -1L) // ancient
+      intercept[CommitLog.CommitConflictException] {
+        CommitLog.tryAppend(fs, root, 0L, content("late"), valid)
+      }
+      assert(CommitLog.head(fs, root, valid).contains(1L -> content("base")))
+    }
+  }
+
+  test("sweep honors the margin and never touches the head") {
+    withRoot { (fs, root) =>
+      (0L until 5L).foreach(s =>
+        CommitLog.tryAppend(fs, root, s, content(s"c${s + 1}"), valid))
+      assert(CommitLog.sweep(fs, root, 4L) == Seq(1L, 2L, 3L))
+      assert(CommitLog.seqs(fs, root) == Seq(4L, 5L),
+        "the margin commit and the head must survive")
+      assert(CommitLog.sweep(fs, root, 99L) == Seq(4L),
+        "sweep past head must still keep the head")
+      assert(CommitLog.seqs(fs, root) == Seq(5L))
+    }
+  }
+}

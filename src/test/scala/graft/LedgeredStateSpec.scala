@@ -55,6 +55,10 @@ class LedgeredStateSpec extends SparkSpec {
         s"$path/_commits/${"%020d".format(2)}")
       val out = fs.create(residue, false)
       out.write("graft-ledgered-v1\nB\tday2".getBytes("UTF-8")); out.close()
+      // age the residue past the reclaim grace — a FRESH invalid slot is
+      // indistinguishable from a slow in-flight writer and must NOT be
+      // reclaimed (CommitLogSpec pins that side)
+      fs.setTimes(residue, System.currentTimeMillis() - 120000L, -1L)
       // readers fall back past the residue: day-1 state authoritative
       assert(LedgeredState.absorbed(spark, path, "day1"))
       assert(!LedgeredState.absorbed(spark, path, "day2"),
@@ -69,10 +73,41 @@ class LedgeredStateSpec extends SparkSpec {
       assert(LedgeredState.readPart(spark, path, "counts").get.count() == 2)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/g-crashed0")),
         "crash-residue generation must be swept")
-      val gens = fs.listStatus(p)
+      // reader-retention margin (retainCommits=2): day-1's generation is
+      // KEPT after day-2's commit (a reader holding the old head must
+      // finish), and falls out only after the next commit
+      def gens() = fs.listStatus(p)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
-      assert(gens.length == 1,
-        s"superseded generations must be deleted, saw ${gens.length}")
+        .map(_.getPath.getName).toSet
+      assert(gens().size == 2,
+        s"retention must keep the previous generation, saw ${gens()}")
+      LedgeredState.commit(spark, path, "day3",
+        Seq("counts" -> LedgeredState.readPart(spark, path, "counts").get))
+      assert(gens().size == 2,
+        s"generations past the margin must be deleted, saw ${gens()}")
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
+  test("reader-retention margin: a reader holding the previous head finishes its scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ls_reader_")
+    try {
+      val path = s"$base/st"
+      LedgeredState.commit(spark, path, "day1",
+        Seq("counts" -> Seq(("a", 1L)).toDF("k", "n")))
+      // a long-running reader resolves the day-1 head (dir path bound now,
+      // files read lazily at the action)...
+      val reader = LedgeredState.readPart(spark, path, "counts").get
+      // ...a concurrent commit + sweep lands in between...
+      LedgeredState.commit(spark, path, "day2",
+        Seq("counts" -> Seq(("a", 2L)).toDF("k", "n")))
+      // ...and the reader's scan still completes against day-1 bytes:
+      // the retention margin kept its generation dir alive
+      val got = reader.collect()
+      assert(got.length == 1 && got.head.getLong(1) == 1L,
+        "the pre-commit reader must finish against its resolved generation")
     } finally {
       val pp = new org.apache.hadoop.fs.Path(base.toString)
       pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)

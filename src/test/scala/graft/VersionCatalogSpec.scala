@@ -77,6 +77,9 @@ class VersionCatalogSpec extends SparkSpec {
       val out = fs.create(residue, false)
       out.write("graft-catalog-v1\n1\td-trunc".getBytes("UTF-8"))
       out.close()
+      // age it past the reclaim grace (fresh invalid residue reads as an
+      // in-flight writer and conflicts instead — CommitLogSpec pins that)
+      fs.setTimes(residue, System.currentTimeMillis() - 120000L, -1L)
       // readers fall back past the residue — state is still commit 2
       assert(VersionCatalog.versions(spark, cat) == Seq(1L, 2L))
       val got = VersionCatalog.readVersion(spark, cat, 2L)
