@@ -85,7 +85,15 @@ object MergeQueries {
     * hashes. A hash already in the index keeps its original survivor —
     * arrival order decides, which is the production semantic (the first
     * delivery of a document wins; later re-deliveries are the
-    * duplicates). Input must carry (`doc_id`, `content_hash`). */
+    * duplicates). Input must carry (`doc_id`, `content_hash`).
+    *
+    * LAYOUT CHOICE: this form and its bucketed/partitioned siblings
+    * publish through rename swaps — reference-faithful, single-writer,
+    * rename-dependent. NEW pipelines should default to
+    * [[dedupIngestManifested]] (the commit-log layout): rename-free
+    * (object-store-safe), publish atomic across all touched buckets,
+    * and correct under concurrent writers (q204/q209); the swap forms
+    * stay gated (q65/q66/q73/q83) as the documented legacy layouts. */
   def dedupIngest(spark: SparkSession, target: String,
                   batch: DataFrame): MergeSink.MergeStats = {
     val fs = new org.apache.hadoop.fs.Path(target)
@@ -1268,27 +1276,40 @@ object MergeQueries {
     * bounded touched-bucket IO like the partitioned form, but publish
     * is ONE commit-file create (no renames — object-store-safe, and
     * safe under concurrent writers via the commit log's CAS). The
-    * anti-join probe prunes to the batch's buckets through the head
+    * anti-join probe prunes to the batch's buckets through the snapshot
     * mapping (a hash's bucket is deterministic — re-delivered keys can
-    * only collide there, the q73 argument). */
+    * only collide there, the q73 argument).
+    *
+    * The anti-join runs INSIDE the merge's retry loop
+    * (`recomputeUpdates`), derived against exactly the snapshot state
+    * each publish attempt CAS-checks: a key delivered by both of two
+    * racing writers is re-probed against the winner's head on an
+    * overlap conflict and drops out of the loser's fresh set — the
+    * loser can never upsert its stale row over the winner's earlier
+    * arrival, so first-arrival semantics follow COMMIT order under any
+    * interleave (q209 gates this end to end via `beforePublish`). */
   def dedupIngestManifested(spark: SparkSession, target: String,
-                            batch: DataFrame,
-                            nBuckets: Int): MergeSink.MergeStats = {
+                            batch: DataFrame, nBuckets: Int,
+                            beforePublish: () => Unit = () => ()): MergeSink.MergeStats = {
     import graft.sinks.ManifestMergeSink
     val uniq = batch.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .localCheckpoint(true) // probed for buckets, then anti-joined
-    val fresh =
-      if (ManifestMergeSink.headState(spark, target).isDefined) {
-        val touched = ManifestMergeSink.bucketsOf(spark, target, uniq,
-          "content_hash", nBuckets)
-        uniq.join(
-          ManifestMergeSink.readManifestedBuckets(spark, target, touched)
-            .select(col("content_hash")),
-          Seq("content_hash"), "left_anti")
-      } else uniq
-    ManifestMergeSink.mergeIntoManifested(spark, target, fresh,
-      "content_hash", Seq("doc_id"), nBuckets)
+    ManifestMergeSink.mergeIntoManifested(spark, target, uniq,
+      "content_hash", Seq("doc_id"), nBuckets,
+      beforePublish = beforePublish,
+      recomputeUpdates = {
+        case None => uniq // first commit: everything is fresh
+        case Some(st) =>
+          val touched = uniq
+            .select(pmod(xxhash64(col("content_hash")),
+              lit(st.nBuckets.toLong)).as("pb"))
+            .distinct().collect().map(_.getLong(0)).toSeq // ≤ nBuckets
+          uniq.join(
+            ManifestMergeSink.readStateBuckets(spark, target, st, touched)
+              .select(col("content_hash")),
+            Seq("content_hash"), "left_anti")
+      })
   }
 
   /** q204: the q65 day-split + re-delivery harness through the
@@ -1330,14 +1351,15 @@ object MergeQueries {
     * generation written and, BEFORE A publishes, writer B (even
     * doc_id) commits through the injectable seam. A's publish loses
     * the CAS and reconciles by the bucket rule (disjoint → repoint
-    * metadata-only; overlapping → re-merge from B's state — both
-    * paths converge to sequential semantics, so the FINAL SNAPSHOT is
-    * interleave-invariant). The oracle is plain batch dedup of the
-    * whole corpus: a lost update (B's rows vanishing under A's
-    * stale-head publish), a double-fold, or a half-published bucket
-    * set all fail row-level. Also emits a commit-count row: exactly
-    * day1 + A + B commits land — one per writer, losers never
-    * double-publish. */
+    * metadata-only; overlapping → re-derive the fresh set against B's
+    * head and re-merge — both paths converge to sequential semantics,
+    * so the FINAL SNAPSHOT is interleave-invariant). The oracle is
+    * plain batch dedup of the whole corpus: a lost update (B's rows
+    * vanishing under A's stale-head publish), a double-fold, a stale
+    * anti-join (A upserting over a key B landed first), or a
+    * half-published bucket set all fail row-level. Also emits a
+    * commit-count row: exactly day1 + A + B commits land — one per
+    * writer, losers never double-publish. */
   def q209ManifestContention(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.{CommitLog, ManifestMergeSink}
     val base = java.nio.file.Files.createTempDirectory("graft_q209_")
@@ -1352,15 +1374,7 @@ object MergeQueries {
       // until writer B (even ids above the cut) has fully committed
       val dayA = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 1)
       val dayB = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 0)
-      val uniqA = dayA.groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("doc_id")).localCheckpoint(true)
-      val freshA = uniqA.join(
-        ManifestMergeSink.readManifestedBuckets(spark, target,
-          ManifestMergeSink.bucketsOf(spark, target, uniqA, "content_hash", 16))
-          .select(col("content_hash")),
-        Seq("content_hash"), "left_anti")
-      ManifestMergeSink.mergeIntoManifested(spark, target, freshA,
-        "content_hash", Seq("doc_id"), nBuckets = 16,
+      dedupIngestManifested(spark, target, dayA, nBuckets = 16,
         beforePublish = () => {
           dedupIngestManifested(spark, target, dayB, nBuckets = 16); ()
         })

@@ -152,6 +152,16 @@ object ManifestMergeSink {
         s"no committed manifest snapshot at $target")
     }
 
+  /** Bucket-pruned read against an EXPLICIT state — the form a
+    * [[mergeIntoManifested]] `recomputeUpdates` callback must use: the
+    * callback derives its update set from exactly the snapshot version
+    * the merge will publish against (same seq, same dirs), so a commit
+    * interleaving between derivation and publish is always caught by
+    * the CAS instead of silently merging a stale derivation. */
+  def readStateBuckets(spark: SparkSession, target: String,
+                       st: ManifestState, buckets: Seq[Long]): DataFrame =
+    readDirs(spark, target, st, buckets)
+
   /** The bucket ids `keys` hash into under the snapshot's (or, before
     * first commit, the given) bucket count. */
   def bucketsOf(spark: SparkSession, target: String, keys: DataFrame,
@@ -166,21 +176,38 @@ object ManifestMergeSink {
     * through one commit-file create. Retries contention per the
     * disjoint/overlap rule above; after `maxRetries` losses the last
     * conflict propagates (loudly — the caller decides whether to back
-    * off and re-run). */
+    * off and re-run).
+    *
+    * `recomputeUpdates` (optional): a snapshot-state → update-set
+    * function for callers whose update set is DERIVED from the snapshot
+    * (a dedup ingest's anti-join). When provided it replaces `updates`
+    * and is re-invoked on EVERY merge attempt with exactly the state
+    * the attempt will publish against (None before first commit) — so
+    * an overlap conflict re-derives the set against the winner's head
+    * instead of re-merging a stale derivation (a key delivered by both
+    * racing writers would otherwise get the loser's row upserted over
+    * the winner's earlier arrival, diverging from sequential
+    * semantics). Derive through [[readStateBuckets]] with the given
+    * state, never through [[headState]] — the head can move between
+    * the callback and the publish, and only the given state is
+    * CAS-checked. */
   def mergeIntoManifested(spark: SparkSession, target: String,
                           updates: DataFrame, key: String,
                           fields: Seq[String], nBuckets: Int,
                           orderCol: Option[String] = None,
                           updatedAtCol: String = "updatedAt",
                           maxRetries: Int = 20,
-                          beforePublish: () => Unit = () => ()): MergeSink.MergeStats = {
+                          beforePublish: () => Unit = () => (),
+                          recomputeUpdates: Option[ManifestState] => DataFrame = null): MergeSink.MergeStats = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     val root = new Path(target)
     val fs = fsOf(spark, root)
     // localCheckpoint: probed for buckets, then merged
-    val uniq = MergeSink.collapseUpdates(
-      updates.filter(col(key).isNotNull), key, fields, orderCol)
-      .localCheckpoint(true)
+    val uniq =
+      if (recomputeUpdates != null) null // derived per attempt below
+      else MergeSink.collapseUpdates(
+        updates.filter(col(key).isNotNull), key, fields, orderCol)
+        .localCheckpoint(true)
 
     // beforePublish: injectable contention seam (the catalogSwap
     // precedent) — runs ONCE, after this writer's generation dir lands
@@ -196,14 +223,19 @@ object ManifestMergeSink {
         s"snapshot at $target is bucketed ${s.nBuckets} ways, merge asked " +
           s"for $nBuckets — bucket counts are immutable per snapshot"))
       val n = st.map(_.nBuckets).getOrElse(nBuckets)
-      val touched = uniq.select(pb(col(key), n).as("pb")).distinct()
+      val uniqCur =
+        if (recomputeUpdates == null) uniq
+        else MergeSink.collapseUpdates(
+          recomputeUpdates(st).filter(col(key).isNotNull), key, fields,
+          orderCol).localCheckpoint(true)
+      val touched = uniqCur.select(pb(col(key), n).as("pb")).distinct()
         .collect().map(_.getLong(0)).toSeq.sorted // ≤ nBuckets — driver-safe
       val targetDf = st match {
         case Some(s) => readDirs(spark, target, s, touched)
-        case None => MergeSink.emptyTarget(spark, uniq, key, fields,
+        case None => MergeSink.emptyTarget(spark, uniqCur, key, fields,
           updatedAtCol)
       }
-      val (merged, obs) = MergeSink.mergePlanObserved(targetDf, uniq, key,
+      val (merged, obs) = MergeSink.mergePlanObserved(targetDf, uniqCur, key,
         MergeSink.evolvedFields(targetDf, key, fields, updatedAtCol),
         updatedAtCol)
       val gdir = s"g-${tok()}"
@@ -242,10 +274,21 @@ object ManifestMergeSink {
             }
             val newHead = headState(spark, target)
             val nh = newHead.map(_._2)
+            // a winner that evolved a same-named column to a DIFFERENT
+            // type is never disjoint: a name-only schema union would
+            // repoint this writer's parquet under the winner's type and
+            // schema-pinned reads would fail at read time instead of
+            // publish — treat it as an overlap (re-merge reads the
+            // winner's schema; a genuine type clash then fails loudly
+            // at the merge plan's coalesce, at publish time)
+            val typesAgree = nh.forall(s => mySchema.fields.forall(f =>
+              s.schema.fields.find(_.name == f.name)
+                .forall(_.dataType == f.dataType)))
             // inputs unchanged ⇔ the winner left every bucket I read
             // alone AND agrees on the bucket count (a first-commit race
             // can disagree — then the outer re-read fails loudly)
-            val myInputsUnchanged = nh.forall(_.nBuckets == n) &&
+            val myInputsUnchanged = typesAgree &&
+              nh.forall(_.nBuckets == n) &&
               touchedAtRead.forall { case (b, d) =>
                 nh.flatMap(_.mapping.get(b)) == d
               }
@@ -321,19 +364,31 @@ object ManifestMergeSink {
     null // unreachable
   }
 
-  /** Sweep generation dirs the head commit does not reference (crashed
-    * or conflict-losing writers, superseded generations) and
-    * fully-superseded commit files. Requires quiesced writers — an
-    * in-flight merge's generation dir looks orphaned (same caveat as
-    * [[VersionCatalog.vacuum]]; a swept-mid-flight merge re-merges).
-    * Returns the deleted dir names. */
-  def vacuumManifested(spark: SparkSession, target: String): Seq[String] = {
+  /** Sweep generation dirs no RETAINED commit references (crashed or
+    * conflict-losing writers, superseded generations) and
+    * fully-superseded commit files. `retainCommits` is the
+    * reader-retention margin: the last N valid commits and every dir
+    * they reference survive, so a long-running reader that resolved a
+    * recent head finishes its scan across a concurrent merge + vacuum
+    * (readers are not writers — the single-writer-per-pipeline
+    * discipline never covered them). Requires quiesced WRITERS only —
+    * an in-flight merge's generation dir looks orphaned (same caveat
+    * as [[VersionCatalog.vacuum]]; a swept-mid-flight merge
+    * re-merges). Returns the deleted dir names. */
+  def vacuumManifested(spark: SparkSession, target: String,
+                       retainCommits: Int = 2): Seq[String] = {
+    require(retainCommits >= 1, s"retainCommits=$retainCommits")
     val root = new Path(target)
     val fs = fsOf(spark, root)
     headState(spark, target) match {
       case None => Seq.empty
-      case Some((seq, st)) =>
-        val live = st.mapping.values.map(_.split('/').head).toSet
+      case Some((seq, _)) =>
+        val keepFrom = seq - (retainCommits - 1)
+        val live = CommitLog.seqs(fs, root)
+          .filter(_ >= keepFrom)
+          .flatMap(s => CommitLog.read(fs, root, s).filter(isValid))
+          .flatMap(c => parse(c).mapping.values.map(_.split('/').head))
+          .toSet
         val victims =
           if (!fs.exists(root)) Seq.empty
           else fs.listStatus(root)
@@ -342,7 +397,7 @@ object ManifestMergeSink {
             .filterNot(live)
             .toSeq.sorted
         victims.foreach(d => fs.delete(new Path(root, d), true))
-        CommitLog.sweep(fs, root, seq)
+        CommitLog.sweep(fs, root, keepFrom)
         victims
     }
   }

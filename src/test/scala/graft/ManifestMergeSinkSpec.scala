@@ -164,6 +164,75 @@ class ManifestMergeSinkSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("contention, derived updates: the loser re-derives against the winner's head") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_drv_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 20L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      // first-arrival ingest of key 1000, raced by two writers: the
+      // update set is DERIVED (anti-join against the snapshot), so the
+      // loser must re-derive against the winner's head — key 1000 drops
+      // out of its fresh set and the winner's row survives. A stale
+      // derivation would upsert the loser's payload over it.
+      def ingestOnce(payload: String,
+                     beforePublish: () => Unit = () => ()): Unit = {
+        val delivery = Seq((1000L, payload)).toDF("id", "payload")
+        ManifestMergeSink.mergeIntoManifested(spark, m, delivery,
+          "id", Seq("payload"), nBuckets = 4,
+          beforePublish = beforePublish,
+          recomputeUpdates = {
+            case None => delivery
+            case Some(st) =>
+              val touched = delivery
+                .select(pmod(xxhash64(col("id")), lit(st.nBuckets.toLong)))
+                .distinct().collect().map(_.getLong(0)).toSeq
+              delivery.join(
+                ManifestMergeSink.readStateBuckets(spark, m, st, touched)
+                  .select(col("id")),
+                Seq("id"), "left_anti")
+          })
+        ()
+      }
+      // writer B lands BETWEEN writer A's derivation and A's publish
+      ingestOnce("A", beforePublish = () => ingestOnce("B"))
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .filter(col("id") === 1000L).select("payload").as[String].collect()
+      assert(got.toSeq == Seq("B"),
+        s"first arrival must follow COMMIT order — got ${got.toSeq}")
+      // one commit per writer, no double-publish: seed + B + A(no-op)
+      assert(CommitLog.seqs(fs, new Path(m)).size == 3)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("vacuum retention: a reader holding the previous head finishes across merge+vacuum") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_ret_")
+    try {
+      val m = s"$base/snap"
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 30L).map(i => (i, "day1")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      // a long-running reader resolves the day-1 head...
+      val reader = ManifestMergeSink.readManifested(spark, m)
+      // ...a full-overwrite merge supersedes every bucket, then vacuum
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 30L).map(i => (i, "day2")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      ManifestMergeSink.vacuumManifested(spark, m) // retainCommits = 2
+      val got = reader.select("payload").distinct().as[String].collect()
+      assert(got.toSeq == Seq("day1"),
+        "the pre-merge reader must finish against its resolved dirs")
+      // a third merge pushes day-1 past the margin; vacuum then sweeps it
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((1L, "day3")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      val swept = ManifestMergeSink.vacuumManifested(spark, m)
+      assert(swept.nonEmpty, "day-1 generations past the margin must sweep")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("crash residue: orphan generation invisible; vacuum sweeps it") {
     val base = java.nio.file.Files.createTempDirectory("graft_mms_cr_")
     try {
