@@ -64,18 +64,149 @@ object Ivf {
     Index(model, assigned)
   }
 
-  /** Persist the assigned corpus partitioned by list_id — the on-disk IVF
-    * layout: a probe reads only its lists' files (partition pruning at the
-    * parquet source), so query cost is bounded by list size, not corpus
-    * size. At 100 TB this write is the one-time index build cost. */
-  def writeIndex(index: Index, path: String): Unit =
-    index.assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+  // ---- the on-disk layout: a commit-log partition manifest -------------
+  //
+  // The index lives as IMMUTABLE `g-<tok>/list_id=N/` generation dirs
+  // plus `_commits/<seq>` files mapping each list to its dirs (several
+  // after appends; one after a rewrite) and carrying the drift-baseline
+  // pointer ([[graft.sinks.DirManifest]]). Every mutation — build,
+  // nightly ingest, localized refit, full refit, compaction — writes new
+  // dirs and publishes ONE commit-file create: no renames anywhere
+  // (object-store-safe), atomic across ALL touched lists AND the
+  // baseline (the per-directory swap this replaced was atomic per list
+  // only, and a crash between its delete and rename could lose a list's
+  // rows outright), and loud under concurrent writers via the commit
+  // log's CAS. Probe/ingest reads prune at the METADATA level: only the
+  // probed lists' mapped dirs are ever listed.
 
-  /** Reopen a written index. Filters on list_id prune partitions at the
-    * source (asserted in IvfSpec). */
-  def readIndex(spark: SparkSession, model: KMeansModel, path: String): Index = {
-    recoverIndex(spark, path)
-    Index(model, spark.read.parquet(path))
+  private def tok(): String = java.util.UUID.randomUUID().toString.take(8)
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fail LOUDLY on the retired rename-swap layout (root-level
+    * `list_id=` dirs, `.__refit_bak` siblings) instead of silently
+    * reading it as absent — the [[graft.sinks.LedgeredState]]
+    * legacy-check precedent: migration is one deliberate re-commit of
+    * the old dirs, never an implicit restart-from-empty mid-ingest. */
+  private def legacyLayoutCheck(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".__refit_bak")
+    val legacyDirs = fs.exists(root) && fs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("list_id="))
+    if (fs.exists(bak) || legacyDirs)
+      throw new IllegalStateException(
+        s"legacy rename-swap IVF layout detected at $path (root-level " +
+          "list_id= dirs or a .__refit_bak sibling); expected " +
+          "_commits/ + g-*/ generations. Refusing to proceed — migrate " +
+          "by rewriting the old layout through writeIndex.")
+  }
+
+  private def headState(spark: SparkSession,
+                        path: String): Option[(Long, graft.sinks.DirManifest.DmState)] = {
+    legacyLayoutCheck(spark, path)
+    graft.sinks.DirManifest.head(fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
+  private def requireHead(spark: SparkSession,
+                          path: String): (Long, graft.sinks.DirManifest.DmState) =
+    headState(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"no committed IVF index at $path — writeIndex first"))
+
+  /** Persist the assigned corpus as the manifest layout — one generation
+    * dir partitioned by list_id plus one commit: a probe reads only its
+    * lists' mapped dirs, so query cost is bounded by list size, not
+    * corpus size. At 100 TB this write is the one-time index build cost.
+    * Re-writing an existing index replaces its whole mapping (the drift
+    * baseline pointer drops with it — a stale baseline would mis-measure
+    * the new layout; call [[snapshotListMeans]] after). */
+  def writeIndex(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    legacyLayoutCheck(spark, path)
+    val gen = s"g-${tok()}"
+    index.assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/$gen")
+    val parts = graft.sinks.DirManifest
+      .writtenParts(fs, root, gen, "list_id")
+      .map { case (l, d) => l -> Seq(d) }.toMap
+    retryCas(spark, path, gen) { seq =>
+      graft.sinks.DirManifest.commitCas(fs, root, seq,
+        graft.sinks.DirManifest.DmState(parts))
+    }
+  }
+
+  /** Full-replace publishes (writeIndex/refit/compact) reconcile
+    * contention by re-reading the head seq and re-appending — their
+    * payload does not depend on the losing head's content, so the retry
+    * is metadata-only; the conflict is still LOUD after `maxRetries`.
+    * The losing generation dir is deleted if the publish never lands. */
+  private def retryCas(spark: SparkSession, path: String, gen: String,
+                       maxRetries: Int = 20)(publish: Long => Long): Long = {
+    val fs = fsOf(spark, path)
+    var attempt = 0
+    while (true) {
+      val seq = headState(spark, path).map(_._1).getOrElse(0L)
+      try return publish(seq)
+      catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxRetries) {
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$gen"), true)
+            throw e
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The committed index as a frame, list_id reconstructed through
+    * per-generation partition discovery, pruned to `lists` when given
+    * (metadata-level pruning: unprobed lists' dirs are never listed).
+    * Probing a list the mapping does not carry returns None for an
+    * all-unmapped selection — the caller decides what absence means. */
+  def readIndexLists(spark: SparkSession, path: String,
+                     lists: Option[Seq[Int]]): Option[DataFrame] = {
+    val (_, st) = requireHead(spark, path)
+    val sel = lists.map(_.map(_.toLong).filter(st.parts.contains))
+    if (sel.exists(_.isEmpty)) None
+    else Some(graft.sinks.DirManifest.read(spark, path, st, sel))
+  }
+
+  /** The whole committed index as a frame. */
+  def readIndexFrame(spark: SparkSession, path: String): DataFrame =
+    readIndexLists(spark, path, None).get
+
+  /** Reopen a written index. Filters on list_id still prune partitions
+    * at the parquet source (asserted in IvfSpec); list-probe paths
+    * prune harder, at the mapping ([[readIndexLists]]). */
+  def readIndex(spark: SparkSession, model: KMeansModel, path: String): Index =
+    Index(model, readIndexFrame(spark, path))
+
+  /** The head mapping (list → its generation dirs) — for gates/specs
+    * pinning layout properties (untouched lists keep their EXACT dirs). */
+  def mappingOf(spark: SparkSession, path: String): Map[Int, Seq[String]] =
+    requireHead(spark, path)._2.parts.map { case (l, ds) => (l.toInt, ds) }
+
+  /** Per-list file fingerprints (root-relative path, length) across each
+    * list's mapped dirs — the byte-identity probe the untouched-lists
+    * contracts pin (dirs are immutable, so equal fingerprints ⇒ equal
+    * bytes). */
+  def listDirFingerprints(spark: SparkSession,
+                          path: String): Map[Int, Set[(String, Long)]] = {
+    val fs = fsOf(spark, path)
+    mappingOf(spark, path).map { case (l, dirs) =>
+      l -> dirs.flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).filter(_.isFile)
+          .map(f => (s"$d/${f.getPath.getName}", f.getLen)).toSeq
+      }.toSet
+    }
   }
 
   /** Top-k cosine neighbors per query, probing the `nprobe` nearest
@@ -129,29 +260,21 @@ object Ivf {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** The index swap's crash-window probe (the [[graft.sinks.MergeSink]]
-    * contract every swap-backed store follows): [[refit]] replaces the
-    * whole index via the two-rename swap, and a crash between the
-    * renames leaves no index dir while `.__refit_bak` holds the
-    * committed one — every entry point that reads the index recovers
-    * first, or the next ingest would silently rebuild from empty. */
-  private def recoverIndex(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sinks.MergeSink.recoverSwap(fs, p,
-      new org.apache.hadoop.fs.Path(path + ".__refit_bak"))
-  }
-
   /** QUANTIZER REFIT — the rebuild q89's drift monitor schedules: when
     * ingest has drifted the corpus away from the day-1 centroids and
     * recall falls through the band, fit a NEW coarse quantizer on the
-    * CURRENT corpus (bounded sample, the [[build]] discipline) and
-    * re-lay every stored row under its new list in one pass, then swap
-    * the layout atomically (two-rename; crash window recovered by
-    * [[recoverIndex]] at every entry). Everything except `list_id` is
-    * carried through untouched — vectors, norms, and the sketch column
-    * of a [[writeIndexSketched]] layout all survive, so both access
-    * paths keep working without recomputation.
+    * CURRENT corpus (bounded sample, the [[build]] discipline),
+    * re-lay every stored row under its new list in one pass, re-derive
+    * the drift baseline from the new layout, and publish layout AND
+    * baseline in ONE commit — atomic together, rename-free (the
+    * two-rename swap this replaced had a crash window between its
+    * renames, and its baseline refresh was a separate write). A crash
+    * anywhere leaves the previous commit authoritative plus orphan
+    * dirs [[vacuumIndex]] sweeps; a concurrent committer forces a loud
+    * re-run. Everything except `list_id` is carried through untouched —
+    * vectors, norms, and the sketch column of a [[writeIndexSketched]]
+    * layout all survive, so both access paths keep working without
+    * recomputation.
     *
     * This is the full-rebuild member of the IVF maintenance pair:
     * [[ingest]] is the nightly append that NEVER refits (a fixed
@@ -162,33 +285,52 @@ object Ivf {
     * Returns the new model (callers persist it however they persist the
     * original build's). */
   def refit(spark: SparkSession, path: String, nlist: Int, seed: Long = 42L,
-            fitSampleRows: Int = 100000): KMeansModel = {
-    recoverIndex(spark, path)
-    val cur = spark.read.parquet(path).drop("list_id")
-    val feat = cur.withColumn("features", array_to_vector(col("v")))
-    val n = feat.count()
-    val frac = math.min(1.0, fitSampleRows.toDouble * 1.2 / math.max(n, 1L))
-    val fitSet =
-      if (frac >= 1.0) feat
-      else feat.sample(withReplacement = false, frac, seed)
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(fitSet)
-    val assigned = model.transform(feat).drop("features")
-    val hconf = spark.sparkContext.hadoopConfiguration
+            fitSampleRows: Int = 100000, maxRetries: Int = 20): KMeansModel = {
+    val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__refit_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + ".__refit_bak")
-    fs.delete(tmp, true); fs.delete(bak, true)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, root, bak)
-    // the swap replaced the whole dir, baseline included: re-snapshot so
-    // the NIGHTLY tool ([[refitLocalized]]) measures drift against THIS
-    // rebuild instead of failing its baseline probe until an operator
-    // remembers to; one nlist×dim mean pass — noise next to the rebuild
-    snapshotListMeans(spark, path)
-    model
+    var attempt = 0
+    while (true) {
+      val (seq, _) = requireHead(spark, path)
+      val cur = readIndexFrame(spark, path).drop("list_id")
+      val feat = cur.withColumn("features", array_to_vector(col("v")))
+      val n = feat.count()
+      val frac = math.min(1.0, fitSampleRows.toDouble * 1.2 / math.max(n, 1L))
+      val fitSet =
+        if (frac >= 1.0) feat
+        else feat.sample(withReplacement = false, frac, seed)
+      val model = new KMeans().setK(nlist).setSeed(seed)
+        .setFeaturesCol("features").setPredictionCol("list_id")
+        .fit(fitSet)
+      val assigned = model.transform(feat).drop("features")
+      val gen = s"g-${tok()}"
+      assigned.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/$gen")
+      val parts = graft.sinks.DirManifest
+        .writtenParts(fs, root, gen, "list_id")
+        .map { case (l, d) => l -> Seq(d) }.toMap
+      // the baseline the NIGHTLY tool ([[refitLocalized]]) measures
+      // against must describe THIS rebuild — derived from the written
+      // generation (one nlist×dim mean pass, noise next to the rebuild)
+      // and committed atomically with it
+      val meansDir = s"m-${tok()}"
+      listMeansFrame(graft.sinks.DirManifest.read(spark, path,
+          graft.sinks.DirManifest.DmState(parts)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$meansDir")
+      try {
+        graft.sinks.DirManifest.commitCas(fs, root, seq,
+          graft.sinks.DirManifest.DmState(parts, Map("means" -> meansDir)))
+        return model
+      } catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          // a concurrent ingest landed rows this rebuild never saw —
+          // the whole derivation is stale; discard and re-run
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$gen"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$meansDir"), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    null // unreachable
   }
 
   /** The per-list mean frame (list_id, pos, m): one narrow pass with
@@ -206,22 +348,30 @@ object Ivf {
         l -> arr
       }
 
-  private def meansPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_list_means")
+  /** Whether the index carries a committed drift baseline. */
+  def hasMeansBaseline(spark: SparkSession, path: String): Boolean =
+    requireHead(spark, path)._2.extra.contains("means")
 
-  /** Record the CURRENT per-list means as the drift baseline
-    * (`$path/_list_means`, underscore-prefixed so data reads ignore
-    * it). Call at build/refit time; [[refitLocalized]] measures
-    * displacement against THIS snapshot — against the fitted centroid
-    * it would be polluted by the centroid-vs-mean gap any sampled,
-    * tolerance-terminated k-means leaves even with zero drift. The
-    * baseline is derived data (reconstructible from the index by
-    * re-running this), so its write needs no swap protocol. */
+  /** Record the CURRENT per-list means as the drift baseline — a new
+    * `m-<tok>` dir repointed by one metadata commit (the pointer rides
+    * the same commit log as the layout, so baseline and layout can
+    * never be seen torn). Call at build time; [[refit]] and
+    * [[refitLocalized]] maintain it atomically with their layout
+    * commits. [[refitLocalized]] measures displacement against THIS
+    * snapshot — against the fitted centroid it would be polluted by
+    * the centroid-vs-mean gap any sampled, tolerance-terminated
+    * k-means leaves even with zero drift. */
   def snapshotListMeans(spark: SparkSession, path: String): Unit = {
-    recoverIndex(spark, path)
-    listMeansFrame(spark.read.parquet(path))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(meansPath(path).toString)
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val meansDir = s"m-${tok()}"
+    listMeansFrame(readIndexFrame(spark, path))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$meansDir")
+    retryCas(spark, path, meansDir) { seq =>
+      val (_, st) = requireHead(spark, path)
+      graft.sinks.DirManifest.commitCas(fs, root, seq,
+        st.copy(extra = st.extra + ("means" -> meansDir)))
+    }
   }
 
   /** DRIFT-LOCALIZED REFIT — the bounded sibling of [[refit]]: instead
@@ -240,91 +390,186 @@ object Ivf {
     *  3. only drifted lists' rows re-assign, and only among the
     *     drifted lists' refreshed centers (partition-constrained
     *     reassignment): undrifted list dirs are never read, written,
-    *     or renamed — byte-identical, the q165 flagged-files-only
+    *     or repointed — byte-identical, the q165 flagged-files-only
     *     pattern applied to the index. The constraint trades a vector
     *     whose true nearest is an undrifted centroid (it stays local);
     *     the gate certifies recall stays above the [[refit]] band, and
     *     a drift that DOES spill across the boundary is what schedules
     *     the occasional full [[refit]] (q89 → q168) — this is the
     *     nightly tool, not the quarterly one;
-    *  4. drifted dirs swap per-directory (the mergeIntoPartitioned
-    *     contract: atomic per dir, idempotent re-run), and the
-    *     baseline refreshes for exactly the drifted lists.
+    *  4. the drifted lists' new dirs (each list collapses to ONE dir —
+    *     its append history compacts as a side effect) and the
+    *     refreshed baseline publish in ONE commit: atomic across all
+    *     drifted lists AND the baseline, no crash window in which a
+    *     list's rows are lost (the per-directory delete+rename this
+    *     replaced could lose a list outright between its two steps,
+    *     and the re-run would NOT converge — the vanished list never
+    *     measures drifted again), loud under a concurrent committer
+    *     (re-measured and re-run from the new head).
     *
     * Cost ∝ drifted-region bytes + one mean pass, never corpus size.
     * Returns the refreshed centers and the drifted list ids. */
   def refitLocalized(spark: SparkSession, path: String,
                      centers: Seq[(Int, Array[Double])],
-                     epsilon: Double): (Seq[(Int, Array[Double])], Seq[Int]) = {
+                     epsilon: Double,
+                     maxRetries: Int = 20): (Seq[(Int, Array[Double])], Seq[Int]) = {
     import spark.implicits._
     require(epsilon > 0.0, s"epsilon=$epsilon")
-    recoverIndex(spark, path)
+    val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(meansPath(path)),
-      s"no drift baseline at ${meansPath(path)} — call snapshotListMeans " +
-        "when the index is built or fully refit")
-    val baseline = collectMeans(spark.read.parquet(meansPath(path).toString))
-    val idx = spark.read.parquet(path)
-    val current = collectMeans(listMeansFrame(idx))
-    def l2(a: Array[Double], b: Array[Double]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-    val drifted = current.keys.toSeq.sorted.filter { l =>
-      baseline.get(l).forall(b => l2(current(l), b) > epsilon)
-    }
-    if (drifted.isEmpty) return (centers, Seq.empty)
-    val newCenters = centers.map { case (l, c) =>
-      l -> (if (drifted.contains(l)) current(l) else c)
-    }
-    // re-assign the drifted region among the refreshed drifted centers:
-    // a tiny broadcast centroid table × the pruned drifted-lists scan
-    val dc = drifted.map(l => (l, current(l))).toDF("new_list", "c")
-      .withColumn("cn2", dot(col("c"), col("c")))
-    val rowsD = idx
-      .filter(col("list_id").isin(drifted.map(Integer.valueOf): _*))
-      .drop("list_id")
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("d2").asc, col("new_list").asc) // deterministic ties
-    val reassigned = rowsD.crossJoin(broadcast(dc))
-      // argmin ||v - c||² ≡ argmin (|c|² - 2 v·c) — |v|² is constant per row
-      .withColumn("d2", col("cn2") - lit(2.0) * dot(col("v"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("d2", "rn", "c", "cn2")
-      .withColumnRenamed("new_list", "list_id")
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__localrefit_tmp")
-    fs.delete(tmp, true)
-    reassigned.write.mode("overwrite").partitionBy("list_id")
-      .parquet(tmp.toString)
-    drifted.foreach { l =>
-      val dest = new org.apache.hadoop.fs.Path(root, s"list_id=$l")
-      val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$l")
-      fs.delete(dest, true)
-      if (fs.exists(src))
-        require(fs.rename(src, dest),
-          s"localized refit swap failed: could not move $src to $dest")
-    }
-    fs.delete(tmp, true)
-    // refresh the baseline for the drifted lists only (undrifted lists
-    // carry their existing baseline forward — no corpus-sized pass; the
-    // drifted re-read is pruned to exactly the swapped dirs)
-    val keptBaseline = baseline.toSeq
-      .filter(e => current.contains(e._1) && !drifted.contains(e._1))
-      .flatMap { case (l, arr) =>
-        arr.zipWithIndex.map { case (m, p) => (l, p, m) }
+    var attempt = 0
+    while (true) {
+      val (seq, st) = requireHead(spark, path)
+      val meansDir0 = st.extra.getOrElse("means",
+        throw new IllegalStateException(
+          s"no committed drift baseline at $path — call snapshotListMeans " +
+            "when the index is built (refit maintains it)"))
+      val baseline = collectMeans(spark.read.parquet(s"$path/$meansDir0"))
+      val idx = graft.sinks.DirManifest.read(spark, path, st)
+      val current = collectMeans(listMeansFrame(idx))
+      def l2(a: Array[Double], b: Array[Double]): Double =
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val drifted = current.keys.toSeq.sorted.filter { l =>
+        baseline.get(l).forall(b => l2(current(l), b) > epsilon)
       }
-      .toDF("list_id", "pos", "m")
-    val driftedDirs = drifted
-      .filter(l => fs.exists(new org.apache.hadoop.fs.Path(root, s"list_id=$l")))
-      .map(l => s"$path/list_id=$l")
-    val refreshed =
-      if (driftedDirs.isEmpty) keptBaseline
-      else keptBaseline.unionByName(listMeansFrame(
-        spark.read.option("basePath", path).parquet(driftedDirs: _*)))
-    refreshed.coalesce(1).write.mode("overwrite")
-      .parquet(meansPath(path).toString)
-    (newCenters, drifted)
+      if (drifted.isEmpty) return (centers, Seq.empty)
+      val newCenters = centers.map { case (l, c) =>
+        l -> (if (drifted.contains(l)) current(l) else c)
+      }
+      // re-assign the drifted region among the refreshed drifted centers:
+      // a tiny broadcast centroid table × the mapping-pruned drifted scan
+      val dc = drifted.map(l => (l, current(l))).toDF("new_list", "c")
+        .withColumn("cn2", dot(col("c"), col("c")))
+      val rowsD = graft.sinks.DirManifest.read(spark, path, st,
+          Some(drifted.map(_.toLong)))
+        .drop("list_id")
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("d2").asc, col("new_list").asc) // deterministic ties
+      val reassigned = rowsD.crossJoin(broadcast(dc))
+        // argmin ||v - c||² ≡ argmin (|c|² - 2 v·c) — |v|² is constant per row
+        .withColumn("d2", col("cn2") - lit(2.0) * dot(col("v"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("d2", "rn", "c", "cn2")
+        .withColumnRenamed("new_list", "list_id")
+      val gen = s"g-${tok()}"
+      reassigned.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/$gen")
+      val written = graft.sinks.DirManifest
+        .writtenParts(fs, root, gen, "list_id").toMap
+      // drifted lists repoint to their single new dir; a drifted list
+      // whose rows all re-assigned elsewhere leaves the mapping
+      val newParts = (st.parts -- drifted.map(_.toLong)) ++
+        drifted.map(_.toLong).collect {
+          case l if written.contains(l) => l -> Seq(written(l))
+        }
+      // refresh the baseline for the drifted lists only (undrifted lists
+      // carry their existing baseline forward — no corpus-sized pass;
+      // the drifted re-read is pruned to exactly the new dirs)
+      val keptBaseline = baseline.toSeq
+        .filter(e => current.contains(e._1) && !drifted.contains(e._1))
+        .flatMap { case (l, arr) =>
+          arr.zipWithIndex.map { case (m, p) => (l, p, m) }
+        }
+        .toDF("list_id", "pos", "m")
+      val refreshed =
+        if (written.isEmpty) keptBaseline
+        else keptBaseline.unionByName(listMeansFrame(
+          spark.read.option("basePath", s"$path/$gen")
+            .parquet(written.values.map(d => s"$path/$d").toSeq: _*)))
+      val meansDir = s"m-${tok()}"
+      refreshed.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/$meansDir")
+      try {
+        graft.sinks.DirManifest.commitCas(fs, root, seq,
+          graft.sinks.DirManifest.DmState(newParts,
+            st.extra + ("means" -> meansDir)))
+        return (newCenters, drifted)
+      } catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          // a concurrent commit moved the corpus under the measurement —
+          // discard this round's dirs and re-measure from the new head
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$gen"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$meansDir"), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    (Seq.empty, Seq.empty) // unreachable
   }
+
+  /** COMPACT the index's append history: every list whose mapped dirs
+    * hold more files than its byte-derived target
+    * (`ceil(bytes / targetBytes)`, min 1 — [[graft.sinks.Compaction]]'s
+    * rule) is read (mapping-pruned), rewritten at the target count into
+    * one new dir, and repointed in ONE commit; lists already at their
+    * target keep their exact dirs (byte-identical — spec-pinned).
+    * Nightly [[ingest]] appends a dir per batch per touched list, so
+    * this is the maintenance pass that keeps per-probe file counts flat
+    * under years of batches — rename-free and atomic across all
+    * compacted lists, unlike the per-directory swap compaction the
+    * legacy layouts use. Returns (compacted list ids, files before,
+    * files after). */
+  def compactIndex(spark: SparkSession, path: String,
+                   targetBytes: Long,
+                   maxRetries: Int = 20): (Seq[Int], Long, Long) = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    var attempt = 0
+    while (true) {
+      val (seq, st) = requireHead(spark, path)
+      def filesOf(dirs: Seq[String]) = dirs.flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+      }
+      val stats = st.parts.map { case (l, dirs) =>
+        val fls = filesOf(dirs)
+        (l, fls.length, fls.map(_.getLen).sum)
+      }
+      val before = stats.map(_._2.toLong).sum
+      val flagged = stats.collect {
+        case (l, nf, bytes)
+          if nf > math.max(1L, (bytes + targetBytes - 1) / targetBytes) => l
+      }.toSeq.sorted
+      if (flagged.isEmpty) return (Seq.empty, before, before)
+      val gen = s"g-${tok()}"
+      flagged.foreach { l =>
+        val bytes = stats.find(_._1 == l).get._3
+        val desired = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        graft.sinks.DirManifest.read(spark, path, st, Some(Seq(l)))
+          .drop("list_id")
+          .repartition(desired)
+          .write.mode("overwrite").parquet(s"$path/$gen/list_id=$l")
+      }
+      val newParts = st.parts ++
+        flagged.map(l => l -> Seq(s"$gen/list_id=$l"))
+      try {
+        graft.sinks.DirManifest.commitCas(fs, root, seq,
+          graft.sinks.DirManifest.DmState(newParts, st.extra))
+        val after = newParts.map { case (_, dirs) =>
+          filesOf(dirs).length.toLong
+        }.sum
+        return (flagged.map(_.toInt), before, after)
+      } catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$gen"), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    (Seq.empty, 0L, 0L) // unreachable
+  }
+
+  /** Sweep generations/baselines no retained commit references —
+    * [[graft.sinks.DirManifest.vacuum]] with the index's dir prefixes. */
+  def vacuumIndex(spark: SparkSession, path: String,
+                  retainCommits: Int = 2): Seq[String] =
+    graft.sinks.DirManifest.vacuum(spark, path, retainCommits)
 
   /** Incrementally ingest a batch of vectors into a written IVF index —
     * the nightly-embedding analog of q65/q68's snapshot-state story.
@@ -346,12 +591,21 @@ object Ivf {
     * degrades recall, measured, not per batch.
     *
     * Scale: per-batch cost is one assignment pass over the batch + one
-    * pruned anti-join; the corpus-sized index is only ever APPENDED to.
-    * Returns the number of fresh rows ingested. */
+    * pruned anti-join; the corpus-sized index is only ever APPENDED to
+    * (a new generation dir per batch; [[compactIndex]] keeps file
+    * counts flat). Concurrency: the anti-join is derived against
+    * exactly the head the publish CAS-checks, and a conflict re-derives
+    * from the winner's head — two racing ingests can never land the
+    * same id twice or lose each other's rows (the q209 discipline;
+    * `beforePublish` is the spec/gate seam). Returns the number of
+    * fresh rows ingested. */
   def ingest(spark: SparkSession, path: String, model: KMeansModel,
              batch: DataFrame, idCol: String, vecCol: String,
-             planes: Option[Array[Array[Double]]] = None): Long = {
-    recoverIndex(spark, path)
+             planes: Option[Array[Array[Double]]] = None,
+             maxRetries: Int = 20,
+             beforePublish: () => Unit = () => ()): Long = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
     // LAYOUT-CONSISTENCY guard: a [[writeIndexSketched]] index carries
     // the `sk` column, and appending sketch-less rows would leave mixed
     // footers whose schema lottery silently degrades (or breaks) the
@@ -360,7 +614,7 @@ object Ivf {
     // Conversely, sketching rows into a plain index would mix the other
     // way. Fail loudly either way; schema drift in a persistent index
     // is an operator error, never something to paper over.
-    val hasSk = spark.read.parquet(path).columns.contains("sk")
+    val hasSk = readIndexFrame(spark, path).columns.contains("sk")
     require(hasSk == planes.isDefined,
       if (hasSk) "index carries a sketch column — pass the build-time planes " +
         "so appended rows stay sketch-complete"
@@ -375,18 +629,50 @@ object Ivf {
         assigned0.withColumn("sk", srpSketch(col("v"), pl)))
       .localCheckpoint(true) // referenced by the list probe AND the
                              // anti-join — one assignment pass, not two
-    // <= nlist small ints: driver-safe by construction, and a LITERAL
-    // isin is what turns the index read into directory pruning below
+    // <= nlist small ints: driver-safe by construction; the mapping
+    // prunes the index read to exactly these lists' dirs
     val touched = assigned.select("list_id").distinct()
-      .collect().map(_.getInt(0))
-    val existing = spark.read.parquet(path)
-      .filter(col("list_id").isin(touched.map(Integer.valueOf): _*))
-      .select(col("id"))
-    val fresh = assigned.join(existing, Seq("id"), "left_anti")
-      .localCheckpoint(true) // materialize before appending to the same
-                             // path the probe reads (staging dir at 100 TB)
-    fresh.write.mode("append").partitionBy("list_id").parquet(path)
-    fresh.count()
+      .collect().map(_.getInt(0)).toSeq
+    var hookPending = true
+    var attempt = 0
+    while (true) {
+      val (seq, st) = requireHead(spark, path)
+      // anti-join against THIS head's touched lists (a fixed quantizer
+      // sends a re-delivered id back to its original list, so no match
+      // can hide in an unread list — the q73 argument)
+      val fresh = readIndexLists(spark, path, Some(touched)) match {
+        case Some(existing) =>
+          assigned.join(existing.select(col("id")), Seq("id"), "left_anti")
+            .localCheckpoint(true) // counted AND written below
+        case None => assigned
+      }
+      val nFresh = fresh.count()
+      val gen = s"g-${tok()}"
+      if (nFresh > 0)
+        fresh.write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$path/$gen")
+      if (hookPending) { hookPending = false; beforePublish() }
+      if (nFresh == 0) return 0L // full re-delivery: nothing to publish
+      val written = graft.sinks.DirManifest
+        .writtenParts(fs, root, gen, "list_id")
+      val newParts = st.parts ++ written.map { case (l, d) =>
+        l -> (st.parts.getOrElse(l, Seq.empty) :+ d)
+      }
+      try {
+        graft.sinks.DirManifest.commitCas(fs, root, seq,
+          graft.sinks.DirManifest.DmState(newParts, st.extra))
+        return nFresh
+      } catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          // a concurrent writer committed first: this batch's anti-join
+          // may be stale (the winner may have landed some of our ids) —
+          // discard the generation and re-derive from the new head
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$gen"), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   private val K = 10
@@ -479,7 +765,7 @@ object Ivf {
       val built = build(day1, "id", "v", nlist = Nlist, fitSampleRows = 20000)
       writeIndex(built, idxPath.toString)
       ingest(spark, idxPath.toString, built.model, day2, "id", "v")
-      val incr = spark.read.parquet(idxPath.toString)
+      val incr = readIndexFrame(spark, idxPath.toString)
         .select(col("id"), col("v"), col("list_id"))
       val batchAssign = built.model.transform(
           emb.withColumn("features", array_to_vector(col("v"))))
@@ -682,12 +968,12 @@ object Ivf {
       bit_count(element_at(a, i).bitwiseXOR(element_at(b, i)))).reduce(_ + _)
 
   /** [[writeIndex]] plus the sketch column — the augmented on-disk
-    * layout both access paths share: IVF probes prune list_id
-    * directories; the sketch path column-prunes to (id, sk). */
+    * layout both access paths share: IVF probes prune to their lists'
+    * mapped dirs; the sketch path column-prunes to (id, sk). */
   def writeIndexSketched(index: Index, path: String,
                          planes: Array[Array[Double]]): Unit =
-    index.assigned.withColumn("sk", srpSketch(col("v"), planes))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    writeIndex(Index(index.model,
+      index.assigned.withColumn("sk", srpSketch(col("v"), planes))), path)
 
   /** HIGH-RECALL top-k: quantized pre-filter + exact re-rank — the
     * regime q156 certifies IVF cannot serve economically (recall ≥ 0.95
@@ -727,7 +1013,7 @@ object Ivf {
       .withColumn("qsk", srpSketch(col("qv"), planes))
       .localCheckpoint(true) // 256 dots per query row, evaluated once
     // stage 1: column-pruned sketch scan × broadcast queries
-    val sk = spark.read.parquet(path).select(col("id"), col("sk"))
+    val sk = readIndexFrame(spark, path).select(col("id"), col("sk"))
     val bottomC = org.apache.spark.sql.functions.udaf(
       new graft.functions.GraftUdfs.BottomKAggregator(candPool))
     val cand = sk.crossJoin(broadcast(q.select(col("q_id"), col("qsk"))))
@@ -742,7 +1028,7 @@ object Ivf {
     // stage 2: point-read candidates' full vectors (pushed IN filter)
     val candIds = cand.select(col("id")).distinct()
       .collect().map(_.getLong(0)) // ≤ candPool × |queries| — bounded
-    val full = spark.read.parquet(path)
+    val full = readIndexFrame(spark, path)
       .filter(col("id").isin(candIds.map(java.lang.Long.valueOf): _*))
       .select(col("id"), col("v"), col("nrm"))
     val w = Window.partitionBy(col("q_id"))
@@ -879,7 +1165,7 @@ object Ivf {
         "id", "v")
       val model2 = refit(spark, idxPath.toString, nlist = Nlist,
         fitSampleRows = 20000)
-      val after = spark.read.parquet(idxPath.toString)
+      val after = readIndexFrame(spark, idxPath.toString)
         .select(col("id"), col("v"), col("list_id"))
         .localCheckpoint(true) // compared twice + probed below
       // contents + assignment: full outer against the fixture and the
@@ -956,24 +1242,19 @@ object Ivf {
           transform(col("v"), x => x + lit(0.6f)).as("v"))
         .localCheckpoint(true) // ingested, then unioned into the corpus
       ingest(spark, idxPath.toString, built.model, batch, "id", "v")
-      def fingerprints(): Map[String, Set[(String, Long)]] =
-        fs.listStatus(root)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
-          .map { d =>
-            d.getPath.getName -> fs.listStatus(d.getPath)
-              .filter(_.isFile)
-              .map(f => (f.getPath.getName, f.getLen)).toSet
-          }.toMap
-      val before = fingerprints()
+      // per-list file fingerprints through the head mapping: an
+      // untouched list must keep its EXACT dirs and files (dirs are
+      // immutable, so equal fingerprints ⇒ equal bytes)
+      val before = listDirFingerprints(spark, idxPath.toString)
       val (newCenters, drifted) = refitLocalized(spark, idxPath.toString,
         centroidsOf(built.model), epsilon = 0.05)
-      val after = fingerprints()
-      val driftedDirs = drifted.map(l => s"list_id=$l").toSet
-      val untouchedOk = before.keys.filterNot(driftedDirs)
-        .forall(d => after.get(d).contains(before(d)))
+      val after = listDirFingerprints(spark, idxPath.toString)
+      val driftedSet = drifted.toSet
+      val untouchedOk = before.keys.filterNot(driftedSet)
+        .forall(l => after.get(l).contains(before(l)))
       val localizedOk = drifted.nonEmpty && drifted.size < before.size
       // conservation + recall over the DRIFTED corpus
-      val idx = spark.read.parquet(idxPath.toString)
+      val idx = readIndexFrame(spark, idxPath.toString)
         .localCheckpoint(true) // counted and probed
       val corpus = emb.unionByName(batch)
         .localCheckpoint(true) // exact side + query set
@@ -1015,6 +1296,128 @@ object Ivf {
       |    AS n_vectors,
       |  TRUE AS drift_localized, TRUE AS untouched_identical,
       |  TRUE AS recall_ok""".stripMargin
+
+  /** q213: INDEX COMPACTION under the gate — nightly [[ingest]] appends
+    * one generation dir per batch per touched list, so a year of
+    * batches is the classic small-file problem applied to the index
+    * ([[graft.sinks.Compaction]]'s motivation, on the manifest layout).
+    * Harness: build on a third of the corpus, ingest the rest as two
+    * waves (every list accumulates up to three dirs), then
+    * [[compactIndex]]. Certificates:
+    *  - `n_vectors` + `contents_match` (oracle anchor + q71's exact
+    *    compare): compaction changes LAYOUT only — every (id, v,
+    *    list_id) survives exactly once;
+    *  - `compacted_ok`: at least one list compacted, every compacted
+    *    list collapsed to ONE dir, and the total data file count
+    *    strictly fell;
+    *  - `untouched_identical`: lists at their file target keep their
+    *    exact dirs and files (byte-identical — the q80/q165 skip
+    *    contract on the manifest layout).
+    * Publish is ONE commit across all compacted lists — no rename, no
+    * window where a probe sees half a compaction. */
+  def q213IvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_q213_idx")
+    val root = new org.apache.hadoop.fs.Path(idxPath.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val hi = emb.agg(max(col("id"))).head().getLong(0)
+      val built = build(emb.filter(col("id") <= hi / 3), "id", "v",
+        nlist = Nlist, fitSampleRows = 20000)
+      writeIndex(built, idxPath.toString)
+      Seq(
+        emb.filter(col("id") > hi / 3 && col("id") <= 2 * hi / 3),
+        emb.filter(col("id") > 2 * hi / 3))
+        .foreach(w => ingest(spark, idxPath.toString, built.model, w,
+          "id", "v"))
+      val mappingBefore = mappingOf(spark, idxPath.toString)
+      val fpBefore = listDirFingerprints(spark, idxPath.toString)
+      val (compacted, filesBefore, filesAfter) =
+        compactIndex(spark, idxPath.toString, targetBytes = 1L << 30)
+      val mappingAfter = mappingOf(spark, idxPath.toString)
+      val fpAfter = listDirFingerprints(spark, idxPath.toString)
+      val compactedOk = compacted.nonEmpty &&
+        compacted.forall(l => mappingAfter(l).size == 1) &&
+        filesAfter < filesBefore
+      val untouchedOk = mappingBefore.keys.filterNot(compacted.toSet)
+        .forall(l => mappingAfter.get(l).contains(mappingBefore(l)) &&
+          fpAfter.get(l) == fpBefore.get(l))
+      val after = readIndexFrame(spark, idxPath.toString)
+        .select(col("id"), col("v"), col("list_id"))
+      val batchAssign = built.model.transform(
+          emb.withColumn("features", array_to_vector(col("v"))))
+        .select(col("id").as("b_id"), col("v").as("b_v"),
+          col("list_id").as("b_list"))
+      after.join(batchAssign, after("id") === col("b_id"), "full_outer")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(after("id").isNull || col("b_id").isNull ||
+            after("list_id") =!= col("b_list") ||
+            after("v") =!= col("b_v"), 1).otherwise(0)).as("n_bad"))
+        .select(col("n_vectors"), (col("n_bad") === 0).as("contents_match"),
+          lit(compactedOk).as("compacted_ok"),
+          lit(untouchedOk).as("untouched_identical"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally fs.delete(root, true)
+  }
+
+  val q213IvfCompactSql: String =
+    """SELECT count(*)::BIGINT AS n_vectors, TRUE AS contents_match,
+      |  TRUE AS compacted_ok, TRUE AS untouched_identical
+      |FROM embeddings""".stripMargin
+
+  /** q214: INGEST WRITER CONTENTION under the gate — two nightly
+    * embedding jobs race on one index (the q209 scenario applied to
+    * [[ingest]]): after a day-1 build on the low half, writer A (odd
+    * ids above the cut) has its generation written and, BEFORE A
+    * publishes, writer B (even ids above the cut PLUS a re-delivery of
+    * every 5th id — so some of A's own ids arrive through B first)
+    * commits through the seam. A's CAS loses, and A re-derives its
+    * anti-join against B's head: the ids B landed first drop out of
+    * A's fresh set — no id lands twice, no row is lost, the final
+    * index equals ONE batch assignment of the whole corpus under the
+    * fixed model (q71's exact compare). `n_commits` pins the protocol:
+    * exactly build + B + A commit files, losers never double-publish. */
+  def q214IvfIngestContention(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_q214_idx")
+    val root = new org.apache.hadoop.fs.Path(idxPath.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val cut = emb.agg(max(col("id"))).head().getLong(0) / 2
+      val built = build(emb.filter(col("id") <= cut), "id", "v",
+        nlist = Nlist, fitSampleRows = 20000)
+      writeIndex(built, idxPath.toString)
+      val dayA = emb.filter(col("id") > cut && col("id") % 2 === 1)
+      val dayB = emb.filter(col("id") > cut && col("id") % 2 === 0)
+        .union(emb.filter(col("id") % 5 === 0)) // straddles A's ids
+      ingest(spark, idxPath.toString, built.model, dayA, "id", "v",
+        beforePublish = () => {
+          ingest(spark, idxPath.toString, built.model, dayB, "id", "v"); ()
+        })
+      val nCommits = graft.sinks.CommitLog.seqs(fs, root).size.toLong
+      val incr = readIndexFrame(spark, idxPath.toString)
+        .select(col("id"), col("v"), col("list_id"))
+      val batchAssign = built.model.transform(
+          emb.withColumn("features", array_to_vector(col("v"))))
+        .select(col("id").as("b_id"), col("v").as("b_v"),
+          col("list_id").as("b_list"))
+      incr.join(batchAssign, incr("id") === col("b_id"), "full_outer")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(incr("id").isNull || col("b_id").isNull ||
+            incr("list_id") =!= col("b_list") ||
+            incr("v") =!= col("b_v"), 1).otherwise(0)).as("n_bad"))
+        .select(col("n_vectors"), (col("n_bad") === 0).as("contents_match"),
+          lit(nCommits).as("n_commits"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally fs.delete(root, true)
+  }
+
+  val q214IvfIngestContentionSql: String =
+    """SELECT count(*)::BIGINT AS n_vectors, TRUE AS contents_match,
+      |  3::BIGINT AS n_commits
+      |FROM embeddings""".stripMargin
 
   /** Oracle: the pool ladder + the corpus endpoint with integer anchors
     * and literal TRUEs (the q156 pattern). */

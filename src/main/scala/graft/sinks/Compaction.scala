@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * per-file open/footer costs, NameNode/listing pressure, and row-group
   * fragmentation all degrade with file count.
   *
+  * LEGACY-LAYOUT TOOL: this pass serves the rename-swap partitioned
+  * layouts (its per-directory swap is atomic per dir, not across dirs,
+  * and rename-dependent). Commit-log stores compact natively and
+  * rename-free instead — [[graft.operators.Ivf.compactIndex]] for the
+  * IVF index, a merge for [[ManifestMergeSink]] (each merge already
+  * rewrites its touched buckets whole, so that layout never accretes
+  * files) — publishing ONE commit across every compacted directory.
+  *
   * Scale design: compaction is per-PARTITION-DIRECTORY and skip-aware —
   * each `part=` directory whose file count exceeds its byte-derived
   * target (`ceil(bytes / targetBytes)`, min 1) is read, rewritten at

@@ -114,7 +114,7 @@ class IvfSpec extends SparkSpec {
       emb.filter(col("id") % 3 === 1).union(emb.filter(col("id") % 6 === 0)),
       emb.filter(col("id") % 3 === 2).union(emb.filter(col("id") % 3 === 1)))
     waves.foreach(w => Ivf.ingest(spark, dir, index.model, w, "id", "v"))
-    val got = spark.read.parquet(dir).select("id", "list_id").collect()
+    val got = Ivf.readIndexFrame(spark, dir).select("id", "list_id").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Int]("list_id")).sorted
     val want = index.model.transform(
         emb.withColumn("features",
@@ -154,14 +154,23 @@ class IvfSpec extends SparkSpec {
     val index = Ivf.build(emb, "id", "v", nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prn").toString
     Ivf.writeIndex(index, dir)
-    // replicate step 3's probe shape for a batch touching two lists: the
-    // fixed quantizer guarantees re-delivered ids land in their original
-    // list, which is what makes this pruning CORRECT, not just fast
-    val p = spark.read.parquet(dir)
+    // step 3's probe shape for a batch touching two lists: the fixed
+    // quantizer guarantees re-delivered ids land in their original
+    // list, which is what makes this pruning CORRECT, not just fast.
+    // Pruning is METADATA-level under the manifest layout — only the
+    // probed lists' mapped dirs are ever listed, stronger than a
+    // partition filter over a full listing
+    val pruned = Ivf.readIndexLists(spark, dir, Some(Seq(0, 3))).get
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.forall(f =>
+      f.contains("list_id=0") || f.contains("list_id=3")),
+      s"the anti-join's index side must read only the probed lists' dirs:\n" +
+        pruned.inputFiles.mkString("\n"))
+    val expected = index.assigned
       .filter(col("list_id").isin(Integer.valueOf(0), Integer.valueOf(3)))
-      .select(col("id")).queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters: [list_id"),
-      s"the anti-join's index side must prune directories:\n$p")
+      .count()
+    assert(pruned.count() == expected && expected > 0)
+    // a probe for only-unmapped lists reads nothing and says so
+    assert(Ivf.readIndexLists(spark, dir, Some(Seq(999))).isEmpty)
   }
 
   // --- sketch + exact re-rank (q167) --------------------------------------
@@ -233,13 +242,13 @@ class IvfSpec extends SparkSpec {
     val dir = sketchedIndexDir()
     try {
       // stage 1's scan shape: only (id, sk) decode — the ⅛-bytes claim
-      val s1 = spark.read.parquet(dir).select(col("id"), col("sk"))
+      val s1 = Ivf.readIndexFrame(spark, dir).select(col("id"), col("sk"))
         .queryExecution.executedPlan.toString
       assert(s1.contains("ReadSchema") && !s1.contains("v:array"),
         s"sketch scan must not decode the vector column:\n$s1")
       // stage 2's scan shape: literal IN pushed to the parquet source —
       // the row-group point-read claim on id-sorted list files
-      val s2 = spark.read.parquet(dir)
+      val s2 = Ivf.readIndexFrame(spark, dir)
         .filter(col("id").isin((1L to 40L).map(java.lang.Long.valueOf): _*))
         .select(col("id"), col("v"), col("nrm"))
         .queryExecution.executedPlan.toString
@@ -265,7 +274,7 @@ class IvfSpec extends SparkSpec {
       val n = Ivf.ingest(spark, dir, index.model, emb.filter(col("id") > cut),
         "id", "v", planes = Some(planes))
       assert(n > 0)
-      val after = spark.read.parquet(dir)
+      val after = Ivf.readIndexFrame(spark, dir)
       assert(after.filter(col("sk").isNull).count() == 0,
         "every appended row must carry the sketch")
       // the sketch path still answers over the grown layout, endpoint-exact
@@ -299,12 +308,12 @@ class IvfSpec extends SparkSpec {
   test("refit preserves every payload column (incl. the sketch) and re-lays by the new model") {
     val dir = sketchedIndexDir() // nlist=8 layout WITH the sk column
     try {
-      val before = spark.read.parquet(dir)
+      val before = Ivf.readIndexFrame(spark, dir)
         .select(col("id"), col("v"), col("nrm"), col("sk")).collect()
         .map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getDouble(2),
           r.getSeq[Long](3)))).toMap
       val model2 = Ivf.refit(spark, dir, nlist = 4)
-      val after = spark.read.parquet(dir)
+      val after = Ivf.readIndexFrame(spark, dir)
       assert(after.columns.toSet == Set("id", "v", "nrm", "sk", "list_id"))
       val lists = after.select("list_id").distinct().collect().map(_.getInt(0))
       assert(lists.forall(l => l >= 0 && l < 4), s"new layout lists: ${lists.toSeq}")
@@ -319,11 +328,11 @@ class IvfSpec extends SparkSpec {
         .select(col("id"), col("list_id").as("e_list"))
       assert(after.select(col("id"), col("list_id")).join(expect, "id")
         .filter(col("list_id") =!= col("e_list")).count() == 0)
-      // the rebuild refreshed the drift baseline: the nightly localized
-      // tool measures zero drift right after a full refit
-      val fsDir = new org.apache.hadoop.fs.Path(s"$dir/_list_means")
-      assert(fsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(fsDir), "refit must re-snapshot the localized baseline")
+      // the rebuild refreshed the drift baseline ATOMICALLY with the
+      // layout commit: the nightly localized tool measures zero drift
+      // right after a full refit
+      assert(Ivf.hasMeansBaseline(spark, dir),
+        "refit must re-commit the localized baseline with the layout")
       val (_, drifted) = Ivf.refitLocalized(spark, dir,
         Ivf.centroidsOf(model2), epsilon = 0.05)
       assert(drifted.isEmpty, s"fresh refit must measure zero drift: $drifted")
@@ -333,26 +342,60 @@ class IvfSpec extends SparkSpec {
     }
   }
 
-  test("refit swap crash window recovers: bak restores on the next entry") {
+  test("a crashed mutation (generation written, commit never published) is invisible; vacuum sweeps") {
+    import spark.implicits._
     val index = Ivf.build(emb, "id", "v", nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString + "/idx"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       Ivf.writeIndex(index, dir)
-      val n = spark.read.parquet(dir).count()
-      // simulate a crash BETWEEN atomicSwap's two renames: index moved
-      // aside to bak, replacement never moved in
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + ".__refit_bak")))
-      // without recovery this ingest would silently rebuild from empty
-      Ivf.ingest(spark, dir, index.model, emb.limit(0), "id", "v")
-      assert(spark.read.parquet(dir).count() == n,
-        "recoverIndex must restore the committed layout before any read")
-    } finally {
-      val pp = new org.apache.hadoop.fs.Path(dir)
-      pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(pp.getParent, true)
-    }
+      val n = Ivf.readIndexFrame(spark, dir).count()
+      // a refit/ingest that died after its data write, before its commit
+      Seq((999999L, Seq(1f, 2f), 1.0)).toDF("id", "v", "nrm")
+        .write.parquet(s"$dir/g-crashed0/list_id=0")
+      assert(Ivf.readIndexFrame(spark, dir).count() == n,
+        "an uncommitted generation must be invisible to every read")
+      assert(Ivf.vacuumIndex(spark, dir) == Seq("g-crashed0"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/g-crashed0")))
+      assert(Ivf.readIndexFrame(spark, dir).count() == n)
+    } finally fs.delete(p.getParent, true)
+  }
+
+  test("concurrent ingests: the loser re-derives — no id lands twice, none lost") {
+    val cut = emb.agg(max(col("id"))).head().getLong(0) / 2
+    val index = Ivf.build(emb.filter(col("id") <= cut), "id", "v", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_race").toString + "/idx"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Ivf.writeIndex(index, dir)
+      // writer B delivers the even ids PLUS some of A's odd ids; B
+      // commits between A's anti-join and A's publish
+      val dayA = emb.filter(col("id") > cut && col("id") % 2 === 1)
+      val dayB = emb.filter(col("id") > cut)
+        .filter(col("id") % 2 === 0 || col("id") % 5 === 0)
+      Ivf.ingest(spark, dir, index.model, dayA, "id", "v",
+        beforePublish = () =>
+          { Ivf.ingest(spark, dir, index.model, dayB, "id", "v"); () })
+      val got = Ivf.readIndexFrame(spark, dir)
+      assert(got.count() == emb.count(), "no row lost under contention")
+      assert(got.groupBy("id").count().filter(col("count") > 1).count() == 0,
+        "a stale anti-join must not land an id twice")
+      // exactly one commit per writer: build + B + A
+      assert(graft.sinks.CommitLog.seqs(fs, p).size == 3)
+    } finally fs.delete(p.getParent, true)
+  }
+
+  test("the legacy rename-swap layout fails loudly instead of reading as absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_leg").toString + "/idx"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      emb.limit(5).withColumn("nrm", lit(1.0)).withColumn("list_id", lit(0))
+        .write.partitionBy("list_id").parquet(dir)
+      intercept[IllegalStateException] { Ivf.readIndexFrame(spark, dir) }
+    } finally fs.delete(p.getParent, true)
   }
 
   test("q168 gate row: refit keeps contents, re-establishes assignment, still answers") {
@@ -388,11 +431,7 @@ class IvfSpec extends SparkSpec {
       val built = Ivf.build(emb, "id", "v", nlist = 8, fitSampleRows = 20000)
       Ivf.writeIndex(built, root.toString)
       Ivf.snapshotListMeans(spark, root.toString)
-      def fp() = fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
-        .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
-          .filter(_.isFile).map(f => (f.getPath.getName, f.getLen)).toSet)
-        .toMap
+      def fp() = Ivf.listDirFingerprints(spark, root.toString)
       // zero drift: nothing moved since the snapshot — a no-op
       val before0 = fp()
       val (c0, d0) = Ivf.refitLocalized(spark, root.toString,
@@ -406,16 +445,20 @@ class IvfSpec extends SparkSpec {
           transform(col("v"), x => x + lit(0.6f)).as("v"))
       Ivf.ingest(spark, root.toString, built.model, batch, "id", "v")
       val before = fp()
-      val nAll = spark.read.parquet(root.toString).count()
+      val nAll = Ivf.readIndexFrame(spark, root.toString).count()
       val (c1, drifted) = Ivf.refitLocalized(spark, root.toString,
         Ivf.centroidsOf(built.model), epsilon = 0.05)
       assert(drifted.nonEmpty && drifted.size < before.size,
         s"drift must be localized: $drifted of ${before.size}")
       val after = fp()
-      before.keys.filterNot(d => drifted.map(l => s"list_id=$l").contains(d))
-        .foreach(d => assert(after.get(d).contains(before(d)),
-          s"undrifted $d must be byte-identical"))
-      assert(spark.read.parquet(root.toString).count() == nAll,
+      before.keys.filterNot(drifted.toSet)
+        .foreach(l => assert(after.get(l).contains(before(l)),
+          s"undrifted list $l must keep its exact dirs and files"))
+      // a drifted list's append history collapses to ONE dir
+      drifted.foreach(l =>
+        assert(Ivf.mappingOf(spark, root.toString).get(l).forall(_.size == 1),
+          s"drifted list $l must repoint to a single new dir"))
+      assert(Ivf.readIndexFrame(spark, root.toString).count() == nAll,
         "reassignment must conserve every row")
       // refreshed centers differ exactly on the drifted lists
       val cm0 = Ivf.centroidsOf(built.model).toMap
