@@ -563,6 +563,157 @@ object Sharding {
        |  zkey * $ZFiles // ${1 << (2 * ZBits)} AS file_id
        |FROM keep ORDER BY file_id, zkey, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // The z-layout on the COMMIT-LOG manifest (graft.sinks.DirManifest):
+  // the same file_id cells, published rename-free
+  // ---------------------------------------------------------------------
+
+  /** Write a z-cut frame (carrying `file_id`) as a manifest generation
+    * plus one commit. `append = false` replaces the whole mapping (the
+    * day-1 cluster); `append = true` adds the new dirs to their cells'
+    * dir lists (the day-2 arrival file). */
+  def zWriteManifested(spark: SparkSession, path: String, df: DataFrame,
+                       append: Boolean): Unit = {
+    import graft.sinks.DirManifest
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = s"g-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id"), col("zkey"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(s"$path/$gen")
+    val written = DirManifest.writtenParts(fs, root, gen, "file_id")
+    var attempt = 0
+    while (attempt < 20) {
+      val head = DirManifest.head(fs, root)
+      val seq = head.map(_._1).getOrElse(0L)
+      val base =
+        if (append) head.map(_._2.parts).getOrElse(Map.empty[Long, Seq[String]])
+        else Map.empty[Long, Seq[String]]
+      val parts = base ++ written.map { case (f, d) =>
+        f -> (base.getOrElse(f, Seq.empty) :+ d)
+      }
+      try {
+        DirManifest.commitCas(fs, root, seq, DirManifest.DmState(parts))
+        return
+      } catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          attempt += 1; if (attempt >= 20) throw e
+      }
+    }
+  }
+
+  /** The manifested layout as a frame (file_id reconstructed through the
+    * per-generation discovery read). */
+  def zReadManifested(spark: SparkSession, path: String): DataFrame = {
+    import graft.sinks.DirManifest
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, st) = DirManifest.head(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed z layout at $path"))
+    DirManifest.read(spark, path, st)
+  }
+
+  /** [[optimizeFlagged]] on the manifest layout — same flagged set, same
+    * transitive closure, same pure re-cut, but the publish is ONE
+    * commit-file create repointing every rewritten cell at once: atomic
+    * ACROSS the rewrite set (the per-directory swap is atomic per dir
+    * only — its honest crash caveat disappears here), rename-free, and
+    * loud under a concurrent committer (re-measured and re-run). Clean
+    * cells keep their exact dirs — byte-identical, spec-pinned. */
+  def optimizeFlaggedManifested(spark: SparkSession, path: String,
+                                nFiles: Int, zSpace: Long,
+                                maxRetries: Int = 20): OptimizeStats = {
+    require(nFiles >= 1 && zSpace >= 1, s"nFiles=$nFiles zSpace=$zSpace")
+    import graft.sinks.DirManifest
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val (seq, st) = DirManifest.head(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no committed z layout at $path"))
+      val existing = st.parts.keySet
+      val health = layoutHealth(
+        DirManifest.read(spark, path, st).select(col("zkey"), col("file_id")))
+      val flagged = health.filter(col("overlap_cnt") > 0)
+        .select(col("file_id").cast("long"))
+        .collect().map(_.getLong(0)).toSet // ≤ |files| — footer-stats scale
+      if (flagged.isEmpty) return OptimizeStats(Nil, Nil, Nil)
+      // transitive closure over receiving files (optimizeFlagged's doc):
+      // promote any existing cell a rewrite-set row would land in
+      def cutIdsOf(ids: Set[Long]): Set[Long] =
+        DirManifest.read(spark, path, st, Some(ids.toSeq))
+          .select(expr(s"zkey * $nFiles div $zSpace").as("cid"))
+          .distinct().collect().map(_.getLong(0)).toSet
+      var rewrite = flagged
+      var frontier = flagged
+      while (frontier.nonEmpty) {
+        frontier = (cutIdsOf(frontier) intersect existing) diff rewrite
+        rewrite ++= frontier
+      }
+      val rows = DirManifest.read(spark, path, st, Some(rewrite.toSeq))
+        .drop("file_id")
+        .withColumn("file_id", expr(s"zkey * $nFiles div $zSpace"))
+      val gen = s"g-${java.util.UUID.randomUUID().toString.take(8)}"
+      rows.repartition(col("file_id"))
+        .sortWithinPartitions(col("file_id"), col("zkey"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(s"$path/$gen")
+      val written = DirManifest.writtenParts(fs, root, gen, "file_id")
+      val newParts = (st.parts -- rewrite) ++
+        written.map { case (f, d) => f -> Seq(d) }
+      try {
+        DirManifest.commitCas(fs, root, seq,
+          DirManifest.DmState(newParts, st.extra))
+        return OptimizeStats(flagged.toSeq.sorted, rewrite.toSeq.sorted,
+          written.map(_._1).sorted)
+      } catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$gen"), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    OptimizeStats(Nil, Nil, Nil) // unreachable
+  }
+
+  /** q215: q165's TARGETED-OPTIMIZE lifecycle through the MANIFEST
+    * layout — day 1 z-clustered, day 2 appended as one unclustered
+    * low-z cell, then [[optimizeFlaggedManifested]]: the same row-level
+    * oracle as q165 (the optimized layout must equal the pure-function
+    * full re-cluster row for row), with the publish now ONE commit
+    * across every rewritten cell instead of per-directory renames.
+    * Clean cells' dirs stay byte-identical (ShardingSpec pins file
+    * fingerprints through the mapping). */
+  def q215OptimizeManifested(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q215_")
+    try {
+      val m = qualityLengthBuckets(spark, dir)
+        .localCheckpoint(true) // cut once, reused by both days
+      val cut = m.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val path = s"$base/layout"
+      // day 1: clustered; day 2: ONE unclustered appended cell, low-z rows
+      zWriteManifested(spark, path,
+        zOrderLayout(m.filter(col("doc_id") <= cut), "doc_id", "qb", "lb",
+          ZFiles), append = false)
+      zWriteManifested(spark, path,
+        m.filter(col("doc_id") > cut)
+          .withColumn("zkey", zOrderKey(col("qb"), col("lb"), ZBits))
+          .filter(col("zkey") < OptZCap)
+          .withColumn("file_id", lit(ZFiles.toLong)), append = true)
+      optimizeFlaggedManifested(spark, path, ZFiles, 1L << (2 * ZBits))
+      zReadManifested(spark, path)
+        .select(col("doc_id"), col("qb"), col("lb"), col("zkey"),
+          col("file_id").cast("long").as("file_id"))
+        .orderBy(col("file_id"), col("zkey"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q215OptimizeManifestedSql: String = q165OptimizeFlaggedSql
+
   val q155ZOrder4DSql: String = {
     val stops = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")

@@ -277,6 +277,61 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("optimizeFlaggedManifested: one commit across the rewrite set, clean cells keep their dirs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_opt_mani_")
+    try {
+      val nFiles = 16
+      val path = s"$base/layout"
+      // the degradedLayout fixture through the manifest write path
+      val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a * 4, b * 4))
+        .toDF("qb", "lb")
+        .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+        .withColumn("file_id", expr(s"zkey * $nFiles div ${1L << 16}"))
+      Sharding.zWriteManifested(spark, path, grid, append = false)
+      val appended = (for (a <- 0L until 16L; b <- 0L until 16L)
+          yield (a * 4 + 1, b * 4 + 1))
+        .toDF("qb", "lb")
+        .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+        .filter(col("zkey") < (1L << 14))
+        .withColumn("file_id", lit(nFiles.toLong))
+      Sharding.zWriteManifested(spark, path, appended, append = true)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def mapping() = graft.sinks.DirManifest
+        .head(fs, new org.apache.hadoop.fs.Path(path)).get._2.parts
+      val before = mapping()
+      val commitsBefore = graft.sinks.CommitLog
+        .seqs(fs, new org.apache.hadoop.fs.Path(path)).size
+      val stats = Sharding.optimizeFlaggedManifested(spark, path, nFiles, 1L << 16)
+      assert(stats.flagged.nonEmpty &&
+        stats.rewritten.toSet.subsetOf(before.keySet + nFiles.toLong))
+      // ONE commit published the whole rewrite — atomic across cells
+      assert(graft.sinks.CommitLog
+        .seqs(fs, new org.apache.hadoop.fs.Path(path)).size == commitsBefore + 1)
+      val after = mapping()
+      (before.keySet -- stats.rewritten).foreach { id =>
+        assert(after.get(id).contains(before(id)),
+          s"clean cell $id must keep its exact dirs")
+      }
+      assert(!after.contains(nFiles.toLong), "appended residue cell must be gone")
+      // row-level: the optimized layout equals the pure full re-cut
+      val reopened = Sharding.zReadManifested(spark, path)
+        .select(col("qb"), col("lb"), col("zkey"),
+          col("file_id").cast("long").as("file_id"))
+      val expected = reopened.drop("file_id")
+        .withColumn("file_id", expr(s"zkey * $nFiles div ${1L << 16}"))
+      assert(reopened.exceptAll(expected).isEmpty &&
+        expected.exceptAll(reopened).isEmpty)
+      // idempotence: a healthy manifested layout is a no-op, zero commits
+      val again = Sharding.optimizeFlaggedManifested(spark, path, nFiles, 1L << 16)
+      assert(again.flagged.isEmpty && mapping() == after)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
   test("optimizeFlagged closure promotes a clean receiving file instead of clobbering it") {
     // the gap case the closure exists for: an appended file whose z range
     // does NOT overlap a clean file's ACTUAL range, but whose rows CUT
