@@ -170,6 +170,201 @@ object QuantileQueries {
 
   def q206KllIngestSql: String = q205KllBatchSql
 
+  // ---------------------------------------------------------------------
+  // GROUPED KLL — per-stratum continuous-domain quantiles (the
+  // exact-histogram family has per-stratum q161; this restores it for
+  // float metrics): one sketch per group via the same Aggregator under
+  // groupBy().agg(udaf), map-side partials per (partition, stratum),
+  // the shuffle carries ≤ |strata| kilobyte sketches.
+  // ---------------------------------------------------------------------
+
+  /** One KLL sketch per group (≤ |strata| kilobyte rows collected —
+    * driver-safe by construction; strata are event types / languages,
+    * never keys). */
+  def kllByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int = KllK): Map[String, Kll.KllSketch] = {
+    val agg = udaf(new Kll.KllAggregator(k))
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(agg(col(valueCol).cast("double")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> Kll.deserialize(r.getAs[Array[Byte]]("sk")))
+      .toMap
+  }
+
+  /** [[kllBandReport]] per stratum: exact anchors (n, min, max per
+    * group) + per-probe true-rank bands, all groups certified in ONE
+    * broadcast-join pass over the column (|strata|×7 probe rows — the
+    * data never shuffles per group). Output (groupCol, sect, k, ok). */
+  def kllBandReportByGroup(data: DataFrame, groupCol: String,
+                           valueCol: String,
+                           sks: Map[String, Kll.KllSketch],
+                           band: Double = Band): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val d = data.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .localCheckpoint(true) // consumed by the anchors and the band pass
+    val est = sks.toSeq.flatMap { case (g, sk) =>
+      Probes.map { case (name, p) => (g, name, p, sk.quantile(p)) }
+    }.toDF("g", "k", "phi", "est")
+    val probes = d.join(broadcast(est), Seq("g"))
+      .groupBy(col("g"), col("k"), col("phi"), col("est"))
+      .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rank_le"),
+        count(lit(1)).as("n"))
+      .select(col("g"), lit("quantile").as("sect"), col("k"),
+        (abs(col("rank_le") - col("phi") * col("n")) <=
+          lit(band) * col("n")).as("ok"))
+    val skAnchors = sks.toSeq.map { case (g, sk) => (g, sk.n, sk.minV, sk.maxV) }
+      .toDF("g", "sk_n", "sk_mn", "sk_mx")
+    val a = d.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .join(broadcast(skAnchors), Seq("g"), "full_outer")
+      .localCheckpoint(true) // three anchor projections below
+    val anchors = Seq(
+      a.select(col("g"), lit("anchor").as("sect"), lit("n").as("k"),
+        (col("cnt") === col("sk_n")).as("ok")),
+      a.select(col("g"), lit("anchor").as("sect"), lit("min").as("k"),
+        (col("mn") === col("sk_mn")).as("ok")),
+      a.select(col("g"), lit("anchor").as("sect"), lit("max").as("k"),
+        (col("mx") === col("sk_mx")).as("ok")))
+      .reduce(_ unionByName _)
+    anchors.unionByName(probes)
+      .select(col("g").as(groupCol), col("sect"), col("k"),
+        coalesce(col("ok"), lit(false)).as("ok"))
+      .orderBy(col(groupCol), col("sect"), col("k"))
+  }
+
+  /** q210: the grouped BATCH gate — one KLL per event type over the
+    * clickstream's continuous `value`, every stratum band-certified
+    * against its own exact ranks (a sketch that mixes strata, loses a
+    * group, or merges across groups fails its group's anchors). */
+  def q210KllByType(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    kllBandReportByGroup(ev, "event_type", "value",
+      kllByGroup(ev, "event_type", "value"))
+  }
+
+  val q210KllByTypeSql: String =
+    """SELECT t.event_type, v.sect, v.k, TRUE AS ok
+      |FROM (SELECT DISTINCT event_type FROM events
+      |      WHERE value IS NOT NULL AND event_type IS NOT NULL) t,
+      |     (VALUES ('anchor', 'max'), ('anchor', 'min'), ('anchor', 'n'),
+      |             ('quantile', 'p01'), ('quantile', 'p10'),
+      |             ('quantile', 'p25'), ('quantile', 'p50'),
+      |             ('quantile', 'p75'), ('quantile', 'p90'),
+      |             ('quantile', 'p99')) v(sect, k)
+      |ORDER BY event_type, sect, k""".stripMargin
+
+  /** INCREMENTAL grouped KLL behind the batchId ledger — the state is
+    * ONE (group, sketch) row per stratum; each batch folds its own
+    * per-group sketches into the snapshot (driver-side merge over
+    * ≤ |strata| kilobyte rows). Whole-batch replays are ledger no-ops. */
+  def kllIngestByGroup(spark: SparkSession, path: String, batch: DataFrame,
+                       groupCol: String, valueCol: String, batchId: String,
+                       k: Int = KllK): Boolean = {
+    import graft.sinks.LedgeredState
+    if (LedgeredState.absorbed(spark, path, batchId)) return false
+    val bsk = kllByGroup(batch, groupCol, valueCol, k)
+    val old = LedgeredState.readPart(spark, path, "kll_by_group") match {
+      case Some(st) => st.collect() // ≤ |strata| kilobyte rows
+        .map(r => r.getString(0) -> Kll.deserialize(r.getAs[Array[Byte]](1)))
+        .toMap
+      case None => Map.empty[String, Kll.KllSketch]
+    }
+    val merged = (old.keySet ++ bsk.keySet).toSeq.sorted.map { g =>
+      val m = (old.get(g), bsk.get(g)) match {
+        case (Some(a), Some(b)) => a.merge(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => Kll.empty(k) // unreachable
+      }
+      (g, m.serialize())
+    }
+    import spark.implicits._
+    LedgeredState.commit(spark, path, batchId,
+      Seq("kll_by_group" -> merged.toDF("g", "sk")))
+    true
+  }
+
+  /** The committed per-group sketches (for reports and the gates). */
+  def kllByGroupFromState(spark: SparkSession,
+                          path: String): Map[String, Kll.KllSketch] = {
+    import graft.sinks.LedgeredState
+    LedgeredState.readPart(spark, path, "kll_by_group")
+      .getOrElse(throw new IllegalStateException(
+        s"no grouped KLL state committed at $path"))
+      .collect() // ≤ |strata| kilobyte rows
+      .map(r => r.getString(0) -> Kll.deserialize(r.getAs[Array[Byte]](1)))
+      .toMap
+  }
+
+  /** q211: the grouped fold INCREMENTAL — two event-id-parity batches
+    * (every stratum straddles both), a whole-batch replay proven a
+    * ledger no-op, and the report derived from the SNAPSHOT sketches
+    * band-checked per stratum. Oracle IS q210's verbatim. */
+  def q211KllByTypeIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q211_")
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val path = s"$base/kll_state"
+      val ev = Tables.events(spark, dir)
+      val halves = Seq(
+        ev.filter(col("event_id") % 2 === 0L),
+        ev.filter(col("event_id") % 2 =!= 0L))
+      halves.zipWithIndex.foreach { case (h, i) =>
+        require(kllIngestByGroup(spark, path, h, "event_type", "value",
+          s"day_$i"), s"day_$i must apply")
+      }
+      require(!kllIngestByGroup(spark, path, halves.head, "event_type",
+        "value", "day_0"), "replay must be a ledger no-op")
+      kllBandReportByGroup(ev, "event_type", "value",
+          kllByGroupFromState(spark, path))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally fs.delete(new Path(base.toString), true)
+  }
+
+  def q211KllByTypeIngestSql: String = q210KllByTypeSql
+
+  /** q212: the q211 fold behind a REAL file stream
+    * ([[graft.streaming.StreamingKllByGroup]] — foreachBatch per landed
+    * parity file, Trigger.AvailableNow). Oracle IS q210's — the
+    * per-stratum continuous-quantile triple closes. */
+  def q212StreamKllByType(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_q212_")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(base.toString).getFileSystem(conf)
+      try {
+        val srcDir = s"$base/arrivals"
+        val statePath = s"$base/kll_state"
+        val ev = Tables.events(spark, dir)
+        fs.mkdirs(new Path(srcDir))
+        Seq(ev.filter(col("event_id") % 2 === 0L),
+            ev.filter(col("event_id") % 2 =!= 0L))
+          .zipWithIndex.foreach { case (d, i) =>
+            d.coalesce(1).write.parquet(s"$base/stage_$i")
+            val part = fs.globStatus(
+              new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+            fs.rename(part, new Path(s"$srcDir/half_$i.parquet"))
+          }
+        val q = graft.streaming.StreamingKllByGroup.start(spark, srcDir,
+          statePath, s"$base/ckpt", groupCol = "event_type",
+          valueCol = "value", trigger = Some(Trigger.AvailableNow()))
+        try q.awaitTermination()
+        finally { if (q.isActive) q.stop() }
+        kllBandReportByGroup(ev, "event_type", "value",
+            kllByGroupFromState(spark, statePath))
+          .localCheckpoint(true) // materialize before the state dir dies
+      } finally fs.delete(new Path(base.toString), true)
+    }
+
+  def q212StreamKllByTypeSql: String = q210KllByTypeSql
+
   /** q207: the q206 fold behind a REAL file stream
     * ([[graft.streaming.StreamingKll]] — foreachBatch per landed
     * parity file, Trigger.AvailableNow). Oracle IS q205's — the

@@ -98,4 +98,44 @@ class KllSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("grouped: one sketch per stratum, anchors exact per group, bands hold") {
+    // two strata with DISJOINT ranges: any cross-group mixing breaks the
+    // other group's min/max anchors immediately
+    val df = ((1 to 3000).map(i => ("a", i.toDouble)) ++
+      (1 to 2000).map(i => ("b", 100000.0 + i))).toDF("g", "m")
+    val sks = QuantileQueries.kllByGroup(df, "g", "m")
+    assert(sks.keySet == Set("a", "b"))
+    assert(sks("a").n == 3000L && sks("a").minV == 1.0 && sks("a").maxV == 3000.0)
+    assert(sks("b").n == 2000L && sks("b").minV == 100001.0)
+    val report = QuantileQueries.kllBandReportByGroup(df, "g", "m", sks)
+    assert(report.count() == 20L) // 2 strata × (3 anchors + 7 probes)
+    assert(report.filter(!col("ok")).count() == 0L,
+      "every per-group anchor and band row must pass")
+  }
+
+  test("kllIngestByGroup: ledgered per-stratum fold, replay no-op, state equals merged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_kllg_spec_")
+    try {
+      val path = s"$base/state"
+      // batch 1 carries only stratum a; batch 2 grows a AND introduces b
+      val d1 = (1 to 2000).map(i => ("a", i.toDouble)).toDF("g", "m")
+      val d2 = ((2001 to 3000).map(i => ("a", i.toDouble)) ++
+        (1 to 1000).map(i => ("b", 100000.0 + i))).toDF("g", "m")
+      assert(QuantileQueries.kllIngestByGroup(spark, path, d1, "g", "m", "b1"))
+      assert(QuantileQueries.kllIngestByGroup(spark, path, d2, "g", "m", "b2"))
+      assert(!QuantileQueries.kllIngestByGroup(spark, path, d1, "g", "m", "b1"),
+        "replay must be a ledger no-op")
+      val sks = QuantileQueries.kllByGroupFromState(spark, path)
+      assert(sks("a").n == 3000L && sks("a").maxV == 3000.0)
+      assert(sks("b").n == 1000L && sks("b").minV == 100001.0)
+      val whole = ((1 to 3000).map(i => ("a", i.toDouble)) ++
+        (1 to 1000).map(i => ("b", 100000.0 + i))).toDF("g", "m")
+      val report = QuantileQueries.kllBandReportByGroup(whole, "g", "m", sks)
+      assert(report.filter(!col("ok")).count() == 0L)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
