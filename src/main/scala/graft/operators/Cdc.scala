@@ -217,33 +217,21 @@ object Cdc {
         StructField("n_deletes", LongType))))
   }
 
-  /** Disk-backed fold: read the persistent snapshot at `path/state` (or
-    * start empty), fold `batch` ([[foldCdcBatch]]), atomically swap the
-    * new state in. NO batchId ledger, deliberately: the watermark guard
-    * IS the replay ledger here — a replayed batch's rows are all at or
-    * below the post-fold high-water mark, so the fold no-ops them, and
-    * the atomic swap means a crash mid-write leaves either the pre- or
-    * the post-batch state, both of which the replay handles. Additive
-    * state (q85) needs the explicit ledger because it has no identity
-    * to guard on; keyed last-writer state carries its own. */
-  def cdcIngest(spark: SparkSession, path: String, batch: DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val state = new Path(root, "state")
-    graft.sinks.MergeSink.recoverSwap(fs, state, new Path(path + ".__cdc_bak"))
-    val snap =
-      if (fs.exists(state)) spark.read.parquet(state.toString)
-      else emptySnapshot(spark)
-    val merged = foldCdcBatch(snap, batch)
-    val tmp = new Path(path + ".__cdc_tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__cdc_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
-  }
+  /** Disk-backed fold: read the persistent snapshot (or start empty),
+    * fold `batch` ([[foldCdcBatch]]), publish through the commit-log
+    * snapshot state ([[graft.sinks.SnapshotState]] — one commit-file
+    * create, rename-free, loud under a concurrent folder). NO batchId
+    * ledger, deliberately: the watermark guard IS the replay ledger
+    * here — a replayed batch's rows are all at or below the post-fold
+    * high-water mark, so the fold no-ops them, and the atomic publish
+    * means a crash leaves either the pre- or the post-batch state, both
+    * of which the replay handles. Additive state (q85) needs the
+    * explicit ledger because it has no identity to guard on; keyed
+    * last-writer state carries its own. */
+  def cdcIngest(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    graft.sinks.SnapshotState.fold(spark, path) { cur =>
+      foldCdcBatch(cur.getOrElse(emptySnapshot(spark)), batch)
+    }
 
   /** q122: the SAME fold behind a REAL file stream
     * ([[graft.streaming.StreamingCdc]] — one micro-batch per landed day
@@ -280,7 +268,7 @@ object Cdc {
         s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      spark.read.parquet(s"$statePath/state")
+      graft.sinks.SnapshotState.read(spark, statePath).get
         .filter(col("op") =!= "D")
         .select(col("user_id"), col("last_ts"), col("last_event_id"),
           col("status"), col("amount"), col("n_ops"), col("n_deletes"))

@@ -136,49 +136,30 @@ object Overlap {
     * construction: no batch ledger, no watermark, just the fold.
     *
     * Scale: per-batch cost is the batch's own one-pass fold; state is k
-    * longs FOREVER. Swap is the sinks' atomic rename. */
+    * longs FOREVER. Publish is the commit-log snapshot's one file
+    * create ([[graft.sinks.SnapshotState]] — rename-free, loud under a
+    * concurrent folder, no two-rename crash window to reset the
+    * fingerprint). */
   def sketchIngest(spark: SparkSession, path: String, batch: DataFrame,
                    keyCol: String, k: Int): Unit = {
-    import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSketch(fs, path)
-    val state = new Path(root, "state")
     val bs = sketchOf(batch, keyCol, k)
-    val merged =
-      if (fs.exists(state)) {
-        val old = spark.read.parquet(state.toString)
-          .select(col("sketch")).as[Array[Long]].head()
-        bs.foldLeft(old)(GraftUdfs.Kmv.insert(k))
-      } else bs
-    val tmp = new Path(path + ".__sketch_tmp")
-    fs.delete(tmp, true)
-    Seq(Tuple1(merged)).toDF("sketch").coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__sketch_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+    graft.sinks.SnapshotState.fold(spark, path) { cur =>
+      val merged = cur match {
+        case Some(st) =>
+          val old = st.select(col("sketch")).as[Array[Long]].head()
+          bs.foldLeft(old)(GraftUdfs.Kmv.insert(k))
+        case None => bs
+      }
+      Seq(Tuple1(merged)).toDF("sketch").coalesce(1)
+    }
   }
-
-  /** atomicSwap's two-rename crash window (state moved aside, tmp not
-    * yet in place) would silently RESET the fingerprint to empty on the
-    * next fold — restore the moved-aside state first, exactly
-    * [[graft.sinks.MergeSink.recoverSwap]]'s rule (restore only when
-    * `state` is absent). */
-  private def recoverSketch(fs: org.apache.hadoop.fs.FileSystem,
-                            path: String): Unit =
-    graft.sinks.MergeSink.recoverSwap(fs,
-      new org.apache.hadoop.fs.Path(s"$path/state"),
-      new org.apache.hadoop.fs.Path(path + ".__sketch_bak"))
 
   /** Read a persisted sketch state. */
   def readSketch(spark: SparkSession, path: String): Array[Long] = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(path)
-    recoverSketch(p.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
-    spark.read.parquet(s"$path/state")
+    graft.sinks.SnapshotState.read(spark, path).getOrElse(
+        throw new IllegalStateException(s"no committed sketch state at $path"))
       .select(col("sketch")).as[Array[Long]].head()
   }
 

@@ -2027,11 +2027,6 @@ object TrainingData {
                    idCol: String, weightCol: String, carryCols: Seq[String],
                    k: Int, seed: String): Unit = {
     require(k >= 1, s"k=$k")
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val state = new Path(root, "state")
-    graft.sinks.MergeSink.recoverSwap(fs, state, new Path(path + ".__sample_bak"))
     val keep = Seq(idCol) ++ carryCols ++ Seq(weightCol, "bucket", "qk")
     val keyed = batch.filter(col(weightCol) > 0)
       .withColumn("bucket", hashBucket(col(idCol), seed))
@@ -2044,20 +2039,20 @@ object TrainingData {
       // neardupIngestCore already apply via dropDuplicates("id"))
       .dropDuplicates(idCol)
     val top = keyed.orderBy(col("qk").asc, col(idCol).asc).limit(k)
-    val merged =
-      if (fs.exists(state))
-        spark.read.parquet(state.toString).unionByName(top)
-          .dropDuplicates(idCol)
-          .orderBy(col("qk").asc, col(idCol).asc).limit(k)
-      else top
-    val tmp = new Path(path + ".__sample_tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__sample_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+    // commit-log snapshot publish (one file create, loud under a
+    // concurrent folder — the fold re-derives on a CAS loss)
+    graft.sinks.SnapshotState.fold(spark, path) {
+      case Some(cur) => cur.unionByName(top)
+        .dropDuplicates(idCol)
+        .orderBy(col("qk").asc, col(idCol).asc).limit(k)
+      case None => top
+    }
   }
+
+  /** The committed sample state ([[sampleIngest]]'s snapshot). */
+  def readSampleState(spark: SparkSession, path: String): DataFrame =
+    graft.sinks.SnapshotState.read(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed sample state at $path"))
 
   /** q132: [[sampleIngest]] under the day-split + re-delivery + REVERSED
     * ORDER harness (days fold day2-first — legal here and only here
@@ -2077,7 +2072,7 @@ object TrainingData {
           .unionByName(docs.filter(col("doc_id") % 5 === 0))) // re-delivery
         .foreach(day => sampleIngest(spark, path, day,
           "doc_id", "n_chars", Seq("lang"), WsK, WsSeed))
-      spark.read.parquet(s"$path/state")
+      readSampleState(spark, path)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("qk").asc, col("doc_id"))))
         .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"),
@@ -2127,7 +2122,7 @@ object TrainingData {
         s"$base/ckpt", WsK, WsSeed, trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      spark.read.parquet(s"$statePath/state")
+      readSampleState(spark, statePath)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("qk").asc, col("doc_id"))))
         .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"),
@@ -2204,28 +2199,22 @@ object TrainingData {
   def skylineIngest(spark: SparkSession, path: String, batch: DataFrame,
                     idCol: String, xCol: String, yCol: String,
                     partCols: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val state = new Path(root, "state")
-    graft.sinks.MergeSink.recoverSwap(fs, state, new Path(path + ".__sky_bak"))
     val keep = (Seq(idCol) ++ partCols ++ Seq(xCol, yCol)).map(col)
     val batchSky = skyline2D(batch.select(keep: _*), xCol, yCol, partCols)
-    val merged =
-      if (fs.exists(state))
-        skyline2D(
-          spark.read.parquet(state.toString).unionByName(batchSky)
-            .dropDuplicates(idCol),
-          xCol, yCol, partCols)
-      else batchSky
-    val tmp = new Path(path + ".__sky_tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".__sky_bak")
-    fs.delete(bak, true)
-    fs.mkdirs(root)
-    graft.sinks.MergeSink.atomicSwap(fs, tmp, state, bak)
+    // commit-log snapshot publish (one file create, loud under a
+    // concurrent folder — the fold re-derives on a CAS loss)
+    graft.sinks.SnapshotState.fold(spark, path) {
+      case Some(cur) => skyline2D(
+        cur.unionByName(batchSky).dropDuplicates(idCol),
+        xCol, yCol, partCols)
+      case None => batchSky
+    }
   }
+
+  /** The committed frontier state ([[skylineIngest]]'s snapshot). */
+  def readSkylineState(spark: SparkSession, path: String): DataFrame =
+    graft.sinks.SnapshotState.read(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed skyline state at $path"))
 
   /** q141: [[skylineIngest]] under the reversed-order day split +
     * re-delivery harness (legal for monotone mergeable state — the
@@ -2243,7 +2232,7 @@ object TrainingData {
           .unionByName(m.filter(col("doc_id") % 5 === 0))) // re-delivery
         .foreach(day => skylineIngest(spark, path, day,
           "doc_id", "quality", "n_tokens", Seq("lang")))
-      spark.read.parquet(s"$path/state")
+      readSkylineState(spark, path)
         .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
         .orderBy(col("lang"), col("quality").desc, col("n_tokens").desc,
           col("doc_id"))
@@ -2308,7 +2297,7 @@ object TrainingData {
         s"$base/ckpt", trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      spark.read.parquet(s"$statePath/state")
+      readSkylineState(spark, statePath)
         .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
         .orderBy(col("lang"), col("quality").desc, col("n_tokens").desc,
           col("doc_id"))

@@ -105,7 +105,8 @@ class CdcSpec extends SparkSpec {
       Cdc.cdcIngest(spark, p, b1)
       Cdc.cdcIngest(spark, p, b2)
       Cdc.cdcIngest(spark, p, b2) // replay: the watermark is the ledger
-      val got = spark.read.parquet(s"$p/state").filter(col("op") =!= "D")
+      val got = graft.sinks.SnapshotState.read(spark, p).get
+        .filter(col("op") =!= "D")
         .select("user_id", "status", "amount", "n_ops", "n_deletes")
         .orderBy("user_id").collect().map(_.toSeq).toSeq
       val want = Cdc.applyChangelog(full)

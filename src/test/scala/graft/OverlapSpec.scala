@@ -63,23 +63,36 @@ class OverlapSpec extends SparkSpec {
     }
   }
 
-  test("the sketch state's two-rename crash window recovers") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ov_swap_")
+  test("a crashed fold (generation written, commit never published) is invisible") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ov_crash_")
     try {
       val p = s"$base/st"
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       Overlap.sketchIngest(spark, p, (0L until 100L).toDF("id"), "id", 64)
       val committed = Overlap.readSketch(spark, p).toSeq
-      // simulate a crash BETWEEN atomicSwap's renames
-      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$p/state"),
-        new org.apache.hadoop.fs.Path(p + ".__sketch_bak")))
+      // a folder that died after its generation write, before its commit
+      Seq(Tuple1(Array(1L, 2L, 3L))).toDF("sketch")
+        .write.parquet(s"$p/g-crashed0")
       assert(Overlap.readSketch(spark, p).toSeq == committed,
-        "readSketch must restore the moved-aside fingerprint")
-      // and the next fold proceeds on top of it, not from empty
+        "an uncommitted generation must be invisible to readSketch")
+      // and the next fold proceeds on top of the committed state
       Overlap.sketchIngest(spark, p, (100L until 200L).toDF("id"), "id", 64)
       val grown = Overlap.readSketch(spark, p)
       assert(grown.length == 64 && grown.toSeq != committed)
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
+  test("the legacy swapped sketch layout fails loudly instead of reading as fresh") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ov_leg_")
+    try {
+      val p = s"$base/st"
+      Seq(Tuple1(Array(1L, 2L))).toDF("sketch").write.parquet(s"$p/state")
+      intercept[IllegalStateException] { Overlap.readSketch(spark, p) }
+      intercept[IllegalStateException] {
+        Overlap.sketchIngest(spark, p, (0L until 10L).toDF("id"), "id", 16)
+      }
     } finally {
       val pp = new org.apache.hadoop.fs.Path(base.toString)
       pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)

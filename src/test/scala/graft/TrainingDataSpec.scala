@@ -738,7 +738,7 @@ class TrainingDataSpec extends SparkSpec {
         .map { case (id, _, w) => (id, esKey(id, w)) }
         .sortBy { case (id, k) => (-k, id) }.take(60).map(_._1).toSeq
     def readState(path: String): Seq[Long] =
-      spark.read.parquet(s"$path/state")
+      TrainingData.readSampleState(spark, path)
         .orderBy(col("qk").asc, col("doc_id").asc)
         .select(col("doc_id")).as[Long].collect().toSeq
     def fold(path: String, batches: Seq[org.apache.spark.sql.DataFrame]): Unit =
@@ -828,7 +828,8 @@ class TrainingDataSpec extends SparkSpec {
       (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
     def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("id", "x", "y")
     def readState(path: String): Set[Long] =
-      spark.read.parquet(s"$path/state").select(col("id")).as[Long].collect().toSet
+      TrainingData.readSkylineState(spark, path)
+        .select(col("id")).as[Long].collect().toSet
     def fold(path: String, batches: Seq[Seq[(Long, Long, Long)]]): Unit =
       batches.foreach(b => TrainingData.skylineIngest(spark, path, df(b),
         "id", "x", "y", Seq.empty))
