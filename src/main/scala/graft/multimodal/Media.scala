@@ -97,6 +97,58 @@ object Media {
     }
   }
 
+  /** REAL image codec — `javax.imageio` (on every JVM, zero new
+    * dependencies) behind the same per-partition lifecycle as
+    * [[FakeCodec]]: decode sniffs the container (PNG/JPEG/GIF/BMP) from
+    * the bytes and reads true dimensions; resize re-renders through
+    * `Graphics2D` and re-encodes as PNG. The synthetic fixtures keep
+    * using [[FakeCodec]] (their blobs are not real images); planted-image
+    * tests pin this one (MediaSpec). `init()` disables ImageIO's
+    * disk-backed stream cache — an executor-local temp-file write per
+    * image is exactly the per-row overhead the per-partition lifecycle
+    * exists to avoid. */
+  final class ImageIoCodec extends MediaCodec {
+    @volatile private var initialized = false
+    override def init(): Unit = {
+      javax.imageio.ImageIO.setUseCache(false) // heap streams, no temp files
+      initialized = true
+    }
+    private def readerFor(content: Array[Byte]): (javax.imageio.ImageReader,
+        javax.imageio.stream.ImageInputStream) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "unrecognized image container")
+      val r = readers.next()
+      r.setInput(iis)
+      (r, iis)
+    }
+    override def decodeMeta(content: Array[Byte]): MediaMeta = {
+      require(initialized, "codec used before init() — per-partition lifecycle broken")
+      val (r, iis) = readerFor(content)
+      try MediaMeta("image", r.getFormatName.toLowerCase,
+        r.getWidth(0), r.getHeight(0), 0, 0L)
+      finally { r.dispose(); iis.close() }
+    }
+    override def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(initialized, "codec used before init()")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      require(img != null, "undecodable image payload")
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Decode metadata for every row: one codec per partition, initialized
     * once, streamed over the partition's batch iterator. */
   def decode(media: Dataset[MediaRow],

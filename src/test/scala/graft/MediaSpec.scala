@@ -138,6 +138,46 @@ class MediaSpec extends SparkSpec {
     assert(feats.collect().forall(f => math.abs(f.feature.sum - 1f) < 1e-3))
   }
 
+  test("ImageIoCodec: real PNG/JPEG decode and resize behind the same lifecycle") {
+    // plant REAL images (encoded in-test via javax.imageio — no fixtures,
+    // no new dependencies), push them through the SAME Media.decode /
+    // Media.resize operators the stub codec drives, and pin true
+    // dimensions and formats end to end
+    def realBlob(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", realBlob("png", 48, 32)),
+      MediaRow(2L, "image", realBlob("jpg", 20, 60)),
+      MediaRow(3L, "image", realBlob("png", 7, 9)))
+    val ds = spark.createDataset(rows).repartition(2)
+    val decoded = Media.decode(ds, () => new Media.ImageIoCodec)
+      .collect().map(d => d.media_id -> d.meta).toMap
+    assert(decoded(1L) == MediaMeta("image", "png", 48, 32, 0, 0L))
+    assert(decoded(2L).format == "jpeg" || decoded(2L).format == "jpg")
+    assert(decoded(2L).width == 20 && decoded(2L).height == 60)
+    assert(decoded(3L) == MediaMeta("image", "png", 7, 9, 0, 0L))
+    // resize re-renders for real: decoding the output yields the target
+    // dimensions whatever the input container was
+    val resized = Media.resize(ds, 16, 12, () => new Media.ImageIoCodec)
+    val back = Media.decode(resized, () => new Media.ImageIoCodec)
+      .collect().map(d => d.media_id -> d.meta).toMap
+    rows.foreach(r => assert(back(r.media_id).width == 16 &&
+      back(r.media_id).height == 12, s"row ${r.media_id}: ${back(r.media_id)}"))
+    // a non-image payload fails loudly, not silently
+    val junk = spark.createDataset(Seq(MediaRow(9L, "image",
+      Array.fill[Byte](64)(7))))
+    intercept[org.apache.spark.SparkException] {
+      Media.decode(junk, () => new Media.ImageIoCodec).collect()
+    }
+  }
+
   test("q43 media gate: frame-sampling and resize invariants hold") {
     val row = operators.MediaQueries.q43MediaFrames(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_videos") > 0 && row.getAs[Long]("n_frames") > 0)
