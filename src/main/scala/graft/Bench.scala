@@ -42,9 +42,27 @@ object Bench {
     val reps = math.max(1, cfg.benchReps)
     // GRAFT_BENCH_ONLY narrows the run to named queries — for timing one
     // query in isolation while iterating (the full-alphabet run is the
-    // driver's; a filtered run's totals are not comparable to it)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // driver's; a filtered run's totals are not comparable to it).
+    // GRAFT_BENCH_ORDER=reverse flips the run order: with run_pos +
+    // gc_sec in the artifact this is the controlled A/B that separates a
+    // plan regression (slow in both orders) from cumulative single-JVM
+    // pressure (slow only late in the run) — the r14 driver-run finding.
+    val lex = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => cfg.benchOnly.isEmpty || cfg.benchOnly(name) }
+    val selected = cfg.benchOrder match {
+      case "reverse" => lex.reverse
+      case "lex" => lex
+      case other =>
+        System.err.println(s"[bench] unknown GRAFT_BENCH_ORDER=$other; using lex")
+        lex
+    }
+    // cumulative JVM GC time (all collectors) — deltas attribute each
+    // query's share of collector wall-clock during its TIMED reps
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
     // The iterative families (connected components, IVF build/refit,
     // streaming harnesses, ledgered ingests) JIT/codegen-compile whole
     // operator stacks on their first run: their rep-1 duration carries
@@ -63,7 +81,9 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
       }
+      var gcDuringReps = 0L
       val durations = (1 to reps).flatMap { _ =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -71,6 +91,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
+        gcDuringReps += gcMillis() - gc0
         // stop the clock BEFORE cleanup: clearCache + a forced full GC
         // cost ~0.2s and belong to the harness, not the query under
         // measurement
@@ -96,15 +117,29 @@ object Bench {
         if (sorted.isEmpty) None
         else if (sorted.size % 2 == 1) Some(sorted(sorted.size / 2))
         else Some((sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2)
-      (name, median, reps - durations.size, durations)
+      (name, median, reps - durations.size, durations, gcDuringReps)
     }
-    val qs = results.map { case (k, v, _, _) =>
+    val qs = results.map { case (k, v, _, _, _) =>
       s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val flaky = results.collect { case (k, Some(_), nf, _) if nf > 0 =>
+    val flaky = results.collect { case (k, Some(_), nf, _, _) if nf > 0 =>
       s"\"" + k + "\":" + nf
+    }.mkString("{", ",", "}")
+    // attribution columns (the r14 finding — 16 tail-of-run queries ran
+    // >2× slower in one environment at identical code): run_pos is each
+    // query's 0-based position in THIS run's order, gc_sec its share of
+    // JVM collector time across its timed reps. A reader diffing two
+    // artifacts can now separate "the plan regressed" (slow at any
+    // position, little GC) from "the JVM was under cumulative pressure"
+    // (slow only late, GC-dominated) without re-running anything.
+    val runPos = results.zipWithIndex.map { case ((k, _, _, _, _), i) =>
+      s"\"" + k + "\":" + i
+    }.mkString("{", ",", "}")
+    val gcSec = results.map { case (k, _, _, _, gcMs) =>
+      s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(gcMs / 1e3))
     }.mkString("{", ",", "}")
     // per-rep durations IN RUN ORDER (not sorted): the artifact itself
     // must show run-to-run spread — a 2.6× swing between two runs of
@@ -112,7 +147,7 @@ object Bench {
     // and a reader diffing two BENCH artifacts needs to tell a plan
     // regression (all reps moved) from scheduler/GC noise (one rep
     // spiked) without re-running anything
-    val repsSec = results.map { case (k, _, _, ds) =>
+    val repsSec = results.map { case (k, _, _, ds, _) =>
       // Locale.ROOT: the f-interpolator honors the default locale, and a
       // comma decimal separator would corrupt the JSON artifact
       s"\"" + k + "\":" + ds.map(d =>
@@ -124,6 +159,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"flaky":$flaky,"reps":$reps,"reps_sec":$repsSec,""" +
+        s""""run_pos":$runPos,"gc_sec":$gcSec,"order":"${cfg.benchOrder}",""" +
         s""""warmup_queries":$nWarmed,"sf":"$sfDir"}"""
     println(json)
     // a GRAFT_BENCH_ONLY-filtered run is an iteration tool: its partial

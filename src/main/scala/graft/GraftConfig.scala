@@ -16,9 +16,13 @@ final case class GraftConfig(
     tolerant: Boolean,         // GRAFT_TOLERANT: drop-and-continue on merge failure
     benchOnly: Set[String],    // GRAFT_BENCH_ONLY: comma-separated query-name filter
                                // (empty = all) — for timing one query in isolation
-    verifyOnly: Set[String])   // GRAFT_VERIFY_ONLY: same filter for the Verify
+    verifyOnly: Set[String],   // GRAFT_VERIFY_ONLY: same filter for the Verify
                                // dump — gating one new query while iterating
                                // (the driver's full gate always runs unfiltered)
+    benchOrder: String)        // GRAFT_BENCH_ORDER: lex (default) | reverse —
+                               // run-order A/B for cumulative-JVM-pressure
+                               // attribution (BENCH.json carries run_pos +
+                               // gc_sec per query either way)
 
 object GraftConfig {
   def fromEnv(env: Map[String, String] = sys.env): GraftConfig = GraftConfig(
@@ -35,5 +39,7 @@ object GraftConfig {
     benchOnly = env.get("GRAFT_BENCH_ONLY").orElse(env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty),
     verifyOnly = env.get("GRAFT_VERIFY_ONLY").orElse(env.get("SPARK_GRAFT_VERIFY_ONLY"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty),
+    benchOrder = env.get("GRAFT_BENCH_ORDER").orElse(env.get("SPARK_GRAFT_BENCH_ORDER"))
+      .getOrElse("lex"))
 }
