@@ -38,9 +38,17 @@ import graft.sinks.{Compaction, VersionCatalog}
   * snapshot copy the retention policy demands. A 100 TB layout that
   * stayed healthy pays footer reads and nothing else.
   *
+  * `--manifested` runs the same night against a COMMIT-LOG z layout
+  * ([[Sharding.zWriteManifested]]): health and optimize read through
+  * the mapping, the rewrite publishes in one commit
+  * ([[Sharding.optimizeFlaggedManifested]]), standalone compaction is
+  * subsumed (optimize collapses rewritten cells; the generation sweep
+  * reclaims superseded dirs), and the zone-map manifest refreshes from
+  * the mapping-reconstructed frame.
+  *
   * Usage: MaintainJob <layoutDir> <catalogDir>
   *        [--target-bytes N] [--max-overlap N] [--retain N]
-  *        [--n-files N] [--z-space N] [--stats-cols a,b]
+  *        [--n-files N] [--z-space N] [--stats-cols a,b] [--manifested]
   */
 object MaintainJob {
 
@@ -48,14 +56,16 @@ object MaintainJob {
                                    filesAfter: Long, overlapBefore: Long,
                                    overlapAfter: Long, filesRewritten: Long,
                                    statsRefreshed: Boolean,
-                                   version: Long, vacuumed: Seq[Long])
+                                   version: Long, vacuumed: Seq[Long],
+                                   generationsSwept: Long = 0L)
 
   final case class MaintainConfig(targetBytes: Long = 128L << 20,
                                   maxOverlap: Long = 0L,
                                   retain: Int = 3,
                                   nFiles: Int = 8, // q138's ZFiles default
                                   zSpace: Long = 1L << 16,
-                                  statsCols: Seq[String] = Nil)
+                                  statsCols: Seq[String] = Nil,
+                                  manifested: Boolean = false)
 
   object MaintainConfig {
     def fromFlags(flags: Seq[String]): MaintainConfig = {
@@ -68,9 +78,10 @@ object MaintainJob {
         case "--z-space" :: v :: rest => parse(c.copy(zSpace = v.toLong), rest)
         case "--stats-cols" :: v :: rest =>
           parse(c.copy(statsCols = v.split(',').toSeq.filter(_.nonEmpty)), rest)
+        case "--manifested" :: rest => parse(c.copy(manifested = true), rest)
         case f :: _ => throw new IllegalArgumentException(
           s"unknown flag '$f' (known: --target-bytes, --max-overlap, --retain, " +
-            "--n-files, --z-space, --stats-cols)")
+            "--n-files, --z-space, --stats-cols, --manifested)")
       }
       parse(MaintainConfig(), flags.toList)
     }
@@ -78,23 +89,34 @@ object MaintainJob {
 
   def run(spark: SparkSession, layoutDir: String, catalogDir: String,
           cfg: MaintainConfig = MaintainConfig()): MaintainSummary = {
-    // 1. compact fragmented partition directories (skip-aware)
-    val comp = Compaction.compactPartitioned(spark, layoutDir, cfg.targetBytes)
+    // 1. compact fragmented partition directories (skip-aware). The
+    //    MANIFESTED layout has no standalone compaction step: its
+    //    optimize collapses every rewritten cell to one dir, and the
+    //    generation sweep below reclaims superseded dirs.
+    val comp =
+      if (cfg.manifested) Compaction.CompactStats(0L, 0L, 0L, 0L)
+      else Compaction.compactPartitioned(spark, layoutDir, cfg.targetBytes)
+    def layout() =
+      if (cfg.manifested) Sharding.zReadManifested(spark, layoutDir)
+      else spark.read.parquet(layoutDir)
     // 2. measure (footer-stats scale; reopened through the physical path)
     def overlapSum(): Long = {
       val row = Sharding.layoutHealth(
-          spark.read.parquet(layoutDir).select(col("zkey"), col("file_id")))
+          layout().select(col("zkey"), col("file_id")))
         .agg(sum(col("overlap_cnt"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0) // empty layout → healthy
     }
     val before = overlapSum()
     // 3. optimize only when the measured budget is exceeded — the
     //    monitor schedules the rewrite, the rewrite touches only
-    //    flagged (+ closure-promoted) files
+    //    flagged (+ closure-promoted) files; the manifested form
+    //    publishes the whole rewrite set in ONE commit
     val stats =
-      if (before > cfg.maxOverlap)
-        Sharding.optimizeFlagged(spark, layoutDir, cfg.nFiles, cfg.zSpace)
-      else Sharding.OptimizeStats(Nil, Nil, Nil)
+      if (before <= cfg.maxOverlap) Sharding.OptimizeStats(Nil, Nil, Nil)
+      else if (cfg.manifested)
+        Sharding.optimizeFlaggedManifested(spark, layoutDir, cfg.nFiles,
+          cfg.zSpace)
+      else Sharding.optimizeFlagged(spark, layoutDir, cfg.nFiles, cfg.zSpace)
     val after = if (stats.rewritten.nonEmpty) overlapSum() else before
     // 3b. the zone-map manifest must FOLLOW every rewrite — refresh it
     //     when a step touched data (or it does not exist yet); a healthy
@@ -103,14 +125,21 @@ object MaintainJob {
     val statsRefreshed = cfg.statsCols.nonEmpty &&
       (touched || !Sharding.hasStatsManifest(spark, layoutDir))
     if (statsRefreshed)
-      Sharding.refreshStatsManifest(spark, layoutDir, cfg.statsCols)
+      Sharding.refreshStatsManifestFrom(layout(), layoutDir, cfg.statsCols)
+    // 3c. manifested housekeeping: sweep generations past the
+    //     reader-retention margin (superseded by the optimize above or
+    //     by earlier appends) — the rename layout's per-dir swaps have
+    //     nothing to sweep
+    val swept =
+      if (cfg.manifested)
+        graft.sinks.DirManifest.vacuum(spark, layoutDir).size.toLong
+      else 0L
     // 4. version the maintained layout and enforce retention
-    val version = VersionCatalog.commit(spark, catalogDir,
-      spark.read.parquet(layoutDir))
+    val version = VersionCatalog.commit(spark, catalogDir, layout())
     val vacuumed = VersionCatalog.vacuum(spark, catalogDir, cfg.retain)
     MaintainSummary(comp.nCompacted, comp.filesBefore, comp.filesAfter,
       before, after, stats.rewritten.size.toLong, statsRefreshed,
-      version, vacuumed)
+      version, vacuumed, swept)
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,7 +153,8 @@ object MaintainJob {
         s""""overlap_before":${s.overlapBefore},"overlap_after":${s.overlapAfter},""" +
         s""""files_rewritten":${s.filesRewritten},""" +
         s""""stats_refreshed":${s.statsRefreshed},"version":${s.version},""" +
-        s""""vacuumed":[${s.vacuumed.mkString(",")}]}""")
+        s""""vacuumed":[${s.vacuumed.mkString(",")}],""" +
+        s""""generations_swept":${s.generationsSwept}}""")
     spark.stop()
   }
 }

@@ -786,7 +786,15 @@ object Sharding {
     * maintenance pass touched data. */
   def refreshStatsManifest(spark: SparkSession, path: String,
                            statsCols: Seq[String]): Unit =
-    statsManifest(spark.read.parquet(path), "file_id", statsCols)
+    refreshStatsManifestFrom(spark.read.parquet(path), path, statsCols)
+
+  /** [[refreshStatsManifest]] with the layout given as a frame — the
+    * form the manifested layout uses ([[zReadManifested]] reconstructs
+    * file_id through the mapping; a bare parquet read of a manifest
+    * root would sweep generation dirs as data). */
+  def refreshStatsManifestFrom(layout: DataFrame, path: String,
+                               statsCols: Seq[String]): Unit =
+    statsManifest(layout, "file_id", statsCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(path))
 
@@ -822,6 +830,35 @@ object Sharding {
     val rows = spark.read.parquet(path)
       .filter(col("file_id").isin(keep.map(java.lang.Long.valueOf): _*))
       .filter(col(predCol) >= lo && col(predCol) <= hi)
+    SkipScan(rows, keep.size.toLong, filesTotal)
+  }
+
+  /** [[skippingScan]] over a MANIFESTED layout: the same one-metadata-
+    * read zone-map test picks the surviving file ids, and the data read
+    * prunes AT THE MAPPING ([[graft.sinks.DirManifest.read]] of exactly
+    * those cells' dirs) — the pruned-out cells' dirs are never even
+    * listed, one step stronger than the partition-filter prune. */
+  def skippingScanManifested(spark: SparkSession, path: String,
+                             predCol: String, lo: Column,
+                             hi: Column): SkipScan = {
+    import graft.sinks.DirManifest
+    val stats = spark.read.parquet(statsPath(path))
+      .select(col("file_id"), col(s"min_$predCol"), col(s"max_$predCol"))
+      .localCheckpoint(true) // one metadata read feeds both counts
+    val filesTotal = stats.count()
+    val keep = stats
+      .filter(col(s"max_$predCol") >= lo && col(s"min_$predCol") <= hi)
+      .select(col("file_id")).collect().map(_.getLong(0)).toSeq
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, st) = DirManifest.head(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed z layout at $path"))
+    val mapped = keep.filter(st.parts.contains)
+    val rows =
+      if (mapped.isEmpty)
+        zReadManifested(spark, path).filter(lit(false)) // schema, no rows
+      else DirManifest.read(spark, path, st, Some(mapped))
+        .filter(col(predCol) >= lo && col(predCol) <= hi)
     SkipScan(rows, keep.size.toLong, filesTotal)
   }
 

@@ -60,6 +60,63 @@ class MaintainJobSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("--manifested: the same night heals a commit-log layout in one optimize commit") {
+    val base = java.nio.file.Files.createTempDirectory("graft_maint_mani_")
+    try {
+      val layout = s"$base/layout"
+      val catalog = s"$base/catalog"
+      // the degraded fixture through the manifest write path
+      val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a * 4, b * 4))
+        .toDF("qb", "lb")
+        .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+        .withColumn("file_id", expr(s"zkey * 8 div ${1L << 16}"))
+      Sharding.zWriteManifested(spark, layout, grid, append = false)
+      val appended = (for (a <- 0L until 16L; b <- 0L until 16L)
+          yield (a * 4 + 1, b * 4 + 1))
+        .toDF("qb", "lb")
+        .withColumn("zkey", Sharding.zOrderKey(col("qb"), col("lb"), 8))
+        .filter(col("zkey") < (1L << 14))
+        .withColumn("file_id", lit(8L))
+      Sharding.zWriteManifested(spark, layout, appended, append = true)
+      val rows = Sharding.zReadManifested(spark, layout).count()
+      val s = MaintainJob.run(spark, layout, catalog,
+        MaintainJob.MaintainConfig(manifested = true,
+          statsCols = Seq("zkey"), retain = 3))
+      assert(s.dirsCompacted == 0L, "manifested mode has no standalone compaction")
+      assert(s.overlapBefore > 0 && s.overlapAfter == 0,
+        s"manifested optimize must restore disjoint ranges: $s")
+      assert(s.filesRewritten > 0 && s.filesRewritten < 9)
+      assert(s.statsRefreshed, "zone-map manifest must refresh after a rewrite")
+      // reader-retention margin: the previous head's generations survive
+      // the first post-optimize sweep (a reader mid-scan must finish)
+      assert(s.generationsSwept == 0L, s"margin must hold on night 1: $s")
+      assert(s.version == 1L && s.vacuumed.isEmpty)
+      assert(Sharding.zReadManifested(spark, layout).count() == rows)
+      assert(VersionCatalog.readVersion(spark, catalog, 1L).count() == rows)
+      // the manifested skipping scan consumes the refreshed zone maps:
+      // a low-z window must open a strict subset of cells, rows exact
+      val scan = Sharding.skippingScanManifested(spark, layout, "zkey",
+        lit(0L), lit((1L << 13) - 1))
+      assert(scan.filesRead > 0 && scan.filesRead < scan.filesTotal,
+        s"zone maps must prune cells: $scan")
+      val want = Sharding.zReadManifested(spark, layout)
+        .filter(col("zkey") < (1L << 13)).count()
+      assert(scan.rows.count() == want)
+      // a second night is a no-op on a healthy layout — but it DOES
+      // reclaim a crashed writer's orphan generation (unreferenced by
+      // any commit, so the retention margin never applies to it)
+      grid.limit(1).write.parquet(s"$layout/g-crashed0/file_id=0")
+      val s2 = MaintainJob.run(spark, layout, catalog,
+        MaintainJob.MaintainConfig(manifested = true,
+          statsCols = Seq("zkey"), retain = 3))
+      assert(s2.overlapBefore == 0 && s2.filesRewritten == 0 &&
+        !s2.statsRefreshed)
+      assert(s2.generationsSwept == 1L,
+        s"the orphan generation must be reclaimed: $s2")
+      assert(Sharding.zReadManifested(spark, layout).count() == rows)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("a healthy layout is a no-op night; retention vacuums old versions") {
     val base = java.nio.file.Files.createTempDirectory("graft_maintain2_")
     try {
