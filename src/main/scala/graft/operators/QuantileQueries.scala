@@ -115,20 +115,26 @@ object QuantileQueries {
     * continuous ones. Whole-batch replays are ledger no-ops. */
   def kllIngest(spark: SparkSession, path: String, batch: DataFrame,
                 valueCol: String, batchId: String,
-                k: Int = KllK): Boolean = {
+                k: Int = KllK,
+                beforePublish: () => Unit = () => ()): Boolean = {
     import graft.sinks.LedgeredState
-    if (LedgeredState.absorbed(spark, path, batchId)) return false
-    val bsk = kllOf(batch, valueCol, k)
-    val merged = LedgeredState.readPart(spark, path, "kll") match {
-      case Some(st) =>
-        // 1-row kilobyte state — driver-safe by construction
-        Kll.deserialize(st.head().getAs[Array[Byte]]("sk")).merge(bsk)
-      case None => bsk
-    }
     import spark.implicits._
-    LedgeredState.commit(spark, path, batchId,
-      Seq("kll" -> Seq(merged.serialize()).toDF("sk")))
-    true
+    val bsk = kllOf(batch, valueCol, k) // state-independent: fold once
+    // contention-safe fold: the merge re-derives against exactly the
+    // head each publish attempt CAS-checks, so a racing writer's
+    // contribution is never dropped (q217) and a racing duplicate of
+    // the SAME batch resolves to one fold
+    LedgeredState.commitFold(spark, path, batchId,
+      beforePublish = beforePublish) { snap =>
+      val merged = snap.part("kll") match {
+        case Some(st) =>
+          // 1-row kilobyte state — driver-safe by construction; merge
+          // mutates the DESERIALIZED copy, never bsk (retry-safe)
+          Kll.deserialize(st.head().getAs[Array[Byte]]("sk")).merge(bsk)
+        case None => bsk
+      }
+      Seq("kll" -> Seq(merged.serialize()).toDF("sk"))
+    }
   }
 
   /** The committed state's sketch (for reports and the gates). */
@@ -266,27 +272,28 @@ object QuantileQueries {
                        groupCol: String, valueCol: String, batchId: String,
                        k: Int = KllK): Boolean = {
     import graft.sinks.LedgeredState
-    if (LedgeredState.absorbed(spark, path, batchId)) return false
-    val bsk = kllByGroup(batch, groupCol, valueCol, k)
-    val old = LedgeredState.readPart(spark, path, "kll_by_group") match {
-      case Some(st) => st.collect() // ≤ |strata| kilobyte rows
-        .map(r => r.getString(0) -> Kll.deserialize(r.getAs[Array[Byte]](1)))
-        .toMap
-      case None => Map.empty[String, Kll.KllSketch]
-    }
-    val merged = (old.keySet ++ bsk.keySet).toSeq.sorted.map { g =>
-      val m = (old.get(g), bsk.get(g)) match {
-        case (Some(a), Some(b)) => a.merge(b)
-        case (Some(a), None) => a
-        case (None, Some(b)) => b
-        case _ => Kll.empty(k) // unreachable
-      }
-      (g, m.serialize())
-    }
     import spark.implicits._
-    LedgeredState.commit(spark, path, batchId,
-      Seq("kll_by_group" -> merged.toDF("g", "sk")))
-    true
+    val bsk = kllByGroup(batch, groupCol, valueCol, k) // state-independent
+    LedgeredState.commitFold(spark, path, batchId) { snap =>
+      val old = snap.part("kll_by_group") match {
+        case Some(st) => st.collect() // ≤ |strata| kilobyte rows
+          .map(r => r.getString(0) -> Kll.deserialize(r.getAs[Array[Byte]](1)))
+          .toMap
+        case None => Map.empty[String, Kll.KllSketch]
+      }
+      val merged = (old.keySet ++ bsk.keySet).toSeq.sorted.map { g =>
+        val m = (old.get(g), bsk.get(g)) match {
+          // merge into the state-side copy (fresh each attempt), never
+          // into bsk's sketches — a retry must not double-fold
+          case (Some(a), Some(b)) => a.merge(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case _ => Kll.empty(k) // unreachable
+        }
+        (g, m.serialize())
+      }
+      Seq("kll_by_group" -> merged.toDF("g", "sk"))
+    }
   }
 
   /** The committed per-group sketches (for reports and the gates). */
@@ -400,4 +407,38 @@ object QuantileQueries {
     }
 
   def q207StreamKllSql: String = q205KllBatchSql
+
+  /** q217: LEDGERED-FOLD WRITER CONTENTION — the q209/q214 interleave
+    * applied to the additive-state family: day 0 seeds the sketch
+    * state; then writer A (one event-id third) has its merge DERIVED
+    * against the day-0 head and, BEFORE A publishes, writer B (another
+    * third) commits through the seam. A's CAS loses and
+    * [[graft.sinks.LedgeredState.commitFold]] re-derives A's merge from
+    * B's head — the final sketch holds every batch exactly once. The
+    * gate is the q205 band report on the snapshot sketch: its `n`
+    * anchor is EXACT, so a dropped fold (B's contribution overwritten
+    * by A's stale derivation — what plain commit would do) or a
+    * doubled one fails the hash outright. */
+  def q217KllContention(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q217_")
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val path = s"$base/kll_state"
+      val ev = Tables.events(spark, dir)
+      val day0 = ev.filter(col("event_id") % 3 === 0L)
+      val dayA = ev.filter(col("event_id") % 3 === 1L)
+      val dayB = ev.filter(col("event_id") % 3 === 2L)
+      require(kllIngest(spark, path, day0, "value", "day_0"))
+      require(kllIngest(spark, path, dayA, "value", "day_A",
+        beforePublish = () => {
+          require(kllIngest(spark, path, dayB, "value", "day_B"),
+            "writer B must land through the seam")
+        }), "writer A must land after re-deriving")
+      kllBandReport(values(spark, dir), "value", kllFromState(spark, path))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally fs.delete(new Path(base.toString), true)
+  }
+
+  def q217KllContentionSql: String = q205KllBatchSql
 }

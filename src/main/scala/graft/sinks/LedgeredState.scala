@@ -37,13 +37,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * commit names (unchanged from the swap era — every fold writes its
   * whole state set).
   *
-  * Writers: ledgered state is per-pipeline SINGLE-writer by design
-  * (the fold reads the previous state lazily — a concurrent commit
-  * would invalidate it, and no metadata-only reconciliation exists for
-  * an additive fold). The commit log upgrades that assumption from
-  * silent corruption to a LOUD failure: a second concurrent committer
-  * now loses the CAS and gets [[CommitLog.CommitConflictException]] —
-  * re-derive the fold from the new head and re-commit.
+  * Writers: [[commit]] is the per-pipeline SINGLE-writer form — it
+  * re-reads the head at publish time, so its CAS is loud only against
+  * a conflict landing inside that read-to-publish window; a commit
+  * that lands between the CALLER's state read and [[commit]] would
+  * still publish the stale fold. Multi-writer folds use [[commitFold]]
+  * instead: the derivation runs INSIDE the retry loop against a
+  * snapshot reader pinned to exactly the head seq the publish
+  * CAS-checks (the ManifestMergeSink recomputeUpdates discipline), so
+  * a losing writer re-derives from the winner's state and no fold is
+  * ever dropped or doubled — q217 gates the interleave end to end.
   *
   * Scale: the publish adds zero data-plane cost — part writes are the
   * same fold outputs, the commit file is O(batches + parts) tiny
@@ -145,10 +148,22 @@ object LedgeredState {
   def commit(spark: SparkSession, path: String, batchId: String,
              parts: Seq[(String, DataFrame)],
              retainCommits: Int = 2): Unit = {
+    val (seq, prev) = headState(spark, path)
+    writeAndPublish(spark, path, seq, prev, batchId, parts, retainCommits)
+  }
+
+  /** Write `parts` as a generation and CAS-publish at `seq + 1`; sweep
+    * past the retention margin on success. Throws
+    * [[CommitLog.CommitConflictException]] on a lost slot (the
+    * generation dir is left for the next sweep — the caller retries
+    * with a FRESH derivation). */
+  private def writeAndPublish(spark: SparkSession, path: String, seq: Long,
+                              prev: Option[State], batchId: String,
+                              parts: Seq[(String, DataFrame)],
+                              retainCommits: Int): Unit = {
     require(retainCommits >= 1, s"retainCommits=$retainCommits")
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val (seq, prev) = headState(spark, path)
     val gen = s"g-${UUID.randomUUID().toString.take(8)}"
     parts.foreach { case (name, df) =>
       df.write.mode("overwrite")
@@ -157,7 +172,12 @@ object LedgeredState {
     val next = State(
       prev.map(_.batches).getOrElse(Set.empty) + batchId,
       parts.map { case (name, _) => name -> s"$gen/$name" }.toMap)
-    CommitLog.tryAppend(fs, root, seq, render(next), isValid)
+    try CommitLog.tryAppend(fs, root, seq, render(next), isValid)
+    catch {
+      case e: CommitLog.CommitConflictException =>
+        fs.delete(new Path(root, gen), true) // losing derivation's residue
+        throw e
+    }
     // sweep commits below the retention margin, then every generation
     // dir no surviving commit references — superseded beyond the
     // margin, crashed writers' residue (a crash here leaves orphans
@@ -172,5 +192,53 @@ object LedgeredState {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("g-"))
       .filterNot(st => live(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** The state a [[commitFold]] derivation reads — parts resolved at
+    * exactly the head seq the publish will CAS against (immutable dirs,
+    * so every lazy plan built from it completes even if the head moves). */
+  final class SnapshotReader private[LedgeredState](spark: SparkSession,
+      path: String, st: Option[State]) {
+    def part(name: String): Option[DataFrame] =
+      st.flatMap(_.parts.get(name))
+        .map(d => spark.read.parquet(new Path(new Path(path), d).toString))
+  }
+
+  /** CONTENTION-SAFE fold-and-commit: `derive` maps the committed state
+    * to the batch's parts, re-invoked on every attempt against a reader
+    * pinned to the head seq the publish CAS-checks — a commit landing
+    * between derivation and publish forces a LOUD conflict and a fresh
+    * derivation from the winner's state (the
+    * [[ManifestMergeSink.mergeIntoManifested]] recomputeUpdates
+    * discipline applied to additive folds; [[commit]] alone cannot give
+    * this, since it re-reads the head itself and would publish a fold
+    * derived from an older one). `derive` must be a pure function of
+    * (committed state, the caller's batch) — every ledgered fold
+    * already is. Returns false if `batchId` is already absorbed (the
+    * at-least-once no-op, also re-checked per attempt: a racing
+    * duplicate delivery of the SAME batch resolves to one fold).
+    * `beforePublish` is the q203/q209/q214 contention seam. */
+  def commitFold(spark: SparkSession, path: String, batchId: String,
+                 maxRetries: Int = 20,
+                 beforePublish: () => Unit = () => (),
+                 retainCommits: Int = 2)(
+                 derive: SnapshotReader => Seq[(String, DataFrame)]): Boolean = {
+    var hookPending = true
+    var attempt = 0
+    while (true) {
+      val (seq, prev) = headState(spark, path)
+      if (prev.exists(_.batches.contains(batchId))) return false
+      val parts = derive(new SnapshotReader(spark, path, prev))
+      if (hookPending) { hookPending = false; beforePublish() }
+      try {
+        writeAndPublish(spark, path, seq, prev, batchId, parts, retainCommits)
+        return true
+      } catch {
+        case e: CommitLog.CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    false // unreachable
   }
 }

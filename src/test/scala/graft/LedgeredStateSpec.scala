@@ -91,6 +91,42 @@ class LedgeredStateSpec extends SparkSpec {
     }
   }
 
+  test("commitFold: a racing commit forces re-derivation — no fold dropped or doubled") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ls_fold_")
+    try {
+      val path = s"$base/st"
+      def total(snap: LedgeredState.SnapshotReader): Long =
+        snap.part("counts").map(_.collect().head.getLong(0)).getOrElse(0L)
+      def ingest(batchId: String, add: Long,
+                 hook: () => Unit = () => ()): Boolean =
+        LedgeredState.commitFold(spark, path, batchId,
+          beforePublish = hook) { snap =>
+          Seq("counts" -> Seq(total(snap) + add).toDF("n"))
+        }
+      assert(ingest("day0", 100L))
+      // writer A derives against day0's head; writer B lands in between;
+      // A must re-derive from B's head — a stale publish would drop B's 20
+      assert(ingest("dayA", 3L, hook = () => { assert(ingest("dayB", 20L)) }))
+      val got = LedgeredState.readPart(spark, path, "counts").get
+        .collect().head.getLong(0)
+      assert(got == 123L, s"every fold exactly once: got $got")
+      // an absorbed batch is a no-op
+      assert(!ingest("dayA", 3L))
+      // a racing duplicate of the SAME batch: the seam-side writer wins
+      // the slot, the outer writer's retry sees the batch absorbed and
+      // no-ops — the fold lands exactly once
+      val outerApplied = ingest("dayC", 1L,
+        hook = () => { assert(ingest("dayC", 1L), "seam writer must land") })
+      assert(!outerApplied, "the losing duplicate must resolve to a no-op")
+      val fin = LedgeredState.readPart(spark, path, "counts").get
+        .collect().head.getLong(0)
+      assert(fin == 124L, s"duplicate batch must fold once: $fin")
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
   test("reader-retention margin: a reader holding the previous head finishes its scan") {
     val base = java.nio.file.Files.createTempDirectory("graft_ls_reader_")
     try {
