@@ -714,6 +714,72 @@ object Sharding {
 
   val q215OptimizeManifestedSql: String = q165OptimizeFlaggedSql
 
+  /** [[writeStatsLayout]] on the manifest: one generation partitioned by
+    * file_id (rows sorted within each cell), one commit publishing the
+    * full mapping, and the `_stats` zone-map manifest refreshed from
+    * the mapping-reconstructed frame. */
+  def writeStatsLayoutManifested(df: DataFrame, sortCols: Seq[String],
+                                 statsCols: Seq[String], path: String): Unit = {
+    import graft.sinks.DirManifest
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = s"g-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.repartition(col("file_id"))
+      .sortWithinPartitions(("file_id" +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy("file_id").parquet(s"$path/$gen")
+    val parts = DirManifest.writtenParts(fs, root, gen, "file_id")
+      .map { case (f, d) => f -> Seq(d) }.toMap
+    var attempt = 0
+    while (attempt < 20) {
+      val seq = DirManifest.head(fs, root).map(_._1).getOrElse(0L)
+      try {
+        DirManifest.commitCas(fs, root, seq, DirManifest.DmState(parts))
+        refreshStatsManifestFrom(zReadManifested(spark, path), path, statsCols)
+        return
+      } catch {
+        case e: graft.sinks.CommitLog.CommitConflictException =>
+          attempt += 1; if (attempt >= 20) throw e
+      }
+    }
+  }
+
+  /** q216: q169's DATA-SKIPPING lifecycle through the MANIFEST layout —
+    * the ingest-day layout written as one commit, the zone-map manifest
+    * refreshed from the mapping, and the 4-day `ts` window answered via
+    * [[skippingScanManifested]]: the zone-map test picks the surviving
+    * file ids and the data read prunes AT THE MAPPING (pruned-out
+    * cells' dirs are never listed — one step past the partition-filter
+    * prune). Oracle IS q169's verbatim: rows row-level exact plus the
+    * recomputed file economics (files_read, files_total, pruned_ok). */
+  def q216SkippingManifested(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q216_")
+    try {
+      val path = s"$base/layout"
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .withColumn("file_id", expr(s"(dayofmonth(ts) - 1) div $SkipDaysPerFile"))
+      writeStatsLayoutManifested(ev, Seq("ts", "event_id"),
+        Seq("ts", "user_id"), path)
+      val scan = skippingScanManifested(spark, path, "ts",
+        lit(SkipLo).cast("timestamp"), lit(SkipHi).cast("timestamp"))
+      scan.rows
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("file_id").cast("long").as("file_id"))
+        .withColumn("files_read", lit(scan.filesRead))
+        .withColumn("files_total", lit(scan.filesTotal))
+        .withColumn("pruned_ok", lit(scan.filesRead < scan.filesTotal))
+        .orderBy(col("event_id"))
+        .localCheckpoint(true) // materialize before the layout dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  def q216SkippingManifestedSql: String = q169SkippingScanSql
+
   val q155ZOrder4DSql: String = {
     val stops = graft.functions.TextFunctions.stopwords
       .map(s => s"'$s'").mkString(", ")
