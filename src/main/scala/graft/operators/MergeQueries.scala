@@ -1403,4 +1403,296 @@ object MergeQueries {
       |  UNION ALL
       |  SELECT 'commits', NULL, 3)
       |ORDER BY sect, content_hash""".stripMargin
+
+  /** Shared harness for the manifested version-history gates
+    * (q218/q219): three committed versions of a (doc_id, len) snapshot —
+    * v1 the lower doc_id half, v2 inserts the upper half and bumps every
+    * 7th lower key's value by 1000, v3 purges every 11th key. Returns
+    * the target path and its committed seqs (the caller's temp dir owns
+    * the lifetime). */
+  private def versionedSnapshot(spark: SparkSession, dir: String,
+                                target: String): Seq[Long] = {
+    import graft.sinks.ManifestMergeSink
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    ManifestMergeSink.mergeIntoManifested(spark, target,
+      docs.filter(col("doc_id") <= cut), "doc_id", Seq("len"), nBuckets = 16)
+    ManifestMergeSink.mergeIntoManifested(spark, target,
+      docs.filter(col("doc_id") > cut)
+        .unionByName(docs
+          .filter(col("doc_id") <= cut && col("doc_id") % 7 === 0)
+          .withColumn("len", col("len") + 1000L)),
+      "doc_id", Seq("len"), nBuckets = 16)
+    ManifestMergeSink.purgeManifested(spark, target,
+      docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")), "doc_id")
+    ManifestMergeSink.commitSeqs(spark, target)
+  }
+
+  /** q218: CHANGE DATA FEED off the manifest snapshot — the diff a
+    * downstream incremental consumer reads instead of re-scanning the
+    * table ([[graft.sinks.ManifestMergeSink.changesBetween]]). v1→v2
+    * must surface exactly the upper-half inserts and the every-7th
+    * value updates (rewrite-identical rows in touched buckets must NOT
+    * appear — the null-safe field comparison); v2→v3 exactly the purged
+    * keys as deletes carrying their pre-delete values. Row-level oracle:
+    * the diff is recomputed in SQL from the wave definitions. Scale: the
+    * diff reads ONLY buckets whose mapping pointer changed between the
+    * two commits — IO ∝ changed bytes, never table size. */
+  def q218ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q218_")
+    try {
+      val target = s"$base/snap"
+      val seqs = versionedSnapshot(spark, dir, target)
+      val d12 = ManifestMergeSink.changesBetween(spark, target,
+        seqs(0), seqs(1), "doc_id", Seq("len"))
+        .withColumn("sect", lit("v1_v2"))
+      val d23 = ManifestMergeSink.changesBetween(spark, target,
+        seqs(1), seqs(2), "doc_id", Seq("len"))
+        .withColumn("sect", lit("v2_v3"))
+      d12.unionByName(d23)
+        .select(col("sect"), col("doc_id"), col("len"), col("_change"))
+        .orderBy(col("sect"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q218ChangeFeedSql: String =
+    """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+      |c AS (SELECT max(doc_id) // 2 AS cut FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'v1_v2' AS sect, doc_id, len, 'insert' AS _change
+      |  FROM d, c WHERE doc_id > cut
+      |  UNION ALL
+      |  SELECT 'v1_v2', doc_id, len + 1000, 'update'
+      |  FROM d, c WHERE doc_id <= cut AND doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'v2_v3', doc_id,
+      |    CASE WHEN doc_id <= cut AND doc_id % 7 = 0 THEN len + 1000
+      |         ELSE len END,
+      |    'delete'
+      |  FROM d, c WHERE doc_id % 11 = 0)
+      |ORDER BY sect, doc_id""".stripMargin
+
+  /** q219: TIME TRAVEL over the manifest snapshot — every retained
+    * version read back as of its commit
+    * ([[graft.sinks.ManifestMergeSink.readManifestedAt]]), each
+    * checksummed (count + value sum + id sum), proving immutable
+    * generations + the retained commit files reconstruct EXACTLY the
+    * bytes each head published: the v1 read is unaffected by the later
+    * update wave, the v2 read still holds the purged keys. The
+    * VersionCatalog gate (q203) proves this for full-snapshot commits;
+    * this one proves it for INCREMENTAL bucket generations, where a
+    * version's dirs are shared with its neighbors. */
+  def q219TimeTravelMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q219_")
+    try {
+      val target = s"$base/snap"
+      val seqs = versionedSnapshot(spark, dir, target)
+      seqs.zipWithIndex.map { case (s, i) =>
+        ManifestMergeSink.readManifestedAt(spark, target, s)
+          .agg(count(lit(1)).as("n"), sum(col("len")).as("len_sum"),
+            sum(col("doc_id")).as("id_sum"))
+          .select(lit(i + 1L).as("v"), col("n"), col("len_sum"),
+            col("id_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("v"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q219TimeTravelMergeSql: String =
+    """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+      |c AS (SELECT max(doc_id) // 2 AS cut FROM documents),
+      |v2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id <= cut AND doc_id % 7 = 0 THEN len + 1000
+      |              ELSE len END AS len
+      |       FROM d, c)
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS v, count(*) AS n, sum(len)::BIGINT AS len_sum,
+      |    sum(doc_id)::BIGINT AS id_sum
+      |  FROM d, c WHERE doc_id <= cut
+      |  UNION ALL
+      |  SELECT 2, count(*), sum(len)::BIGINT, sum(doc_id)::BIGINT FROM v2
+      |  UNION ALL
+      |  SELECT 3, count(*), sum(len)::BIGINT, sum(doc_id)::BIGINT FROM v2
+      |  WHERE doc_id % 11 != 0)
+      |ORDER BY v""".stripMargin
+
+  /** q220: EXACTLY-ONCE STREAMING MERGE — the doc_id-parity halves land
+    * as files, a REAL stream
+    * ([[graft.streaming.StreamingMergeManifested]], foreachBatch per
+    * file, Trigger.AvailableNow) merges each micro-batch under its
+    * (pipeline, batchId) txn token, then BOTH batches are replayed
+    * through the same token path (the restart scenario foreachBatch's
+    * at-least-once contract allows) and must be byte-level no-ops: zero
+    * merge stats, zero new commits. The oracle is the full corpus
+    * merged once, plus a commit-count row — a double-applied batch
+    * fails row-level (duplicate updatedAt bumps don't surface, but a
+    * re-upsert after a purge would; the commit count pins the rest). */
+  def q220ExactlyOnceMerge(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sinks.{CommitLog, ManifestMergeSink}
+      val base = java.nio.file.Files.createTempDirectory("graft_q220_")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(base.toString).getFileSystem(conf)
+      try {
+        val srcDir = s"$base/arrivals"
+        val target = s"$base/snap"
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        fs.mkdirs(new Path(srcDir))
+        val halves = Seq(docs.filter(col("doc_id") % 2 === 0L),
+          docs.filter(col("doc_id") % 2 =!= 0L))
+        halves.zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(
+            new Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new Path(s"$srcDir/half_$i.parquet"))
+        }
+        val q = graft.streaming.StreamingMergeManifested.start(spark,
+          srcDir, target, s"$base/ckpt", docs.schema, "doc_id", Seq("len"),
+          nBuckets = 16, pipelineId = "p1",
+          trigger = Some(Trigger.AvailableNow()))
+        try q.awaitTermination()
+        finally { if (q.isActive) q.stop() }
+        val committed = CommitLog.seqs(fs, new Path(target)).size
+        // the restart replay: both batch tokens re-applied directly —
+        // each must no-op without writing a byte or a commit
+        Seq(0L, 1L).foreach { bid =>
+          val st = ManifestMergeSink.mergeIntoManifested(spark, target,
+            halves(bid.toInt), "doc_id", Seq("len"), nBuckets = 16,
+            txn = Some(("p1", bid)))
+          require(st.nMatched == 0L && st.nUpserted == 0L,
+            s"replayed batch $bid must be a txn no-op, got $st")
+        }
+        val after = CommitLog.seqs(fs, new Path(target)).size
+        require(after == committed,
+          s"replays must not commit: $committed -> $after")
+        val ss = spark; import ss.implicits._
+        ManifestMergeSink.readManifested(spark, target)
+          .select(lit("row").as("sect"), col("doc_id"), col("len"))
+          .unionByName(
+            Seq(("commits", Option.empty[Long], after.toLong))
+              .toDF("sect", "doc_id", "len"))
+          .orderBy(col("sect"), col("doc_id"))
+          .localCheckpoint(true) // materialize before the snapshot dies
+      } finally fs.delete(new Path(base.toString), true)
+    }
+
+  val q220ExactlyOnceMergeSql: String =
+    """SELECT * FROM (
+      |  SELECT 'row' AS sect, doc_id, length(text)::BIGINT AS len
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'commits', NULL, 2)
+      |ORDER BY sect, doc_id""".stripMargin
+
+  /** q221: SMALL-FILE COMPACTION on the manifest merge layout — every
+    * merge writes its touched buckets from a key-partitioned shuffle
+    * (up to one file per write task per bucket: at cluster scale,
+    * tasks × buckets small files), and
+    * [[graft.sinks.ManifestMergeSink.compactManifested]] is the
+    * maintenance pass that collapses them. The gate drives the full
+    * lifecycle: two corpus-wide merges accrete multi-file buckets; a
+    * full compaction must leave every bucket single-file with the total
+    * file count strictly fallen and row contents EXACT (full-outer
+    * compare); a later single-key merge re-fragments ONE bucket and the
+    * next compaction must touch ONLY it — every other bucket's dir
+    * byte-identical; a third pass must be a zero-stat no-op with NO new
+    * commit. Oracle: row count + TRUE flags (the q213 pattern). */
+  def q221CompactMergeLayout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{CommitLog, ManifestMergeSink}
+    val base = java.nio.file.Files.createTempDirectory("graft_q221_")
+    val root = new Path(base.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val target = s"$base/snap"
+      val tgt = new Path(target)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      // AQE partition coalescing OFF for the fragmenting merges: at
+      // fixture scale it would collapse every bucket write to one task
+      // (one file), hiding the exact condition a real cluster's
+      // tasks × buckets fan-out produces and this pass repairs
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      def fragmented[T](body: => T): T = {
+        spark.conf.set(coalesceKey, "false")
+        try body finally spark.conf.set(coalesceKey, "true")
+      }
+      fragmented {
+        ManifestMergeSink.mergeIntoManifested(spark, target, docs,
+          "doc_id", Seq("len"), nBuckets = 8)
+        ManifestMergeSink.mergeIntoManifested(spark, target,
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("len", col("len") + 7L),
+          "doc_id", Seq("len"), nBuckets = 8)
+      }
+      def filesOf(d: String): Seq[(String, Long)] =
+        fs.listStatus(new Path(tgt, d))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getLen)).toSeq.sortBy(_._1)
+      val s1 = ManifestMergeSink.compactManifested(spark, target,
+        maxFilesPerBucket = 1)
+      val map1 = ManifestMergeSink.headState(spark, target).get._2.mapping
+      val compact1Ok = s1.nCompacted > 0 && s1.filesAfter < s1.filesBefore &&
+        map1.values.forall(d => filesOf(d).size <= 1)
+      // a single-key content-no-op re-delivery fragments exactly one
+      // bucket (the bucket rewrite is physical either way)
+      val k0 = docs.filter(col("doc_id") % 3 === 0)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      val k0len = docs.filter(col("doc_id") === k0).select("len")
+        .head().getLong(0) + 7L
+      val ss = spark; import ss.implicits._
+      fragmented {
+        ManifestMergeSink.mergeIntoManifested(spark, target,
+          Seq((k0, k0len)).toDF("doc_id", "len"),
+          "doc_id", Seq("len"), nBuckets = 8)
+      }
+      val b0 = Seq(k0).toDF("doc_id")
+        .select(pmod(xxhash64(col("doc_id")), lit(8L))).head().getLong(0)
+      val othersBefore = map1.filterNot(_._1 == b0)
+        .map { case (b, d) => b -> (d, filesOf(d)) }
+      val s2 = ManifestMergeSink.compactManifested(spark, target,
+        maxFilesPerBucket = 1)
+      val map2 = ManifestMergeSink.headState(spark, target).get._2.mapping
+      val compact2Targeted = s2.nCompacted == 1 &&
+        othersBefore.forall { case (b, (d, fls)) =>
+          map2.get(b).contains(d) && filesOf(d) == fls
+        }
+      val commitsBefore = CommitLog.seqs(fs, tgt).size
+      val s3 = ManifestMergeSink.compactManifested(spark, target,
+        maxFilesPerBucket = 1)
+      val noopOk = s3.nCompacted == 0 &&
+        CommitLog.seqs(fs, tgt).size == commitsBefore
+      val expected = docs.withColumn("len",
+          when(col("doc_id") % 3 === 0, col("len") + 7L)
+            .otherwise(col("len")))
+        .select(col("doc_id").as("e_id"), col("len").as("e_len"))
+      val got = ManifestMergeSink.readManifested(spark, target)
+      got.join(expected, got("doc_id") === col("e_id"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(got("doc_id").isNull || col("e_id").isNull ||
+            got("len") =!= col("e_len"), 1).otherwise(0)).as("n_bad"))
+        .select(col("n_rows"), (col("n_bad") === 0).as("contents_match"),
+          lit(compact1Ok).as("compact1_ok"),
+          lit(compact2Targeted).as("compact2_targeted"),
+          lit(noopOk).as("noop_ok"))
+        .localCheckpoint(true) // materialize before the snapshot dies
+    } finally fs.delete(root, true)
+  }
+
+  val q221CompactMergeLayoutSql: String =
+    """SELECT count(*)::BIGINT AS n_rows, TRUE AS contents_match,
+      |  TRUE AS compact1_ok, TRUE AS compact2_targeted, TRUE AS noop_ok
+      |FROM documents""".stripMargin
 }

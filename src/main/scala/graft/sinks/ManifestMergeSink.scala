@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** MANIFEST-POINTER merge snapshot — the fifth physical merge layout,
   * and the one that survives rename-less object stores and concurrent
@@ -60,9 +60,16 @@ import org.apache.spark.sql.types.StructType
   * only cost is unreclaimed space until vacuum. */
 object ManifestMergeSink {
 
-  /** Full snapshot state as carried by every commit file. */
+  /** Full snapshot state as carried by every commit file. `txns` is the
+    * per-pipeline high-water mark of applied transaction ids (streaming
+    * batch ids) — the idempotence ledger for at-least-once delivery
+    * ([[mergeIntoManifested]]'s `txn`): it rides the SAME commit file as
+    * the bucket mapping, so "merge applied" and "batch recorded" can
+    * never diverge across a crash (the [[LedgeredState]] argument,
+    * restated for the keyed-merge family). */
   final case class ManifestState(schema: StructType, nBuckets: Int,
-                                 mapping: Map[Long, String])
+                                 mapping: Map[Long, String],
+                                 txns: Map[String, Long] = Map.empty)
 
   private val Header = "graft-merge-manifest-v1"
   private val End = "END"
@@ -83,6 +90,7 @@ object ManifestMergeSink {
             case Array("S", j) => j.nonEmpty
             case Array("N", n) => n.toIntOption.exists(_ >= 1)
             case Array("B", b, d) => b.toLongOption.isDefined && d.nonEmpty
+            case Array("T", id, b) => id.nonEmpty && b.toLongOption.isDefined
             case _ => false
           }
         }
@@ -91,7 +99,8 @@ object ManifestMergeSink {
 
   private def render(st: ManifestState): String =
     (Seq(Header, s"S\t${st.schema.json}", s"N\t${st.nBuckets}") ++
-      st.mapping.toSeq.sortBy(_._1).map { case (b, d) => s"B\t$b\t$d" } :+
+      st.mapping.toSeq.sortBy(_._1).map { case (b, d) => s"B\t$b\t$d" } ++
+      st.txns.toSeq.sorted.map { case (id, b) => s"T\t$id\t$b" } :+
       End).mkString("\n")
 
   private def parse(content: String): ManifestState = {
@@ -106,7 +115,12 @@ object ManifestMergeSink {
     val mapping = body.collect { case l if l.startsWith("B\t") =>
       val Array(_, b, d) = l.split('\t'); b.toLong -> d
     }.toMap
-    ManifestState(schema, n, mapping)
+    // commits written before the txn ledger existed carry no T lines —
+    // they parse with an empty ledger (forward-compatible)
+    val txns = body.collect { case l if l.startsWith("T\t") =>
+      val Array(_, id, b) = l.split('\t'); id -> b.toLong
+    }.toMap
+    ManifestState(schema, n, mapping, txns)
   }
 
   /** The committed head: (commit seq, state); None before first merge. */
@@ -115,6 +129,98 @@ object ManifestMergeSink {
     val root = new Path(target)
     CommitLog.head(fsOf(spark, root), root, isValid)
       .map { case (seq, c) => (seq, parse(c)) }
+  }
+
+  /** Every committed snapshot version still present in the log, oldest
+    * first — the time-travel index. Bounded by the vacuum retention
+    * window ([[vacuumManifested]]'s `retainCommits`): a swept version is
+    * gone, loudly, not silently re-pointed. */
+  def commitSeqs(spark: SparkSession, target: String): Seq[Long] = {
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    CommitLog.seqs(fs, root)
+      .filter(s => CommitLog.read(fs, root, s).exists(isValid)).sorted
+  }
+
+  /** The snapshot state at an EXPLICIT commit seq — None if that version
+    * was never committed or has been vacuumed past. */
+  def stateAt(spark: SparkSession, target: String,
+              seq: Long): Option[ManifestState] = {
+    val root = new Path(target)
+    CommitLog.read(fsOf(spark, root), root, seq).filter(isValid).map(parse)
+  }
+
+  /** TIME TRAVEL: read the whole snapshot as of commit `seq`, under the
+    * schema that commit carried. Works because generations are immutable
+    * and [[vacuumManifested]] retains the dirs of the last
+    * `retainCommits` heads — an as-of read inside the retention window
+    * sees exactly the bytes that head published; outside it, this fails
+    * loudly with the versions that remain. Scale: identical to
+    * [[readManifested]] — a schema-pinned pruned scan of the mapped
+    * dirs; no reconstruction, no log replay. */
+  def readManifestedAt(spark: SparkSession, target: String,
+                       seq: Long): DataFrame =
+    stateAt(spark, target, seq) match {
+      case Some(st) => readDirs(spark, target, st,
+        st.mapping.keys.toSeq.sorted)
+      case None => throw new IllegalArgumentException(
+        s"no committed snapshot version $seq at $target (retained: " +
+          s"${commitSeqs(spark, target).mkString(", ")})")
+    }
+
+  /** CHANGE DATA FEED between two committed versions: every row
+    * inserted, updated, or deleted from `fromSeq` to `toSeq`, classified
+    * in a `_change` column, with `fields` carrying the TO-side values
+    * (FROM-side for deletes). A row only counts as an update when one of
+    * the named `fields` actually changed value (null-safe comparison) —
+    * bookkeeping columns the caller leaves out (`updatedAt`) don't
+    * surface rewrite-identical rows.
+    *
+    * Scale — the manifest makes the diff PROPORTIONAL TO CHANGE, not to
+    * table size: a bucket whose mapping pointer is identical in both
+    * commits is byte-identical (generation dirs are immutable), so only
+    * REPOINTED buckets are read — from both versions — and joined
+    * key-to-key. IO and shuffle ∝ touched-bucket bytes across the span;
+    * untouched buckets are never listed. Both sides read under the TO
+    * schema (monotone by construction — merge unions, purge preserves),
+    * so evolved columns read null on pre-evolution files exactly as a
+    * live read would. */
+  def changesBetween(spark: SparkSession, target: String,
+                     fromSeq: Long, toSeq: Long, key: String,
+                     fields: Seq[String]): DataFrame = {
+    require(fromSeq < toSeq, s"fromSeq=$fromSeq must precede toSeq=$toSeq")
+    def need(s: Long) = stateAt(spark, target, s).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot version $s at $target (retained: " +
+          s"${commitSeqs(spark, target).mkString(", ")})"))
+    val sf = need(fromSeq)
+    val st = need(toSeq)
+    require(sf.nBuckets == st.nBuckets,
+      s"bucket counts differ across versions: ${sf.nBuckets} vs ${st.nBuckets}")
+    fields.foreach(f => require(st.schema.fieldNames.contains(f),
+      s"field $f is not in the version-$toSeq schema"))
+    val changed = (sf.mapping.keySet ++ st.mapping.keySet)
+      .filter(b => sf.mapping.get(b) != st.mapping.get(b)).toSeq.sorted
+    // FROM-side dirs under the TO schema: missing (later-evolved)
+    // columns read null, matching what a live reader at toSeq sees
+    val o = readDirs(spark, target, sf.copy(schema = st.schema), changed)
+      .select(col(key) +: fields.map(col): _*).alias("o")
+    val nw = readDirs(spark, target, st, changed)
+      .select(col(key) +: fields.map(col): _*).alias("n")
+    val differs = fields.map(f => !(col(s"o.$f") <=> col(s"n.$f")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(nw, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("_change",
+        when(col(s"o.$key").isNull, lit("insert"))
+          .when(col(s"n.$key").isNull, lit("delete"))
+          .when(differs, lit("update")))
+      .filter(col("_change").isNotNull)
+      .select(
+        coalesce(col(s"n.$key"), col(s"o.$key")).as(key) +:
+        fields.map(f =>
+          when(col(s"n.$key").isNull, col(s"o.$f"))
+            .otherwise(col(s"n.$f")).as(f)) :+
+        col("_change"): _*)
   }
 
   private def pb(c: Column, nBuckets: Int): Column =
@@ -190,7 +296,20 @@ object ManifestMergeSink {
     * semantics). Derive through [[readStateBuckets]] with the given
     * state, never through [[headState]] — the head can move between
     * the callback and the publish, and only the given state is
-    * CAS-checked. */
+    * CAS-checked.
+    *
+    * `txn` (optional): a (pipelineId, batchId) idempotence token for
+    * AT-LEAST-ONCE callers (a streaming foreachBatch replaying after a
+    * restart — [[graft.streaming.StreamingMergeManifested]]). The commit
+    * records the pipeline's batch high-water mark; a merge whose batchId
+    * is ≤ the recorded mark returns zero stats WITHOUT writing or
+    * committing — the replay is a no-op, exactly once end to end. The
+    * mark rides the same commit file as the data mapping, so a crash
+    * can never apply the merge without recording the batch (or record
+    * without applying). Two replayed instances RACING each other
+    * resolve through the CAS: the loser finds its own token at the new
+    * head and no-ops (batchIds must be monotone per pipeline —
+    * Structured Streaming's foreachBatch contract). */
   def mergeIntoManifested(spark: SparkSession, target: String,
                           updates: DataFrame, key: String,
                           fields: Seq[String], nBuckets: Int,
@@ -198,8 +317,12 @@ object ManifestMergeSink {
                           updatedAtCol: String = "updatedAt",
                           maxRetries: Int = 20,
                           beforePublish: () => Unit = () => (),
-                          recomputeUpdates: Option[ManifestState] => DataFrame = null): MergeSink.MergeStats = {
+                          recomputeUpdates: Option[ManifestState] => DataFrame = null,
+                          txn: Option[(String, Long)] = None): MergeSink.MergeStats = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    def absorbed(st: Option[ManifestState]): Boolean = txn.exists {
+      case (id, bid) => st.exists(_.txns.get(id).exists(_ >= bid))
+    }
     val root = new Path(target)
     val fs = fsOf(spark, root)
     // localCheckpoint: probed for buckets, then merged
@@ -219,6 +342,7 @@ object ManifestMergeSink {
       val head = headState(spark, target)
       val seq = head.map(_._1).getOrElse(0L)
       val st = head.map(_._2)
+      if (absorbed(st)) return MergeSink.MergeStats(0L, 0L, 0L)
       st.foreach(s => require(s.nBuckets == nBuckets,
         s"snapshot at $target is bucketed ${s.nBuckets} ways, merge asked " +
           s"for $nBuckets — bucket counts are immutable per snapshot"))
@@ -260,9 +384,11 @@ object ManifestMergeSink {
           mySchema.fields.filterNot(f => baseSchema.exists(_.name == f.name)))
         val newMapping = baseMapping ++
           touched.map(b => b -> s"$gdir/pb=$b")
+        val newTxns = pubState.map(_.txns).getOrElse(Map.empty) ++ txn
         try {
           CommitLog.tryAppend(fs, root, pubSeq,
-            render(ManifestState(unionSchema, n, newMapping)), isValid)
+            render(ManifestState(unionSchema, n, newMapping, newTxns)),
+            isValid)
           stats = MergeSink.statsOf(obs)
           done = true
         } catch {
@@ -274,6 +400,12 @@ object ManifestMergeSink {
             }
             val newHead = headState(spark, target)
             val nh = newHead.map(_._2)
+            // a racing replay of THIS batch already landed (duplicate
+            // restart): this instance's work is redundant — no-op
+            if (absorbed(nh)) {
+              fs.delete(new Path(root, gdir), true)
+              return MergeSink.MergeStats(0L, 0L, 0L)
+            }
             // a winner that evolved a same-named column to a DIFFERENT
             // type is never disjoint: a name-only schema union would
             // repoint this writer's parquet under the winner's type and
@@ -350,10 +482,84 @@ object ManifestMergeSink {
         touched.filter(written).map(b => b -> s"$gdir/pb=$b")
       try {
         CommitLog.tryAppend(fs, root, seq,
-          render(ManifestState(st.schema, st.nBuckets, newMapping)), isValid)
+          render(ManifestState(st.schema, st.nBuckets, newMapping,
+            st.txns)), isValid)
         return MergeSink.PurgeStats(
           obsBefore.get("n").asInstanceOf[Long],
           obsAfter.get("n").asInstanceOf[Long], touched.length)
+      } catch {
+        case e: CommitLog.CommitConflictException =>
+          fs.delete(new Path(root, gdir), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    null // unreachable
+  }
+
+  final case class CompactStats(nCompacted: Int, filesBefore: Long,
+                                filesAfter: Long)
+
+  /** MAINTENANCE: collapse multi-file bucket dirs into (near-)single-file
+    * dirs. Every merge writes its touched buckets from a key-partitioned
+    * shuffle, so a bucket dir accretes up to one file per write task —
+    * at cluster scale, tasks × buckets small files per generation (the
+    * small-files problem OPTIMIZE exists for everywhere). This pass
+    * lists file counts from the head mapping (metadata-scale — ≤
+    * nBuckets listings, no data read), rewrites only buckets above
+    * `maxFilesPerBucket` through one pb-partitioned shuffle (one output
+    * file per bucket), and publishes ONE commit repointing exactly the
+    * flagged buckets — unflagged buckets keep their dirs byte-identical,
+    * the schema and txn ledger carry forward, and a conflicting merge
+    * landing first forces a clean re-derive (its rewrite may have
+    * un-flagged a bucket). A fully-compacted snapshot returns zero
+    * stats WITHOUT committing — the nightly no-op is free. */
+  def compactManifested(spark: SparkSession, target: String,
+                        maxFilesPerBucket: Int = 1,
+                        maxRetries: Int = 20): CompactStats = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket=$maxFilesPerBucket must be positive")
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    def filesIn(d: String): Long =
+      fs.listStatus(new Path(root, d))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .toLong
+    var attempt = 0
+    while (true) {
+      val (seq, st) = headState(spark, target).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest snapshot at $target"))
+      val counts = st.mapping.map { case (b, d) => b -> filesIn(d) }
+      val before = counts.values.sum
+      val flagged = counts.filter(_._2 > maxFilesPerBucket)
+        .keys.toSeq.sorted
+      if (flagged.isEmpty) return CompactStats(0, before, before)
+      // pb travels as a real column (per-generation basePath discovery —
+      // the DirManifest read), so one job rewrites every flagged bucket
+      val withPb = StructType(st.schema.fields :+
+        StructField("pb", LongType))
+      val data = flagged.map(st.mapping).groupBy(_.split('/').head)
+        .toSeq.sortBy(_._1).map { case (gen, ds) =>
+          spark.read.option("basePath", s"$target/$gen").schema(withPb)
+            .parquet(ds.map(d => s"$target/$d"): _*)
+        }.reduce(_ unionByName _)
+      val gdir = s"g-${tok()}"
+      data.repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(new Path(root, gdir).toString)
+      val written = fs.listStatus(new Path(root, gdir))
+        .filter(_.getPath.getName.startsWith("pb="))
+        .map(_.getPath.getName.stripPrefix("pb=").toLong).toSet
+      val newMapping = (st.mapping -- flagged) ++
+        flagged.filter(written).map(b => b -> s"$gdir/pb=$b")
+      try {
+        CommitLog.tryAppend(fs, root, seq,
+          render(ManifestState(st.schema, st.nBuckets, newMapping,
+            st.txns)), isValid)
+        val after = before - flagged.map(counts).sum +
+          flagged.filter(written).map(b => filesIn(newMapping(b))).sum
+        return CompactStats(flagged.size, before, after)
       } catch {
         case e: CommitLog.CommitConflictException =>
           fs.delete(new Path(root, gdir), true)

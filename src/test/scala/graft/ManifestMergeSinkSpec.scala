@@ -315,4 +315,231 @@ class ManifestMergeSinkSpec extends SparkSpec {
       assert(ManifestMergeSink.readManifested(spark, m).count() == snap.count())
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
+
+  test("time travel: every retained version reads back exactly; swept versions fail loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_tt_")
+    try {
+      val m = s"$base/snap"
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 40L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((7L, "v7b"), (41L, "v41")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      ManifestMergeSink.purgeManifested(spark, m, Seq(1L, 2L).toDF("id"), "id")
+      val seqs = ManifestMergeSink.commitSeqs(spark, m)
+      assert(seqs.size == 3, s"three committed versions, got $seqs")
+      val Seq(s1, s2, s3) = seqs
+      // v1: pre-update, pre-insert, pre-purge
+      val v1 = ManifestMergeSink.readManifestedAt(spark, m, s1)
+      assert(v1.count() == 40L)
+      assert(v1.filter(col("id") === 7L).select("payload")
+        .as[String].head() == "v7", "v1 must be unaffected by the later update")
+      assert(v1.filter(col("id") === 41L).isEmpty)
+      // v2: updated + inserted, purged keys still present
+      val v2 = ManifestMergeSink.readManifestedAt(spark, m, s2)
+      assert(v2.count() == 41L)
+      assert(v2.filter(col("id") === 7L).select("payload")
+        .as[String].head() == "v7b")
+      assert(v2.filter(col("id").isin(1L, 2L)).count() == 2L,
+        "v2 must still hold the later-purged keys")
+      // v3 == live head
+      assert(ManifestMergeSink.readManifestedAt(spark, m, s3).count() == 39L)
+      // sweep past v1 (retain 2) — the as-of read must fail LOUDLY
+      ManifestMergeSink.vacuumManifested(spark, m, retainCommits = 2)
+      assert(ManifestMergeSink.commitSeqs(spark, m) == Seq(s2, s3))
+      val e = intercept[IllegalArgumentException] {
+        ManifestMergeSink.readManifestedAt(spark, m, s1)
+      }
+      assert(e.getMessage.contains("retained"), e.getMessage)
+      // retained versions still read exactly after the sweep
+      assert(ManifestMergeSink.readManifestedAt(spark, m, s2).count() == 41L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("change feed: insert/update/delete classified; rewrite-identical rows excluded") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_cdf_")
+    try {
+      val m = s"$base/snap"
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 40L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 2)
+      // v2 touches ONE bucket's keys: an update, an insert — every other
+      // key in that bucket is rewritten byte-for-byte identical and must
+      // NOT surface in the feed
+      def bucketOf(k: Long): Long = Seq(k).toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(2L))).head().getLong(0)
+      val updKey = (1L to 40L).find(bucketOf(_) == 0L).get
+      val insKey = (1000L to 2000L).find(bucketOf(_) == 0L).get
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((updKey, "UPDATED"), (insKey, "NEW")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 2)
+      ManifestMergeSink.purgeManifested(spark, m,
+        Seq(updKey).toDF("id"), "id")
+      val Seq(s1, s2, s3) = ManifestMergeSink.commitSeqs(spark, m)
+      val d12 = ManifestMergeSink.changesBetween(spark, m, s1, s2,
+        "id", Seq("payload"))
+        .select("id", "payload", "_change").as[(Long, String, String)]
+        .collect().toSet
+      assert(d12 == Set((updKey, "UPDATED", "update"), (insKey, "NEW", "insert")),
+        s"got $d12")
+      val d23 = ManifestMergeSink.changesBetween(spark, m, s2, s3,
+        "id", Seq("payload"))
+        .select("id", "payload", "_change").as[(Long, String, String)]
+        .collect().toSet
+      assert(d23 == Set((updKey, "UPDATED", "delete")),
+        s"deletes must carry pre-delete values, got $d23")
+      // the whole span in one diff: the updated-then-deleted key nets
+      // out to a delete carrying its FROM-side value
+      val d13 = ManifestMergeSink.changesBetween(spark, m, s1, s3,
+        "id", Seq("payload"))
+        .select("id", "payload", "_change").as[(Long, String, String)]
+        .collect().toSet
+      assert(d13 == Set((updKey, s"v$updKey", "delete"), (insKey, "NEW", "insert")),
+        s"got $d13")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("change feed: evolved column compares null-safe on pre-evolution rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_cde_")
+    try {
+      val m = s"$base/snap"
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 30L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 2)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((3L, "v3", "flagged")).toDF("id", "payload", "flag"),
+        "id", Seq("payload", "flag"), nBuckets = 2)
+      val Seq(s1, s2) = ManifestMergeSink.commitSeqs(spark, m)
+      val d = ManifestMergeSink.changesBetween(spark, m, s1, s2,
+        "id", Seq("payload", "flag"))
+        .select("id", "flag", "_change").as[(Long, Option[String], String)]
+        .collect().toSet
+      // only key 3 changed (gained the flag); its bucket-mates read
+      // null flag on BOTH sides (old: missing column; new: unmatched
+      // rows) and must not surface
+      assert(d == Set((3L, Some("flagged"), "update")), s"got $d")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("txn idempotence: replays no-op without a commit; the ledger survives purge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_txn_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      val batch0 = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "payload")
+      val st0 = ManifestMergeSink.mergeIntoManifested(spark, m, batch0,
+        "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 0L)))
+      assert(st0.nUpserted == 20L)
+      val commits = CommitLog.seqs(fs, new Path(m)).size
+      // a straight replay (restart) must not write a byte or a commit
+      val gensBefore = dataDirChecksums(fs, m).keySet
+      val replay = ManifestMergeSink.mergeIntoManifested(spark, m, batch0,
+        "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 0L)))
+      assert(replay == MergeSink.MergeStats(0L, 0L, 0L), s"got $replay")
+      assert(CommitLog.seqs(fs, new Path(m)).size == commits)
+      assert(dataDirChecksums(fs, m).keySet == gensBefore,
+        "a replay no-op must not write a generation dir")
+      // an OLDER batch id replayed after a newer one: still absorbed
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((21L, "v21")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)))
+      val stale = ManifestMergeSink.mergeIntoManifested(spark, m, batch0,
+        "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 0L)))
+      assert(stale == MergeSink.MergeStats(0L, 0L, 0L))
+      // a DIFFERENT pipeline's ledger is independent
+      val other = ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((22L, "v22")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4, txn = Some(("p2", 0L)))
+      assert(other.nUpserted == 1L)
+      // purge publishes a commit too — the ledger must ride through it
+      ManifestMergeSink.purgeManifested(spark, m, Seq(22L).toDF("id"), "id")
+      val afterPurge = ManifestMergeSink.mergeIntoManifested(spark, m,
+        batch0, "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)))
+      assert(afterPurge == MergeSink.MergeStats(0L, 0L, 0L),
+        "the txn ledger must survive a purge commit")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("txn race: a duplicate instance losing the CAS finds its token and no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_txr_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 20L).map(i => (i, "seed")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      // two restarted instances of the same pipeline race batch 1: the
+      // original lands through the seam while the duplicate holds its
+      // publish — the duplicate must lose the CAS, see its own token at
+      // the new head, and no-op (one data commit total for the batch)
+      val batch = Seq((1L, "B1")).toDF("id", "payload")
+      val dup = ManifestMergeSink.mergeIntoManifested(spark, m, batch,
+        "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)),
+        beforePublish = () => {
+          ManifestMergeSink.mergeIntoManifested(spark, m, batch,
+            "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)))
+          ()
+        })
+      assert(dup == MergeSink.MergeStats(0L, 0L, 0L),
+        s"the racing duplicate must no-op, got $dup")
+      assert(CommitLog.seqs(fs, new Path(m)).size == 2,
+        "exactly one data commit for the batch (seed + original)")
+      assert(ManifestMergeSink.readManifested(spark, m)
+        .filter(col("id") === 1L).select("payload").as[String].head() == "B1")
+      // the duplicate cleaned up after itself: seed + original = 2 gens
+      assert(dataDirChecksums(fs, m).keySet.size == 2,
+        "the no-op duplicate must delete its discarded generation dir")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("compaction: flagged buckets single-file, contents exact, ledger survives, no-op free") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_cp_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      // two corpus-wide merges under a txn token; AQE partition
+      // coalescing OFF so the write fans out like a real cluster's
+      // (multi-task buckets → multi-file dirs — the condition the
+      // maintenance pass exists for)
+      val rows = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "payload")
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      spark.conf.set(coalesceKey, "false")
+      try {
+        ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
+          Seq("payload"), nBuckets = 4, txn = Some(("p1", 0L)))
+        ManifestMergeSink.mergeIntoManifested(spark, m,
+          rows.filter(col("id") % 2 === 0L)
+            .withColumn("payload", concat(col("payload"), lit("u"))),
+          "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)))
+      } finally spark.conf.set(coalesceKey, "true")
+      def fileCount(d: String): Int =
+        fs.listStatus(new Path(s"$m/$d"))
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val map0 = ManifestMergeSink.headState(spark, m).get._2.mapping
+      assert(map0.values.exists(fileCount(_) > 1),
+        "harness must produce multi-file buckets")
+      val st1 = ManifestMergeSink.compactManifested(spark, m,
+        maxFilesPerBucket = 1)
+      assert(st1.nCompacted > 0 && st1.filesAfter < st1.filesBefore, s"$st1")
+      val head1 = ManifestMergeSink.headState(spark, m).get._2
+      assert(head1.mapping.values.forall(fileCount(_) == 1),
+        "every bucket single-file after compaction")
+      // contents exact, schema preserved, txn ledger rode through
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .select("id", "payload").as[(Long, String)].collect().toMap
+      assert(got.size == 400 && got(2L) == "v2u" && got(1L) == "v1")
+      assert(head1.txns == Map("p1" -> 1L),
+        s"compaction must carry the txn ledger: ${head1.txns}")
+      // no-op pass: zero stats, zero commits
+      val commits = CommitLog.seqs(fs, new Path(m)).size
+      val st2 = ManifestMergeSink.compactManifested(spark, m)
+      assert(st2.nCompacted == 0)
+      assert(CommitLog.seqs(fs, new Path(m)).size == commits,
+        "a fully-compacted snapshot must not commit")
+      // old generations are vacuumable; the compacted snapshot survives
+      ManifestMergeSink.vacuumManifested(spark, m, retainCommits = 1)
+      assert(ManifestMergeSink.readManifested(spark, m).count() == 400L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
 }
