@@ -1695,4 +1695,166 @@ object MergeQueries {
     """SELECT count(*)::BIGINT AS n_rows, TRUE AS contents_match,
       |  TRUE AS compact1_ok, TRUE AS compact2_targeted, TRUE AS noop_ok
       |FROM documents""".stripMargin
+
+  /** q222: CDC-APPLY — the change feed must be SUFFICIENT to maintain a
+    * downstream replica, not merely descriptive. A second manifested
+    * table bootstraps from the source's v1 snapshot, then advances
+    * commit by commit applying ONLY [[graft.sinks.ManifestMergeSink
+    * .changesBetween]] output (inserts/updates through the merge sink,
+    * deletes through the purge sink — the consumer loop a real
+    * downstream pipeline runs). After EVERY applied version the replica
+    * must equal the source's as-of read row-for-row; the gate emits the
+    * final replica plus a versions-synced count, so a feed that drops a
+    * row, surfaces a rewrite-identical row, or mis-classifies a delete
+    * fails at the version where it diverges. Scale: the replica's write
+    * cost per version ∝ the feed's rows (changed buckets only) — the
+    * incremental-view-maintenance argument. */
+  def q222CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q222_")
+    try {
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      val seqs = versionedSnapshot(spark, dir, src)
+      // bootstrap: the v1 snapshot seeds the replica
+      ManifestMergeSink.mergeIntoManifested(spark, rep,
+        ManifestMergeSink.readManifestedAt(spark, src, seqs.head)
+          .select(col("doc_id"), col("len")),
+        "doc_id", Seq("len"), nBuckets = 16)
+      def replicaMatches(atSeq: Long): Boolean = {
+        val want = ManifestMergeSink.readManifestedAt(spark, src, atSeq)
+          .select(col("doc_id"), col("len"))
+        val got = ManifestMergeSink.readManifested(spark, rep)
+          .select(col("doc_id"), col("len"))
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      }
+      var synced = if (replicaMatches(seqs.head)) 1L else 0L
+      seqs.sliding(2).foreach { case Seq(from, to) =>
+        val diff = ManifestMergeSink.changesBetween(spark, src, from, to,
+          "doc_id", Seq("len")).localCheckpoint(true)
+        val upserts = diff.filter(col("_change") =!= "delete")
+          .select(col("doc_id"), col("len"))
+        val dels = diff.filter(col("_change") === "delete")
+          .select(col("doc_id"))
+        ManifestMergeSink.mergeIntoManifested(spark, rep, upserts,
+          "doc_id", Seq("len"), nBuckets = 16)
+        if (!dels.isEmpty)
+          ManifestMergeSink.purgeManifested(spark, rep, dels, "doc_id")
+        if (replicaMatches(to)) synced += 1L
+      }
+      val ss = spark; import ss.implicits._
+      ManifestMergeSink.readManifested(spark, rep)
+        .select(lit("row").as("sect"), col("doc_id"), col("len"))
+        .unionByName(
+          Seq(("versions_synced", Option.empty[Long], synced))
+            .toDF("sect", "doc_id", "len"))
+        .orderBy(col("sect"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the snapshot dirs die
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q222CdcApplySql: String =
+    """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+      |c AS (SELECT max(doc_id) // 2 AS cut FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'row' AS sect, doc_id,
+      |    CASE WHEN doc_id <= cut AND doc_id % 7 = 0 THEN len + 1000
+      |         ELSE len END AS len
+      |  FROM d, c WHERE doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT 'versions_synced', NULL, 3)
+      |ORDER BY sect, doc_id""".stripMargin
+
+  /** q223: MULTI-TABLE ATOMIC PUBLISH — a data table (`index`: doc_id →
+    * len) and its derived aggregate (`stats`: doc_id%10 → row count)
+    * advance together through [[graft.sinks.TableGroup]]: each
+    * transaction runs its child merges first (durable in the tables'
+    * own commit logs, INVISIBLE to group readers), then flips both pins
+    * in one root CAS. The torn-read window the reference's job leaves
+    * open (data written, metadata not yet — job.py:20-94) is probed
+    * through the publish seam: between transaction 2's child commits
+    * and its root publish, a reader resolving the root must still see
+    * transaction 1's CONSISTENT pair (index count == stats sum — the
+    * invariant a torn read breaks). Oracle: final rows of both tables
+    * + the torn-check flag + the root commit count. */
+  def q223TableGroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{CommitLog, ManifestMergeSink, TableGroup}
+    val base = java.nio.file.Files.createTempDirectory("graft_q223_")
+    try {
+      val root = s"$base/group"
+      val idxPath = TableGroup.tablePath(root, "index")
+      val stPath = TableGroup.tablePath(root, "stats")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val cutN = docs.filter(col("doc_id") <= cut).count()
+      def statsOf(d: DataFrame): DataFrame = d
+        .groupBy((col("doc_id") % 10).as("grp"))
+        .agg(count(lit(1)).as("n"))
+      def childSeq(path: String): Long =
+        ManifestMergeSink.headState(spark, path).get._1
+      // transaction 1: lower half, both tables, one root flip
+      ManifestMergeSink.mergeIntoManifested(spark, idxPath,
+        docs.filter(col("doc_id") <= cut), "doc_id", Seq("len"), 16)
+      ManifestMergeSink.mergeIntoManifested(spark, stPath,
+        statsOf(docs.filter(col("doc_id") <= cut)), "grp", Seq("n"), 4)
+      TableGroup.publishPins(spark, root,
+        Map("index" -> childSeq(idxPath), "stats" -> childSeq(stPath)))
+      // transaction 2: the rest of the corpus + refreshed stats; the
+      // torn-window probe runs BETWEEN its child commits and its root
+      // publish
+      ManifestMergeSink.mergeIntoManifested(spark, idxPath,
+        docs.filter(col("doc_id") > cut), "doc_id", Seq("len"), 16)
+      ManifestMergeSink.mergeIntoManifested(spark, stPath,
+        statsOf(docs), "grp", Seq("n"), 4)
+      var tornOk = false
+      TableGroup.publishPins(spark, root,
+        Map("index" -> childSeq(idxPath), "stats" -> childSeq(stPath)),
+        beforePublish = () => {
+          val pins = TableGroup.headPins(spark, root).get._2
+          val idxCnt = TableGroup.readPinned(spark, root, "index", pins)
+            .count()
+          val statsSum = TableGroup.readPinned(spark, root, "stats", pins)
+            .agg(sum(col("n"))).head().getLong(0)
+          tornOk = idxCnt == cutN && statsSum == cutN
+        })
+      // final consistent read: ONE root resolution for both tables
+      val pins = TableGroup.headPins(spark, root).get._2
+      val ss = spark; import ss.implicits._
+      val rootCommits = CommitLog.seqs(
+        new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new Path(root)).size.toLong
+      TableGroup.readPinned(spark, root, "index", pins)
+        .select(lit("index").as("sect"), col("doc_id").as("k"),
+          col("len").as("v"))
+        .unionByName(TableGroup.readPinned(spark, root, "stats", pins)
+          .select(lit("stats").as("sect"), col("grp").as("k"),
+            col("n").as("v")))
+        .unionByName(Seq(
+            ("torn_ok", Option.empty[Long], if (tornOk) 1L else 0L),
+            ("root_commits", Option.empty[Long], rootCommits))
+          .toDF("sect", "k", "v"))
+        .orderBy(col("sect"), col("k"))
+        .localCheckpoint(true) // materialize before the group dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q223TableGroupSql: String =
+    """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'index' AS sect, doc_id AS k, len AS v FROM d
+      |  UNION ALL
+      |  SELECT 'stats', doc_id % 10, count(*)::BIGINT FROM d
+      |  GROUP BY doc_id % 10
+      |  UNION ALL
+      |  SELECT 'root_commits', NULL, 2
+      |  UNION ALL
+      |  SELECT 'torn_ok', NULL, 1)
+      |ORDER BY sect, k""".stripMargin
 }

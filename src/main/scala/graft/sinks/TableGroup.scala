@@ -1,0 +1,143 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MULTI-TABLE ATOMIC PUBLISH — a root commit log whose state is a set
+  * of per-table PINS into the member tables' own commit logs, so a
+  * transaction touching several tables becomes visible all at once.
+  *
+  * The reference's pipeline has exactly this shape implicitly: the
+  * bulk-update job writes the data collection AND its run metadata as
+  * separate unguarded writes (howto-mongo-bulk-update-from-parquet
+  * src/cli/job.py:20-94 — a reader between them sees new data with old
+  * metadata). Here the layout makes the pair flip together:
+  *
+  *  - member tables are ordinary [[ManifestMergeSink]] snapshots at
+  *    `$root/tables/<name>` — their OWN commit logs serialize their
+  *    writers and version their states;
+  *  - `$root/_commits/<seq>` root commit files carry `P <table> <seq>`
+  *    pin lines — the table set and the child versions a reader uses.
+  *
+  * A transaction: run its child merges (each durable in its table's
+  * log, but INVISIBLE to group readers — the root still pins the old
+  * seqs), then publish the new pins in ONE root CAS. Readers resolve
+  * the root head ONCE and read every table at its pinned seq
+  * ([[ManifestMergeSink.readManifestedAt]]) — there is no window where
+  * table A shows the transaction and table B doesn't.
+  *
+  * Contention: pins are MONOTONE per table (child logs linearize their
+  * history, and a child seq's state subsumes all prior commits), so a
+  * root CAS loser merges by per-table max and repoints — disjoint
+  * transactions both land untouched; overlapping transactions converge
+  * to the newest child version per table, exactly the per-table
+  * serialization the child CAS already enforced. Crash before the root
+  * publish leaves child commits invisible to group readers (the re-run
+  * converges; child vacuum sweeps superseded generations under its
+  * retention margin — which must cover the pinned seqs, the documented
+  * [[ManifestMergeSink.vacuumManifested]] reader contract).
+  *
+  * Scale: the root state is O(tables) tiny lines; publish is one small
+  * object write regardless of how much data the transaction moved. */
+object TableGroup {
+
+  /** Root state: table name → pinned child commit seq. */
+  final case class GroupState(pins: Map[String, Long])
+
+  private val Header = "graft-tablegroup-v1"
+  private val End = "END"
+
+  private[sinks] def isValid(content: String): Boolean = {
+    val ls = content.linesIterator.toSeq
+    ls.headOption.contains(Header) && ls.lastOption.contains(End) &&
+      ls.drop(1).dropRight(1).forall { l =>
+        l.split('\t') match {
+          case Array("P", t, s) => t.nonEmpty && s.toLongOption.isDefined
+          case _ => false
+        }
+      }
+  }
+
+  private def render(st: GroupState): String =
+    (Header +: st.pins.toSeq.sorted.map { case (t, s) => s"P\t$t\t$s" } :+
+      End).mkString("\n")
+
+  private def parse(content: String): GroupState =
+    GroupState(content.linesIterator.toSeq.drop(1).dropRight(1).map { l =>
+      val Array(_, t, s) = l.split('\t'); t -> s.toLong
+    }.toMap)
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The member table's data path — an ordinary manifested snapshot. */
+  def tablePath(root: String, name: String): String = s"$root/tables/$name"
+
+  /** The committed head pin set; None before the first publish. */
+  def headPins(spark: SparkSession,
+               root: String): Option[(Long, GroupState)] = {
+    val r = new Path(root)
+    CommitLog.head(fsOf(spark, r), r, isValid)
+      .map { case (seq, c) => (seq, parse(c)) }
+  }
+
+  /** Atomically publish `updates` pins (child commits already durable in
+    * their tables' logs). Pins are MONOTONE: the published pin for each
+    * table is the max of the head's and the update's — a publish whose
+    * pin is behind the head is ABSORBED (the child log already
+    * serialized that history: the newer child seq subsumes the older
+    * one's work, so the slower transaction's effects are visible at the
+    * head and there is nothing left to flip). A publish that advances
+    * nothing skips the commit and returns the current seq — the no-op
+    * is free. On a root CAS conflict the loser re-merges and retries —
+    * metadata-only, no child work re-runs. `beforePublish` is the
+    * injectable contention seam (the ManifestMergeSink precedent). */
+  def publishPins(spark: SparkSession, root: String,
+                  updates: Map[String, Long], maxRetries: Int = 20,
+                  beforePublish: () => Unit = () => ()): Long = {
+    require(updates.nonEmpty, "a transaction must pin at least one table")
+    val r = new Path(root)
+    val fs = fsOf(spark, r)
+    var hookPending = true
+    var attempt = 0
+    while (true) {
+      val head = headPins(spark, root)
+      val seq = head.map(_._1).getOrElse(0L)
+      val base = head.map(_._2.pins).getOrElse(Map.empty)
+      val merged = base ++ updates.map { case (t, s) =>
+        t -> math.max(s, base.getOrElse(t, 0L))
+      }
+      if (hookPending) { hookPending = false; beforePublish() }
+      if (merged == base) return seq // fully absorbed — nothing to flip
+      try {
+        return CommitLog.tryAppend(fs, r, seq, render(GroupState(merged)),
+          isValid)
+      } catch {
+        case e: CommitLog.CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Read table `name` at the seq the ROOT head pins — the consistent
+    * cross-table view (resolve [[headPins]] yourself to read several
+    * tables under ONE root resolution). */
+  def readPinned(spark: SparkSession, root: String,
+                 name: String): DataFrame =
+    readPinned(spark, root, name, headPins(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed table group at $root"))._2)
+
+  /** Read table `name` under an EXPLICIT pin set (one root resolution
+    * shared across tables — the snapshot-consistent reader loop). */
+  def readPinned(spark: SparkSession, root: String, name: String,
+                 pins: GroupState): DataFrame = {
+    val seq = pins.pins.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table $name is not pinned at $root (pinned: " +
+          s"${pins.pins.keys.toSeq.sorted.mkString(", ")})"))
+    ManifestMergeSink.readManifestedAt(spark, tablePath(root, name), seq)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sinks.{CommitLog, ManifestMergeSink, TableGroup}
+
+/** The multi-table atomic publish: child commits invisible until the
+  * root pin flip, snapshot-consistent reads under one root resolution,
+  * monotone pin merges under contention, loud staleness. */
+class TableGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(base: java.nio.file.Path) =
+    new Path(base.toString).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def seed(root: String, table: String, rows: Seq[(Long, String)],
+                   nBuckets: Int = 4): Long = {
+    ManifestMergeSink.mergeIntoManifested(spark,
+      TableGroup.tablePath(root, table),
+      rows.toDF("id", "payload"), "id", Seq("payload"), nBuckets)
+    ManifestMergeSink.headState(spark,
+      TableGroup.tablePath(root, table)).get._1
+  }
+
+  test("child commits are invisible to group readers until the root pin flips") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_vis_")
+    try {
+      val root = s"$base/group"
+      val a1 = seed(root, "a", Seq((1L, "a1")))
+      val b1 = seed(root, "b", Seq((1L, "b1")))
+      TableGroup.publishPins(spark, root, Map("a" -> a1, "b" -> b1))
+      // a second transaction's children land durably...
+      val a2 = seed(root, "a", Seq((2L, "a2")))
+      val b2 = seed(root, "b", Seq((2L, "b2")))
+      // ...but group readers still see transaction 1 for BOTH tables
+      val pins = TableGroup.headPins(spark, root).get._2
+      assert(TableGroup.readPinned(spark, root, "a", pins).count() == 1L)
+      assert(TableGroup.readPinned(spark, root, "b", pins).count() == 1L)
+      // the flip publishes both at once
+      TableGroup.publishPins(spark, root, Map("a" -> a2, "b" -> b2))
+      val pins2 = TableGroup.headPins(spark, root).get._2
+      assert(TableGroup.readPinned(spark, root, "a", pins2).count() == 2L)
+      assert(TableGroup.readPinned(spark, root, "b", pins2).count() == 2L)
+      // an old resolution keeps reading its consistent pair (retention)
+      assert(TableGroup.readPinned(spark, root, "a", pins).count() == 1L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("contention: disjoint transactions both land; overlapping pins merge monotone") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_con_")
+    try {
+      val root = s"$base/group"
+      val a1 = seed(root, "a", Seq((1L, "a1")))
+      val b1 = seed(root, "b", Seq((1L, "b1")))
+      // writer A publishes table a; writer B (landing first through the
+      // seam) publishes table b — the loser's metadata retry must keep
+      // BOTH pins
+      TableGroup.publishPins(spark, root, Map("a" -> a1),
+        beforePublish = () => {
+          TableGroup.publishPins(spark, root, Map("b" -> b1)); ()
+        })
+      val pins = TableGroup.headPins(spark, root).get._2.pins
+      assert(pins == Map("a" -> a1, "b" -> b1), s"pins: $pins")
+      // overlapping: B advances a to a newer child version first; A's
+      // older-pin publish merges to the max (per-table monotonicity)
+      val a2 = seed(root, "a", Seq((2L, "a2")))
+      val a3 = seed(root, "a", Seq((3L, "a3")))
+      assert(a3 > a2)
+      TableGroup.publishPins(spark, root, Map("a" -> a2),
+        beforePublish = () => {
+          TableGroup.publishPins(spark, root, Map("a" -> a3)); ()
+        })
+      val after = TableGroup.headPins(spark, root).get._2.pins
+      assert(after("a") == a3, s"pins must never regress: $after")
+      // A's a2 publish was fully absorbed by B's a3 — NO fourth commit
+      assert(CommitLog.seqs(fsOf(base),
+        new Path(root)).size == 3,
+        "an absorbed publish must not commit")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("stale pins absorb without committing; unknown tables fail loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_st_")
+    try {
+      val root = s"$base/group"
+      val a1 = seed(root, "a", Seq((1L, "a1")))
+      val a2 = seed(root, "a", Seq((2L, "a2")))
+      TableGroup.publishPins(spark, root, Map("a" -> a2))
+      val commits = CommitLog.seqs(fsOf(base), new Path(root)).size
+      // a1's history is subsumed by a2's (the child log serialized
+      // them): publishing the older pin is an absorbed no-op
+      TableGroup.publishPins(spark, root, Map("a" -> a1))
+      assert(TableGroup.headPins(spark, root).get._2.pins("a") == a2)
+      assert(CommitLog.seqs(fsOf(base), new Path(root)).size == commits)
+      val e2 = intercept[IllegalArgumentException] {
+        TableGroup.readPinned(spark, root, "nope")
+      }
+      assert(e2.getMessage.contains("not pinned"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        TableGroup.readPinned(spark, s"$base/empty", "a")
+      }
+      assert(e3.getMessage.contains("no committed table group"), e3.getMessage)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+}
