@@ -1857,4 +1857,83 @@ object MergeQueries {
       |  UNION ALL
       |  SELECT 'torn_ok', NULL, 1)
       |ORDER BY sect, k""".stripMargin
+
+  /** q224: the q222 consumer loop behind a REAL stream
+    * ([[graft.streaming.StreamingCdcApply]]): the source table's
+    * `_commits` directory is tailed as a file stream — the commit log
+    * doubling as the change-notification channel — and each landed
+    * commit triggers an apply of the span between the replica's
+    * watermark (a txn token in the replica's own commit) and the source
+    * head. Run 1 bootstraps from the v1 snapshot; the source then takes
+    * an update wave and a purge wave; run 2 (same checkpoint) catches
+    * up — purge before the watermarking merge, exactly 3 replica
+    * commits total; run 3 with a FRESH checkpoint redelivers every
+    * notification and must not commit once (the exactly-once pin).
+    * Oracle: the q222 final state + both protocol counts. */
+  def q224StreamCdcApply(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sinks.{CommitLog, ManifestMergeSink}
+      import graft.streaming.StreamingCdcApply
+      val base = java.nio.file.Files.createTempDirectory("graft_q224_")
+      val fs = new Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        val src = s"$base/src"
+        val rep = s"$base/replica"
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        ManifestMergeSink.mergeIntoManifested(spark, src,
+          docs.filter(col("doc_id") <= cut), "doc_id", Seq("len"), 16)
+        def sync(ckpt: String): Unit = {
+          val q = StreamingCdcApply.start(spark, src, rep, ckpt,
+            "doc_id", Seq("len"), nBuckets = 16, pipelineId = "cdc1",
+            trigger = Some(Trigger.AvailableNow()))
+          try q.awaitTermination()
+          finally { if (q.isActive) q.stop() }
+        }
+        sync(s"$base/ckpt") // bootstrap off commit 1
+        // the source takes an update wave and a purge wave...
+        ManifestMergeSink.mergeIntoManifested(spark, src,
+          docs.filter(col("doc_id") > cut)
+            .unionByName(docs
+              .filter(col("doc_id") <= cut && col("doc_id") % 7 === 0)
+              .withColumn("len", col("len") + 1000L)),
+          "doc_id", Seq("len"), 16)
+        ManifestMergeSink.purgeManifested(spark, src,
+          docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")),
+          "doc_id")
+        sync(s"$base/ckpt") // ...and the same checkpoint catches up
+        val repCommits = CommitLog.seqs(fs, new Path(rep)).size.toLong
+        // redeliver EVERY notification (fresh checkpoint): exactly-once
+        sync(s"$base/ckpt_replay")
+        val resyncNoop =
+          CommitLog.seqs(fs, new Path(rep)).size.toLong == repCommits
+        val ss = spark; import ss.implicits._
+        ManifestMergeSink.readManifested(spark, rep)
+          .select(lit("row").as("sect"), col("doc_id"), col("len"))
+          .unionByName(Seq(
+              ("replica_commits", Option.empty[Long], repCommits),
+              ("resync_noop", Option.empty[Long],
+                if (resyncNoop) 1L else 0L))
+            .toDF("sect", "doc_id", "len"))
+          .orderBy(col("sect"), col("doc_id"))
+          .localCheckpoint(true) // materialize before the tables die
+      } finally fs.delete(new Path(base.toString), true)
+    }
+
+  val q224StreamCdcApplySql: String =
+    """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+      |c AS (SELECT max(doc_id) // 2 AS cut FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'row' AS sect, doc_id,
+      |    CASE WHEN doc_id <= cut AND doc_id % 7 = 0 THEN len + 1000
+      |         ELSE len END AS len
+      |  FROM d, c WHERE doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT 'replica_commits', NULL, 3
+      |  UNION ALL
+      |  SELECT 'resync_noop', NULL, 1)
+      |ORDER BY sect, doc_id""".stripMargin
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.sinks.ManifestMergeSink
+
+/** CONTINUOUS replica maintenance off the change feed — the streaming
+  * face of the q222 consumer loop: the source table's `_commits`
+  * directory IS the stream (each commit is one immutable file — the
+  * commit log doubles as a change notification channel, no side queue
+  * needed), and every landed commit triggers an apply of
+  * [[ManifestMergeSink.changesBetween]] from the replica's watermark to
+  * the source head.
+  *
+  * Delivery semantics — exactly once, composed from parts that already
+  * guarantee it: the replica's applied watermark is the SOURCE COMMIT
+  * SEQ recorded as a txn token in the replica's own commit
+  * ([[ManifestMergeSink.mergeIntoManifested]]'s ledger, atomic with the
+  * data), so a replayed notification finds `applied >= head` and
+  * no-ops. Within one apply, deletes run BEFORE the watermarking merge:
+  * a crash between them replays the purge (idempotent — the keys are
+  * already gone) and then the merge; the watermark only advances once
+  * the whole span is applied.
+  *
+  * The span read requires the watermarked source commit to still be
+  * retained ([[ManifestMergeSink.vacuumManifested]]'s margin) — size
+  * the source's retention to cover the replica's worst-case lag, the
+  * same reader contract every as-of consumer has.
+  *
+  * Scale: per apply, IO ∝ the span's repointed-bucket bytes (the
+  * changesBetween argument) + one replica merge bounded the same way;
+  * the notification stream itself moves only kilobyte commit files. */
+object StreamingCdcApply {
+
+  /** One catch-up step: apply everything between the replica's watermark
+    * and the source head. Returns the watermark after the step. */
+  def applyOnce(spark: SparkSession, srcTable: String, replicaTable: String,
+                key: String, fields: Seq[String], nBuckets: Int,
+                pipelineId: String): Long = {
+    val head = ManifestMergeSink.headState(spark, srcTable) match {
+      case Some((seq, _)) => seq
+      case None => return 0L // source not yet committed — nothing to do
+    }
+    val applied = ManifestMergeSink.headState(spark, replicaTable)
+      .map(_._2.txns.getOrElse(pipelineId, 0L)).getOrElse(0L)
+    if (applied >= head) return applied
+    if (applied == 0L) {
+      // bootstrap: seed from the full snapshot at the observed head
+      ManifestMergeSink.mergeIntoManifested(spark, replicaTable,
+        ManifestMergeSink.readManifestedAt(spark, srcTable, head)
+          .select(col(key) +: fields.map(col): _*),
+        key, fields, nBuckets, txn = Some((pipelineId, head)))
+    } else {
+      val diff = ManifestMergeSink.changesBetween(spark, srcTable,
+        applied, head, key, fields).localCheckpoint(true)
+      val dels = diff.filter(col("_change") === "delete").select(col(key))
+      // deletes first: a crash before the watermarking merge replays
+      // them idempotently; the merge records the span as applied
+      if (!dels.isEmpty)
+        ManifestMergeSink.purgeManifested(spark, replicaTable, dels, key)
+      ManifestMergeSink.mergeIntoManifested(spark, replicaTable,
+        diff.filter(col("_change") =!= "delete")
+          .select(col(key) +: fields.map(col): _*),
+        key, fields, nBuckets, txn = Some((pipelineId, head)))
+    }
+    head
+  }
+
+  def start(spark: SparkSession, srcTable: String, replicaTable: String,
+            checkpointDir: String, key: String, fields: Seq[String],
+            nBuckets: Int, pipelineId: String,
+            maxFilesPerTrigger: Int = 1,
+            trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(s"$srcTable/_commits")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: Dataset[Row], batchId: Long) =>
+        // the batch content is just the notification; the apply reads
+        // its span from the logs directly
+        val wm = applyOnce(spark, srcTable, replicaTable, key, fields,
+          nBuckets, pipelineId)
+        println(s"""{"stage":"stream_cdc_apply","batch":$batchId,""" +
+          s""""watermark":$wm}""")
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+}
