@@ -516,7 +516,8 @@ object ManifestMergeSink {
     * stats WITHOUT committing — the nightly no-op is free. */
   def compactManifested(spark: SparkSession, target: String,
                         maxFilesPerBucket: Int = 1,
-                        maxRetries: Int = 20): CompactStats = {
+                        maxRetries: Int = 20,
+                        beforePublish: () => Unit = () => ()): CompactStats = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket=$maxFilesPerBucket must be positive")
     val root = new Path(target)
@@ -525,6 +526,7 @@ object ManifestMergeSink {
       fs.listStatus(new Path(root, d))
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .toLong
+    var hookPending = true
     var attempt = 0
     while (true) {
       val (seq, st) = headState(spark, target).getOrElse(
@@ -553,6 +555,7 @@ object ManifestMergeSink {
         .map(_.getPath.getName.stripPrefix("pb=").toLong).toSet
       val newMapping = (st.mapping -- flagged) ++
         flagged.filter(written).map(b => b -> s"$gdir/pb=$b")
+      if (hookPending) { hookPending = false; beforePublish() }
       try {
         CommitLog.tryAppend(fs, root, seq,
           render(ManifestState(st.schema, st.nBuckets, newMapping,

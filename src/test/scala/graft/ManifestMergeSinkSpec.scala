@@ -377,12 +377,18 @@ class ManifestMergeSinkSpec extends SparkSpec {
       ManifestMergeSink.purgeManifested(spark, m,
         Seq(updKey).toDF("id"), "id")
       val Seq(s1, s2, s3) = ManifestMergeSink.commitSeqs(spark, m)
-      val d12 = ManifestMergeSink.changesBetween(spark, m, s1, s2,
+      val d12Frame = ManifestMergeSink.changesBetween(spark, m, s1, s2,
         "id", Seq("payload"))
+      val d12 = d12Frame
         .select("id", "payload", "_change").as[(Long, String, String)]
         .collect().toSet
       assert(d12 == Set((updKey, "UPDATED", "update"), (insKey, "NEW", "insert")),
         s"got $d12")
+      // pruning pin: only the REPOINTED bucket's dirs are read — the
+      // untouched bucket (pb=1) never appears in the scan's inputs
+      val scanned = d12Frame.inputFiles.toSeq
+      assert(scanned.nonEmpty && scanned.forall(_.contains("/pb=0/")),
+        s"diff must read only repointed buckets, scanned: $scanned")
       val d23 = ManifestMergeSink.changesBetween(spark, m, s2, s3,
         "id", Seq("payload"))
         .select("id", "payload", "_change").as[(Long, String, String)]
@@ -540,6 +546,48 @@ class ManifestMergeSinkSpec extends SparkSpec {
       // old generations are vacuumable; the compacted snapshot survives
       ManifestMergeSink.vacuumManifested(spark, m, retainCommits = 1)
       assert(ManifestMergeSink.readManifested(spark, m).count() == 400L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("compaction contention: a merge landing mid-pass forces a re-derive; its rows survive") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_cc_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      val rows = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "payload")
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      spark.conf.set(coalesceKey, "false")
+      try {
+        ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
+          Seq("payload"), nBuckets = 4)
+        ManifestMergeSink.mergeIntoManifested(spark, m,
+          rows.filter(col("id") % 2 === 0L), "id", Seq("payload"),
+          nBuckets = 4)
+      } finally spark.conf.set(coalesceKey, "true")
+      // a merge repoints key 1's bucket with NEW content between the
+      // compaction's derivation and its publish: the compaction's CAS
+      // loses, it re-derives from the winner's head, and the winner's
+      // row must survive (a stale publish would repoint the bucket back
+      // to the pre-merge bytes — a lost update)
+      val st = ManifestMergeSink.compactManifested(spark, m,
+        maxFilesPerBucket = 1,
+        beforePublish = () => {
+          ManifestMergeSink.mergeIntoManifested(spark, m,
+            Seq((1L, "FRESH")).toDF("id", "payload"), "id",
+            Seq("payload"), nBuckets = 4)
+          ()
+        })
+      assert(st.nCompacted > 0)
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .select("id", "payload").as[(Long, String)].collect().toMap
+      assert(got.size == 200 && got(1L) == "FRESH",
+        s"the mid-pass merge's row must survive compaction: ${got(1L)}")
+      val head = ManifestMergeSink.headState(spark, m).get._2
+      def fileCount(d: String): Int =
+        fs.listStatus(new Path(s"$m/$d"))
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      assert(head.mapping.values.forall(fileCount(_) <= 1),
+        "the retried pass still compacts every flagged bucket")
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 }
