@@ -75,6 +75,42 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("the CAS holds when a competitor lands BETWEEN the precheck and the create") {
+    // the seam a store without conditional PUT exposes: the exists
+    // precheck passes, and the winner's file lands in the instant
+    // before OUR create — the create itself must be the arbiter. An
+    // injected FilterFileSystem makes that interleave deterministic.
+    withRoot { (fs, root) =>
+      CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
+      var raced = false
+      val racy = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+        override def create(f: Path,
+                            permission: org.apache.hadoop.fs.permission.FsPermission,
+                            overwrite: Boolean, bufferSize: Int,
+                            replication: Short, blockSize: Long,
+                            progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+          if (!overwrite && f.toString.contains("_commits") && !raced) {
+            raced = true
+            // the competitor publishes the SAME slot right now
+            CommitLog.tryAppend(fs, root, 1L, content("winner"), valid)
+          }
+          super.create(f, permission, overwrite, bufferSize, replication,
+            blockSize, progress)
+        }
+      }
+      val e = intercept[CommitLog.CommitConflictException] {
+        CommitLog.tryAppend(racy, root, 1L, content("loser"), valid)
+      }
+      assert(raced, "the injected race must have fired")
+      assert(e.getMessage.contains("re-read and retry"), e.getMessage)
+      // the winner's commit is intact — never clobbered by the loser
+      assert(CommitLog.head(fs, root, valid).contains(2L -> content("winner")))
+      // and the loser's retry against the fresh head lands cleanly
+      assert(CommitLog.tryAppend(fs, root, 2L, content("loser"), valid) == 3L)
+      assert(CommitLog.head(fs, root, valid).contains(3L -> content("loser")))
+    }
+  }
+
   test("sweep honors the margin and never touches the head") {
     withRoot { (fs, root) =>
       (0L until 5L).foreach(s =>
