@@ -549,6 +549,51 @@ class ManifestMergeSinkSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("threaded writers: racing merges converge to sequential semantics, one commit each") {
+    // the deterministic seams pin the PROTOCOL; this pins the
+    // IMPLEMENTATION under real thread interleaving — four writers
+    // race unsynchronized merges and the snapshot must come out
+    // key-unique with every writer's rows present and exactly one
+    // commit per merge call (losers retry, never double-publish)
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_thr_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 50L).map(i => (i, "seed")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val runs = (1 to 4).map { tid =>
+        Future {
+          // each writer: 50 disjoint inserts + an update to shared key 1
+          val mine = ((1L to 50L).map(i => (tid * 1000L + i, s"w$tid")) :+
+            (1L, s"upd$tid")).toDF("id", "payload")
+          ManifestMergeSink.mergeIntoManifested(spark, m, mine, "id",
+            Seq("payload"), nBuckets = 4)
+        }
+      }
+      val stats = Await.result(Future.sequence(runs), 5.minutes)
+      assert(stats.forall(s => s.nUpserted == 50L && s.nMatched == 1L),
+        s"every writer's merge must land exactly: $stats")
+      val snap = ManifestMergeSink.readManifested(spark, m)
+      assert(snap.count() == 250L, "50 seed + 4x50 disjoint inserts")
+      assert(snap.groupBy(col("id")).count().filter(col("count") > 1)
+        .isEmpty, "keys must stay unique under contention")
+      val shared = snap.filter(col("id") === 1L).select("payload")
+        .as[String].head()
+      assert(shared.startsWith("upd"),
+        s"the shared key holds SOME writer's update, got $shared")
+      (1 to 4).foreach { tid =>
+        assert(snap.filter(col("payload") === s"w$tid").count() == 50L,
+          s"writer $tid's rows must all survive")
+      }
+      assert(CommitLog.seqs(fs, new Path(m)).size == 5,
+        "exactly one commit per merge call — losers never double-publish")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("compaction contention: a merge landing mid-pass forces a re-derive; its rows survive") {
     val base = java.nio.file.Files.createTempDirectory("graft_mms_cc_")
     try {
