@@ -549,6 +549,39 @@ class ManifestMergeSinkSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("migration: a legacy swap-layout snapshot bootstraps the manifested layout unchanged") {
+    // the documented move off the rename-based layouts: read the legacy
+    // snapshot, merge it into an empty manifested target — one call,
+    // payload parity row-for-row (updatedAt is re-stamped: the merge
+    // owns bookkeeping, the migration owns payload)
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_mig_")
+    try {
+      val legacy = s"$base/legacy"
+      val m = s"$base/manifested"
+      // two waves on the legacy plain-dir layout: update + evolution
+      MergeSink.mergeInto(spark, legacy,
+        (1L to 80L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"))
+      MergeSink.mergeInto(spark, legacy,
+        Seq((3L, "v3b", "f3")).toDF("id", "payload", "flag"),
+        "id", Seq("payload", "flag"))
+      val snap = spark.read.parquet(legacy)
+      val payload = snap.columns.filterNot(Set("id", "updatedAt")).toSeq
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        snap.select("id", payload: _*), "id", payload, nBuckets = 4)
+      val got = ManifestMergeSink.readManifested(spark, m)
+        .select("id", "payload", "flag")
+      val want = snap.select("id", "payload", "flag")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "migrated snapshot must equal the legacy layout row-for-row")
+      // and the new layout is immediately first-class: txn merges land
+      val st = ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((81L, "new", Option.empty[String])).toDF("id", "payload", "flag"),
+        "id", payload, nBuckets = 4, txn = Some(("mig", 0L)))
+      assert(st.nUpserted == 1L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("threaded writers: racing merges converge to sequential semantics, one commit each") {
     // the deterministic seams pin the PROTOCOL; this pins the
     // IMPLEMENTATION under real thread interleaving — four writers
