@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.jobs.SnapshotMaintainJob
+import graft.sinks.{CommitLog, ManifestMergeSink}
+
+/** The manifested-merge night: a degraded snapshot heals (flagged
+  * buckets compacted, superseded generations swept), a healthy night
+  * is free (no commit), and the retention knob governs both vacuum
+  * and the surviving time-travel window. */
+class SnapshotMaintainJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("degraded night heals; healthy night is a free no-op; retention holds") {
+    val base = java.nio.file.Files.createTempDirectory("graft_smj_")
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val m = s"$base/snap"
+      val rows = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "payload")
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      spark.conf.set(coalesceKey, "false")
+      try {
+        ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
+          Seq("payload"), nBuckets = 4)
+        ManifestMergeSink.mergeIntoManifested(spark, m,
+          rows.filter(col("id") % 3 === 0L), "id", Seq("payload"),
+          nBuckets = 4)
+      } finally spark.conf.set(coalesceKey, "true")
+      val night1 = SnapshotMaintainJob.run(spark, m,
+        SnapshotMaintainJob.SnapshotConfig(maxFilesPerBucket = 1))
+      assert(night1.bucketsCompacted > 0 &&
+        night1.filesAfter < night1.filesBefore, s"$night1")
+      assert(night1.generationsSwept > 0,
+        "superseded generations past the margin must sweep")
+      assert(ManifestMergeSink.readManifested(spark, m).count() == 300L)
+      // the retention margin survives the night: last 2 commits readable
+      val seqs = ManifestMergeSink.commitSeqs(spark, m)
+      assert(seqs.size == 2, s"retain=2 must keep 2 commits, got $seqs")
+      seqs.foreach(s => assert(
+        ManifestMergeSink.readManifestedAt(spark, m, s).count() == 300L))
+      // a healthy night: zero work, zero commits
+      val commits = CommitLog.seqs(fs, new Path(m)).size
+      val night2 = SnapshotMaintainJob.run(spark, m,
+        SnapshotMaintainJob.SnapshotConfig(maxFilesPerBucket = 1))
+      assert(night2.bucketsCompacted == 0 && night2.generationsSwept == 0,
+        s"$night2")
+      assert(CommitLog.seqs(fs, new Path(m)).size == commits,
+        "a healthy night must not publish")
+      // flag parsing round-trips
+      val cfg = SnapshotMaintainJob.SnapshotConfig.fromFlags(
+        Seq("--max-files", "3", "--retain", "5"))
+      assert(cfg.maxFilesPerBucket == 3 && cfg.retain == 5)
+      intercept[IllegalArgumentException] {
+        SnapshotMaintainJob.SnapshotConfig.fromFlags(Seq("--nope"))
+      }
+    } finally fs.delete(new Path(base.toString), true)
+  }
+}
