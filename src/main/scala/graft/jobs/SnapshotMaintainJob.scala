@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.SparkSession
 import graft.GraftSession
-import graft.sinks.ManifestMergeSink
+import graft.sinks.{ManifestMergeSink, TableGroup}
 
 /** Nightly housekeeping for a MANIFESTED MERGE snapshot
   * ([[ManifestMergeSink]]) — the merge-table counterpart of
@@ -59,9 +59,18 @@ object SnapshotMaintainJob {
           cfg: SnapshotConfig = SnapshotConfig()): SnapshotSummary = {
     val c = ManifestMergeSink.compactManifested(spark, target,
       maxFilesPerBucket = cfg.maxFilesPerBucket)
-    val swept = ManifestMergeSink.vacuumManifested(spark, target,
-      retainCommits = cfg.retain)
     val (head, _) = ManifestMergeSink.headState(spark, target).get
+    // a TABLE-GROUP member's retention floor overrides --retain: a
+    // published group view pins child seqs, and sweeping one turns
+    // every readPinned of this table into a read-time failure — the
+    // group's pins are a RETENTION LEASE, not advice
+    val retain = TableGroup.pinnedFloor(spark, target) match {
+      case Some(floor) => math.max(cfg.retain.toLong, head - floor + 1L)
+        .min(Int.MaxValue.toLong).toInt
+      case None => cfg.retain
+    }
+    val swept = ManifestMergeSink.vacuumManifested(spark, target,
+      retainCommits = retain)
     SnapshotSummary(c.nCompacted, c.filesBefore, c.filesAfter,
       swept.size.toLong, head)
   }

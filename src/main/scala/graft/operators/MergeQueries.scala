@@ -1624,11 +1624,8 @@ object MergeQueries {
       // fixture scale it would collapse every bucket write to one task
       // (one file), hiding the exact condition a real cluster's
       // tasks × buckets fan-out produces and this pass repairs
-      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-      def fragmented[T](body: => T): T = {
-        spark.conf.set(coalesceKey, "false")
-        try body finally spark.conf.set(coalesceKey, "true")
-      }
+      def fragmented[T](body: => T): T = graft.Sparks.withConf(spark,
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")(body)
       fragmented {
         ManifestMergeSink.mergeIntoManifested(spark, target, docs,
           "doc_id", Seq("len"), nBuckets = 8)
@@ -1866,10 +1863,13 @@ object MergeQueries {
     * watermark (a txn token in the replica's own commit) and the source
     * head. Run 1 bootstraps from the v1 snapshot; the source then takes
     * an update wave and a purge wave; run 2 (same checkpoint) catches
-    * up — purge before the watermarking merge, exactly 3 replica
-    * commits total; run 3 with a FRESH checkpoint redelivers every
-    * notification and must not commit once (the exactly-once pin).
-    * Oracle: the q222 final state + both protocol counts. */
+    * up in ONE atomic commit — deletes, upserts, and the watermark
+    * through [[graft.sinks.ManifestMergeSink.applyChangesManifested]],
+    * so exactly 2 replica commits exist in total and there is no
+    * deletes-applied-watermark-missing crash window; run 3 with a
+    * FRESH checkpoint redelivers every notification and must not
+    * commit once (the exactly-once pin). Oracle: the q222 final state
+    * + both protocol counts. */
   def q224StreamCdcApply(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamConf.withShuffle(spark) {
       import org.apache.spark.sql.streaming.Trigger
@@ -1932,7 +1932,7 @@ object MergeQueries {
       |         ELSE len END AS len
       |  FROM d, c WHERE doc_id % 11 != 0
       |  UNION ALL
-      |  SELECT 'replica_commits', NULL, 3
+      |  SELECT 'replica_commits', NULL, 2
       |  UNION ALL
       |  SELECT 'resync_noop', NULL, 1)
       |ORDER BY sect, doc_id""".stripMargin

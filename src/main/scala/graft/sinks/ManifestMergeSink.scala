@@ -79,6 +79,15 @@ object ManifestMergeSink {
 
   private def tok(): String = UUID.randomUUID().toString.take(8)
 
+  /** The commit file is tab-delimited lines: an id carrying a tab or
+    * newline would render an invalid commit AFTER the data write,
+    * surfacing as inexplicable crash residue instead of a caller
+    * error — refuse it up front, before any byte lands. */
+  private[sinks] def requireLedgerSafe(id: String, what: String): Unit =
+    require(!id.contains('\t') && !id.contains('\n') && !id.contains('\r'),
+      s"$what '$id' must not contain tabs or line breaks (it is " +
+        "rendered into the tab-delimited commit file)")
+
   private[sinks] def isValid(content: String): Boolean = {
     val ls = content.linesIterator.toSeq
     ls.headOption.contains(Header) && ls.lastOption.contains(End) && {
@@ -320,13 +329,16 @@ object ManifestMergeSink {
                           recomputeUpdates: Option[ManifestState] => DataFrame = null,
                           txn: Option[(String, Long)] = None): MergeSink.MergeStats = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    txn.foreach { case (id, _) => requireLedgerSafe(id, "txn pipelineId") }
     def absorbed(st: Option[ManifestState]): Boolean = txn.exists {
       case (id, bid) => st.exists(_.txns.get(id).exists(_ >= bid))
     }
     val root = new Path(target)
     val fs = fsOf(spark, root)
-    // localCheckpoint: probed for buckets, then merged
-    val uniq =
+    // localCheckpoint: probed for buckets, then merged. LAZY: an
+    // absorbed replay (streaming restart) must no-op on the metadata
+    // read alone, without paying the batch's read/shuffle/cache
+    lazy val uniq =
       if (recomputeUpdates != null) null // derived per attempt below
       else MergeSink.collapseUpdates(
         updates.filter(col(key).isNotNull), key, fields, orderCol)
@@ -437,6 +449,108 @@ object ManifestMergeSink {
         }
       }
       if (stats != null) return stats
+    }
+    null // unreachable
+  }
+
+  final case class ApplyStats(merge: MergeSink.MergeStats, nDeleted: Long)
+
+  /** Apply a CHANGE SET — upserts AND deletes — in ONE commit: the full
+    * MERGE semantics (matched-update / not-matched-insert /
+    * matched-delete) the [[changesBetween]] feed produces, and the
+    * operation a crash-safe CDC consumer needs. Composing
+    * [[mergeIntoManifested]] + [[purgeManifested]] applies the same
+    * rows in TWO commits, and a crash between them strands the
+    * consumer mid-span: on recovery the span is recomputed against a
+    * NEW source head, and a key whose delete already applied but whose
+    * re-insert nets out of the recomputed diff is lost forever. Here
+    * the deletes, the upserts, and the txn watermark land in one
+    * commit-file create — there is no between.
+    *
+    * `changes` carries `key`, the `fields`, and `changeCol`
+    * (insert/update rows are upserted — the merge's null-skip coalesce
+    * applies — and delete rows remove the key; a bucket emptied by
+    * deletes drops out of the mapping, the [[purgeManifested]] rule).
+    * Contention re-runs from the new head; `txn` gives at-least-once
+    * callers the [[mergeIntoManifested]] idempotence, absorbed BEFORE
+    * any data is read. Scale: touched buckets = the change set's
+    * buckets, IO ∝ change bytes — the incremental-view-maintenance
+    * cost model end to end. */
+  def applyChangesManifested(spark: SparkSession, target: String,
+                             changes: DataFrame, key: String,
+                             fields: Seq[String], nBuckets: Int,
+                             changeCol: String = "_change",
+                             txn: Option[(String, Long)] = None,
+                             maxRetries: Int = 20): ApplyStats = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    txn.foreach { case (id, _) => requireLedgerSafe(id, "txn pipelineId") }
+    def absorbed(st: Option[ManifestState]): Boolean = txn.exists {
+      case (id, bid) => st.exists(_.txns.get(id).exists(_ >= bid))
+    }
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    lazy val uniq = MergeSink.collapseUpdates(
+      changes.filter(col(changeCol) =!= "delete" && col(key).isNotNull)
+        .select(col(key) +: fields.map(col): _*),
+      key, fields, None).localCheckpoint(true)
+    lazy val delKeys = changes
+      .filter(col(changeCol) === "delete" && col(key).isNotNull)
+      .select(col(key)).distinct().localCheckpoint(true)
+    var attempt = 0
+    while (true) {
+      val head = headState(spark, target)
+      val seq = head.map(_._1).getOrElse(0L)
+      val st = head.map(_._2)
+      if (absorbed(st)) return ApplyStats(MergeSink.MergeStats(0L, 0L, 0L), 0L)
+      st.foreach(s => require(s.nBuckets == nBuckets,
+        s"snapshot at $target is bucketed ${s.nBuckets} ways, apply asked " +
+          s"for $nBuckets — bucket counts are immutable per snapshot"))
+      val n = st.map(_.nBuckets).getOrElse(nBuckets)
+      val touched = uniq.select(pb(col(key), n).as("pb"))
+        .union(delKeys.select(pb(col(key), n).as("pb")))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted // ≤ nBuckets
+      val obsBefore = Observation()
+      val obsAfter = Observation()
+      val targetDf = (st match {
+        case Some(s) => readDirs(spark, target, s, touched)
+        case None => MergeSink.emptyTarget(spark, uniq, key, fields,
+          "updatedAt")
+      }).observe(obsBefore, count(lit(1)).as("n"))
+        .join(delKeys, Seq(key), "left_anti")
+        .observe(obsAfter, count(lit(1)).as("n"))
+      val (merged, obs) = MergeSink.mergePlanObserved(targetDf, uniq, key,
+        MergeSink.evolvedFields(targetDf, key, fields, "updatedAt"),
+        "updatedAt")
+      val gdir = s"g-${tok()}"
+      merged.withColumn("pb", pb(col(key), n))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(new Path(root, gdir).toString)
+      val written = fs.listStatus(new Path(root, gdir))
+        .filter(_.getPath.getName.startsWith("pb="))
+        .map(_.getPath.getName.stripPrefix("pb=").toLong).toSet
+      val baseMapping = st.map(_.mapping).getOrElse(Map.empty)
+      val baseSchema = st.map(_.schema.fields.toSeq).getOrElse(Seq.empty)
+      val mySchema = merged.schema
+      val unionSchema = StructType(baseSchema ++
+        mySchema.fields.filterNot(f => baseSchema.exists(_.name == f.name)))
+      val newMapping = (baseMapping -- touched) ++
+        touched.filter(written).map(b => b -> s"$gdir/pb=$b")
+      val newTxns = st.map(_.txns).getOrElse(Map.empty) ++ txn
+      try {
+        CommitLog.tryAppend(fs, root, seq,
+          render(ManifestState(unionSchema, n, newMapping, newTxns)),
+          isValid)
+        return ApplyStats(MergeSink.statsOf(obs),
+          obsBefore.get("n").asInstanceOf[Long] -
+            obsAfter.get("n").asInstanceOf[Long])
+      } catch {
+        case e: CommitLog.CommitConflictException =>
+          fs.delete(new Path(root, gdir), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+        // the loop re-reads the head: a racing duplicate of the same
+        // txn is caught by the absorbed check at the top
+      }
     }
     null // unreachable
   }

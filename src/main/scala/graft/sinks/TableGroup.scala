@@ -37,6 +37,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * retention margin — which must cover the pinned seqs, the documented
   * [[ManifestMergeSink.vacuumManifested]] reader contract).
   *
+  * SCOPE of the atomic-flip guarantee: in-flight transactions must not
+  * SHARE a table. If transaction A commits children on tables (x, y)
+  * and, before A's root publish, an independent writer B commits a
+  * LATER child on x and publishes {x}, B's pin advance exposes A's
+  * x-rows (subsumed in the newer child seq — the child log linearized
+  * them) while A's y-pin is still old: a torn pair until A's own
+  * publish completes it. Disjoint-table transactions never do this (a
+  * publish only advances the tables it names), so the discipline is
+  * the per-TABLE single-in-flight-transaction rule — the same
+  * single-writer-per-pipeline discipline every child sink documents,
+  * lifted to the group. Delta/Iceberg-style single-table committers
+  * inherit the identical anomaly when composed; the group makes the
+  * rule explicit instead of implicit.
+  *
   * Scale: the root state is O(tables) tiny lines; publish is one small
   * object write regardless of how much data the transaction moved. */
 object TableGroup {
@@ -81,6 +95,34 @@ object TableGroup {
       .map { case (seq, c) => (seq, parse(c)) }
   }
 
+  /** Every RETAINED root commit's pins, oldest first — what a member
+    * table's maintenance must keep readable: sweeping a child commit
+    * any of these pins turns a published group view unreadable. */
+  def retainedPins(spark: SparkSession,
+                   root: String): Seq[(Long, GroupState)] = {
+    val r = new Path(root)
+    val fs = fsOf(spark, r)
+    CommitLog.seqs(fs, r).sorted
+      .flatMap(s => CommitLog.read(fs, r, s).filter(isValid)
+        .map(c => (s, parse(c))))
+  }
+
+  /** If `tablePath` is a member of a table group (`$root/tables/<name>`
+    * with a root commit log above it), the OLDEST child seq any
+    * retained root commit pins for it — the floor a vacuum must not
+    * sweep past. None for a standalone table. */
+  def pinnedFloor(spark: SparkSession, tablePath: String): Option[Long] = {
+    val p = new Path(tablePath)
+    val tablesDir = p.getParent
+    if (tablesDir == null || tablesDir.getName != "tables") return None
+    val root = tablesDir.getParent
+    if (root == null) return None
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(root, CommitLog.Dir))) return None
+    retainedPins(spark, root.toString)
+      .flatMap(_._2.pins.get(p.getName)).minOption
+  }
+
   /** Atomically publish `updates` pins (child commits already durable in
     * their tables' logs). Pins are MONOTONE: the published pin for each
     * table is the max of the head's and the update's — a publish whose
@@ -96,6 +138,12 @@ object TableGroup {
                   updates: Map[String, Long], maxRetries: Int = 20,
                   beforePublish: () => Unit = () => ()): Long = {
     require(updates.nonEmpty, "a transaction must pin at least one table")
+    updates.keys.foreach(t =>
+      require(!t.contains('\t') && !t.contains('\n') && !t.contains('\r') &&
+        !t.contains('/') && t.nonEmpty,
+        s"table name '$t' must be a plain path segment without tabs or " +
+          "line breaks (it is rendered into the tab-delimited commit " +
+          "file and used as a directory name)"))
     val r = new Path(root)
     val fs = fsOf(spark, r)
     var hookPending = true

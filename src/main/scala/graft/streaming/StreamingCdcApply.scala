@@ -14,15 +14,19 @@ import graft.sinks.ManifestMergeSink
   * [[ManifestMergeSink.changesBetween]] from the replica's watermark to
   * the source head.
   *
-  * Delivery semantics — exactly once, composed from parts that already
-  * guarantee it: the replica's applied watermark is the SOURCE COMMIT
-  * SEQ recorded as a txn token in the replica's own commit
-  * ([[ManifestMergeSink.mergeIntoManifested]]'s ledger, atomic with the
-  * data), so a replayed notification finds `applied >= head` and
-  * no-ops. Within one apply, deletes run BEFORE the watermarking merge:
-  * a crash between them replays the purge (idempotent — the keys are
-  * already gone) and then the merge; the watermark only advances once
-  * the whole span is applied.
+  * Delivery semantics — exactly once, in ONE commit per span: the
+  * replica's applied watermark is the SOURCE COMMIT SEQ recorded as a
+  * txn token in the replica's own commit, and the span's deletes,
+  * upserts, and that watermark all land through
+  * [[ManifestMergeSink.applyChangesManifested]]'s single commit-file
+  * create. A replayed notification finds `applied >= head` and no-ops
+  * before reading a byte. There is deliberately NO purge-then-merge
+  * composition here: applying a span as two commits leaves a crash
+  * window in which the deletes landed but the watermark didn't, and
+  * the recovery span — recomputed against a NEWER source head — can
+  * net out a key whose delete already applied (deleted at the crashed
+  * span's end, re-inserted with its old value before recovery), losing
+  * it forever. One commit, no between.
   *
   * The span read requires the watermarked source commit to still be
   * retained ([[ManifestMergeSink.vacuumManifested]]'s margin) — size
@@ -53,16 +57,10 @@ object StreamingCdcApply {
           .select(col(key) +: fields.map(col): _*),
         key, fields, nBuckets, txn = Some((pipelineId, head)))
     } else {
-      val diff = ManifestMergeSink.changesBetween(spark, srcTable,
-        applied, head, key, fields).localCheckpoint(true)
-      val dels = diff.filter(col("_change") === "delete").select(col(key))
-      // deletes first: a crash before the watermarking merge replays
-      // them idempotently; the merge records the span as applied
-      if (!dels.isEmpty)
-        ManifestMergeSink.purgeManifested(spark, replicaTable, dels, key)
-      ManifestMergeSink.mergeIntoManifested(spark, replicaTable,
-        diff.filter(col("_change") =!= "delete")
-          .select(col(key) +: fields.map(col): _*),
+      // one atomic commit: deletes + upserts + the watermark together
+      ManifestMergeSink.applyChangesManifested(spark, replicaTable,
+        ManifestMergeSink.changesBetween(spark, srcTable, applied, head,
+          key, fields),
         key, fields, nBuckets, txn = Some((pipelineId, head)))
     }
     head

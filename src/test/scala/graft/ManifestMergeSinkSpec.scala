@@ -509,16 +509,15 @@ class ManifestMergeSinkSpec extends SparkSpec {
       // (multi-task buckets → multi-file dirs — the condition the
       // maintenance pass exists for)
       val rows = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "payload")
-      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-      spark.conf.set(coalesceKey, "false")
-      try {
+      Sparks.withConf(spark,
+        "spark.sql.adaptive.coalescePartitions.enabled", "false") {
         ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
           Seq("payload"), nBuckets = 4, txn = Some(("p1", 0L)))
         ManifestMergeSink.mergeIntoManifested(spark, m,
           rows.filter(col("id") % 2 === 0L)
             .withColumn("payload", concat(col("payload"), lit("u"))),
           "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)))
-      } finally spark.conf.set(coalesceKey, "true")
+      }
       def fileCount(d: String): Int =
         fs.listStatus(new Path(s"$m/$d"))
           .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -546,6 +545,83 @@ class ManifestMergeSinkSpec extends SparkSpec {
       // old generations are vacuumable; the compacted snapshot survives
       ManifestMergeSink.vacuumManifested(spark, m, retainCommits = 1)
       assert(ManifestMergeSink.readManifested(spark, m).count() == 400L)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("applyChanges: insert+update+delete in ONE commit, purge rules, absorbed replay") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_ac_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      val rows = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "payload")
+      ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
+        Seq("payload"), nBuckets = 4)
+      def bucketOf(k: Long): Long = Seq(k).toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(4L))).head().getLong(0)
+      // delete bucket 0 ENTIRELY plus one key elsewhere; update and
+      // insert keys that do NOT live in bucket 0
+      val b0keys = (1L to 60L).filter(bucketOf(_) == 0L)
+      val delOther = (1L to 60L).find(bucketOf(_) == 1L).get
+      val updKey = (1L to 60L).find(k => bucketOf(k) == 2L).get
+      val insKey = (1000L to 2000L).find(k => bucketOf(k) != 0L).get
+      val changes = (
+        b0keys.map(k => (k, Option.empty[String], "delete")) :+
+        ((delOther, Option.empty[String], "delete")) :+
+        ((updKey, Some("UPD"), "update")) :+
+        ((insKey, Some("NEW"), "insert"))
+      ).toDF("id", "payload", "_change")
+      val commitsBefore = CommitLog.seqs(fs, new Path(m)).size
+      val st = ManifestMergeSink.applyChangesManifested(spark, m, changes,
+        "id", Seq("payload"), nBuckets = 4, txn = Some(("cdc", 5L)))
+      assert(st.merge.nUpserted == 1L && st.merge.nMatched == 1L &&
+        st.nDeleted == b0keys.size + 1L, s"$st")
+      assert(CommitLog.seqs(fs, new Path(m)).size == commitsBefore + 1,
+        "deletes + upserts + watermark must be ONE commit")
+      val snap = ManifestMergeSink.readManifested(spark, m)
+      assert(snap.count() == 60L - b0keys.size - 1L + 1L)
+      assert(snap.filter(col("id").isin(b0keys :+ delOther: _*)).isEmpty)
+      assert(snap.filter(col("id") === updKey).select("payload")
+        .as[String].head() == "UPD")
+      assert(snap.filter(col("id") === insKey).select("payload")
+        .as[String].head() == "NEW")
+      // the emptied bucket left the mapping (the purge rule)
+      val head = ManifestMergeSink.headState(spark, m).get._2
+      assert(!head.mapping.contains(0L), s"${head.mapping}")
+      assert(head.txns == Map("cdc" -> 5L))
+      // an absorbed replay no-ops before writing a byte or a commit
+      val gens = dataDirChecksums(fs, m).keySet
+      val replay = ManifestMergeSink.applyChangesManifested(spark, m,
+        changes, "id", Seq("payload"), nBuckets = 4,
+        txn = Some(("cdc", 5L)))
+      assert(replay == ManifestMergeSink.ApplyStats(
+        MergeSink.MergeStats(0L, 0L, 0L), 0L))
+      assert(dataDirChecksums(fs, m).keySet == gens)
+      assert(CommitLog.seqs(fs, new Path(m)).size == commitsBefore + 1)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("ledger ids carrying tabs or newlines fail loudly before any write") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_lid_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((1L, "a")).toDF("id", "payload"), "id", Seq("payload"),
+        nBuckets = 2)
+      val gens = dataDirChecksums(fs, m).keySet
+      val e = intercept[IllegalArgumentException] {
+        ManifestMergeSink.mergeIntoManifested(spark, m,
+          Seq((2L, "b")).toDF("id", "payload"), "id", Seq("payload"),
+          nBuckets = 2, txn = Some(("etl\t2024", 1L)))
+      }
+      assert(e.getMessage.contains("tabs or line breaks"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        ManifestMergeSink.applyChangesManifested(spark, m,
+          Seq((2L, "b", "insert")).toDF("id", "payload", "_change"),
+          "id", Seq("payload"), nBuckets = 2, txn = Some(("a\nb", 1L)))
+      }
+      assert(dataDirChecksums(fs, m).keySet == gens,
+        "a rejected id must not have written a generation dir")
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
@@ -633,15 +709,14 @@ class ManifestMergeSinkSpec extends SparkSpec {
       val m = s"$base/snap"
       val fs = fsOf(base)
       val rows = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "payload")
-      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-      spark.conf.set(coalesceKey, "false")
-      try {
+      Sparks.withConf(spark,
+        "spark.sql.adaptive.coalescePartitions.enabled", "false") {
         ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
           Seq("payload"), nBuckets = 4)
         ManifestMergeSink.mergeIntoManifested(spark, m,
           rows.filter(col("id") % 2 === 0L), "id", Seq("payload"),
           nBuckets = 4)
-      } finally spark.conf.set(coalesceKey, "true")
+      }
       // a merge repoints key 1's bucket with NEW content between the
       // compaction's derivation and its publish: the compaction's CAS
       // loses, it re-derives from the winner's head, and the winner's

@@ -19,15 +19,14 @@ class SnapshotMaintainJobSpec extends SparkSpec {
     try {
       val m = s"$base/snap"
       val rows = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "payload")
-      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-      spark.conf.set(coalesceKey, "false")
-      try {
+      Sparks.withConf(spark,
+        "spark.sql.adaptive.coalescePartitions.enabled", "false") {
         ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
           Seq("payload"), nBuckets = 4)
         ManifestMergeSink.mergeIntoManifested(spark, m,
           rows.filter(col("id") % 3 === 0L), "id", Seq("payload"),
           nBuckets = 4)
-      } finally spark.conf.set(coalesceKey, "true")
+      }
       val night1 = SnapshotMaintainJob.run(spark, m,
         SnapshotMaintainJob.SnapshotConfig(maxFilesPerBucket = 1))
       assert(night1.bucketsCompacted > 0 &&
@@ -55,6 +54,35 @@ class SnapshotMaintainJobSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         SnapshotMaintainJob.SnapshotConfig.fromFlags(Seq("--nope"))
       }
+    } finally fs.delete(new Path(base.toString), true)
+  }
+
+  test("a table-group member's night honors the published pins (retention lease)") {
+    import graft.sinks.TableGroup
+    val base = java.nio.file.Files.createTempDirectory("graft_smj_tg_")
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val root = s"$base/group"
+      val t = TableGroup.tablePath(root, "a")
+      ManifestMergeSink.mergeIntoManifested(spark, t,
+        (1L to 30L).map(i => (i, "v1")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4)
+      val pinned = ManifestMergeSink.headState(spark, t).get._1
+      TableGroup.publishPins(spark, root, Map("a" -> pinned))
+      // the table advances twice without a new group publish...
+      (2 to 3).foreach(i => ManifestMergeSink.mergeIntoManifested(spark, t,
+        (1L to 30L).map(j => (j, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4))
+      // ...and an aggressive nightly retain=1 must STILL keep the
+      // pinned child seq readable — the root pins are a lease
+      SnapshotMaintainJob.run(spark, t,
+        SnapshotMaintainJob.SnapshotConfig(retain = 1))
+      val viaGroup = TableGroup.readPinned(spark, root, "a")
+      assert(viaGroup.select("payload").distinct()
+        .as[String].collect().toSeq == Seq("v1"),
+        "the published group view must survive the member's vacuum")
+      assert(ManifestMergeSink.commitSeqs(spark, t).contains(pinned))
     } finally fs.delete(new Path(base.toString), true)
   }
 }
