@@ -29,11 +29,14 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   *  - the object-store-safe publish: one immutable object write — no
   *    renames anywhere on the read or publish path. On HDFS
   *    `create(overwrite=false)` is atomic; on S3 it maps to a
-  *    conditional PUT (`If-None-Match: *`). The local filesystem's
-  *    exists-check+create is NOT atomic — good enough for the
-  *    deterministic interleaves the specs drive and for
-  *    single-writer-per-slot deployments, while the reclaim grace
-  *    below closes the local-FS slow-writer window.
+  *    conditional PUT (`If-None-Match: *`). Hadoop's LOCAL
+  *    `create(overwrite=false)` is check-then-act (two same-slot
+  *    writers can both pass the check and the second truncates the
+  *    first), so on `file://` the slot is reserved with a
+  *    kernel-atomic O_EXCL `createFile` before the content streams —
+  *    the local CAS is truly atomic too (real-thread contention is
+  *    spec-pinned), while the reclaim grace below closes the
+  *    slow-writer window create-then-stream leaves on any scheme.
   *
   * Crash discipline (no recovery renames needed — compare
   * [[MergeSink.recoverSwap]]'s two-rename window):
@@ -169,9 +172,27 @@ object CommitLog {
       throw new CommitConflictException(
         s"commit log at $root is at seq $newest, past expected head " +
           s"$expectedHead — re-read and retry")
+    // The put-if-absent create is the CAS itself. On object stores the
+    // conditional PUT is atomic server-side; Hadoop's LOCAL create
+    // (overwrite = false) is check-then-act — two same-slot writers can
+    // BOTH pass the exists check and the second FileOutputStream
+    // truncates the first, silently sharing the slot (observed under
+    // real thread interleaving). For file:// the slot is therefore
+    // reserved first with an O_EXCL createFile — kernel-atomic — and
+    // only the reservation's owner streams the content.
     val out =
-      try fs.create(f, false) // put-if-absent: the CAS itself
-      catch {
+      try {
+        if (fs.getScheme == "file") {
+          try java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(f.toUri.getPath))
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new CommitConflictException(
+                s"lost the race for commit $seq at $root — re-read and retry")
+          }
+          fs.create(f, true) // we own the reserved slot
+        } else fs.create(f, false)
+      } catch {
         case _: FileAlreadyExistsException =>
           throw new CommitConflictException(
             s"lost the race for commit $seq at $root — re-read and retry")

@@ -80,10 +80,14 @@ class CommitLogSpec extends SparkSpec {
     // precheck passes, and the winner's file lands in the instant
     // before OUR create — the create itself must be the arbiter. An
     // injected FilterFileSystem makes that interleave deterministic.
+    // getScheme is overridden so tryAppend takes the REMOTE branch
+    // (plain create(overwrite=false)) — on file:// the O_EXCL slot
+    // reservation makes this window impossible by construction.
     withRoot { (fs, root) =>
       CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
       var raced = false
       val racy = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+        override def getScheme: String = "mockstore"
         override def create(f: Path,
                             permission: org.apache.hadoop.fs.permission.FsPermission,
                             overwrite: Boolean, bufferSize: Int,
@@ -108,6 +112,38 @@ class CommitLogSpec extends SparkSpec {
       // and the loser's retry against the fresh head lands cleanly
       assert(CommitLog.tryAppend(fs, root, 2L, content("loser"), valid) == 3L)
       assert(CommitLog.head(fs, root, valid).contains(3L -> content("loser")))
+    }
+  }
+
+  test("real threads: exactly one winner per slot under simultaneous appends") {
+    // the local-FS CAS is O_EXCL-atomic, not check-then-act: eight
+    // threads releasing on a barrier race ONE slot, and exactly one
+    // may return success — a shared slot (the pre-fix local behavior:
+    // both pass the exists check, the second truncates the first)
+    // fails this immediately
+    withRoot { (fs, root) =>
+      CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
+      import java.util.concurrent._
+      val n = 8
+      val pool = Executors.newFixedThreadPool(n)
+      try {
+        val barrier = new CyclicBarrier(n)
+        val results = (1 to n).map { i =>
+          pool.submit(new Callable[Option[String]] {
+            def call(): Option[String] = {
+              barrier.await()
+              try { CommitLog.tryAppend(fs, root, 1L, content(s"w$i"), valid)
+                    Some(s"w$i") }
+              catch { case _: CommitLog.CommitConflictException => None }
+            }
+          })
+        }
+        val winners = results.flatMap(_.get(60, TimeUnit.SECONDS))
+        assert(winners.size == 1, s"one slot, one winner — got $winners")
+        val (s, c) = CommitLog.head(fs, root, valid).get
+        assert(s == 2L && c == content(winners.head),
+          "the winner's bytes must land intact, never truncated by a loser")
+      } finally pool.shutdown()
     }
   }
 
