@@ -1923,6 +1923,105 @@ object MergeQueries {
       } finally fs.delete(new Path(base.toString), true)
     }
 
+  /** q225: REBUCKET (partition evolution) — the snapshot's bucket count
+    * changes in one atomic commit
+    * ([[graft.sinks.ManifestMergeSink.rebucketManifested]]), and the
+    * gate pins everything that must NOT change with it: time travel
+    * reads every version exactly (v3, the rebucket commit, is
+    * content-identical to v2), a change-feed span covering ONLY the
+    * rebucket is empty (value-level classification — a full repoint
+    * surfaces nothing), a span CROSSING it surfaces exactly the later
+    * purge's deletes, a purge and the bucket-count guard keep working
+    * against the new count, and a writer still configured for the old
+    * count fails loudly instead of corrupting the layout. */
+  def q225Rebucket(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q225_")
+    try {
+      val target = s"$base/snap"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      ManifestMergeSink.mergeIntoManifested(spark, target,
+        docs.filter(col("doc_id") <= cut), "doc_id", Seq("len"), 8)
+      ManifestMergeSink.mergeIntoManifested(spark, target,
+        docs.filter(col("doc_id") > cut)
+          .unionByName(docs
+            .filter(col("doc_id") <= cut && col("doc_id") % 7 === 0)
+            .withColumn("len", col("len") + 1000L)),
+        "doc_id", Seq("len"), 8)
+      ManifestMergeSink.rebucketManifested(spark, target, "doc_id", 16)
+      ManifestMergeSink.purgeManifested(spark, target,
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")),
+        "doc_id")
+      val seqs = ManifestMergeSink.commitSeqs(spark, target)
+      val vers = seqs.zipWithIndex.map { case (s, i) =>
+        ManifestMergeSink.readManifestedAt(spark, target, s)
+          .agg(count(lit(1)).as("n"), sum(col("len")).as("len_sum"))
+          .select(lit("ver").as("sect"), lit(i + 1L).as("v"), col("n"),
+            col("len_sum"))
+      }.reduce(_ unionByName _)
+      val dOnly = ManifestMergeSink.changesBetween(spark, target,
+        seqs(1), seqs(2), "doc_id", Seq("len")).count()
+      val dAcross = ManifestMergeSink.changesBetween(spark, target,
+        seqs(1), seqs(3), "doc_id", Seq("len"))
+        .groupBy(col("_change")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val stale =
+        try {
+          ManifestMergeSink.mergeIntoManifested(spark, target,
+            docs.limit(1), "doc_id", Seq("len"), 8)
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      val ss = spark; import ss.implicits._
+      vers.unionByName(Seq(
+          ("diff_across_deletes", Option.empty[Long],
+            dAcross.getOrElse("delete", 0L), Option.empty[Long]),
+          ("diff_across_other", Option.empty[Long],
+            dAcross.filterNot(_._1 == "delete").values.sum,
+            Option.empty[Long]),
+          ("diff_rebucket_only", Option.empty[Long], dOnly,
+            Option.empty[Long]),
+          ("stale_config_loud", Option.empty[Long], stale,
+            Option.empty[Long]))
+        .toDF("sect", "v", "n", "len_sum"))
+        .orderBy(col("sect"), col("v"))
+        .localCheckpoint(true) // materialize before the snapshot dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q225RebucketSql: String =
+    """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+      |c AS (SELECT max(doc_id) // 2 AS cut FROM documents),
+      |v2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id <= cut AND doc_id % 7 = 0 THEN len + 1000
+      |              ELSE len END AS len
+      |       FROM d, c)
+      |SELECT * FROM (
+      |  SELECT 'ver' AS sect, 1::BIGINT AS v, count(*) AS n,
+      |    sum(len)::BIGINT AS len_sum
+      |  FROM d, c WHERE doc_id <= cut
+      |  UNION ALL
+      |  SELECT 'ver', 2, count(*), sum(len)::BIGINT FROM v2
+      |  UNION ALL
+      |  SELECT 'ver', 3, count(*), sum(len)::BIGINT FROM v2
+      |  UNION ALL
+      |  SELECT 'ver', 4, count(*), sum(len)::BIGINT FROM v2
+      |  WHERE doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT 'diff_across_deletes', NULL, count(*), NULL FROM v2
+      |  WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT 'diff_across_other', NULL, 0, NULL
+      |  UNION ALL
+      |  SELECT 'diff_rebucket_only', NULL, 0, NULL
+      |  UNION ALL
+      |  SELECT 'stale_config_loud', NULL, 1, NULL)
+      |ORDER BY sect, v""".stripMargin
+
   val q224StreamCdcApplySql: String =
     """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
       |c AS (SELECT max(doc_id) // 2 AS cut FROM documents)

@@ -193,7 +193,11 @@ object ManifestMergeSink {
     * untouched buckets are never listed. Both sides read under the TO
     * schema (monotone by construction — merge unions, purge preserves),
     * so evolved columns read null on pre-evolution files exactly as a
-    * live read would. */
+    * live read would. A span crossing a [[rebucketManifested]] falls
+    * back to a full-snapshot diff (bucket ids are not comparable across
+    * counts, and the rebucket repointed everything anyway) — a
+    * content-neutral rebucket still surfaces ZERO rows, because the
+    * classification is by VALUE, not by pointer. */
   def changesBetween(spark: SparkSession, target: String,
                      fromSeq: Long, toSeq: Long, key: String,
                      fields: Seq[String]): DataFrame = {
@@ -204,17 +208,23 @@ object ManifestMergeSink {
           s"${commitSeqs(spark, target).mkString(", ")})"))
     val sf = need(fromSeq)
     val st = need(toSeq)
-    require(sf.nBuckets == st.nBuckets,
-      s"bucket counts differ across versions: ${sf.nBuckets} vs ${st.nBuckets}")
     fields.foreach(f => require(st.schema.fieldNames.contains(f),
       s"field $f is not in the version-$toSeq schema"))
-    val changed = (sf.mapping.keySet ++ st.mapping.keySet)
-      .filter(b => sf.mapping.get(b) != st.mapping.get(b)).toSeq.sorted
+    // a span crossing a REBUCKET compares full snapshots: bucket ids
+    // are not comparable across bucket counts, and a rebucket repoints
+    // every dir anyway — the full-table diff is the honest cost
+    val changed =
+      if (sf.nBuckets != st.nBuckets) Seq.empty[Long]
+      else (sf.mapping.keySet ++ st.mapping.keySet)
+        .filter(b => sf.mapping.get(b) != st.mapping.get(b)).toSeq.sorted
+    val crossRebucket = sf.nBuckets != st.nBuckets
+    def side(s: ManifestState): Seq[Long] =
+      if (crossRebucket) s.mapping.keys.toSeq.sorted else changed
     // FROM-side dirs under the TO schema: missing (later-evolved)
     // columns read null, matching what a live reader at toSeq sees
-    val o = readDirs(spark, target, sf.copy(schema = st.schema), changed)
+    val o = readDirs(spark, target, sf.copy(schema = st.schema), side(sf))
       .select(col(key) +: fields.map(col): _*).alias("o")
-    val nw = readDirs(spark, target, st, changed)
+    val nw = readDirs(spark, target, st, side(st))
       .select(col(key) +: fields.map(col): _*).alias("n")
     val differs = fields.map(f => !(col(s"o.$f") <=> col(s"n.$f")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -609,6 +619,56 @@ object ManifestMergeSink {
       }
     }
     null // unreachable
+  }
+
+  /** REBUCKET — partition evolution for the merge snapshot: rewrite the
+    * whole table under `newBuckets` hash buckets and flip the mapping
+    * (and the bucket count every future merge must match) in ONE
+    * commit. The existing per-merge `require(nBuckets ==)` then rejects
+    * stale-config writers loudly. Content-neutral by construction:
+    * time travel still reads pre-rebucket versions under their own
+    * count, and a [[changesBetween]] span crossing the boundary
+    * surfaces nothing but real value changes. Scale: a full rewrite by
+    * definition (one shuffle of the table — the operation IS
+    * repartitioning); run it like compaction, as scheduled
+    * maintenance, when key-count growth has outgrown the original
+    * bucket count. Contention re-runs from the new head; returns the
+    * published commit seq (or the current head if already at
+    * `newBuckets` — the no-op is free). */
+  def rebucketManifested(spark: SparkSession, target: String, key: String,
+                         newBuckets: Int, maxRetries: Int = 20): Long = {
+    require(newBuckets >= 1, s"newBuckets=$newBuckets must be positive")
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (true) {
+      val (seq, st) = headState(spark, target).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest snapshot at $target"))
+      if (st.nBuckets == newBuckets) return seq
+      require(st.schema.fieldNames.contains(key),
+        s"key $key is not in the snapshot schema")
+      val data = readDirs(spark, target, st, st.mapping.keys.toSeq.sorted)
+      val gdir = s"g-${tok()}"
+      data.withColumn("pb", pb(col(key), newBuckets))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(new Path(root, gdir).toString)
+      val written = fs.listStatus(new Path(root, gdir))
+        .filter(_.getPath.getName.startsWith("pb="))
+        .map(_.getPath.getName.stripPrefix("pb=").toLong).toSet
+      val newMapping = written.map(b => b -> s"$gdir/pb=$b").toMap
+      try {
+        return CommitLog.tryAppend(fs, root, seq,
+          render(ManifestState(st.schema, newBuckets, newMapping,
+            st.txns)), isValid)
+      } catch {
+        case e: CommitLog.CommitConflictException =>
+          fs.delete(new Path(root, gdir), true)
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    0L // unreachable
   }
 
   final case class CompactStats(nCompacted: Int, filesBefore: Long,

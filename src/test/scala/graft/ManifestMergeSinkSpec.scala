@@ -548,6 +548,52 @@ class ManifestMergeSinkSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("rebucket: atomic count flip, content-neutral, ledger carried, old-config loud") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_rb_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 2, txn = Some(("p", 3L)))
+      val commitsBefore = CommitLog.seqs(fs, new Path(m)).size
+      ManifestMergeSink.rebucketManifested(spark, m, "id", 8)
+      assert(CommitLog.seqs(fs, new Path(m)).size == commitsBefore + 1,
+        "the rebucket is ONE commit")
+      val head = ManifestMergeSink.headState(spark, m).get._2
+      assert(head.nBuckets == 8)
+      assert(head.mapping.keySet.subsetOf((0L until 8L).toSet) &&
+        head.mapping.size > 2, s"${head.mapping.keySet}")
+      assert(head.txns == Map("p" -> 3L), "the txn ledger rides through")
+      assert(ManifestMergeSink.readManifested(spark, m).count() == 100L)
+      // merges against the NEW count land; the old count is loud
+      val st = ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((101L, "new")).toDF("id", "payload"), "id", Seq("payload"),
+        nBuckets = 8)
+      assert(st.nUpserted == 1L)
+      val e = intercept[IllegalArgumentException] {
+        ManifestMergeSink.mergeIntoManifested(spark, m,
+          Seq((102L, "x")).toDF("id", "payload"), "id", Seq("payload"),
+          nBuckets = 2)
+      }
+      assert(e.getMessage.contains("bucketed 8 ways"), e.getMessage)
+      // time travel still reads the pre-rebucket version under count 2
+      val seqs = ManifestMergeSink.commitSeqs(spark, m)
+      assert(ManifestMergeSink.readManifestedAt(spark, m, seqs.head)
+        .count() == 100L)
+      // a cross-count change-feed span classifies by VALUE: only the
+      // post-rebucket insert surfaces
+      val d = ManifestMergeSink.changesBetween(spark, m, seqs.head,
+        seqs.last, "id", Seq("payload"))
+        .select("id", "_change").as[(Long, String)].collect().toSet
+      assert(d == Set((101L, "insert")), s"got $d")
+      // a no-op rebucket publishes nothing
+      val commits2 = CommitLog.seqs(fs, new Path(m)).size
+      ManifestMergeSink.rebucketManifested(spark, m, "id", 8)
+      assert(CommitLog.seqs(fs, new Path(m)).size == commits2)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("applyChanges: insert+update+delete in ONE commit, purge rules, absorbed replay") {
     val base = java.nio.file.Files.createTempDirectory("graft_mms_ac_")
     try {
