@@ -63,7 +63,12 @@ object SnapshotMaintainJob {
     // a TABLE-GROUP member's retention floor overrides --retain: a
     // published group view pins child seqs, and sweeping one turns
     // every readPinned of this table into a read-time failure — the
-    // group's pins are a RETENTION LEASE, not advice
+    // group's pins are a RETENTION LEASE, not advice. Vacuum the
+    // group ROOT first (same --retain margin): without it the floor
+    // spans every publish in history and member retention degrades to
+    // retain-everything.
+    TableGroup.groupRootOf(spark, target)
+      .foreach(root => TableGroup.vacuumGroup(spark, root, cfg.retain))
     val retain = TableGroup.pinnedFloor(spark, target) match {
       case Some(floor) => math.max(cfg.retain.toLong, head - floor + 1L)
         .min(Int.MaxValue.toLong).toInt

@@ -140,7 +140,8 @@ object CommitLog {
     * after the grace. */
   def tryAppend(fs: FileSystem, root: Path, expectedHead: Long,
                 content: String, isValid: String => Boolean,
-                reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+                reclaimGraceMs: Long = DefaultReclaimGraceMs,
+                beforeStream: () => Unit = () => ()): Long = {
     require(expectedHead >= 0, s"expectedHead=$expectedHead")
     require(isValid(content),
       "refusing to append content the caller's own validator rejects " +
@@ -180,31 +181,59 @@ object CommitLog {
     // real thread interleaving). For file:// the slot is therefore
     // reserved first with an O_EXCL createFile — kernel-atomic — and
     // only the reservation's owner streams the content.
-    val out =
-      try {
-        if (fs.getScheme == "file") {
-          try java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(f.toUri.getPath))
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              throw new CommitConflictException(
-                s"lost the race for commit $seq at $root — re-read and retry")
-          }
-          fs.create(f, true) // we own the reserved slot
-        } else fs.create(f, false)
-      } catch {
-        case _: FileAlreadyExistsException =>
-          throw new CommitConflictException(
-            s"lost the race for commit $seq at $root — re-read and retry")
-        case e: java.io.IOException if fs.exists(f) =>
-          // FileSystem contract only promises "IOException if exists" —
-          // map the exists case to a conflict, rethrow real IO errors
-          throw new CommitConflictException(
-            s"lost the race for commit $seq at $root (${e.getMessage}) — " +
-              "re-read and retry")
-      }
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getScheme == "file") {
+      // The CREATE_NEW open is simultaneously the O_EXCL slot
+      // reservation AND the write handle — one kernel-atomic operation,
+      // pinned to the inode it created. (A separate reserve-then-open
+      // pair reopens the PATH: an owner stalled past the reclaim grace
+      // between the two calls would truncate whatever a reclaiming
+      // writer published into the slot — the silent lost update the CAS
+      // exists to prevent.)
+      val p = java.nio.file.Paths.get(f.toUri.getPath)
+      val out =
+        try java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new CommitConflictException(
+              s"lost the race for commit $seq at $root — re-read and retry")
+        }
+      // beforeStream: injectable seam for specs that pin the
+      // stalled-owner window — the handle is open (inode pinned),
+      // no bytes streamed yet
+      beforeStream()
+      try out.write(bytes)
+      finally out.close()
+      // If we stalled past the grace mid-stream, a reclaimer may have
+      // unlinked our reservation and published its own commit: our
+      // write went to the orphaned inode and the PATH now holds theirs.
+      // Publishing means the path holds OUR bytes — verify, and report
+      // the reclaimed case as a loud retryable conflict, never success.
+      if (!read(fs, root, seq).contains(content))
+        throw new CommitConflictException(
+          s"commit slot $seq at $root was reclaimed while this writer " +
+            "was stalled mid-stream (path content is not ours) — " +
+            "re-read and retry")
+    } else {
+      val out =
+        try fs.create(f, false)
+        catch {
+          case _: FileAlreadyExistsException =>
+            throw new CommitConflictException(
+              s"lost the race for commit $seq at $root — re-read and retry")
+          case e: java.io.IOException if fs.exists(f) =>
+            // FileSystem contract only promises "IOException if exists" —
+            // map the exists case to a conflict, rethrow real IO errors
+            throw new CommitConflictException(
+              s"lost the race for commit $seq at $root (${e.getMessage}) — " +
+                "re-read and retry")
+        }
+      beforeStream()
+      try out.write(bytes)
+      finally out.close()
+    }
     seq
   }
 

@@ -84,9 +84,12 @@ object ManifestMergeSink {
     * surfacing as inexplicable crash residue instead of a caller
     * error — refuse it up front, before any byte lands. */
   private[sinks] def requireLedgerSafe(id: String, what: String): Unit =
-    require(!id.contains('\t') && !id.contains('\n') && !id.contains('\r'),
-      s"$what '$id' must not contain tabs or line breaks (it is " +
-        "rendered into the tab-delimited commit file)")
+    require(id.nonEmpty &&
+      !id.contains('\t') && !id.contains('\n') && !id.contains('\r'),
+      s"$what '$id' must be non-empty and contain no tabs or line " +
+        "breaks (it is rendered into the tab-delimited commit file — " +
+        "an empty or tabbed id renders a line isValid rejects, failing " +
+        "only AFTER the generation dir was written)")
 
   private[sinks] def isValid(content: String): Boolean = {
     val ls = content.linesIterator.toSeq
@@ -337,7 +340,8 @@ object ManifestMergeSink {
                           maxRetries: Int = 20,
                           beforePublish: () => Unit = () => (),
                           recomputeUpdates: Option[ManifestState] => DataFrame = null,
-                          txn: Option[(String, Long)] = None): MergeSink.MergeStats = {
+                          txn: Option[(String, Long)] = None,
+                          txnFence: Option[Long] = None): MergeSink.MergeStats = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     txn.foreach { case (id, _) => requireLedgerSafe(id, "txn pipelineId") }
     def absorbed(st: Option[ManifestState]): Boolean = txn.exists {
@@ -365,6 +369,7 @@ object ManifestMergeSink {
       val seq = head.map(_._1).getOrElse(0L)
       val st = head.map(_._2)
       if (absorbed(st)) return MergeSink.MergeStats(0L, 0L, 0L)
+      checkSpanFence(st, txn, txnFence, target)
       st.foreach(s => require(s.nBuckets == nBuckets,
         s"snapshot at $target is bucketed ${s.nBuckets} ways, merge asked " +
           s"for $nBuckets — bucket counts are immutable per snapshot"))
@@ -428,6 +433,13 @@ object ManifestMergeSink {
               fs.delete(new Path(root, gdir), true)
               return MergeSink.MergeStats(0L, 0L, 0L)
             }
+            // a concurrent same-pipeline instance advanced the
+            // watermark past our span's origin: even a disjoint-bucket
+            // repoint would publish stale-span data under the newer
+            // mark — surface it for a recompute, never a repoint
+            try checkSpanFence(nh, txn, txnFence, target)
+            catch { case fe: StaleSpanException =>
+              fs.delete(new Path(root, gdir), true); throw fe }
             // a winner that evolved a same-named column to a DIFFERENT
             // type is never disjoint: a name-only schema union would
             // repoint this writer's parquet under the winner's type and
@@ -465,6 +477,36 @@ object ManifestMergeSink {
 
   final case class ApplyStats(merge: MergeSink.MergeStats, nDeleted: Long)
 
+  /** The snapshot's recorded watermark for this pipeline moved while a
+    * change span computed from the OLD watermark was in flight — the
+    * span's base state is stale and applying it would skip work a
+    * concurrent instance already folded in (a key changed then
+    * reverted inside the concurrent span is ABSENT from this span's
+    * diff, so the stale apply would pin the intermediate value while
+    * the watermark records the new head — permanent divergence).
+    * Retryable: recompute the span from the CURRENT watermark. */
+  final class StaleSpanException(msg: String) extends RuntimeException(msg)
+
+  /** Fence a txn-carrying apply on its span's ORIGIN: the caller
+    * computed its change set from the state where the pipeline's
+    * recorded watermark was exactly `fence`; any other recorded value
+    * means a duplicate instance advanced the replica first and this
+    * span no longer composes (the `recorded >= batchId` absorbed check
+    * alone misses the `fence < recorded < batchId` interleaving). */
+  private def checkSpanFence(st: Option[ManifestState],
+                             txn: Option[(String, Long)],
+                             txnFence: Option[Long],
+                             target: String): Unit =
+    for ((id, bid) <- txn; f <- txnFence) {
+      val recorded = st.flatMap(_.txns.get(id)).getOrElse(0L)
+      if (recorded != f)
+        throw new StaleSpanException(
+          s"pipeline '$id' watermark at $target is $recorded but this " +
+            s"span (to $bid) was computed from watermark $f — a " +
+            "concurrent instance applied a different span first; " +
+            "recompute from the current watermark and retry")
+    }
+
   /** Apply a CHANGE SET — upserts AND deletes — in ONE commit: the full
     * MERGE semantics (matched-update / not-matched-insert /
     * matched-delete) the [[changesBetween]] feed produces, and the
@@ -491,7 +533,8 @@ object ManifestMergeSink {
                              fields: Seq[String], nBuckets: Int,
                              changeCol: String = "_change",
                              txn: Option[(String, Long)] = None,
-                             maxRetries: Int = 20): ApplyStats = {
+                             maxRetries: Int = 20,
+                             txnFence: Option[Long] = None): ApplyStats = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     txn.foreach { case (id, _) => requireLedgerSafe(id, "txn pipelineId") }
     def absorbed(st: Option[ManifestState]): Boolean = txn.exists {
@@ -512,6 +555,7 @@ object ManifestMergeSink {
       val seq = head.map(_._1).getOrElse(0L)
       val st = head.map(_._2)
       if (absorbed(st)) return ApplyStats(MergeSink.MergeStats(0L, 0L, 0L), 0L)
+      checkSpanFence(st, txn, txnFence, target)
       st.foreach(s => require(s.nBuckets == nBuckets,
         s"snapshot at $target is bucketed ${s.nBuckets} ways, apply asked " +
           s"for $nBuckets — bucket counts are immutable per snapshot"))

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** MULTI-TABLE ATOMIC PUBLISH — a root commit log whose state is a set
@@ -48,8 +48,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the per-TABLE single-in-flight-transaction rule — the same
   * single-writer-per-pipeline discipline every child sink documents,
   * lifted to the group. Delta/Iceberg-style single-table committers
-  * inherit the identical anomaly when composed; the group makes the
-  * rule explicit instead of implicit.
+  * inherit the identical anomaly when composed; here the rule is
+  * ENFORCED, not just documented — [[withTableIntents]]/[[transact]]
+  * turn a shared-table overlap into a loud [[TableBusyException]]
+  * before any child merge runs.
   *
   * Scale: the root state is O(tables) tiny lines; publish is one small
   * object write regardless of how much data the transaction moved. */
@@ -111,17 +113,22 @@ object TableGroup {
     * with a root commit log above it), the OLDEST child seq any
     * retained root commit pins for it — the floor a vacuum must not
     * sweep past. None for a standalone table. */
-  def pinnedFloor(spark: SparkSession, tablePath: String): Option[Long] = {
+  /** The group root above `tablePath` if it IS a group member
+    * (`$root/tables/<name>` with a root commit log); None standalone. */
+  def groupRootOf(spark: SparkSession, tablePath: String): Option[String] = {
     val p = new Path(tablePath)
     val tablesDir = p.getParent
     if (tablesDir == null || tablesDir.getName != "tables") return None
     val root = tablesDir.getParent
     if (root == null) return None
-    val fs = fsOf(spark, root)
-    if (!fs.exists(new Path(root, CommitLog.Dir))) return None
-    retainedPins(spark, root.toString)
-      .flatMap(_._2.pins.get(p.getName)).minOption
+    if (!fsOf(spark, root).exists(new Path(root, CommitLog.Dir))) return None
+    Some(root.toString)
   }
+
+  def pinnedFloor(spark: SparkSession, tablePath: String): Option[Long] =
+    groupRootOf(spark, tablePath).flatMap(root =>
+      retainedPins(spark, root)
+        .flatMap(_._2.pins.get(new Path(tablePath).getName)).minOption)
 
   /** Atomically publish `updates` pins (child commits already durable in
     * their tables' logs). Pins are MONOTONE: the published pin for each
@@ -168,6 +175,117 @@ object TableGroup {
     }
     0L // unreachable
   }
+
+  /** Sweep superseded ROOT commits, keeping the head plus `keepLast`
+    * older commits as the in-flight-reader margin. Without this the
+    * root log grows forever and — worse — [[pinnedFloor]] spans every
+    * pin ever published, so member-table vacuums retain generations
+    * back to the group's FIRST publish (retention degrades to
+    * retain-everything as the group accrues history). Sweeping
+    * superseded roots advances the floor; run it from the same
+    * maintenance cadence as the member vacuums, BEFORE them, so the
+    * floor they see is current. Returns the swept seqs. */
+  def vacuumGroup(spark: SparkSession, root: String,
+                  keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 0, s"keepLast=$keepLast")
+    val r = new Path(root)
+    val fs = fsOf(spark, r)
+    CommitLog.head(fs, r, isValid) match {
+      case None => Seq.empty
+      case Some((head, _)) => CommitLog.sweep(fs, r, head - keepLast)
+    }
+  }
+
+  /** A transaction asked for a table whose in-flight marker another
+    * transaction holds. Retryable once the holder publishes (markers
+    * release on publish) or ages past the stale grace (crashed holder). */
+  final class TableBusyException(msg: String) extends RuntimeException(msg)
+
+  /** How long an intent marker may sit before a new transaction treats
+    * its holder as crashed and reclaims it. Intents span CHILD MERGES
+    * (data-plane work), unlike [[CommitLog]]'s metadata-only streams,
+    * so the grace is generous — a legitimate holder publishing after
+    * reclaim still cannot corrupt anything (pins are monotone; it
+    * loses only the atomic-flip guarantee it already forfeited by
+    * stalling). */
+  val DefaultIntentGraceMs: Long = 600000L
+
+  private def intentPath(root: Path, table: String): Path =
+    new Path(new Path(root, "_intents"), table)
+
+  /** Enforce the per-TABLE single-in-flight-transaction rule (the
+    * SCOPE caveat above) instead of documenting it: acquire an O_EXCL
+    * intent marker per table BEFORE running child merges, release on
+    * publish. A second transaction touching a shared table fails
+    * LOUDLY with [[TableBusyException]] — the torn-pair anomaly
+    * becomes a named conflict — while disjoint-table transactions
+    * acquire disjoint markers and proceed concurrently. Markers are
+    * acquired in sorted order (no deadlock among partial acquirers)
+    * and released in a finally; a crashed holder's marker ages out
+    * past `graceMs` and is reclaimed. */
+  def withTableIntents[A](spark: SparkSession, root: String,
+                          tables: Seq[String],
+                          graceMs: Long = DefaultIntentGraceMs)
+                         (body: => A): A = {
+    require(tables.nonEmpty, "a transaction must name its tables")
+    val r = new Path(root)
+    val fs = fsOf(spark, r)
+    fs.mkdirs(new Path(r, "_intents"))
+    def tryCreate(p: Path): Boolean =
+      if (fs.getScheme == "file") {
+        // local create(overwrite=false) is check-then-act (the
+        // CommitLog.tryAppend finding) — O_EXCL via NIO is atomic
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(p.toUri.getPath)); true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try { fs.create(p, false).close(); true }
+        catch {
+          case _: FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(p) => false
+        }
+      }
+    val held = scala.collection.mutable.ArrayBuffer[Path]()
+    try {
+      tables.distinct.sorted.foreach { t =>
+        val p = intentPath(r, t)
+        val got = tryCreate(p) || {
+          val age =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime
+            catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+          age > graceMs && { fs.delete(p, false); tryCreate(p) }
+        }
+        if (!got)
+          throw new TableBusyException(
+            s"table '$t' at $root has an in-flight transaction (intent " +
+              s"marker $p held) — committing a second transaction on a " +
+              "shared table risks the torn-pair anomaly; retry after " +
+              "the holder publishes or its marker ages out")
+        held += p
+      }
+      body
+    } finally held.foreach(p => fs.delete(p, false))
+  }
+
+  /** The full guarded transaction: acquire intents on `tables`, run
+    * `body` (child merges — return the pins to publish), publish them
+    * atomically, release the intents. */
+  def transact(spark: SparkSession, root: String, tables: Seq[String],
+               graceMs: Long = DefaultIntentGraceMs)
+              (body: => Map[String, Long]): Long =
+    withTableIntents(spark, root, tables, graceMs) {
+      val pins = body
+      require(pins.keySet.subsetOf(tables.toSet),
+        s"transaction declared tables ${tables.sorted.mkString(", ")} but " +
+          s"pinned ${pins.keys.toSeq.sorted.mkString(", ")} — every " +
+          "pinned table must be declared (the intent guard covers only " +
+          "declared tables)")
+      publishPins(spark, root, pins)
+    }
 
   /** Read table `name` at the seq the ROOT head pins — the consistent
     * cross-table view (resolve [[headPins]] yourself to read several

@@ -39,31 +39,55 @@ import graft.sinks.ManifestMergeSink
 object StreamingCdcApply {
 
   /** One catch-up step: apply everything between the replica's watermark
-    * and the source head. Returns the watermark after the step. */
+    * and the source head. Returns the watermark after the step.
+    *
+    * Duplicate-instance safety: the apply is FENCED on the span's
+    * origin (`txnFence = applied`) — if another instance of the same
+    * pipeline advanced the replica between our watermark read and our
+    * commit, the sink rejects the stale span with
+    * [[ManifestMergeSink.StaleSpanException]] (the `recorded >= head`
+    * absorbed check alone misses the `applied < recorded < head`
+    * interleaving: a key changed then REVERTED inside the concurrent
+    * span is absent from our wider diff, and applying it on top of the
+    * concurrent state would pin the intermediate value forever). On a
+    * fence hit we recompute the span from the fresh watermark. */
   def applyOnce(spark: SparkSession, srcTable: String, replicaTable: String,
                 key: String, fields: Seq[String], nBuckets: Int,
-                pipelineId: String): Long = {
-    val head = ManifestMergeSink.headState(spark, srcTable) match {
-      case Some((seq, _)) => seq
-      case None => return 0L // source not yet committed — nothing to do
+                pipelineId: String, maxRecomputes: Int = 20): Long = {
+    var tries = 0
+    while (true) {
+      val head = ManifestMergeSink.headState(spark, srcTable) match {
+        case Some((seq, _)) => seq
+        case None => return 0L // source not yet committed — nothing to do
+      }
+      val applied = ManifestMergeSink.headState(spark, replicaTable)
+        .map(_._2.txns.getOrElse(pipelineId, 0L)).getOrElse(0L)
+      if (applied >= head) return applied
+      try {
+        if (applied == 0L) {
+          // bootstrap: seed from the full snapshot at the observed head
+          ManifestMergeSink.mergeIntoManifested(spark, replicaTable,
+            ManifestMergeSink.readManifestedAt(spark, srcTable, head)
+              .select(col(key) +: fields.map(col): _*),
+            key, fields, nBuckets, txn = Some((pipelineId, head)),
+            txnFence = Some(0L))
+        } else {
+          // one atomic commit: deletes + upserts + the watermark together
+          ManifestMergeSink.applyChangesManifested(spark, replicaTable,
+            ManifestMergeSink.changesBetween(spark, srcTable, applied, head,
+              key, fields),
+            key, fields, nBuckets, txn = Some((pipelineId, head)),
+            txnFence = Some(applied))
+        }
+        return head
+      } catch {
+        case e: ManifestMergeSink.StaleSpanException =>
+          tries += 1
+          if (tries >= maxRecomputes) throw e
+        // else: loop — re-read both watermarks and recompute the span
+      }
     }
-    val applied = ManifestMergeSink.headState(spark, replicaTable)
-      .map(_._2.txns.getOrElse(pipelineId, 0L)).getOrElse(0L)
-    if (applied >= head) return applied
-    if (applied == 0L) {
-      // bootstrap: seed from the full snapshot at the observed head
-      ManifestMergeSink.mergeIntoManifested(spark, replicaTable,
-        ManifestMergeSink.readManifestedAt(spark, srcTable, head)
-          .select(col(key) +: fields.map(col): _*),
-        key, fields, nBuckets, txn = Some((pipelineId, head)))
-    } else {
-      // one atomic commit: deletes + upserts + the watermark together
-      ManifestMergeSink.applyChangesManifested(spark, replicaTable,
-        ManifestMergeSink.changesBetween(spark, srcTable, applied, head,
-          key, fields),
-        key, fields, nBuckets, txn = Some((pipelineId, head)))
-    }
-    head
+    0L // unreachable
   }
 
   def start(spark: SparkSession, srcTable: String, replicaTable: String,

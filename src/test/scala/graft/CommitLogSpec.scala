@@ -159,4 +159,36 @@ class CommitLogSpec extends SparkSpec {
       assert(CommitLog.seqs(fs, root) == Seq(5L))
     }
   }
+
+  test("an owner stalled past the grace NEVER truncates a reclaimer's commit") {
+    // the write handle is obtained atomically WITH the O_EXCL
+    // reservation (CREATE_NEW), so it is pinned to the reservation's
+    // inode: when a reclaimer unlinks the aged empty reservation and
+    // publishes its own commit in the slot, the resumed owner's bytes
+    // go to the ORPHANED inode — and the owner must report a loud
+    // conflict (read-back mismatch), never success, never truncation.
+    // Pre-fix, the owner reopened the PATH with overwrite=true and
+    // silently clobbered the reclaimer's valid commit; both returned
+    // success — the exact lost update the CAS exists to prevent.
+    withRoot { (fs, root) =>
+      CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
+      val e = intercept[CommitLog.CommitConflictException] {
+        CommitLog.tryAppend(fs, root, 1L, content("stalled-owner"), valid,
+          beforeStream = () => {
+            // the owner stalls here (GC pause / NFS hang) long enough
+            // that its empty reservation ages past the reclaim grace…
+            fs.setTimes(slot(root, 2L),
+              System.currentTimeMillis() - 120000L, -1L)
+            // …and a second writer reclaims the slot and publishes
+            CommitLog.tryAppend(fs, root, 1L, content("reclaimer"), valid)
+          })
+      }
+      assert(e.getMessage.contains("reclaimed"), e.getMessage)
+      assert(CommitLog.head(fs, root, valid).contains(2L -> content("reclaimer")),
+        "the reclaimer's commit must survive the stalled owner's resume")
+      // the owner's retry against the fresh head lands in the next slot
+      assert(CommitLog.tryAppend(fs, root, 2L,
+        content("stalled-owner"), valid) == 3L)
+    }
+  }
 }

@@ -789,4 +789,78 @@ class ManifestMergeSinkSpec extends SparkSpec {
         "the retried pass still compacts every flagged bucket")
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
+
+  test("an EMPTY pipeline id fails loudly before any write") {
+    // an empty id renders a 'T\t\t<bid>' line isValid rejects — without
+    // the up-front guard the merge failed only at tryAppend's own
+    // validator, AFTER the generation dir was written, with a
+    // confusing 'refusing to append' message instead of a caller error
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_eid_")
+    try {
+      val m = s"$base/snap"
+      val e = intercept[IllegalArgumentException] {
+        ManifestMergeSink.mergeIntoManifested(spark, m,
+          Seq((1L, "a")).toDF("id", "payload"), "id", Seq("payload"),
+          nBuckets = 2, txn = Some(("", 1L)))
+      }
+      assert(e.getMessage.contains("non-empty"), e.getMessage)
+      assert(!fsOf(base).exists(new Path(m)),
+        "a rejected empty id must not have written anything")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("span fence: a duplicate instance's WIDER span is rejected, not applied") {
+    // the changed-then-reverted interleaving the absorbed check alone
+    // misses: instance 1 applies span a→h1 (k: v0→v1); instance 2 —
+    // which read watermark a BEFORE that — computed its a→h2 span
+    // against the source where k reverted to v0 in (h1, h2], so k is
+    // ABSENT from its diff. Unfenced, instance 2's commit records
+    // watermark h2 while the replica keeps the h1 intermediate v1 —
+    // permanent divergence. The fence (recorded != fromSeq) rejects it.
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_fen_")
+    try {
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      val pid = "cdc"
+      def mergeSrc(rows: Seq[(Long, String)]): Long = {
+        ManifestMergeSink.mergeIntoManifested(spark, src,
+          rows.toDF("id", "payload"), "id", Seq("payload"), nBuckets = 4)
+        ManifestMergeSink.headState(spark, src).get._1
+      }
+      val a = mergeSrc(Seq((1L, "v0"), (2L, "x")))
+      // replica bootstrapped at a (watermark = a)
+      ManifestMergeSink.mergeIntoManifested(spark, rep,
+        ManifestMergeSink.readManifestedAt(spark, src, a)
+          .select("id", "payload"),
+        "id", Seq("payload"), nBuckets = 4, txn = Some((pid, a)))
+      val h1 = mergeSrc(Seq((1L, "v1")))          // k changes…
+      val h2 = mergeSrc(Seq((1L, "v0")))          // …and reverts
+      // instance 2 computes its span a→h2 FIRST (k absent from it)
+      val wideSpan = ManifestMergeSink.changesBetween(spark, src, a, h2,
+        "id", Seq("payload")).localCheckpoint(true)
+      assert(wideSpan.filter(col("id") === 1L).isEmpty,
+        "the reverted key must be absent from the wide span (the trap)")
+      // instance 1 lands its a→h1 apply (replica now holds v1, mark h1)
+      ManifestMergeSink.applyChangesManifested(spark, rep,
+        ManifestMergeSink.changesBetween(spark, src, a, h1, "id",
+          Seq("payload")),
+        "id", Seq("payload"), nBuckets = 4, txn = Some((pid, h1)),
+        txnFence = Some(a))
+      // instance 2's stale-origin apply must be REJECTED…
+      val e = intercept[ManifestMergeSink.StaleSpanException] {
+        ManifestMergeSink.applyChangesManifested(spark, rep, wideSpan,
+          "id", Seq("payload"), nBuckets = 4, txn = Some((pid, h2)),
+          txnFence = Some(a))
+      }
+      assert(e.getMessage.contains("computed from watermark"), e.getMessage)
+      // …and the recompute loop converges the replica to the source head
+      val wm = graft.streaming.StreamingCdcApply.applyOnce(spark, src, rep,
+        "id", Seq("payload"), nBuckets = 4, pipelineId = pid)
+      assert(wm == h2)
+      val got = ManifestMergeSink.readManifested(spark, rep)
+        .select("id", "payload").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "v0", 2L -> "x"),
+        "the replica must converge to the source, not pin the intermediate")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
 }

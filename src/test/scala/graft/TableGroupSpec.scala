@@ -102,4 +102,64 @@ class TableGroupSpec extends SparkSpec {
       assert(e3.getMessage.contains("no committed table group"), e3.getMessage)
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
+
+  test("vacuumGroup sweeps superseded roots and ADVANCES the pinned floor") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_vac_")
+    try {
+      val root = s"$base/group"
+      // five publishes of table a — the floor must not stay at the first
+      val seqs = (1 to 5).map(i => seed(root, "a", Seq((i.toLong, s"a$i"))))
+      seqs.foreach(s => TableGroup.publishPins(spark, root, Map("a" -> s)))
+      val aPath = TableGroup.tablePath(root, "a")
+      assert(TableGroup.pinnedFloor(spark, aPath).contains(seqs.head),
+        "pre-vacuum the floor spans every publish in history")
+      val swept = TableGroup.vacuumGroup(spark, root, keepLast = 1)
+      assert(swept.nonEmpty, "superseded roots must be swept")
+      assert(TableGroup.pinnedFloor(spark, aPath).contains(seqs(3)),
+        "post-vacuum the floor is the oldest RETAINED pin (head + 1 margin)")
+      // the retained views still read their consistent states
+      val pins = TableGroup.headPins(spark, root).get._2
+      assert(TableGroup.readPinned(spark, root, "a", pins).count() == 5L)
+      assert(TableGroup.vacuumGroup(spark, s"$base/nothing").isEmpty,
+        "an empty root vacuums to nothing, loudlessly")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
+  test("in-flight intents: a shared table conflicts loudly, disjoint tables proceed") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_int_")
+    try {
+      val root = s"$base/group"
+      val a1 = seed(root, "a", Seq((1L, "a1")))
+      val b1 = seed(root, "b", Seq((1L, "b1")))
+      val c1 = seed(root, "c", Seq((1L, "c1")))
+      TableGroup.transact(spark, root, Seq("a", "b")) {
+        // inside A's transaction: a DISJOINT transaction on c lands fine
+        val seq = TableGroup.transact(spark, root, Seq("c"))(Map("c" -> c1))
+        assert(seq >= 1L)
+        // but a transaction SHARING table b is refused before any work
+        val e = intercept[TableGroup.TableBusyException] {
+          TableGroup.withTableIntents(spark, root, Seq("b", "c")) {
+            fail("the body must never run under a shared-table conflict")
+          }
+        }
+        assert(e.getMessage.contains("in-flight transaction"), e.getMessage)
+        Map("a" -> a1, "b" -> b1)
+      }
+      // markers released on publish: the same tables acquire cleanly now
+      TableGroup.withTableIntents(spark, root, Seq("a", "b", "c")) { () }
+      val pins = TableGroup.headPins(spark, root).get._2.pins
+      assert(pins == Map("a" -> a1, "b" -> b1, "c" -> c1))
+      // a crashed holder's marker ages out and is reclaimed
+      val fs = fsOf(base)
+      val marker = new Path(s"$root/_intents/a")
+      fs.create(marker, false).close()
+      fs.setTimes(marker, System.currentTimeMillis() - 3600000L, -1L)
+      TableGroup.withTableIntents(spark, root, Seq("a")) { () } // reclaims
+      // undeclared pins are refused (the guard covers declared tables)
+      val e2 = intercept[IllegalArgumentException] {
+        TableGroup.transact(spark, root, Seq("a"))(Map("a" -> a1, "b" -> b1))
+      }
+      assert(e2.getMessage.contains("must be declared"), e2.getMessage)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
 }
