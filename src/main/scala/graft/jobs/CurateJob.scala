@@ -6,6 +6,7 @@ import graft.GraftSession
 import graft.functions.TextFunctions
 import graft.obs.StageMetrics
 import graft.operators.{CorpusReport, Dedup, Sharding, TextQueries, TrainingData}
+import graft.sinks.{CommitLog, DirManifest}
 
 /** CLI: the end-to-end corpus CURATION run — the pipeline a
   * training-data user actually schedules nightly, assembled from the
@@ -18,12 +19,16 @@ import graft.operators.{CorpusReport, Dedup, Sharding, TextQueries, TrainingData
   *   mixture sample (q44) → global shuffle-shard (q78) →
   *   packed export (q58)
   *
-  * Writes under `<out>/`: `report/` (the one-scan quality dashboard),
-  * `funnel/` (per-stage counts — the run's audit row), `shards/` (the
-  * shuffled corpus layout a loader streams), `packs/` (the
-  * token-budget pack segments). Every decision is deterministic
-  * (seeded hashes), so a re-run reproduces the same outputs —
-  * the property that makes the nightly run idempotent.
+  * Writes four outputs under `<out>/`: `report` (the one-scan quality
+  * dashboard), `funnel` (per-stage counts — the run's audit row),
+  * `shards` (the shuffled corpus layout a loader streams), `packs`
+  * (the token-budget pack segments). By DEFAULT they publish
+  * ATOMICALLY: all four land in one immutable generation dir and flip
+  * together through a single commit-file create (read them back with
+  * [[readOutput]] — old out-dirs and `--legacy-dirs` runs fall back to
+  * the fixed subdirectories). Every decision is deterministic (seeded
+  * hashes), so a re-run reproduces the same outputs — the property
+  * that makes the nightly run idempotent.
   *
   * Scale shape: one corpus scan for the report; the filter chain is a
   * narrow map fused into the dedup scan; near-dup runs AFTER exact
@@ -34,6 +39,7 @@ import graft.operators.{CorpusReport, Dedup, Sharding, TextQueries, TrainingData
   * a corpus engine owes its user.
   *
   * Usage: CurateJob <docsParquetDirOrFixtureDir> <outDir>
+  *        [--skip-<stage> ...] [--canonical-survivors] [--legacy-dirs]
   */
 object CurateJob {
 
@@ -60,7 +66,8 @@ object CurateJob {
   final case class CurateConfig(repetition: Boolean = true, quality: Boolean = true,
                                 pii: Boolean = true, neardup: Boolean = true,
                                 sample: Boolean = true,
-                                canonicalSurvivors: Boolean = false)
+                                canonicalSurvivors: Boolean = false,
+                                atomicPublish: Boolean = true)
 
   object CurateConfig {
     def fromFlags(flags: Seq[String]): CurateConfig =
@@ -71,10 +78,31 @@ object CurateJob {
         case (c, "--skip-neardup")    => c.copy(neardup = false)
         case (c, "--skip-sample")     => c.copy(sample = false)
         case (c, "--canonical-survivors") => c.copy(canonicalSurvivors = true)
+        case (c, "--legacy-dirs")     => c.copy(atomicPublish = false)
         case (_, f) => throw new IllegalArgumentException(
           s"unknown flag '$f' (known: --skip-{repetition,quality,pii,neardup,sample}, " +
-            "--canonical-survivors)")
+            "--canonical-survivors, --legacy-dirs)")
       }
+  }
+
+  /** The run's four named outputs, published together. */
+  private val Outputs = Seq("report", "funnel", "shards", "packs")
+
+  /** Read a published output (`report` / `funnel` / `shards` / `packs`)
+    * from a curate out-dir: resolves the commit-log head's pointer when
+    * the dir publishes atomically (the default), falls back to the
+    * legacy fixed subdirectory layout (`--legacy-dirs` runs, or
+    * pre-migration out-dirs) — readers migrate without a flag day. */
+  def readOutput(spark: SparkSession, outDir: String,
+                 name: String): DataFrame = {
+    require(Outputs.contains(name),
+      s"unknown output '$name' (known: ${Outputs.mkString(", ")})")
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DirManifest.head(fs, root).flatMap(_._2.extra.get(name)) match {
+      case Some(rel) => spark.read.parquet(s"$outDir/$rel")
+      case None => spark.read.parquet(s"$outDir/$name")
+    }
   }
 
   private val MaxDupWord = 0.6
@@ -93,9 +121,23 @@ object CurateJob {
     val docs = spark.read.parquet(path)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
 
+    // OUTPUT ROUTING — default ATOMIC: the four outputs land under one
+    // immutable generation dir, invisible to readers until the single
+    // commit-file create below flips them together (the commit-log
+    // migration applied to the nightly run's PUBLISH step: a reader
+    // concurrent with a re-run never sees night N's shards beside
+    // night N-1's packs, and a crashed run leaves an invisible orphan
+    // generation instead of a half-overwritten out-dir — the exact
+    // window mode("overwrite")'s delete-then-write leaves open, and on
+    // an object store there is no rename to close it with).
+    // `--legacy-dirs` keeps the fixed-subdirectory compat layout.
+    val gen = "g-" + java.util.UUID.randomUUID().toString.take(8)
+    def out(name: String): String =
+      if (cfg.atomicPublish) s"$outDir/$gen/$name" else s"$outDir/$name"
+
     // one-scan dashboard over the INPUT corpus — the run's before picture
     CorpusReport.corpusReport(docs, "text", Seq("lang", "source"))
-      .write.mode("overwrite").parquet(s"$outDir/report")
+      .write.mode("overwrite").parquet(out("report"))
 
     // repetition + quality + length filters, then PII redaction — all
     // narrow maps; the repetition metrics join back on doc_id so the
@@ -156,11 +198,11 @@ object CurateJob {
 
     // physical outputs: the shuffled shard layout + the pack segments
     Sharding.exportShards(sampled.select(col("doc_id")), "doc_id",
-      Shards, Seed, s"$outDir/shards")
+      Shards, Seed, out("shards"))
     val packs = TrainingData.exportPacks(
       sampled.select(col("doc_id"), col("lang"), col("n_tokens")),
       "lang", "doc_id", col("n_tokens"), PackBudget, shards = 4, Seed,
-      s"$outDir/packs")
+      out("packs"))
 
     val summary = CurateSummary(
       nDocs = docs.count(), nClean = clean.count(), nQuality = quality.count(),
@@ -171,7 +213,31 @@ object CurateJob {
         summary.nNeardup, summary.nSampled, summary.nShards, summary.nSegments))
       .toDF("n_docs", "n_clean", "n_quality", "n_unique", "n_neardup",
         "n_sampled", "n_shards", "n_segments")
-      .write.mode("overwrite").parquet(s"$outDir/funnel")
+      .write.mode("overwrite").parquet(out("funnel"))
+
+    if (cfg.atomicPublish) {
+      // ONE commit flips all four outputs; a CAS loser (two nightly
+      // runs racing the same out-dir) re-reads and repoints — last
+      // publisher wins per output, both generations retained until
+      // the vacuum margin passes
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val head = DirManifest.head(fs, root)
+        val st = head.map(_._2).getOrElse(DirManifest.DmState(Map.empty))
+        try {
+          DirManifest.commitCas(fs, root, head.map(_._1).getOrElse(0L),
+            st.copy(extra = st.extra ++ Outputs.map(n => n -> s"$gen/$n")))
+          done = true
+        } catch {
+          case e: CommitLog.CommitConflictException =>
+            attempt += 1; if (attempt >= 20) throw e
+        }
+      }
+      DirManifest.vacuum(spark, outDir) // superseded runs past the margin
+    }
     summary
   }
 

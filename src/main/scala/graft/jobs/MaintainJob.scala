@@ -38,17 +38,22 @@ import graft.sinks.{Compaction, VersionCatalog}
   * snapshot copy the retention policy demands. A 100 TB layout that
   * stayed healthy pays footer reads and nothing else.
   *
-  * `--manifested` runs the same night against a COMMIT-LOG z layout
-  * ([[Sharding.zWriteManifested]]): health and optimize read through
-  * the mapping, the rewrite publishes in one commit
-  * ([[Sharding.optimizeFlaggedManifested]]), standalone compaction is
-  * subsumed (optimize collapses rewritten cells; the generation sweep
-  * reclaims superseded dirs), and the zone-map manifest refreshes from
-  * the mapping-reconstructed frame.
+  * LAYOUT MODE (auto-detected): a layout that publishes through a
+  * commit log ([[Sharding.zWriteManifested]] — the default layout
+  * since the commit-log migration) gets the MANIFESTED night with no
+  * flag: health and optimize read through the mapping, the rewrite
+  * publishes in one commit ([[Sharding.optimizeFlaggedManifested]]),
+  * standalone compaction is subsumed (optimize collapses rewritten
+  * cells; the generation sweep reclaims superseded dirs), and the
+  * zone-map manifest refreshes from the mapping-reconstructed frame.
+  * A plain rename-layout dir runs the legacy per-dir-swap night —
+  * the explicitly-chosen compat mode (`--legacy-renames` forces it;
+  * `--manifested` forces the commit-log night).
   *
   * Usage: MaintainJob <layoutDir> <catalogDir>
   *        [--target-bytes N] [--max-overlap N] [--retain N]
-  *        [--n-files N] [--z-space N] [--stats-cols a,b] [--manifested]
+  *        [--n-files N] [--z-space N] [--stats-cols a,b]
+  *        [--manifested | --legacy-renames]
   */
 object MaintainJob {
 
@@ -59,13 +64,19 @@ object MaintainJob {
                                    version: Long, vacuumed: Seq[Long],
                                    generationsSwept: Long = 0L)
 
+  /** `manifested = None` (the default) AUTO-DETECTS the layout: a
+    * commit-log (`_commits`) directory under `layoutDir` means the
+    * manifested night runs — so a migrated layout gets the rename-free
+    * path WITHOUT a flag, which is the migration contract (the
+    * commit-log layouts are the default; the rename layouts are the
+    * explicitly-chosen compat mode via `--legacy-renames`). */
   final case class MaintainConfig(targetBytes: Long = 128L << 20,
                                   maxOverlap: Long = 0L,
                                   retain: Int = 3,
                                   nFiles: Int = 8, // q138's ZFiles default
                                   zSpace: Long = 1L << 16,
                                   statsCols: Seq[String] = Nil,
-                                  manifested: Boolean = false)
+                                  manifested: Option[Boolean] = None)
 
   object MaintainConfig {
     def fromFlags(flags: Seq[String]): MaintainConfig = {
@@ -78,26 +89,36 @@ object MaintainJob {
         case "--z-space" :: v :: rest => parse(c.copy(zSpace = v.toLong), rest)
         case "--stats-cols" :: v :: rest =>
           parse(c.copy(statsCols = v.split(',').toSeq.filter(_.nonEmpty)), rest)
-        case "--manifested" :: rest => parse(c.copy(manifested = true), rest)
+        case "--manifested" :: rest => parse(c.copy(manifested = Some(true)), rest)
+        case "--legacy-renames" :: rest => parse(c.copy(manifested = Some(false)), rest)
         case f :: _ => throw new IllegalArgumentException(
           s"unknown flag '$f' (known: --target-bytes, --max-overlap, --retain, " +
-            "--n-files, --z-space, --stats-cols, --manifested)")
+            "--n-files, --z-space, --stats-cols, --manifested, --legacy-renames)")
       }
       parse(MaintainConfig(), flags.toList)
     }
   }
 
+  /** A layout is manifested iff it publishes through a commit log. */
+  private def detectManifested(spark: SparkSession, layoutDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(layoutDir, graft.sinks.CommitLog.Dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def run(spark: SparkSession, layoutDir: String, catalogDir: String,
-          cfg: MaintainConfig = MaintainConfig()): MaintainSummary = {
+          cfg0: MaintainConfig = MaintainConfig()): MaintainSummary = {
+    val cfg = cfg0
+    val manifested: Boolean =
+      cfg0.manifested.getOrElse(detectManifested(spark, layoutDir))
     // 1. compact fragmented partition directories (skip-aware). The
     //    MANIFESTED layout has no standalone compaction step: its
     //    optimize collapses every rewritten cell to one dir, and the
     //    generation sweep below reclaims superseded dirs.
     val comp =
-      if (cfg.manifested) Compaction.CompactStats(0L, 0L, 0L, 0L)
+      if (manifested) Compaction.CompactStats(0L, 0L, 0L, 0L)
       else Compaction.compactPartitioned(spark, layoutDir, cfg.targetBytes)
     def layout() =
-      if (cfg.manifested) Sharding.zReadManifested(spark, layoutDir)
+      if (manifested) Sharding.zReadManifested(spark, layoutDir)
       else spark.read.parquet(layoutDir)
     // 2. measure (footer-stats scale; reopened through the physical path)
     def overlapSum(): Long = {
@@ -113,7 +134,7 @@ object MaintainJob {
     //    publishes the whole rewrite set in ONE commit
     val stats =
       if (before <= cfg.maxOverlap) Sharding.OptimizeStats(Nil, Nil, Nil)
-      else if (cfg.manifested)
+      else if (manifested)
         Sharding.optimizeFlaggedManifested(spark, layoutDir, cfg.nFiles,
           cfg.zSpace)
       else Sharding.optimizeFlagged(spark, layoutDir, cfg.nFiles, cfg.zSpace)
@@ -131,7 +152,7 @@ object MaintainJob {
     //     by earlier appends) — the rename layout's per-dir swaps have
     //     nothing to sweep
     val swept =
-      if (cfg.manifested)
+      if (manifested)
         graft.sinks.DirManifest.vacuum(spark, layoutDir).size.toLong
       else 0L
     // 4. version the maintained layout and enforce retention

@@ -89,11 +89,13 @@ object MergeQueries {
     *
     * LAYOUT CHOICE: this form and its bucketed/partitioned siblings
     * publish through rename swaps — reference-faithful, single-writer,
-    * rename-dependent. NEW pipelines should default to
-    * [[dedupIngestManifested]] (the commit-log layout): rename-free
+    * rename-dependent. The DEFAULT is [[dedupIngestManifested]] (the
+    * commit-log layout, q65's primary gate): rename-free
     * (object-store-safe), publish atomic across all touched buckets,
-    * and correct under concurrent writers (q204/q209); the swap forms
-    * stay gated (q65/q66/q73/q83) as the documented legacy layouts. */
+    * and correct under concurrent writers (q209); the swap forms are
+    * explicitly-chosen COMPAT modes, still gated (q204 bucketed, q73
+    * partitioned, q83 part+bucketed) so unmigrated pipelines stay
+    * row-for-row correct. */
   def dedupIngest(spark: SparkSession, target: String,
                   batch: DataFrame): MergeSink.MergeStats = {
     val fs = new org.apache.hadoop.fs.Path(target)
@@ -221,10 +223,8 @@ object MergeQueries {
   def q83IncrDedupPartBucketedSql: String = q65IncrDedupSql
 
   def q65IncrDedup(spark: SparkSession, dir: String): DataFrame = {
-    // unique catalog table per run (the bucketed layout lives in the
-    // catalog, not a temp dir); dropped in the finally
-    val table = "graft_q65_idx_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q65_")
     try {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -236,21 +236,26 @@ object MergeQueries {
       // fixture's all-unique texts would leave the protection untested.
       // Re-delivered rows are byte-identical, so the oracle (plain batch
       // dedup) is unchanged.
-      // Routed through the BUCKETED index (dedupIngestBucketed) so the
-      // gate exercises the zero-target-exchange layout SCALE.md claims
-      // for 100 TB — the q28 precedent: gate through the layout you'd
-      // actually deploy.
+      // Routed through the MANIFESTED index (dedupIngestManifested) —
+      // the deployed DEFAULT since the commit-log migration: rename-free
+      // one-commit publish, object-store-safe, CAS-correct under
+      // concurrent writers (q209). The q28 precedent: gate through the
+      // layout you'd actually deploy. The swap layouts stay gated as
+      // explicit compat modes (q73 partitioned, q83 part+bucketed).
+      val target = s"$base/dedup_index"
       Seq(
         docs.filter(col("doc_id") <= cut),
         docs.filter(col("doc_id") > cut)
           .union(docs.filter(col("doc_id") % 5 === 0)))
-        .foreach(day => dedupIngestBucketed(spark, table, day, nBuckets = 8))
-      spark.table(table)
+        .foreach(day => dedupIngestManifested(spark, target, day,
+          nBuckets = 16))
+      ManifestMergeSink.readManifested(spark, target)
         .select(col("content_hash"), col("doc_id").as("survivor_id"))
         .orderBy(col("content_hash"))
-        .localCheckpoint(true) // materialize before the table is dropped
+        .localCheckpoint(true) // materialize before the snapshot dir dies
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
@@ -376,6 +381,45 @@ object MergeQueries {
     neardupIngestSigsBucketed(spark, table,
       Dedup.simhashSignatures(batch, idCol, textCol), nBuckets, maxHamming)
 
+  /** [[neardupIngest]] against the MANIFEST-POINTER index
+    * ([[graft.sinks.ManifestMergeSink]]) — the DEFAULT layout for new
+    * pipelines, q68's primary gate, and [[graft.streaming
+    * .StreamingNeardup]]'s target: the index publishes through one
+    * commit-file create (rename-free, object-store-safe, atomic across
+    * every bucket the batch touched) and the probe/merge IO stays
+    * touched-bucket-bounded exactly like the partitioned swap form.
+    * The swap-layout stores remain as explicitly-chosen compat modes
+    * ([[neardupIngest]]/[[neardupIngestBucketed]], gated by q103's
+    * media-sig family). Single-writer-per-pipeline discipline still
+    * applies to the neardup INDUCTION (the subgraph derivation runs
+    * outside the merge's CAS recompute seam — unlike
+    * [[dedupIngestManifested]]'s anti-join, which re-derives per
+    * attempt); what the layout adds is crash-atomicity and
+    * store-portability, not multi-writer convergence. */
+  def neardupIngestManifested(spark: SparkSession, target: String,
+                              batch: DataFrame, idCol: String,
+                              textCol: String, nBuckets: Int,
+                              maxHamming: Int = 3): MergeSink.MergeStats =
+    neardupIngestSigsManifested(spark, target,
+      Dedup.simhashSignatures(batch, idCol, textCol), nBuckets, maxHamming)
+
+  /** [[neardupIngestManifested]] for PRE-COMPUTED signature batches —
+    * the manifested counterpart of [[neardupIngestSigsBucketed]]. */
+  def neardupIngestSigsManifested(spark: SparkSession, target: String,
+                                  batchSigs: DataFrame, nBuckets: Int,
+                                  maxHamming: Int = 3): MergeSink.MergeStats = {
+    import graft.sinks.ManifestMergeSink
+    neardupIngestCore(spark, new IndexStore {
+      def exists: Boolean =
+        ManifestMergeSink.headState(spark, target).isDefined
+      def read(): DataFrame = ManifestMergeSink.readManifested(spark, target)
+      def merge(updates: DataFrame,
+                fields: Seq[String]): MergeSink.MergeStats =
+        ManifestMergeSink.mergeIntoManifested(spark, target, updates,
+          "doc_id", fields, nBuckets)
+    }, batchSigs, maxHamming)
+  }
+
   /** The two physical index layouts [[neardupIngestCore]] runs against:
     * a plain parquet directory ([[neardupIngest]]) or a bucketed catalog
     * table ([[neardupIngestBucketed]]). */
@@ -454,12 +498,14 @@ object MergeQueries {
     * the oracle recomputes the q21/q52 shared pair CTEs and closes them
     * transitively, with unclustered docs surviving as themselves. */
   def q68IncrNeardup(spark: SparkSession, dir: String): DataFrame = {
-    // routed through the BUCKETED index (q65's precedent): the gate
-    // exercises the zero-target-exchange layout the 100 TB deployment
-    // runs, not just the path-based form (which q72's stream covers)
-    val table = "graft_q68_idx_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    // routed through the MANIFESTED index (q65's precedent): the gate
+    // exercises the rename-free commit-log layout the 100 TB
+    // deployment runs by default; the bucketed-catalog compat form
+    // stays gated through q103's media-sig family
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q68_")
     try {
+      val target = s"$base/neardup_index"
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
       // day 2 re-delivers every 5th document — the anti-join protection,
@@ -469,13 +515,15 @@ object MergeQueries {
         docs.filter(col("doc_id") > cut)
           .union(docs.filter(col("doc_id") % 5 === 0)))
         .foreach(day =>
-          neardupIngestBucketed(spark, table, day, "doc_id", "text", nBuckets = 8))
-      spark.table(table)
+          neardupIngestManifested(spark, target, day, "doc_id", "text",
+            nBuckets = 16))
+      ManifestMergeSink.readManifested(spark, target)
         .select(col("doc_id"), col("survivor_id"))
         .orderBy(col("doc_id"))
-        .localCheckpoint(true) // materialize before the table is dropped
+        .localCheckpoint(true) // materialize before the snapshot dir dies
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
 
@@ -1312,17 +1360,20 @@ object MergeQueries {
       })
   }
 
-  /** q204: the q65 day-split + re-delivery harness through the
-    * MANIFEST-POINTER layout — the fifth physical form under the
-    * driver's gate, proving the rename-free commit-log publish
-    * preserves the exact first-arrival dedup semantics of the swap
-    * layouts. Same oracle as q65/q73/q83: the final index must equal
-    * batch dedup of the whole corpus row-for-row. */
-  def q204IncrDedupManifest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.ManifestMergeSink
-    val base = java.nio.file.Files.createTempDirectory("graft_q204_")
+  /** q204: the q65 day-split + re-delivery harness through the legacy
+    * BUCKETED-CATALOG layout ([[dedupIngestBucketed]]) — the
+    * explicitly-chosen COMPAT gate since the commit-log migration made
+    * the manifested layout the default (q65's primary gate now drives
+    * [[dedupIngestManifested]]). Kept gated so the compat mode stays
+    * row-for-row correct for pipelines that haven't migrated: same
+    * oracle as q65/q73/q83 — the final index must equal batch dedup of
+    * the whole corpus. */
+  def q204IncrDedupBucketedCompat(spark: SparkSession, dir: String): DataFrame = {
+    // unique catalog table per run (the bucketed layout lives in the
+    // catalog, not a temp dir); dropped in the finally
+    val table = "graft_q204_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     try {
-      val target = s"$base/dedup_index"
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
       val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -1331,19 +1382,17 @@ object MergeQueries {
         docs.filter(col("doc_id") <= cut),
         docs.filter(col("doc_id") > cut)
           .union(docs.filter(col("doc_id") % 5 === 0)))
-        .foreach(day => dedupIngestManifested(spark, target, day,
-          nBuckets = 16))
-      ManifestMergeSink.readManifested(spark, target)
+        .foreach(day => dedupIngestBucketed(spark, table, day, nBuckets = 8))
+      spark.table(table)
         .select(col("content_hash"), col("doc_id").as("survivor_id"))
         .orderBy(col("content_hash"))
-        .localCheckpoint(true) // materialize before the snapshot dir dies
+        .localCheckpoint(true) // materialize before the table is dropped
     } finally {
-      val p = new Path(base.toString)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
 
-  def q204IncrDedupManifestSql: String = q65IncrDedupSql
+  def q204IncrDedupBucketedCompatSql: String = q65IncrDedupSql
 
   /** q209: MANIFEST-MERGE WRITER CONTENTION under the gate — the
     * two-nightly-jobs scenario end to end, not just in the spec: day 1

@@ -545,7 +545,7 @@ object StreamingQueries {
         trigger = Some(Trigger.AvailableNow()))
       try q.awaitTermination()
       finally { if (q.isActive) q.stop() }
-      spark.read.parquet(target)
+      graft.sinks.ManifestMergeSink.readManifested(spark, target)
         .select(col("doc_id"), col("survivor_id"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true) // materialize before the scratch dir dies

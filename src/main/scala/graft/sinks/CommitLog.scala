@@ -77,7 +77,7 @@ object CommitLog {
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
-  private[sinks] val Dir = "_commits"
+  private[graft] val Dir = "_commits"
 
   /** How long invalid slot residue must sit unmodified before a writer
     * may reclaim it (see the crash-discipline doc above): long enough

@@ -151,8 +151,12 @@ object DirManifest {
           .filter(_ >= keepFrom)
           .flatMap(s => CommitLog.read(fs, rootP, s).filter(isValid))
           .map(parse)
+        // liveness is by TOP-LEVEL dir: extra pointers may reference a
+        // path INSIDE a generation (CurateJob points at `g-x/report`),
+        // and the generation dir is what vacuum deletes
         val live = retained.flatMap(st =>
-          st.parts.values.flatten.map(_.split('/').head) ++ st.extra.values)
+          (st.parts.values.flatten ++ st.extra.values)
+            .map(_.split('/').head))
           .toSet
         val victims =
           if (!fs.exists(rootP)) Seq.empty

@@ -7,7 +7,7 @@ import graft.operators.MergeQueries
 import graft.sinks.MergeSink
 
 /** Near-dup dedup as a CONTINUOUS ingest: stream document files out of a
-  * landing directory and run [[MergeQueries.neardupIngest]] on each
+  * landing directory and run [[MergeQueries.neardupIngestManifested]] on each
   * micro-batch — the streaming face of the persistent-signature-index
   * pipeline (q68), wired exactly like [[StreamingMerge]] (foreachBatch is
   * Structured Streaming's bridge to batch-only sinks).
@@ -30,20 +30,26 @@ object StreamingNeardup {
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
-  /** Start the ingest stream over `srcDir`. `onStats` receives each
+  /** Start the ingest stream over `srcDir`. The index target is the
+    * MANIFESTED layout ([[MergeQueries.neardupIngestManifested]]) —
+    * the deployed default since the commit-log migration: each
+    * micro-batch's index update publishes as ONE commit (rename-free,
+    * object-store-safe; a crash mid-batch leaves an invisible orphan
+    * generation, never a half-visible index). `onStats` receives each
     * micro-batch's id and merge counts (key on batchId when
     * accumulating — replays re-deliver the same id, see
     * [[StreamingMerge.start]]). */
   def start(spark: SparkSession, srcDir: String, target: String,
             checkpointDir: String, maxFilesPerTrigger: Int = 1,
-            trigger: Option[Trigger] = None,
+            trigger: Option[Trigger] = None, nBuckets: Int = 16,
             onStats: (Long, MergeSink.MergeStats) => Unit = (_, _) => ()): StreamingQuery = {
     val writer = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = MergeQueries.neardupIngest(spark, target, batch, "doc_id", "text")
+        val s = MergeQueries.neardupIngestManifested(spark, target, batch,
+          "doc_id", "text", nBuckets)
         println(s"""{"stage":"stream_neardup","batch":$batchId,"n_matched":${s.nMatched},"n_upserted":${s.nUpserted}}""")
         onStats(batchId, s)
       }

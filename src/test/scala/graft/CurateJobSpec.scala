@@ -15,17 +15,30 @@ class CurateJobSpec extends SparkSpec {
         s.nNeardup >= s.nSampled, s"funnel must be monotone: $s")
       assert(s.nSampled > 0, s"pipeline must keep something: $s")
       assert(s.nSegments > 0, s"packs must materialize: $s")
-      // physical outputs exist and agree with the summary
-      val shards = spark.read.parquet(s"$base/out/shards")
+      // physical outputs exist and agree with the summary — read
+      // through the atomic-publish head pointer (the default layout)
+      val shards = CurateJob.readOutput(spark, s"$base/out", "shards")
       assert(shards.count() == s.nSampled)
       assert(shards.select("shard").distinct().count() <= s.nShards)
-      val report = spark.read.parquet(s"$base/out/report")
+      val report = CurateJob.readOutput(spark, s"$base/out", "report")
       assert(report.filter(col("gid") === 3).head().getAs[Long]("n_docs") == s.nDocs)
-      val funnel = spark.read.parquet(s"$base/out/funnel").head()
+      val funnel = CurateJob.readOutput(spark, s"$base/out", "funnel").head()
       assert(funnel.getAs[Long]("n_sampled") == s.nSampled)
       // determinism: a re-run reproduces the same counts
       val s2 = CurateJob.run(spark, sf, s"$base/out2")
       assert(s2 == s, s"re-run must reproduce: $s vs $s2")
+      // RE-PUBLISH to the SAME out-dir: the head flips to the new run's
+      // generation atomically; the legacy compat layout still reads
+      // via the fallback path
+      val s3 = CurateJob.run(spark, sf, s"$base/out")
+      assert(s3 == s)
+      assert(CurateJob.readOutput(spark, s"$base/out", "funnel")
+        .head().getAs[Long]("n_sampled") == s.nSampled)
+      val legacy = CurateJob.run(spark, sf, s"$base/legacy",
+        CurateJob.CurateConfig(atomicPublish = false))
+      assert(legacy == s)
+      assert(CurateJob.readOutput(spark, s"$base/legacy", "shards")
+        .count() == s.nSampled)
     } finally {
       val fs = new org.apache.hadoop.fs.Path(base.toString)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,7 +100,7 @@ class CurateJobSpec extends SparkSpec {
       assert(canon == minId.copy(nSegments = canon.nSegments),
         s"survivor RULE must not change any count: $minId vs $canon")
       def survivors(out: String) =
-        spark.read.parquet(s"$out/shards").select("doc_id")
+        CurateJob.readOutput(spark, out, "shards").select("doc_id")
       def meanQuality(ids: org.apache.spark.sql.DataFrame): Double =
         spark.read.parquet(s"$sf/documents.parquet")
           .join(ids, Seq("doc_id"), "left_semi")

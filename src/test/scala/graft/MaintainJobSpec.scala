@@ -60,7 +60,7 @@ class MaintainJobSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
-  test("--manifested: the same night heals a commit-log layout in one optimize commit") {
+  test("a commit-log layout is AUTO-DETECTED: the manifested night runs with no flag") {
     val base = java.nio.file.Files.createTempDirectory("graft_maint_mani_")
     try {
       val layout = s"$base/layout"
@@ -80,8 +80,7 @@ class MaintainJobSpec extends SparkSpec {
       Sharding.zWriteManifested(spark, layout, appended, append = true)
       val rows = Sharding.zReadManifested(spark, layout).count()
       val s = MaintainJob.run(spark, layout, catalog,
-        MaintainJob.MaintainConfig(manifested = true,
-          statsCols = Seq("zkey"), retain = 3))
+        MaintainJob.MaintainConfig(statsCols = Seq("zkey"), retain = 3))
       assert(s.dirsCompacted == 0L, "manifested mode has no standalone compaction")
       assert(s.overlapBefore > 0 && s.overlapAfter == 0,
         s"manifested optimize must restore disjoint ranges: $s")
@@ -107,7 +106,7 @@ class MaintainJobSpec extends SparkSpec {
       // any commit, so the retention margin never applies to it)
       grid.limit(1).write.parquet(s"$layout/g-crashed0/file_id=0")
       val s2 = MaintainJob.run(spark, layout, catalog,
-        MaintainJob.MaintainConfig(manifested = true,
+        MaintainJob.MaintainConfig(manifested = Some(true),
           statsCols = Seq("zkey"), retain = 3))
       assert(s2.overlapBefore == 0 && s2.filesRewritten == 0 &&
         !s2.statsRefreshed)

@@ -197,7 +197,8 @@ class MergePropsSpec extends SparkSpec {
         s"expected 2 micro-batches, got ${seen.size}: $seen")
       days.foreach(d =>
         MergeQueries.neardupIngest(spark, direct, d, "doc_id", "text"))
-      val got = spark.read.parquet(target)
+      // the stream's index is the MANIFESTED layout (the default target)
+      val got = graft.sinks.ManifestMergeSink.readManifested(spark, target)
         .select("doc_id", "survivor_id").as[(Long, Long)].collect().toSet
       val want = spark.read.parquet(direct)
         .select("doc_id", "survivor_id").as[(Long, Long)].collect().toSet
