@@ -1745,28 +1745,29 @@ object MergeQueries {
   /** q222: CDC-APPLY — the change feed must be SUFFICIENT to maintain a
     * downstream replica, not merely descriptive. A second manifested
     * table bootstraps from the source's v1 snapshot, then advances
-    * commit by commit applying ONLY [[graft.sinks.ManifestMergeSink
-    * .changesBetween]] output (inserts/updates through the merge sink,
-    * deletes through the purge sink — the consumer loop a real
-    * downstream pipeline runs). After EVERY applied version the replica
-    * must equal the source's as-of read row-for-row; the gate emits the
-    * final replica plus a versions-synced count, so a feed that drops a
-    * row, surfaces a rewrite-identical row, or mis-classifies a delete
-    * fails at the version where it diverges. Scale: the replica's write
+    * commit by commit through [[graft.streaming.StreamingCdcApply
+    * .applyTo]] — the SAME fenced one-commit building block the
+    * streaming consumer runs: each span's deletes, upserts, and
+    * watermark land atomically (no purge-then-merge crash window), a
+    * replayed span is absorbed on the metadata read alone, and a
+    * duplicate instance's stale span is fenced. After EVERY applied
+    * version the replica must equal the source's as-of read
+    * row-for-row; the gate emits the final replica, a versions-synced
+    * count, AND the replica's commit count — which pins exactly one
+    * commit per span (bootstrap + 2 spans = 3) and that the replay of
+    * the final span committed NOTHING (a two-commit composition, or a
+    * replay that re-applied, lands at 4+). Scale: the replica's write
     * cost per version ∝ the feed's rows (changed buckets only) — the
     * incremental-view-maintenance argument. */
   def q222CdcApply(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.ManifestMergeSink
+    import graft.sinks.{CommitLog, ManifestMergeSink}
+    import graft.streaming.StreamingCdcApply
     val base = java.nio.file.Files.createTempDirectory("graft_q222_")
     try {
       val src = s"$base/src"
       val rep = s"$base/replica"
+      val pid = "q222"
       val seqs = versionedSnapshot(spark, dir, src)
-      // bootstrap: the v1 snapshot seeds the replica
-      ManifestMergeSink.mergeIntoManifested(spark, rep,
-        ManifestMergeSink.readManifestedAt(spark, src, seqs.head)
-          .select(col("doc_id"), col("len")),
-        "doc_id", Seq("len"), nBuckets = 16)
       def replicaMatches(atSeq: Long): Boolean = {
         val want = ManifestMergeSink.readManifestedAt(spark, src, atSeq)
           .select(col("doc_id"), col("len"))
@@ -1774,25 +1775,25 @@ object MergeQueries {
           .select(col("doc_id"), col("len"))
         got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
       }
-      var synced = if (replicaMatches(seqs.head)) 1L else 0L
-      seqs.sliding(2).foreach { case Seq(from, to) =>
-        val diff = ManifestMergeSink.changesBetween(spark, src, from, to,
-          "doc_id", Seq("len")).localCheckpoint(true)
-        val upserts = diff.filter(col("_change") =!= "delete")
-          .select(col("doc_id"), col("len"))
-        val dels = diff.filter(col("_change") === "delete")
-          .select(col("doc_id"))
-        ManifestMergeSink.mergeIntoManifested(spark, rep, upserts,
-          "doc_id", Seq("len"), nBuckets = 16)
-        if (!dels.isEmpty)
-          ManifestMergeSink.purgeManifested(spark, rep, dels, "doc_id")
+      var synced = 0L
+      seqs.foreach { to =>
+        StreamingCdcApply.applyTo(spark, src, rep, "doc_id", Seq("len"),
+          nBuckets = 16, pipelineId = pid, toSeq = to)
         if (replicaMatches(to)) synced += 1L
       }
+      // crash-replay the final span: the watermark absorbs it — zero
+      // reads, zero commits (the commit count below proves it)
+      StreamingCdcApply.applyTo(spark, src, rep, "doc_id", Seq("len"),
+        nBuckets = 16, pipelineId = pid, toSeq = seqs.last)
+      val fs = new Path(rep)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nCommits = CommitLog.seqs(fs, new Path(rep)).size.toLong
       val ss = spark; import ss.implicits._
       ManifestMergeSink.readManifested(spark, rep)
         .select(lit("row").as("sect"), col("doc_id"), col("len"))
         .unionByName(
-          Seq(("versions_synced", Option.empty[Long], synced))
+          Seq(("versions_synced", Option.empty[Long], synced),
+              ("replica_commits", Option.empty[Long], nCommits))
             .toDF("sect", "doc_id", "len"))
         .orderBy(col("sect"), col("doc_id"))
         .localCheckpoint(true) // materialize before the snapshot dirs die
@@ -1810,6 +1811,8 @@ object MergeQueries {
       |    CASE WHEN doc_id <= cut AND doc_id % 7 = 0 THEN len + 1000
       |         ELSE len END AS len
       |  FROM d, c WHERE doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT 'replica_commits', NULL, 3
       |  UNION ALL
       |  SELECT 'versions_synced', NULL, 3)
       |ORDER BY sect, doc_id""".stripMargin

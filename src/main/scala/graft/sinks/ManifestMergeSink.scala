@@ -196,11 +196,19 @@ object ManifestMergeSink {
     * untouched buckets are never listed. Both sides read under the TO
     * schema (monotone by construction — merge unions, purge preserves),
     * so evolved columns read null on pre-evolution files exactly as a
-    * live read would. A span crossing a [[rebucketManifested]] falls
-    * back to a full-snapshot diff (bucket ids are not comparable across
-    * counts, and the rebucket repointed everything anyway) — a
-    * content-neutral rebucket still surfaces ZERO rows, because the
-    * classification is by VALUE, not by pointer. */
+    * live read would. A span crossing a [[rebucketManifested]] stays
+    * CHANGE-BOUNDED too: bucket ids are not comparable across counts,
+    * so the diff decomposes at the flip — per-commit pointer diffs on
+    * each constant-count stretch yield a CANDIDATE key set (the flip
+    * commit itself contributes none: a rebucket is content-neutral by
+    * construction, the only publisher that changes the count), and the
+    * endpoint comparison reads only the buckets those candidates hash
+    * to on each side. IO ∝ touched bytes across the span, never table
+    * size; output is identical to a full-snapshot diff (any key absent
+    * from every constant-count pointer diff sat in immutable dirs on
+    * both endpoints of every stretch, so its value is unchanged). Only
+    * when an INTERMEDIATE commit was vacuumed does the diff fall back
+    * to comparing full snapshots — correct, at the honest cost. */
   def changesBetween(spark: SparkSession, target: String,
                      fromSeq: Long, toSeq: Long, key: String,
                      fields: Seq[String]): DataFrame = {
@@ -213,22 +221,23 @@ object ManifestMergeSink {
     val st = need(toSeq)
     fields.foreach(f => require(st.schema.fieldNames.contains(f),
       s"field $f is not in the version-$toSeq schema"))
-    // a span crossing a REBUCKET compares full snapshots: bucket ids
-    // are not comparable across bucket counts, and a rebucket repoints
-    // every dir anyway — the full-table diff is the honest cost
-    val changed =
-      if (sf.nBuckets != st.nBuckets) Seq.empty[Long]
-      else (sf.mapping.keySet ++ st.mapping.keySet)
-        .filter(b => sf.mapping.get(b) != st.mapping.get(b)).toSeq.sorted
-    val crossRebucket = sf.nBuckets != st.nBuckets
-    def side(s: ManifestState): Seq[Long] =
-      if (crossRebucket) s.mapping.keys.toSeq.sorted else changed
-    // FROM-side dirs under the TO schema: missing (later-evolved)
-    // columns read null, matching what a live reader at toSeq sees
-    val o = readDirs(spark, target, sf.copy(schema = st.schema), side(sf))
-      .select(col(key) +: fields.map(col): _*).alias("o")
-    val nw = readDirs(spark, target, st, side(st))
-      .select(col(key) +: fields.map(col): _*).alias("n")
+    val sides: Option[(DataFrame, DataFrame)] =
+      if (sf.nBuckets == st.nBuckets) {
+        val changed = (sf.mapping.keySet ++ st.mapping.keySet)
+          .filter(b => sf.mapping.get(b) != st.mapping.get(b)).toSeq.sorted
+        // FROM-side dirs under the TO schema: missing (later-evolved)
+        // columns read null, matching what a live reader at toSeq sees
+        Some((readDirs(spark, target, sf.copy(schema = st.schema), changed),
+              readDirs(spark, target, st, changed)))
+      } else rebucketSpanSides(spark, target, fromSeq, toSeq, sf, st, key,
+        fields)
+    val (oRaw, nRaw) = sides.getOrElse(
+      // full-snapshot fallback: an intermediate commit was vacuumed
+      (readDirs(spark, target, sf.copy(schema = st.schema),
+         sf.mapping.keys.toSeq.sorted),
+       readDirs(spark, target, st, st.mapping.keys.toSeq.sorted)))
+    val o = oRaw.select(col(key) +: fields.map(col): _*).alias("o")
+    val nw = nRaw.select(col(key) +: fields.map(col): _*).alias("n")
     val differs = fields.map(f => !(col(s"o.$f") <=> col(s"n.$f")))
       .reduceOption(_ || _).getOrElse(lit(false))
     o.join(nw, col(s"o.$key") === col(s"n.$key"), "full_outer")
@@ -243,6 +252,74 @@ object ManifestMergeSink {
           when(col(s"n.$key").isNull, col(s"o.$f"))
             .otherwise(col(s"n.$f")).as(f)) :+
         col("_change"): _*)
+  }
+
+  /** The bounded sides for a rebucket-crossing change span (the
+    * [[changesBetween]] doc): walk every retained commit in
+    * `[fromSeq, toSeq]`, pointer-diff each ADJACENT same-count pair
+    * (per-commit changed buckets — the tightest granularity),
+    * value-diff those buckets across the pair to get the keys that
+    * actually MOVED (the candidate set), then return each endpoint
+    * restricted to the buckets the candidates hash to under that
+    * endpoint's count, semi-joined to the candidates. None when the walk cannot run — a gap in the
+    * retained seqs (vacuumed intermediate) — and the caller pays the
+    * full-snapshot diff instead. Commits where the count FLIPS are
+    * rebuckets (the only count-changing publisher) and content-neutral
+    * by construction: they contribute no candidates. */
+  private def rebucketSpanSides(spark: SparkSession, target: String,
+                                fromSeq: Long, toSeq: Long,
+                                sf: ManifestState, st: ManifestState,
+                                key: String, fields: Seq[String]
+                               ): Option[(DataFrame, DataFrame)] = {
+    val seqsIn = commitSeqs(spark, target)
+      .filter(s => s >= fromSeq && s <= toSeq).sorted
+    val gapless = seqsIn.nonEmpty && seqsIn.head == fromSeq &&
+      seqsIn.last == toSeq &&
+      seqsIn.iterator.zip(seqsIn.iterator.drop(1)).forall(p => p._2 - p._1 == 1)
+    if (!gapless) return None
+    val states = seqsIn.map(s => stateAt(spark, target, s))
+    if (states.exists(_.isEmpty)) return None
+    val sts = states.map(_.get)
+    val candParts = sts.zip(sts.tail).flatMap { case (a, b) =>
+      if (a.nBuckets != b.nBuckets) Seq.empty // rebucket: content-neutral
+      else {
+        val ch = (a.mapping.keySet ++ b.mapping.keySet)
+          .filter(k => a.mapping.get(k) != b.mapping.get(k)).toSeq.sorted
+        if (ch.isEmpty) Seq.empty
+        else {
+          // KEY-granular, not bucket-granular: a repointed bucket holds
+          // mostly-unchanged rows (one merge rewrites the whole
+          // bucket), and bucket-level candidates would re-hash to
+          // nearly every endpoint bucket — diff the pair's values and
+          // keep only keys that actually moved
+          val av = readDirs(spark, target, a.copy(schema = st.schema), ch)
+            .select(col(key) +: fields.map(col): _*).alias("a")
+          val bv = readDirs(spark, target, b.copy(schema = st.schema), ch)
+            .select(col(key) +: fields.map(col): _*).alias("b")
+          val differs = fields.map(f => !(col(s"a.$f") <=> col(s"b.$f")))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          Seq(av.join(bv, col(s"a.$key") === col(s"b.$key"), "full_outer")
+            .filter(col(s"a.$key").isNull || col(s"b.$key").isNull || differs)
+            .select(coalesce(col(s"b.$key"), col(s"a.$key")).as(key)))
+        }
+      }
+    }
+    if (candParts.isEmpty)
+      // only the rebucket(s) happened in the span: zero value changes
+      return Some((readDirs(spark, target, sf.copy(schema = st.schema),
+        Seq.empty), readDirs(spark, target, st, Seq.empty)))
+    // candidates are span-change-bounded; the pb probes collect at most
+    // nBuckets distinct longs each — driver-safe
+    val cand = candParts.reduce(_ union _).distinct().localCheckpoint(true)
+    def bucketsOf(n: Int): Seq[Long] = cand
+      .select(pb(col(key), n).as("pb")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val o = readDirs(spark, target, sf.copy(schema = st.schema),
+        bucketsOf(sf.nBuckets))
+      .join(cand, Seq(key), "left_semi")
+    val nw = readDirs(spark, target, st, bucketsOf(st.nBuckets))
+      .join(cand, Seq(key), "left_semi")
+    Some((o, nw))
   }
 
   private def pb(c: Column, nBuckets: Int): Column =

@@ -60,26 +60,9 @@ object StreamingCdcApply {
         case Some((seq, _)) => seq
         case None => return 0L // source not yet committed — nothing to do
       }
-      val applied = ManifestMergeSink.headState(spark, replicaTable)
-        .map(_._2.txns.getOrElse(pipelineId, 0L)).getOrElse(0L)
-      if (applied >= head) return applied
       try {
-        if (applied == 0L) {
-          // bootstrap: seed from the full snapshot at the observed head
-          ManifestMergeSink.mergeIntoManifested(spark, replicaTable,
-            ManifestMergeSink.readManifestedAt(spark, srcTable, head)
-              .select(col(key) +: fields.map(col): _*),
-            key, fields, nBuckets, txn = Some((pipelineId, head)),
-            txnFence = Some(0L))
-        } else {
-          // one atomic commit: deletes + upserts + the watermark together
-          ManifestMergeSink.applyChangesManifested(spark, replicaTable,
-            ManifestMergeSink.changesBetween(spark, srcTable, applied, head,
-              key, fields),
-            key, fields, nBuckets, txn = Some((pipelineId, head)),
-            txnFence = Some(applied))
-        }
-        return head
+        return applyTo(spark, srcTable, replicaTable, key, fields,
+          nBuckets, pipelineId, head)
       } catch {
         case e: ManifestMergeSink.StaleSpanException =>
           tries += 1
@@ -88,6 +71,39 @@ object StreamingCdcApply {
       }
     }
     0L // unreachable
+  }
+
+  /** Apply the span from the replica's watermark to the EXPLICIT source
+    * commit `toSeq` — one fenced commit (deletes + upserts + watermark
+    * together), the single building block both the streaming loop above
+    * and a batch version-by-version consumer (q222) share. Exactly-once
+    * by construction: a replay (watermark already ≥ `toSeq`) no-ops on
+    * the metadata read alone — no data read, no commit; a duplicate
+    * instance racing a DIFFERENT span throws
+    * [[ManifestMergeSink.StaleSpanException]] for the caller to
+    * recompute. Returns the watermark after the call. */
+  def applyTo(spark: SparkSession, srcTable: String, replicaTable: String,
+              key: String, fields: Seq[String], nBuckets: Int,
+              pipelineId: String, toSeq: Long): Long = {
+    val applied = ManifestMergeSink.headState(spark, replicaTable)
+      .map(_._2.txns.getOrElse(pipelineId, 0L)).getOrElse(0L)
+    if (applied >= toSeq) return applied // replay — absorbed, no commit
+    if (applied == 0L) {
+      // bootstrap: seed from the full snapshot at the requested commit
+      ManifestMergeSink.mergeIntoManifested(spark, replicaTable,
+        ManifestMergeSink.readManifestedAt(spark, srcTable, toSeq)
+          .select(col(key) +: fields.map(col): _*),
+        key, fields, nBuckets, txn = Some((pipelineId, toSeq)),
+        txnFence = Some(0L))
+    } else {
+      // one atomic commit: deletes + upserts + the watermark together
+      ManifestMergeSink.applyChangesManifested(spark, replicaTable,
+        ManifestMergeSink.changesBetween(spark, srcTable, applied, toSeq,
+          key, fields),
+        key, fields, nBuckets, txn = Some((pipelineId, toSeq)),
+        txnFence = Some(applied))
+    }
+    toSeq
   }
 
   def start(spark: SparkSession, srcTable: String, replicaTable: String,

@@ -594,6 +594,73 @@ class ManifestMergeSinkSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("a rebucket-crossing change span reads ONLY touched-pair buckets") {
+    // the 100 TB pin: a rebucket used to make every downstream CDC
+    // consumer pay a table-sized diff once — now the span decomposes at
+    // the flip and reads candidate-touched buckets only. Proven by
+    // POISONING: delete an UNTOUCHED from-side bucket's data dir from
+    // disk; the bounded path never lists it (the diff still succeeds,
+    // values exact), while a full-snapshot fallback fails loudly on the
+    // missing dir — which the vacuumed-intermediate case then shows.
+    val base = java.nio.file.Files.createTempDirectory("graft_mms_rbb_")
+    try {
+      val m = s"$base/snap"
+      val fs = fsOf(base)
+      // v1: keys 1..400 under 32 buckets; v2: update %10==0 keys;
+      // v3: REBUCKET to 16; v4: update {1,101,201,301}, delete %97==0
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 400L).map(i => (i, s"v$i")).toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 32)
+      ManifestMergeSink.mergeIntoManifested(spark, m,
+        (1L to 400L).filter(_ % 10 == 0).map(i => (i, s"u$i"))
+          .toDF("id", "payload"),
+        "id", Seq("payload"), nBuckets = 32)
+      ManifestMergeSink.rebucketManifested(spark, m, "id", 16)
+      val ups = Seq(1L, 101L, 201L, 301L)
+      val dels = (1L to 400L).filter(_ % 97 == 0) // 97,194,291,388
+      ManifestMergeSink.applyChangesManifested(spark, m,
+        (ups.map(i => (i, s"w$i", "update")) ++
+         dels.map(i => (i, s"v$i", "delete")))
+          .toDF("id", "payload", "_change"),
+        "id", Seq("payload"), nBuckets = 16)
+      val seqs = ManifestMergeSink.commitSeqs(spark, m)
+      assert(seqs.size == 4)
+      // the span v2 -> v4 crosses the flip; its candidates are ONLY the
+      // 8 keys the v3->v4 pair touched (the v2->v3 rebucket is
+      // neutral), so at most 8 of the 32 from-side buckets are read.
+      // Poison every v2-side bucket holding NO candidate.
+      val cand = ups ++ dels
+      val candBuckets32 = cand.toDS()
+        .select(pmod(xxhash64(col("value")), lit(32L)).as("pb"))
+        .distinct().as[Long].collect().toSet
+      val v2 = ManifestMergeSink.stateAt(spark, m, seqs(1)).get
+      val untouched32 = v2.mapping.keySet.filterNot(candBuckets32)
+      assert(untouched32.nonEmpty, "fixture must leave untouched buckets")
+      untouched32.foreach(b =>
+        fs.delete(new Path(m, v2.mapping(b)), true))
+      val d = ManifestMergeSink.changesBetween(spark, m, seqs(1), seqs.last,
+        "id", Seq("payload")).select("id", "_change", "payload")
+        .as[(Long, String, String)].collect().toSet
+      val want =
+        ups.map(i => (i, "update", s"w$i")).toSet ++
+        dels.map { i =>
+          (i, "delete", if (i % 10 == 0) s"u$i" else s"v$i")
+        }.toSet
+      assert(d == want,
+        s"bounded diff must equal the value-level truth; diff=${
+          (d diff want).take(3)} / ${(want diff d).take(3)}")
+      // a VACUUMED intermediate (the rebucket commit file gone, span
+      // endpoints retained) forces the full-snapshot fallback — which
+      // trips over the poisoned dirs, proving the bounded path above
+      // genuinely never listed them
+      fs.delete(new Path(m, f"${CommitLog.Dir}/${seqs(2)}%020d"), false)
+      intercept[Exception] {
+        ManifestMergeSink.changesBetween(spark, m, seqs(1), seqs.last,
+          "id", Seq("payload")).count()
+      }
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("applyChanges: insert+update+delete in ONE commit, purge rules, absorbed replay") {
     val base = java.nio.file.Files.createTempDirectory("graft_mms_ac_")
     try {
