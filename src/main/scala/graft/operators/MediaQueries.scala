@@ -397,4 +397,93 @@ object MediaQueries {
        |SELECT s.id AS media_id, coalesce(c.comp, s.id)::BIGINT AS survivor_id
        |FROM msig s LEFT JOIN clus c ON c.id = s.id
        |ORDER BY media_id""".stripMargin
+
+  /** q226: the REAL image codec under the oracle gate — every
+    * gated media query before this ran [[Media.FakeCodec]] over
+    * synthetic header blobs; here the pipeline carries REAL PNG and
+    * JPEG bytes end to end through [[Media.ImageIoCodec]] (the
+    * `javax.imageio` decoder MediaSpec pins on planted files):
+    *
+    *  1. ENCODE (executors, codec-per-partition): each sampled doc_id
+    *     derives a deterministic solid-color image — width
+    *     `4 + id%13`, height `4 + id%11`, RGB `(id%256, id*7%256,
+    *     id*13%256)` — written as a real PNG (even ids) or JPEG (odd);
+    *  2. DECODE through the SAME [[Media.decode]] lifecycle the fake
+    *     codec runs: the container is sniffed from the bytes (no
+    *     format hint), true dimensions read from the header;
+    *  3. RESIZE to 8×6 through [[Media.resize]] (Graphics2D bilinear,
+    *     PNG re-encode), then PROBE the resized payload: re-decode and
+    *     sample the center pixel.
+    *
+    * The oracle recomputes every expectation ARITHMETICALLY from
+    * doc_id: sniffed format, decoded w/h, resized dims, and — for the
+    * lossless PNG half — the exact pixel RGB (a solid color survives
+    * bilinear resampling bit-exactly; JPEG rows gate dims/format only,
+    * quantization makes their pixels approximate by design). A codec
+    * that mis-sniffs, swaps dimensions, drops the resize, or corrupts
+    * channels fails row-level.
+    *
+    * Scale: encode/decode/probe are all mapPartitions with one codec
+    * init per partition (the q37 lifecycle); payload bytes never
+    * shuffle — the join carries metadata only. */
+  def q226ImageioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .as[Long]
+    val blobs: org.apache.spark.sql.Dataset[Media.MediaRow] =
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (4 + id % 11).toInt
+          val rgb = new java.awt.Color((id % 256).toInt,
+            ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = img.createGraphics()
+          try { g2.setColor(rgb); g2.fillRect(0, 0, w, h) }
+          finally g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img,
+            if (id % 2 == 0) "png" else "jpg", bos)
+          Media.MediaRow(id, "image", bos.toByteArray)
+        }
+      }
+    val decoded = Media.decode(blobs, () => new Media.ImageIoCodec)
+      .map(d => (d.media_id, d.meta.format, d.meta.width.toLong,
+        d.meta.height.toLong))
+      .toDF("doc_id", "fmt", "w", "h")
+    val probed = Media.resize(blobs, 8, 6, () => new Media.ImageIoCodec)
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          val px = img.getRGB(3, 2)
+          (r.media_id, img.getWidth.toLong, img.getHeight.toLong,
+            ((px >> 16) & 0xff).toLong, ((px >> 8) & 0xff).toLong,
+            (px & 0xff).toLong)
+        }
+      }.toDF("doc_id", "rw", "rh", "pr", "pg", "pb")
+    decoded.join(probed, Seq("doc_id"))
+      .select(col("doc_id"), col("fmt"), col("w"), col("h"),
+        col("rw"), col("rh"),
+        // JPEG pixels are quantization-approximate by design: gate the
+        // lossless half exactly, null the lossy half
+        when(col("fmt") === "png", col("pr")).as("pr"),
+        when(col("fmt") === "png", col("pg")).as("pg"),
+        when(col("fmt") === "png", col("pb")).as("pb"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q226ImageioDecodeSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |  (4 + doc_id % 13)::BIGINT AS w,
+      |  (4 + doc_id % 11)::BIGINT AS h,
+      |  8::BIGINT AS rw, 6::BIGINT AS rh,
+      |  CASE WHEN doc_id % 2 = 0 THEN (doc_id % 256)::BIGINT END AS pr,
+      |  CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7 % 256)::BIGINT END AS pg,
+      |  CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13 % 256)::BIGINT END AS pb
+      |FROM documents WHERE doc_id % 5 = 0
+      |ORDER BY doc_id""".stripMargin
 }
