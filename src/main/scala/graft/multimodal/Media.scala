@@ -149,6 +149,46 @@ object Media {
     }
   }
 
+  /** REAL audio codec — `javax.sound.sampled` WAV (on every JVM, zero
+    * new dependencies) behind the same per-partition lifecycle:
+    * `decodeMeta` parses the RIFF header via `AudioSystem` (true sample
+    * rate, channel count, bit depth, frame-derived duration);
+    * `resize(w, h)` is reinterpreted for the audio axis as TRIM — keep
+    * the first `w` frames (h ignored) and re-encode as WAV, the
+    * deterministic clip operation a training-data pipeline runs on
+    * audio the way it resizes images. Oracle-gated by q227 on real
+    * generated PCM; the per-partition `init()` keeps the
+    * one-instance-per-partition contract every codec shares. */
+  final class WavCodec extends MediaCodec {
+    @volatile private var initialized = false
+    override def init(): Unit = { initialized = true }
+    override def decodeMeta(content: Array[Byte]): MediaMeta = {
+      require(initialized, "codec used before init() — per-partition lifecycle broken")
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      val f = aff.getFormat
+      val rate = math.round(f.getSampleRate)
+      val durationMs =
+        if (aff.getFrameLength < 0 || rate <= 0) 0L
+        else aff.getFrameLength.toLong * 1000L / rate
+      MediaMeta("audio", aff.getType.getExtension.toLowerCase,
+        f.getChannels, f.getSampleSizeInBits, rate, durationMs)
+    }
+    override def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(initialized, "codec used before init()")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val trimmed = new javax.sound.sampled.AudioInputStream(
+          in, in.getFormat, math.min(w.toLong, in.getFrameLength))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(trimmed,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      } finally in.close()
+    }
+  }
+
   /** Decode metadata for every row: one codec per partition, initialized
     * once, streamed over the partition's batch iterator. */
   def decode(media: Dataset[MediaRow],

@@ -475,6 +475,68 @@ object MediaQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q227: the REAL audio codec under the oracle gate — q226's story
+    * for the audio column: each sampled doc derives deterministic PCM
+    * (rate 8/16 kHz by parity, mono/stereo by `id%3`, 16-bit,
+    * `500 + id%300` frames) written as a REAL WAV by
+    * `javax.sound.sampled.AudioSystem`, then decoded through
+    * [[Media.WavCodec]]'s per-partition lifecycle (container type,
+    * channels, bit depth, true sample rate, frame-derived duration)
+    * and TRIMMED to 256 frames through the codec's clip operation, the
+    * re-decoded duration gating the re-encode. The oracle recomputes
+    * every field arithmetically from doc_id — a header mis-parse, a
+    * channel/bit mixup, or a trim that re-encodes the wrong frame
+    * count fails row-level. Scale: same mapPartitions shape as q226 —
+    * payload bytes never shuffle. */
+  def q227WavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+      .as[Long]
+    val blobs: org.apache.spark.sql.Dataset[Media.MediaRow] =
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val rate = if (id % 2 == 0) 8000f else 16000f
+          val channels = if (id % 3 == 0) 2 else 1
+          val nFrames = (500 + id % 300).toInt
+          val pcm = new Array[Byte](nFrames * channels * 2)
+          var i = 0
+          while (i < pcm.length) { pcm(i) = ((id + i) % 256).toByte; i += 1 }
+          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Media.MediaRow(id, "audio", bos.toByteArray)
+        }
+      }
+    val decoded = Media.decode(blobs, () => new Media.WavCodec)
+      .map(d => (d.media_id, d.meta.format, d.meta.width.toLong,
+        d.meta.height.toLong, d.meta.sampleRate.toLong, d.meta.durationMs))
+      .toDF("doc_id", "fmt", "channels", "bits", "rate", "dur_ms")
+    val trimmed = Media.resize(blobs, 256, 0, () => new Media.WavCodec)
+      .mapPartitions { it =>
+        val codec = new Media.WavCodec; codec.init()
+        it.map(r => (r.media_id, codec.decodeMeta(r.content).durationMs))
+      }.toDF("doc_id", "trim_ms")
+    decoded.join(trimmed, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val q227WavDecodeSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+      |    500 + doc_id % 300 AS frames
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |SELECT doc_id, 'wav' AS fmt,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS channels,
+      |  16::BIGINT AS bits, rate::BIGINT AS rate,
+      |  (frames * 1000 // rate)::BIGINT AS dur_ms,
+      |  (256 * 1000 // rate)::BIGINT AS trim_ms
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val q226ImageioDecodeSql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,

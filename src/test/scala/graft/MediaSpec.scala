@@ -178,6 +178,44 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: real WAV decode and frame-trim behind the same lifecycle") {
+    def wavBlob(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](frames * channels * 2)
+      (pcm.indices).foreach(i => pcm(i) = (i % 251).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", wavBlob(8000f, 1, 4000)),   // 500 ms mono
+      MediaRow(2L, "audio", wavBlob(16000f, 2, 8000)))  // 500 ms stereo
+    val ds = spark.createDataset(rows).repartition(2)
+    val decoded = Media.decode(ds, () => new Media.WavCodec)
+      .collect().map(d => d.media_id -> d.meta).toMap
+    assert(decoded(1L) == MediaMeta("audio", "wav", 1, 16, 8000, 500L))
+    assert(decoded(2L) == MediaMeta("audio", "wav", 2, 16, 16000, 500L))
+    // trim keeps the first w frames; a trim past the end clamps
+    val trimmed = Media.resize(ds, 2000, 0, () => new Media.WavCodec)
+    val back = Media.decode(trimmed, () => new Media.WavCodec)
+      .collect().map(d => d.media_id -> d.meta).toMap
+    assert(back(1L).durationMs == 250L && back(2L).durationMs == 125L)
+    val over = Media.resize(ds, 1 << 20, 0, () => new Media.WavCodec)
+    val backOver = Media.decode(over, () => new Media.WavCodec)
+      .collect().map(d => d.media_id -> d.meta).toMap
+    assert(backOver(1L).durationMs == 500L, "over-trim must clamp")
+    // junk fails loudly
+    val junk = spark.createDataset(Seq(MediaRow(9L, "audio",
+      Array.fill[Byte](64)(7))))
+    intercept[org.apache.spark.SparkException] {
+      Media.decode(junk, () => new Media.WavCodec).collect()
+    }
+  }
+
   test("q43 media gate: frame-sampling and resize invariants hold") {
     val row = operators.MediaQueries.q43MediaFrames(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_videos") > 0 && row.getAs[Long]("n_frames") > 0)
