@@ -1,0 +1,101 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.obs.StageMetrics
+import graft.operators.MergeQueries
+
+/** SCALING-CURVE measurement for the hot ingest family — turns the
+  * argued 100 TB cost envelopes (SCALE.md) into measured slopes: the
+  * exact-dedup and near-dup ingest pipelines run at 1×/3×/10× of the
+  * sf fixture's documents corpus and report wall seconds plus bytes
+  * shuffled per factor, one JSON line each.
+  *
+  * Corpus construction: factor k replicates the fixture k times with
+  * disjoint id ranges; each replica keeps its INTRA-replica structure
+  * (the dup/near-dup neighborhoods the 1× workload has) while a block
+  * of replica-unique tokens appended to every text pushes replicas
+  * far apart in signature space — so the f× workload approximates f
+  * independent copies of the 1× workload, which is exactly the
+  * population a linear-scaling engine should handle at slope ≈ 1
+  * (wall and shuffle both; a superlinear slope means a join or
+  * neighborhood whose cost grows with CORPUS size, not batch size —
+  * the thing the curve exists to catch).
+  *
+  * Both pipelines run the day-split + re-delivery harness of their
+  * gates (q65/q68) against the MANIFESTED index layout — the deployed
+  * default. Timings include the snapshot writes.
+  *
+  * Usage: ScaleCurveJob <sfDir> [factors...]   (default 1 3 10) */
+object ScaleCurveJob {
+
+  final case class Point(family: String, factor: Int, rows: Long,
+                         wallS: Double, shuffleBytes: Long) {
+    def toJson: String =
+      s"""{"family":"$family","factor":$factor,"rows":$rows,""" +
+        s""""wall_s":$wallS,"shuffle_bytes":$shuffleBytes}"""
+  }
+
+  /** k disjoint-id replicas; replica r's texts carry a block of
+    * replica-unique tokens (intra-replica distances preserved,
+    * inter-replica signatures pushed apart). */
+  def replicate(docs: DataFrame, k: Int, maxId: Long): DataFrame =
+    (0 until k).map { r =>
+      val tag = (0 until 10).map(j => s" zzrep${r}tok$j").mkString
+      docs.select(
+        (col("doc_id") + lit(r * (maxId + 1))).as("doc_id"),
+        concat(col("text"), lit(tag)).as("text"))
+    }.reduce(_ unionByName _)
+
+  def run(spark: SparkSession, sfDir: String,
+          factors: Seq[Int] = Seq(1, 3, 10)): Seq[Point] = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    factors.flatMap { f =>
+      val docs = replicate(docs0, f, maxId).localCheckpoint(true)
+      val n = docs.count()
+      val cut = f.toLong * (maxId + 1) / 2
+      val days = Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+      def timed(family: String)(body: String => Unit): Point = {
+        val base = java.nio.file.Files.createTempDirectory(s"graft_scale_")
+        try {
+          val t0 = System.nanoTime()
+          val (_, events) = StageMetrics.withStageMetrics(spark) {
+            body(s"$base/index")
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          Point(family, f, n, math.round(wall * 100) / 100.0,
+            events.map(e => e.shuffleReadBytes + e.shuffleWriteBytes).sum)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(base.toString)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      }
+      val exact = timed("exact_dedup") { target =>
+        days.foreach(day => MergeQueries.dedupIngestManifested(spark, target,
+          day.select(col("doc_id"), md5(col("text")).as("content_hash")),
+          nBuckets = 32))
+      }
+      val near = timed("neardup") { target =>
+        days.foreach(day => MergeQueries.neardupIngestManifested(spark,
+          target, day, "doc_id", "text", nBuckets = 32))
+      }
+      Seq(exact, near)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleCurveJob <sfDir> [factors...]")
+    val factors =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
+    val spark = GraftSession.builder().getOrCreate()
+    try run(spark, args(0), factors).foreach(p => println(p.toJson))
+    finally spark.stop()
+  }
+}
