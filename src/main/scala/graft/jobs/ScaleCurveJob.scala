@@ -90,12 +90,75 @@ object ScaleCurveJob {
     }
   }
 
+  /** The OTHER scale claim, measured: per-DAY ingest cost against a
+    * GROWING index. Builds the index at factor f (f× replicas ingested
+    * as day 1), then ingests one FIXED-SIZE fresh day (a 1× replica
+    * with unseen ids) and measures that day alone. The claim the
+    * curve pins: day cost ∝ batch size + collision-neighborhood
+    * density, NOT corpus size — the index is probed through its
+    * bucket structure (touched buckets / pigeonhole buckets), never
+    * scanned. A slope ≫ 0 here means an ingest that re-reads itself. */
+  def runDayCost(spark: SparkSession, sfDir: String,
+                 factors: Seq[Int] = Seq(1, 3, 10)): Seq[Point] = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    factors.flatMap { f =>
+      val corpus = replicate(docs0, f, maxId).localCheckpoint(true)
+      // the fresh day: replica index f — ids and token block unseen
+      val day = replicate(docs0, f + 1, maxId)
+        .filter(col("doc_id") >= f * (maxId + 1)).localCheckpoint(true)
+      val nDay = day.count()
+      def timed(family: String)(prep: String => Unit)(body: String => Unit): Point = {
+        val base = java.nio.file.Files.createTempDirectory("graft_scale_")
+        try {
+          prep(s"$base/index") // build the f× index OUTSIDE the timing
+          val t0 = System.nanoTime()
+          val (_, events) = StageMetrics.withStageMetrics(spark) {
+            body(s"$base/index")
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          Point(family, f, nDay, math.round(wall * 100) / 100.0,
+            events.map(e => e.shuffleReadBytes + e.shuffleWriteBytes).sum)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(base.toString)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      }
+      val exact = timed("exact_dedup_day") { target =>
+        MergeQueries.dedupIngestManifested(spark, target,
+          corpus.select(col("doc_id"), md5(col("text")).as("content_hash")),
+          nBuckets = 32)
+      } { target =>
+        MergeQueries.dedupIngestManifested(spark, target,
+          day.select(col("doc_id"), md5(col("text")).as("content_hash")),
+          nBuckets = 32)
+      }
+      val near = timed("neardup_day") { target =>
+        MergeQueries.neardupIngestManifested(spark, target, corpus,
+          "doc_id", "text", nBuckets = 32)
+      } { target =>
+        MergeQueries.neardupIngestManifested(spark, target, day,
+          "doc_id", "text", nBuckets = 32)
+      }
+      Seq(exact, near)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleCurveJob <sfDir> [factors...]")
+    require(args.nonEmpty,
+      "usage: ScaleCurveJob <sfDir> [--day-cost] [factors...]")
+    val rest = args.drop(1).toSeq
+    val dayCost = rest.contains("--day-cost")
+    val factorArgs = rest.filterNot(_ == "--day-cost")
     val factors =
-      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
+      if (factorArgs.nonEmpty) factorArgs.map(_.toInt) else Seq(1, 3, 10)
     val spark = GraftSession.builder().getOrCreate()
-    try run(spark, args(0), factors).foreach(p => println(p.toJson))
-    finally spark.stop()
+    try {
+      val pts = if (dayCost) runDayCost(spark, args(0), factors)
+                else run(spark, args(0), factors)
+      pts.foreach(p => println(p.toJson))
+    } finally spark.stop()
   }
 }

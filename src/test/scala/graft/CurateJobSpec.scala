@@ -46,6 +46,33 @@ class CurateJobSpec extends SparkSpec {
     }
   }
 
+  test("atomic publish: a crashed run's orphan generation is invisible and swept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_curate_crash_")
+    try {
+      val out = s"$base/out"
+      val s = CurateJob.run(spark, sf, out)
+      // a "crashed" second run: generation dir written, commit never
+      // landed — readers must keep resolving run 1's outputs
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.range(1).toDF("doc_id").write
+        .parquet(s"$out/g-crashed1/shards")
+      assert(CurateJob.readOutput(spark, out, "shards").count() == s.nSampled,
+        "an uncommitted generation must be invisible to readers")
+      // the next successful run's vacuum reclaims the orphan (it is
+      // referenced by no retained commit, so no margin protects it)
+      CurateJob.run(spark, sf, out)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/g-crashed1")),
+        "the orphan generation must be swept by the next run")
+      assert(CurateJob.readOutput(spark, out, "funnel")
+        .head().getAs[Long]("n_sampled") == s.nSampled)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
   test("stage toggles: a skipped stage passes through, flags parse strictly") {
     import graft.jobs.CurateJob.CurateConfig
     // flag parsing
