@@ -1894,6 +1894,111 @@ object MergeQueries {
     }
   }
 
+  /** q228: GROUP-SCOPE CHANGE FEED — the multi-table consumer's span
+    * problem solved at the root: member spans are resolved from the
+    * root log's PINS ([[graft.sinks.TableGroup.changesBetween]]), so
+    * diffing `index` and `stats` between the same two root commits
+    * yields one ATOMIC span per transaction set — a transaction is
+    * inside every member's feed or inside none, where per-member
+    * watermarks can tear (A's span covering a transaction B's span
+    * omits). Three transactions: t1 seeds both tables (lower half),
+    * t2 grows the index (upper half + every-7th bump) and refreshes
+    * stats, t3 purges every 11th key from the INDEX ONLY. The gate
+    * emits both members' root-v1→v3 feeds — insert/update/delete
+    * classified by value, deletes carrying v1-side values, the
+    * upper-half %11 keys NETTED OUT (inserted by t2, purged by t3) —
+    * plus the untouched-member pin: stats' root-v2→v3 feed is EMPTY
+    * (its pin did not move; no data read). Scale: two kilobyte root
+    * reads + change-bounded member diffs. */
+  def q228GroupChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{ManifestMergeSink, TableGroup}
+    val base = java.nio.file.Files.createTempDirectory("graft_q228_")
+    try {
+      val root = s"$base/group"
+      val idxPath = TableGroup.tablePath(root, "index")
+      val stPath = TableGroup.tablePath(root, "stats")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      def statsOf(d: DataFrame): DataFrame = d
+        .groupBy((col("doc_id") % 10).as("grp"))
+        .agg(count(lit(1)).as("n"))
+      def childSeq(path: String): Long =
+        ManifestMergeSink.headState(spark, path).get._1
+      // t1: lower half, both tables
+      ManifestMergeSink.mergeIntoManifested(spark, idxPath,
+        docs.filter(col("doc_id") <= cut), "doc_id", Seq("len"), 16)
+      ManifestMergeSink.mergeIntoManifested(spark, stPath,
+        statsOf(docs.filter(col("doc_id") <= cut)), "grp", Seq("n"), 4)
+      val r1 = TableGroup.publishPins(spark, root,
+        Map("index" -> childSeq(idxPath), "stats" -> childSeq(stPath)))
+      // t2: upper half + every-7th lower bump; stats over ALL docs
+      ManifestMergeSink.mergeIntoManifested(spark, idxPath,
+        docs.filter(col("doc_id") > cut)
+          .unionByName(docs
+            .filter(col("doc_id") <= cut && col("doc_id") % 7 === 0)
+            .withColumn("len", col("len") + 1000L)),
+        "doc_id", Seq("len"), 16)
+      ManifestMergeSink.mergeIntoManifested(spark, stPath,
+        statsOf(docs), "grp", Seq("n"), 4)
+      val r2 = TableGroup.publishPins(spark, root,
+        Map("index" -> childSeq(idxPath), "stats" -> childSeq(stPath)))
+      // t3: purge the INDEX only — stats' pin must not move
+      ManifestMergeSink.purgeManifested(spark, idxPath,
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")),
+        "doc_id")
+      val r3 = TableGroup.publishPins(spark, root,
+        Map("index" -> childSeq(idxPath)))
+      val fi = TableGroup.changesBetween(spark, root, "index", r1, r3,
+        "doc_id", Seq("len"))
+        .select(lit("idx").as("sect"), col("doc_id").as("k"),
+          col("len").as("v"), col("_change").as("chg"))
+      val fst = TableGroup.changesBetween(spark, root, "stats", r1, r3,
+        "grp", Seq("n"))
+        .select(lit("stats").as("sect"), col("grp").as("k"),
+          col("n").as("v"), col("_change").as("chg"))
+      val noop = TableGroup.changesBetween(spark, root, "stats", r2, r3,
+        "grp", Seq("n")).count()
+      val ss = spark; import ss.implicits._
+      fi.unionByName(fst)
+        .unionByName(Seq(("stats_noop", Option.empty[Long], noop,
+            Option.empty[String]))
+          .toDF("sect", "k", "v", "chg"))
+        .orderBy(col("sect"), col("k"))
+        .localCheckpoint(true) // materialize before the group dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q228GroupChangeFeedSql: String =
+    """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+      |c AS (SELECT max(doc_id) // 2 AS cut FROM d),
+      |lg AS (SELECT doc_id % 10 AS grp, count(*)::BIGINT AS n
+      |       FROM d, c WHERE doc_id <= cut GROUP BY 1),
+      |ag AS (SELECT doc_id % 10 AS grp, count(*)::BIGINT AS n
+      |       FROM d GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'idx' AS sect, doc_id AS k, len + 1000 AS v,
+      |    'update' AS chg
+      |  FROM d, c WHERE doc_id <= cut AND doc_id % 7 = 0
+      |    AND doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT 'idx', doc_id, len, 'insert' FROM d, c
+      |  WHERE doc_id > cut AND doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT 'idx', doc_id, len, 'delete' FROM d, c
+      |  WHERE doc_id <= cut AND doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT 'stats', ag.grp, ag.n,
+      |    CASE WHEN lg.grp IS NULL THEN 'insert' ELSE 'update' END
+      |  FROM ag LEFT JOIN lg ON ag.grp = lg.grp
+      |  WHERE lg.grp IS NULL OR lg.n != ag.n
+      |  UNION ALL
+      |  SELECT 'stats_noop', NULL, 0, NULL)
+      |ORDER BY sect, k""".stripMargin
+
   val q223TableGroupSql: String =
     """WITH d AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents)
       |SELECT * FROM (

@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** MULTI-TABLE ATOMIC PUBLISH — a root commit log whose state is a set
   * of per-table PINS into the member tables' own commit logs, so a
@@ -295,6 +296,51 @@ object TableGroup {
     readPinned(spark, root, name, headPins(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"no committed table group at $root"))._2)
+
+  /** GROUP-SCOPE change feed: member `name`'s changes between two ROOT
+    * commits, the span endpoints resolved from the root log's PINS —
+    * so a multi-table consumer diffing several members between the
+    * same two root seqs sees one ATOMIC span per transaction set: a
+    * transaction is either inside every member's span or inside none
+    * (the per-member watermark a naive consumer keeps can tear here —
+    * member A's span covering a transaction member B's span omits).
+    * A member the older root does not pin surfaces as all-inserts of
+    * its newer pinned state; a member whose pin did not move yields
+    * an EMPTY feed without reading data. Cost: two kilobyte root
+    * commit reads + [[ManifestMergeSink.changesBetween]]'s
+    * change-bounded member diff. Requires both root commits retained
+    * ([[vacuumGroup]]'s margin — the same reader contract as every
+    * as-of consumer). */
+  def changesBetween(spark: SparkSession, root: String, name: String,
+                     rootFrom: Long, rootTo: Long, key: String,
+                     fields: Seq[String]): DataFrame = {
+    require(rootFrom < rootTo,
+      s"rootFrom=$rootFrom must precede rootTo=$rootTo")
+    val r = new Path(root)
+    val fs = fsOf(spark, r)
+    def pinsAt(seq: Long): GroupState =
+      CommitLog.read(fs, r, seq).filter(isValid).map(parse).getOrElse(
+        throw new IllegalArgumentException(
+          s"no retained root commit $seq at $root (retained: " +
+            s"${CommitLog.seqs(fs, r).mkString(", ")})"))
+    val to = pinsAt(rootTo).pins.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table $name is not pinned at root seq $rootTo of $root"))
+    def fullAsInserts(limit0: Boolean): DataFrame = {
+      val d = ManifestMergeSink
+        .readManifestedAt(spark, tablePath(root, name), to)
+        .select(col(key) +: fields.map(col): _*)
+        .withColumn("_change", lit("insert"))
+      if (limit0) d.limit(0) else d
+    }
+    pinsAt(rootFrom).pins.get(name) match {
+      case Some(from) if from == to => fullAsInserts(limit0 = true)
+      case Some(from) =>
+        ManifestMergeSink.changesBetween(spark, tablePath(root, name),
+          from, to, key, fields)
+      case None => fullAsInserts(limit0 = false)
+    }
+  }
 
   /** Read table `name` under an EXPLICIT pin set (one root resolution
     * shared across tables — the snapshot-consistent reader loop). */

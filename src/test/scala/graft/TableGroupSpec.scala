@@ -103,6 +103,38 @@ class TableGroupSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("group change feed: unpinned member all-inserts, untouched member empty, missing root loud") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_cf_")
+    try {
+      val root = s"$base/group"
+      val a1 = seed(root, "a", Seq((1L, "a1"), (2L, "a2")))
+      val r1 = TableGroup.publishPins(spark, root, Map("a" -> a1))
+      // transaction 2 ADDS table b; a's pin does not move
+      val b1 = seed(root, "b", Seq((7L, "b7")))
+      val r2 = TableGroup.publishPins(spark, root,
+        Map("a" -> a1, "b" -> b1))
+      val fb = TableGroup.changesBetween(spark, root, "b", r1, r2,
+        "id", Seq("payload"))
+        .select("id", "payload", "_change").as[(Long, String, String)]
+        .collect().toSet
+      assert(fb == Set((7L, "b7", "insert")),
+        "a member unpinned at the older root surfaces as all-inserts")
+      assert(TableGroup.changesBetween(spark, root, "a", r1, r2,
+        "id", Seq("payload")).isEmpty,
+        "an untouched member's span is empty")
+      val e = intercept[IllegalArgumentException] {
+        TableGroup.changesBetween(spark, root, "b", 90L, 99L, "id",
+          Seq("payload"))
+      }
+      assert(e.getMessage.contains("no retained root commit"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        TableGroup.changesBetween(spark, root, "nope", r1, r2, "id",
+          Seq("payload"))
+      }
+      assert(e2.getMessage.contains("not pinned"), e2.getMessage)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("vacuumGroup sweeps superseded roots and ADVANCES the pinned floor") {
     val base = java.nio.file.Files.createTempDirectory("graft_tg_vac_")
     try {
