@@ -134,6 +134,18 @@ object CurateJob {
     val gen = "g-" + java.util.UUID.randomUUID().toString.take(8)
     def out(name: String): String =
       if (cfg.atomicPublish) s"$outDir/$gen/$name" else s"$outDir/$name"
+    if (!cfg.atomicPublish) {
+      // a committed out-dir SHADOWS the fixed subdirectories: readers
+      // resolve the head's pointers first, so a --legacy-dirs run over
+      // it would write outputs readOutput silently ignores (serving
+      // the OLD atomic run's data forever) — refuse loudly instead
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(DirManifest.head(fs, root).isEmpty,
+        s"out-dir $outDir was published atomically (commit log present); " +
+          "a --legacy-dirs run here would be shadowed by the committed " +
+          "head pointers — use a fresh out-dir or drop --legacy-dirs")
+    }
 
     // one-scan dashboard over the INPUT corpus — the run's before picture
     CorpusReport.corpusReport(docs, "text", Seq("lang", "source"))
@@ -236,10 +248,22 @@ object CurateJob {
             attempt += 1; if (attempt >= 20) throw e
         }
       }
-      DirManifest.vacuum(spark, outDir) // superseded runs past the margin
+      // sweep superseded runs — with an AGE GRACE, because this vacuum
+      // runs beside possibly racing nightly runs: a concurrent run's
+      // generation between its write and its publish is
+      // indistinguishable from an orphan, and sweeping it would turn
+      // the loser's CAS repoint into dangling pointers. The grace
+      // bounds the protected window; genuinely crashed runs' orphans
+      // age past it and sweep on a later night.
+      DirManifest.vacuum(spark, outDir, minAgeMs = VacuumGraceMs)
     }
     summary
   }
+
+  /** How long an unreferenced generation must sit before the per-run
+    * vacuum may sweep it — must cover a racing run's write-to-publish
+    * window (a nightly run is minutes; the grace is hours). */
+  private[graft] val VacuumGraceMs: Long = 6L * 3600 * 1000
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

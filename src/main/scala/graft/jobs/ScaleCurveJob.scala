@@ -37,16 +37,19 @@ object ScaleCurveJob {
         s""""wall_s":$wallS,"shuffle_bytes":$shuffleBytes}"""
   }
 
-  /** k disjoint-id replicas; replica r's texts carry a block of
+  /** Replica r: disjoint id range, texts carrying a block of
     * replica-unique tokens (intra-replica distances preserved,
     * inter-replica signatures pushed apart). */
+  private def replicaOf(docs: DataFrame, r: Int, maxId: Long): DataFrame = {
+    val tag = (0 until 10).map(j => s" zzrep${r}tok$j").mkString
+    docs.select(
+      (col("doc_id") + lit(r.toLong * (maxId + 1))).as("doc_id"),
+      concat(col("text"), lit(tag)).as("text"))
+  }
+
+  /** k disjoint-id replicas (see [[replicaOf]]). */
   def replicate(docs: DataFrame, k: Int, maxId: Long): DataFrame =
-    (0 until k).map { r =>
-      val tag = (0 until 10).map(j => s" zzrep${r}tok$j").mkString
-      docs.select(
-        (col("doc_id") + lit(r * (maxId + 1))).as("doc_id"),
-        concat(col("text"), lit(tag)).as("text"))
-    }.reduce(_ unionByName _)
+    (0 until k).map(replicaOf(docs, _, maxId)).reduce(_ unionByName _)
 
   def run(spark: SparkSession, sfDir: String,
           factors: Seq[Int] = Seq(1, 3, 10)): Seq[Point] = {
@@ -106,8 +109,7 @@ object ScaleCurveJob {
     factors.flatMap { f =>
       val corpus = replicate(docs0, f, maxId).localCheckpoint(true)
       // the fresh day: replica index f — ids and token block unseen
-      val day = replicate(docs0, f + 1, maxId)
-        .filter(col("doc_id") >= f * (maxId + 1)).localCheckpoint(true)
+      val day = replicaOf(docs0, f, maxId).localCheckpoint(true)
       val nDay = day.count()
       def timed(family: String)(prep: String => Unit)(body: String => Unit): Point = {
         val base = java.nio.file.Files.createTempDirectory("graft_scale_")

@@ -448,7 +448,7 @@ object MediaQueries {
             if (id % 2 == 0) "png" else "jpg", bos)
           Media.MediaRow(id, "image", bos.toByteArray)
         }
-      }
+      }.localCheckpoint(true) // encoded ONCE: decode AND resize consume it
     val decoded = Media.decode(blobs, () => new Media.ImageIoCodec)
       .map(d => (d.media_id, d.meta.format, d.meta.width.toLong,
         d.meta.height.toLong))
@@ -511,7 +511,7 @@ object MediaQueries {
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           Media.MediaRow(id, "audio", bos.toByteArray)
         }
-      }
+      }.localCheckpoint(true) // encoded ONCE: decode AND trim consume it
     val decoded = Media.decode(blobs, () => new Media.WavCodec)
       .map(d => (d.media_id, d.meta.format, d.meta.width.toLong,
         d.meta.height.toLong, d.meta.sampleRate.toLong, d.meta.durationMs))

@@ -233,6 +233,21 @@ object CommitLog {
       beforeStream()
       try out.write(bytes)
       finally out.close()
+      // Same stalled-owner discipline as the file branch: on a store
+      // where the create and the content landing are SEPARATE
+      // operations (HDFS; S3A without conditional PUT, where close()
+      // is an unconditional object PUT), an owner stalled past the
+      // reclaim grace can land its bytes OVER a reclaimer's published
+      // commit. Publishing means the slot holds OUR bytes — verify
+      // (one kilobyte-scale read), and report the reclaimed case as a
+      // loud retryable conflict, never success. On a conditional-PUT
+      // store partial residue cannot exist, the grace never engages,
+      // and this read only ever confirms.
+      if (!read(fs, root, seq).contains(content))
+        throw new CommitConflictException(
+          s"commit slot $seq at $root was reclaimed while this writer " +
+            "was stalled mid-stream (slot content is not ours) — " +
+            "re-read and retry")
     }
     seq
   }

@@ -136,10 +136,19 @@ object DirManifest {
     * reader-retention margin (a reader that resolved a recent head
     * finishes its scan across a concurrent mutation + vacuum). Requires
     * quiesced WRITERS (an in-flight writer's generation looks
-    * orphaned; its publish then re-derives). Returns deleted dir names. */
+    * orphaned; its publish then re-derives). Returns deleted dir names.
+    * `minAgeMs` guards CONCURRENT writers: a dir younger than it is
+    * never deleted even when no commit references it — a racing
+    * writer's generation between its write and its publish looks
+    * exactly like an orphan, and sweeping it turns the writer's
+    * subsequent commit into dangling pointers. 0 keeps the strict
+    * quiesced-writers contract; callers that vacuum beside possibly
+    * racing writers (CurateJob's per-run sweep) pass a grace covering
+    * any plausible write-to-publish window. */
   def vacuum(spark: SparkSession, root: String,
              retainCommits: Int = 2,
-             dirPrefixes: Seq[String] = Seq("g-", "m-")): Seq[String] = {
+             dirPrefixes: Seq[String] = Seq("g-", "m-"),
+             minAgeMs: Long = 0L): Seq[String] = {
     require(retainCommits >= 1, s"retainCommits=$retainCommits")
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -158,11 +167,13 @@ object DirManifest {
           (st.parts.values.flatten ++ st.extra.values)
             .map(_.split('/').head))
           .toSet
+        val now = System.currentTimeMillis()
         val victims =
           if (!fs.exists(rootP)) Seq.empty
           else fs.listStatus(rootP)
             .filter(st => st.isDirectory &&
-              dirPrefixes.exists(st.getPath.getName.startsWith))
+              dirPrefixes.exists(st.getPath.getName.startsWith) &&
+              now - st.getModificationTime > minAgeMs)
             .map(_.getPath.getName)
             .filterNot(live)
             .toSeq.sorted

@@ -110,10 +110,6 @@ object TableGroup {
         .map(c => (s, parse(c))))
   }
 
-  /** If `tablePath` is a member of a table group (`$root/tables/<name>`
-    * with a root commit log above it), the OLDEST child seq any
-    * retained root commit pins for it — the floor a vacuum must not
-    * sweep past. None for a standalone table. */
   /** The group root above `tablePath` if it IS a group member
     * (`$root/tables/<name>` with a root commit log); None standalone. */
   def groupRootOf(spark: SparkSession, tablePath: String): Option[String] = {
@@ -126,6 +122,9 @@ object TableGroup {
     Some(root.toString)
   }
 
+  /** If `tablePath` is a member of a table group, the OLDEST child seq
+    * any retained root commit pins for it — the floor a vacuum must
+    * not sweep past. None for a standalone table. */
   def pinnedFloor(spark: SparkSession, tablePath: String): Option[Long] =
     groupRootOf(spark, tablePath).flatMap(root =>
       retainedPins(spark, root)
@@ -221,9 +220,22 @@ object TableGroup {
     * LOUDLY with [[TableBusyException]] — the torn-pair anomaly
     * becomes a named conflict — while disjoint-table transactions
     * acquire disjoint markers and proceed concurrently. Markers are
-    * acquired in sorted order (no deadlock among partial acquirers)
-    * and released in a finally; a crashed holder's marker ages out
-    * past `graceMs` and is reclaimed. */
+    * acquired in sorted order (no deadlock among partial acquirers).
+    *
+    * Ownership is a TOKEN written into the marker, and both the risky
+    * transitions verify it:
+    *  - RECLAIM of a crashed holder's aged marker goes through an
+    *    atomic RENAME to a tombstone — exactly one of several
+    *    concurrent reclaimers wins the rename (a delete-then-create
+    *    pair would let two transactions both "acquire": the second's
+    *    delete unlinks the first's fresh marker — the
+    *    CommitLog.tryAppend check-then-act finding, again);
+    *  - RELEASE deletes the marker only when it still carries this
+    *    transaction's token: a holder stalled past `graceMs` whose
+    *    marker was legitimately reclaimed must not unlink the NEW
+    *    holder's marker on exit (it lost mutual exclusion for itself;
+    *    it must not revoke anyone else's). A skipped release ages out
+    *    like any crashed holder's marker. */
   def withTableIntents[A](spark: SparkSession, root: String,
                           tables: Seq[String],
                           graceMs: Long = DefaultIntentGraceMs)
@@ -232,23 +244,39 @@ object TableGroup {
     val r = new Path(root)
     val fs = fsOf(spark, r)
     fs.mkdirs(new Path(r, "_intents"))
+    val token = java.util.UUID.randomUUID().toString
+    val tokenBytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def tryCreate(p: Path): Boolean =
       if (fs.getScheme == "file") {
         // local create(overwrite=false) is check-then-act (the
-        // CommitLog.tryAppend finding) — O_EXCL via NIO is atomic
+        // CommitLog.tryAppend finding) — CREATE_NEW via NIO is the
+        // O_EXCL reservation AND the token write handle in one
         try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(p.toUri.getPath)); true
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try out.write(tokenBytes) finally out.close()
+          true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       } else {
-        try { fs.create(p, false).close(); true }
-        catch {
+        try {
+          val out = fs.create(p, false)
+          try out.write(tokenBytes) finally out.close()
+          true
+        } catch {
           case _: FileAlreadyExistsException => false
           case _: java.io.IOException if fs.exists(p) => false
         }
       }
+    def contentOf(p: Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     val held = scala.collection.mutable.ArrayBuffer[Path]()
     try {
       tables.distinct.sorted.foreach { t =>
@@ -258,7 +286,16 @@ object TableGroup {
             try System.currentTimeMillis() -
               fs.getFileStatus(p).getModificationTime
             catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-          age > graceMs && { fs.delete(p, false); tryCreate(p) }
+          age > graceMs && {
+            // atomic reclaim: rename the aged marker aside — one winner
+            val tomb = new Path(p.getParent,
+              s"${p.getName}.reclaimed-${token.take(8)}")
+            val won =
+              try fs.rename(p, tomb)
+              catch { case _: java.io.IOException => false }
+            if (won) fs.delete(tomb, false)
+            won && tryCreate(p)
+          }
         }
         if (!got)
           throw new TableBusyException(
@@ -269,7 +306,10 @@ object TableGroup {
         held += p
       }
       body
-    } finally held.foreach(p => fs.delete(p, false))
+    } finally held.foreach { p =>
+      // release ONLY what is still ours (see the ownership doc above)
+      if (contentOf(p).contains(token)) fs.delete(p, false)
+    }
   }
 
   /** The full guarded transaction: acquire intents on `tables`, run

@@ -160,6 +160,32 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("remote branch: a stalled owner's late PUT never silently replaces a reclaimer's commit") {
+    // the else-branch analog of the file:// stalled-owner test: on a
+    // store where create and the content landing are separate (HDFS;
+    // S3A without conditional PUT, where close() is an unconditional
+    // object PUT), the owner's resumed write CAN land over the
+    // reclaimer's published commit — the post-write read-back must
+    // turn that into a loud conflict, never success
+    withRoot { (fs, root) =>
+      val remote = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+        override def getScheme: String = "mockstore"
+      }
+      CommitLog.tryAppend(remote, root, 0L, content("base"), valid)
+      val e = intercept[CommitLog.CommitConflictException] {
+        CommitLog.tryAppend(remote, root, 1L, content("stalled-owner"), valid,
+          beforeStream = () => {
+            fs.setTimes(slot(root, 2L),
+              System.currentTimeMillis() - 120000L, -1L)
+            CommitLog.tryAppend(remote, root, 1L, content("reclaimer"), valid)
+          })
+      }
+      assert(e.getMessage.contains("reclaimed"), e.getMessage)
+      assert(CommitLog.head(fs, root, valid).contains(2L -> content("reclaimer")),
+        "the reclaimer's commit must survive the stalled owner's late PUT")
+    }
+  }
+
   test("an owner stalled past the grace NEVER truncates a reclaimer's commit") {
     // the write handle is obtained atomically WITH the O_EXCL
     // reservation (CREATE_NEW), so it is pinned to the reservation's

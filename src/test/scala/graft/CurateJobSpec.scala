@@ -59,13 +59,28 @@ class CurateJobSpec extends SparkSpec {
         .parquet(s"$out/g-crashed1/shards")
       assert(CurateJob.readOutput(spark, out, "shards").count() == s.nSampled,
         "an uncommitted generation must be invisible to readers")
-      // the next successful run's vacuum reclaims the orphan (it is
-      // referenced by no retained commit, so no margin protects it)
+      // a YOUNG unreferenced generation is protected by the vacuum
+      // grace — it may be a RACING run between its write and its
+      // publish, and sweeping it would dangle that run's commit
+      CurateJob.run(spark, sf, out)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/g-crashed1")),
+        "a young orphan (possibly a racing writer) must survive the sweep")
+      // once it ages past the grace it is a genuinely crashed run's
+      // residue, and the next run reclaims it
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$out/g-crashed1"),
+        System.currentTimeMillis() - CurateJob.VacuumGraceMs - 3600000L, -1L)
       CurateJob.run(spark, sf, out)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/g-crashed1")),
-        "the orphan generation must be swept by the next run")
+        "the aged orphan generation must be swept")
       assert(CurateJob.readOutput(spark, out, "funnel")
         .head().getAs[Long]("n_sampled") == s.nSampled)
+      // a --legacy-dirs run over a COMMITTED out-dir is refused loudly:
+      // the head's pointers would shadow its fixed subdirectories
+      val e = intercept[IllegalArgumentException] {
+        CurateJob.run(spark, sf, out,
+          CurateJob.CurateConfig(atomicPublish = false))
+      }
+      assert(e.getMessage.contains("published atomically"), e.getMessage)
     } finally {
       val fs = new org.apache.hadoop.fs.Path(base.toString)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -135,6 +135,76 @@ class TableGroupSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
+  test("real threads: intents serialize same-pair transactions, readers never torn") {
+    // q223 pins the torn window through a deterministic seam; this is
+    // the REAL-THREAD evidence: several writers transact on the SAME
+    // table pair (so every pair conflicts — intents must serialize
+    // them, TableBusyException → retry), each transaction writing the
+    // SAME value to both tables; a reader resolving the root pins
+    // between publishes must ALWAYS see the pair agree. A torn flip
+    // (one table's new value beside the other's old) fails the reader
+    // immediately.
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_thr_")
+    try {
+      val root = s"$base/group"
+      import java.util.concurrent._
+      def txnOnce(v: Long): Unit =
+        TableGroup.transact(spark, root, Seq("x", "y")) {
+          val xs = seed(root, "x", Seq((1L, s"v$v")))
+          val ys = seed(root, "y", Seq((1L, s"v$v")))
+          Map("x" -> xs, "y" -> ys)
+        }
+      txnOnce(0L) // seed so readers always have a resolvable root
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val pool = Executors.newFixedThreadPool(4)
+      val reader = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) {
+          val pins = TableGroup.headPins(spark, root).get._2
+          val vx = TableGroup.readPinned(spark, root, "x", pins)
+            .select("payload").head().getString(0)
+          val vy = TableGroup.readPinned(spark, root, "y", pins)
+            .select("payload").head().getString(0)
+          if (vx != vy) { torn.set(s"x=$vx y=$vy"); stop.set(true) }
+        }
+      })
+      // a barrier releases all first attempts together: exactly one
+      // acquires the (x, y) intents, the rest MUST see busy — the
+      // contention the test exists to drive is deterministic
+      val barrier = new CyclicBarrier(3)
+      val writers = (1 to 3).map { w =>
+        pool.submit(new Callable[Int] {
+          def call(): Int = {
+            barrier.await()
+            var done = 0
+            var busyRetries = 0
+            while (done < 2 && !stop.get()) {
+              try { txnOnce(w * 10L + done); done += 1 }
+              catch {
+                case _: TableGroup.TableBusyException =>
+                  busyRetries += 1; Thread.sleep(50)
+              }
+            }
+            busyRetries
+          }
+        })
+      }
+      val retries = writers.map(_.get(300, TimeUnit.SECONDS))
+      stop.set(true); reader.get(60, TimeUnit.SECONDS)
+      pool.shutdown()
+      assert(torn.get() == null, s"torn pair observed: ${torn.get()}")
+      assert(retries.sum > 0,
+        "same-pair transactions must actually have contended")
+      // final state: both tables agree on the last writer's value
+      val pins = TableGroup.headPins(spark, root).get._2
+      val vx = TableGroup.readPinned(spark, root, "x", pins)
+        .select("payload").head().getString(0)
+      val vy = TableGroup.readPinned(spark, root, "y", pins)
+        .select("payload").head().getString(0)
+      assert(vx == vy)
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
+
   test("vacuumGroup sweeps superseded roots and ADVANCES the pinned floor") {
     val base = java.nio.file.Files.createTempDirectory("graft_tg_vac_")
     try {
