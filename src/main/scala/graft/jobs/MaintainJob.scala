@@ -110,6 +110,14 @@ object MaintainJob {
     val cfg = cfg0
     val manifested: Boolean =
       cfg0.manifested.getOrElse(detectManifested(spark, layoutDir))
+    if (cfg0.manifested.contains(false) && detectManifested(spark, layoutDir))
+      throw new IllegalArgumentException(
+        s"layout at $layoutDir publishes through a commit log (_commits " +
+          "present); a --legacy-renames night here would read ALL " +
+          "generation dirs directly (duplicated rows from superseded " +
+          "generations) and compaction would rewrite files the manifest " +
+          "pins — silent corruption. Drop --legacy-renames (auto-detect " +
+          "runs the manifested night) or point at a legacy layout")
     // 1. compact fragmented partition directories (skip-aware). The
     //    MANIFESTED layout has no standalone compaction step: its
     //    optimize collapses every rewritten cell to one dir, and the

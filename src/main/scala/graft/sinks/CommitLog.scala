@@ -240,9 +240,16 @@ object CommitLog {
       // reclaim grace can land its bytes OVER a reclaimer's published
       // commit. Publishing means the slot holds OUR bytes — verify
       // (one kilobyte-scale read), and report the reclaimed case as a
-      // loud retryable conflict, never success. On a conditional-PUT
-      // store partial residue cannot exist, the grace never engages,
-      // and this read only ever confirms.
+      // loud retryable conflict. This read-back is BEST-EFFORT on
+      // unconditional-PUT stores: it catches the ordering where the
+      // reclaimer's bytes land after the stalled owner's, but the
+      // opposite ordering (reclaimer publishes, then the owner's
+      // unconditional PUT overwrites it) leaves the owner reading its
+      // own bytes — both writers return success and neither detects
+      // the lost update. Reclaim-enabled multi-writer operation
+      // therefore requires conditional-PUT (or atomic-create)
+      // semantics from the store; there partial residue cannot exist,
+      // the grace never engages, and this read only ever confirms.
       if (!read(fs, root, seq).contains(content))
         throw new CommitConflictException(
           s"commit slot $seq at $root was reclaimed while this writer " +

@@ -144,7 +144,13 @@ object DirManifest {
     * subsequent commit into dangling pointers. 0 keeps the strict
     * quiesced-writers contract; callers that vacuum beside possibly
     * racing writers (CurateJob's per-run sweep) pass a grace covering
-    * any plausible write-to-publish window. */
+    * any plausible write-to-publish window. Age is judged by the
+    * newest FILE under the candidate dir, not the directory entry:
+    * object stores (S3A) synthesize directory listings and commonly
+    * report dir mtime 0, which would make every unreferenced dir look
+    * ancient and silently defeat the grace on exactly the deployments
+    * the commit-log layout targets. An empty candidate falls back to
+    * the dir status mtime (local-FS semantics; nothing to lose). */
   def vacuum(spark: SparkSession, root: String,
              retainCommits: Int = 2,
              dirPrefixes: Seq[String] = Seq("g-", "m-"),
@@ -168,14 +174,35 @@ object DirManifest {
             .map(_.split('/').head))
           .toSet
         val now = System.currentTimeMillis()
+        // newest-file mtime under a candidate (see the doc above) —
+        // walked ONLY for non-live prefix-matched dirs and only when a
+        // grace is in force, so the extra listings are O(victims)
+        def newestFileMtime(dir: Path): Long = {
+          def walk(p: Path): Long = {
+            val sts =
+              try fs.listStatus(p)
+              catch { case _: java.io.IOException =>
+                Array.empty[org.apache.hadoop.fs.FileStatus] }
+            sts.foldLeft(0L) { (m, st) =>
+              math.max(m, if (st.isDirectory) walk(st.getPath)
+                          else st.getModificationTime)
+            }
+          }
+          val m = walk(dir)
+          if (m > 0L) m
+          else
+            try fs.getFileStatus(dir).getModificationTime
+            catch { case _: java.io.IOException => 0L }
+        }
         val victims =
           if (!fs.exists(rootP)) Seq.empty
           else fs.listStatus(rootP)
             .filter(st => st.isDirectory &&
-              dirPrefixes.exists(st.getPath.getName.startsWith) &&
-              now - st.getModificationTime > minAgeMs)
+              dirPrefixes.exists(st.getPath.getName.startsWith))
             .map(_.getPath.getName)
             .filterNot(live)
+            .filter(d => minAgeMs <= 0L ||
+              now - newestFileMtime(new Path(rootP, d)) > minAgeMs)
             .toSeq.sorted
         victims.foreach(d => fs.delete(new Path(rootP, d), true))
         CommitLog.sweep(fs, rootP, keepFrom)

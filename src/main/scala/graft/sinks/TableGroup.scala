@@ -235,10 +235,25 @@ object TableGroup {
     *    marker was legitimately reclaimed must not unlink the NEW
     *    holder's marker on exit (it lost mutual exclusion for itself;
     *    it must not revoke anyone else's). A skipped release ages out
-    *    like any crashed holder's marker. */
+    *    like any crashed holder's marker.
+    *
+    * The reclaim itself verifies identity too: the marker's TOKEN is
+    * captured BEFORE the age check, and after winning the rename the
+    * tombstone must still carry that observed token. Without the
+    * re-check the reclaim is check-then-act on the PATH: the aged
+    * holder releases and a fresh transaction acquires between the age
+    * read and the rename, and the rename moves the FRESH marker aside
+    * — revoking a live holder (the torn-pair anomaly this guard
+    * exists to prevent). On a token mismatch the tombstone is renamed
+    * back (best effort) and the table is reported busy.
+    *
+    * `beforeReclaimRename` is an injectable seam for specs that pin
+    * exactly that window (the marker judged stale, the rename not yet
+    * issued) — production callers leave the default no-op. */
   def withTableIntents[A](spark: SparkSession, root: String,
                           tables: Seq[String],
-                          graceMs: Long = DefaultIntentGraceMs)
+                          graceMs: Long = DefaultIntentGraceMs,
+                          beforeReclaimRename: Path => Unit = _ => ())
                          (body: => A): A = {
     require(tables.nonEmpty, "a transaction must name its tables")
     val r = new Path(root)
@@ -282,19 +297,38 @@ object TableGroup {
       tables.distinct.sorted.foreach { t =>
         val p = intentPath(r, t)
         val got = tryCreate(p) || {
+          // capture the marker's IDENTITY (its holder's token) before
+          // judging it stale — the reclaim below must only ever remove
+          // THAT marker, never one created after this read
+          val observed = contentOf(p)
           val age =
             try System.currentTimeMillis() -
               fs.getFileStatus(p).getModificationTime
             catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-          age > graceMs && {
+          observed.nonEmpty && age > graceMs && {
             // atomic reclaim: rename the aged marker aside — one winner
             val tomb = new Path(p.getParent,
               s"${p.getName}.reclaimed-${token.take(8)}")
+            beforeReclaimRename(p)
             val won =
               try fs.rename(p, tomb)
               catch { case _: java.io.IOException => false }
-            if (won) fs.delete(tomb, false)
-            won && tryCreate(p)
+            won && {
+              // the rename moved whatever was AT the path — verify the
+              // tombstone still carries the token we judged stale. A
+              // mismatch means the aged holder released and a FRESH
+              // transaction acquired between the age read and the
+              // rename: restore its marker and report busy, never
+              // revoke a live holder.
+              if (contentOf(tomb) == observed) {
+                fs.delete(tomb, false)
+                tryCreate(p)
+              } else {
+                try fs.rename(tomb, p)
+                catch { case _: java.io.IOException => () }
+                false
+              }
+            }
           }
         }
         if (!got)

@@ -65,10 +65,22 @@ class CurateJobSpec extends SparkSpec {
       CurateJob.run(spark, sf, out)
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/g-crashed1")),
         "a young orphan (possibly a racing writer) must survive the sweep")
-      // once it ages past the grace it is a genuinely crashed run's
-      // residue, and the next run reclaims it
-      fs.setTimes(new org.apache.hadoop.fs.Path(s"$out/g-crashed1"),
-        System.currentTimeMillis() - CurateJob.VacuumGraceMs - 3600000L, -1L)
+      // the grace keys off the newest FILE, not the directory entry:
+      // an ancient-looking dir mtime (S3A synthesizes listings with
+      // mtime 0) must NOT age a generation whose files are fresh
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$out/g-crashed1"), 0L, -1L)
+      CurateJob.run(spark, sf, out)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/g-crashed1")),
+        "a synthetic 0-mtime dir entry with fresh files must survive")
+      // once its FILES age past the grace it is a genuinely crashed
+      // run's residue, and the next run reclaims it
+      def ageFiles(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) ageFiles(st.getPath)
+          else fs.setTimes(st.getPath,
+            System.currentTimeMillis() - CurateJob.VacuumGraceMs - 3600000L, -1L)
+        }
+      ageFiles(new org.apache.hadoop.fs.Path(s"$out/g-crashed1"))
       CurateJob.run(spark, sf, out)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/g-crashed1")),
         "the aged orphan generation must be swept")

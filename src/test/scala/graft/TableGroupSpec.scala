@@ -264,4 +264,41 @@ class TableGroupSpec extends SparkSpec {
       assert(e2.getMessage.contains("must be declared"), e2.getMessage)
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
+
+  test("reclaim verifies marker identity: a fresh holder acquired mid-reclaim is never revoked") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tg_toctou_")
+    try {
+      val root = s"$base/group"
+      val fs = fsOf(base)
+      val marker = new Path(s"$root/_intents/a")
+      fs.mkdirs(marker.getParent)
+      // an aged (stalled) holder's marker, carrying its own token
+      val stale = fs.create(marker, false)
+      stale.write("stalled-holder-token".getBytes("UTF-8")); stale.close()
+      fs.setTimes(marker, System.currentTimeMillis() - 3600000L, -1L)
+      // pin the TOCTOU window: between the age check and the reclaim
+      // rename, the stalled holder releases and a FRESH transaction
+      // acquires — the reclaimer must notice the marker changed hands
+      val e = intercept[TableGroup.TableBusyException] {
+        TableGroup.withTableIntents(spark, root, Seq("a"),
+          beforeReclaimRename = { p =>
+            fs.delete(p, false)
+            val out = fs.create(p, false)
+            out.write("fresh-holder-token".getBytes("UTF-8")); out.close()
+          }) { fail("must not acquire over a live holder") }
+      }
+      assert(e.getMessage.contains("in-flight transaction"), e.getMessage)
+      // the live holder's marker was restored untouched
+      val in = fs.open(marker)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(content == "fresh-holder-token",
+        "the live holder's marker must survive the failed reclaim")
+      // once the fresh marker ITSELF ages out, reclaim proceeds cleanly
+      fs.setTimes(marker, System.currentTimeMillis() - 3600000L, -1L)
+      TableGroup.withTableIntents(spark, root, Seq("a")) { () }
+      assert(!fs.exists(marker), "a clean acquire+release leaves no marker")
+    } finally fsOf(base).delete(new Path(base.toString), true)
+  }
 }
