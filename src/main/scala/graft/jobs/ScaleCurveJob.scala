@@ -40,12 +40,20 @@ object ScaleCurveJob {
   /** Replica r: disjoint id range, texts carrying a block of
     * replica-unique tokens (intra-replica distances preserved,
     * inter-replica signatures pushed apart). */
-  private def replicaOf(docs: DataFrame, r: Int, maxId: Long): DataFrame = {
-    val tag = (0 until 10).map(j => s" zzrep${r}tok$j").mkString
+  private def repTag(r: Int): String =
+    (0 until 10).map(j => s" zzrep${r}tok$j").mkString
+
+  private def replicaOf(docs: DataFrame, r: Int, maxId: Long): DataFrame =
     docs.select(
       (col("doc_id") + lit(r.toLong * (maxId + 1))).as("doc_id"),
-      concat(col("text"), lit(tag)).as("text"))
-  }
+      concat(col("text"), lit(repTag(r))).as("text"))
+
+  /** The replica a doc belongs to, as a SCOPE column — the curve's
+    * stand-in for the lang/source/crawl partitions a real corpus grows
+    * by ([[MergeQueries.neardupIngestScopedManifested]]). */
+  private def withScope(docs: DataFrame, maxId: Long): DataFrame =
+    docs.withColumn("scope",
+      (col("doc_id") / lit(maxId + 1)).cast("long").cast("string"))
 
   /** k disjoint-id replicas (see [[replicaOf]]). */
   def replicate(docs: DataFrame, k: Int, maxId: Long): DataFrame =
@@ -89,7 +97,16 @@ object ScaleCurveJob {
         days.foreach(day => MergeQueries.neardupIngestManifested(spark,
           target, day, "doc_id", "text", nBuckets = 32))
       }
-      Seq(exact, near)
+      // the scoped form: bucket keys are (scope, chunk, cval), so the
+      // 16-bit chunk-collision term — the measured ~n^1.4 superlinear
+      // component of the unscoped curve — is per-SCOPE, and a corpus
+      // growing by adding scopes should come back to slope ≈ 1
+      val nearScoped = timed("neardup_scoped") { target =>
+        days.foreach(day => MergeQueries.neardupIngestScopedManifested(
+          spark, target, withScope(day, maxId), "doc_id", "text", "scope",
+          nBuckets = 32))
+      }
+      Seq(exact, near, nearScoped)
     }
   }
 
@@ -144,9 +161,30 @@ object ScaleCurveJob {
         MergeQueries.neardupIngestManifested(spark, target, day,
           "doc_id", "text", nBuckets = 32)
       }
-      Seq(exact, near)
+      // scoped day cost: the day REVISITS scope 0 (replica-0 texts,
+      // fresh unseen ids), so its cross-probe touches exactly one
+      // scope's buckets of the f×-grown index — the claim this curve
+      // pins is day cost ∝ scope size, flat in corpus size
+      val dayScoped = day0Revisit(docs0, f, maxId)
+      val nearScoped = timed("neardup_scoped_day") { target =>
+        MergeQueries.neardupIngestScopedManifested(spark, target,
+          withScope(corpus, maxId), "doc_id", "text", "scope", nBuckets = 32)
+      } { target =>
+        MergeQueries.neardupIngestScopedManifested(spark, target,
+          dayScoped, "doc_id", "text", "scope", nBuckets = 32)
+      }
+      Seq(exact, near, nearScoped)
     }
   }
+
+  /** A fresh day that REVISITS scope 0: replica-0 texts (so its
+    * signatures collide with scope 0's planted neighborhoods) under
+    * unseen ids parked in replica slot f, scope pinned to "0". */
+  private def day0Revisit(docs0: DataFrame, f: Int, maxId: Long): DataFrame =
+    docs0.select(
+      (col("doc_id") + lit(f.toLong * (maxId + 1))).as("doc_id"),
+      concat(col("text"), lit(repTag(0))).as("text"))
+      .withColumn("scope", lit("0"))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,

@@ -896,8 +896,10 @@ object Dedup {
     * [[MergeQueries.neardupIngest]]) — signatures are the near-dup
     * analog of q65's content hashes: tiny per doc, and sufficient to
     * probe any future batch without re-reading document text. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("id") +: carry.map(col) :+
+        array_distinct(tokens(col(textCol))).as("toks"): _*)
       .filter(size(col("toks")) > 0) // empty docs have no signal
       // ONE md5 per token: both 32-bit word hashes are substrings of the
       // SAME digest (lo = hex chars 1-8, hi = chars 9-16 — reproducible
@@ -912,20 +914,36 @@ object Dedup {
         h => conv(substring(h, 1, 8), 16, 10).cast("long")))
       .withColumn("h_hi", transform(col("hx"),
         h => conv(substring(h, 9, 8), 16, 10).cast("long")))
-      .select(col("id"),
-        simhashWord(col("h_lo")).as("sh_lo"),
-        simhashWord(col("h_hi")).as("sh_hi"))
+      .select(col("id") +: carry.map(col) :+
+        simhashWord(col("h_lo")).as("sh_lo") :+
+        simhashWord(col("h_hi")).as("sh_hi"): _*)
 
-  /** Explodes a signature frame (id, sh_lo, sh_hi) into its 4 16-bit
-    * pigeonhole chunks: (id, sh_lo, sh_hi, chunk, cval). */
-  private def simhashChunked(sigs: DataFrame): DataFrame =
-    sigs.select(col("id"), col("sh_lo"), col("sh_hi"),
+  /** Explodes a signature frame (id, [extraKeys...,] sh_lo, sh_hi) into
+    * its 4 16-bit pigeonhole chunks: (id, ..., chunk, cval). `extraKeys`
+    * are pass-through SCOPE columns that become part of the bucket key
+    * downstream (see [[simhashCrossPairs]]). */
+  private def simhashChunked(sigs: DataFrame,
+                             extraKeys: Seq[String] = Nil): DataFrame =
+    sigs.select(col("id") +: extraKeys.map(col) :+
+      col("sh_lo") :+ col("sh_hi") :+
       posexplode(array(
         col("sh_lo").bitwiseAND(lit(0xffffL)),
         shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xffffL)),
         col("sh_hi").bitwiseAND(lit(0xffffL)),
-        shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xffffL)))))
+        shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xffffL)))): _*)
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+
+  /** The hot-bucket governor: drops every (scope, chunk, cval) bucket
+    * holding more than `cap` rows. One window over the SAME keys the
+    * pair join hashes on (no second scan of the signature pipeline). */
+  private def capBuckets(chunked: DataFrame, cap: Int,
+                         extraKeys: Seq[String]): DataFrame =
+    chunked
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((extraKeys ++ Seq("chunk", "cval")).map(col): _*)))
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
 
   /** Simhash pairs BETWEEN two signature frames (both shaped like
     * [[simhashSignatures]] output, with DISJOINT id sets — or the same
@@ -939,13 +957,43 @@ object Dedup {
     * written bucketed by (chunk, cval) (or as a pre-exploded bucket
     * table), so a day's probe shuffles only the batch's exploded chunks
     * and the index side reads co-located; the join output is bounded by
-    * chunk-bucket collisions, never |probe|×|index|. */
+    * chunk-bucket collisions, never |probe|×|index|.
+    *
+    * `maxBucketSize` is the cross-probe's HOT-BUCKET GOVERNOR (the
+    * [[simhashPairsFromSigs]] cap, applied per side): every
+    * (scope, chunk, cval) bucket over the cap is dropped from the side
+    * it is hot on BEFORE the join, so one degenerate chunk value (a
+    * boilerplate-heavy corpus collapses thousands of near-identical
+    * docs onto one 16-bit chunk) cannot fan the probe out to
+    * |probe bucket|×|index bucket|. With the cap, per-key join fan-out
+    * is ≤ cap². Recall loss is bounded the pigeonhole way: a true pair
+    * is lost only when EVERY chunk the two signatures share is hot on
+    * at least one side — any surviving shared chunk still finds it.
+    * None = exact recall (the gated oracle form; q230 certifies the
+    * governed probe's recall against the exact anchor).
+    *
+    * `extraKeys` shard the probe by SCOPE columns present in both
+    * frames (lang/source — a curation pipeline's natural partitions):
+    * the bucket key becomes (scope..., chunk, cval) and pairs never
+    * cross scopes. This is the 100 TB shape — the 16-bit chunk space
+    * collides quadratically in CORPUS size (measured ~n^1.4 at 30×,
+    * SCALE.md), but per-scope it collides in SCOPE size, so a corpus
+    * growing by adding scopes (days, crawls, languages) keeps per-day
+    * probe cost flat instead of growing with the whole index. */
   def simhashCrossPairs(probe: DataFrame, index: DataFrame,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        maxBucketSize: Option[Int] = None,
+                        extraKeys: Seq[String] = Nil): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
-    simhashChunked(probe).alias("a")
-      .join(simhashChunked(index).alias("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval"))
+    def side(df: DataFrame): DataFrame = {
+      val chunked = simhashChunked(df, extraKeys)
+      maxBucketSize.fold(chunked)(capBuckets(chunked, _, extraKeys))
+    }
+    val joinCond = (extraKeys ++ Seq("chunk", "cval"))
+      .map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
+    side(probe).alias("a")
+      .join(side(index).alias("b"), joinCond)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         (bit_count(col("a.sh_lo").bitwiseXOR(col("b.sh_lo"))) +
          bit_count(col("a.sh_hi").bitwiseXOR(col("b.sh_hi")))).cast("long").as("hamming"))
@@ -969,20 +1017,12 @@ object Dedup {
                            maxHamming: Int = 3,
                            maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
+    // window, not groupBy+join-back: the latter references the chunked
+    // frame twice, re-running the tokenize+md5+simhash pipeline; the
+    // window shuffles once on the same (chunk, cval) keys the self-join
+    // below hashes on anyway ([[capBuckets]])
     val chunked0 = simhashChunked(sigs)
-    val chunked = maxBucketSize match {
-      case None => chunked0
-      case Some(cap) =>
-        // window, not groupBy+join-back: the latter references chunked0
-        // twice, re-running the tokenize+md5+simhash pipeline; the window
-        // shuffles once on the same (chunk, cval) keys the self-join below
-        // hashes on anyway
-        chunked0
-          .withColumn("bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("chunk", "cval")))
-          .filter(col("bsz") <= cap)
-          .drop("bsz")
-    }
+    val chunked = maxBucketSize.fold(chunked0)(capBuckets(chunked0, _, Nil))
     chunked.alias("a")
       .join(chunked.alias("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&

@@ -420,6 +420,40 @@ object MergeQueries {
     }, batchSigs, maxHamming)
   }
 
+  /** SCOPE-SHARDED near-dup ingest against the manifested index — the
+    * 100 TB form of [[neardupIngestManifested]]. The index stores
+    * (doc_id, scope, sh_lo, sh_hi, survivor_id) and every pair join
+    * keys on (scope, chunk, cval): near-dup clustering runs WITHIN each
+    * scope (lang/source/crawl — the partitions a curation pipeline
+    * already treats as independent populations), pairs never cross
+    * scopes, and the 16-bit pigeonhole collision term — measured
+    * superlinear (~n^1.4) on an unsharded corpus past ~10⁶ docs
+    * (SCALE.md 30× curve) — becomes a function of SCOPE size, not
+    * corpus size. A corpus that grows by adding scopes ingests at flat
+    * per-day cost; ScaleCurveJob's `neardup_scoped` family measures the
+    * slope. `maxBucketSize` optionally stacks the hot-bucket governor
+    * on top for boilerplate-degenerate scopes
+    * ([[Dedup.simhashCrossPairs]]). Gate: q229 (row-exact per-scope
+    * clustering vs the DuckDB oracle, day-split + re-delivery). */
+  def neardupIngestScopedManifested(spark: SparkSession, target: String,
+                                    batch: DataFrame, idCol: String,
+                                    textCol: String, scopeCol: String,
+                                    nBuckets: Int, maxHamming: Int = 3,
+                                    maxBucketSize: Option[Int] = None)
+      : MergeSink.MergeStats = {
+    import graft.sinks.ManifestMergeSink
+    neardupIngestCore(spark, new IndexStore {
+      def exists: Boolean =
+        ManifestMergeSink.headState(spark, target).isDefined
+      def read(): DataFrame = ManifestMergeSink.readManifested(spark, target)
+      def merge(updates: DataFrame,
+                fields: Seq[String]): MergeSink.MergeStats =
+        ManifestMergeSink.mergeIntoManifested(spark, target, updates,
+          "doc_id", fields, nBuckets)
+    }, Dedup.simhashSignatures(batch, idCol, textCol, carry = Seq(scopeCol)),
+      maxHamming, scopeCols = Seq(scopeCol), maxBucketSize = maxBucketSize)
+  }
+
   /** The two physical index layouts [[neardupIngestCore]] runs against:
     * a plain parquet directory ([[neardupIngest]]) or a bucketed catalog
     * table ([[neardupIngestBucketed]]). */
@@ -429,53 +463,75 @@ object MergeQueries {
     def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats
   }
 
+  /** `scopeCols`: SCOPE columns carried by `batchSigs0` and stored in
+    * the index — the probe joins on (scope..., chunk, cval) and pairs
+    * never cross scopes ([[Dedup.simhashCrossPairs]]'s `extraKeys`),
+    * so a corpus growing by adding scopes keeps per-day cost flat
+    * (the measured ~n^1.4 chunk-collision term becomes per-scope,
+    * SCALE.md). `maxBucketSize`: the hot-bucket governor, an explicit
+    * recall-trading escape hatch — with it set, the induction invariant
+    * weakens from "equals batch clustering" to "equals batch clustering
+    * of the governed pair set" (q230 certifies governed recall against
+    * the exact anchor); None (the default, every exact gate) keeps the
+    * invariant exact. */
   private def neardupIngestCore(spark: SparkSession, store: IndexStore,
                                 batchSigs0: DataFrame,
-                                maxHamming: Int): MergeSink.MergeStats = {
-    val exists = store.exists
-    val fields = Seq("sh_lo", "sh_hi", "survivor_id")
+                                maxHamming: Int,
+                                scopeCols: Seq[String] = Nil,
+                                maxBucketSize: Option[Int] = None)
+      : MergeSink.MergeStats = {
+    val fields = scopeCols ++ Seq("sh_lo", "sh_hi", "survivor_id")
 
     val batchSigs = batchSigs0
       .dropDuplicates("id") // within-batch re-delivery of identical rows
+    // ONE materialization of the index snapshot per day: the frame is
+    // referenced four times (re-delivery anti-join, cross probe,
+    // star-edge lookup, survivor remap) and each reference would
+    // otherwise re-resolve the head and re-scan the store's parquet
+    val indexOpt: Option[DataFrame] =
+      if (store.exists) Some(store.read().localCheckpoint(true)) else None
     // localCheckpoint: referenced by the self-pair emitter, the cross
     // probe, AND the final insert set — without it the tokenize+simhash
     // pipeline re-runs per reference (union-branch trap)
-    val newSigs = (if (exists)
-        batchSigs.join(
-          store.read().select(col("doc_id").as("id")),
+    val newSigs = (indexOpt match {
+      case Some(index) =>
+        batchSigs.join(index.select(col("doc_id").as("id")),
           Seq("id"), "left_anti")
-      else batchSigs).localCheckpoint(true)
+      case None => batchSigs
+    }).localCheckpoint(true)
 
     val edges: DataFrame = {
-      val selfPairs = Dedup.simhashCrossPairs(newSigs, newSigs, maxHamming)
+      val selfPairs = Dedup.simhashCrossPairs(newSigs, newSigs, maxHamming,
+          maxBucketSize, scopeCols)
         .filter(col("id1") < col("id2"))
-      if (!exists) selfPairs.select(col("id1"), col("id2"))
-      else {
-        val index = store.read()
-        val indexSigs = index.select(col("doc_id").as("id"),
-          col("sh_lo"), col("sh_hi"))
-        val crossPairs = Dedup.simhashCrossPairs(newSigs, indexSigs, maxHamming)
-          .select(col("id1"), col("id2"))
-          .localCheckpoint(true) // referenced twice: edge union + star lookup
-        // star edges: each probed old doc brings its cluster's survivor
-        // (= the cluster's min id) into the touched subgraph
-        val starEdges = crossPairs.select(col("id2").as("doc_id")).distinct()
-          .join(index.select(col("doc_id"), col("survivor_id")), Seq("doc_id"))
-          .select(col("doc_id").as("id1"), col("survivor_id").as("id2"))
-        selfPairs.select(col("id1"), col("id2"))
-          .union(crossPairs).union(starEdges)
+      indexOpt match {
+        case None => selfPairs.select(col("id1"), col("id2"))
+        case Some(index) =>
+          val indexSigs = index.select(col("doc_id").as("id") +:
+            scopeCols.map(col) :+ col("sh_lo") :+ col("sh_hi"): _*)
+          val crossPairs = Dedup.simhashCrossPairs(newSigs, indexSigs,
+              maxHamming, maxBucketSize, scopeCols)
+            .select(col("id1"), col("id2"))
+            .localCheckpoint(true) // referenced twice: edge union + star lookup
+          // star edges: each probed old doc brings its cluster's survivor
+          // (= the cluster's min id) into the touched subgraph
+          val starEdges = crossPairs.select(col("id2").as("doc_id")).distinct()
+            .join(index.select(col("doc_id"), col("survivor_id")), Seq("doc_id"))
+            .select(col("doc_id").as("id1"), col("survivor_id").as("id2"))
+          selfPairs.select(col("id1"), col("id2"))
+            .union(crossPairs).union(starEdges)
       }
     }
     val comp = Dedup.clusterComponents(edges) // (id, comp)
 
     val inserts = newSigs
       .join(comp, newSigs("id") === comp("id"), "left")
-      .select(newSigs("id").as("doc_id"), col("sh_lo"), col("sh_hi"),
-        coalesce(col("comp"), newSigs("id")).as("survivor_id"))
-    val updates =
-      if (!exists) inserts
-      else {
-        val index = store.read()
+      .select(newSigs("id").as("doc_id") +: scopeCols.map(newSigs(_)) :+
+        col("sh_lo") :+ col("sh_hi") :+
+        coalesce(col("comp"), newSigs("id")).as("survivor_id"): _*)
+    val updates = indexOpt match {
+      case None => inserts
+      case Some(index) =>
         // old survivors undercut this round: every index row pointing at
         // them re-points to the merged component's min (broadcast map —
         // bounded by this batch's cluster-merge events)
@@ -485,10 +541,11 @@ object MergeQueries {
           .select(col("id").as("old_surv"), col("comp").as("new_surv"))
         val remapped = index
           .join(broadcast(survivorMap), index("survivor_id") === col("old_surv"))
-          .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-            col("new_surv").as("survivor_id"))
+          .select(col("doc_id") +: scopeCols.map(col) :+
+            col("sh_lo") :+ col("sh_hi") :+
+            col("new_surv").as("survivor_id"): _*)
         inserts.unionByName(remapped)
-      }
+    }
     store.merge(updates, fields)
   }
 
@@ -533,6 +590,124 @@ object MergeQueries {
        |SELECT s.id AS doc_id, coalesce(c.comp, s.id)::BIGINT AS survivor_id
        |FROM sp_sig s LEFT JOIN clus c ON c.id = s.id
        |ORDER BY doc_id""".stripMargin
+
+  /** q229 gate: [[neardupIngestScopedManifested]] under the q65/q68
+    * day-split + re-delivery harness, scoped by `lang` — the final
+    * index must equal WITHIN-SCOPE batch near-dup clustering of the
+    * whole corpus row-for-row (the oracle restricts candidate pairs to
+    * equal langs and closes them transitively; cross-lang simhash
+    * collisions must NOT merge clusters). This is the 100 TB ingest
+    * shape: the pigeonhole chunk join keys on (lang, chunk, cval), so
+    * the collision term that grows with corpus size on an unsharded
+    * index grows only with scope size here (SCALE.md `neardup_scoped`
+    * curve). */
+  def q229ScopedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q229_")
+    try {
+      val target = s"$base/scoped_index"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+        .foreach(day =>
+          neardupIngestScopedManifested(spark, target, day, "doc_id",
+            "text", "lang", nBuckets = 16))
+      ManifestMergeSink.readManifested(spark, target)
+        .select(col("doc_id"), col("lang"), col("survivor_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q229ScopedNeardupSql: String =
+    s"""WITH ${TextQueries.simhashPairsCtes(scopeCol = Some("lang"))},
+       |${OracleSql.closureCtes("pairs")}
+       |SELECT s.id AS doc_id, s.scope AS lang,
+       |  coalesce(c.comp, s.id)::BIGINT AS survivor_id
+       |FROM sp_sig s LEFT JOIN clus c ON c.id = s.id
+       |ORDER BY doc_id""".stripMargin
+
+  /** The q230 governor cap. The fixture's cross-probe bucket sizes are
+    * long-tailed (measured at sf0.01: 409 singleton index buckets, a
+    * handful at 3-28, and two degenerate ~70-doc buckets — the planted
+    * boilerplate neighborhoods that collapse whole chunk values); 32
+    * cuts exactly that tail. The cap must actually engage
+    * (n_governed < n_exact — a vacuous gate otherwise: measured
+    * 489/525) while recall stays above the floor (0.93 measured vs the
+    * 0.5 floor, >1.8× margin) — both checked exactly against the
+    * oracle's recomputation of BOTH pair sets. */
+  private[operators] val GovCap = 32
+  private[operators] val GovMinRecall = 0.5
+
+  /** q230 gate: the GOVERNED cross-probe's recall, certified exactly.
+    * The corpus splits into a probe half (odd doc_id) and an index half
+    * (even) — [[Dedup.simhashCrossPairs]] runs once exact and once with
+    * `maxBucketSize = GovCap`, and the oracle recomputes BOTH counts in
+    * DuckDB (the governor is deterministic: per-(chunk, cval) bucket
+    * counts per side, hot buckets dropped before the candidate join).
+    * `subset_ok` proves governed ⊆ exact in-engine (anti-join, zero
+    * escapees); `recall_ok` pins governed/exact ≥ `GovMinRecall`. The
+    * same cap plumbs into ingest via
+    * [[neardupIngestScopedManifested]]'s `maxBucketSize` — this gate is
+    * the recall certificate the escape hatch ships with.
+    *
+    * The cap is an ABSOLUTE fan-out bound, so its recall is
+    * corpus-relative: a corpus whose duplicate families grow with its
+    * size (this fixture: measured 93% at sf0.01, ~4% at sf0.1 under
+    * the same cap) degrades under a fixed cap by design — the bound is
+    * the point. Deployment order is therefore scope sharding FIRST
+    * (q229 — collision populations stay scope-sized), governor second
+    * (per-scope skew), with the cap sized to the scope's expected
+    * bucket population, re-certified at that scale the way this gate
+    * does at its own. */
+  def q230GovernedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .localCheckpoint(true) // probe + index + two probes each reference it
+    val probe = sigs.filter(col("id") % 2 === 1)
+    val index = sigs.filter(col("id") % 2 === 0)
+    val exact = Dedup.simhashCrossPairs(probe, index, maxHamming = 3)
+      .localCheckpoint(true)
+    val governed = Dedup.simhashCrossPairs(probe, index, maxHamming = 3,
+        maxBucketSize = Some(GovCap))
+      .localCheckpoint(true)
+    val nExact = exact.count()
+    val nGov = governed.count()
+    val escapees = governed.join(exact, Seq("id1", "id2"), "left_anti").count()
+    import spark.implicits._
+    Seq((nExact, nGov, escapees == 0L,
+        nGov >= math.ceil(GovMinRecall * nExact).toLong))
+      .toDF("n_exact", "n_governed", "subset_ok", "recall_ok")
+  }
+
+  val q230GovernedNeardupSql: String =
+    s"""WITH ${TextQueries.simhashPairsCtes()},
+       |pchunks AS (SELECT * FROM sp_chunks WHERE id % 2 = 1),
+       |ichunks AS (SELECT * FROM sp_chunks WHERE id % 2 = 0),
+       |xpairs AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |           FROM pchunks a JOIN ichunks b
+       |             ON a.chunk = b.chunk AND a.cval = b.cval
+       |           WHERE (bit_count(xor(a.sh_lo, b.sh_lo))
+       |                + bit_count(xor(a.sh_hi, b.sh_hi))) <= 3),
+       |pcap AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY chunk, cval) AS bsz
+       |                        FROM pchunks) WHERE bsz <= ${GovCap}),
+       |icap AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY chunk, cval) AS bsz
+       |                        FROM ichunks) WHERE bsz <= ${GovCap}),
+       |gpairs AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |           FROM pcap a JOIN icap b
+       |             ON a.chunk = b.chunk AND a.cval = b.cval
+       |           WHERE (bit_count(xor(a.sh_lo, b.sh_lo))
+       |                + bit_count(xor(a.sh_hi, b.sh_hi))) <= 3)
+       |SELECT (SELECT count(*) FROM xpairs)::BIGINT AS n_exact,
+       |       (SELECT count(*) FROM gpairs)::BIGINT AS n_governed,
+       |       TRUE AS subset_ok, TRUE AS recall_ok""".stripMargin
 
   /** INCREMENTAL ENTITY RESOLUTION against a persistent registry —
     * [[neardupIngest]]'s induction applied to the fuzzy-KEY family

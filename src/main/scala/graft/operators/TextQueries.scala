@@ -864,17 +864,25 @@ object TextQueries {
     * construction. `src` is the relation the signatures are computed
     * over; it must expose `doc_id` and `text`. Internal CTE names are
     * sp_-prefixed so callers can splice these next to their own CTEs. */
-  private[operators] def simhashPairsCtes(src: String = "documents"): String = {
+  /** `scopeCol`: carry a scope column through the signature CTEs and
+    * restrict candidate pairs to equal scopes — the oracle form of
+    * [[graft.operators.Dedup.simhashCrossPairs]]'s `extraKeys` sharding
+    * (q229). `sp_sig` then also exposes `scope`. */
+  private[operators] def simhashPairsCtes(src: String = "documents",
+                                          scopeCol: Option[String] = None): String = {
     def bitTerms(hs: String): String = (0 until 32).map { j =>
       s"(CASE WHEN list_sum(list_apply($hs, h -> CASE WHEN (h & ${1L << j}) != 0 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n  + ")
-    s"""sp_t AS (SELECT doc_id AS id, list_distinct($tokSqlExpr) AS g FROM $src),
-       |sp_h AS (SELECT id,
+    val sc = scopeCol.map(c => s"$c AS scope, ").getOrElse("")
+    val scPass = scopeCol.map(_ => "scope, ").getOrElse("")
+    val scJoin = scopeCol.map(_ => " AND a.scope = b.scope").getOrElse("")
+    s"""sp_t AS (SELECT doc_id AS id, ${sc}list_distinct($tokSqlExpr) AS g FROM $src),
+       |sp_h AS (SELECT id, $scPass
        |        list_apply(g, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h_lo,
        |        list_apply(g, x -> ('0x' || substring(md5(x), 9, 8))::BIGINT) AS h_hi
        |      FROM sp_t WHERE len(g) > 0),
-       |sp_sig AS MATERIALIZED (SELECT id, (${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM sp_h),
-       |sp_chunks AS MATERIALIZED (SELECT id, sh_lo, sh_hi, c.chunk,
+       |sp_sig AS MATERIALIZED (SELECT id, $scPass(${bitTerms("h_lo")}) AS sh_lo, (${bitTerms("h_hi")}) AS sh_hi FROM sp_h),
+       |sp_chunks AS MATERIALIZED (SELECT id, ${scPass}sh_lo, sh_hi, c.chunk,
        |           CASE WHEN c.chunk = 0 THEN sh_lo & 65535
        |                WHEN c.chunk = 1 THEN (sh_lo >> 16) & 65535
        |                WHEN c.chunk = 2 THEN sh_hi & 65535
@@ -883,7 +891,7 @@ object TextQueries {
        |sp_cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
        |                a.sh_lo AS al, a.sh_hi AS ah, b.sh_lo AS bl, b.sh_hi AS bh
        |         FROM sp_chunks a JOIN sp_chunks b
-       |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id),
+       |         ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id$scJoin),
        |pairs AS MATERIALIZED (SELECT id1, id2,
        |            (bit_count(xor(al, bl)) + bit_count(xor(ah, bh)))::bigint AS hamming
        |          FROM sp_cand

@@ -395,6 +395,60 @@ class DedupSpec extends SparkSpec {
       "pairs sharing any cold chunk must survive the hot-bucket drop")
   }
 
+  test("cross-probe governor: governed pairs are a non-empty strict subset of exact") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val probe = sigs.filter(col("id") % 2 === 1)
+    val index = sigs.filter(col("id") % 2 === 0)
+    val exact = Dedup.simhashCrossPairs(probe, index)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must have cross pairs")
+    val governed = Dedup.simhashCrossPairs(probe, index,
+        maxBucketSize = Some(20))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(governed.subsetOf(exact),
+      "the governor may only drop pairs, never invent them")
+    assert(governed.nonEmpty,
+      "pairs sharing any cold chunk must survive the hot-bucket drop")
+    assert(governed.size < exact.size,
+      "the fixture's degenerate buckets must make the cap engage (non-vacuity)")
+  }
+
+  test("scoped cross-probe: pairs never cross scopes, within-scope pairs intact") {
+    // deterministic core: identical texts, so hamming = 0 whichever way
+    // the bit votes fall — the only discriminator left is the scope key
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta epsilon", "fr"), // same text, other scope
+      (3L, "alpha beta gamma delta epsilon", "en")) // same text, same scope
+      .toDF("doc_id", "text", "lang")
+    val sigs = Dedup.simhashSignatures(d, "doc_id", "text", carry = Seq("lang"))
+    val probe = sigs.filter(col("id") === 1L)
+    val index = sigs.filter(col("id") =!= 1L)
+    val exact = Dedup.simhashCrossPairs(probe, index)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L), (1L, 3L)))
+    val scoped = Dedup.simhashCrossPairs(probe, index, extraKeys = Seq("lang"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(scoped == Set((1L, 3L)),
+      "the scope key must drop the cross-scope pair and keep the within-scope one")
+    // fixture-level identity: scoped probe ≡ exact probe filtered to
+    // equal scopes (the q229 oracle's formulation)
+    val fsigs = Dedup.simhashSignatures(docs, "doc_id", "text",
+      carry = Seq("lang")).localCheckpoint(true)
+    val fprobe = fsigs.filter(col("id") % 2 === 1)
+    val findex = fsigs.filter(col("id") % 2 === 0)
+    val langOf = docs.select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect().toMap
+    val fexact = Dedup.simhashCrossPairs(fprobe, findex)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val fscoped = Dedup.simhashCrossPairs(fprobe, findex,
+        extraKeys = Seq("lang"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(fscoped == fexact.filter { case (a, b) => langOf(a) == langOf(b) },
+      "scoped pairs must equal the same-scope restriction of exact pairs")
+  }
+
   test("chunking tiles documents with exact overlap and remainder handling") {
     import graft.operators.TextQueries
     def words(n: Int, from: Int = 0): String =

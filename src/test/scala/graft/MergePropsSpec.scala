@@ -158,6 +158,47 @@ class MergePropsSpec extends SparkSpec {
     }
   }
 
+  test("SCOPED near-dup ingest equals per-scope batch clustering under out-of-order arrivals") {
+    import operators.{Dedup, MergeQueries}
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_scoped_").toString
+    try {
+      val target = s"$dir/idx"
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .localCheckpoint(true)
+      // the q68-props arrival schedule, against the scoped index
+      Seq(1, 2, 0).foreach { day =>
+        MergeQueries.neardupIngestScopedManifested(spark, target,
+          docs.filter(col("doc_id") % 3 === day), "doc_id", "text", "lang",
+          nBuckets = 8)
+      }
+      val got = graft.sinks.ManifestMergeSink.readManifested(spark, target)
+        .select("doc_id", "lang", "survivor_id")
+        .as[(Long, String, Long)].collect().toSet
+      // batch reference: per-scope pairs (exact pairs restricted to
+      // equal langs — DedupSpec proves that identity) + CC
+      val langOf = docs.select(col("doc_id"), col("lang"))
+        .as[(Long, String)].collect().toMap
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("id1", "id2").as[(Long, Long)].collect()
+        .filter { case (a, b) => langOf(a) == langOf(b) }
+      val comp = Dedup.connectedComponents(
+          pairs.toSeq.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      val expected = Dedup.simhashSignatures(docs, "doc_id", "text")
+        .select("id").as[Long].collect()
+        .map(id => (id, langOf(id), comp.getOrElse(id, id))).toSet
+      assert(got == expected,
+        s"scoped index must equal per-scope batch clustering; diff=${
+          (got diff expected).take(5)} / ${(expected diff got).take(5)}")
+      assert(expected.exists { case (id, _, s) => s != id },
+        "fixture must contain a within-scope near-dup cluster (non-vacuity)")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("streaming near-dup ingest micro-batches per file and equals direct ingest") {
     import spark.implicits._
     import operators.MergeQueries

@@ -20,8 +20,8 @@ class ScaleCurveJobSpec extends SparkSpec {
       "replica id ranges must be disjoint")
     val pts = ScaleCurveJob.run(spark, sf, Seq(1, 2))
     assert(pts.map(p => (p.family, p.factor)).toSet ==
-      Set(("exact_dedup", 1), ("neardup", 1),
-          ("exact_dedup", 2), ("neardup", 2)))
+      Set(("exact_dedup", 1), ("neardup", 1), ("neardup_scoped", 1),
+          ("exact_dedup", 2), ("neardup", 2), ("neardup_scoped", 2)))
     pts.foreach(p => assert(p.rows == p.factor * n && p.wallS > 0))
     def shuffle(fam: String, f: Int): Long =
       pts.find(p => p.family == fam && p.factor == f).get.shuffleBytes
@@ -30,7 +30,7 @@ class ScaleCurveJobSpec extends SparkSpec {
     // the day-cost mode: one fresh day against a prebuilt index
     val day = ScaleCurveJob.runDayCost(spark, sf, Seq(1, 2))
     assert(day.map(_.family).toSet ==
-      Set("exact_dedup_day", "neardup_day"))
+      Set("exact_dedup_day", "neardup_day", "neardup_scoped_day"))
     day.foreach(p => assert(p.rows == n,
       "the day batch is fixed-size whatever the index factor"))
   }
