@@ -173,7 +173,76 @@ object ScaleCurveJob {
         MergeQueries.neardupIngestScopedManifested(spark, target,
           dayScoped, "doc_id", "text", "scope", nBuckets = 32)
       }
-      Seq(exact, near, nearScoped)
+      // the UNSCOPED control for the same revisit day (the scoped
+      // family above ingests duplicate-heavy content, the fresh-day
+      // family novel content — this line makes the scoped/unscoped
+      // comparison apples-to-apples: identical day, no scope key)
+      val nearRevisit = timed("neardup_revisit_day") { target =>
+        MergeQueries.neardupIngestManifested(spark, target, corpus,
+          "doc_id", "text", nBuckets = 32)
+      } { target =>
+        MergeQueries.neardupIngestManifested(spark, target,
+          dayScoped.drop("scope"), "doc_id", "text", nBuckets = 32)
+      }
+      Seq(exact, near, nearScoped, nearRevisit)
+    }
+  }
+
+  /** The AUTO-REBUCKET day-cost demo ([[SnapshotMaintainJob]]
+    * `--rebucket-key`, gate q231): build the exact-dedup index at
+    * factor f under a DELIBERATELY small fixed bucket count, ingest a
+    * small day and measure it, run the maintain night (which detects
+    * the under-bucketing and rebuckets to [[graft.sinks
+    * .ManifestMergeSink.bucketCountFor]]'s target), then ingest a
+    * second same-sized day and measure that. The claim the pair of
+    * points pins: with buckets sized to the corpus, a small day
+    * touches ∝ its own key count of the index's bytes instead of all
+    * of them — day cost drops although the index only grew. */
+  def runRebucketDemo(spark: SparkSession, sfDir: String,
+                      factors: Seq[Int] = Seq(10)): Seq[Point] = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    factors.flatMap { f =>
+      val corpus = replicate(docs0, f, maxId).localCheckpoint(true)
+      def smallDay(slot: Int): DataFrame =
+        replicaOf(docs0, slot, maxId).limit(150).localCheckpoint(true)
+      def hashed(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val base = java.nio.file.Files.createTempDirectory("graft_scale_")
+      try {
+        val target = s"$base/index"
+        MergeQueries.dedupIngestManifested(spark, target, hashed(corpus),
+          nBuckets = 32)
+        def point(family: String, day: DataFrame): Point = {
+          val t0 = System.nanoTime()
+          val (_, events) = StageMetrics.withStageMetrics(spark) {
+            MergeQueries.dedupIngestManifested(spark, target, hashed(day),
+              nBuckets = graft.sinks.ManifestMergeSink
+                .headState(spark, target).get._2.nBuckets)
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          Point(family, f, 150L, math.round(wall * 100) / 100.0,
+            events.map(e => e.shuffleReadBytes + e.shuffleWriteBytes).sum)
+        }
+        val pre = point("dedup_day_pre_rebucket", smallDay(f))
+        // aim near 512 buckets whatever the corpus scale — far above
+        // the day's 150 keys, so most buckets go untouched post-night
+        val snapRows = graft.sinks.ManifestMergeSink
+          .readManifested(spark, target).count()
+        val night = SnapshotMaintainJob.run(spark, target,
+          SnapshotMaintainJob.SnapshotConfig(
+            rebucketKey = Some("content_hash"),
+            targetRowsPerBucket = math.max(1L, snapRows / 512L)))
+        require(night.rebucketedTo.isDefined,
+          s"demo precondition: the night must detect under-bucketing ($night)")
+        val post = point("dedup_day_post_rebucket", smallDay(f + 1))
+        Seq(pre, post)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(base.toString)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     }
   }
 
@@ -188,15 +257,20 @@ object ScaleCurveJob {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ScaleCurveJob <sfDir> [--day-cost] [factors...]")
+      "usage: ScaleCurveJob <sfDir> [--day-cost|--rebucket-demo] [factors...]")
     val rest = args.drop(1).toSeq
     val dayCost = rest.contains("--day-cost")
-    val factorArgs = rest.filterNot(_ == "--day-cost")
+    val rebucketDemo = rest.contains("--rebucket-demo")
+    val factorArgs =
+      rest.filterNot(a => a == "--day-cost" || a == "--rebucket-demo")
     val factors =
-      if (factorArgs.nonEmpty) factorArgs.map(_.toInt) else Seq(1, 3, 10)
+      if (factorArgs.nonEmpty) factorArgs.map(_.toInt)
+      else if (rebucketDemo) Seq(10)
+      else Seq(1, 3, 10)
     val spark = GraftSession.builder().getOrCreate()
     try {
-      val pts = if (dayCost) runDayCost(spark, args(0), factors)
+      val pts = if (rebucketDemo) runRebucketDemo(spark, args(0), factors)
+                else if (dayCost) runDayCost(spark, args(0), factors)
                 else run(spark, args(0), factors)
       pts.foreach(p => println(p.toJson))
     } finally spark.stop()

@@ -8,6 +8,14 @@ import graft.sinks.{ManifestMergeSink, TableGroup}
   * ([[ManifestMergeSink]]) — the merge-table counterpart of
   * [[MaintainJob]]'s z-layout night:
   *
+  *  0. BUCKET HEALTH → AUTO-REBUCKET (opt-in, `--rebucket-key`): when
+  *     the snapshot's rows have outgrown its bucket count (every day
+  *     then touches every bucket — per-day IO grows with corpus size,
+  *     the regime SCALE.md's day-cost table pins), rebucket to
+  *     [[ManifestMergeSink.bucketCountFor]]'s power-of-two target in
+  *     one commit ([[ManifestMergeSink.rebucketManifested]]). Health
+  *     is read from the head (one footer-scale count; the per-bucket
+  *     frame is [[ManifestMergeSink.bucketHealth]]); gate: q231.
   *  1. COMPACT: collapse buckets whose file count exceeds the
   *     threshold into single-file dirs — one commit, flagged buckets
   *     only ([[ManifestMergeSink.compactManifested]]); a healthy
@@ -25,6 +33,7 @@ import graft.sinks.{ManifestMergeSink, TableGroup}
   * same contract as every sweep in the engine.
   *
   * Usage: SnapshotMaintainJob <target> [--max-files N] [--retain N]
+  *        [--rebucket-key COL] [--target-rows N]
   *
   * Cost model at 100 TB: the no-op night is pure metadata; a
   * degraded night rewrites exactly the fragmented buckets' bytes and
@@ -34,10 +43,13 @@ object SnapshotMaintainJob {
   final case class SnapshotSummary(bucketsCompacted: Int,
                                    filesBefore: Long, filesAfter: Long,
                                    generationsSwept: Long,
-                                   headSeq: Long)
+                                   headSeq: Long,
+                                   rebucketedTo: Option[Int] = None)
 
   final case class SnapshotConfig(maxFilesPerBucket: Int = 8,
-                                  retain: Int = 2)
+                                  retain: Int = 2,
+                                  rebucketKey: Option[String] = None,
+                                  targetRowsPerBucket: Long = 4L << 20)
 
   object SnapshotConfig {
     def fromFlags(flags: Seq[String]): SnapshotConfig = {
@@ -48,8 +60,13 @@ object SnapshotMaintainJob {
             parse(c.copy(maxFilesPerBucket = v.toInt), rest)
           case "--retain" :: v :: rest =>
             parse(c.copy(retain = v.toInt), rest)
+          case "--rebucket-key" :: v :: rest =>
+            parse(c.copy(rebucketKey = Some(v)), rest)
+          case "--target-rows" :: v :: rest =>
+            parse(c.copy(targetRowsPerBucket = v.toLong), rest)
           case f :: _ => throw new IllegalArgumentException(
-            s"unknown flag '$f' (known: --max-files, --retain)")
+            s"unknown flag '$f' (known: --max-files, --retain, " +
+              "--rebucket-key, --target-rows)")
         }
       parse(SnapshotConfig(), flags.toList)
     }
@@ -57,6 +74,29 @@ object SnapshotMaintainJob {
 
   def run(spark: SparkSession, target: String,
           cfg: SnapshotConfig = SnapshotConfig()): SnapshotSummary = {
+    // 0. BUCKET HEALTH → AUTO-REBUCKET (opt-in via --rebucket-key): a
+    //    snapshot whose key count has outgrown its bucket count pays
+    //    the day-cost regime the scaling curve pins (every day touches
+    //    every bucket, so per-day IO grows with CORPUS size instead of
+    //    day size — SCALE.md). The night detects it from the head (one
+    //    footer-scale count) and fires rebucketManifested BEFORE
+    //    compaction, so the rewrite lands once: the rebucket leaves
+    //    near-single-file buckets and the compact pass below sees a
+    //    healthy layout. Sizing: [[ManifestMergeSink.bucketCountFor]]
+    //    (power-of-two, grow-only); a healthy snapshot publishes
+    //    nothing here.
+    val rebucketedTo: Option[Int] = cfg.rebucketKey.flatMap { key =>
+      val (_, st) = ManifestMergeSink.headState(spark, target).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest snapshot at $target"))
+      val rows = ManifestMergeSink.readManifested(spark, target).count()
+      val want = ManifestMergeSink.bucketCountFor(rows,
+        cfg.targetRowsPerBucket)
+      if (want > st.nBuckets) {
+        ManifestMergeSink.rebucketManifested(spark, target, key, want)
+        Some(want)
+      } else None
+    }
     val c = ManifestMergeSink.compactManifested(spark, target,
       maxFilesPerBucket = cfg.maxFilesPerBucket)
     val (head, _) = ManifestMergeSink.headState(spark, target).get
@@ -77,13 +117,14 @@ object SnapshotMaintainJob {
     val swept = ManifestMergeSink.vacuumManifested(spark, target,
       retainCommits = retain)
     SnapshotSummary(c.nCompacted, c.filesBefore, c.filesAfter,
-      swept.size.toLong, head)
+      swept.size.toLong, head, rebucketedTo)
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
       System.err.println(
-        "usage: SnapshotMaintainJob <target> [--max-files N] [--retain N]")
+        "usage: SnapshotMaintainJob <target> [--max-files N] [--retain N]" +
+          " [--rebucket-key COL] [--target-rows N]")
       sys.exit(2)
     }
     val cfg = SnapshotConfig.fromFlags(args.drop(1).toSeq)
@@ -94,7 +135,8 @@ object SnapshotMaintainJob {
       // (reference: src/func/log.py:15-41's local analog)
       println(s"""{"job":"snapshot_maintain","buckets_compacted":${s.bucketsCompacted},""" +
         s""""files_before":${s.filesBefore},"files_after":${s.filesAfter},""" +
-        s""""generations_swept":${s.generationsSwept},"head_seq":${s.headSeq}}""")
+        s""""generations_swept":${s.generationsSwept},"head_seq":${s.headSeq},""" +
+        s""""rebucketed_to":${s.rebucketedTo.getOrElse(0)}}""")
     } finally spark.stop()
   }
 }

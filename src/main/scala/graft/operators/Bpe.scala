@@ -69,29 +69,46 @@ object Bpe {
     * type's segmentation under the learned merges, which IS the apply
     * artifact (production BPE tokenizers cache exactly this word →
     * segmentation table; unseen words fall back to the merge walk). */
+  /** `checkpointDir`/`checkpointInterval`: the cluster-safe reliable
+    * truncation opt-in ([[graft.operators.IterCheckpoint]], the
+    * [[Dedup.connectedComponents]] contract) — the type frame lands on
+    * reliable storage every interval-th merge step, so an executor loss
+    * replays at most `checkpointInterval` merge rounds. Default
+    * unchanged (localCheckpoint per round). */
   def learnMergesAndTypes(docs: DataFrame, textCol: String,
-                          rounds: Int): (DataFrame, DataFrame) = {
+                          rounds: Int,
+                          checkpointDir: Option[String] = None,
+                          checkpointInterval: Int = 5): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val types = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("seq",
-        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
-      .localCheckpoint()
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    var cur = types
-    for (step <- 1 to rounds) {
-      val ((lhs, rhs, cnt), next) = mergeRound(cur)
-      merges += ((step, lhs, rhs, lhs + rhs, cnt))
-      cur = next.localCheckpoint()
-    }
-    import spark.implicits._
-    (merges.result().toDF("step", "lhs", "rhs", "merged", "cnt"), cur)
+    val ckpt = new IterCheckpoint(spark, checkpointDir, checkpointInterval)
+    try {
+      val types = ckpt.truncate(docs
+        .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("seq",
+          concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>"))), 0)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var cur = types
+      for (step <- 1 to rounds) {
+        // mergeRound's top-pair collect is the action that materializes
+        // the previous truncation — roll after it costs zero recompute
+        val ((lhs, rhs, cnt), next) = mergeRound(cur)
+        merges += ((step, lhs, rhs, lhs + rhs, cnt))
+        cur = ckpt.truncate(next, step)
+        ckpt.roll(cur)
+      }
+      import spark.implicits._
+      (merges.result().toDF("step", "lhs", "rhs", "merged", "cnt"),
+        ckpt.finish(cur))
+    } finally ckpt.restore()
   }
 
   /** The merge table alone (see [[learnMergesAndTypes]]). */
-  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
-    learnMergesAndTypes(docs, textCol, rounds)._1
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int,
+                  checkpointDir: Option[String] = None,
+                  checkpointInterval: Int = 5): DataFrame =
+    learnMergesAndTypes(docs, textCol, rounds, checkpointDir,
+      checkpointInterval)._1
 
   def q120BpeMerges(spark: SparkSession, dir: String): DataFrame =
     learnMerges(Tables.documents(spark, dir), "text", BpeRounds)

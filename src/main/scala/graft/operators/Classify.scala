@@ -515,30 +515,39 @@ object Classify {
     * (node, label, count), never documents. Bounded `rounds` like the
     * pointer-jumping CC (each round is one localCheckpoint barrier). */
   def labelPropagation(seeds: DataFrame, idCol: String, labelCol: String,
-                       pairs: DataFrame, rounds: Int): DataFrame = {
+                       pairs: DataFrame, rounds: Int,
+                       checkpointDir: Option[String] = None,
+                       checkpointInterval: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of [1,16]")
-    val edges = pairs
-      .select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true)
-    var labeled = seeds
-      .select(col(idCol).as("id"), col(labelCol).as("label"),
-        lit(0L).as("src_round"))
-      .localCheckpoint(true)
-    for (r <- 1 to rounds) {
-      val votes = edges
-        .join(labeled.select(col("id").as("src"), col("label")), "src")
-        .join(labeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val newly = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("id"), col("label"), lit(r.toLong).as("src_round"))
-      labeled = labeled.unionByName(newly).localCheckpoint(true)
-    }
-    labeled
+    // checkpointDir: the cluster-safe reliable truncation opt-in
+    // (IterCheckpoint, the connectedComponents contract) — default
+    // unchanged (localCheckpoint per round)
+    val ckpt = new IterCheckpoint(pairs.sparkSession, checkpointDir,
+      checkpointInterval)
+    try {
+      val edges = ckpt.truncate(pairs
+        .select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"))),
+        0)
+      var labeled = ckpt.truncate(seeds
+        .select(col(idCol).as("id"), col(labelCol).as("label"),
+          lit(0L).as("src_round")), 0)
+      for (r <- 1 to rounds) {
+        val votes = edges
+          .join(labeled.select(col("id").as("src"), col("label")), "src")
+          .join(labeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val newly = votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("id"), col("label"), lit(r.toLong).as("src_round"))
+        labeled = ckpt.truncate(labeled.unionByName(newly), r)
+        ckpt.roll(labeled)
+      }
+      ckpt.finish(labeled)
+    } finally ckpt.restore()
   }
 
   /** q185: the propagation gate — seed `lang` on every third document,

@@ -597,13 +597,10 @@ object Dedup {
     require(checkpointInterval >= 1,
       s"checkpointInterval=$checkpointInterval must be >= 1")
     val spark = pairs.sparkSession
-    // setCheckpointDir is SparkContext-global; remember what was there so
-    // this call doesn't permanently redirect other components' reliable
-    // checkpoints (restored in the finally below — see scaladoc for the
-    // none-was-set-before caveat)
-    val prevCheckpointDir: Option[String] =
-      if (checkpointDir.isDefined) spark.sparkContext.getCheckpointDir else None
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // the shared reliable/local truncation policy (IterCheckpoint —
+    // this loop is where it originated); construction displaces the
+    // SparkContext-global checkpoint dir, restore() in the finally
+    val ckpt = new IterCheckpoint(spark, checkpointDir, checkpointInterval)
     // Constraint-propagation window (see connectedComponentsTwoPhase for
     // the full account): this loop self-unions the checkpointed pair
     // frame (`p.select ∪ p.select`), the exact shape whose stale origin
@@ -615,14 +612,6 @@ object Dedup {
     val prevConstraint = spark.conf.getOption(constraintKey)
     spark.conf.set(constraintKey, "false")
     try {
-    // per-round lineage control: reliable checkpoint on interval rounds,
-    // recomputable persist between them; localCheckpoint when no dir
-    var prevPersisted: Option[DataFrame] = None
-    def truncate(df: DataFrame, round: Int): DataFrame = checkpointDir match {
-      case Some(_) if round % checkpointInterval == 0 => df.checkpoint(true)
-      case Some(_) => df.persist(StorageLevel.MEMORY_AND_DISK)
-      case None => df.localCheckpoint(true)
-    }
     // materialize the emitter's pair output ONCE before the union: the two
     // union branches are separate plan instances, so without this the
     // whole upstream pair pipeline (LSH/simhash/prefix-filter) executes
@@ -634,7 +623,7 @@ object Dedup {
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = truncate(
+    var labels = ckpt.truncate(
       edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")), 0)
     // sum over an empty frame is null: an empty pair list converges instantly
@@ -660,7 +649,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: follow the current assignment one hop (comp(comp)
       // is always a label of the same component, so least() is safe)
-      labels = truncate(
+      labels = ckpt.truncate(
         propagated
           .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
             col("comp") === col("cid"), "left")
@@ -669,8 +658,7 @@ object Dedup {
         it + 1)
       val s = labelSum(labels) // materializes the new round's labels
       propagated.unpersist()
-      prevPersisted.foreach(_.unpersist())
-      prevPersisted = if (checkpointDir.isDefined) Some(labels) else None
+      ckpt.roll(labels) // zero recompute: the agg above materialized it
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
@@ -683,22 +671,15 @@ object Dedup {
         s"connectedComponents did not converge within maxIter=$maxIter rounds — " +
           "partial labels would silently split components; raise maxIter " +
           "(pointer jumping converges in O(log diameter) rounds)")
-    checkpointDir match {
-      case None => labels
-      case Some(_) =>
-        // finalize on reliable storage so the returned frame does not pin
-        // a MEMORY_AND_DISK cache entry for the rest of the session
-        val out = labels.checkpoint(true)
-        prevPersisted.foreach(_.unpersist())
-        out
-    }
+    // finalize on reliable storage so the returned frame does not pin
+    // a MEMORY_AND_DISK cache entry for the rest of the session
+    ckpt.finish(labels)
     } finally {
       prevConstraint match {
         case Some(v) => spark.conf.set(constraintKey, v)
         case None => spark.conf.unset(constraintKey)
       }
-      if (checkpointDir.isDefined)
-        prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+      ckpt.restore()
     }
   }
 

@@ -51,23 +51,36 @@ object Graph {
   /** `rounds` PageRank iterations in micro-PR integer units: r0 = 1e6
     * per node, r_{i+1}(v) = 150000 + Σ_{(u,v)} (r_i(u)·85·wt) div
     * (100·tw(u)) — damping 0.85 with the (1−d) base in exact micro
-    * units. Returns (page, pr_micro). */
-  def pageRank(edges: DataFrame, rounds: Int): DataFrame = {
+    * units. Returns (page, pr_micro).
+    *
+    * `checkpointDir`/`checkpointInterval`: the cluster-safe reliable
+    * truncation opt-in ([[graft.operators.IterCheckpoint]] — the
+    * [[Dedup.connectedComponents]] contract): static frames and every
+    * interval-th round land on reliable storage, so an executor loss
+    * recomputes at most `checkpointInterval` rounds instead of failing
+    * the loop. Default unchanged (localCheckpoint per round). */
+  def pageRank(edges: DataFrame, rounds: Int,
+               checkpointDir: Option[String] = None,
+               checkpointInterval: Int = 5): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds")
     val spark = edges.sparkSession
-    // out-weight attached once; every round re-reads this frame
-    val ew = edges
-      .join(edges.groupBy(col("src")).agg(sum(col("wt")).as("tw")), Seq("src"))
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("page"))
-      .union(edges.select(col("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var r = nodes.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to rounds) {
-      r = pageRankRound(ew, nodes, r).localCheckpoint(true)
-    }
-    r.select(col("page"), col("pr").as("pr_micro"))
+    val ckpt = new IterCheckpoint(spark, checkpointDir, checkpointInterval)
+    try {
+      // static frames (round 0 → reliable in cluster-safe mode):
+      // out-weight attached once; every round re-reads both
+      val ew = ckpt.truncate(edges
+        .join(edges.groupBy(col("src")).agg(sum(col("wt")).as("tw")),
+          Seq("src")), 0)
+      val nodes = ckpt.truncate(edges.select(col("src").as("page"))
+        .union(edges.select(col("dst")))
+        .distinct(), 0)
+      var r = nodes.withColumn("pr", lit(1000000L))
+      for (i <- 1 to rounds) {
+        r = ckpt.truncate(pageRankRound(ew, nodes, r), i)
+        ckpt.roll(r)
+      }
+      ckpt.finish(r.select(col("page"), col("pr").as("pr_micro")))
+    } finally ckpt.restore()
   }
 
   /** One PageRank round over (edges-with-out-weight, node set, ranks) —

@@ -709,6 +709,59 @@ object MergeQueries {
        |       (SELECT count(*) FROM gpairs)::BIGINT AS n_governed,
        |       TRUE AS subset_ok, TRUE AS recall_ok""".stripMargin
 
+  /** q231 gate: the maintain night's BUCKET-HEALTH monitor + auto
+    * rebucket ([[graft.jobs.SnapshotMaintainJob]] `--rebucket-key`).
+    * A deliberately under-bucketed snapshot (2 buckets for the whole
+    * corpus, the day-cost regime SCALE.md pins: every day touches
+    * every bucket) must be DETECTED from the head (one footer-scale
+    * count) and rebucketed to [[graft.sinks.ManifestMergeSink
+    * .bucketCountFor]]'s power-of-two target in night 1; night 2 on
+    * the now-healthy snapshot must publish NOTHING (same head seq, no
+    * rebucket); and the data must ride through both nights untouched
+    * (row count + key sum vs the oracle). */
+  def q231BucketHealth(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    import graft.jobs.SnapshotMaintainJob
+    val base = java.nio.file.Files.createTempDirectory("graft_q231_")
+    try {
+      val target = s"$base/snap"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      ManifestMergeSink.mergeIntoManifested(spark, target, docs,
+        "doc_id", Seq("len"), 2) // deliberately under-bucketed
+      val before = ManifestMergeSink.headState(spark, target).get._2.nBuckets
+      val cfg = SnapshotMaintainJob.SnapshotConfig(
+        rebucketKey = Some("doc_id"), targetRowsPerBucket = 32L)
+      val s1 = SnapshotMaintainJob.run(spark, target, cfg)
+      val (head1, st1) = ManifestMergeSink.headState(spark, target).get
+      val health = ManifestMergeSink.bucketHealth(spark, target)
+        .agg(sum(col("rows")).as("rows"), count(lit(1)).as("nb")).head()
+      val s2 = SnapshotMaintainJob.run(spark, target, cfg)
+      val head2 = ManifestMergeSink.headState(spark, target).get._1
+      val snap = ManifestMergeSink.readManifested(spark, target)
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids")).head()
+      val ss = spark; import ss.implicits._
+      Seq((before.toLong, st1.nBuckets.toLong,
+          s1.rebucketedTo.map(_.toLong).getOrElse(-1L),
+          s2.rebucketedTo.isEmpty && head2 == head1,
+          health.getLong(0) == snap.getLong(0) &&
+            health.getLong(1) == st1.nBuckets.toLong,
+          snap.getLong(0), snap.getLong(1)))
+        .toDF("buckets_before", "buckets_after", "night1_rebucket",
+          "night2_noop", "health_consistent", "n_rows", "sum_ids")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q231BucketHealthSql: String =
+    """SELECT 2::BIGINT AS buckets_before, 16::BIGINT AS buckets_after,
+      |  16::BIGINT AS night1_rebucket, TRUE AS night2_noop,
+      |  TRUE AS health_consistent,
+      |  count(*)::BIGINT AS n_rows, sum(doc_id)::BIGINT AS sum_ids
+      |FROM documents""".stripMargin
+
   /** INCREMENTAL ENTITY RESOLUTION against a persistent registry —
     * [[neardupIngest]]'s induction applied to the fuzzy-KEY family
     * (reference mongo.py:103-163's keyed upsert, surviving dirty keys):

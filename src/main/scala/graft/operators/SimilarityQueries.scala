@@ -531,10 +531,18 @@ object SimilarityQueries {
     * + a narrow least() map + a 1-row TakeOrdered — k linear passes,
     * nothing pairwise, no shuffle beyond the top-1 reduce. The 1-row
     * collect per round is the documented BPE/IVF-centroid precedent. */
-  def kCenterGreedy(emb: DataFrame, k: Int, seedId: Long): DataFrame = {
+  def kCenterGreedy(emb: DataFrame, k: Int, seedId: Long,
+                    checkpointDir: Option[String] = None,
+                    checkpointInterval: Int = 5): DataFrame = {
     require(k >= 1, s"k=$k")
     val sparkSess = emb.sparkSession
     import sparkSess.implicits._
+    // checkpointDir: the cluster-safe reliable truncation opt-in
+    // (IterCheckpoint, the connectedComponents contract) — default
+    // unchanged (localCheckpoint per round)
+    val ckpt = new IterCheckpoint(sparkSess, checkpointDir,
+      checkpointInterval)
+    try {
     def distTo(centerOneRow: DataFrame)(base: DataFrame): DataFrame =
       base.crossJoin(broadcast(centerOneRow
           .select(col("v").as("cv"), col("nrm").as("cn"))))
@@ -543,34 +551,39 @@ object SimilarityQueries {
             col("cv"), col("cn")), 4))
     val picks = Seq.newBuilder[(String, Option[Long], Option[Long], Option[Double])]
     picks += (("center", Some(1L), Some(seedId), None))
-    var mind = distTo(emb.filter(col("id") === seedId))(
+    var mind = ckpt.truncate(distTo(emb.filter(col("id") === seedId))(
         emb.filter(col("id") =!= seedId))
-      .select(col("id"), col("v"), col("nrm"), col("d").as("mind"))
-      .localCheckpoint(true)
+      .select(col("id"), col("v"), col("nrm"), col("d").as("mind")), 0)
     // If k meets/exceeds the number of distinct points the candidate frame
     // drains early: stop picking (every point is already a center) rather
     // than crashing on an empty argmax.
     var exhausted = false
     for (r <- 2 to k if !exhausted) {
+      // the 1-row argmax collect is the action that materializes the
+      // previous truncation — roll after it costs zero recompute
       val top = mind.orderBy(col("mind").desc, col("id").asc).limit(1)
         .select(col("id"), col("mind")).collect() // ≤1 row — driver-safe
+      ckpt.roll(mind)
       if (top.isEmpty) exhausted = true
       else {
         picks += (("center", Some(r.toLong), Some(top(0).getLong(0)),
           Some(top(0).getDouble(1))))
-        mind = distTo(mind.filter(col("id") === top(0).getLong(0)))(
+        mind = ckpt.truncate(distTo(mind.filter(col("id") === top(0).getLong(0)))(
             mind.filter(col("id") =!= top(0).getLong(0)))
           .select(col("id"), col("v"), col("nrm"),
-            least(col("mind"), col("d")).as("mind"))
-          .localCheckpoint(true)
+            least(col("mind"), col("d")).as("mind")), r - 1)
       }
     }
     // Empty residual (all points selected) ⇒ the objective is met exactly.
     val covRow = mind.agg(max(col("mind"))).head()
+    ckpt.roll(mind) // the agg materialized it; release the prior round
     val coverage = if (covRow.isNullAt(0)) 0.0 else covRow.getDouble(0)
     picks += (("coverage", None, None, Some(coverage)))
-    picks.result().toDF("sect", "rank", "center_id", "radius")
-      .orderBy(col("sect"), col("rank"))
+    // finish: the result is a tiny driver-built frame, but running it
+    // through finish releases the last persisted min-distance frame
+    ckpt.finish(picks.result().toDF("sect", "rank", "center_id", "radius")
+      .orderBy(col("sect"), col("rank")))
+    } finally ckpt.restore()
   }
 
   /** q194: the diversity-selection gate — 8 greedy k-center picks over

@@ -792,6 +792,58 @@ object ManifestMergeSink {
     0L // unreachable
   }
 
+  /** BUCKET HEALTH — the layout-health pattern (q164) for merge
+    * snapshots: one row per bucket in the HEAD mapping with its file
+    * count and bytes (pure FS metadata — ≤ nBuckets listings, no data
+    * read) and its row count (a column-less footer-scale scan, one
+    * job). The maintain night reads this to decide compaction (files)
+    * and rebucketing (rows vs the per-bucket target); an ops dashboard
+    * reads it for skew — a bucket whose rows dwarf the median is a hot
+    * key family the merge rewrites wholesale every day. */
+  def bucketHealth(spark: SparkSession, target: String): DataFrame = {
+    val root = new Path(target)
+    val fs = fsOf(spark, root)
+    val (_, st) = headState(spark, target).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed manifest snapshot at $target"))
+    val ss = spark; import ss.implicits._
+    val meta = st.mapping.toSeq.sortBy(_._1).map { case (b, d) =>
+      val sts = fs.listStatus(new Path(root, d))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (b, sts.length.toLong, sts.map(_.getLen).sum)
+    }.toDF("bucket", "n_files", "bytes")
+    if (st.mapping.isEmpty) return meta.withColumn("rows", lit(0L))
+    val withPb = StructType(st.schema.fields :+ StructField("pb", LongType))
+    val rows = st.mapping.values.toSeq.groupBy(_.split('/').head)
+      .toSeq.sortBy(_._1).map { case (gen, ds) =>
+        spark.read.option("basePath", s"$target/$gen").schema(withPb)
+          .parquet(ds.map(d => s"$target/$d"): _*)
+      }.reduce(_ unionByName _)
+      .groupBy(col("pb")).agg(count(lit(1)).as("rows"))
+      .withColumnRenamed("pb", "bucket")
+    meta.join(rows, Seq("bucket"), "left")
+      .na.fill(0L, Seq("rows"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The auto-rebucket sizing policy: the smallest POWER-OF-TWO bucket
+    * count holding `targetRowsPerBucket` per bucket. Power-of-two
+    * doubling means each old bucket (pb = hash mod n) splits into
+    * exactly two new ones — growth never scatters a bucket's keys
+    * across the whole new space, which keeps an incremental
+    * split-in-place evolution open. Grow-only by policy: shrinking is
+    * an explicit [[rebucketManifested]] call, never a nightly
+    * surprise. */
+  def bucketCountFor(rows: Long, targetRowsPerBucket: Long): Int = {
+    require(targetRowsPerBucket >= 1L,
+      s"targetRowsPerBucket=$targetRowsPerBucket must be positive")
+    val need = math.max(1L,
+      (rows + targetRowsPerBucket - 1L) / targetRowsPerBucket)
+    var b = 1
+    while (b < need && b < (1 << 30)) b <<= 1
+    b
+  }
+
   final case class CompactStats(nCompacted: Int, filesBefore: Long,
                                 filesAfter: Long)
 

@@ -30,8 +30,14 @@ class ScaleCurveJobSpec extends SparkSpec {
     // the day-cost mode: one fresh day against a prebuilt index
     val day = ScaleCurveJob.runDayCost(spark, sf, Seq(1, 2))
     assert(day.map(_.family).toSet ==
-      Set("exact_dedup_day", "neardup_day", "neardup_scoped_day"))
+      Set("exact_dedup_day", "neardup_day", "neardup_scoped_day",
+          "neardup_revisit_day"))
     day.foreach(p => assert(p.rows == n,
       "the day batch is fixed-size whatever the index factor"))
+    // the rebucket demo: maintain night fires between the two points
+    val demo = ScaleCurveJob.runRebucketDemo(spark, sf, Seq(2))
+    assert(demo.map(_.family) ==
+      Seq("dedup_day_pre_rebucket", "dedup_day_post_rebucket"))
+    demo.foreach(p => assert(p.rows == 150L && p.wallS > 0))
   }
 }

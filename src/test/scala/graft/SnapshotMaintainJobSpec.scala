@@ -57,6 +57,60 @@ class SnapshotMaintainJobSpec extends SparkSpec {
     } finally fs.delete(new Path(base.toString), true)
   }
 
+  test("bucket health: an under-bucketed snapshot rebuckets once, then rests") {
+    val base = java.nio.file.Files.createTempDirectory("graft_smj_rb_")
+    val fs = new Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val m = s"$base/snap"
+      val rows = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "payload")
+      ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
+        Seq("payload"), nBuckets = 2) // deliberately under-bucketed
+      // without --rebucket-key the night never touches bucket count
+      val off = SnapshotMaintainJob.run(spark, m)
+      assert(off.rebucketedTo.isEmpty &&
+        ManifestMergeSink.headState(spark, m).get._2.nBuckets == 2)
+      // night 1 with the monitor on: detected and rebucketed to the
+      // power-of-two target (300 rows / 40 target -> 8 buckets)
+      val cfg = SnapshotMaintainJob.SnapshotConfig(
+        rebucketKey = Some("id"), targetRowsPerBucket = 40L)
+      val night1 = SnapshotMaintainJob.run(spark, m, cfg)
+      assert(night1.rebucketedTo.contains(8), s"$night1")
+      assert(ManifestMergeSink.headState(spark, m).get._2.nBuckets == 8)
+      assert(ManifestMergeSink.readManifested(spark, m).count() == 300L,
+        "rebucketing must be content-neutral")
+      // the health frame agrees with the new layout
+      val health = ManifestMergeSink.bucketHealth(spark, m)
+      assert(health.agg(sum(col("rows"))).head().getLong(0) == 300L)
+      assert(health.count() <= 8 && health.count() > 0)
+      // night 2: healthy — no rebucket, no publish
+      val commits = CommitLog.seqs(fs, new Path(m)).size
+      val night2 = SnapshotMaintainJob.run(spark, m, cfg)
+      assert(night2.rebucketedTo.isEmpty && night2.bucketsCompacted == 0)
+      assert(CommitLog.seqs(fs, new Path(m)).size == commits,
+        "a healthy night must not publish")
+      // grow-only: a tiny target never SHRINKS an over-bucketed snapshot
+      val shrinkCfg = SnapshotMaintainJob.SnapshotConfig(
+        rebucketKey = Some("id"), targetRowsPerBucket = 1000L)
+      assert(SnapshotMaintainJob.run(spark, m, shrinkCfg).rebucketedTo.isEmpty)
+      assert(ManifestMergeSink.headState(spark, m).get._2.nBuckets == 8)
+      // a post-rebucket merge must present the NEW bucket count
+      intercept[IllegalArgumentException] {
+        ManifestMergeSink.mergeIntoManifested(spark, m, rows.limit(1),
+          "id", Seq("payload"), nBuckets = 2)
+      }
+      // sizing policy corners
+      assert(ManifestMergeSink.bucketCountFor(0L, 100L) == 1)
+      assert(ManifestMergeSink.bucketCountFor(100L, 100L) == 1)
+      assert(ManifestMergeSink.bucketCountFor(101L, 100L) == 2)
+      assert(ManifestMergeSink.bucketCountFor(500L, 32L) == 16)
+      // flag parsing
+      val f = SnapshotMaintainJob.SnapshotConfig.fromFlags(
+        Seq("--rebucket-key", "doc_id", "--target-rows", "123"))
+      assert(f.rebucketKey.contains("doc_id") && f.targetRowsPerBucket == 123L)
+    } finally fs.delete(new Path(base.toString), true)
+  }
+
   test("a table-group member's night honors the published pins (retention lease)") {
     import graft.sinks.TableGroup
     val base = java.nio.file.Files.createTempDirectory("graft_smj_tg_")
