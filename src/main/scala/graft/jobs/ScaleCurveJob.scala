@@ -43,10 +43,11 @@ object ScaleCurveJob {
   private def repTag(r: Int): String =
     (0 until 10).map(j => s" zzrep${r}tok$j").mkString
 
-  private def replicaOf(docs: DataFrame, r: Int, maxId: Long): DataFrame =
-    docs.select(
-      (col("doc_id") + lit(r.toLong * (maxId + 1))).as("doc_id"),
-      concat(col("text"), lit(repTag(r))).as("text"))
+  private def replicaOf(docs: DataFrame, r: Int, maxId: Long,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs.withColumn(idCol, col(idCol) + lit(r.toLong * (maxId + 1)))
+      .withColumn(textCol, concat(col(textCol), lit(repTag(r))))
 
   /** The replica a doc belongs to, as a SCOPE column — the curve's
     * stand-in for the lang/source/crawl partitions a real corpus grows
@@ -255,14 +256,127 @@ object ScaleCurveJob {
       concat(col("text"), lit(repTag(0))).as("text"))
       .withColumn("scope", lit("0"))
 
+  /** Day-cost curves for the REMAINING incremental families —
+    * containment (q192), entity resolution (q127), IVF (q71),
+    * vocabulary (q110): build each family's persistent state from an
+    * f×-replicated corpus, then ingest ONE fixed-size fresh day and
+    * measure that day alone (the [[runDayCost]] protocol). Slopes pin
+    * the families' day-cost-vs-corpus-size claims the same way the
+    * dedup pair's were pinned in round 16. */
+  def runFamilyDayCost(spark: SparkSession, sfDir: String,
+                       factors: Seq[Int] = Seq(1, 3, 10)): Seq[Point] = {
+    import graft.operators.{Dedup, Ivf, TextQueries}
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val maxDoc = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    val sup0 = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"))
+    val maxSup = sup0.agg(max(col("s_suppkey"))).head().getLong(0)
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val maxVec = emb0.agg(max(col("id"))).head().getLong(0)
+    // SHORT name tag (not repTag): the verify is quadratic Levenshtein
+    // in STRING length, so the docs' 110-char token block would make
+    // every candidate ~50× costlier than the fixture's names (measured:
+    // one task pinned for 15 min at 30×). "x{r}x{r}" differs in ≥2
+    // chars (or length) across replicas — no cross-replica ed≤1 pairs —
+    // while within-replica neighborhoods keep the fixture's structure.
+    def supReplica(r: Int): DataFrame = sup0.select(
+      (col("s_suppkey") + lit(r.toLong * (maxSup + 1))).as("s_suppkey"),
+      concat(col("s_name"), lit(s" x${r}x$r")).as("s_name"))
+    def embReplica(r: Int): DataFrame = emb0.select(
+      (col("id") + lit(r.toLong * (maxVec + 1))).as("id"), col("v"))
+    factors.flatMap { f =>
+      def timed(family: String, nDay: Long)(prep: String => Unit)
+               (body: String => Unit): Point = {
+        val base = java.nio.file.Files.createTempDirectory("graft_scale_")
+        try {
+          prep(s"$base/state") // build the f× state OUTSIDE the timing
+          val t0 = System.nanoTime()
+          val (_, events) = StageMetrics.withStageMetrics(spark) {
+            body(s"$base/state")
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          Point(family, f, nDay, math.round(wall * 100) / 100.0,
+            events.map(e => e.shuffleReadBytes + e.shuffleWriteBytes).sum)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(base.toString)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+      }
+      // NAMESPACED replicas for the token-SET families: the 10-token
+      // repTag block is the right separator for simhash (it moves
+      // signature bits) but NOT for containment — c(A→B) = |A∩B|/|A|
+      // stays above 0.8 for any doc with >40 distinct tokens, so
+      // tagged replicas would containment-pair quadratically across
+      // replicas. Independence for set operators means DISJOINT token
+      // namespaces: prefix every token with the replica id (one regex
+      // per doc; intra-replica structure exactly preserved, cross-
+      // replica intersections exactly empty). Vocabulary inherits the
+      // honest model too: the counts state GROWS with the corpus (new
+      // scopes bring new types), which is the claim worth measuring.
+      def nsReplica(r: Int): DataFrame = docs0.select(
+        (col("doc_id") + lit(r.toLong * (maxDoc + 1))).as("doc_id"),
+        regexp_replace(col("text"), "([\\p{L}\\p{N}]+)", s"z${r}z$$1")
+          .as("text"),
+        col("lang"), col("source"))
+      val dCorpus = ((0 until f).map(nsReplica)
+        .reduce(_ unionByName _)).localCheckpoint(true)
+      val dDay = nsReplica(f).localCheckpoint(true)
+      val nDocs = dDay.count()
+      // containment (q192's parameters: unigrams, t=0.8, source blocks)
+      val contain = timed("containment_day", nDocs) { path =>
+        Dedup.containmentIngest(spark, path, dCorpus, "doc_id", "text",
+          n = 1, threshold = 0.8, blockCol = Some("source"), batchId = "b0")
+      } { path =>
+        Dedup.containmentIngest(spark, path, dDay, "doc_id", "text",
+          n = 1, threshold = 0.8, blockCol = Some("source"), batchId = "day")
+      }
+      // vocabulary (q110): counts state grows with the corpus VOCAB
+      val vocab = timed("vocab_day", nDocs) { path =>
+        TextQueries.vocabIngest(spark, path, dCorpus, "b0", "lang", "text")
+      } { path =>
+        TextQueries.vocabIngest(spark, path, dDay, "day", "lang", "text")
+      }
+      // entity resolution (q127): supplier-name registry
+      val supCorpus = ((0 until f).map(supReplica)
+        .reduce(_ unionByName _)).localCheckpoint(true)
+      val supDay = supReplica(f).localCheckpoint(true)
+      val entity = timed("entity_day", supDay.count()) { path =>
+        MergeQueries.entityIngest(spark, path, supCorpus,
+          "s_suppkey", "s_name")
+      } { path =>
+        MergeQueries.entityIngest(spark, path, supDay,
+          "s_suppkey", "s_name")
+      }
+      // IVF (q71): the centroid model fits once on the f× corpus; the
+      // day is assigned by the same model and appended per list
+      val embCorpus = ((0 until f).map(embReplica)
+        .reduce(_ unionByName _)).localCheckpoint(true)
+      val embDay = embReplica(f).localCheckpoint(true)
+      var model: org.apache.spark.ml.clustering.KMeansModel = null
+      val ivf = timed("ivf_day", embDay.count()) { path =>
+        val built = Ivf.build(embCorpus, "id", "v", nlist = 16,
+          fitSampleRows = 20000)
+        model = built.model
+        Ivf.writeIndex(built, path)
+      } { path =>
+        Ivf.ingest(spark, path, model, embDay, "id", "v")
+      }
+      Seq(contain, vocab, entity, ivf)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: ScaleCurveJob <sfDir> [--day-cost|--rebucket-demo] [factors...]")
     val rest = args.drop(1).toSeq
     val dayCost = rest.contains("--day-cost")
+    val familyDayCost = rest.contains("--family-day-cost")
     val rebucketDemo = rest.contains("--rebucket-demo")
-    val factorArgs =
-      rest.filterNot(a => a == "--day-cost" || a == "--rebucket-demo")
+    val factorArgs = rest.filterNot(a =>
+      a == "--day-cost" || a == "--rebucket-demo" || a == "--family-day-cost")
     val factors =
       if (factorArgs.nonEmpty) factorArgs.map(_.toInt)
       else if (rebucketDemo) Seq(10)
@@ -270,6 +384,7 @@ object ScaleCurveJob {
     val spark = GraftSession.builder().getOrCreate()
     try {
       val pts = if (rebucketDemo) runRebucketDemo(spark, args(0), factors)
+                else if (familyDayCost) runFamilyDayCost(spark, args(0), factors)
                 else if (dayCost) runDayCost(spark, args(0), factors)
                 else run(spark, args(0), factors)
       pts.foreach(p => println(p.toJson))

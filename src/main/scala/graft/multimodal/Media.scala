@@ -149,6 +149,59 @@ object Media {
     }
   }
 
+  /** REAL multi-frame container — animated GIF through `javax.imageio`'s
+    * SEQUENCE reader/writer (on every JVM, zero new dependencies): the
+    * container-level analog of [[ImageIoCodec]] for the frame-sampling
+    * shape [[sampleFrames]] runs over the fake codec. GIF is LZW
+    * LOSSLESS with a per-frame color table, so solid-color frames round
+    * trip bit-exactly — which is what lets q232 gate real sampled-frame
+    * PIXELS arithmetically, not just counts. Call the helpers from a
+    * per-partition `mapPartitions` (the q37/q226 lifecycle); payload
+    * bytes never shuffle. */
+  object Gif {
+    /** Encode same-sized frames as one animated GIF. */
+    def encode(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "an animated GIF needs at least one frame")
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f => writer.writeToSequence(
+          new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    private def readerFor(content: Array[Byte])
+        : (javax.imageio.ImageReader, javax.imageio.stream.ImageInputStream) = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      r.setInput(iis)
+      (r, iis)
+    }
+
+    /** Frame count via the sequence reader's index walk (headers only —
+      * `getNumImages(true)` seeks, it does not decode pixel data). */
+    def frameCount(content: Array[Byte]): Int = {
+      val (r, iis) = readerFor(content)
+      try r.getNumImages(true) finally { r.dispose(); iis.close() }
+    }
+
+    /** Decode exactly frame `i` — the sequence reader seeks to it, so a
+      * k-th-frame sample never pays for the frames around it. */
+    def frame(content: Array[Byte], i: Int): java.awt.image.BufferedImage = {
+      val (r, iis) = readerFor(content)
+      try r.read(i) finally { r.dispose(); iis.close() }
+    }
+  }
+
   /** REAL audio codec — `javax.sound.sampled` WAV (on every JVM, zero
     * new dependencies) behind the same per-partition lifecycle:
     * `decodeMeta` parses the RIFF header via `AudioSystem` (true sample

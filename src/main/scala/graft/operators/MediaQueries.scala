@@ -548,4 +548,77 @@ object MediaQueries {
       |  CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13 % 256)::BIGINT END AS pb
       |FROM documents WHERE doc_id % 5 = 0
       |ORDER BY doc_id""".stripMargin
+
+  /** q232: a REAL multi-frame container behind q43's frame-sampling
+    * shape — animated GIF through [[Media.Gif]] (`javax.imageio`'s
+    * sequence reader/writer, zero new deps; q226's pattern):
+    *
+    *  1. ENCODE (executors, mapPartitions): each sampled doc derives a
+    *     deterministic animation — `2 + id%4` solid-color frames of
+    *     `(4 + id%5) × (3 + id%4)`, frame f colored
+    *     `((id + 31f)%256, (id·7 + 17f)%256, (id·13 + 5f)%256)` —
+    *     written as ONE real animated GIF;
+    *  2. COUNT frames through the sequence reader's header walk;
+    *  3. SAMPLE frame `id % n_frames` (the q43 every-k shape on a real
+    *     container: the reader SEEKS, unsampled frames never decode)
+    *     and probe its top-left pixel.
+    *
+    * GIF's per-frame color table is lossless, so the oracle recomputes
+    * the sampled frame's exact RGB arithmetically from doc_id — a
+    * reader that merges disposal state across frames, miscounts, or
+    * samples the wrong frame fails row-level. Payload bytes never
+    * shuffle; the join carries metadata only. */
+  def q232GifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 11 === 0)
+      .as[Long]
+    val blobs: org.apache.spark.sql.Dataset[Media.MediaRow] =
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = img.createGraphics()
+            try {
+              g2.setColor(new java.awt.Color(
+                ((id + 31L * f) % 256).toInt,
+                ((id * 7 + 17L * f) % 256).toInt,
+                ((id * 13 + 5L * f) % 256).toInt))
+              g2.fillRect(0, 0, w, h)
+            } finally g2.dispose()
+            img
+          }
+          Media.MediaRow(id, "video", Media.Gif.encode(frames))
+        }
+      }.localCheckpoint(true) // encoded ONCE: count AND sample consume it
+    blobs.mapPartitions { it =>
+      it.map { r =>
+        val nf = Media.Gif.frameCount(r.content)
+        val k = (r.media_id % nf).toInt
+        val img = Media.Gif.frame(r.content, k)
+        val px = img.getRGB(0, 0)
+        (r.media_id, nf.toLong, img.getWidth.toLong, img.getHeight.toLong,
+          k.toLong, ((px >> 16) & 0xff).toLong, ((px >> 8) & 0xff).toLong,
+          (px & 0xff).toLong)
+      }
+    }.toDF("doc_id", "n_frames", "w", "h", "k", "pr", "pg", "pb")
+      .orderBy(col("doc_id"))
+  }
+
+  val q232GifFramesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS nf,
+      |    doc_id % (2 + doc_id % 4) AS k
+      |  FROM documents WHERE doc_id % 11 = 0)
+      |SELECT doc_id, nf::BIGINT AS n_frames,
+      |  (4 + doc_id % 5)::BIGINT AS w, (3 + doc_id % 4)::BIGINT AS h,
+      |  k::BIGINT AS k,
+      |  ((doc_id + 31 * k) % 256)::BIGINT AS pr,
+      |  ((doc_id * 7 + 17 * k) % 256)::BIGINT AS pg,
+      |  ((doc_id * 13 + 5 * k) % 256)::BIGINT AS pb
+      |FROM p ORDER BY doc_id""".stripMargin
 }

@@ -312,6 +312,35 @@ class MediaSpec extends SparkSpec {
     }
     pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
+
+  test("animated GIF: frame count, per-frame seek isolation, lossless pixels") {
+    val frames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(5, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      try {
+        g2.setColor(new java.awt.Color(10 + f, 20 + 2 * f, 30 + 3 * f))
+        g2.fillRect(0, 0, 5, 4)
+      } finally g2.dispose()
+      img
+    }
+    val bytes = Media.Gif.encode(frames)
+    assert(Media.Gif.frameCount(bytes) == 3)
+    (0 until 3).foreach { f =>
+      val img = Media.Gif.frame(bytes, f)
+      assert(img.getWidth == 5 && img.getHeight == 4)
+      val px = img.getRGB(2, 1)
+      assert(((px >> 16) & 0xff) == 10 + f &&
+        ((px >> 8) & 0xff) == 20 + 2 * f && (px & 0xff) == 30 + 3 * f,
+        s"frame $f color mismatch: ${px.toHexString}")
+    }
+    // the single-image codec sniffs the same bytes as a gif container
+    val codec = new Media.ImageIoCodec; codec.init()
+    val meta = codec.decodeMeta(bytes)
+    assert(meta.format == "gif" && meta.width == 5 && meta.height == 4)
+    // a single-frame animation is still a valid container
+    assert(Media.Gif.frameCount(Media.Gif.encode(frames.take(1))) == 1)
+  }
 }
 
 object MediaSpec {

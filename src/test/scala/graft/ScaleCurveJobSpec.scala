@@ -40,4 +40,11 @@ class ScaleCurveJobSpec extends SparkSpec {
       Seq("dedup_day_pre_rebucket", "dedup_day_post_rebucket"))
     demo.foreach(p => assert(p.rows == 150L && p.wallS > 0))
   }
+
+  test("family day-cost mode: one point per remaining ingest family") {
+    val pts = ScaleCurveJob.runFamilyDayCost(spark, sf, Seq(1))
+    assert(pts.map(_.family) ==
+      Seq("containment_day", "vocab_day", "entity_day", "ivf_day"))
+    pts.foreach(p => assert(p.rows > 0 && p.wallS > 0, s"$p"))
+  }
 }
