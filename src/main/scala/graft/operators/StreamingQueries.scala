@@ -558,6 +558,53 @@ object StreamingQueries {
     * of the whole corpus ([[MergeQueries.q68IncrNeardupSql]]). */
   val q72StreamNeardupSql: String = MergeQueries.q68IncrNeardupSql
 
+  /** q233: the SCOPE-SHARDED stream — q72's harness against
+    * [[graft.streaming.StreamingNeardup.startScoped]] (arrivals carry
+    * `lang`, probes join on (lang, chunk, cval)); the final index must
+    * equal WITHIN-SCOPE batch clustering of the whole corpus, q229's
+    * oracle verbatim. The continuous face of the 100 TB ingest shape:
+    * a micro-batch's collision neighborhood is bounded by the scopes
+    * it touches, not the corpus. */
+  def q233StreamScopedNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamConf.withShuffle(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingNeardup
+    val base = java.nio.file.Files.createTempDirectory("graft_q233_")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(conf)
+    try {
+      val srcDir = s"$base/arrivals"
+      val target = s"$base/scoped_index"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      Seq(
+        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") > cut)
+          .union(docs.filter(col("doc_id") % 5 === 0)))
+        .zipWithIndex.foreach { case (d, i) =>
+          d.coalesce(1).write.parquet(s"$base/stage_$i")
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$base/stage_$i/part-*.parquet"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/day_$i.parquet"))
+        }
+      val q = StreamingNeardup.startScoped(spark, srcDir, target,
+        s"$base/ckpt", scopeCol = "lang",
+        trigger = Some(Trigger.AvailableNow()))
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      graft.sinks.ManifestMergeSink.readManifested(spark, target)
+        .select(col("doc_id"), col("lang"), col("survivor_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize before the scratch dir dies
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  val q233StreamScopedNeardupSql: String = MergeQueries.q229ScopedNeardupSql
+
   /** q91: SESSIONIZED TRAINING SEQUENCES — the behavioral-dataset
     * construction a recommender/agent pipeline runs over an event log:
     * gaps-and-islands sessions (q25's exact semantics: 30-minute gap,

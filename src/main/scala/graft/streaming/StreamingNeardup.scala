@@ -55,4 +55,35 @@ object StreamingNeardup {
       }
     trigger.fold(writer)(writer.trigger).start()
   }
+
+  /** The SCOPE-SHARDED stream ([[MergeQueries
+    * .neardupIngestScopedManifested]] per micro-batch): arrivals carry
+    * a scope column (lang/source/crawl), the index stores it, and
+    * every probe joins on (scope, chunk, cval) — the continuous face
+    * of q229, with the same delivery semantics as [[start]]. This is
+    * the 100 TB streaming shape: a micro-batch's collision
+    * neighborhood is bounded by the SCOPES it touches, not the corpus
+    * (SCALE.md round-17 curve). `maxBucketSize` optionally stacks the
+    * q230-certified hot-bucket governor. */
+  def startScoped(spark: SparkSession, srcDir: String, target: String,
+                  checkpointDir: String, scopeCol: String = "lang",
+                  maxFilesPerTrigger: Int = 1,
+                  trigger: Option[Trigger] = None, nBuckets: Int = 16,
+                  maxBucketSize: Option[Int] = None,
+                  onStats: (Long, MergeSink.MergeStats) => Unit = (_, _) => ()): StreamingQuery = {
+    val schema = StructType(docSchema.fields :+
+      StructField(scopeCol, StringType))
+    val writer = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = MergeQueries.neardupIngestScopedManifested(spark, target,
+          batch, "doc_id", "text", scopeCol, nBuckets,
+          maxBucketSize = maxBucketSize)
+        println(s"""{"stage":"stream_neardup_scoped","batch":$batchId,"n_matched":${s.nMatched},"n_upserted":${s.nUpserted}}""")
+        onStats(batchId, s)
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
 }
