@@ -719,4 +719,33 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(p).length == 1,
       s"the evolved merge is still exactly one full-outer key join:\n$p")
   }
+
+  test("governed/scoped cross-probe: the cap window and scope keys add no shuffle") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sigs = operators.Dedup.simhashSignatures(docs, "doc_id", "text",
+      carry = Seq("lang")).localCheckpoint(true)
+    val probe = sigs.filter(col("id") % 2 === 1)
+    val index = sigs.filter(col("id") % 2 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join's own hashpartitioning is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      def exchanges(df: DataFrame): Int =
+        "Exchange hashpartitioning".r.findAllIn(plan(df)).length
+      val exact = operators.Dedup.simhashCrossPairs(probe, index)
+      val governed = operators.Dedup.simhashCrossPairs(probe, index,
+        maxBucketSize = Some(20))
+      // the hot-bucket window partitions by the SAME (chunk, cval) keys
+      // the pair join hashes on — Spark reuses the exchange, so the
+      // governor costs a sort within partitions, never a second shuffle
+      assert(exchanges(governed) == exchanges(exact),
+        s"the governor must not add an exchange:\n${plan(governed)}")
+      // scope keys join as extra equi-columns on the same exchanges
+      val scoped = operators.Dedup.simhashCrossPairs(probe, index,
+        extraKeys = Seq("lang"))
+      assert(exchanges(scoped) == exchanges(exact),
+        s"scope keys must not add an exchange:\n${plan(scoped)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
