@@ -363,6 +363,9 @@ object MergeQueries {
       def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats =
         MergeSink.mergeIntoBucketed(spark, table, updates, "doc_id", fields,
           nBuckets)
+      // the bucketed scan's partitioning IS the optimization — never
+      // flatten it into a checkpoint (see IndexStore.materializeOnce)
+      override def materializeOnce: Boolean = false
     }, batchSigs, maxHamming)
 
   /** [[neardupIngest]] against a BUCKETED catalog-table index — the
@@ -461,6 +464,16 @@ object MergeQueries {
     def exists: Boolean
     def read(): DataFrame
     def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats
+    /** Whether the core should materialize [[read]]'s frame once per
+      * day (localCheckpoint) instead of re-reading it per reference.
+      * True for layouts whose read is an unkeyed parquet scan (plain,
+      * manifested — four scans become one). FALSE for the BUCKETED
+      * catalog table: a checkpoint discards the scan's bucketed output
+      * partitioning, so the doc_id-keyed anti-join and star lookup
+      * would exchange the corpus-sized index — exactly the shuffle the
+      * bucketing exists to remove (PlanAuditSpec pins that plan); its
+      * re-reads are co-located scans, the cheaper trade. */
+    def materializeOnce: Boolean = true
   }
 
   /** `scopeCols`: SCOPE columns carried by `batchSigs0` and stored in
@@ -484,12 +497,15 @@ object MergeQueries {
 
     val batchSigs = batchSigs0
       .dropDuplicates("id") // within-batch re-delivery of identical rows
-    // ONE materialization of the index snapshot per day: the frame is
+    // ONE materialization of the index snapshot per day (store-layout
+    // dependent — see [[IndexStore.materializeOnce]]): the frame is
     // referenced four times (re-delivery anti-join, cross probe,
     // star-edge lookup, survivor remap) and each reference would
     // otherwise re-resolve the head and re-scan the store's parquet
     val indexOpt: Option[DataFrame] =
-      if (store.exists) Some(store.read().localCheckpoint(true)) else None
+      if (!store.exists) None
+      else if (store.materializeOnce) Some(store.read().localCheckpoint(true))
+      else Some(store.read())
     // localCheckpoint: referenced by the self-pair emitter, the cross
     // probe, AND the final insert set — without it the tokenize+simhash
     // pipeline re-runs per reference (union-branch trap)
