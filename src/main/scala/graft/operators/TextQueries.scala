@@ -1674,6 +1674,88 @@ object TextQueries {
     true
   }
 
+  /** [[vocabIngest]]'s fold against the MANIFESTED merge snapshot — the
+    * token-bucketed layout the scaladoc above promises for when |state|
+    * becomes the bottleneck: counts live keyed by lang+token under hash
+    * buckets, each batch reads ONLY the buckets its own types hash to
+    * (`recomputeUpdates` sums batch counts into the existing rows per
+    * publish attempt, so a CAS loser re-adds against the winner's head
+    * — additive correctness under contention), and the batch ledger
+    * rides the SAME commit (`txn`), so a whole-batch replay no-ops on
+    * the metadata read alone. Day cost ∝ batch vocab + touched-bucket
+    * bytes, never |state| — the SCALE.md round-17 vocab_day growth
+    * line, closed; [[graft.jobs.SnapshotMaintainJob]]'s bucket-health
+    * night (q231) keeps the bucket count fitted as the vocabulary
+    * grows. Gate: q234 (q110's day-split + replay harness, q109's
+    * whole-corpus oracle verbatim). */
+  def vocabIngestManifested(spark: SparkSession, target: String,
+                            batch: DataFrame, batchId: Long,
+                            langCol: String, textCol: String,
+                            nBuckets: Int,
+                            pipelineId: String = "vocab"): Boolean = {
+    import graft.sinks.ManifestMergeSink
+    if (ManifestMergeSink.headState(spark, target)
+        .exists(_._2.txns.get(pipelineId).exists(_ >= batchId)))
+      return false // absorbed replay: metadata read only, no batch scan
+    lazy val bs = typeCountsOf(batch, langCol, textCol)
+      // \u0001 separator: tokens are word characters (TextFunctions
+      // .tokens), so the key is collision-free — ("en","xfoo") and
+      // ("enx","foo") must not fold into one row
+      .select(concat_ws("\u0001", col("lang"), col("tok")).as("k"),
+        col("lang"), col("tok"), col("n"))
+      .localCheckpoint(true) // probed for buckets, then summed + merged
+    ManifestMergeSink.mergeIntoManifested(spark, target, batch, "k",
+      Seq("lang", "tok", "n"), nBuckets,
+      txn = Some((pipelineId, batchId)),
+      recomputeUpdates = {
+        case None => bs // first commit: the batch IS the state
+        case Some(st) =>
+          val touched = bs
+            .select(pmod(xxhash64(col("k")), lit(st.nBuckets.toLong)).as("pb"))
+            .distinct().collect().map(_.getLong(0)).toSeq // ≤ nBuckets
+          val existing = ManifestMergeSink
+            .readStateBuckets(spark, target, st, touched)
+            .select(col("k"), col("n").as("n_old"))
+          bs.join(existing, Seq("k"), "left")
+            .select(col("k"), col("lang"), col("tok"),
+              (col("n") + coalesce(col("n_old"), lit(0L))).as("n"))
+      })
+    true
+  }
+
+  /** q234: [[vocabIngestManifested]] under q110's harness — day split,
+    * then a whole-batch replay that must no-op through the commit
+    * ledger; the final coverage report derives FROM THE SNAPSHOT via
+    * the same [[coverageFromTypeCounts]] tail and gates against q109's
+    * whole-corpus oracle verbatim (the incremental state must converge
+    * to exactly the batch answer, top-V boundary tie-break included). */
+  def q234VocabMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q234_")
+    try {
+      val target = s"$base/vocab_snap"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val day1 = docs.filter(col("doc_id") <= cut)
+      val day2 = docs.filter(col("doc_id") > cut)
+      require(vocabIngestManifested(spark, target, day1, 1L, "lang", "text", 8))
+      require(vocabIngestManifested(spark, target, day2, 2L, "lang", "text", 8))
+      require(!vocabIngestManifested(spark, target, day2, 2L, "lang", "text", 8),
+        "replayed batch must be a ledger no-op")
+      coverageFromTypeCounts(
+        ManifestMergeSink.readManifested(spark, target)
+          .select(col("lang"), col("tok"), col("n")), VocabSize)
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
+  /** Same convergence claim as q110, same oracle: q109's. */
+  def q234VocabMergeSql: String = q109VocabOovSql
+
   /** q110: the incremental vocabulary under the q85 day-split harness
     * plus a whole-batch replay (day 2 re-delivered under the same
     * batchId — the ledger must no-op it). The final coverage report is

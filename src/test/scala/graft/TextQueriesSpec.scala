@@ -179,6 +179,68 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("manifested vocab fold: schedule-independent, replay no-ops, one commit per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sinks.ManifestMergeSink
+    val docs = Seq((1L, "en", "a b"), (2L, "en", "a c"), (3L, "de", "b b d"))
+      .toDF("doc_id", "lang", "text")
+    def run(splits: Seq[Seq[Long]]): Map[(String, String), Long] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_vm_")
+      try {
+        val t = s"$base/v"
+        splits.zipWithIndex.foreach { case (ids, i) =>
+          assert(TextQueries.vocabIngestManifested(spark, t,
+            docs.filter(col("doc_id").isInCollection(ids)), i + 1L,
+            "lang", "text", nBuckets = 4))
+        }
+        assert(ManifestMergeSink.commitSeqs(spark, t).size == splits.size,
+          "exactly one commit per applied batch")
+        ManifestMergeSink.readManifested(spark, t).collect()
+          .map(r => (r.getAs[String]("lang"), r.getAs[String]("tok")) ->
+            r.getAs[Long]("n")).toMap
+      } finally {
+        val fs = new org.apache.hadoop.fs.Path(base.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+      }
+    }
+    val a = run(Seq(Seq(1L, 2L, 3L)))
+    val b = run(Seq(Seq(1L), Seq(2L, 3L)))
+    val c = run(Seq(Seq(3L), Seq(1L), Seq(2L)))
+    assert(a == b && b == c, "additive snapshot state must be schedule-independent")
+    assert(a(("en", "a")) == 2L && a(("de", "b")) == 2L && a(("en", "c")) == 1L)
+    // replay: same batchId must no-op on the ledger, state + head unmoved
+    val base = java.nio.file.Files.createTempDirectory("graft_vm_r_")
+    try {
+      val t = s"$base/v"
+      assert(TextQueries.vocabIngestManifested(spark, t, docs, 1L,
+        "lang", "text", 4))
+      val head = ManifestMergeSink.headState(spark, t).get._1
+      assert(!TextQueries.vocabIngestManifested(spark, t, docs, 1L,
+        "lang", "text", 4))
+      assert(ManifestMergeSink.headState(spark, t).get._1 == head,
+        "an absorbed replay must not publish")
+      val n = ManifestMergeSink.readManifested(spark, t)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+      assert(n == 7L, s"replay must not double-count (total $n != 7)")
+      // the ledgered and the manifested folds agree row-for-row
+      val p = s"$base/ledger"
+      assert(TextQueries.vocabIngest(spark, p, docs, "d1", "lang", "text"))
+      val want = graft.sinks.LedgeredState.readPart(spark, p, "counts").get
+        .collect().map(r => (r.getAs[String]("lang"),
+          r.getAs[String]("tok")) -> r.getAs[Long]("n")).toMap
+      val got = ManifestMergeSink.readManifested(spark, t).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[String]("tok")) ->
+          r.getAs[Long]("n")).toMap
+      assert(got == want, "both vocab layouts must hold the identical state")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(base.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base.toString), true)
+    }
+  }
+
   test("q117 bloom decontamination gate holds on the fixture; sketch FP floor pinned") {
     val row = TextQueries.q117BloomDecontam(spark, sf).collect().head
     assert(row.getAs[Long]("n_exact") > 0L, "gate must be non-vacuous")
