@@ -339,6 +339,17 @@ object ScaleCurveJob {
       } { path =>
         TextQueries.vocabIngest(spark, path, dDay, "day", "lang", "text")
       }
+      // vocabulary through the MANIFESTED fold (q234) — the state-
+      // bounded form whose day cost should stay ∝ batch vocab +
+      // touched buckets while the ledgered fold above grows with
+      // |state| (the growth line this family exists to close)
+      val vocabMerge = timed("vocab_merge_day", nDocs) { path =>
+        TextQueries.vocabIngestManifested(spark, path, dCorpus, 1L,
+          "lang", "text", nBuckets = 64)
+      } { path =>
+        TextQueries.vocabIngestManifested(spark, path, dDay, 2L,
+          "lang", "text", nBuckets = 64)
+      }
       // entity resolution (q127): supplier-name registry
       val supCorpus = ((0 until f).map(supReplica)
         .reduce(_ unionByName _)).localCheckpoint(true)
@@ -364,7 +375,7 @@ object ScaleCurveJob {
       } { path =>
         Ivf.ingest(spark, path, model, embDay, "id", "v")
       }
-      Seq(contain, vocab, entity, ivf)
+      Seq(contain, vocab, vocabMerge, entity, ivf)
     }
   }
 

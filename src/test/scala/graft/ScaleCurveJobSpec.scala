@@ -44,7 +44,7 @@ class ScaleCurveJobSpec extends SparkSpec {
   test("family day-cost mode: one point per remaining ingest family") {
     val pts = ScaleCurveJob.runFamilyDayCost(spark, sf, Seq(1))
     assert(pts.map(_.family) ==
-      Seq("containment_day", "vocab_day", "entity_day", "ivf_day"))
+      Seq("containment_day", "vocab_day", "vocab_merge_day", "entity_day", "ivf_day"))
     pts.foreach(p => assert(p.rows > 0 && p.wallS > 0, s"$p"))
   }
 }
