@@ -650,6 +650,62 @@ object MergeQueries {
        |FROM sp_sig s LEFT JOIN clus c ON c.id = s.id
        |ORDER BY doc_id""".stripMargin
 
+  /** SCOPE HEALTH for a scoped near-dup index
+    * ([[neardupIngestScopedManifested]]) — the advisory that closes the
+    * last hand-knob the scaling curves left: per-scope docs and
+    * clusters read from the INDEX snapshot (signature rows — corpus
+    * metadata, never document text), with `over_envelope` flagging
+    * scopes past the measured collision envelope (SCALE.md pins the
+    * 16-bit chunk space's superlinear regime above ~10⁶ docs/scope; a
+    * flagged scope is due for a finer sharding key — lang → lang ×
+    * source → lang × source × crawl — or the q230 governor). The
+    * maintain-night companion of [[graft.sinks.ManifestMergeSink
+    * .bucketHealth]]: one reads the layout, this reads the population.
+    * Gate: q235. */
+  def scopeHealth(index: DataFrame, scopeCol: String,
+                  maxDocsPerScope: Long): DataFrame = {
+    require(maxDocsPerScope >= 1L, s"maxDocsPerScope=$maxDocsPerScope")
+    index.groupBy(col(scopeCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("survivor_id")).as("n_clusters"),
+        (count(lit(1)) > maxDocsPerScope).as("over_envelope"))
+      .orderBy(col(scopeCol))
+  }
+
+  /** q235 gate: [[scopeHealth]] over a lang-scoped index built from the
+    * whole corpus — per-scope doc and CLUSTER counts must match the
+    * oracle's scope-restricted closure (a wrong survivor anywhere moves
+    * a cluster count), and the envelope flag must fire on exactly the
+    * scopes over the threshold (non-vacuous: the fixture's `en` scope
+    * crosses it, the others don't). */
+  def q235ScopeHealth(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q235_")
+    try {
+      val target = s"$base/scoped_index"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      neardupIngestScopedManifested(spark, target, docs, "doc_id",
+        "text", "lang", nBuckets = 16)
+      scopeHealth(ManifestMergeSink.readManifested(spark, target),
+          "lang", maxDocsPerScope = 100L)
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q235ScopeHealthSql: String =
+    s"""WITH ${TextQueries.simhashPairsCtes(scopeCol = Some("lang"))},
+       |${OracleSql.closureCtes("pairs")},
+       |surv AS (SELECT s.id, s.scope, coalesce(c.comp, s.id) AS sv
+       |         FROM sp_sig s LEFT JOIN clus c ON c.id = s.id)
+       |SELECT scope AS lang, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT sv)::BIGINT AS n_clusters,
+       |  (count(*) > 100) AS over_envelope
+       |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The q230 governor cap. The fixture's cross-probe bucket sizes are
     * long-tailed (measured at sf0.01: 409 singleton index buckets, a
     * handful at 3-28, and two degenerate ~70-doc buckets — the planted

@@ -199,6 +199,20 @@ class MergePropsSpec extends SparkSpec {
     }
   }
 
+  test("scope health: per-scope counts exact, envelope flag fires only past the cap") {
+    import operators.MergeQueries
+    val index = Seq(
+      (1L, "en", 1L), (2L, "en", 1L), (3L, "en", 3L),
+      (4L, "de", 4L), (5L, "de", 4L))
+      .toDF("doc_id", "lang", "survivor_id")
+    val h = MergeQueries.scopeHealth(index, "lang", maxDocsPerScope = 2L)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(h == Seq(("de", 2L, 1L, false), ("en", 3L, 2L, true)), s"$h")
+    intercept[IllegalArgumentException] {
+      MergeQueries.scopeHealth(index, "lang", maxDocsPerScope = 0L)
+    }
+  }
+
   test("streaming near-dup ingest micro-batches per file and equals direct ingest") {
     import spark.implicits._
     import operators.MergeQueries
