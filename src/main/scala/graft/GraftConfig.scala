@@ -19,10 +19,18 @@ final case class GraftConfig(
     verifyOnly: Set[String],   // GRAFT_VERIFY_ONLY: same filter for the Verify
                                // dump — gating one new query while iterating
                                // (the driver's full gate always runs unfiltered)
-    benchOrder: String)        // GRAFT_BENCH_ORDER: lex (default) | reverse —
+    benchOrder: String,        // GRAFT_BENCH_ORDER: lex (default) | reverse —
                                // run-order A/B for cumulative-JVM-pressure
                                // attribution (BENCH.json carries run_pos +
                                // gc_sec per query either way)
+    benchMode: String)         // GRAFT_BENCH_MODE: cold (default) | stable —
+                               // stable prepends a FULL untimed warm pass
+                               // (every selected query once, discarded) so
+                               // codegen/JIT and heap steady-state land
+                               // before any clock starts; two consecutive
+                               // stable runs agree within ±5% total where
+                               // cold runs spread ±8% (the r17 424-492s
+                               // round-over-round caveat)
 
 object GraftConfig {
   def fromEnv(env: Map[String, String] = sys.env): GraftConfig = GraftConfig(
@@ -41,5 +49,7 @@ object GraftConfig {
     verifyOnly = env.get("GRAFT_VERIFY_ONLY").orElse(env.get("SPARK_GRAFT_VERIFY_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty),
     benchOrder = env.get("GRAFT_BENCH_ORDER").orElse(env.get("SPARK_GRAFT_BENCH_ORDER"))
-      .getOrElse("lex"))
+      .getOrElse("lex"),
+    benchMode = env.get("GRAFT_BENCH_MODE").orElse(env.get("SPARK_GRAFT_BENCH_MODE"))
+      .getOrElse("cold"))
 }

@@ -379,15 +379,98 @@ object ScaleCurveJob {
     }
   }
 
+  /** VOCAB TRICKLE-REGIME measurement (the r17 verdict's item 2): the
+    * manifested vocab fold's touched-bucket claim holds only when the
+    * day's type count is SMALL against the bucket count — a corpus-
+    * sized day covers the Zipf head and touches every bucket (the
+    * regime SCALE.md's q234 addendum records). This mode BUILDS that
+    * trickle regime and measures it: state at ~10⁵ types under
+    * health-fitted buckets ([[graft.sinks.ManifestMergeSink
+    * .bucketCountFor]] at 8 rows/bucket → 16384 buckets), one ~10³-type
+    * day ingested through BOTH folds. Reported per fold: wall, shuffle
+    * bytes, and (manifested) touched buckets vs nBuckets plus state
+    * rows rewritten vs the ledgered fold's full |state| rewrite. */
+  def runVocabTrickle(spark: SparkSession, sfDir: String): Seq[Point] = {
+    import graft.operators.TextQueries
+    import graft.sinks.ManifestMergeSink
+    import graft.functions.TextFunctions
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val maxDoc = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    // disjoint token namespaces per replica (the runFamilyDayCost
+    // discipline): replica f's types are ALL new — the day below is a
+    // pure type trickle, no Zipf-head overlap with the state
+    def nsReplica(r: Int): DataFrame = docs0.select(
+      (col("doc_id") + lit(r.toLong * (maxDoc + 1))).as("doc_id"),
+      regexp_replace(col("text"), "([\\p{L}\\p{N}]+)", s"z${r}z$$1")
+        .as("text"),
+      col("lang"))
+    def nTypes(df: DataFrame): Long = df
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct().count()
+    val baseTypes = nTypes(docs0)
+    val f = math.max(1, math.ceil(100000.0 / baseTypes).toInt)
+    val corpus = (0 until f).map(nsReplica).reduce(_ unionByName _)
+      .localCheckpoint(true)
+    // ~10³-type day: a handful of docs from the NEXT namespace
+    val day = nsReplica(f).orderBy(col("doc_id")).limit(12)
+      .localCheckpoint(true)
+    val stateTypes = nTypes(corpus)
+    val dayTypes = nTypes(day)
+    val nBuckets = ManifestMergeSink.bucketCountFor(stateTypes, 8L)
+    def timed(family: String, rows: Long)(prep: String => Unit)
+             (body: String => Unit): (Point, String) = {
+      val base = java.nio.file.Files.createTempDirectory("graft_trickle_")
+      val path = s"$base/state"
+      prep(path)
+      val t0 = System.nanoTime()
+      val (_, events) = StageMetrics.withStageMetrics(spark) { body(path) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      (Point(family, f, rows, math.round(wall * 100) / 100.0,
+        events.map(e => e.shuffleReadBytes + e.shuffleWriteBytes).sum),
+        path)
+    }
+    // manifested fold: touched-bucket day
+    val (mPoint, mPath) = timed("vocab_trickle_manifested", dayTypes) { p =>
+      TextQueries.vocabIngestManifested(spark, p, corpus, 1L,
+        "lang", "text", nBuckets)
+    } { p =>
+      TextQueries.vocabIngestManifested(spark, p, day, 2L,
+        "lang", "text", nBuckets)
+    }
+    // touched buckets: commits carry full mappings — diff head-1 vs head
+    val seqs = ManifestMergeSink.commitSeqs(spark, mPath)
+    val touched = {
+      val a = ManifestMergeSink.stateAt(spark, mPath, seqs.init.last)
+        .get.mapping
+      val b = ManifestMergeSink.stateAt(spark, mPath, seqs.last)
+        .get.mapping
+      b.count { case (k, v) => !a.get(k).contains(v) }
+    }
+    // ledgered fold: full |state| rewrite per day
+    val (lPoint, _) = timed("vocab_trickle_ledgered", dayTypes) { p =>
+      TextQueries.vocabIngest(spark, p, corpus, "b0", "lang", "text")
+    } { p =>
+      TextQueries.vocabIngest(spark, p, day, "day", "lang", "text")
+    }
+    println(s"""{"family":"vocab_trickle_meta","state_types":$stateTypes,""" +
+      s""""day_types":$dayTypes,"n_buckets":$nBuckets,""" +
+      s""""touched_buckets":$touched,"replicas":$f}""")
+    Seq(mPoint, lPoint)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ScaleCurveJob <sfDir> [--day-cost|--rebucket-demo] [factors...]")
+      "usage: ScaleCurveJob <sfDir> [--day-cost|--rebucket-demo|" +
+        "--family-day-cost|--vocab-trickle] [factors...]")
     val rest = args.drop(1).toSeq
     val dayCost = rest.contains("--day-cost")
     val familyDayCost = rest.contains("--family-day-cost")
     val rebucketDemo = rest.contains("--rebucket-demo")
+    val vocabTrickle = rest.contains("--vocab-trickle")
     val factorArgs = rest.filterNot(a =>
-      a == "--day-cost" || a == "--rebucket-demo" || a == "--family-day-cost")
+      a == "--day-cost" || a == "--rebucket-demo" ||
+        a == "--family-day-cost" || a == "--vocab-trickle")
     val factors =
       if (factorArgs.nonEmpty) factorArgs.map(_.toInt)
       else if (rebucketDemo) Seq(10)
@@ -396,6 +479,7 @@ object ScaleCurveJob {
     try {
       val pts = if (rebucketDemo) runRebucketDemo(spark, args(0), factors)
                 else if (familyDayCost) runFamilyDayCost(spark, args(0), factors)
+                else if (vocabTrickle) runVocabTrickle(spark, args(0))
                 else if (dayCost) runDayCost(spark, args(0), factors)
                 else run(spark, args(0), factors)
       pts.foreach(p => println(p.toJson))

@@ -91,11 +91,12 @@ object Bpe {
       var cur = types
       for (step <- 1 to rounds) {
         // mergeRound's top-pair collect is the action that materializes
-        // the previous truncation — roll after it costs zero recompute
+        // `cur` — roll right after it (zero recompute), BEFORE the next
+        // truncation, so the parent is never released while still needed
         val ((lhs, rhs, cnt), next) = mergeRound(cur)
+        ckpt.roll(cur)
         merges += ((step, lhs, rhs, lhs + rhs, cnt))
         cur = ckpt.truncate(next, step)
-        ckpt.roll(cur)
       }
       import spark.implicits._
       (merges.result().toDF("step", "lhs", "rhs", "merged", "cnt"),

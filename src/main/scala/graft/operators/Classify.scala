@@ -543,8 +543,9 @@ object Classify {
             Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)))
           .filter(col("rn") === 1)
           .select(col("dst").as("id"), col("label"), lit(r.toLong).as("src_round"))
-        labeled = ckpt.truncate(labeled.unionByName(newly), r)
-        ckpt.roll(labeled)
+        // no natural per-round action here — truncateRoll materializes
+        // the new frame before releasing its parent (no recompute cascade)
+        labeled = ckpt.truncateRoll(labeled.unionByName(newly), r)
       }
       ckpt.finish(labeled)
     } finally ckpt.restore()

@@ -218,36 +218,58 @@ object Dedup {
   def containmentIngest(spark: SparkSession, path: String, batch: DataFrame,
                         idCol: String, textCol: String, n: Int,
                         threshold: Double, blockCol: Option[String],
-                        batchId: String): Boolean = {
+                        batchId: String,
+                        beforePublish: () => Unit = () => ()): Boolean = {
     import graft.sinks.LedgeredState
     requireThreshold(threshold)
-    if (LedgeredState.absorbed(spark, path, batchId)) return false
-    val bproj = gramsProjection(batch, idCol, textCol, n, blockCol)
+    // lazy: an absorbed replay must no-op on the ledger read alone,
+    // without paying the batch's gram projection
+    lazy val bproj0 = gramsProjection(batch, idCol, textCol, n, blockCol)
       .localCheckpoint(true)
-    // the rarest-first ordering feeds BOTH the within-batch candidates
-    // and the persisted prefixes — computed once per batch
-    val ordered = rarestOrdered(bproj).localCheckpoint(true)
-    val batchPairs = verifyContainment(
-      containmentCandidatesFromOrdered(ordered, threshold), bproj, threshold)
-    val bPrefix = prefixGramsFromOrdered(ordered, threshold)
-    val cross = (LedgeredState.readPart(spark, path, "docgrams"),
-                 LedgeredState.readPart(spark, path, "prefixes")) match {
-      case (Some(docgrams), Some(prefixes)) =>
-        containmentCrossPairs(docgrams, prefixes, bproj, bPrefix, threshold)
-      case _ => batchPairs.limit(0)
+    // The WHOLE fold runs inside the commit log's CAS retry seam
+    // ([[graft.sinks.LedgeredState.commitFold]], the q217/q209
+    // discipline): the derivation below is re-invoked per publish
+    // attempt against a reader pinned to exactly the head the attempt
+    // CAS-checks, so a losing concurrent writer re-derives its cross
+    // pairs against the winner's state — two racing day-batches
+    // converge to the batch relation under any interleave (gate: q238).
+    LedgeredState.commitFold(spark, path, batchId,
+        beforePublish = beforePublish) { reader =>
+      val docgramsOpt = reader.part("docgrams")
+      val prefixesOpt = reader.part("prefixes")
+      // per-DOC re-delivery absorption (the near-dup anti-join
+      // discipline): docs already committed fold as EXISTING state —
+      // cross-probe side only, never re-inserted — so a partial
+      // re-delivery under a fresh batchId (or a racing writer's
+      // overlapping batch, re-derived here after its CAS loss) cannot
+      // duplicate state rows or pair rows
+      val bproj = (docgramsOpt match {
+        case Some(dg) =>
+          bproj0.join(dg.select(col("id")), Seq("id"), "left_anti")
+        case None => bproj0
+      }).localCheckpoint(true)
+      // the rarest-first ordering feeds BOTH the within-batch candidates
+      // and the persisted prefixes — computed once per attempt
+      val ordered = rarestOrdered(bproj).localCheckpoint(true)
+      val batchPairs = verifyContainment(
+        containmentCandidatesFromOrdered(ordered, threshold), bproj, threshold)
+      val bPrefix = prefixGramsFromOrdered(ordered, threshold)
+      val cross = (docgramsOpt, prefixesOpt) match {
+        case (Some(docgrams), Some(prefixes)) =>
+          containmentCrossPairs(docgrams, prefixes, bproj, bPrefix, threshold)
+        case _ => batchPairs.limit(0)
+      }
+      val newPairs = batchPairs.unionByName(cross)
+      val mergedPairs = reader.part("pairs")
+        .map(_.unionByName(newPairs)).getOrElse(newPairs)
+      val mergedDocs = docgramsOpt
+        .map(_.unionByName(bproj)).getOrElse(bproj)
+      val bPrefPart = bPrefix.select(col("blk"), col("pg").as("g"), col("id"))
+      val mergedPref = prefixesOpt
+        .map(_.unionByName(bPrefPart)).getOrElse(bPrefPart)
+      Seq("pairs" -> mergedPairs, "docgrams" -> mergedDocs,
+        "prefixes" -> mergedPref)
     }
-    val newPairs = batchPairs.unionByName(cross)
-    val mergedPairs = LedgeredState.readPart(spark, path, "pairs")
-      .map(_.unionByName(newPairs)).getOrElse(newPairs)
-    val mergedDocs = LedgeredState.readPart(spark, path, "docgrams")
-      .map(_.unionByName(bproj)).getOrElse(bproj)
-    val bPrefPart = bPrefix.select(col("blk"), col("pg").as("g"), col("id"))
-    val mergedPref = LedgeredState.readPart(spark, path, "prefixes")
-      .map(_.unionByName(bPrefPart)).getOrElse(bPrefPart)
-    LedgeredState.commit(spark, path, batchId, Seq(
-      "pairs" -> mergedPairs, "docgrams" -> mergedDocs,
-      "prefixes" -> mergedPref))
-    true
   }
 
   /** Each doc's (1−t)-thin inner-prefix grams in rarest-first order —
@@ -926,6 +948,90 @@ object Dedup {
       .filter(col("bsz") <= cap)
       .drop("bsz")
 
+  /** [[capBuckets]] with a PER-SCOPE cap frame (scope..., cap) instead
+    * of one global constant — the [[scopeGovernorCaps]] output applied:
+    * caps is scope-cardinality tiny, so it broadcasts. */
+  private def capBucketsScoped(chunked: DataFrame, caps: DataFrame,
+                               extraKeys: Seq[String]): DataFrame =
+    chunked
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((extraKeys ++ Seq("chunk", "cval")).map(col): _*)))
+      .join(broadcast(caps), extraKeys)
+      .filter(col("bsz") <= col("cap"))
+      .drop("bsz", "cap")
+
+  /** Per-(scope, chunk, cval) bucket sizes of a signature frame — the
+    * population every governor decision reads. Bounded per scope by the
+    * 16-bit chunk space (4 × 65536 buckets), so everything derived from
+    * it is metadata-scale at any corpus size. */
+  private def chunkBucketSizes(sigs: DataFrame,
+                               scopeCols: Seq[String]): DataFrame =
+    simhashChunked(sigs, scopeCols)
+      .groupBy((scopeCols ++ Seq("chunk", "cval")).map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+
+  private def capsOf(bsz: DataFrame, scopeCols: Seq[String],
+                     quantile: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(scopeCols.map(col): _*)
+    bsz
+      .withColumn("rn", row_number().over(w.orderBy(col("bsz"))))
+      .withColumn("nb", count(lit(1)).over(w))
+      .filter(col("rn") === ceil(lit(quantile) * col("nb")))
+      .select(scopeCols.map(col) :+ col("bsz").cast("int").as("cap"): _*)
+  }
+
+  /** PER-SCOPE GOVERNOR CAP SIZING — the discrete `quantile`-quantile
+    * (the value at rank ceil(q·n) of the sorted bucket sizes, exactly
+    * reproducible in the oracle — no interpolation) of the per-(scope,
+    * chunk, cval) bucket-size population, one cap per scope. This is
+    * the sizing rule the r17 verdict asked to replace the hand-picked
+    * [[MergeQueries.GovCap]] constant: a cap at the distribution's tail
+    * engages only on the scope's own degenerate buckets, so
+    * differently-sized scopes each get a cap fitted to their skew
+    * instead of one corpus-global number. Computed from signature rows
+    * only (index metadata, never text); deployment sizing is p99.9 on
+    * ≥10⁵-bucket scopes — the gates use a fixture-fitted quantile so
+    * the governor actually engages at test scale. Gate: q239 (the
+    * derived-cap recall certificate, per scope). */
+  def scopeGovernorCaps(sigs: DataFrame, scopeCols: Seq[String],
+                        quantile: Double): DataFrame = {
+    require(quantile > 0.0 && quantile <= 1.0, s"quantile=$quantile")
+    require(scopeCols.nonEmpty, "cap sizing is per-scope — give scope keys")
+    capsOf(chunkBucketSizes(sigs, scopeCols), scopeCols, quantile)
+  }
+
+  /** Governor EROSION diagnostics per scope under the
+    * [[scopeGovernorCaps]] cap — the recall tripwire
+    * [[MergeQueries.scopeHealth]] surfaces (q235): `gov_cap` the derived
+    * cap, `hot_buckets` the buckets it would drop, and
+    * `docs_all_chunks_hot` the docs whose EVERY pigeonhole chunk lands
+    * in a hot bucket — those lose ALL governed pairs (the pigeonhole
+    * recall bound fails exactly when no shared chunk survives), so a
+    * nonzero count is the loud signal to reshard the scope before
+    * reaching for the cap. */
+  def governorErosion(sigs: DataFrame, scopeCols: Seq[String],
+                      quantile: Double): DataFrame = {
+    val bsz = chunkBucketSizes(sigs, scopeCols)
+      .localCheckpoint(true) // feeds the cap quantile AND both hot joins
+    val caps = capsOf(bsz, scopeCols, quantile)
+    val withCap = bsz.join(broadcast(caps), scopeCols)
+    val hotBuckets = withCap
+      .groupBy(scopeCols.map(col): _*)
+      .agg(max(col("cap")).cast("long").as("gov_cap"),
+        sum(when(col("bsz") > col("cap"), 1L).otherwise(0L))
+          .as("hot_buckets"))
+    val hotDocs = simhashChunked(sigs, scopeCols)
+      .join(withCap, scopeCols ++ Seq("chunk", "cval"))
+      .groupBy(col("id") +: scopeCols.map(col): _*)
+      .agg(sum(when(col("bsz") > col("cap"), 1).otherwise(0)).as("nHot"))
+      .groupBy(scopeCols.map(col): _*)
+      .agg(sum(when(col("nHot") === 4, 1L).otherwise(0L))
+        .as("docs_all_chunks_hot"))
+    hotBuckets.join(hotDocs, scopeCols)
+  }
+
   /** Simhash pairs BETWEEN two signature frames (both shaped like
     * [[simhashSignatures]] output, with DISJOINT id sets — or the same
     * frame twice plus an `id1 < id2` filter for batch-internal pairs):
@@ -951,7 +1057,10 @@ object Dedup {
     * is lost only when EVERY chunk the two signatures share is hot on
     * at least one side — any surviving shared chunk still finds it.
     * None = exact recall (the gated oracle form; q230 certifies the
-    * governed probe's recall against the exact anchor).
+    * governed probe's recall against the exact anchor). `scopeCaps`
+    * is the governor's PER-SCOPE form: a (scope..., cap) frame — use
+    * [[scopeGovernorCaps]] to derive it from the index's own bucket
+    * distribution; q239 certifies the derived caps' recall per scope.
     *
     * `extraKeys` shard the probe by SCOPE columns present in both
     * frames (lang/source — a curation pipeline's natural partitions):
@@ -964,11 +1073,15 @@ object Dedup {
   def simhashCrossPairs(probe: DataFrame, index: DataFrame,
                         maxHamming: Int = 3,
                         maxBucketSize: Option[Int] = None,
-                        extraKeys: Seq[String] = Nil): DataFrame = {
+                        extraKeys: Seq[String] = Nil,
+                        scopeCaps: Option[DataFrame] = None): DataFrame = {
     require(maxHamming <= 3, "4 chunks guarantee recall only up to distance 3")
+    require(scopeCaps.isEmpty || extraKeys.nonEmpty,
+      "per-scope caps (scopeCaps) need scope keys (extraKeys)")
     def side(df: DataFrame): DataFrame = {
       val chunked = simhashChunked(df, extraKeys)
-      maxBucketSize.fold(chunked)(capBuckets(chunked, _, extraKeys))
+      val capped = maxBucketSize.fold(chunked)(capBuckets(chunked, _, extraKeys))
+      scopeCaps.fold(capped)(capBucketsScoped(capped, _, extraKeys))
     }
     val joinCond = (extraKeys ++ Seq("chunk", "cval"))
       .map(k => col(s"a.$k") === col(s"b.$k"))

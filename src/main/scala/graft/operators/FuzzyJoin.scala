@@ -54,21 +54,28 @@ object FuzzyJoin {
     * distance 1 (including exact duplicates), as
     * (id_a, id_b, name_a, name_b, ed) with id_a < id_b. */
   def edOnePairs(df: DataFrame, idCol: String, strCol: String,
-                 maxBucketSize: Option[Int] = None): DataFrame = {
-    val v0 = df.select(col(idCol).as("id"), col(strCol).as("name"))
+                 maxBucketSize: Option[Int] = None,
+                 scopeCols: Seq[String] = Nil): DataFrame = {
+    val v0 = df.select(col(idCol).as("id") +: scopeCols.map(col) :+
+        col(strCol).as("name"): _*)
       .withColumn("variant", explode(deletionVariants(col("name"))))
     val v = maxBucketSize match {
       case None => v0
       case Some(cap) =>
         // window, not groupBy+join-back (the simhash governor's argument:
         // one shuffle on the same key the self-join hashes on anyway)
-        v0.withColumn("bsz",
-            count(lit(1)).over(Window.partitionBy(col("variant"))))
+        v0.withColumn("bsz", count(lit(1)).over(
+            Window.partitionBy((scopeCols :+ "variant").map(col): _*)))
           .filter(col("bsz") <= cap).drop("bsz")
     }
+    // scopeCols join into the blocking key ([[Dedup.simhashCrossPairs]]'s
+    // extraKeys discipline): pairs never cross scopes, so variant-bucket
+    // populations — and the quadratic candidate term — stay scope-sized
+    val joinCond = (scopeCols :+ "variant")
+      .map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
     v.alias("a")
-      .join(v.alias("b"),
-        col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
+      .join(v.alias("b"), joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
       .withColumn("ed", levenshtein(col("name_a"), col("name_b")).cast("long"))
@@ -85,19 +92,24 @@ object FuzzyJoin {
     * bucketed, so a day's probe shuffles only batch variants — the
     * signature-store layout argument, applied to deletion variants). */
   def edOneCrossPairs(probe: DataFrame, index: DataFrame,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
-    def vf(df: DataFrame) = df.select(col("id"), col("name"))
+                      maxBucketSize: Option[Int] = None,
+                      scopeCols: Seq[String] = Nil): DataFrame = {
+    def vf(df: DataFrame) = df
+      .select(col("id") +: scopeCols.map(col) :+ col("name"): _*)
       .withColumn("variant", explode(deletionVariants(col("name"))))
     val b0 = vf(index)
     val b = maxBucketSize match {
       case None => b0
       case Some(cap) =>
-        b0.withColumn("bsz",
-            count(lit(1)).over(Window.partitionBy(col("variant"))))
+        b0.withColumn("bsz", count(lit(1)).over(
+            Window.partitionBy((scopeCols :+ "variant").map(col): _*)))
           .filter(col("bsz") <= cap).drop("bsz")
     }
+    val joinCond = (scopeCols :+ "variant")
+      .map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
     vf(probe).alias("a")
-      .join(b.alias("b"), col("a.variant") === col("b.variant"))
+      .join(b.alias("b"), joinCond)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.name").as("name1"), col("b.name").as("name2"))
       .filter(levenshtein(col("name1"), col("name2")) <= 1)

@@ -76,8 +76,9 @@ object Graph {
         .distinct(), 0)
       var r = nodes.withColumn("pr", lit(1000000L))
       for (i <- 1 to rounds) {
-        r = ckpt.truncate(pageRankRound(ew, nodes, r), i)
-        ckpt.roll(r)
+        // no natural per-round action here — truncateRoll materializes
+        // the new frame before releasing its parent (no recompute cascade)
+        r = ckpt.truncateRoll(pageRankRound(ew, nodes, r), i)
       }
       ckpt.finish(r.select(col("page"), col("pr").as("pr_micro")))
     } finally ckpt.restore()

@@ -26,13 +26,13 @@ import org.apache.spark.storage.StorageLevel
   * set afterwards — SparkContext has no unset API.
   *
   * Unpersist discipline: [[roll]] releases the previous round's
-  * persisted frame. Called after an action has materialized the new
-  * round it costs zero recompute (the CC loop's timing — its per-round
-  * convergence agg doubles as the materializer); called eagerly after
-  * [[truncate]] in loops with no natural per-round action, a
-  * re-materialization recomputes at most `interval` rounds from the
-  * last reliable snapshot — the same bound the failure contract
-  * already grants. */
+  * persisted frame and must only run once the NEW frame is
+  * materialized — releasing a still-needed parent forces the next
+  * action to recompute up to `interval` rounds from the last reliable
+  * snapshot. Loops with a natural per-round action (CC's convergence
+  * agg, BPE's top-pair collect, k-center's argmax) call [[roll]] right
+  * after that action; loops with none (label propagation, PageRank)
+  * use [[truncateRoll]], which forces the materialization itself. */
 private[graft] final class IterCheckpoint(spark: SparkSession,
                                           checkpointDir: Option[String],
                                           interval: Int = 5) {
@@ -51,6 +51,18 @@ private[graft] final class IterCheckpoint(spark: SparkSession,
     case Some(_) if round % interval == 0 => df.checkpoint(true)
     case Some(_) => df.persist(StorageLevel.MEMORY_AND_DISK)
     case None => df.localCheckpoint(true)
+  }
+
+  /** [[truncate]] + [[roll]] for loops with NO natural per-round
+    * action: materializes the truncated frame first (one count job on
+    * the cluster-safe persist rounds — `checkpoint(true)` interval
+    * rounds and local-mode `localCheckpoint(true)` are already eager)
+    * so releasing the predecessor never forces a recompute cascade. */
+  def truncateRoll(df: DataFrame, round: Int): DataFrame = {
+    val out = truncate(df, round)
+    if (checkpointDir.isDefined && round % interval != 0) out.count()
+    roll(out)
+    out
   }
 
   /** Release the PREVIOUS round's persisted frame and remember `cur`

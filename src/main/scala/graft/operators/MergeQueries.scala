@@ -17,6 +17,23 @@ object MergeQueries {
 
   private val fields = Seq("o_totalprice", "o_orderstatus")
 
+  /** The per-scope cap-sizing quantile ([[Dedup.scopeGovernorCaps]]) the
+    * gates run at. Deployment sizing is p99.9 — on a web-scale scope
+    * the bucket population is ~10⁵ (bounded by the 4·65536 chunk
+    * space), so p99.9 cuts only the degenerate tail. The fixture's
+    * scopes have ~100-300 buckets, where p99.9 IS the max (a cap that
+    * never engages — a vacuous certificate), so the gates size at p99:
+    * measured at sf0.01 that yields caps 3-12 that engage on the three
+    * larger scopes (en 77→68 pairs, es 33→29, fr 13→12) while the small
+    * scopes stay exact — recall ≥ 0.88 per scope against the
+    * [[CapMinRecall]] = 0.8 floor.
+    *
+    * Declared at the TOP of the object: vals initialize in declaration
+    * order, and the oracle-SQL vals interpolate these — a forward
+    * reference would interpolate 0.0 silently (the q235 r18 bug). */
+  private[operators] val CapQuantile = 0.99
+  private[operators] val CapMinRecall = 0.8
+
   def q14MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -402,17 +419,38 @@ object MergeQueries {
   def neardupIngestManifested(spark: SparkSession, target: String,
                               batch: DataFrame, idCol: String,
                               textCol: String, nBuckets: Int,
-                              maxHamming: Int = 3): MergeSink.MergeStats =
+                              maxHamming: Int = 3,
+                              beforePublish: () => Unit = () => ())
+      : MergeSink.MergeStats =
     neardupIngestSigsManifested(spark, target,
-      Dedup.simhashSignatures(batch, idCol, textCol), nBuckets, maxHamming)
+      Dedup.simhashSignatures(batch, idCol, textCol), nBuckets, maxHamming,
+      beforePublish)
 
   /** [[neardupIngestManifested]] for PRE-COMPUTED signature batches —
     * the manifested counterpart of [[neardupIngestSigsBucketed]]. */
   def neardupIngestSigsManifested(spark: SparkSession, target: String,
                                   batchSigs: DataFrame, nBuckets: Int,
-                                  maxHamming: Int = 3): MergeSink.MergeStats = {
+                                  maxHamming: Int = 3,
+                                  beforePublish: () => Unit = () => ())
+      : MergeSink.MergeStats = {
     import graft.sinks.ManifestMergeSink
-    neardupIngestCore(spark, new IndexStore {
+    neardupIngestCore(spark, manifestedStore(spark, target, nBuckets,
+      beforePublish), batchSigs, maxHamming)
+  }
+
+  /** The manifested [[IndexStore]]: publish through
+    * [[graft.sinks.ManifestMergeSink.mergeIntoManifested]] with the
+    * WHOLE derivation inside the CAS retry seam (`recomputeUpdates`,
+    * re-run per attempt against the pinned snapshot) and
+    * `conflictRepoint = false` — the near-dup/entity cross probes read
+    * EVERY bucket's content, so a winner in a disjoint bucket still
+    * changes the derivation's input and a metadata-only repoint would
+    * publish a stale clustering. */
+  private def manifestedStore(spark: SparkSession, target: String,
+                              nBuckets: Int,
+                              beforePublish: () => Unit): IndexStore =
+    new IndexStore {
+      import graft.sinks.ManifestMergeSink
       def exists: Boolean =
         ManifestMergeSink.headState(spark, target).isDefined
       def read(): DataFrame = ManifestMergeSink.readManifested(spark, target)
@@ -420,8 +458,24 @@ object MergeQueries {
                 fields: Seq[String]): MergeSink.MergeStats =
         ManifestMergeSink.mergeIntoManifested(spark, target, updates,
           "doc_id", fields, nBuckets)
-    }, batchSigs, maxHamming)
-  }
+      override def mergeDerived(derive: Option[DataFrame] => DataFrame,
+                                fields: Seq[String])
+          : Option[MergeSink.MergeStats] = Some(
+        ManifestMergeSink.mergeIntoManifested(spark, target,
+          spark.emptyDataFrame /* unused: recomputeUpdates drives */,
+          "doc_id", fields, nBuckets,
+          beforePublish = beforePublish,
+          conflictRepoint = false,
+          recomputeUpdates = {
+            case None => derive(None)
+            case Some(st) => derive(Some(ManifestMergeSink
+              .readStateBuckets(spark, target, st,
+                st.mapping.keys.toSeq.sorted)
+              // one materialization per attempt: the derivation
+              // references the index four times
+              .localCheckpoint(true)))
+          }))
+    }
 
   /** SCOPE-SHARDED near-dup ingest against the manifested index — the
     * 100 TB form of [[neardupIngestManifested]]. The index stores
@@ -442,20 +496,13 @@ object MergeQueries {
                                     batch: DataFrame, idCol: String,
                                     textCol: String, scopeCol: String,
                                     nBuckets: Int, maxHamming: Int = 3,
-                                    maxBucketSize: Option[Int] = None)
-      : MergeSink.MergeStats = {
-    import graft.sinks.ManifestMergeSink
-    neardupIngestCore(spark, new IndexStore {
-      def exists: Boolean =
-        ManifestMergeSink.headState(spark, target).isDefined
-      def read(): DataFrame = ManifestMergeSink.readManifested(spark, target)
-      def merge(updates: DataFrame,
-                fields: Seq[String]): MergeSink.MergeStats =
-        ManifestMergeSink.mergeIntoManifested(spark, target, updates,
-          "doc_id", fields, nBuckets)
-    }, Dedup.simhashSignatures(batch, idCol, textCol, carry = Seq(scopeCol)),
+                                    maxBucketSize: Option[Int] = None,
+                                    beforePublish: () => Unit = () => ())
+      : MergeSink.MergeStats =
+    neardupIngestCore(spark, manifestedStore(spark, target, nBuckets,
+      beforePublish),
+      Dedup.simhashSignatures(batch, idCol, textCol, carry = Seq(scopeCol)),
       maxHamming, scopeCols = Seq(scopeCol), maxBucketSize = maxBucketSize)
-  }
 
   /** The two physical index layouts [[neardupIngestCore]] runs against:
     * a plain parquet directory ([[neardupIngest]]) or a bucketed catalog
@@ -464,6 +511,17 @@ object MergeQueries {
     def exists: Boolean
     def read(): DataFrame
     def merge(updates: DataFrame, fields: Seq[String]): MergeSink.MergeStats
+    /** CAS-SEAM merge for stores whose publish retries under contention
+      * (the manifested layout): run the WHOLE subgraph derivation inside
+      * the merge's retry loop, re-invoked per publish attempt against
+      * exactly the snapshot the attempt CAS-checks — a losing writer
+      * re-derives from the winner's head, so the induction converges to
+      * sequential semantics under any interleave (q209's discipline,
+      * gated for near-dup by q236). None (the default) = swap layouts,
+      * single-writer per pipeline by contract: the core derives once
+      * against [[read]] and publishes through [[merge]]. */
+    def mergeDerived(derive: Option[DataFrame] => DataFrame,
+                     fields: Seq[String]): Option[MergeSink.MergeStats] = None
     /** Whether the core should materialize [[read]]'s frame once per
       * day (localCheckpoint) instead of re-reading it per reference.
       * True for layouts whose read is an unkeyed parquet scan (plain,
@@ -497,15 +555,17 @@ object MergeQueries {
 
     val batchSigs = batchSigs0
       .dropDuplicates("id") // within-batch re-delivery of identical rows
-    // ONE materialization of the index snapshot per day (store-layout
-    // dependent — see [[IndexStore.materializeOnce]]): the frame is
-    // referenced four times (re-delivery anti-join, cross probe,
-    // star-edge lookup, survivor remap) and each reference would
-    // otherwise re-resolve the head and re-scan the store's parquet
-    val indexOpt: Option[DataFrame] =
-      if (!store.exists) None
-      else if (store.materializeOnce) Some(store.read().localCheckpoint(true))
-      else Some(store.read())
+
+    // The TOUCHED-SUBGRAPH derivation as a pure function of the index
+    // snapshot. Swap layouts call it ONCE against [[IndexStore.read]]
+    // (single-writer-per-pipeline by contract); the manifested layout
+    // runs it INSIDE the merge's CAS retry seam via
+    // [[IndexStore.mergeDerived]] — re-derived per publish attempt
+    // against exactly the state the attempt CAS-checks (the q209
+    // discipline), so a losing writer re-probes against the winner's
+    // head and the induction invariant (final index = batch clustering)
+    // holds under any two-writer interleave (gate: q236).
+    def derive(indexOpt: Option[DataFrame]): DataFrame = {
     // localCheckpoint: referenced by the self-pair emitter, the cross
     // probe, AND the final insert set — without it the tokenize+simhash
     // pipeline re-runs per reference (union-branch trap)
@@ -545,7 +605,7 @@ object MergeQueries {
       .select(newSigs("id").as("doc_id") +: scopeCols.map(newSigs(_)) :+
         col("sh_lo") :+ col("sh_hi") :+
         coalesce(col("comp"), newSigs("id")).as("survivor_id"): _*)
-    val updates = indexOpt match {
+    indexOpt match {
       case None => inserts
       case Some(index) =>
         // old survivors undercut this round: every index row pointing at
@@ -562,7 +622,20 @@ object MergeQueries {
             col("new_surv").as("survivor_id"): _*)
         inserts.unionByName(remapped)
     }
-    store.merge(updates, fields)
+    } // derive
+
+    store.mergeDerived(derive, fields).getOrElse {
+      // swap layouts: ONE materialization of the index snapshot per day
+      // (store-layout dependent — see [[IndexStore.materializeOnce]]):
+      // the frame is referenced four times (re-delivery anti-join, cross
+      // probe, star-edge lookup, survivor remap) and each reference
+      // would otherwise re-resolve the head and re-scan the parquet
+      val indexOpt: Option[DataFrame] =
+        if (!store.exists) None
+        else if (store.materializeOnce) Some(store.read().localCheckpoint(true))
+        else Some(store.read())
+      store.merge(derive(indexOpt), fields)
+    }
   }
 
   /** q68 gate: the q65 day-split + re-delivery harness applied to
@@ -663,21 +736,34 @@ object MergeQueries {
     * .bucketHealth]]: one reads the layout, this reads the population.
     * Gate: q235. */
   def scopeHealth(index: DataFrame, scopeCol: String,
-                  maxDocsPerScope: Long): DataFrame = {
+                  maxDocsPerScope: Long,
+                  govQuantile: Double = CapQuantile): DataFrame = {
     require(maxDocsPerScope >= 1L, s"maxDocsPerScope=$maxDocsPerScope")
+    // governor-erosion tripwire under the scope-fitted cap
+    // ([[Dedup.scopeGovernorCaps]]): a nonzero docs_all_chunks_hot means
+    // the cap would zero those docs' recall — reshard the scope first
+    val erosion = Dedup.governorErosion(
+      index.select(col("doc_id").as("id"), col(scopeCol),
+        col("sh_lo"), col("sh_hi")),
+      Seq(scopeCol), govQuantile)
     index.groupBy(col(scopeCol))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("survivor_id")).as("n_clusters"),
         (count(lit(1)) > maxDocsPerScope).as("over_envelope"))
+      .join(erosion, Seq(scopeCol))
       .orderBy(col(scopeCol))
   }
 
   /** q235 gate: [[scopeHealth]] over a lang-scoped index built from the
     * whole corpus — per-scope doc and CLUSTER counts must match the
     * oracle's scope-restricted closure (a wrong survivor anywhere moves
-    * a cluster count), and the envelope flag must fire on exactly the
+    * a cluster count), the envelope flag must fire on exactly the
     * scopes over the threshold (non-vacuous: the fixture's `en` scope
-    * crosses it, the others don't). */
+    * crosses it, the others don't), and the report now carries the
+    * GOVERNOR-EROSION tripwire under the scope-fitted cap
+    * ([[Dedup.governorErosion]]): derived cap, hot-bucket count, and
+    * the all-chunks-hot doc count whose nonzero value means the cap
+    * would zero those docs' recall — all recomputed by the oracle. */
   def q235ScopeHealth(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.ManifestMergeSink
     val base = java.nio.file.Files.createTempDirectory("graft_q235_")
@@ -700,11 +786,35 @@ object MergeQueries {
     s"""WITH ${TextQueries.simhashPairsCtes(scopeCol = Some("lang"))},
        |${OracleSql.closureCtes("pairs")},
        |surv AS (SELECT s.id, s.scope, coalesce(c.comp, s.id) AS sv
-       |         FROM sp_sig s LEFT JOIN clus c ON c.id = s.id)
-       |SELECT scope AS lang, count(*)::BIGINT AS n_docs,
-       |  count(DISTINCT sv)::BIGINT AS n_clusters,
-       |  (count(*) > 100) AS over_envelope
-       |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin
+       |         FROM sp_sig s LEFT JOIN clus c ON c.id = s.id),
+       |ibsz AS (SELECT scope, chunk, cval, count(*) AS bsz
+       |         FROM sp_chunks GROUP BY 1, 2, 3),
+       |caps AS (SELECT scope, bsz AS cap FROM (
+       |    SELECT scope, bsz, row_number() OVER (PARTITION BY scope ORDER BY bsz) AS rn,
+       |           count(*) OVER (PARTITION BY scope) AS nb FROM ibsz)
+       |  WHERE rn = CEIL(${CapQuantile} * nb)),
+       |ero AS (SELECT b.scope, max(c.cap)::BIGINT AS gov_cap,
+       |          sum(CASE WHEN b.bsz > c.cap THEN 1 ELSE 0 END)::BIGINT AS hot_buckets
+       |        FROM ibsz b JOIN caps c ON b.scope = c.scope GROUP BY 1),
+       |hotd AS (SELECT scope,
+       |           sum(CASE WHEN nhot = 4 THEN 1 ELSE 0 END)::BIGINT AS docs_all_chunks_hot
+       |         FROM (SELECT s.scope, s.id,
+       |                 sum(CASE WHEN b.bsz > c.cap THEN 1 ELSE 0 END) AS nhot
+       |               FROM sp_chunks s
+       |               JOIN ibsz b ON s.scope = b.scope AND s.chunk = b.chunk
+       |                 AND s.cval = b.cval
+       |               JOIN caps c ON s.scope = c.scope
+       |               GROUP BY 1, 2)
+       |         GROUP BY 1)
+       |SELECT h.scope AS lang, h.n_docs, h.n_clusters, h.over_envelope,
+       |  e.gov_cap, e.hot_buckets, d.docs_all_chunks_hot
+       |FROM (SELECT scope, count(*)::BIGINT AS n_docs,
+       |        count(DISTINCT sv)::BIGINT AS n_clusters,
+       |        (count(*) > 100) AS over_envelope
+       |      FROM surv GROUP BY 1) h
+       |JOIN ero e ON e.scope = h.scope
+       |JOIN hotd d ON d.scope = h.scope
+       |ORDER BY lang""".stripMargin
 
   /** The q230 governor cap. The fixture's cross-probe bucket sizes are
     * long-tailed (measured at sf0.01: 409 singleton index buckets, a
@@ -781,6 +891,95 @@ object MergeQueries {
        |       (SELECT count(*) FROM gpairs)::BIGINT AS n_governed,
        |       TRUE AS subset_ok, TRUE AS recall_ok""".stripMargin
 
+  /** q239: the PER-SCOPE DERIVED-CAP recall certificate — q230's
+    * certificate re-run with [[Dedup.scopeGovernorCaps]]'s fitted cap
+    * on every lang scope at once (the fixture's scopes span ~30 to
+    * ~110 index docs, so the certificate covers differently-sized
+    * scopes by construction — the r17 verdict's item 3). The corpus
+    * splits probe (odd doc_id) / index (even); each scope's cap is the
+    * [[CapQuantile]] discrete quantile of the INDEX side's own
+    * (chunk, cval) bucket sizes; the cross-probe runs once exact and
+    * once under the per-scope caps. Per scope the oracle recomputes the
+    * cap AND both pair counts; `subset_ok` proves governed ⊆ exact
+    * in-engine (anti-join over all scopes, zero escapees); `recall_ok`
+    * pins governed ≥ ceil([[CapMinRecall]] · exact) per scope — the
+    * recall floor, certified against caps the data itself sized. */
+  def q239GovernorCapCert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text",
+        carry = Seq("lang"))
+      .localCheckpoint(true) // probe/index splits + scope lookup share it
+    val probe = sigs.filter(col("id") % 2 === 1)
+    val index = sigs.filter(col("id") % 2 === 0)
+    val caps = Dedup.scopeGovernorCaps(index, Seq("lang"), CapQuantile)
+      .localCheckpoint(true) // joined into both probe sides + the report
+    val exact = Dedup.simhashCrossPairs(probe, index, maxHamming = 3,
+        extraKeys = Seq("lang"))
+      .localCheckpoint(true)
+    val governed = Dedup.simhashCrossPairs(probe, index, maxHamming = 3,
+        extraKeys = Seq("lang"), scopeCaps = Some(caps))
+      .localCheckpoint(true)
+    val escapees = governed.join(exact, Seq("id1", "id2"), "left_anti").count()
+    // pairs never cross scopes, so id1 (the probe doc) names the scope
+    val lang1 = sigs.select(col("id").as("id1"), col("lang"))
+    def perScope(p: DataFrame, as: String) = p.join(lang1, Seq("id1"))
+      .groupBy(col("lang")).agg(count(lit(1)).as(as))
+    caps
+      .join(perScope(exact, "n_exact"), Seq("lang"), "left")
+      .join(perScope(governed, "n_governed"), Seq("lang"), "left")
+      .select(col("lang"), col("cap").cast("long").as("gov_cap"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_governed"), lit(0L)).as("n_governed"),
+        lit(escapees == 0L).as("subset_ok"),
+        (coalesce(col("n_governed"), lit(0L)) >=
+          ceil(lit(CapMinRecall) * coalesce(col("n_exact"), lit(0L))))
+          .as("recall_ok"))
+      .orderBy(col("lang"))
+  }
+
+  val q239GovernorCapCertSql: String =
+    s"""WITH ${TextQueries.simhashPairsCtes(scopeCol = Some("lang"))},
+       |pchunks AS (SELECT * FROM sp_chunks WHERE id % 2 = 1),
+       |ichunks AS (SELECT * FROM sp_chunks WHERE id % 2 = 0),
+       |ibsz AS (SELECT scope, chunk, cval, count(*) AS bsz
+       |         FROM ichunks GROUP BY 1, 2, 3),
+       |caps AS (SELECT scope, bsz AS cap FROM (
+       |    SELECT scope, bsz, row_number() OVER (PARTITION BY scope ORDER BY bsz) AS rn,
+       |           count(*) OVER (PARTITION BY scope) AS nb FROM ibsz)
+       |  WHERE rn = CEIL(${CapQuantile} * nb)),
+       |xpairs AS (SELECT DISTINCT a.scope, a.id AS id1, b.id AS id2
+       |           FROM pchunks a JOIN ichunks b
+       |             ON a.chunk = b.chunk AND a.cval = b.cval
+       |             AND a.scope = b.scope
+       |           WHERE (bit_count(xor(a.sh_lo, b.sh_lo))
+       |                + bit_count(xor(a.sh_hi, b.sh_hi))) <= 3),
+       |pcap AS (SELECT p.* FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY scope, chunk, cval) AS bsz
+       |    FROM pchunks) p
+       |  JOIN caps c ON p.scope = c.scope WHERE p.bsz <= c.cap),
+       |icap AS (SELECT p.* FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY scope, chunk, cval) AS bsz
+       |    FROM ichunks) p
+       |  JOIN caps c ON p.scope = c.scope WHERE p.bsz <= c.cap),
+       |gpairs AS (SELECT DISTINCT a.scope, a.id AS id1, b.id AS id2
+       |           FROM pcap a JOIN icap b
+       |             ON a.chunk = b.chunk AND a.cval = b.cval
+       |             AND a.scope = b.scope
+       |           WHERE (bit_count(xor(a.sh_lo, b.sh_lo))
+       |                + bit_count(xor(a.sh_hi, b.sh_hi))) <= 3)
+       |SELECT c.scope AS lang, c.cap::BIGINT AS gov_cap,
+       |  (SELECT count(*) FROM xpairs x WHERE x.scope = c.scope)::BIGINT
+       |    AS n_exact,
+       |  (SELECT count(*) FROM gpairs g WHERE g.scope = c.scope)::BIGINT
+       |    AS n_governed,
+       |  TRUE AS subset_ok,
+       |  ((SELECT count(*) FROM gpairs g WHERE g.scope = c.scope) >=
+       |   CEIL(${CapMinRecall} *
+       |        (SELECT count(*) FROM xpairs x WHERE x.scope = c.scope)))
+       |    AS recall_ok
+       |FROM caps c ORDER BY lang""".stripMargin
+
   /** q231 gate: the maintain night's BUCKET-HEALTH monitor + auto
     * rebucket ([[graft.jobs.SnapshotMaintainJob]] `--rebucket-key`).
     * A deliberately under-bucketed snapshot (2 buckets for the whole
@@ -827,12 +1026,24 @@ object MergeQueries {
     }
   }
 
+  // The oracle re-derives bucketCountFor (smallest power of two >=
+  // ceil(rows / targetRowsPerBucket=32), grow-only from the deliberate
+  // under-bucketing at 2) from count(*) itself, so resizing the fixture
+  // moves the expectation instead of breaking the gate opaquely.
   val q231BucketHealthSql: String =
-    """SELECT 2::BIGINT AS buckets_before, 16::BIGINT AS buckets_after,
-      |  16::BIGINT AS night1_rebucket, TRUE AS night2_noop,
-      |  TRUE AS health_consistent,
-      |  count(*)::BIGINT AS n_rows, sum(doc_id)::BIGINT AS sum_ids
-      |FROM documents""".stripMargin
+    """WITH agg AS (SELECT count(*)::BIGINT AS c, sum(doc_id)::BIGINT AS ids,
+      |                    greatest(1, (count(*) + 31) // 32) AS need
+      |             FROM documents),
+      |tgt AS (SELECT min(power(2, g)::BIGINT) AS want
+      |        FROM generate_series(0, 30) t(g), agg
+      |        WHERE power(2, g)::BIGINT >= agg.need)
+      |SELECT 2::BIGINT AS buckets_before,
+      |  greatest(2, tgt.want)::BIGINT AS buckets_after,
+      |  (CASE WHEN tgt.want > 2 THEN tgt.want ELSE -1 END)::BIGINT
+      |    AS night1_rebucket,
+      |  TRUE AS night2_noop, TRUE AS health_consistent,
+      |  agg.c AS n_rows, agg.ids AS sum_ids
+      |FROM agg, tgt""".stripMargin
 
   /** INCREMENTAL ENTITY RESOLUTION against a persistent registry —
     * [[neardupIngest]]'s induction applied to the fuzzy-KEY family
@@ -861,52 +1072,133 @@ object MergeQueries {
     val path = new org.apache.hadoop.fs.Path(target)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
-    def index: DataFrame = spark.read.parquet(target)
-    val fields = Seq("name", "entity_id")
+    val indexOpt =
+      if (exists) Some(spark.read.parquet(target).localCheckpoint(true))
+      else None
+    MergeSink.mergeInto(spark, target,
+      entityDeriveUpdates(batch, idCol, nameCol, indexOpt), "key_id",
+      Seq("name", "entity_id"))
+  }
 
+  /** [[entityIngest]] against the MANIFEST-POINTER registry — AND the
+    * multi-writer form: the whole touched-subgraph derivation runs
+    * inside the merge's CAS retry seam (`recomputeUpdates`, re-derived
+    * per publish attempt against the pinned snapshot, with
+    * `conflictRepoint = false` because the ed<=1 cross probe reads
+    * every bucket's names), so two racing registrars converge to
+    * sequential semantics under any interleave — [[neardupIngestCore]]'s
+    * q236 discipline applied to the fuzzy-key family. Gate: q237. */
+  def entityIngestManifested(spark: SparkSession, target: String,
+                             batch: DataFrame, idCol: String,
+                             nameCol: String, nBuckets: Int,
+                             beforePublish: () => Unit = () => ())
+      : MergeSink.MergeStats = {
+    import graft.sinks.ManifestMergeSink
+    ManifestMergeSink.mergeIntoManifested(spark, target,
+      spark.emptyDataFrame /* unused: recomputeUpdates drives */,
+      "key_id", Seq("name", "entity_id"), nBuckets,
+      beforePublish = beforePublish,
+      conflictRepoint = false,
+      recomputeUpdates = {
+        case None => entityDeriveUpdates(batch, idCol, nameCol, None)
+        case Some(st) => entityDeriveUpdates(batch, idCol, nameCol,
+          Some(ManifestMergeSink.readStateBuckets(spark, target, st,
+              st.mapping.keys.toSeq.sorted)
+            .localCheckpoint(true))) // referenced four times per attempt
+      })
+  }
+
+  /** The entity induction's touched-subgraph derivation as a pure
+    * function of the registry snapshot — shared by the swap layout
+    * (derived once) and the manifested CAS seam (re-derived per publish
+    * attempt). `scopeCols`: pairs never cross scopes (the q229
+    * discipline applied to the fuzzy-key family — deletion-variant
+    * buckets, and their quadratic candidate term, stay scope-sized). */
+  private def entityDeriveUpdates(batch: DataFrame, idCol: String,
+                                  nameCol: String,
+                                  indexOpt: Option[DataFrame],
+                                  scopeCols: Seq[String] = Nil): DataFrame = {
     val batchRows = batch
-      .select(col(idCol).as("id"), col(nameCol).as("name"))
+      .select(col(idCol).as("id") +: scopeCols.map(col) :+
+        col(nameCol).as("name"): _*)
       .dropDuplicates("id")
     // localCheckpoint: referenced by the self-pair emitter, the cross
     // probe, and the insert set (the neardupIngestCore discipline)
-    val newRows = (if (exists)
-        batchRows.join(index.select(col("key_id").as("id")), Seq("id"), "left_anti")
-      else batchRows).localCheckpoint(true)
+    val newRows = (indexOpt match {
+      case Some(index) =>
+        batchRows.join(index.select(col("key_id").as("id")),
+          Seq("id"), "left_anti")
+      case None => batchRows
+    }).localCheckpoint(true)
 
-    val selfPairs = FuzzyJoin.edOnePairs(newRows, "id", "name")
+    val selfPairs = FuzzyJoin.edOnePairs(newRows, "id", "name",
+        scopeCols = scopeCols)
       .select(col("id_a").as("id1"), col("id_b").as("id2"))
-    val edges: DataFrame =
-      if (!exists) selfPairs
-      else {
-        val idx = index
+    val edges: DataFrame = indexOpt match {
+      case None => selfPairs
+      case Some(idx) =>
         val crossPairs = FuzzyJoin.edOneCrossPairs(
-            newRows, idx.select(col("key_id").as("id"), col("name")))
+            newRows,
+            idx.select(col("key_id").as("id") +: scopeCols.map(col) :+
+              col("name"): _*),
+            scopeCols = scopeCols)
           .localCheckpoint(true) // edge union + star lookup both read it
         val starEdges = crossPairs.select(col("id2").as("key_id")).distinct()
           .join(idx.select(col("key_id"), col("entity_id")), Seq("key_id"))
           .select(col("key_id").as("id1"), col("entity_id").as("id2"))
         selfPairs.union(crossPairs).union(starEdges)
-      }
+    }
     val comp = Dedup.clusterComponents(edges) // (id, comp)
 
     val inserts = newRows
       .join(comp, newRows("id") === comp("id"), "left")
-      .select(newRows("id").as("key_id"), col("name"),
-        coalesce(col("comp"), newRows("id")).as("entity_id"))
-    val updates =
-      if (!exists) inserts
-      else {
-        val idx = index
+      .select(newRows("id").as("key_id") +: scopeCols.map(newRows(_)) :+
+        col("name") :+
+        coalesce(col("comp"), newRows("id")).as("entity_id"): _*)
+    indexOpt match {
+      case None => inserts
+      case Some(idx) =>
         val entityMap = comp
           .join(idx.select(col("entity_id").as("id")).distinct(), Seq("id"))
           .filter(col("comp") < col("id"))
           .select(col("id").as("old_ent"), col("comp").as("new_ent"))
         val remapped = idx
           .join(broadcast(entityMap), idx("entity_id") === col("old_ent"))
-          .select(col("key_id"), col("name"), col("new_ent").as("entity_id"))
+          .select(col("key_id") +: scopeCols.map(col) :+ col("name") :+
+            col("new_ent").as("entity_id"): _*)
         inserts.unionByName(remapped)
-      }
-    MergeSink.mergeInto(spark, target, updates, "key_id", fields)
+    }
+  }
+
+  /** SCOPE-SHARDED entity ingest against the manifested registry — the
+    * q229 discipline applied to the fuzzy-key family: the registry
+    * stores (key_id, scope, name, entity_id), every pair join keys on
+    * (scope, variant), and clustering runs WITHIN each scope, so a
+    * registry growing by adding scopes (sources/regions) keeps per-day
+    * cost flat and deletion-variant bucket skew scope-local. Runs
+    * inside the CAS recompute seam like [[entityIngestManifested]]
+    * (multi-writer convergent). Gate: q240 (row-exact per-scope
+    * clustering, day-split + re-delivery). */
+  def entityIngestScopedManifested(spark: SparkSession, target: String,
+                                   batch: DataFrame, idCol: String,
+                                   nameCol: String, scopeCol: String,
+                                   nBuckets: Int,
+                                   beforePublish: () => Unit = () => ())
+      : MergeSink.MergeStats = {
+    import graft.sinks.ManifestMergeSink
+    ManifestMergeSink.mergeIntoManifested(spark, target,
+      spark.emptyDataFrame /* unused: recomputeUpdates drives */,
+      "key_id", Seq(scopeCol, "name", "entity_id"), nBuckets,
+      beforePublish = beforePublish,
+      conflictRepoint = false,
+      recomputeUpdates = {
+        case None =>
+          entityDeriveUpdates(batch, idCol, nameCol, None, Seq(scopeCol))
+        case Some(st) => entityDeriveUpdates(batch, idCol, nameCol,
+          Some(ManifestMergeSink.readStateBuckets(spark, target, st,
+              st.mapping.keys.toSeq.sorted)
+            .localCheckpoint(true)), Seq(scopeCol))
+      })
   }
 
   /** q127 gate: the q65/q68 day-split + re-delivery harness applied to
@@ -1753,6 +2045,172 @@ object MergeQueries {
       |  SELECT 'commits', NULL, 3)
       |ORDER BY sect, content_hash""".stripMargin
 
+  /** q236: NEAR-DUP WRITER CONTENTION — the q209 interleave applied to
+    * the manifested near-dup INDUCTION, the multi-writer gap the r17
+    * verdict named top item: day 1 seeds the index; writer A (odd
+    * doc_ids above the cut) holds its publish while writer B (even
+    * ids) commits fully; A's CAS loss re-derives the WHOLE touched
+    * subgraph — anti-join, self/cross pairs, star edges, components,
+    * survivor remap — against B's head (`conflictRepoint = false`: the
+    * cross probe reads every bucket's signatures, so even a
+    * disjoint-bucket winner changes A's input). The final index must
+    * equal batch near-dup clustering of the whole corpus row-for-row
+    * (q68's oracle), so a stale repoint (A publishing its pre-B
+    * clustering), a lost A×B pair, or a missed survivor remap all fail
+    * row-level; the commit-count row pins one commit per writer. */
+  def q236NeardupContention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{CommitLog, ManifestMergeSink}
+    val base = java.nio.file.Files.createTempDirectory("graft_q236_")
+    try {
+      val target = s"$base/neardup_index"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      neardupIngestManifested(spark, target,
+        docs.filter(col("doc_id") <= cut), "doc_id", "text", nBuckets = 16)
+      val dayA = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 1)
+      val dayB = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 0)
+      neardupIngestManifested(spark, target, dayA, "doc_id", "text",
+        nBuckets = 16,
+        beforePublish = () => {
+          neardupIngestManifested(spark, target, dayB, "doc_id", "text",
+            nBuckets = 16); ()
+        })
+      val fs = new Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nCommits = CommitLog.seqs(fs, new Path(target)).size.toLong
+      val ss = spark; import ss.implicits._
+      ManifestMergeSink.readManifested(spark, target)
+        .select(lit("row").as("sect"), col("doc_id"), col("survivor_id"))
+        .unionByName(Seq(("commits", Option.empty[Long], nCommits))
+          .toDF("sect", "doc_id", "survivor_id"))
+        .orderBy(col("sect"), col("doc_id"))
+        .localCheckpoint(true) // materialize before the snapshot dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q236NeardupContentionSql: String =
+    s"""WITH ${TextQueries.simhashPairsCtes()},
+       |${OracleSql.closureCtes("pairs")}
+       |SELECT * FROM (
+       |  SELECT 'row' AS sect, s.id AS doc_id,
+       |    coalesce(c.comp, s.id)::BIGINT AS survivor_id
+       |  FROM sp_sig s LEFT JOIN clus c ON c.id = s.id
+       |  UNION ALL
+       |  SELECT 'commits', NULL, 3)
+       |ORDER BY sect, doc_id""".stripMargin
+
+  /** q237: ENTITY-REGISTRY WRITER CONTENTION — the q236 interleave
+    * applied to [[entityIngestManifested]] (the fuzzy-key induction):
+    * registrar A (odd supplier keys above the cut) holds its publish
+    * while registrar B (even keys) commits; A re-derives the ed<=1
+    * touched subgraph against B's head and the final registry must
+    * equal batch clustering of ALL supplier names (q127's oracle) plus
+    * the one-commit-per-writer count. */
+  def q237EntityContention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{CommitLog, ManifestMergeSink}
+    val base = java.nio.file.Files.createTempDirectory("graft_q237_")
+    try {
+      val target = s"$base/registry"
+      val sup = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))
+      val cut = sup.agg(max(col("s_suppkey"))).head().getLong(0) / 2
+      entityIngestManifested(spark, target,
+        sup.filter(col("s_suppkey") <= cut), "s_suppkey", "s_name",
+        nBuckets = 8)
+      val dayA = sup.filter(col("s_suppkey") > cut && col("s_suppkey") % 2 === 1)
+      val dayB = sup.filter(col("s_suppkey") > cut && col("s_suppkey") % 2 === 0)
+      entityIngestManifested(spark, target, dayA, "s_suppkey", "s_name",
+        nBuckets = 8,
+        beforePublish = () => {
+          entityIngestManifested(spark, target, dayB, "s_suppkey", "s_name",
+            nBuckets = 8); ()
+        })
+      val fs = new Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nCommits = CommitLog.seqs(fs, new Path(target)).size.toLong
+      val ss = spark; import ss.implicits._
+      ManifestMergeSink.readManifested(spark, target)
+        .select(lit("row").as("sect"), col("key_id"), col("name"),
+          col("entity_id"))
+        .unionByName(Seq(
+            ("commits", Option.empty[Long], Option.empty[String], nCommits))
+          .toDF("sect", "key_id", "name", "entity_id"))
+        .orderBy(col("sect"), col("key_id"))
+        .localCheckpoint(true) // materialize before the registry dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q237EntityContentionSql: String =
+    s"""WITH p AS MATERIALIZED (
+      |  SELECT a.s_suppkey AS id1, b.s_suppkey AS id2
+      |  FROM supplier a, supplier b
+      |  WHERE a.s_suppkey < b.s_suppkey
+      |    AND levenshtein(a.s_name, b.s_name) <= 1),
+      |${OracleSql.closureCtes("p")}
+      |SELECT * FROM (
+      |  SELECT 'row' AS sect, s.s_suppkey AS key_id, s.s_name AS name,
+      |    coalesce(c.comp, s.s_suppkey)::BIGINT AS entity_id
+      |  FROM supplier s LEFT JOIN clus c ON c.id = s.s_suppkey
+      |  UNION ALL
+      |  SELECT 'commits', NULL, NULL, 3)
+      |ORDER BY sect, key_id""".stripMargin
+
+  /** q240 gate: [[entityIngestScopedManifested]] under the q127
+    * day-split + re-delivery harness, scoped by nation parity — the
+    * final registry must equal WITHIN-SCOPE batch ed<=1 clustering of
+    * all supplier names row-for-row (the oracle restricts candidate
+    * pairs to equal scopes and closes them transitively; cross-scope
+    * ed<=1 chains must NOT merge entities — non-vacuous because the
+    * fixture's sequential names chain across parities in q127's
+    * unscoped registry, so scoped and unscoped entity ids genuinely
+    * differ). */
+  def q240ScopedEntity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.ManifestMergeSink
+    val base = java.nio.file.Files.createTempDirectory("graft_q240_")
+    try {
+      val target = s"$base/registry"
+      val sup = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"),
+          (col("s_nationkey") % 2).cast("long").as("region"),
+          col("s_name"))
+      val cut = sup.agg(max(col("s_suppkey"))).head().getLong(0) / 2
+      Seq(
+        sup.filter(col("s_suppkey") <= cut),
+        sup.filter(col("s_suppkey") > cut)
+          .union(sup.filter(col("s_suppkey") % 5 === 0)))
+        .foreach(day => entityIngestScopedManifested(spark, target, day,
+          "s_suppkey", "s_name", "region", nBuckets = 8))
+      ManifestMergeSink.readManifested(spark, target)
+        .select(col("key_id"), col("region"), col("name"), col("entity_id"))
+        .orderBy(col("key_id"))
+        .localCheckpoint(true) // materialize before the registry dir dies
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q240ScopedEntitySql: String =
+    s"""WITH s AS (SELECT s_suppkey, (s_nationkey % 2)::BIGINT AS region,
+      |             s_name FROM supplier),
+      |p AS MATERIALIZED (
+      |  SELECT a.s_suppkey AS id1, b.s_suppkey AS id2
+      |  FROM s a, s b
+      |  WHERE a.s_suppkey < b.s_suppkey AND a.region = b.region
+      |    AND levenshtein(a.s_name, b.s_name) <= 1),
+      |${OracleSql.closureCtes("p")}
+      |SELECT s.s_suppkey AS key_id, s.region, s.s_name AS name,
+      |  coalesce(c.comp, s.s_suppkey)::BIGINT AS entity_id
+      |FROM s LEFT JOIN clus c ON c.id = s.s_suppkey
+      |ORDER BY key_id""".stripMargin
+
   /** Shared harness for the manifested version-history gates
     * (q218/q219): three committed versions of a (doc_id, len) snapshot —
     * v1 the lower doc_id half, v2 inserts the upper half and bumps every
@@ -2388,9 +2846,10 @@ object MergeQueries {
     * content-identical to v2), a change-feed span covering ONLY the
     * rebucket is empty (value-level classification — a full repoint
     * surfaces nothing), a span CROSSING it surfaces exactly the later
-    * purge's deletes, a purge and the bucket-count guard keep working
-    * against the new count, and a writer still configured for the old
-    * count fails loudly instead of corrupting the layout. */
+    * purge's deletes, a purge keeps working against the new count, and
+    * a writer still configured for the old count resolves the head's
+    * count transparently (nBuckets sizes the first commit only) instead
+    * of corrupting the layout or wedging on a stale constant. */
   def q225Rebucket(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.ManifestMergeSink
     val base = java.nio.file.Files.createTempDirectory("graft_q225_")
@@ -2424,12 +2883,16 @@ object MergeQueries {
         seqs(1), seqs(3), "doc_id", Seq("len"))
         .groupBy(col("_change")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a writer still configured for the PRE-rebucket count resolves
+      // the head's count and keeps working (nBuckets sizes the first
+      // commit only — the q231 auto-rebucket night must be transparent
+      // to day pipelines); the head count must be UNCHANGED by it
+      val staleSt = ManifestMergeSink.mergeIntoManifested(spark, target,
+        docs.limit(1), "doc_id", Seq("len"), 8)
       val stale =
-        try {
-          ManifestMergeSink.mergeIntoManifested(spark, target,
-            docs.limit(1), "doc_id", Seq("len"), 8)
-          0L
-        } catch { case _: IllegalArgumentException => 1L }
+        if (ManifestMergeSink.headState(spark, target).get._2.nBuckets == 16
+            && staleSt.nMatched + staleSt.nUpserted == 1L) 1L
+        else 0L
       val ss = spark; import ss.implicits._
       vers.unionByName(Seq(
           ("diff_across_deletes", Option.empty[Long],
@@ -2439,7 +2902,7 @@ object MergeQueries {
             Option.empty[Long]),
           ("diff_rebucket_only", Option.empty[Long], dOnly,
             Option.empty[Long]),
-          ("stale_config_loud", Option.empty[Long], stale,
+          ("stale_config_transparent", Option.empty[Long], stale,
             Option.empty[Long]))
         .toDF("sect", "v", "n", "len_sum"))
         .orderBy(col("sect"), col("v"))
@@ -2476,7 +2939,7 @@ object MergeQueries {
       |  UNION ALL
       |  SELECT 'diff_rebucket_only', NULL, 0, NULL
       |  UNION ALL
-      |  SELECT 'stale_config_loud', NULL, 1, NULL)
+      |  SELECT 'stale_config_transparent', NULL, 1, NULL)
       |ORDER BY sect, v""".stripMargin
 
   val q224StreamCdcApplySql: String =

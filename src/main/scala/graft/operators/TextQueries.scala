@@ -375,6 +375,91 @@ object TextQueries {
   /** The whole point of the incremental path: its oracle IS q183's. */
   def q192ContainmentIngestSql: String = q183ContainmentSql
 
+  /** q238: CONTAINMENT-FOLD WRITER CONTENTION — the q209/q217
+    * interleave applied to [[Dedup.containmentIngest]], whose fold now
+    * runs inside [[graft.sinks.LedgeredState.commitFold]]'s CAS seam:
+    * day 1 seeds the state; writer A (odd doc_ids above the cut) holds
+    * its publish while writer B (even ids) commits fully; A's CAS loss
+    * re-derives its within-batch AND cross pairs against B's committed
+    * docgrams/prefixes. The final pair part must equal the batch q183
+    * join on the whole corpus (oracle verbatim) — a stale fold (A
+    * publishing without B's docs, losing both B's rows and every A×B
+    * pair) fails row-level. */
+  def q238ContainmentContention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q238_")
+    try {
+      val path = s"$base/contain_state"
+      val docs = Tables.documents(spark, dir)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      def ingest(d: DataFrame, id: String,
+                 hook: () => Unit = () => ()): Boolean =
+        Dedup.containmentIngest(spark, path, d, "doc_id", "text",
+          ContainN, ContainT, Some("source"), id, beforePublish = hook)
+      require(ingest(docs.filter(col("doc_id") <= cut), "day1"))
+      val dayA = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 1)
+      val dayB = docs.filter(col("doc_id") > cut && col("doc_id") % 2 === 0)
+      require(ingest(dayA, "dayA",
+        () => { require(ingest(dayB, "dayB")) }))
+      LedgeredState.readPart(spark, path, "pairs").get
+        .orderBy(col("inner_id"), col("outer_id"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  def q238ContainmentContentionSql: String = q183ContainmentSql
+
+  /** q241: SCOPE-SHARDED containment ingest — the q192 fold with the
+    * block key widened to the COMPOSITE (lang, source) scope, the q229
+    * sharding discipline for the set-containment family: `blk` is an
+    * opaque equi-key through the prefix filter, the cross probe, and
+    * the persisted posting state, so scope growth composes with the
+    * blocking for free — a corpus that grows by adding (lang, source)
+    * populations keeps every posting list and candidate join
+    * scope-local. Row-exact within scope: pairs must never cross the
+    * composite scope (non-vacuous vs q192, whose source-only blocks
+    * admit cross-lang pairs). */
+  def q241ScopedContainment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LedgeredState
+    val base = java.nio.file.Files.createTempDirectory("graft_q241_")
+    try {
+      val path = s"$base/contain_state"
+      // the \u0001 separator: lang/source are word characters, so the
+      // composite key is collision-free (the q234 discipline)
+      val docs = Tables.documents(spark, dir)
+        .withColumn("scope_blk",
+          concat_ws("\u0001", col("lang"), col("source")))
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      def ingest(d: DataFrame, id: String): Boolean =
+        Dedup.containmentIngest(spark, path, d, "doc_id", "text",
+          ContainN, ContainT, Some("scope_blk"), id)
+      require(ingest(docs.filter(col("doc_id") <= cut), "day1"))
+      require(ingest(docs.filter(col("doc_id") > cut), "day2"))
+      require(!ingest(docs.filter(col("doc_id") > cut), "day2"),
+        "replayed batch must be a ledger no-op")
+      LedgeredState.readPart(spark, path, "pairs").get
+        .orderBy(col("inner_id"), col("outer_id"))
+        .localCheckpoint(true) // materialize before the state dir dies
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  val q241ScopedContainmentSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, source,
+       |            list_distinct($tokSqlExpr) AS g FROM documents)
+       |SELECT inner_id, outer_id, round(c, 4) AS containment FROM (
+       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+       |    len(list_intersect(a.g, b.g))::double / len(a.g) AS c
+       |  FROM t a JOIN t b ON a.source = b.source AND a.lang = b.lang
+       |    AND a.doc_id != b.doc_id
+       |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+       |WHERE c >= ${ContainT} ORDER BY inner_id, outer_id""".stripMargin
+
   /** q193: the q192 fold behind a REAL file stream
     * ([[graft.streaming.StreamingContainment]] — foreachBatch per
     * landed day file, Trigger.AvailableNow; disjoint day files, and the

@@ -87,6 +87,33 @@ object CommitLog {
     * with `FileSystem.setTimes`. */
   val DefaultReclaimGraceMs: Long = 60000L
 
+  /** Store capability gate for the RECLAIM path: deleting aged invalid
+    * residue is lost-update-proof only when the store either gives
+    * paths INODE semantics (a stalled owner's in-flight stream lands in
+    * the unlinked inode, never over a reclaimer's published commit —
+    * `file://` via the O_EXCL branch, HDFS) or an atomic CONDITIONAL
+    * PUT (S3 `If-None-Match: *`), where partial residue cannot exist
+    * and the grace never engages. Any other scheme must assert the
+    * capability explicitly by setting this boolean in the Hadoop
+    * configuration; without it a publish that would need to reclaim
+    * aged residue fails loudly ([[ReclaimUnsupportedException]])
+    * instead of opening the both-writers-return-success window the
+    * class doc describes. */
+  val ConditionalPutProp = "graft.commitlog.conditional-put"
+
+  private val InodeSafeSchemes = Set("file", "hdfs", "viewfs")
+
+  /** Loud capability failure: the store is not vouched reclaim-safe
+    * (see [[ConditionalPutProp]]) and a slot holds aged invalid
+    * residue. NOT retryable — fix the store config or clear the
+    * residue manually after verifying its writer is dead. */
+  final class ReclaimUnsupportedException(msg: String)
+    extends IllegalStateException(msg)
+
+  private[graft] def reclaimCapable(fs: FileSystem): Boolean =
+    InodeSafeSchemes.contains(fs.getScheme) ||
+      Option(fs.getConf).exists(_.getBoolean(ConditionalPutProp, false))
+
   private def logDir(root: Path) = new Path(root, Dir)
 
   private def fileOf(root: Path, seq: Long): Path = {
@@ -165,6 +192,16 @@ object CommitLog {
             s"the ${reclaimGraceMs}ms reclaim grace — a concurrent writer " +
             "may still be streaming it; re-read and retry after it " +
             "publishes or ages out")
+      if (!reclaimCapable(fs))
+        throw new ReclaimUnsupportedException(
+          s"commit slot $seq at $root holds aged invalid residue, but " +
+            s"scheme '${fs.getScheme}' is not vouched reclaim-safe: on a " +
+            "store without inode or conditional-PUT semantics, deleting " +
+            "the slot can let a stalled writer's unconditional PUT " +
+            "silently overwrite the reclaimed commit. Set " +
+            s"$ConditionalPutProp=true in the Hadoop configuration to " +
+            "assert the store's conditional-PUT capability, or clear the " +
+            "residue manually after verifying its writer is dead")
       fs.delete(f, false) // aged truncated crash residue: reclaim the slot
     }
     // Any seq beyond ours ⇒ we lost long ago (head moved past us).
@@ -246,10 +283,12 @@ object CommitLog {
       // opposite ordering (reclaimer publishes, then the owner's
       // unconditional PUT overwrites it) leaves the owner reading its
       // own bytes — both writers return success and neither detects
-      // the lost update. Reclaim-enabled multi-writer operation
-      // therefore requires conditional-PUT (or atomic-create)
-      // semantics from the store; there partial residue cannot exist,
-      // the grace never engages, and this read only ever confirms.
+      // the lost update. That ordering requires a RECLAIM to have
+      // happened, and the reclaim path refuses to run on a store not
+      // vouched reclaim-safe (inode semantics or conditional PUT —
+      // [[ConditionalPutProp]], enforced in tryAppend), so on a
+      // correctly-declared store this read only ever confirms; the
+      // dangerous combination fails loudly at the reclaim instead.
       if (!read(fs, root, seq).contains(content))
         throw new CommitConflictException(
           s"commit slot $seq at $root was reclaimed while this writer " +

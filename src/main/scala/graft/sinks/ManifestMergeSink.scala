@@ -397,6 +397,15 @@ object ManifestMergeSink {
     * the callback and the publish, and only the given state is
     * CAS-checked.
     *
+    * `conflictRepoint` (default true): on a lost CAS whose winner
+    * touched only DISJOINT buckets, repoint this writer's landed data
+    * against the new head metadata-only instead of re-deriving — sound
+    * exactly when the derivation's input is the touched buckets
+    * (key-local anti-joins). Pass FALSE when `recomputeUpdates` reads
+    * the whole snapshot (the near-dup/entity inductions' cross probes):
+    * there a disjoint-bucket winner still changes the derivation's
+    * input, so every conflict must re-derive.
+    *
     * `txn` (optional): a (pipelineId, batchId) idempotence token for
     * AT-LEAST-ONCE callers (a streaming foreachBatch replaying after a
     * restart — [[graft.streaming.StreamingMergeManifested]]). The commit
@@ -418,7 +427,8 @@ object ManifestMergeSink {
                           beforePublish: () => Unit = () => (),
                           recomputeUpdates: Option[ManifestState] => DataFrame = null,
                           txn: Option[(String, Long)] = None,
-                          txnFence: Option[Long] = None): MergeSink.MergeStats = {
+                          txnFence: Option[Long] = None,
+                          conflictRepoint: Boolean = true): MergeSink.MergeStats = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     txn.foreach { case (id, _) => requireLedgerSafe(id, "txn pipelineId") }
     def absorbed(st: Option[ManifestState]): Boolean = txn.exists {
@@ -447,9 +457,11 @@ object ManifestMergeSink {
       val st = head.map(_._2)
       if (absorbed(st)) return MergeSink.MergeStats(0L, 0L, 0L)
       checkSpanFence(st, txn, txnFence, target)
-      st.foreach(s => require(s.nBuckets == nBuckets,
-        s"snapshot at $target is bucketed ${s.nBuckets} ways, merge asked " +
-          s"for $nBuckets — bucket counts are immutable per snapshot"))
+      // `nBuckets` sizes the FIRST commit only; once a snapshot exists
+      // the head's count is authoritative, so a writer configured before
+      // a rebucket night keeps working instead of throwing (the bucket
+      // count stays immutable per snapshot VERSION — rebucketManifested
+      // is the only operation that changes it, in its own commit)
       val n = st.map(_.nBuckets).getOrElse(nBuckets)
       val uniqCur =
         if (recomputeUpdates == null) uniq
@@ -535,7 +547,13 @@ object ManifestMergeSink {
               touchedAtRead.forall { case (b, d) =>
                 nh.flatMap(_.mapping.get(b)) == d
               }
-            if (myInputsUnchanged) {
+            // conflictRepoint=false: the caller's recomputeUpdates reads
+            // state BEYOND its output's touched buckets (whole-index
+            // derivations — near-dup / entity inductions probe every
+            // bucket's content), so a winner in a disjoint bucket still
+            // changes the derivation's input: every conflict must
+            // re-derive, never repoint
+            if (conflictRepoint && myInputsUnchanged) {
               // winner(s) touched disjoint buckets: my merge result is
               // still exact — repoint against the new head, data as-is
               pubSeq = newHead.map(_._1).getOrElse(0L)
@@ -633,9 +651,8 @@ object ManifestMergeSink {
       val st = head.map(_._2)
       if (absorbed(st)) return ApplyStats(MergeSink.MergeStats(0L, 0L, 0L), 0L)
       checkSpanFence(st, txn, txnFence, target)
-      st.foreach(s => require(s.nBuckets == nBuckets,
-        s"snapshot at $target is bucketed ${s.nBuckets} ways, apply asked " +
-          s"for $nBuckets — bucket counts are immutable per snapshot"))
+      // first-commit sizing only — the head's count is authoritative
+      // once a snapshot exists (see mergeIntoManifested)
       val n = st.map(_.nBuckets).getOrElse(nBuckets)
       val touched = uniq.select(pb(col(key), n).as("pb"))
         .union(delKeys.select(pb(col(key), n).as("pb")))
@@ -744,9 +761,11 @@ object ManifestMergeSink {
 
   /** REBUCKET — partition evolution for the merge snapshot: rewrite the
     * whole table under `newBuckets` hash buckets and flip the mapping
-    * (and the bucket count every future merge must match) in ONE
-    * commit. The existing per-merge `require(nBuckets ==)` then rejects
-    * stale-config writers loudly. Content-neutral by construction:
+    * in ONE commit. Writers need no config change: every merge/apply
+    * resolves the bucket count from the head it publishes against
+    * (their `nBuckets` parameter sizes the first commit only), so a
+    * nightly auto-rebucket ([[graft.jobs.SnapshotMaintainJob]]) is
+    * transparent to the day pipelines. Content-neutral by construction:
     * time travel still reads pre-rebucket versions under their own
     * count, and a [[changesBetween]] span crossing the boundary
     * surfaces nothing but real value changes. Scale: a full rewrite by

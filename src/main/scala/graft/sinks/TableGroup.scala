@@ -299,13 +299,14 @@ object TableGroup {
         val got = tryCreate(p) || {
           // capture the marker's IDENTITY (its holder's token) before
           // judging it stale — the reclaim below must only ever remove
-          // THAT marker, never one created after this read
-          val observed = contentOf(p)
+          // THAT marker, never one created after this read. One retry
+          // on the read: a transient failure must not wedge the table.
+          val observed = contentOf(p).orElse(contentOf(p))
           val age =
             try System.currentTimeMillis() -
               fs.getFileStatus(p).getModificationTime
             catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-          observed.nonEmpty && age > graceMs && {
+          age > graceMs && {
             // atomic reclaim: rename the aged marker aside — one winner
             val tomb = new Path(p.getParent,
               s"${p.getName}.reclaimed-${token.take(8)}")
@@ -319,7 +320,12 @@ object TableGroup {
               // mismatch means the aged holder released and a FRESH
               // transaction acquired between the age read and the
               // rename: restore its marker and report busy, never
-              // revoke a live holder.
+              // revoke a live holder. An aged marker unreadable on BOTH
+              // reads (observed == None) is a crashed holder's torn
+              // write — an equally unreadable tombstone confirms no
+              // fresh holder slipped in, so the reclaim proceeds rather
+              // than wedging the table forever (manual unwedge, if a
+              // store somehow defeats this: delete the .intent marker).
               if (contentOf(tomb) == observed) {
                 fs.delete(tomb, false)
                 tryCreate(p)

@@ -64,6 +64,37 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("reclaim refuses an unvouched store scheme; the capability flag unlocks it") {
+    // the class doc's lost-update window (reclaimer publishes, then the
+    // stalled owner's unconditional PUT overwrites it) requires a
+    // RECLAIM on a store with neither inode nor conditional-PUT
+    // semantics — so the reclaim path must fail loudly there unless the
+    // operator asserts the capability (graft.commitlog.conditional-put)
+    withRoot { (localFs, root) =>
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      // FilterFileSystem delegates getConf to the WRAPPED fs — pin our
+      // private conf so the flag flip below stays test-local
+      val fs = new org.apache.hadoop.fs.FilterFileSystem(localFs) {
+        override def getScheme: String = "mockobj" // unvouched scheme
+        override def getConf: org.apache.hadoop.conf.Configuration = conf
+      }
+      CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
+      val out = fs.create(slot(root, 2L), false)
+      out.write("truncated-no-sentinel".getBytes("UTF-8")); out.close()
+      fs.setTimes(slot(root, 2L), System.currentTimeMillis() - 120000L, -1L)
+      val e = intercept[CommitLog.ReclaimUnsupportedException] {
+        CommitLog.tryAppend(fs, root, 1L, content("w2"), valid)
+      }
+      assert(e.getMessage.contains(CommitLog.ConditionalPutProp), e.getMessage)
+      assert(fs.exists(slot(root, 2L)), "the residue must survive the refusal")
+      // same store, capability asserted → the reclaim proceeds
+      conf.setBoolean(CommitLog.ConditionalPutProp, true)
+      assert(CommitLog.tryAppend(fs, root, 1L, content("w2"), valid) == 2L)
+      assert(CommitLog.head(fs, root, valid).contains(2L -> content("w2")))
+    }
+  }
+
   test("a VALID slot is never deleted or rewritten, whatever its age") {
     withRoot { (fs, root) =>
       CommitLog.tryAppend(fs, root, 0L, content("base"), valid)
@@ -168,8 +199,15 @@ class CommitLogSpec extends SparkSpec {
     // reclaimer's published commit — the post-write read-back must
     // turn that into a loud conflict, never success
     withRoot { (fs, root) =>
+      // the operator vouched the store (else the reclaim refuses — see
+      // the capability-gate test); the read-back below is the
+      // defense-in-depth layer behind a wrong vouch
+      val vouched = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      vouched.setBoolean(CommitLog.ConditionalPutProp, true)
       val remote = new org.apache.hadoop.fs.FilterFileSystem(fs) {
         override def getScheme: String = "mockstore"
+        override def getConf: org.apache.hadoop.conf.Configuration = vouched
       }
       CommitLog.tryAppend(remote, root, 0L, content("base"), valid)
       val e = intercept[CommitLog.CommitConflictException] {

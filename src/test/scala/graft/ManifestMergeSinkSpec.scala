@@ -548,7 +548,7 @@ class ManifestMergeSinkSpec extends SparkSpec {
     } finally fsOf(base).delete(new Path(base.toString), true)
   }
 
-  test("rebucket: atomic count flip, content-neutral, ledger carried, old-config loud") {
+  test("rebucket: atomic count flip, content-neutral, ledger carried, old-config transparent") {
     val base = java.nio.file.Files.createTempDirectory("graft_mms_rb_")
     try {
       val m = s"$base/snap"
@@ -566,27 +566,34 @@ class ManifestMergeSinkSpec extends SparkSpec {
         head.mapping.size > 2, s"${head.mapping.keySet}")
       assert(head.txns == Map("p" -> 3L), "the txn ledger rides through")
       assert(ManifestMergeSink.readManifested(spark, m).count() == 100L)
-      // merges against the NEW count land; the old count is loud
+      // merges against the NEW count land; a stale-config writer (the
+      // pre-rebucket constant) resolves the head's count and keeps
+      // working — nBuckets sizes the first commit only, so a nightly
+      // auto-rebucket is transparent to the day pipelines
       val st = ManifestMergeSink.mergeIntoManifested(spark, m,
         Seq((101L, "new")).toDF("id", "payload"), "id", Seq("payload"),
         nBuckets = 8)
       assert(st.nUpserted == 1L)
-      val e = intercept[IllegalArgumentException] {
-        ManifestMergeSink.mergeIntoManifested(spark, m,
-          Seq((102L, "x")).toDF("id", "payload"), "id", Seq("payload"),
-          nBuckets = 2)
-      }
-      assert(e.getMessage.contains("bucketed 8 ways"), e.getMessage)
+      val stStale = ManifestMergeSink.mergeIntoManifested(spark, m,
+        Seq((102L, "x")).toDF("id", "payload"), "id", Seq("payload"),
+        nBuckets = 2)
+      assert(stStale.nUpserted == 1L)
+      val headAfter = ManifestMergeSink.headState(spark, m).get._2
+      assert(headAfter.nBuckets == 8, "stale config must not change the count")
+      assert(ManifestMergeSink.readManifested(spark, m)
+        .filter(col("id") === 102L).count() == 1L,
+        "the stale-config write must be readable under the head's count")
       // time travel still reads the pre-rebucket version under count 2
       val seqs = ManifestMergeSink.commitSeqs(spark, m)
       assert(ManifestMergeSink.readManifestedAt(spark, m, seqs.head)
         .count() == 100L)
       // a cross-count change-feed span classifies by VALUE: only the
-      // post-rebucket insert surfaces
+      // post-rebucket inserts surface (101 from the new-count merge,
+      // 102 from the stale-config merge)
       val d = ManifestMergeSink.changesBetween(spark, m, seqs.head,
         seqs.last, "id", Seq("payload"))
         .select("id", "_change").as[(Long, String)].collect().toSet
-      assert(d == Set((101L, "insert")), s"got $d")
+      assert(d == Set((101L, "insert"), (102L, "insert")), s"got $d")
       // a no-op rebucket publishes nothing
       val commits2 = CommitLog.seqs(fs, new Path(m)).size
       ManifestMergeSink.rebucketManifested(spark, m, "id", 8)

@@ -158,6 +158,48 @@ class MergePropsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup contention with DISJOINT buckets still re-derives (conflictRepoint=false)") {
+    // The discriminating case for the CAS seam's conflictRepoint=false:
+    // two docs with IDENTICAL signatures (a certain pair) whose doc_id
+    // hash buckets DIFFER — a disjoint-bucket metadata repoint (sound
+    // for key-local dedup, mergeIntoManifested's default) would let the
+    // losing writer publish its pre-conflict clustering (two singleton
+    // survivors) because the winner never touched the loser's buckets;
+    // the near-dup cross probe reads EVERY bucket's content, so the
+    // seam must force a full re-derive and merge the pair.
+    import operators.MergeQueries
+    import graft.sinks.ManifestMergeSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_cont_").toString
+    try {
+      val target = s"$dir/idx"
+      val n = 64
+      def bucket(id: Long): Long = spark.range(1)
+        .select(pmod(xxhash64(lit(id)), lit(n.toLong))).head().getLong(0)
+      val idA = 1L
+      val idB = (2L to 200L).find(b => bucket(b) != bucket(idA)).get
+      def sigs(id: Long) =
+        Seq((id, 12345L, 67890L)).toDF("id", "sh_lo", "sh_hi")
+      // writer A ingests {A}; before its first publish attempt, writer
+      // B fully commits {B} — A loses the CAS with B's bucket disjoint
+      // from A's, the exact window a repoint would corrupt
+      MergeQueries.neardupIngestSigsManifested(spark, target, sigs(idA),
+        nBuckets = n,
+        beforePublish = () => {
+          MergeQueries.neardupIngestSigsManifested(spark, target, sigs(idB),
+            nBuckets = n); ()
+        })
+      val got = ManifestMergeSink.readManifested(spark, target)
+        .select("doc_id", "survivor_id").as[(Long, Long)].collect().toMap
+      assert(got == Map(idA -> idA, idB -> idA),
+        s"losing writer must re-derive against the winner's head even when " +
+          s"its buckets are disjoint (the cross probe reads every bucket); " +
+          s"got $got (buckets ${bucket(idA)} vs ${bucket(idB)})")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("SCOPED near-dup ingest equals per-scope batch clustering under out-of-order arrivals") {
     import operators.{Dedup, MergeQueries}
     val dir = java.nio.file.Files.createTempDirectory("graft_nd_scoped_").toString
@@ -201,16 +243,39 @@ class MergePropsSpec extends SparkSpec {
 
   test("scope health: per-scope counts exact, envelope flag fires only past the cap") {
     import operators.MergeQueries
+    // signatures crafted so each scope has singleton low-chunk buckets
+    // (sh_lo distinct) plus shared zero-value buckets (sh_hi = 0, upper
+    // sh_lo chunk = 0): en bucket sizes [1,1,1,3,3,3] → p99 cap 3,
+    // de [1,1,2,2,2] → cap 2; nothing hot, no all-chunks-hot docs
     val index = Seq(
-      (1L, "en", 1L), (2L, "en", 1L), (3L, "en", 3L),
-      (4L, "de", 4L), (5L, "de", 4L))
-      .toDF("doc_id", "lang", "survivor_id")
+      (1L, "en", 1L, 1L, 0L), (2L, "en", 1L, 2L, 0L), (3L, "en", 3L, 3L, 0L),
+      (4L, "de", 4L, 4L, 0L), (5L, "de", 4L, 5L, 0L))
+      .toDF("doc_id", "lang", "survivor_id", "sh_lo", "sh_hi")
     val h = MergeQueries.scopeHealth(index, "lang", maxDocsPerScope = 2L)
-      .as[(String, Long, Long, Boolean)].collect().toSeq
-    assert(h == Seq(("de", 2L, 1L, false), ("en", 3L, 2L, true)), s"$h")
+      .as[(String, Long, Long, Boolean, Long, Long, Long)].collect().toSeq
+    assert(h == Seq(("de", 2L, 1L, false, 2L, 0L, 0L),
+      ("en", 3L, 2L, true, 3L, 0L, 0L)), s"$h")
     intercept[IllegalArgumentException] {
       MergeQueries.scopeHealth(index, "lang", maxDocsPerScope = 0L)
     }
+  }
+
+  test("governor erosion: an all-chunks-hot doc is counted, caps stay per-scope") {
+    import operators.Dedup
+    // scope "hot": 5 identical signatures collapse all four chunks into
+    // 4 buckets of size 5; one extra doc shares nothing. Bucket sizes
+    // [1,1,1,1,5,5,5,5] → p50 cap = 1 → the 4 size-5 buckets are hot and
+    // the five identical docs are all-chunks-hot. Scope "ok": two
+    // distinct docs, all singleton buckets → cap 1, nothing hot.
+    val sigs = ((1L to 5L).map(i => (i, "hot", 7L, 7L)) ++
+      Seq((6L, "hot", 1L << 17 | 2L, 3L << 16 | 4L),
+        (7L, "ok", 5L << 16 | 6L, 8L << 16 | 9L),
+        (8L, "ok", 10L << 16 | 11L, 12L << 16 | 13L)))
+      .toDF("id", "lang", "sh_lo", "sh_hi")
+    val e = Dedup.governorErosion(sigs, Seq("lang"), quantile = 0.5)
+      .orderBy(col("lang"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(e == Seq(("hot", 1L, 4L, 5L), ("ok", 1L, 0L, 0L)), s"$e")
   }
 
   test("streaming near-dup ingest micro-batches per file and equals direct ingest") {
