@@ -412,8 +412,11 @@ object ScaleCurveJob {
     val f = math.max(1, math.ceil(100000.0 / baseTypes).toInt)
     val corpus = (0 until f).map(nsReplica).reduce(_ unionByName _)
       .localCheckpoint(true)
-    // ~10³-type day: a handful of docs from the NEXT namespace
-    val day = nsReplica(f).orderBy(col("doc_id")).limit(12)
+    // ~10³-type day: the fixture's templated text caps one namespace at
+    // ~155 types, so the day spans SEVEN fresh namespaces (7 × 155 ≈
+    // 1.1k new types — the trickle the claim is about)
+    val day = (f until f + 7).map(r => nsReplica(r).limit(100))
+      .reduce(_ unionByName _)
       .localCheckpoint(true)
     val stateTypes = nTypes(corpus)
     val dayTypes = nTypes(day)

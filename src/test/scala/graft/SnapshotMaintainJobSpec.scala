@@ -94,11 +94,14 @@ class SnapshotMaintainJobSpec extends SparkSpec {
         rebucketKey = Some("id"), targetRowsPerBucket = 1000L)
       assert(SnapshotMaintainJob.run(spark, m, shrinkCfg).rebucketedTo.isEmpty)
       assert(ManifestMergeSink.headState(spark, m).get._2.nBuckets == 8)
-      // a post-rebucket merge must present the NEW bucket count
-      intercept[IllegalArgumentException] {
-        ManifestMergeSink.mergeIntoManifested(spark, m, rows.limit(1),
-          "id", Seq("payload"), nBuckets = 2)
-      }
+      // a post-rebucket merge with the STALE constant resolves the
+      // head's count and keeps working — the auto-rebucket night must be
+      // transparent to constant-configured day pipelines (nBuckets is
+      // first-commit sizing only)
+      ManifestMergeSink.mergeIntoManifested(spark, m, rows.limit(1),
+        "id", Seq("payload"), nBuckets = 2)
+      assert(ManifestMergeSink.headState(spark, m).get._2.nBuckets == 8,
+        "a stale-config merge must not change the bucket count")
       // sizing policy corners
       assert(ManifestMergeSink.bucketCountFor(0L, 100L) == 1)
       assert(ManifestMergeSink.bucketCountFor(100L, 100L) == 1)
