@@ -432,11 +432,9 @@ object MergeQueries {
                                   batchSigs: DataFrame, nBuckets: Int,
                                   maxHamming: Int = 3,
                                   beforePublish: () => Unit = () => ())
-      : MergeSink.MergeStats = {
-    import graft.sinks.ManifestMergeSink
+      : MergeSink.MergeStats =
     neardupIngestCore(spark, manifestedStore(spark, target, nBuckets,
       beforePublish), batchSigs, maxHamming)
-  }
 
   /** The manifested [[IndexStore]]: publish through
     * [[graft.sinks.ManifestMergeSink.mergeIntoManifested]] with the
@@ -504,9 +502,11 @@ object MergeQueries {
       Dedup.simhashSignatures(batch, idCol, textCol, carry = Seq(scopeCol)),
       maxHamming, scopeCols = Seq(scopeCol), maxBucketSize = maxBucketSize)
 
-  /** The two physical index layouts [[neardupIngestCore]] runs against:
-    * a plain parquet directory ([[neardupIngest]]) or a bucketed catalog
-    * table ([[neardupIngestBucketed]]). */
+  /** The three physical index layouts [[neardupIngestCore]] runs
+    * against: a plain parquet directory ([[neardupIngest]]), a bucketed
+    * catalog table ([[neardupIngestBucketed]]), or the manifested
+    * commit-log snapshot ([[neardupIngestManifested]], via
+    * [[mergeDerived]]'s CAS seam). */
   private trait IndexStore {
     def exists: Boolean
     def read(): DataFrame
