@@ -746,6 +746,44 @@ class PlanAuditSpec extends SparkSpec {
         extraKeys = Seq("lang"))
       assert(exchanges(scoped) == exchanges(exact),
         s"scope keys must not add an exchange:\n${plan(scoped)}")
+      // PER-SCOPE caps (q239): the caps frame is scope-cardinality tiny
+      // and explicitly broadcast — it must join as a BroadcastHashJoin
+      // and add no hash exchange beyond the exact plan's own. Caps are
+      // materialized first (q239's usage): the sizing derivation is its
+      // own metadata-scale job, not part of the probe plan under audit
+      val caps = operators.Dedup.scopeGovernorCaps(index, Seq("lang"), 0.99)
+        .localCheckpoint(true)
+      val scopeCapped = operators.Dedup.simhashCrossPairs(probe, index,
+        extraKeys = Seq("lang"), scopeCaps = Some(caps))
+      assert(exchanges(scopeCapped) == exchanges(exact),
+        s"per-scope caps must not add a hash exchange:\n${plan(scopeCapped)}")
+      assert(plan(scopeCapped).contains("BroadcastHashJoin"),
+        "the caps frame must broadcast, never shuffle the chunk stream")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("scoped fuzzy pairs: the scope key rides the variant exchange (q240 shape)") {
+    import spark.implicits._
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey").as("id"),
+        (col("s_nationkey") % 2).cast("long").as("region"),
+        col("s_name").as("name"))
+      .localCheckpoint(true)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      def exchanges(df: DataFrame): Int =
+        "Exchange hashpartitioning".r.findAllIn(plan(df)).length
+      val unscoped = operators.FuzzyJoin.edOnePairs(sup, "id", "name")
+      val scoped = operators.FuzzyJoin.edOnePairs(sup, "id", "name",
+        scopeCols = Seq("region"))
+      // the scope key joins as an extra equi-column on the variant
+      // exchange — per-scope sharding must never cost a second shuffle
+      assert(exchanges(scoped) == exchanges(unscoped),
+        s"the scope key must ride the variant exchange:\n${plan(scoped)}")
+      assert("hashpartitioning\\([^)]*region".r.findFirstIn(plan(scoped))
+        .isDefined,
+        s"the variant exchange must hash the scope key too:\n${plan(scoped)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
