@@ -23,6 +23,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos and
       // truncate in Tables.events (Spark has no nanosecond timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local file:// without per-file chmod FORKS or duplicate .crc
+      // writes (see graft.hadoop.NioLocalFileSystem — thread sampling
+      // showed every parquet-writing task forking `chmod` through
+      // Hadoop's Shell fallback); scheme and O_EXCL semantics are
+      // unchanged, and cluster schemes (hdfs/s3a) never touch this
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

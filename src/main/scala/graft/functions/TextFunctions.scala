@@ -224,6 +224,23 @@ object TextFunctions {
     * ('0x' || substring(md5(s || ':' || e), 4c+1, 4))::BIGINT)). */
   def minhashSignatureMd5Chunked(elems: Column, numHashes: Int): Column = {
     require(numHashes % 8 == 0, s"numHashes=$numHashes must be a multiple of 8")
+    // ONE fused codegen'd pass ([[graft.expressions.MinhashMd5Chunked]]):
+    // per element one md5 per seed, all eight 16-bit chunk minima
+    // tracked in the same pass. The previous form ran, per element, an
+    // interpreted md5 transform plus EIGHT conv(substring) transform
+    // lambdas over the digest array — the q20 bench's dominant cost.
+    // Values are IDENTICAL (hex chars 4c+1..4c+4 are digest bytes
+    // 2c..2c+1 big-endian); TextFunctionsSpec pins the equivalence, so
+    // the q20 oracle is untouched.
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.MinhashMd5Chunked(
+      ColumnBridge.expression(elems), numHashes))
+  }
+
+  /** The interpreted HOF pipeline [[minhashSignatureMd5Chunked]] fuses —
+    * kept as the readable reference and for the equivalence test. */
+  def minhashSignatureMd5ChunkedHof(elems: Column, numHashes: Int): Column = {
+    require(numHashes % 8 == 0, s"numHashes=$numHashes must be a multiple of 8")
     val perSeed = (0 until numHashes / 8).map { s =>
       bind(transform(elems, e => md5(concat(lit(s"$s:"), e)))) { digests =>
         array((0 until 8).map { c =>
@@ -244,7 +261,20 @@ object TextFunctions {
     * hashing the element under every seed. The (seed, base-hash) family
     * is as uniform as the direct form; signatures differ numerically but
     * MinHash/LSH semantics are identical. */
-  def minhashSignatureXx(elems: Column, numHashes: Int): Column =
+  def minhashSignatureXx(elems: Column, numHashes: Int): Column = {
+    // fused one-pass form ([[graft.expressions.MinhashXx]]): one string
+    // hash + k long re-hashes per element through Spark's own XXH64
+    // statics — value-identical to the HOF pipeline below
+    // (TextFunctionsSpec-pinned), which evaluated k interpreted
+    // transform lambdas over an intermediate hash array per document
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.MinhashXx(
+      ColumnBridge.expression(elems), numHashes))
+  }
+
+  /** The interpreted HOF pipeline [[minhashSignatureXx]] fuses — kept as
+    * the readable reference and for the equivalence test. */
+  def minhashSignatureXxHof(elems: Column, numHashes: Int): Column =
     bind(transform(elems, e => xxhash64(e))) { hs =>
       array((0 until numHashes).map(i =>
         array_min(transform(hs, h => xxhash64(lit(i), h)))): _*)

@@ -736,24 +736,44 @@ object Dedup {
     * alternations pass without the edge-set fixpoint. */
   def connectedComponentsTwoPhase(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
+    // Both star rewrites compute a per-u neighborhood minimum and then
+    // re-emit each row against it. A groupBy+join-back form pays THREE
+    // exchanges per rewrite (groupBy hash, join re-shuffle of the edge
+    // frame, output distinct); a window min over the SAME key shares one
+    // exchange between the min and the re-emit (optimization guide §2.4
+    // "two operations keyed the same way can share one exchange") — the
+    // edge frame crosses the network once per rewrite instead of twice,
+    // at any scale. Values are identical: min() over the full partition
+    // is exactly the groupBy min.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      nbrs.join(mins, "u")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      // no distinct here: nbrs holds at most one (u, v) with v > u per
+      // undirected edge, so the emit is bounded by |E| either way;
+      // duplicate (v, m) hooks (two neighbors sharing a minimum) are
+      // collapsed by smallStar's round-final distinct — one exchange
+      // per round instead of two (guide §2.4)
+      nbrs.withColumn("m", least(min(col("v")).over(w), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
-      dir.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      // per row: the (v, m) hook when v is not already the min, plus the
+      // (u, m) self-hook. Emitting (u, m) once per ROW instead of once
+      // per u (the old `mins.select(u, m)` union branch) produces the
+      // same SET — the final distinct collapses the copies, and its
+      // partial (map-side) aggregate drops them before the shuffle.
+      dir.withColumn("m", min(col("v")).over(w))
+        .select(explode(when(col("v") =!= col("m"),
+            array(struct(col("v").as("u"), col("m").as("v")),
+              struct(col("u").as("u"), col("m").as("v"))))
+          .otherwise(array(struct(col("u").as("u"), col("m").as("v")))))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
     }
     // CONSTRAINT-PROPAGATION WINDOW (the q145 conf save/set/restore
@@ -793,9 +813,12 @@ object Dedup {
       // trips Catalyst's Union constraint rewrite ("key not found: u#…")
       // when the edge frames carry rich constraints (observed composing
       // this loop into the q103 media-ingest pipeline).
+      // ONE action, not two: the union of both anti-joins is empty iff
+      // both are — halves the per-round convergence-probe job count
       converged =
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
-        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+        next.join(edges, Seq("u", "v"), "left_anti")
+          .union(edges.join(next, Seq("u", "v"), "left_anti"))
+          .isEmpty
       edges = next
       it += 1
     }
@@ -900,26 +923,31 @@ object Dedup {
     * analog of q65's content hashes: tiny per doc, and sufficient to
     * probe any future batch without re-reading document text. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        carry: Seq[String] = Nil): DataFrame =
+                        carry: Seq[String] = Nil): DataFrame = {
+    // ONE fused codegen'd pass per document ([[graft.expressions
+    // .SimhashSig]]): one MD5 per token, both 32-bit words read straight
+    // from the digest bytes, votes accumulated in the same pass. The
+    // previous form evaluated three interpreted `transform` lambdas per
+    // token (md5 hex string, two conv(substring) parses) before the two
+    // SimhashWord passes — the signature stage's dominant cost at any
+    // scale. Values are IDENTICAL (hex chars 1-8/9-16 of md5 are digest
+    // bytes 0-3/4-7 big-endian — still reproducible in DuckDB as
+    // ('0x' || substring(md5(t), ...))::BIGINT); DedupSpec pins the
+    // equivalence against the un-fused pipeline, so the q21 oracle is
+    // untouched.
+    import org.apache.spark.sql.graft.ColumnBridge
+    def sig(toks: Column): Column = ColumnBridge.column(
+      graft.expressions.SimhashSig(ColumnBridge.expression(toks)))
     df.select(col(idCol).as("id") +: carry.map(col) :+
         array_distinct(tokens(col(textCol))).as("toks"): _*)
       .filter(size(col("toks")) > 0) // empty docs have no signal
-      // ONE md5 per token: both 32-bit word hashes are substrings of the
-      // SAME digest (lo = hex chars 1-8, hi = chars 9-16 — reproducible
-      // in DuckDB as ('0x' || substring(md5(t), ...))::BIGINT), and md5
-      // is the emitter's dominant per-token cost, so evaluating the
-      // digest once per token instead of once per word halves it. The
-      // hex array gets its own projected column so CollapseProject keeps
-      // the multiply-referenced non-cheap alias materialized (the
-      // simhashWord rule below).
-      .withColumn("hx", transform(col("toks"), t => md5(t)))
-      .withColumn("h_lo", transform(col("hx"),
-        h => conv(substring(h, 1, 8), 16, 10).cast("long")))
-      .withColumn("h_hi", transform(col("hx"),
-        h => conv(substring(h, 9, 8), 16, 10).cast("long")))
+      // the struct gets its own projected column so CollapseProject
+      // keeps the multiply-referenced non-cheap alias materialized
+      .withColumn("sig", sig(col("toks")))
       .select(col("id") +: carry.map(col) :+
-        simhashWord(col("h_lo")).as("sh_lo") :+
-        simhashWord(col("h_hi")).as("sh_hi"): _*)
+        col("sig.sh_lo").as("sh_lo") :+
+        col("sig.sh_hi").as("sh_hi"): _*)
+  }
 
   /** Explodes a signature frame (id, [extraKeys...,] sh_lo, sh_hi) into
     * its 4 16-bit pigeonhole chunks: (id, ..., chunk, cval). `extraKeys`

@@ -129,7 +129,13 @@ object Ivf {
     val root = new org.apache.hadoop.fs.Path(path)
     legacyLayoutCheck(spark, path)
     val gen = s"g-${tok()}"
-    index.assigned.write.mode("overwrite").partitionBy("list_id")
+    // hash-distribute by list before every partitioned index write
+    // (guide §6; same rule as ManifestMergeSink's bucket writes): the
+    // assignment leaves rows partitioned by their SOURCE layout, so each
+    // write task would spray one small file into most lists —
+    // tasks × nlist files whose open/footer cost every probe re-pays;
+    // distributed, a list's rows land in one file per generation
+    index.assigned.repartition(col("list_id")).write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/$gen")
     val parts = graft.sinks.DirManifest
       .writtenParts(fs, root, gen, "list_id")
@@ -303,7 +309,7 @@ object Ivf {
         .fit(fitSet)
       val assigned = model.transform(feat).drop("features")
       val gen = s"g-${tok()}"
-      assigned.write.mode("overwrite").partitionBy("list_id")
+      assigned.repartition(col("list_id")).write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$path/$gen")
       val parts = graft.sinks.DirManifest
         .writtenParts(fs, root, gen, "list_id")
@@ -453,7 +459,7 @@ object Ivf {
         .drop("d2", "rn", "c", "cn2")
         .withColumnRenamed("new_list", "list_id")
       val gen = s"g-${tok()}"
-      reassigned.write.mode("overwrite").partitionBy("list_id")
+      reassigned.repartition(col("list_id")).write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$path/$gen")
       val written = graft.sinks.DirManifest
         .writtenParts(fs, root, gen, "list_id").toMap
@@ -649,7 +655,7 @@ object Ivf {
       val nFresh = fresh.count()
       val gen = s"g-${tok()}"
       if (nFresh > 0)
-        fresh.write.mode("overwrite").partitionBy("list_id")
+        fresh.repartition(col("list_id")).write.mode("overwrite").partitionBy("list_id")
           .parquet(s"$path/$gen")
       if (hookPending) { hookPending = false; beforePublish() }
       if (nFresh == 0) return 0L // full re-delivery: nothing to publish

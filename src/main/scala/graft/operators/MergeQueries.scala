@@ -590,8 +590,11 @@ object MergeQueries {
             .select(col("id1"), col("id2"))
             .localCheckpoint(true) // referenced twice: edge union + star lookup
           // star edges: each probed old doc brings its cluster's survivor
-          // (= the cluster's min id) into the touched subgraph
-          val starEdges = crossPairs.select(col("id2").as("doc_id")).distinct()
+          // (= the cluster's min id) into the touched subgraph. No
+          // distinct on the probe side: duplicate (doc, survivor) edges
+          // are collapsed by clusterComponents' initial edge distinct —
+          // one fewer exchange per derivation (guide §2.4)
+          val starEdges = crossPairs.select(col("id2").as("doc_id"))
             .join(index.select(col("doc_id"), col("survivor_id")), Seq("doc_id"))
             .select(col("doc_id").as("id1"), col("survivor_id").as("id2"))
           selfPairs.select(col("id1"), col("id2"))
@@ -2433,13 +2436,18 @@ object MergeQueries {
       // tasks × buckets fan-out produces and this pass repairs
       def fragmented[T](body: => T): T = graft.Sparks.withConf(spark,
         "spark.sql.adaptive.coalescePartitions.enabled", "false")(body)
+      // distributeByBucket=false: the merge path now hash-distributes by
+      // bucket before the write (one file per bucket), so the gate must
+      // opt OUT to reproduce the tasks×buckets fan-out a legacy writer
+      // (or any non-distributing tool) leaves behind — the layout this
+      // compaction pass exists to repair
       fragmented {
         ManifestMergeSink.mergeIntoManifested(spark, target, docs,
-          "doc_id", Seq("len"), nBuckets = 8)
+          "doc_id", Seq("len"), nBuckets = 8, distributeByBucket = false)
         ManifestMergeSink.mergeIntoManifested(spark, target,
           docs.filter(col("doc_id") % 3 === 0)
             .withColumn("len", col("len") + 7L),
-          "doc_id", Seq("len"), nBuckets = 8)
+          "doc_id", Seq("len"), nBuckets = 8, distributeByBucket = false)
       }
       def filesOf(d: String): Seq[(String, Long)] =
         fs.listStatus(new Path(tgt, d))
@@ -2460,7 +2468,7 @@ object MergeQueries {
       fragmented {
         ManifestMergeSink.mergeIntoManifested(spark, target,
           Seq((k0, k0len)).toDF("doc_id", "len"),
-          "doc_id", Seq("len"), nBuckets = 8)
+          "doc_id", Seq("len"), nBuckets = 8, distributeByBucket = false)
       }
       val b0 = Seq(k0).toDF("doc_id")
         .select(pmod(xxhash64(col("doc_id")), lit(8L))).head().getLong(0)
@@ -2528,10 +2536,17 @@ object MergeQueries {
       val seqs = versionedSnapshot(spark, dir, src)
       def replicaMatches(atSeq: Long): Boolean = {
         val want = ManifestMergeSink.readManifestedAt(spark, src, atSeq)
-          .select(col("doc_id"), col("len"))
+          .select(col("doc_id").as("w_id"), col("len").as("w_len"))
         val got = ManifestMergeSink.readManifested(spark, rep)
-          .select(col("doc_id"), col("len"))
-        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+          .select(col("doc_id").as("g_id"), col("len").as("g_len"))
+        // ONE action, one pass per side: doc_id is the merge key (unique
+        // on both sides), so multiset equality == zero full-outer
+        // mismatches — the two exceptAll probes each re-read both
+        // snapshots and ran their own job
+        got.join(want, col("g_id") === col("w_id"), "full_outer")
+          .filter(col("g_id").isNull || col("w_id").isNull ||
+            !(col("g_len") <=> col("w_len")))
+          .isEmpty
       }
       var synced = 0L
       seqs.foreach { to =>

@@ -377,9 +377,14 @@ object Relational {
         countDistinct(col("l_suppkey")).as("exact_supp"),
         approx_count_distinct(col("l_suppkey")).as("acd"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
-        expr("percentile(l_quantity, 0.25)").as("p25"),
-        expr("percentile(l_quantity, 0.75)").as("p75"),
+        // ONE exact-percentile buffer for both quantiles (guide §1.2
+        // per-task work): percentile(col, array(..)) shares the single
+        // per-group value-count map two scalar percentile() calls would
+        // each build — values identical, so p50_ok is unchanged
+        expr("percentile(l_quantity, array(0.25, 0.75))").as("p2575"),
         count(lit(1)).as("n_rows"))
+      .withColumn("p25", col("p2575").getItem(0))
+      .withColumn("p75", col("p2575").getItem(1))
       .select(col("l_returnflag"), col("exact_supp"), col("n_rows"),
         (abs(col("acd") - col("exact_supp")).cast("double") / col("exact_supp") <= 0.1)
           .as("acd_ok"),

@@ -428,7 +428,8 @@ object ManifestMergeSink {
                           recomputeUpdates: Option[ManifestState] => DataFrame = null,
                           txn: Option[(String, Long)] = None,
                           txnFence: Option[Long] = None,
-                          conflictRepoint: Boolean = true): MergeSink.MergeStats = {
+                          conflictRepoint: Boolean = true,
+                          distributeByBucket: Boolean = true): MergeSink.MergeStats = {
     require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
     txn.foreach { case (id, _) => requireLedgerSafe(id, "txn pipelineId") }
     def absorbed(st: Option[ManifestState]): Boolean = txn.exists {
@@ -479,7 +480,18 @@ object ManifestMergeSink {
         MergeSink.evolvedFields(targetDf, key, fields, updatedAtCol),
         updatedAtCol)
       val gdir = s"g-${tok()}"
-      merged.withColumn("pb", pb(col(key), n))
+      // hash-distribute by the bucket column before the partitioned
+      // write (guide §6; Iceberg's write.distribution-mode=hash): the
+      // merge join leaves rows partitioned by KEY hash, so every write
+      // task would otherwise hold rows of most buckets and spray one
+      // small file per (task, bucket) — tasks × buckets files whose
+      // footer/open cost every later bucket read re-pays. Repartitioned,
+      // each bucket's rows land in exactly one file.
+      // `distributeByBucket = false` is the q221 gate's escape hatch: it
+      // reproduces the legacy tasks×buckets fan-out so compaction still
+      // has a fragmented layout to repair.
+      val toWrite = merged.withColumn("pb", pb(col(key), n))
+      (if (distributeByBucket) toWrite.repartition(col("pb")) else toWrite)
         .write.mode("overwrite").partitionBy("pb")
         .parquet(new Path(root, gdir).toString)
       val mySchema = merged.schema
@@ -670,7 +682,15 @@ object ManifestMergeSink {
         MergeSink.evolvedFields(targetDf, key, fields, "updatedAt"),
         "updatedAt")
       val gdir = s"g-${tok()}"
+      // hash-distribute by the bucket column before the partitioned
+      // write (guide §6; Iceberg's write.distribution-mode=hash): the
+      // merge join leaves rows partitioned by KEY hash, so every write
+      // task would otherwise hold rows of most buckets and spray one
+      // small file per (task, bucket) — tasks × buckets files whose
+      // footer/open cost every later bucket read re-pays. Repartitioned,
+      // each bucket's rows land in exactly one file.
       merged.withColumn("pb", pb(col(key), n))
+        .repartition(col("pb"))
         .write.mode("overwrite").partitionBy("pb")
         .parquet(new Path(root, gdir).toString)
       val written = fs.listStatus(new Path(root, gdir))

@@ -123,6 +123,70 @@ class DedupSpec extends SparkSpec {
     assert(diff == 0, "the codegen word must be bit-identical to the HOF votes")
   }
 
+  test("fused simhash signature equals the md5/conv/simhashWord pipeline") {
+    // the un-fused reference: per-token md5 hex, both 32-bit words via
+    // conv(substring), then the SimhashWord votes — exactly the pipeline
+    // simhashSignatures ran before the SimhashSig fusion
+    val rng = new scala.util.Random(29)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "l", "42", "xx9", "", "Ünïcode")
+    val rows = (1 to 200).map(i =>
+      (i.toLong, (1 to (1 + rng.nextInt(30))).map(_ =>
+        words(rng.nextInt(words.size))).distinct))
+    val df = rows.toDF("id", "toks").filter(size(col("toks")) > 0)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val fused = df.select(col("id"), ColumnBridge.column(
+        graft.expressions.SimhashSig(ColumnBridge.expression(col("toks"))))
+        .as("sig"))
+      .select(col("id"), col("sig.sh_lo").as("f_lo"), col("sig.sh_hi").as("f_hi"))
+    val ref = df
+      .withColumn("hx", transform(col("toks"), t => md5(t)))
+      .withColumn("h_lo", transform(col("hx"),
+        h => conv(substring(h, 1, 8), 16, 10).cast("long")))
+      .withColumn("h_hi", transform(col("hx"),
+        h => conv(substring(h, 9, 8), 16, 10).cast("long")))
+      .select(col("id"), Dedup.simhashWord(col("h_lo")).as("r_lo"),
+        Dedup.simhashWord(col("h_hi")).as("r_hi"))
+    val diff = fused.join(ref, "id")
+      .filter(col("f_lo") =!= col("r_lo") || col("f_hi") =!= col("r_hi"))
+      .count()
+    assert(diff == 0, "fused signature must be bit-identical to the pipeline")
+  }
+
+  test("fused md5-chunked minhash equals the HOF transform pipeline") {
+    import graft.functions.TextFunctions
+    val rng = new scala.util.Random(31)
+    val words = Vector("a b c", "dd ee", "fff", "42 43", "x", "yy zz qq")
+    val rows = (1 to 150).map(i =>
+      (i.toLong, (0 until rng.nextInt(12)).map(_ =>
+        words(rng.nextInt(words.size))))) :+ (999L, Seq.empty[String])
+    val df = rows.toDF("id", "elems")
+    val both = df.select(col("id"),
+      TextFunctions.minhashSignatureMd5Chunked(col("elems"), 16).as("fused"),
+      TextFunctions.minhashSignatureMd5ChunkedHof(col("elems"), 16).as("ref"))
+    val bad = both.filter(!(col("fused") <=> col("ref"))).count()
+    assert(bad == 0, "fused minhash must be value-identical to the HOF form")
+    // empty input: 16 nulls, matching array_min over an empty transform
+    val empty = both.filter(col("id") === 999L)
+      .select(col("fused")).collect()(0).getSeq[Any](0)
+    assert(empty.size == 16 && empty.forall(_ == null))
+  }
+
+  test("fused xx minhash equals the two-level xxhash64 HOF pipeline") {
+    import graft.functions.TextFunctions
+    val rng = new scala.util.Random(37)
+    val words = Vector("alpha beta", "g", "42", "xx yy zz", "Ünïcode", "")
+    val rows = (1 to 150).map(i =>
+      (i.toLong, (0 until rng.nextInt(15)).map(_ =>
+        words(rng.nextInt(words.size))))) :+ (999L, Seq.empty[String])
+    val df = rows.toDF("id", "elems")
+    val both = df.select(col("id"),
+      TextFunctions.minhashSignatureXx(col("elems"), 16).as("fused"),
+      TextFunctions.minhashSignatureXxHof(col("elems"), 16).as("ref"))
+    val bad = both.filter(!(col("fused") <=> col("ref"))).count()
+    assert(bad == 0, "fused xx minhash must be value-identical to the HOF form")
+  }
+
   test("Rabin-Karp winnowing: reference values, edit robustness, guards, SQL") {
     import graft.functions.TextFunctions.winnowFingerprintsRk
     // independent reference implementation of the same scheme

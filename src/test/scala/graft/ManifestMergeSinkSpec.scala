@@ -509,14 +509,19 @@ class ManifestMergeSinkSpec extends SparkSpec {
       // (multi-task buckets → multi-file dirs — the condition the
       // maintenance pass exists for)
       val rows = (1L to 400L).map(i => (i, s"v$i")).toDF("id", "payload")
+      // distributeByBucket=false: the merge now hash-distributes by
+      // bucket (one file per bucket), so the fragmentation this pass
+      // repairs must be produced the legacy way
       Sparks.withConf(spark,
         "spark.sql.adaptive.coalescePartitions.enabled", "false") {
         ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
-          Seq("payload"), nBuckets = 4, txn = Some(("p1", 0L)))
+          Seq("payload"), nBuckets = 4, txn = Some(("p1", 0L)),
+          distributeByBucket = false)
         ManifestMergeSink.mergeIntoManifested(spark, m,
           rows.filter(col("id") % 2 === 0L)
             .withColumn("payload", concat(col("payload"), lit("u"))),
-          "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)))
+          "id", Seq("payload"), nBuckets = 4, txn = Some(("p1", 1L)),
+          distributeByBucket = false)
       }
       def fileCount(d: String): Int =
         fs.listStatus(new Path(s"$m/$d"))
@@ -829,13 +834,16 @@ class ManifestMergeSinkSpec extends SparkSpec {
       val m = s"$base/snap"
       val fs = fsOf(base)
       val rows = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "payload")
+      // distributeByBucket=false: legacy fan-out so compaction has
+      // multi-file buckets to repair (the merge now writes one file per
+      // bucket by default)
       Sparks.withConf(spark,
         "spark.sql.adaptive.coalescePartitions.enabled", "false") {
         ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
-          Seq("payload"), nBuckets = 4)
+          Seq("payload"), nBuckets = 4, distributeByBucket = false)
         ManifestMergeSink.mergeIntoManifested(spark, m,
           rows.filter(col("id") % 2 === 0L), "id", Seq("payload"),
-          nBuckets = 4)
+          nBuckets = 4, distributeByBucket = false)
       }
       // a merge repoints key 1's bucket with NEW content between the
       // compaction's derivation and its publish: the compaction's CAS

@@ -19,13 +19,16 @@ class SnapshotMaintainJobSpec extends SparkSpec {
     try {
       val m = s"$base/snap"
       val rows = (1L to 300L).map(i => (i, s"v$i")).toDF("id", "payload")
+      // distributeByBucket=false: legacy fan-out so the night has
+      // multi-file buckets to heal (the merge now writes one file per
+      // bucket by default)
       Sparks.withConf(spark,
         "spark.sql.adaptive.coalescePartitions.enabled", "false") {
         ManifestMergeSink.mergeIntoManifested(spark, m, rows, "id",
-          Seq("payload"), nBuckets = 4)
+          Seq("payload"), nBuckets = 4, distributeByBucket = false)
         ManifestMergeSink.mergeIntoManifested(spark, m,
           rows.filter(col("id") % 3 === 0L), "id", Seq("payload"),
-          nBuckets = 4)
+          nBuckets = 4, distributeByBucket = false)
       }
       val night1 = SnapshotMaintainJob.run(spark, m,
         SnapshotMaintainJob.SnapshotConfig(maxFilesPerBucket = 1))
