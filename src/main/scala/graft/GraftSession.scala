@@ -19,6 +19,13 @@ object GraftSession {
       .withExtensions(new GraftExtensions) // native expressions as SQL fns
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan (coalesce) the stages under persist()ed frames —
+      // the label-propagation/persist loops otherwise pin every round's
+      // stages at the raw shuffle-partition count (guide §2.2: fewer,
+      // larger partitions; cached-plan exchange reuse matters less here
+      // than right-sized stages)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos and
       // truncate in Tables.events (Spark has no nanosecond timestamp type).
@@ -30,6 +37,10 @@ object GraftSession {
       // unchanged, and cluster schemes (hdfs/s3a) never touch this
       .config("spark.hadoop.fs.file.impl",
         "graft.hadoop.NioLocalFileSystem")
+      // the FileContext mirror: streaming checkpoint/state files go
+      // through the AbstractFileSystem API (see graft.hadoop.NioLocalFs)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NioLocalFs")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

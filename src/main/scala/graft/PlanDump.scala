@@ -64,6 +64,50 @@ object PlanDump {
           .distinct()
       }
       dump(out, "cc_round", smallStar(largeStar(pairs)))
+      // the r17 form (groupBy + join-back per star) for the plan diff
+      def largeStarOld(e: DataFrame): DataFrame = {
+        val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        nbrs.join(mins, "u")
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+      }
+      def smallStarOld(e: DataFrame): DataFrame = {
+        val dir = e.select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          .filter(col("u") =!= col("v"))
+        val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+        dir.join(mins, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v")))
+          .distinct()
+      }
+      dump(out, "cc_round_r17_form", smallStarOld(largeStarOld(pairs)))
+    }
+
+    // --- the r17 signature emitters (per-token HOF chains) for the diff
+    {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(spark, sfDir)
+      val oldSim = docs
+        .select(col("doc_id").as("id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("hx", transform(col("toks"), t => md5(t)))
+        .withColumn("h_lo", transform(col("hx"),
+          h => conv(substring(h, 1, 8), 16, 10).cast("long")))
+        .withColumn("h_hi", transform(col("hx"),
+          h => conv(substring(h, 9, 8), 16, 10).cast("long")))
+        .select(col("id"), operators.Dedup.simhashWord(col("h_lo")).as("sh_lo"),
+          operators.Dedup.simhashWord(col("h_hi")).as("sh_hi"))
+      dump(out, "simhash_signatures_r17_form", oldSim)
+      dump(out, "minhash_md5_signatures_r17_form",
+        docs.select(col("doc_id"),
+          TextFunctions.minhashSignatureMd5ChunkedHof(
+            TextFunctions.shingles(col("text"), 3), 16).as("sig")))
     }
 
     // --- fused simhash signature emitter (q21 + every near-dup ingest)

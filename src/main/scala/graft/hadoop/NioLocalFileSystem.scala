@@ -84,3 +84,18 @@ class NioLocalFileSystem
     setVerifyChecksum(false)
   }
 }
+
+/** The FileContext (AbstractFileSystem) counterpart of
+  * [[NioLocalFileSystem]], wired via
+  * `spark.hadoop.fs.AbstractFileSystem.file.impl`. Structured
+  * Streaming's CheckpointFileManager prefers the FileContext API for
+  * its offset/commit logs and state-store files, so every micro-batch
+  * otherwise pays the stock local AbstractFileSystem's chmod fork and
+  * `.crc` twin per checkpoint file — the same costs the FileSystem-API
+  * class removes for batch writes. Delegates straight to the no-fork
+  * raw layer (FileContext's rename-overwrite is RawLocal's
+  * kernel-atomic File.renameTo, which the checkpoint manager's
+  * atomic-write contract needs). */
+class NioLocalFs(uri: URI, conf: Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new NioRawLocalFileSystem, conf, "file", false)

@@ -1102,10 +1102,44 @@ object Ivf {
       val hiPool = math.max(HiRecallPoolFloor, n / 8)
       val pools = ((PoolLadder.map(_.toLong) :+ hiPool).filter(_ < n) :+ n)
         .distinct.sorted.map(_.toInt)
+      // ONE sketch pass + ONE exact re-rank for the whole ladder
+      // (guide §1.2: the ladder previously re-ran topKSketchRerank per
+      // pool width — 6 sketch scans, 6 re-rank joins, 6 id collects).
+      // The bottom-candPool selection is a PREFIX of the (hamming, id)
+      // total order, so ranking every (query, id) pair once by that
+      // order and filtering `srnk <= c` reproduces each pool's candidate
+      // set exactly; the exact cosine is computed once for the
+      // pool = corpus endpoint and each ladder point's top-k re-rank is
+      // a filter + window over the same scored frame. Values identical
+      // per construction (same selection order, same q22 tie-break).
+      val q = queries.select(col("id").as("q_id"), col("v").as("qv"))
+        .withColumn("qn", norm(col("qv")))
+        .withColumn("qsk", srpSketch(col("qv"), planes))
+        .localCheckpoint(true) // 256 dots per query row, evaluated once
+      val sk = readIndexFrame(spark, idxPath.toString).select(col("id"), col("sk"))
+      val sw = Window.partitionBy(col("q_id"))
+        .orderBy(col("h").asc, col("id").asc)
+      val ranked = sk.crossJoin(broadcast(q.select(col("q_id"), col("qsk"))))
+        .filter(col("id") =!= col("q_id"))
+        .select(col("q_id"),
+          skHamming(col("sk"), col("qsk")).cast("long").as("h"), col("id"))
+        .withColumn("srnk", row_number().over(sw).cast("long"))
+        .select(col("q_id"), col("id"), col("srnk"))
+      val full = readIndexFrame(spark, idxPath.toString)
+        .select(col("id"), col("v"), col("nrm"))
+      val scored = ranked.join(full, "id")
+        .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id")
+        .select(col("q_id"), col("id").as("neighbor_id"), col("srnk"),
+          round(cosineWithNorms(col("qv"), col("qn"), col("v"), col("nrm")), 4)
+            .as("rr_sim"))
+        .localCheckpoint(true) // consumed once per ladder point
+      val rw = Window.partitionBy(col("q_id"))
+        .orderBy(col("rr_sim").desc, col("neighbor_id").asc)
       val points = pools.map { c =>
-        val got = topKSketchRerank(spark, idxPath.toString, queries,
-            k = K, candPool = c, planes)
-          .select(col("q_id"), col("neighbor_id"), col("cos_sim").as("rr_sim"))
+        val got = scored.filter(col("srnk") <= c)
+          .withColumn("rnk", row_number().over(rw).cast("long"))
+          .filter(col("rnk") <= K)
+          .select(col("q_id"), col("neighbor_id"), col("rr_sim"))
         exact.join(got, Seq("q_id", "neighbor_id"), "left")
           .agg(count(lit(1)).as("n_exact_total"),
             sum(when(col("rr_sim").isNotNull, 1L).otherwise(0L)).as("n_hit"),
